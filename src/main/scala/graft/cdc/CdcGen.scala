@@ -1,0 +1,132 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Seeded, fully deterministic workload generator — the Spark-native
+  * equivalent of the reference's `generator.py` (Faker rows → INSERT,
+  * generator.py:22-40) extended with updates/deletes so the merge path
+  * (SURVEY.md §2.2) has something to do. No Faker, no RNG state: every
+  * value is a pure expression of (id, seed), so any executor can produce
+  * any partition independently — the property that makes the generator
+  * scale-free (spark.range parallelizes; nothing is collected).
+  *
+  * Distributions mirror generator.py:25-32: department uniform over
+  * {IT, HR, Sales, Marketing}, salary uniform-ish in [10000, 150000],
+  * created_at a date; names/emails/phones are hash-picked from small
+  * public wordlists.
+  */
+object CdcGen {
+
+  private val firstNames = Seq("Alice", "Bob", "Carol", "David", "Erin", "Frank", "Grace",
+    "Henry", "Irene", "Jack", "Karen", "Liam", "Mona", "Nate", "Olga", "Paul")
+  private val lastNames = Seq("Adams", "Baker", "Clark", "Davis", "Evans", "Foster", "Garcia",
+    "Hill", "Irwin", "Jones", "Kim", "Lopez", "Moore", "Nolan", "Owens", "Perez")
+  private val domains = Seq("example", "acme", "globex", "initech")
+  private val departments = Seq("IT", "HR", "Sales", "Marketing")
+
+  private def pick(values: Seq[String], h: Column): Column =
+    element_at(array(values.map(lit): _*), (pmod(h, lit(values.size)) + 1).cast("int"))
+
+  private def h(seed: Long, salt: String, id: Column): Column =
+    abs(xxhash64(lit(seed), lit(salt), id))
+
+  /** Current post-image attributes for employee `id` at version `v`
+    * (v=0 original insert, v=1 after update). */
+  private def attrs(id: Column, seed: Long, version: Int): Seq[Column] = {
+    val first = pick(firstNames, h(seed, "first", id))
+    val last = pick(lastNames, h(seed, "last", id))
+    Seq(
+      id.cast("int").as("id"),
+      concat(first, lit(" "), last).as("full_name"),
+      concat(lower(first), lit("."), lower(last), lit("@"), pick(domains, h(seed, "dom", id)), lit(".com")).as("email"),
+      concat(lit("555-"), lpad(pmod(h(seed, "ph", id), lit(10000)).cast("string"), 4, "0")).as("phone"),
+      pick(departments, h(seed, "dept" + version, id)).as("department"),
+      (lit(10000) + pmod(h(seed, "sal" + version, id), lit(140001))).cast("int").as("salary"),
+      pmod(h(seed, "date", id), lit(2000)).cast("int").plus(lit(18000)).cast("int").as("created_at"))
+  }
+
+  private def rowStruct(id: Column, seed: Long, version: Int): Column =
+    struct(attrs(id, seed, version): _*)
+
+  private def sourceStruct(lsn: Column, txId: Column): Column = struct(
+    lit("2.2.0.Final").as("version"), lit("postgresql").as("connector"),
+    lit("debezium1").as("name"), (lit(1685000000000L) + lsn).as("ts_ms"),
+    lit("false").as("snapshot"), lit("railway").as("db"), lit("public").as("schema"),
+    lit("employees").as("table"), txId.as("txId"), lsn.as("lsn"))
+
+  /** The full change log as envelope-shaped rows: n inserts, an update
+    * for every 3rd id, a delete for every 7th — LSN strictly increasing
+    * across phases (inserts, then updates, then deletes), 5 events per
+    * txId like generator.py's 5-row commit (generator.py:38-40).
+    */
+  def changeLog(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+    val ids = spark.range(1, n + 1).select(col("id"))
+    val nullRow = lit(null).cast(Envelope.employees.catalogString)
+
+    def envelope(df: DataFrame, op: String, before: Column, after: Column, lsn: Column): DataFrame =
+      df.select(struct(
+        before.as("before"), after.as("after"),
+        sourceStruct(lsn, (lsn.cast("long") / 50).cast("long") + 500).as("source"),
+        lit(op).as("op"), (lit(1685000000000L) + lsn).as("ts_ms")).as("payload"))
+
+    val inserts = envelope(ids, Envelope.OpCreate, nullRow, rowStruct(col("id"), seed, 0), col("id") * 10)
+    val updates = envelope(ids.filter(pmod(col("id"), lit(3)) === 0), Envelope.OpUpdate,
+      rowStruct(col("id"), seed, 0), rowStruct(col("id"), seed, 1), lit(n * 10) + col("id") * 10)
+    val deletes = envelope(ids.filter(pmod(col("id"), lit(7)) === 0), Envelope.OpDelete,
+      rowStruct(col("id"), seed, if (true) 1 else 0), nullRow, lit(n * 20) + col("id") * 10)
+    // Deleted 7th ids whose id%3==0 were updated first; before-image
+    // correctness beyond presence isn't asserted by the merge (only
+    // after/op/lsn are), matching Debezium's at-least-shape guarantee.
+    inserts.unionByName(updates).unionByName(deletes)
+  }
+
+  /** Expected post-merge snapshot for `changeLog(n)` — the golden oracle
+    * used by tests: every id except multiples of 7, with the updated
+    * attrs for multiples of 3. */
+  def expectedSnapshot(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+    val ids = spark.range(1, n + 1).filter(pmod(col("id"), lit(7)) =!= 0)
+    ids.select(
+      when(pmod(col("id"), lit(3)) === 0, rowStruct(col("id"), seed, 1))
+        .otherwise(rowStruct(col("id"), seed, 0)).as("r"))
+      .select(col("r.*"))
+  }
+
+  /** Envelope rows → emulated Kafka-record JSON lines (FIXTURES.md §B):
+    * one JSON object per record with the envelope serialized into
+    * `value`, exactly what the real Kafka source would deliver after
+    * `CAST(value AS STRING)`. */
+  def toKafkaJsonLines(log: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("payload.source.lsn"))
+    log.select(
+      to_json(struct(col("payload"))).as("value"),
+      col("payload.source.lsn").as("lsn"),
+      col("payload.ts_ms").as("ts_ms"))
+      .withColumn("offset", row_number().over(w).cast("long") - 1)
+      .select(to_json(struct(
+        col("value"),
+        lit("debezium1.public.employees").as("topic"),
+        lit(0).as("partition"),
+        col("offset"),
+        date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("timestamp"))).as("line"),
+        col("offset"))
+  }
+
+  /** Write the change log as `nBatches` JSON-lines files under `dir` —
+    * each file plays one Kafka topic-partition segment for the streaming
+    * file source (SURVEY.md §7.2 Kafka emulation). Single-partition
+    * writes are fine: this is test fixture generation, not the data path. */
+  def writeTopicFiles(spark: SparkSession, n: Long, dir: String, nBatches: Int = 3, seed: Long = 42L): Unit = {
+    val lines = toKafkaJsonLines(changeLog(spark, n, seed)).cache()
+    try {
+      val total = lines.count()
+      val per = math.max(1L, (total + nBatches - 1) / nBatches)
+      (0 until nBatches).foreach { b =>
+        val part = lines.filter(col("offset") >= b * per && col("offset") < (b + 1) * per)
+          .orderBy(col("offset")).select(col("line"))
+        part.coalesce(1).write.mode("append").text(dir)
+      }
+    } finally lines.unpersist()
+  }
+}

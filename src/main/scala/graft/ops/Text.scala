@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline surface: token
+  * ops, shingling, portable hashing, MinHash/SimHash, language-ID
+  * heuristics, quality scoring, fingerprinting. Everything is built from
+  * codegen'd built-in expressions (no UDFs) so it stays inside
+  * WholeStageCodegen and scales linearly — a 100 TB corpus is just more
+  * partitions of the same narrow map work.
+  *
+  * Hash portability: all content hashes are md5-derived (lexicographic
+  * min of md5 strings for MinHash; first-12-hex-chars-as-int48 for
+  * numeric hashing), so any SQL engine reproduces them bit-for-bit and
+  * the whole dedup family stays oracle-checkable.
+  */
+object Text {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles from a tokens array column.
+    * Empty array for docs shorter than n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, (i + lit(k)).cast("int"))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Portable 48-bit hash: first 12 hex chars of md5, parsed base-16.
+    * 48 bits stay exact in a double, so even engines without 64-bit
+    * integer hex parsing can reproduce it. */
+  def hash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** Lexicographic-min-md5 MinHash component for seed `i`: md5 is a
+    * uniform hash, so the min over a shingle set is a valid MinHash
+    * signature component; P(sig_a == sig_b) = Jaccard(a, b). */
+  def minhashComponent(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, sh => md5(concat(lit(s"s$seed:"), sh))))
+
+  /** k-component MinHash signature as array<string>. */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    array((0 until k).map(i => minhashComponent(shingleArr, i)): _*)
+
+  /** LSH band keys: concat r consecutive signature components per band
+    * (prefixed with the band index so bands never collide across index).
+    * P(some band matches) = 1 - (1 - J^r)^b. */
+  def lshBands(sig: Column, bands: Int, r: Int): Column =
+    array((0 until bands).map { b =>
+      val comps = (0 until r).map(j => element_at(sig, b * r + j + 1))
+      concat_ws("|", lit(s"b$b") +: comps: _*)
+    }: _*)
+
+  /** 16-bit SimHash over the token multiset: bit i of the fingerprint is
+    * set iff Σ_tokens (±1 on bit i of hash48(token)) > 0. Built as a raw
+    * SQL expression because Column-API shift functions only take literal
+    * shift amounts. `toksExpr` is a SQL expression string yielding the
+    * tokens array (e.g. "split(text, ' ')"). */
+  def simhash16(toksExpr: String): Column = expr(
+    s"""aggregate(
+       |  sequence(0, 15), CAST(0 AS BIGINT),
+       |  (acc, i) -> acc + IF(
+       |    aggregate(
+       |      transform($toksExpr, t -> CAST(conv(substring(md5(t), 1, 12), 16, 10) AS BIGINT)),
+       |      CAST(0 AS BIGINT),
+       |      (a, h) -> a + IF((h & shiftleft(CAST(1 AS BIGINT), i)) != 0, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))
+       |    ) > 0,
+       |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
+
+  /** Exact n-gram Jaccard between two shingle-array columns (distinct
+    * sets). Integer arithmetic → oracle-exact. */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db))
+    round(inter.cast("double") / (size(da) + size(db) - inter), 4)
+  }
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "los", "de", "y"),
+    "fr" -> Seq("le", "les", "des", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Count of profile stopwords present in the token array. */
+  def langScore(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
+
+  /** argmax over profiles with alphabetical tie-break (CASE chain —
+    * identical construct on the oracle side). */
+  def langPredict(scores: Seq[(String, Column)]): Column = {
+    val ordered = scores.sortBy(_._1)
+    ordered.init.foldRight(lit(ordered.last._1)) { case ((lang, s), rest) =>
+      val others = ordered.filter(_._1 != lang).map(_._2)
+      when(others.foldLeft(lit(true))((c, o) => c && s >= o), lang).otherwise(rest)
+    }
+  }
+}

@@ -1,0 +1,678 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** The relational query surface (SURVEY.md §2.3) — the operators any
+  * consumer of the reference's Glue-synced table runs (reference intent:
+  * README.md:298-304 "so they can be queried"), made first-class here.
+  *
+  * Scale notes (100 TB design point) are in each query's comment: joins
+  * that must broadcast do so explicitly; aggregations rely on Spark's
+  * partial (map-side) aggregation; windows partition on high-cardinality
+  * keys so no single partition degenerates; everything else is a narrow
+  * scan that Catalyst collapses into one WholeStageCodegen stage with
+  * parquet filter/column pushdown.
+  */
+object Relational {
+
+  /** Exact decimal view of a double column: double→DECIMAL(18,4) is
+    * unambiguous for data with ≤4 true decimal digits, and decimal sums
+    * are order-independent — the whole oracle-determinism strategy. */
+  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+  private def dround(c: Column): Column = round(c.cast("double"), 4)
+  private def fmtD(c: Column): Column = date_format(c, "yyyy-MM-dd")
+  private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  // Oracle-side equivalents of the helpers above (DuckDB dialect).
+  private val OD = "round(CAST(%s AS DOUBLE), 4)"
+
+  def queries: Seq[GQuery] = Seq(
+    // ---------------------------------------------------------------- scan
+    // Column pruning: only 4 of 11 lineitem columns reach the scan
+    // (ReadSchema in explain); at 100 TB that is the difference between
+    // reading 100 TB and ~35 TB.
+    GQuery(
+      "q_scan_project",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // -------------------------------------------------------------- filter
+    // All predicates pushed to the parquet scan (PushedFilters); row-group
+    // statistics skip non-matching groups before decoding a single page.
+    GQuery(
+      "q_filter_pred",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .filter(
+            col("l_returnflag").isin("A", "R") &&
+            col("l_quantity").between(5, 30) &&
+            (col("l_linestatus") <=> "F" || col("l_discount") < 0.05) &&
+            col("l_linestatus").like("%"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_linestatus"), col("l_quantity"), col("l_discount"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity, l_discount
+             |FROM lineitem
+             |WHERE l_returnflag IN ('A','R') AND l_quantity BETWEEN 5 AND 30
+             |  AND (l_linestatus IS NOT DISTINCT FROM 'F' OR l_discount < 0.05)
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // --------------------------------------------------------------- joins
+    // Shuffled hash/sort-merge join on the key; at scale both sides
+    // hash-partition on custkey — co-partitioned, no replication.
+    GQuery(
+      "q_join_inner",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+          .select(col("o_orderkey"), col("c_custkey"), col("c_name"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, c_custkey, c_name, o_totalprice
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    GQuery(
+      "q_join_left",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .select(col("c_custkey"), col("o_orderkey"))
+          .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+      },
+      Some("""SELECT c_custkey, o_orderkey
+             |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus='F') o
+             |  ON c_custkey = o.o_custkey
+             |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin)),
+
+    GQuery(
+      "q_join_full",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+        val o = Tables.orders(s, dir).filter(col("o_totalprice") > 200000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "full")
+          .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+      },
+      Some("""SELECT c_custkey, o_orderkey, o_totalprice
+             |FROM (SELECT * FROM customer WHERE c_acctbal > 5000) c
+             |FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 200000) o
+             |  ON c.c_custkey = o.o_custkey
+             |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin)),
+
+    // Existence joins never materialize the right side's columns — Spark
+    // plans them as semi/anti hash joins (right side build, dedup'd keys).
+    GQuery(
+      "q_join_semi",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus='O')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    GQuery(
+      "q_join_anti",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus='O')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Dimension tables (region/nation/supplier) are tiny at any SF — the
+    // explicit broadcast() turns a 3-way shuffle into a single map-side
+    // stage over lineitem: the canonical star-schema plan at 100 TB.
+    GQuery(
+      "q_join_broadcast",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val su = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        val na = Tables.nation(s, dir).select(col("n_nationkey"), col("n_regionkey"))
+        val re = Tables.region(s, dir)
+        li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(re), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(
+            dround(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"))
+      },
+      Some(s"""SELECT r_name,
+             |  ${OD.format("sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))))")} AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // Equi component keeps it a hash join; the theta predicate is applied
+    // as a post-join filter — never a cartesian product.
+    GQuery(
+      "q_join_theta_range",
+      (s, dir) => {
+        val su = Tables.supplier(s, dir)
+        val c = Tables.customer(s, dir)
+        su.join(c, su("s_nationkey") === c("c_nationkey") && su("s_acctbal") > c("c_acctbal"))
+          .select(col("s_suppkey"), col("c_custkey"))
+          .orderBy(col("s_suppkey"), col("c_custkey"))
+      },
+      Some("""SELECT s_suppkey, c_custkey
+             |FROM supplier JOIN customer
+             |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+             |ORDER BY s_suppkey, c_custkey""".stripMargin)),
+
+    // As-of join: latest 'click' at or before each 'purchase', per user.
+    // Spark has no native asof — composed as equi-join on the key + range
+    // predicate + latest-wins window (SURVEY.md §2.3 q_join_asof). At
+    // scale the equi-join shuffles once on user_id and the window reuses
+    // that partitioning (no second shuffle).
+    GQuery(
+      "q_join_asof",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+        val j = p.join(c, p("user_id") === c("c_user") && c("c_ts") <= p("p_ts"), "left")
+        val w = Window.partitionBy(col("p_id")).orderBy(col("c_ts").desc_nulls_last, col("c_id").desc_nulls_last)
+        j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("p_id"), col("user_id"), fmtTs(col("p_ts")).as("p_time"),
+            col("c_id").as("click_id"), fmtTs(col("c_ts")).as("click_time"))
+          .orderBy(col("p_id"))
+      },
+      Some("""SELECT p_id, user_id, p_time, click_id, click_time FROM (
+             |  SELECT p.event_id AS p_id, p.user_id,
+             |         strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_time,
+             |         c.event_id AS click_id,
+             |         strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_time,
+             |         row_number() OVER (PARTITION BY p.event_id
+             |                            ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+             |  FROM (SELECT * FROM events WHERE event_type='purchase') p
+             |  LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+             |    ON p.user_id = c.user_id AND c.ts <= p.ts) t
+             |WHERE rn = 1 ORDER BY p_id""".stripMargin)),
+
+    // --------------------------------------------------------- aggregation
+    // TPC-H Q1 shape: partial hash agg map-side → 6-group final agg.
+    // Decimal sums keep Spark's and DuckDB's different add-orders from
+    // producing different doubles.
+    GQuery(
+      "q_agg_hash",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dround(sum(dec(col("l_quantity")))).as("sum_qty"),
+            dround(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+            dround(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("sum_disc_price"),
+            dround(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) * (lit(1) + dec(col("l_tax"))))).as("sum_charge"),
+            round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 4).as("avg_qty"),
+            round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 4).as("avg_price"),
+            round(sum(dec(col("l_discount"))).cast("double") / count(lit(1)), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_base_price,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS sum_disc_price,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE), 4) AS sum_charge,
+             |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+             |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Exact distinct aggregation (expand + two-phase agg under the hood).
+    GQuery(
+      "q_agg_distinct",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Approx sketch (HLL++). Engine-specific hashing → no DuckDB
+    // hash-match possible; declared without oracle (rows-only check),
+    // exact twin is q_agg_distinct.
+    GQuery(
+      "q_agg_approx_distinct",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+          .orderBy(col("l_returnflag"))
+      },
+      None),
+
+    GQuery(
+      "q_agg_rollup",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping(col("o_orderstatus")).cast("int").as("g_status"),
+            grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+            count(lit(1)).as("n"),
+            dround(sum(dec(col("o_totalprice")))).as("total"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+            col("g_status"), col("g_prio"), col("n"), col("total"))
+          .orderBy(col("g_status"), col("g_prio"), col("status"), col("prio"))
+      },
+      Some(s"""SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS prio,
+             |  CAST(grouping(o_orderstatus) AS INT) AS g_status, CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+             |  count(*) AS n, ${OD.format("sum(CAST(o_totalprice AS DECIMAL(18,4)))")} AS total
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY g_status, g_prio, status, prio""".stripMargin)),
+
+    GQuery(
+      "q_agg_cube",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping(col("l_returnflag")).cast("int").as("g_rf"),
+            grouping(col("l_linestatus")).cast("int").as("g_ls"),
+            count(lit(1)).as("n"),
+            dround(sum(dec(col("l_quantity")))).as("qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("g_rf"), col("g_ls"), col("n"), col("qty"))
+          .orderBy(col("g_rf"), col("g_ls"), col("rf"), col("ls"))
+      },
+      Some(s"""SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+             |  CAST(grouping(l_returnflag) AS INT) AS g_rf, CAST(grouping(l_linestatus) AS INT) AS g_ls,
+             |  count(*) AS n, ${OD.format("sum(CAST(l_quantity AS DECIMAL(18,4)))")} AS qty
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY g_rf, g_ls, rf, ls""".stripMargin)),
+
+    GQuery(
+      "q_agg_gsets",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("gq_customer")
+        s.sql(
+          """SELECT coalesce(c_mktsegment,'ALL') AS seg,
+            |  CAST(coalesce(c_nationkey, -1) AS INT) AS nk,
+            |  CAST(grouping(c_mktsegment) AS INT) AS g_seg, CAST(grouping(c_nationkey) AS INT) AS g_nk,
+            |  count(*) AS n,
+            |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS bal
+            |FROM gq_customer
+            |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), (c_mktsegment, c_nationkey), ())
+            |ORDER BY g_seg, g_nk, seg, nk""".stripMargin)
+      },
+      Some("""SELECT coalesce(c_mktsegment,'ALL') AS seg,
+             |  CAST(coalesce(c_nationkey, -1) AS INT) AS nk,
+             |  CAST(grouping(c_mktsegment) AS INT) AS g_seg, CAST(grouping(c_nationkey) AS INT) AS g_nk,
+             |  count(*) AS n,
+             |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS bal
+             |FROM customer
+             |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), (c_mktsegment, c_nationkey), ())
+             |ORDER BY g_seg, g_nk, seg, nk""".stripMargin)),
+
+    // ------------------------------------------------------------- windows
+    // Partitioned by suppkey (high cardinality) — at 100 TB this is one
+    // shuffle into ~|suppliers| balanced partitions, never a 3-partition
+    // skew monster like partitioning by returnflag would be.
+    GQuery(
+      "q_win_rank",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        Tables.lineitem(s, dir)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
+          .withColumn("nt", ntile(4).over(w))
+          .filter(col("rn") <= 10)
+          .orderBy(col("l_suppkey"), col("rn"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             |    row_number() OVER w AS rn, rank() OVER w AS rnk,
+             |    dense_rank() OVER w AS drnk, ntile(4) OVER w AS nt
+             |  FROM lineitem
+             |  WINDOW w AS (PARTITION BY l_suppkey
+             |               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)) t
+             |WHERE rn <= 10 ORDER BY l_suppkey, rn""".stripMargin)),
+
+    GQuery(
+      "q_win_analytic",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+          .withColumn("first_price", first(col("o_totalprice")).over(wf))
+          .withColumn("last_price", last(col("o_totalprice")).over(wf))
+          .withColumn("running_total", dround(sum(dec(col("o_totalprice"))).over(wf)))
+          .select(col("o_custkey"), col("o_orderkey"), fmtD(col("o_orderdate")).as("odate"),
+            col("o_totalprice"), col("prev_price"), col("next_price"),
+            col("first_price"), col("last_price"), col("running_total"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate, o_totalprice,
+             |  lag(o_totalprice, 1) OVER w AS prev_price,
+             |  lead(o_totalprice, 1) OVER w AS next_price,
+             |  first_value(o_totalprice) OVER wf AS first_price,
+             |  last_value(o_totalprice) OVER wf AS last_price,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER wf AS DOUBLE), 4) AS running_total
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // RANGE frame over epoch seconds: 1-hour trailing window per user.
+    GQuery(
+      "q_win_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+          .rangeBetween(-3600, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("ts_sec", unix_timestamp(col("ts")))
+          .withColumn("mov_sum", sum(dec(col("value"))).over(w))
+          .withColumn("mov_n", count(lit(1)).over(w))
+          .select(col("event_id"), col("user_id"),
+            dround(col("mov_sum")).as("mov_sum"), col("mov_n"),
+            round(col("mov_sum").cast("double") / col("mov_n"), 4).as("mov_avg"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  round(CAST(mov_sum AS DOUBLE), 4) AS mov_sum, mov_n,
+             |  round(CAST(mov_sum AS DOUBLE) / mov_n, 4) AS mov_avg
+             |FROM (
+             |  SELECT event_id, user_id,
+             |    sum(CAST(value AS DECIMAL(18,4))) OVER w AS mov_sum,
+             |    count(*) OVER w AS mov_n
+             |  FROM (SELECT *, CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_sec FROM events)
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+             |               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)) t
+             |ORDER BY event_id""".stripMargin)),
+
+    // Tumbling event-time window via window() — the batch-checkable analog
+    // of the streaming windowed aggregation (SURVEY.md §2.3 note).
+    GQuery(
+      "q_win_tumbling",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dround(sum(dec(col("value")))).as("total"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+            col("event_type"), col("n"), col("total"))
+          .orderBy(col("hour_start"), col("event_type"))
+      },
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             |  event_type, count(*) AS n,
+             |  ${OD.format("sum(CAST(value AS DECIMAL(18,4)))")} AS total
+             |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
+
+    // ---------------------------------------------------------- sort/limit
+    // Global top-N: Spark plans TakeOrderedAndProject — each partition
+    // keeps N rows, driver merges; no full sort at any scale.
+    GQuery(
+      "q_sort_limit",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    GQuery(
+      "q_topk",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // ------------------------------------------------------------- set ops
+    GQuery(
+      "q_set_union",
+      (s, dir) => {
+        val a = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey"), lit("building").as("src"))
+        val b = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey"), lit("finished").as("src"))
+        a.unionByName(b).distinct().orderBy(col("custkey"), col("src"))
+      },
+      Some("""SELECT DISTINCT * FROM (
+             |  SELECT c_custkey AS custkey, 'building' AS src FROM customer WHERE c_mktsegment='BUILDING'
+             |  UNION ALL
+             |  SELECT o_custkey AS custkey, 'finished' AS src FROM orders WHERE o_orderstatus='F') t
+             |ORDER BY custkey, src""".stripMargin)),
+
+    GQuery(
+      "q_set_intersect",
+      (s, dir) => {
+        val a = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey"))
+        val b = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey"))
+        a.intersect(b).orderBy(col("custkey"))
+      },
+      Some("""SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment='BUILDING'
+             |INTERSECT
+             |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus='F'
+             |ORDER BY custkey""".stripMargin)),
+
+    GQuery(
+      "q_set_except",
+      (s, dir) => {
+        val a = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey"))
+        val b = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey"))
+        a.except(b).orderBy(col("custkey"))
+      },
+      Some("""SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment='BUILDING'
+             |EXCEPT
+             |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus='F'
+             |ORDER BY custkey""".stripMargin)),
+
+    // ----------------------------------------------------------- functions
+    GQuery(
+      "q_str_funcs",
+      (s, dir) => {
+        Tables.part(s, dir)
+          .select(
+            col("p_partkey"),
+            concat_ws("|", upper(col("p_brand")), lower(col("p_type"))).as("tag"),
+            substring(col("p_name"), 1, 5).as("head5"),
+            trim(col("p_name")).as("trimmed"),
+            element_at(split(col("p_name"), " "), 1).as("first_word"),
+            regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_alpha"),
+            expr("replace(p_name, 'a', '#')").as("replaced"),
+            length(col("p_name")).as("name_len"),
+            lpad(col("p_brand"), 12, "*").as("padded"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+             |  upper(p_brand) || '|' || lower(p_type) AS tag,
+             |  substr(p_name, 1, 5) AS head5,
+             |  trim(p_name) AS trimmed,
+             |  string_split(p_name, ' ')[1] AS first_word,
+             |  regexp_extract(p_name, '([a-z]+)', 1) AS first_alpha,
+             |  replace(p_name, 'a', '#') AS replaced,
+             |  length(p_name) AS name_len,
+             |  lpad(p_brand, 12, '*') AS padded
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    GQuery(
+      "q_date_funcs",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"),
+            dayofmonth(col("o_orderdate")).as("dom"),
+            quarter(col("o_orderdate")).as("qtr"),
+            fmtD(date_trunc("month", col("o_orderdate"))).as("month_start"),
+            datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+            fmtD(date_add(col("o_orderdate"), 30)).as("plus30"),
+            fmtD(last_day(col("o_orderdate"))).as("eom"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS INT) AS yr,
+             |  CAST(month(o_orderdate) AS INT) AS mo,
+             |  CAST(day(o_orderdate) AS INT) AS dom,
+             |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+             |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+             |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+             |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+             |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    GQuery(
+      "q_math_funcs",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice"), 1).as("rounded"),
+            floor(col("l_extendedprice")).cast("long").as("floored"),
+            ceil(col("l_extendedprice")).cast("long").as("ceiled"),
+            abs(col("l_discount") - 0.05).cast("double").as("absdiff"),
+            round(pow(col("l_quantity"), 2), 4).as("qty_sq"),
+            round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"),
+            round(log(col("l_extendedprice") + 1), 4).as("price_ln"),
+            pmod(col("l_orderkey"), lit(7)).as("key_mod"),
+            signum(col("l_discount") - 0.04).cast("int").as("disc_sign"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  round(l_extendedprice, 1) AS rounded,
+             |  CAST(floor(l_extendedprice) AS BIGINT) AS floored,
+             |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceiled,
+             |  abs(l_discount - 0.05) AS absdiff,
+             |  round(pow(l_quantity, 2), 4) AS qty_sq,
+             |  round(sqrt(l_extendedprice), 4) AS price_sqrt,
+             |  round(ln(l_extendedprice + 1), 4) AS price_ln,
+             |  ((l_orderkey % 7) + 7) % 7 AS key_mod,
+             |  CAST(sign(l_discount - 0.04) AS INT) AS disc_sign
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    GQuery(
+      "q_array_map_funcs",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .withColumn("tokens", split(col("text"), " "))
+          .select(
+            col("doc_id"),
+            size(col("tokens")).as("n_tokens"),
+            array_contains(col("tokens"), "spark").as("has_spark"),
+            array_join(slice(sort_array(col("tokens")), 1, 3), ",").as("top3"),
+            size(expr("filter(tokens, t -> length(t) > 4)")).as("n_long"),
+            expr("aggregate(tokens, 0, (acc, t) -> acc + length(t))").as("sum_len"),
+            element_at(map(lit("n"), size(col("tokens"))), "n").as("m_n"),
+            array_join(expr("map_keys(map('a', 1, 'b', 2))"), ",").as("mkeys"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+             |  array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS top3,
+             |  CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS INT) AS n_long,
+             |  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS INT) AS sum_len,
+             |  CAST(len(string_split(text, ' ')) AS INT) AS m_n,
+             |  'a,b' AS mkeys
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // JSON surface — the reference's core parsing capability
+    // (README.md:179-185) applied to the events.props JSON column.
+    GQuery(
+      "q_json_funcs",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .withColumn("k1", get_json_object(col("props"), "$.k").cast("int"))
+          .withColumn("parsed", from_json(col("props"), "k INT"))
+          .select(
+            col("event_id"),
+            col("k1"),
+            col("parsed.k").as("k2"),
+            json_tuple(col("props"), "k").as("k3_raw"),
+            to_json(struct(col("event_id").as("id"))).as("j"))
+          .withColumn("k3", col("k3_raw").cast("int")).drop("k3_raw")
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS INT) AS k1,
+             |  CAST(json_extract_string(props, '$.k') AS INT) AS k2,
+             |  '{"id":' || event_id || '}' AS j,
+             |  CAST(json_extract_string(props, '$.k') AS INT) AS k3
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    GQuery(
+      "q_case_when",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .select(
+            col("o_orderkey"),
+            when(col("o_totalprice") > 300000, "big")
+              .when(col("o_totalprice") > 100000, "mid")
+              .otherwise("small").as("bucket"),
+            coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING")).as("status_or_pending"),
+            when(col("o_orderpriority").isNull, lit("none")).otherwise(col("o_orderpriority")).as("prio"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_totalprice > 300000 THEN 'big'
+             |       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket,
+             |  coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_or_pending,
+             |  CASE WHEN o_orderpriority IS NULL THEN 'none' ELSE o_orderpriority END AS prio
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
+  )
+}

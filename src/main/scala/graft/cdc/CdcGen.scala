@@ -98,7 +98,7 @@ object CdcGen {
     * `CAST(value AS STRING)`. */
   def toKafkaJsonLines(log: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy(col("payload.source.lsn"))
+      .partitionBy(lit(0)).orderBy(col("lsn"))
     log.select(
       to_json(struct(col("payload"))).as("value"),
       col("payload.source.lsn").as("lsn"),

@@ -68,6 +68,24 @@ object Text {
        |    ) > 0,
        |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
 
+  /** Oracle-portable 16-bit SimHash over the token multiset: bit i of the
+    * fingerprint is set iff Σ_tokens (±1 by the high bit of md5 nibble i)
+    * > 0. Each hex digit of md5(token) supplies one independent uniform
+    * bit (digit ≥ '8' ⇔ nibble high bit set), so this is a standard
+    * random-projection SimHash whose every sub-expression (md5, substring,
+    * set membership, fold) exists verbatim in any SQL engine — unlike the
+    * shiftleft/conv form, which needs 64-bit hex parsing. */
+  def simhash16Portable(toks: Column): Column = {
+    val hiNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    (0 until 16).map { i =>
+      val contrib = aggregate(
+        transform(toks, t =>
+          when(substring(md5(t), i + 1, 1).isin(hiNibble: _*), 1).otherwise(-1)),
+        lit(0), (a, x) => a + x)
+      when(contrib > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
   /** Exact n-gram Jaccard between two shingle-array columns (distinct
     * sets). Integer arithmetic → oracle-exact. */
   def jaccard(a: Column, b: Column): Column = {

@@ -1,0 +1,425 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{CdcGen, CdcMerge, Ingest}
+import graft.ops.{Text, Vectors}
+import graft.tables.Tables
+
+/** The extension query surface: the reference's core CDC-merge semantics
+  * made queryable (SURVEY.md §2.2/§2.3 `q_cdc_upsert_snapshot` — the
+  * DeltaStreamer upsert, reference README.md:300-307, 348), plus the
+  * LLM-training-data-pipeline operators (dedup family, similarity
+  * search, text analysis, multimodal columns) over the `documents` /
+  * `embeddings` tables.
+  *
+  * Every query here is built from codegen'd built-in expressions (no
+  * UDFs) and carries a DuckDB oracle unless the semantics are genuinely
+  * engine-specific (noted per query). Scale notes inline.
+  */
+object Extensions {
+
+  private val dround = (c: org.apache.spark.sql.Column) => round(c.cast("double"), 4)
+
+  def queries: Seq[GQuery] = Seq(
+
+    // ------------------------------------------------------- CDC merge
+    // The reference's entire reason to exist: collapse a CDC change log
+    // to the current-state snapshot — latest-by-LSN per key, deletes
+    // applied (README.md:300-307; --source-ordering-field _event_lsn,
+    // README.md:348). The log is derived deterministically from `events`
+    // (event_id = monotone LSN stand-in, user_id = record key) so the
+    // DuckDB oracle can replay the identical merge in window SQL.
+    // Scale: ONE hash shuffle on the key — identical to Hudi's
+    // key→file-group distribution. The window never sees more than one
+    // key's events per partition slice; AQE splits skewed keys.
+    GQuery(
+      "q_cdc_upsert_snapshot",
+      (s, dir) => {
+        val log = Tables.events(s, dir).select(
+          col("user_id").as("id"),
+          col("event_id").as("lsn"),
+          when(pmod(col("event_id"), lit(11)) === 0, "d")
+            .when(pmod(col("event_id"), lit(3)) === 0, "u")
+            .otherwise("c").as("op"),
+          col("value"))
+        CdcMerge.snapshot(log, Seq("id"), Seq("lsn"))
+          .select(col("id"), col("lsn"), col("op"), col("value"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT id, lsn, op, value FROM (
+             |  SELECT user_id AS id, event_id AS lsn,
+             |    CASE WHEN event_id % 11 = 0 THEN 'd'
+             |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+             |    value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |  FROM events) t
+             |WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin)),
+
+    // Batch replay of the emulated Kafka topic through the full ingest
+    // path (S1-S9 + U1-U3): seeded envelope generation → JSON-lines topic
+    // files → parse → latest-wins snapshot. Deterministic output (seeded
+    // generator), but the inputs are generated at runtime — not a
+    // testdata table — so no DuckDB oracle (driver rows-only check); the
+    // scalatest suite asserts the golden snapshot equality instead.
+    GQuery(
+      "stream_ingest_e2e",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+        CdcGen.writeTopicFiles(s, 200, tmp + "/topic", nBatches = 3)
+        Ingest.snapshotFromTopic(s, tmp + "/topic")
+          .select(col("id"), col("full_name"), col("email"), col("department"),
+            col("salary"), col("created_date"))
+          .orderBy(col("id"))
+      },
+      None),
+
+    // ----------------------------------------------------- dedup family
+    // Exact dedup: group by content hash, keep the smallest doc_id.
+    // Narrow map + one hash-shuffle groupBy — embarrassingly scalable.
+    GQuery(
+      "q_dedup_exact",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .withColumn("h", md5(lower(trim(col("text")))))
+          .groupBy(col("h"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .select(col("keep_id"), col("n_copies"), col("h"))
+          .orderBy(col("keep_id"))
+      },
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+             |  md5(lower(trim(text))) AS h
+             |FROM documents GROUP BY 3 ORDER BY keep_id""".stripMargin)),
+
+    // MinHash + LSH near-dup detection: 2-gram shingles → 6-component
+    // md5-min signature → 3 bands of 2 → candidate pairs share a band →
+    // verify exact Jaccard ≥ 0.5. Scale: the band join is ONE shuffle on
+    // the band key; pairwise work only within a band bucket
+    // (P(band match) = 1-(1-J^2)^3, so true near-dups are almost never
+    // missed while random pairs almost never collide).
+    GQuery(
+      "q_dedup_minhash",
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .select(col("doc_id"), array_distinct(Text.shingles(Text.tokens(col("text")), 2)).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val banded = sh
+          .withColumn("sig", Text.minhashSignature(col("sh"), 6))
+          .select(col("doc_id"), explode(Text.lshBands(col("sig"), 3, 2)).as("band"))
+        val cand = banded.as("a")
+          .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        cand
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+          .withColumn("jac", Text.jaccard(col("sha"), col("shb")))
+          .filter(col("jac") >= 0.5)
+          .select(col("id_a"), col("id_b"), col("jac"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+             |         i -> concat_ws(' ', toks[i], toks[i+1]))) AS sh
+             |       FROM t WHERE len(toks) >= 2),
+             |sig AS (SELECT doc_id, sh,
+             |  [list_aggregate(list_transform(sh, x -> md5('s0:' || x)), 'min'),
+             |   list_aggregate(list_transform(sh, x -> md5('s1:' || x)), 'min'),
+             |   list_aggregate(list_transform(sh, x -> md5('s2:' || x)), 'min'),
+             |   list_aggregate(list_transform(sh, x -> md5('s3:' || x)), 'min'),
+             |   list_aggregate(list_transform(sh, x -> md5('s4:' || x)), 'min'),
+             |   list_aggregate(list_transform(sh, x -> md5('s5:' || x)), 'min')] AS sig
+             |  FROM sh),
+             |bands AS (SELECT doc_id, unnest([
+             |    'b0|' || sig[1] || '|' || sig[2],
+             |    'b1|' || sig[3] || '|' || sig[4],
+             |    'b2|' || sig[5] || '|' || sig[6]]) AS band FROM sig),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+             |jj AS (SELECT id_a, id_b,
+             |  round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+             |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jac
+             |  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+             |SELECT id_a, id_b, jac FROM jj WHERE jac >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // SimHash fingerprint per doc (portable 16-bit random-projection
+    // hash) + how many docs share it. Pure narrow map + one groupBy-size
+    // join — linear at any scale.
+    GQuery(
+      "q_dedup_simhash",
+      (s, dir) => {
+        val fp = Tables.documents(s, dir)
+          .select(col("doc_id"), Text.simhash16Portable(Text.tokens(col("text"))).as("simhash"))
+        val counts = fp.groupBy(col("simhash")).agg(count(lit(1)).as("n_same"))
+        fp.join(counts, "simhash")
+          .select(col("doc_id"), col("simhash"), col("n_same"))
+          .orderBy(col("doc_id"))
+      },
+      Some(("""WITH f AS (SELECT doc_id, (""" +
+        (0 until 16).map { i =>
+          s"""CASE WHEN list_sum(list_transform(string_split(text, ' '),
+             | t -> CASE WHEN substr(md5(t), ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+             | THEN ${1 << i} ELSE 0 END""".stripMargin.replace("\n", " ")
+        }.mkString(" + ") +
+        """)::INT AS simhash FROM documents)
+          |SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_same
+          |FROM f ORDER BY doc_id""".stripMargin))),
+
+    // Exact n-gram Jaccard near-dup pairs via the inverted-shingle-index
+    // join: explode distinct 5-shingles, join postings on the shingle,
+    // count shared per pair, Jaccard from exact set sizes. This IS the
+    // scalable exact algorithm — one shuffle on the shingle key, work
+    // ∝ Σ df(shingle)², no all-pairs expansion and no array intersects
+    // (measured df: max 4 docs per 5-shingle at sf0.1).
+    GQuery(
+      "q_dedup_ngram",
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .select(col("doc_id"), array_distinct(Text.shingles(Text.tokens(col("text")), 5)).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+        val posts = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+        posts.as("a")
+          .join(posts.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("n").as("na"))), "id_a")
+          .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("n").as("nb"))), "id_b")
+          .withColumn("jac", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+          .filter(col("jac") >= 0.5)
+          .select(col("id_a"), col("id_b"), col("jac"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+             |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))) AS sh
+             |       FROM t WHERE len(toks) >= 5),
+             |posts AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+             |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |          FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
+             |SELECT id_a, id_b, jac FROM (
+             |  SELECT id_a, id_b,
+             |    round(inter::DOUBLE / (x.n + y.n - inter), 4) AS jac
+             |  FROM inter JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b) z
+             |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
+    // Embedding-cosine near-dup pairs, candidate-limited to sign-LSH
+    // buckets (first-8-dims sign signature): ONE shuffle on the bucket
+    // key, pairwise cosine only within buckets — the 100 TB shape. The
+    // oracle replays the identical bucketing, so the LSH path itself is
+    // correctness-checked, not just the exact fallback.
+    GQuery(
+      "q_dedup_embedding",
+      (s, dir) => {
+        Vectors.nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+            threshold = 0.2, bits = 8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+             |  array_to_string(list_transform((embedding::DOUBLE[])[1:8],
+             |    x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+             |  FROM embeddings)
+             |SELECT id_a, id_b, round(c, 4) AS cos FROM (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    list_cosine_similarity(a.e, b.e) AS c
+             |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p
+             |WHERE c > 0.2 ORDER BY id_a, id_b""".stripMargin)),
+
+    // ------------------------------------------------ similarity search
+    // Brute-force exact cosine top-k for a bounded query set (vec_id ≤
+    // 50) against the full corpus: corpus broadcast, queries scanned —
+    // the correctness baseline. Scale path: raise `bits` in
+    // Vectors.nearDupPairs / IVF-partition the corpus; the oracle stays
+    // on this exact form (SURVEY.md §7.5).
+    GQuery(
+      "q_sim_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").as("v"))
+          .withColumn("nrm", Vectors.norm(col("v")))
+        val queries = emb.filter(col("vec_id") <= 50)
+        val corpus = broadcast(emb.select(
+          col("vec_id").as("nn_id"), col("v").as("v2"), col("nrm").as("nrm2")))
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nn_id"))
+        queries.join(corpus, col("vec_id") =!= col("nn_id"))
+          .withColumn("cos", Vectors.cosine(col("v"), col("v2"), col("nrm"), col("nrm2")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("vec_id"), col("rn"), col("nn_id"), round(col("cos"), 4).as("cos"))
+          .orderBy(col("vec_id"), col("rn"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+             |SELECT vec_id, rn, nn_id, round(c, 4) AS cos FROM (
+             |  SELECT a.vec_id, b.vec_id AS nn_id,
+             |    list_cosine_similarity(a.e, b.e) AS c,
+             |    row_number() OVER (PARTITION BY a.vec_id
+             |      ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
+             |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+             |  WHERE a.vec_id <= 50) t
+             |WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin)),
+
+    // ------------------------------------------------------ text analysis
+    GQuery(
+      "q_text_stats",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .withColumn("n_tokens", size(Text.tokens(col("text"))))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("total_tokens"),
+            round(sum(col("n_tokens").cast("long")).cast("double") / count(lit(1)), 4).as("avg_tokens"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+             |  round(sum(len(string_split(text, ' ')))::DOUBLE / count(*), 4) AS avg_tokens,
+             |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             |  round(sum(n_chars)::DOUBLE / count(*), 4) AS avg_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Language-ID: stopword-profile scores + deterministic argmax
+    // (alphabetical tie-break) — the CASE chain is identical on both
+    // engines. Narrow map, linear.
+    GQuery(
+      "q_lang_id",
+      (s, dir) => {
+        val withToks = Tables.documents(s, dir)
+          .withColumn("toks", Text.tokens(lower(col("text"))))
+        val scores = Text.langProfiles.map { case (l, sws) =>
+          l -> Text.langScore(col("toks"), sws)
+        }
+        withToks
+          .select(col("doc_id"), col("lang").as("lang_actual"),
+            Text.langPredict(scores).as("lang_pred"))
+          .withColumn("is_match", col("lang_pred") === col("lang_actual"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val profs = Text.langProfiles.map { case (l, sws) =>
+          l -> s"len(list_filter(string_split(lower(text), ' '), t -> list_contains([${sws.map(w => s"'$w'").mkString(",")}], t)))"
+        }
+        val ordered = profs.sortBy(_._1)
+        val caseChain = ordered.init.map { case (l, sc) =>
+          val others = ordered.filter(_._1 != l).map(_._2)
+          s"WHEN ${others.map(o => s"$sc >= $o").mkString(" AND ")} THEN '$l'"
+        }.mkString(" ")
+        s"""SELECT doc_id, lang AS lang_actual,
+           |  CASE $caseChain ELSE '${ordered.last._1}' END AS lang_pred,
+           |  (CASE $caseChain ELSE '${ordered.last._1}' END) = lang AS is_match
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // Token counting: whitespace tokens + a BPE-ish regex segmentation
+    // (letter runs / digit runs / single non-alnum marks).
+    GQuery(
+      "q_token_count",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).as("n_ws"),
+            size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")).as("n_bpe"),
+            col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' '))::INT AS n_ws,
+             |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::INT AS n_bpe,
+             |  n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: length saturation + stopword density − punctuation
+    // noise, the standard cheap pre-filter for training corpora.
+    GQuery(
+      "q_quality_score",
+      (s, dir) => {
+        val enStops = Text.langProfiles.toMap.apply("en")
+        val toks = Text.tokens(col("text"))
+        Tables.documents(s, dir)
+          .withColumn("n_tokens", size(toks))
+          .withColumn("n_stop", Text.langScore(toks, enStops))
+          .withColumn("n_punct", size(expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)")))
+          .select(col("doc_id"),
+            round(col("n_punct").cast("double") / col("n_chars"), 4).as("punct_ratio"),
+            round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
+            round(
+              least(lit(1.0), col("n_chars").cast("double") / 400) * 0.4
+                + (col("n_stop").cast("double") / col("n_tokens")) * 0.4
+                + (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.2,
+              4).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  round(n_punct::DOUBLE / n_chars, 4) AS punct_ratio,
+             |  round(n_stop::DOUBLE / n_tokens, 4) AS stop_ratio,
+             |  round(least(1.0, n_chars::DOUBLE / 400) * 0.4
+             |        + (n_stop::DOUBLE / n_tokens) * 0.4
+             |        + (1.0 - n_punct::DOUBLE / n_chars) * 0.2, 4) AS quality
+             |FROM (SELECT doc_id, n_chars,
+             |        len(string_split(text, ' ')) AS n_tokens,
+             |        len(list_filter(string_split(text, ' '),
+             |              t -> list_contains(['the','a','of','and','is'], t))) AS n_stop,
+             |        len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct
+             |      FROM documents) t ORDER BY doc_id""".stripMargin)),
+
+    // Document fingerprinting: min-of-md5 over 3-gram shingles (a
+    // winnowing-style content fingerprint, portable across engines).
+    GQuery(
+      "q_fingerprint",
+      (s, dir) => {
+        val sh = Text.shingles(Text.tokens(col("text")), 3)
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            coalesce(array_min(transform(sh, x => md5(x))), md5(col("text"))).as("fp"),
+            size(sh).as("n_shingles"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  coalesce(list_aggregate(list_transform(sh, x -> md5(x)), 'min'), md5(text)) AS fp,
+             |  len(sh)::INT AS n_shingles
+             |FROM (SELECT doc_id, text,
+             |        CASE WHEN len(toks) >= 3
+             |          THEN list_transform(range(1, len(toks) - 1),
+             |                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+             |          ELSE [] END AS sh
+             |      FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) x) y
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------- multimodal
+    // Opaque binary payload + typed metadata struct riding beside the
+    // text — the training-data-lake column shape. Content is a
+    // deterministic 16-byte stand-in (md5 of the text); the magic column
+    // proves the binary roundtrip (bytes → hex) byte-for-byte.
+    GQuery(
+      "q_multimodal",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .withColumn("content", unhex(md5(col("text"))))
+          .withColumn("meta", struct(
+            lit("image").as("kind"),
+            (pmod(col("n_chars") * 31 + length(col("text")), lit(1024)) + 64).cast("int").as("width"),
+            (pmod(col("n_chars") * 17 + 7, lit(1024)) + 64).cast("int").as("height"),
+            lit(16000).as("sample_rate")))
+          .select(col("doc_id"),
+            col("meta.kind").as("kind"), col("meta.width").as("width"),
+            col("meta.height").as("height"), col("meta.sample_rate").as("sample_rate"),
+            length(col("content")).as("content_bytes"),
+            substring(lower(hex(col("content"))), 1, 8).as("magic"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 'image' AS kind,
+             |  ((n_chars * 31 + length(text)) % 1024 + 64)::INT AS width,
+             |  ((n_chars * 17 + 7) % 1024 + 64)::INT AS height,
+             |  16000 AS sample_rate,
+             |  16 AS content_bytes,
+             |  substr(md5(text), 1, 8) AS magic
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

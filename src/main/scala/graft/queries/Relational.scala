@@ -40,10 +40,12 @@ object Relational {
       (s, dir) => {
         Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+          // — order by every selected column so the sort is total.
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin)),
 
     // -------------------------------------------------------------- filter
     // All predicates pushed to the parquet scan (PushedFilters); row-group
@@ -59,13 +61,14 @@ object Relational {
             col("l_linestatus").like("%"))
           .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
             col("l_linestatus"), col("l_quantity"), col("l_discount"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_linestatus"), col("l_quantity"), col("l_discount"))
       },
       Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity, l_discount
              |FROM lineitem
              |WHERE l_returnflag IN ('A','R') AND l_quantity BETWEEN 5 AND 30
              |  AND (l_linestatus IS NOT DISTINCT FROM 'F' OR l_discount < 0.05)
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity, l_discount""".stripMargin)),
 
     // --------------------------------------------------------------- joins
     // Shuffled hash/sort-merge join on the key; at scale both sides
@@ -185,23 +188,32 @@ object Relational {
              |ORDER BY s_suppkey, c_custkey""".stripMargin)),
 
     // As-of join: latest 'click' at or before each 'purchase', per user.
-    // Spark has no native asof — composed as equi-join on the key + range
-    // predicate + latest-wins window (SURVEY.md §2.3 q_join_asof). At
-    // scale the equi-join shuffles once on user_id and the window reuses
-    // that partitioning (no second shuffle).
+    // Spark has no native asof — implemented as the LINEAR union-sort-
+    // carry-forward form: tag both event kinds, one window over user_id
+    // ordered by (ts, kind, id) carrying the last click forward, filter to
+    // purchases. ONE shuffle on user_id, O(n log n) per user — no
+    // purchase×click pair expansion, so a power user with 10^6 events
+    // costs 10^6 rows, not 10^12 pairs (the join+window form is quadratic
+    // per user and skew-dominated at scale).
+    // Tie discipline mirrors the oracle: clicks sort before purchases at
+    // equal ts (c_ts <= p_ts is inclusive), and among equal-ts clicks the
+    // highest event_id wins (last in ascending order = carried value).
     GQuery(
       "q_join_asof",
       (s, dir) => {
         val ev = Tables.events(s, dir)
-        val p = ev.filter(col("event_type") === "purchase")
-          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
-        val c = ev.filter(col("event_type") === "click")
-          .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
-        val j = p.join(c, p("user_id") === c("c_user") && c("c_ts") <= p("p_ts"), "left")
-        val w = Window.partitionBy(col("p_id")).orderBy(col("c_ts").desc_nulls_last, col("c_id").desc_nulls_last)
-        j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("p_id"), col("user_id"), fmtTs(col("p_ts")).as("p_time"),
-            col("c_id").as("click_id"), fmtTs(col("c_ts")).as("click_time"))
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), when(col("event_type") === "click", 0).otherwise(1), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val clickId = when(col("event_type") === "click", col("event_id"))
+        val clickTs = when(col("event_type") === "click", col("ts"))
+        ev.withColumn("click_id", last(clickId, ignoreNulls = true).over(w))
+          .withColumn("click_ts", last(clickTs, ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), fmtTs(col("ts")).as("p_time"),
+            col("click_id"), fmtTs(col("click_ts")).as("click_time"))
           .orderBy(col("p_id"))
       },
       Some("""SELECT p_id, user_id, p_time, click_id, click_time FROM (
@@ -591,7 +603,11 @@ object Relational {
             round(log(col("l_extendedprice") + 1), 4).as("price_ln"),
             pmod(col("l_orderkey"), lit(7)).as("key_mod"),
             signum(col("l_discount") - 0.04).cast("int").as("disc_sign"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          // (key, linenumber) is non-unique: (price_sqrt, qty_sq, absdiff,
+          // disc_sign) pins (extendedprice, quantity, discount) so the
+          // sort is total up to fully-identical output rows.
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("price_sqrt"),
+            col("qty_sq"), col("absdiff"), col("disc_sign"))
       },
       Some("""SELECT l_orderkey, l_linenumber,
              |  round(l_extendedprice, 1) AS rounded,
@@ -603,7 +619,8 @@ object Relational {
              |  round(ln(l_extendedprice + 1), 4) AS price_ln,
              |  ((l_orderkey % 7) + 7) % 7 AS key_mod,
              |  CAST(sign(l_discount - 0.04) AS INT) AS disc_sign
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, price_sqrt, qty_sq, absdiff, disc_sign""".stripMargin)),
 
     GQuery(
       "q_array_map_funcs",
@@ -638,7 +655,7 @@ object Relational {
       (s, dir) => {
         Tables.events(s, dir)
           .withColumn("k1", get_json_object(col("props"), "$.k").cast("int"))
-          .withColumn("parsed", from_json(col("props"), "k INT"))
+          .withColumn("parsed", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
           .select(
             col("event_id"),
             col("k1"),

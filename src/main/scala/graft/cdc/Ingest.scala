@@ -62,30 +62,82 @@ object Ingest {
                        schema: StructType = Envelope.employeesEnvelope): DataFrame =
     parse(kafkaShaped, schema)
 
-  private def parse(df: DataFrame, schema: StructType): DataFrame =
-    df.select(col("timestamp"), col("value").cast("string").as("value"))
+  private def parse(df: DataFrame, schema: StructType): DataFrame = {
+    // Schema-drift/delete-only hazard (SURVEY.md §7.5 #1): with the
+    // dynamic inference path, a batch of only deletes infers `after` as
+    // an untyped null — star-expanding it would fail. The post-image
+    // shape is taken from whichever of after/before is a struct; deletes
+    // carry their image in `before` (tombstones off, README.md:260).
+    def structOf(name: String): Option[StructType] =
+      schema.fields.find(_.name == "payload").map(_.dataType).collect {
+        case p: StructType => p.fields.find(_.name == name).map(_.dataType)
+      }.flatten.collect { case s: StructType => s }
+    val afterOk = structOf("after").isDefined
+    val rowSchema = structOf("after").orElse(structOf("before")).getOrElse(
+      throw new IllegalArgumentException(
+        s"envelope schema has neither after nor before struct: ${schema.catalogString}"))
+
+    val base = df.select(col("timestamp"), col("value").cast("string").as("value"))
       .withColumn("json", from_json(col("value"), schema))
-      .select(
-        col("json.payload.after.*"),
-        col("json.payload.op").as("op"),
-        col("json.payload.source.lsn").as("lsn"),
-        col("json.payload.ts_ms").as("ts_ms"),
-        col("json.payload.before.id").as("before_id"),
-        col("timestamp").as("kafka_ts"))
+    val imageCol = if (afterOk) "after" else "before"
+    val projected = base.select(
+      col(s"json.payload.$imageCol.*"),
+      col("json.payload.op").as("op"),
+      col("json.payload.source.lsn").as("lsn"),
+      col("json.payload.ts_ms").as("ts_ms"),
+      (if (afterOk && structOf("before").exists(_.fieldNames.contains("id")))
+         col("json.payload.before.id")
+       else lit(null).cast("int")).as("before_id"),
+      col("timestamp").as("kafka_ts"))
       .withColumn("id", coalesce(col("id"), col("before_id"))) // delete events carry the key in `before`
       .drop("before_id")
-      .withColumn("created_date", Envelope.epochDaysToDate(col("created_at")))
+    if (rowSchema.fieldNames.contains("created_at"))
+      // cast: the dynamic inference path widens int32 epoch-days to long
+      projected.withColumn("created_date", Envelope.epochDaysToDate(col("created_at").cast("int")))
+    else projected
+  }
+
+  // ----- versioned-snapshot commit protocol (U4, crash-safe) -----
+  // Layout under snapshotDir:
+  //   v<batchId>/            parquet data for the state after <batchId>
+  //   _COMMIT_<batchId>      empty marker, written ONLY after v<batchId>
+  //                          is fully written (marker creation is atomic)
+  // The current state is v<max committed batchId>. A crash between data
+  // write and marker write leaves a dangling v-dir that the replayed
+  // batch simply overwrites — no window where the table is lost, unlike
+  // delete-then-rename. Markers double as the exactly-once guard: a
+  // replayed batch whose id is ≤ the max committed id is a no-op.
+
+  private def fsOf(spark: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  /** Highest committed batch id under `dir`, if any. */
+  def committedBatch(spark: SparkSession, dir: String): Option[Long] = {
+    val fs = fsOf(spark)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_COMMIT_") => n.stripPrefix("_COMMIT_").toLong }
+      .maxOption
+  }
+
+  /** Read the current committed snapshot state (empty if none). */
+  def readSnapshot(spark: SparkSession, dir: String): Option[DataFrame] =
+    committedBatch(spark, dir).map(id => spark.read.parquet(s"$dir/v$id"))
 
   /** S10-S13: checkpointed micro-batch ingest. Appends the parsed event
-    * log as parquet partitioned by `_batch_id` (replay-idempotent), and
-    * if `snapshotDir` is set, also maintains the materialized
-    * current-state table per batch via [[CdcMerge.upsert]] — the native
-    * stand-in for the DeltaStreamer upsert path (SURVEY.md §3.3).
+    * log as parquet partitioned by `_batch_id` (replay-idempotent:
+    * dynamic partition overwrite makes a replayed batch overwrite its
+    * own partition), and if `snapshotDir` is set, maintains the
+    * materialized current-state table per batch via
+    * [[CdcMerge.upsertPruned]] — the native stand-in for the
+    * DeltaStreamer upsert path (SURVEY.md §3.3). Join-pruned merge: only
+    * rows whose key appears in the batch are re-merged; at scale the
+    * untouched majority streams through without a window sort.
     */
   def run(spark: SparkSession, inputDir: String, logDir: String, checkpointDir: String,
           snapshotDir: Option[String] = None,
           declared: Option[StructType] = Some(Envelope.employeesEnvelope)): StreamingQuery = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // Infer once, not per batch (fixes the reference's 3-jobs-per-batch).
     @volatile var cachedSchema: Option[StructType] = declared
 
@@ -107,23 +159,32 @@ object Ingest {
           .option("partitionOverwriteMode", "dynamic")
           .parquet(logDir)
         snapshotDir.foreach { dir =>
-          val spark = batch.sparkSession
-          val existing =
-            try Some(spark.read.parquet(dir + "/data"))
-            catch { case _: Exception => None }
-          val merged = existing match {
-            case Some(t) => CdcMerge.upsert(t, parsed, Seq("id"), Seq("lsn"))
-            case None => CdcMerge.snapshot(parsed, Seq("id"), Seq("lsn"))
+          val sess = batch.sparkSession
+          val fs = fsOf(sess)
+          val committed = committedBatch(sess, dir)
+          if (!committed.exists(_ >= batchId)) { // exactly-once replay guard
+            val merged = committed match {
+              case Some(id) =>
+                CdcMerge.upsertPruned(sess.read.parquet(s"$dir/v$id"), parsed,
+                  Seq("id"), Seq("lsn"))
+              case None => CdcMerge.snapshot(parsed, Seq("id"), Seq("lsn"))
+            }
+            merged.write.mode("overwrite").parquet(s"$dir/v$batchId")
+            fs.createNewFile(new org.apache.hadoop.fs.Path(s"$dir/_COMMIT_$batchId"))
+            // GC: drop everything older than the previous version (kept
+            // for readers that resolved the pointer just before commit).
+            committedBatch(sess, dir).foreach { cur =>
+              fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath)
+                .foreach { p =>
+                  val n = p.getName
+                  val id = if (n.startsWith("_COMMIT_")) Some(n.stripPrefix("_COMMIT_").toLong)
+                           else if (n.startsWith("v")) n.stripPrefix("v").toLongOption
+                           else None
+                  if (id.exists(i => i < cur && i != committed.getOrElse(-1L)))
+                    fs.delete(p, true)
+                }
+            }
           }
-          // COW rewrite (U4): write new version, swap. Local-fs stand-in
-          // for an atomic pointer swap / table-format commit.
-          val tmp = dir + "/next"
-          merged.write.mode("overwrite").parquet(tmp)
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            spark.sparkContext.hadoopConfiguration)
-          val dataPath = new org.apache.hadoop.fs.Path(dir + "/data")
-          fs.delete(dataPath, true)
-          fs.rename(new org.apache.hadoop.fs.Path(tmp), dataPath)
         }
       }
       .start()

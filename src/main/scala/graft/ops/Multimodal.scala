@@ -74,7 +74,9 @@ object Multimodal {
     * with an index — pure expressions, stays in codegen. */
   def frameSample(df: DataFrame, contentCol: String = "content", frameBytes: Int = 4): DataFrame =
     df.withColumn("frame_idx",
-        explode(sequence(lit(0), (length(col(contentCol)) - 1) / frameBytes)))
+        // `div` (integer division): Column `/` yields DOUBLE, which
+        // sequence() rejects (requires integral bounds).
+        explode(sequence(lit(0), expr(s"(length($contentCol) - 1) div $frameBytes"))))
       .withColumn("frame",
         expr(s"substring($contentCol, frame_idx * $frameBytes + 1, $frameBytes)"))
 }

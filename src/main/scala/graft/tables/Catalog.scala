@@ -1,0 +1,25 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** U7 — catalog sync (reference README.md:298-304, 311): the reference's
+  * end product is a Hive/Glue-registered table ("so they can be
+  * queried", `hive_sync.mode=hms`). Local analog: register into the
+  * Spark session catalog, either managed (`saveAsTable`) or external
+  * (`CREATE TABLE ... USING parquet LOCATION`), so downstream SQL
+  * reaches the data by name via `spark.table(...)`.
+  */
+object Catalog {
+
+  /** Managed registration: writes the data into the warehouse. */
+  def sync(name: String, df: DataFrame): Unit =
+    df.write.mode("overwrite").saveAsTable(name)
+
+  /** External registration over an existing parquet location — the
+    * closer analog of Hudi's Hive sync (data stays where the writer put
+    * it; only metadata is registered). */
+  def syncExternal(spark: SparkSession, name: String, parquetPath: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$parquetPath'")
+  }
+}

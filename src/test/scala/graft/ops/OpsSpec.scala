@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Text.shingles: n-grams with 1-based element_at, empty when short") {
+    val df = Seq("a b c d", "a").toDF("text")
+      .select(Text.shingles(Text.tokens($"text"), 2).as("sh"))
+    val got = df.as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("a b", "b c", "c d"), Seq()))
+  }
+
+  test("Text.jaccard: identical → 1.0, disjoint → 0.0") {
+    val df = Seq(
+      (Seq("x", "y"), Seq("x", "y")),
+      (Seq("x"), Seq("y"))).toDF("a", "b")
+      .select(Text.jaccard($"a", $"b").as("j"))
+    assert(df.as[Double].collect().toSeq == Seq(1.0, 0.0))
+  }
+
+  test("Text.simhash16Portable: deterministic, 16-bit range, similarity-sensitive") {
+    val df = Seq("spark sql engine", "spark sql engine", "completely different words here")
+      .toDF("text").select(Text.simhash16Portable(Text.tokens($"text")).as("h"))
+    val hs = df.as[Int].collect()
+    assert(hs(0) == hs(1))
+    assert(hs.forall(h => h >= 0 && h < 65536))
+  }
+
+  test("Text.hash48 fits in 48 bits and matches conv semantics") {
+    val h = Seq("abc").toDF("t").select(Text.hash48($"t").as("h")).as[Long].head()
+    assert(h >= 0 && h < (1L << 48))
+  }
+
+  test("Vectors.dot/norm/cosine on known vectors") {
+    val df = Seq((Seq(1f, 0f), Seq(0f, 1f)), (Seq(3f, 4f), Seq(3f, 4f)))
+      .toDF("a", "b")
+      .select(Vectors.dot($"a", $"b").as("d"), Vectors.norm($"a").as("n"))
+    val rows = df.as[(Double, Double)].collect()
+    assert(rows(0) == ((0.0, 1.0)))
+    assert(rows(1) == ((25.0, 5.0)))
+  }
+
+  test("Vectors.bruteForceTopK returns k neighbors per vector") {
+    val emb = (1 to 6).map(i => (i.toLong, Seq(i.toFloat, (i * i).toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val top = Vectors.bruteForceTopK(emb, "vec_id", "embedding", k = 2)
+    assert(top.groupBy("vec_id").count().select("count").as[Long].collect().forall(_ == 2))
+  }
+
+  test("Multimodal: attach schema, decode batch shape, frame sampling") {
+    val docs = Seq((1L, "hello world"), (2L, "x")).toDF("doc_id", "text")
+    val attached = Multimodal.attach(docs)
+    assert(attached.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .map(f => (f.name, f.dataType)) == Multimodal.metaSchema.map(f => (f.name, f.dataType)))
+    assert(attached.select(length($"content")).as[Int].collect().forall(_ == 16))
+
+    val feats = Multimodal.decodeFeatures(attached)
+    assert(feats.select(size($"features")).as[Int].collect().forall(_ == 4))
+
+    val frames = Multimodal.frameSample(attached, frameBytes = 4)
+    // 16 bytes / 4 = 4 frames per doc, each exactly 4 bytes
+    assert(frames.count() == 8)
+    assert(frames.select(length($"frame")).as[Int].collect().forall(_ == 4))
+  }
+
+  test("lang profiles predict their own stopwords") {
+    val df = Seq("the cat is on a mat and the dog", "der hund ist und die katze")
+      .toDF("text").withColumn("toks", Text.tokens(lower($"text")))
+    val scores = Text.langProfiles.map { case (l, sw) => l -> Text.langScore($"toks", sw) }
+    val preds = df.select(Text.langPredict(scores).as("p")).as[String].collect().toSeq
+    assert(preds == Seq("en", "de"))
+  }
+}

@@ -75,14 +75,21 @@ object Text {
     * random-projection SimHash whose every sub-expression (md5, substring,
     * set membership, fold) exists verbatim in any SQL engine — unlike the
     * shiftleft/conv form, which needs 64-bit hex parsing. */
-  def simhash16Portable(toks: Column): Column = {
+  def simhash16Portable(toks: Column): Column =
+    simhash16FromMd5s(transform(toks, t => md5(t)))
+
+  /** Same fingerprint from a pre-materialized `transform(toks, md5)`
+    * column. Higher-order functions are interpreted (CodegenFallback), so
+    * md5 must be computed ONCE per token and referenced 16 times — not
+    * inlined 16× (callers should materialize the md5 array in its own
+    * projection; CollapseProject keeps non-cheap expressions with
+    * multiple references un-inlined). Bit i set ⟺ Σ±1 > 0 ⟺
+    * 2·|{hi-nibble tokens}| > |tokens|. */
+  def simhash16FromMd5s(md5s: Column): Column = {
     val hiNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     (0 until 16).map { i =>
-      val contrib = aggregate(
-        transform(toks, t =>
-          when(substring(md5(t), i + 1, 1).isin(hiNibble: _*), 1).otherwise(-1)),
-        lit(0), (a, x) => a + x)
-      when(contrib > 0, lit(1 << i)).otherwise(lit(0))
+      val hi = size(filter(md5s, m => substring(m, i + 1, 1).isin(hiNibble: _*)))
+      when(hi * 2 > size(md5s), lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
   }
 

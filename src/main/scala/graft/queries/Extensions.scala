@@ -22,6 +22,17 @@ object Extensions {
 
   private val dround = (c: org.apache.spark.sql.Column) => round(c.cast("double"), 4)
 
+  /** The testdata tables are single parquet files → ONE input split, so
+    * every interpreted higher-order expression (shingles, minhash, dot
+    * products — all CodegenFallback) would run on one core. A cheap
+    * repartition of the raw rows before the expensive projection spreads
+    * the compute across the cluster; on a real many-file 100 TB corpus
+    * the scan already yields thousands of splits and this is a no-op
+    * cost-wise (one narrow shuffle of input rows ≪ the compute it
+    * parallelizes). */
+  private def fanout(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def queries: Seq[GQuery] = Seq(
 
     // ------------------------------------------------------- CDC merge
@@ -101,15 +112,29 @@ object Extensions {
     GQuery(
       "q_dedup_minhash",
       (s, dir) => {
-        val sh = Tables.documents(s, dir)
-          .select(col("doc_id"), array_distinct(Text.shingles(Text.tokens(col("text")), 2)).as("sh"))
-          .filter(size(col("sh")) > 0)
+        // Perf discipline for the (interpreted, CodegenFallback)
+        // higher-order expressions: filter on CHEAP codegen'd exprs only
+        // (token count — pushed to the scan), materialize sig in its own
+        // projection (CollapseProject keeps multi-referenced non-cheap
+        // exprs un-inlined), and generate in-bucket pairs via
+        // groupBy+collect instead of a self-join, so the corpus is
+        // scanned once for banding — ONE shuffle on the band key.
+        val sh = fanout(Tables.documents(s, dir)
+            .filter(size(split(col("text"), " ")) >= 2))
+          .withColumn("toks", Text.tokens(col("text")))
+          .select(col("doc_id"), array_distinct(Text.shingles(col("toks"), 2)).as("sh"))
         val banded = sh
           .withColumn("sig", Text.minhashSignature(col("sh"), 6))
-          .select(col("doc_id"), explode(Text.lshBands(col("sig"), 3, 2)).as("band"))
-        val cand = banded.as("a")
-          .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .select(col("doc_id"), explode_outer(Text.lshBands(col("sig"), 3, 2)).as("band"))
+          .filter(col("band").isNotNull)
+        val cand = banded.groupBy(col("band"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(expr(
+            """flatten(transform(ids, (x, i) ->
+              |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"""
+              .stripMargin)).as("p"))
+          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
           .distinct()
         cand
           .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
@@ -150,11 +175,14 @@ object Extensions {
     GQuery(
       "q_dedup_simhash",
       (s, dir) => {
-        val fp = Tables.documents(s, dir)
-          .select(col("doc_id"), Text.simhash16Portable(Text.tokens(col("text"))).as("simhash"))
-        val counts = fp.groupBy(col("simhash")).agg(count(lit(1)).as("n_same"))
-        fp.join(counts, "simhash")
-          .select(col("doc_id"), col("simhash"), col("n_same"))
+        // md5 per token materialized ONCE (own projection), then 16 cheap
+        // nibble-filters over the array; bucket sizes via a window, not a
+        // groupBy+self-join — computes the fingerprint once per doc.
+        val w = Window.partitionBy(col("simhash"))
+        fanout(Tables.documents(s, dir))
+          .withColumn("md5s", transform(Text.tokens(col("text")), t => md5(t)))
+          .select(col("doc_id"), Text.simhash16FromMd5s(col("md5s")).as("simhash"))
+          .withColumn("n_same", count(lit(1)).over(w))
           .orderBy(col("doc_id"))
       },
       Some(("""WITH f AS (SELECT doc_id, (""" +
@@ -176,17 +204,35 @@ object Extensions {
     GQuery(
       "q_dedup_ngram",
       (s, dir) => {
-        val sh = Tables.documents(s, dir)
-          .select(col("doc_id"), array_distinct(Text.shingles(Text.tokens(col("text")), 5)).as("sh"))
-          .filter(size(col("sh")) > 0)
-        val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-        val posts = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-        posts.as("a")
-          .join(posts.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        // ONE pass over the corpus: tokens and the shingle array are
+        // materialized in their own projections (the interpreted lambda
+        // would otherwise re-split the text for every element_at), the
+        // set size rides along the posting stream (no second scan for a
+        // sizes join), explode is the empty-filter (no predicate on the
+        // expensive derived column), and pairs come from
+        // groupBy(shingle)+collect — the corpus is never self-joined.
+        // Two shuffles total: shingle key, then pair aggregation.
+        // explode_outer, NOT explode: InferFiltersFromGenerate would put
+        // a size(sh)>0 filter under a plain explode, and predicate
+        // pushdown re-inlines the whole shingle expression into the scan
+        // filter — recomputing it per row. Outer explode infers nothing;
+        // the null-row filter on the generated attribute is free.
+        val posts = fanout(Tables.documents(s, dir))
+          .withColumn("toks", Text.tokens(col("text")))
+          .withColumn("sh", array_distinct(Text.shingles(col("toks"), 5)))
+          .select(col("doc_id"), size(col("sh")).as("n"), explode_outer(col("sh")).as("g"))
+          .filter(col("g").isNotNull)
+        posts.groupBy(col("g"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(expr(
+            """flatten(transform(ids, (x, i) ->
+              |  transform(slice(ids, i + 2, size(ids)),
+              |            y -> struct(x.doc_id AS id_a, x.n AS na, y.doc_id AS id_b, y.n AS nb))))"""
+              .stripMargin)).as("p"))
+          .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+            col("p.na").as("na"), col("p.nb").as("nb"))
           .agg(count(lit(1)).as("inter"))
-          .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("n").as("na"))), "id_a")
-          .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("n").as("nb"))), "id_b")
           .withColumn("jac", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
           .filter(col("jac") >= 0.5)
           .select(col("id_a"), col("id_b"), col("jac"))
@@ -241,7 +287,7 @@ object Extensions {
         val emb = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding").as("v"))
           .withColumn("nrm", Vectors.norm(col("v")))
-        val queries = emb.filter(col("vec_id") <= 50)
+        val queries = fanout(emb.filter(col("vec_id") <= 50))
         val corpus = broadcast(emb.select(
           col("vec_id").as("nn_id"), col("v").as("v2"), col("nrm").as("nrm2")))
         val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nn_id"))

@@ -308,6 +308,57 @@ object Extensions {
              |  WHERE a.vec_id <= 50) t
              |WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin)),
 
+    // IVF-style ANN — the declared scale path for similarity search:
+    // assign every vector to its nearest centroid (broadcast centroids,
+    // narrow map), then search only within the query's own cluster
+    // (nprobe=1). ONE shuffle on the cluster key; candidate count drops
+    // by the centroid factor. At real scale centroids come from k-means
+    // and nprobe grows — the plan shape (broadcast-assign → co-partition
+    // by cluster → in-cluster top-k) is exactly this one.
+    GQuery(
+      "q_sim_ivf",
+      (s, dir) => {
+        val emb = fanout(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("embedding").as("v"))
+          .withColumn("nrm", Vectors.norm(col("v")))
+        val cents = broadcast(emb.filter(col("vec_id") <= 8)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm")))
+        val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+        val assigned = emb.join(cents)
+          .withColumn("ccos", Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+          .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
+          .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cluster"))
+        val queries = assigned.filter(col("vec_id") <= 50)
+          .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
+        val corpus = assigned.select(col("vec_id").as("nn_id"),
+          col("v").as("v2"), col("nrm").as("nrm2"), col("cluster"))
+        val wTop = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nn_id"))
+        queries.join(corpus, Seq("cluster"))
+          .filter(col("vec_id") =!= col("nn_id"))
+          .withColumn("cos", Vectors.cosine(col("v"), col("v2"), col("nrm"), col("nrm2")))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 3)
+          .select(col("vec_id"), col("rn"), col("nn_id"), round(col("cos"), 4).as("cos"))
+          .orderBy(col("vec_id"), col("rn"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |cent AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id <= 8),
+             |assigned AS (
+             |  SELECT vec_id, e, c_id AS cluster FROM (
+             |    SELECT a.vec_id, a.e, c.c_id,
+             |      row_number() OVER (PARTITION BY a.vec_id
+             |        ORDER BY list_cosine_similarity(a.e, c.ce) DESC, c.c_id) AS rn
+             |    FROM v a CROSS JOIN cent c) z WHERE rn = 1)
+             |SELECT vec_id, rn, nn_id, round(cc, 4) AS cos FROM (
+             |  SELECT q.vec_id, x.vec_id AS nn_id,
+             |    list_cosine_similarity(q.e, x.e) AS cc,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(q.e, x.e) DESC, x.vec_id) AS rn
+             |  FROM assigned q JOIN assigned x
+             |    ON q.cluster = x.cluster AND q.vec_id <> x.vec_id
+             |  WHERE q.vec_id <= 50) t
+             |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin)),
+
     // ------------------------------------------------------ text analysis
     GQuery(
       "q_text_stats",

@@ -171,14 +171,25 @@ object Relational {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
 
-    // Equi component keeps it a hash join; the theta predicate is applied
-    // as a post-join filter — never a cartesian product.
+    // Range/theta join, BANDED: nationkey alone has 25 values, so at
+    // scale each nation bucket degenerates to |S_n|×|C_n| pairwise work
+    // on one reducer. Banding acctbal into 1000-wide buckets and
+    // exploding each supplier over every band at-or-below its own turns
+    // the join key into (nationkey, band) — 25×12 well-spread keys, the
+    // standard interval-join decomposition. The theta predicate stays as
+    // the exact post-join filter (bands < own are all-match, own band is
+    // boundary-checked; the filter is cheap either way). Output size is
+    // inherent to the query; the banding removes the skewed reducer.
     GQuery(
       "q_join_theta_range",
       (s, dir) => {
+        val bandW = 1000
         val su = Tables.supplier(s, dir)
+          .withColumn("band", explode(sequence(lit(-1), floor(col("s_acctbal") / bandW).cast("int"))))
         val c = Tables.customer(s, dir)
-        su.join(c, su("s_nationkey") === c("c_nationkey") && su("s_acctbal") > c("c_acctbal"))
+          .withColumn("band", floor(col("c_acctbal") / bandW).cast("int"))
+        su.join(c, su("s_nationkey") === c("c_nationkey") &&
+            su("band") === c("band") && su("s_acctbal") > c("c_acctbal"))
           .select(col("s_suppkey"), col("c_custkey"))
           .orderBy(col("s_suppkey"), col("c_custkey"))
       },

@@ -137,7 +137,9 @@ object Ingest {
     */
   def run(spark: SparkSession, inputDir: String, logDir: String, checkpointDir: String,
           snapshotDir: Option[String] = None,
-          declared: Option[StructType] = Some(Envelope.employeesEnvelope)): StreamingQuery = {
+          declared: Option[StructType] = Some(Envelope.employeesEnvelope),
+          snapshotPartitionBy: Seq[String] = Nil,
+          showBatches: Int = 0): StreamingQuery = {
     // Infer once, not per batch (fixes the reference's 3-jobs-per-batch).
     @volatile var cachedSchema: Option[StructType] = declared
 
@@ -153,6 +155,11 @@ object Ingest {
           s
         }
         val parsed = parse(batch, schema)
+        // S10 — the reference's per-batch debug sink (README.md:187
+        // `show(vertical=True, truncate=False)`), opt-in and bounded to
+        // the first N batches: the unconditional form is a whole extra
+        // job per trigger, the reference's 3-jobs-per-batch trap.
+        if (batchId < showBatches) parsed.show(20, 0, vertical = true)
         parsed.withColumn("_batch_id", lit(batchId))
           .write.mode("overwrite")
           .partitionBy("_batch_id")
@@ -169,7 +176,12 @@ object Ingest {
                   Seq("id"), Seq("lsn"))
               case None => CdcMerge.snapshot(parsed, Seq("id"), Seq("lsn"))
             }
-            merged.write.mode("overwrite").parquet(s"$dir/v$batchId")
+            // U5: hive-style key partitioning (k=v dirs) of the
+            // materialized table, as Hudi's hive_style_partitioning
+            // lays out the COW table (reference README.md:307).
+            val writer = merged.write.mode("overwrite")
+            (if (snapshotPartitionBy.nonEmpty) writer.partitionBy(snapshotPartitionBy: _*)
+             else writer).parquet(s"$dir/v$batchId")
             fs.createNewFile(new org.apache.hadoop.fs.Path(s"$dir/_COMMIT_$batchId"))
             // GC: drop everything older than the previous version (kept
             // for readers that resolved the pointer just before commit).

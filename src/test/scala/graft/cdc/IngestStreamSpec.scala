@@ -46,6 +46,21 @@ class IngestStreamSpec extends SparkSpec {
     assert(Ingest.readSnapshot(spark, snapDir).get.count() == 86)
   }
 
+  test("U5: snapshot written with hive-style key partitioning") {
+    val root = tmpDir("graft_part")
+    CdcGen.writeTopicFiles(spark, n = 50, s"$root/topic", nBatches = 1)
+    val q = Ingest.run(spark, s"$root/topic", s"$root/log", s"$root/ckpt",
+      snapshotDir = Some(s"$root/snap"), snapshotPartitionBy = Seq("department"))
+    q.processAllAvailable(); q.stop()
+    val ver = Ingest.committedBatch(spark, s"$root/snap").get
+    val dirs = new java.io.File(s"$root/snap/v$ver").listFiles().map(_.getName)
+      .filter(_.startsWith("department=")).sorted.toSeq
+    assert(dirs == Seq("department=HR", "department=IT", "department=Marketing", "department=Sales"))
+    // partition pruning works through the layout
+    val it = Ingest.readSnapshot(spark, s"$root/snap").get.filter($"department" === "IT")
+    assert(it.count() > 0)
+  }
+
   test("batch replay twin (U8 earliest): snapshotFromTopic equals golden") {
     val root = tmpDir("graft_batch")
     CdcGen.writeTopicFiles(spark, n = 50, s"$root/topic", nBatches = 2)

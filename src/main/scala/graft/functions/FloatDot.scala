@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Codegen'd dot product of two `array<float>` embedding columns.
+  *
+  * The composed form (`aggregate(zip_with(a, b, *), 0.0, +)`) is
+  * CodegenFallback — interpreted, allocating a zipped array per row —
+  * and profiling showed it dominates the similarity queries. This is the
+  * one place the engine drops to a custom Catalyst `Expression`
+  * (SURVEY.md §7.4's profiling gate): a tight primitive loop over the
+  * two `ArrayData`, inside whole-stage codegen, no allocation.
+  *
+  * Semantics match the composed form exactly for equal-length arrays:
+  * left-to-right summation of float→double products (bitwise-identical
+  * results, so the DuckDB oracles are unaffected). Null if either array
+  * is null.
+  */
+case class FloatDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires two array<float> arguments, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_dot"
+}
+
+object FloatDot {
+  /** Column-API entry — works in ANY session (no registry needed). */
+  def apply(a: Column, b: Column): Column =
+    Bridge.column(FloatDot(Bridge.expression(a), Bridge.expression(b)))
+}
+
+/** SQL-surface registration via SparkSessionExtensions:
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` then
+  * `SELECT graft_dot(a.embedding, b.embedding) ...`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.dotEntry)
+  }
+}
+
+object GraftExtensions {
+  private val dotEntry = (
+    new FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[FloatDot].getName, "graft_dot"),
+    (children: Seq[Expression]) => FloatDot(children(0), children(1)): Expression)
+
+  /** Register into an already-running session (tests, REPL, the
+    * driver's session) — `withExtensions` only applies at build time. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Bridge.registerFunction(spark, dotEntry._1, dotEntry._2, dotEntry._3)
+}

@@ -20,8 +20,15 @@ import org.apache.spark.sql.functions._
 object Vectors {
 
   /** Σ a_i·b_i in double precision, sequential fold (deterministic and
-    * reproducible by any engine that folds left-to-right). */
-  def dot(a: Column, b: Column): Column =
+    * reproducible by any engine that folds left-to-right). Backed by the
+    * codegen'd [[graft.functions.FloatDot]] Catalyst expression — the
+    * composed higher-order form ([[dotComposed]]) is CodegenFallback and
+    * profiled ~10× slower; both produce bitwise-identical sums. */
+  def dot(a: Column, b: Column): Column = graft.functions.FloatDot(a, b)
+
+  /** The built-in-composed twin of [[dot]] (kept as the semantic
+    * reference; the OpsSpec equivalence test pins them together). */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

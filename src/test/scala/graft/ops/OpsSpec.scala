@@ -35,6 +35,30 @@ class OpsSpec extends SparkSpec {
     assert(h >= 0 && h < (1L << 48))
   }
 
+  test("FloatDot codegen expression == composed higher-order form, bitwise") {
+    val df = (1 to 200).map { i =>
+      (Seq.tabulate(64)(d => (math.sin(i * 64 + d) * 3).toFloat),
+       Seq.tabulate(64)(d => (math.cos(i * 64 + d) * 3).toFloat))
+    }.toDF("a", "b")
+    val rows = df.select(
+      Vectors.dot($"a", $"b").as("fast"),
+      Vectors.dotComposed($"a", $"b").as("slow")).as[(Double, Double)].collect()
+    assert(rows.forall { case (f, sl) => f == sl }) // exact, not approximate
+    // null propagation
+    val n = Seq((Seq(1f), null.asInstanceOf[Seq[Float]])).toDF("a", "b")
+      .select(Vectors.dot($"a", $"b")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("graft_dot is SQL-callable after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b").createOrReplaceTempView("vt")
+    assert(spark.sql("SELECT graft_dot(a, b) AS d FROM vt").as[Double].head() == 11.0)
+    // type check rejects wrong input types with a clear message
+    val e = intercept[Exception](spark.sql("SELECT graft_dot(1, 2)").collect())
+    assert(e.getMessage.contains("array<float>"))
+  }
+
   test("Vectors.dot/norm/cosine on known vectors") {
     val df = Seq((Seq(1f, 0f), Seq(0f, 1f)), (Seq(3f, 4f), Seq(3f, 4f)))
       .toDF("a", "b")

@@ -39,9 +39,23 @@ object Text {
   def minhashComponent(shingleArr: Column, seed: Int): Column =
     array_min(transform(shingleArr, sh => md5(concat(lit(s"s$seed:"), sh))))
 
-  /** k-component MinHash signature as array<string>. */
+  /** k-component MinHash signature as array<string>, k·|sh| md5 calls. */
   def minhashSignature(shingleArr: Column, k: Int): Column =
     array((0 until k).map(i => minhashComponent(shingleArr, i)): _*)
+
+  /** Same signature shape from ONE md5 per shingle: component i is the
+    * min of hex substring [i·5, i·5+5) of md5(shingle). md5's bits are
+    * independent, so disjoint 20-bit substrings act as k independent
+    * uniform hashes (collision within a component adds only 2⁻²⁰ to the
+    * match probability) — 1/k-th the hashing cost of
+    * [[minhashSignature]]. k ≤ 6 (32 hex chars / 5). Callers pass a
+    * pre-materialized `transform(sh, md5)` column so the md5 pass runs
+    * once (the expression is interpreted — see simhash16FromMd5s). */
+  def minhashSignatureFromMd5s(md5s: Column, k: Int): Column = {
+    require(k <= 6, s"k=$k needs ${k * 5} hex chars; md5 has 32")
+    array((0 until k).map(i =>
+      array_min(transform(md5s, m => substring(m, i * 5 + 1, 5)))): _*)
+  }
 
   /** LSH band keys: concat r consecutive signature components per band
     * (prefixed with the band index so bands never collide across index).

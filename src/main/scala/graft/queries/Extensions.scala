@@ -124,7 +124,8 @@ object Extensions {
           .withColumn("toks", Text.tokens(col("text")))
           .select(col("doc_id"), array_distinct(Text.shingles(col("toks"), 2)).as("sh"))
         val banded = sh
-          .withColumn("sig", Text.minhashSignature(col("sh"), 6))
+          .withColumn("md5s", transform(col("sh"), x => md5(x)))
+          .withColumn("sig", Text.minhashSignatureFromMd5s(col("md5s"), 6))
           .select(col("doc_id"), explode_outer(Text.lshBands(col("sig"), 3, 2)).as("band"))
           .filter(col("band").isNotNull)
         val cand = banded.groupBy(col("band"))
@@ -148,14 +149,15 @@ object Extensions {
              |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
              |         i -> concat_ws(' ', toks[i], toks[i+1]))) AS sh
              |       FROM t WHERE len(toks) >= 2),
+             |md AS (SELECT doc_id, sh, list_transform(sh, x -> md5(x)) AS md5s FROM sh),
              |sig AS (SELECT doc_id, sh,
-             |  [list_aggregate(list_transform(sh, x -> md5('s0:' || x)), 'min'),
-             |   list_aggregate(list_transform(sh, x -> md5('s1:' || x)), 'min'),
-             |   list_aggregate(list_transform(sh, x -> md5('s2:' || x)), 'min'),
-             |   list_aggregate(list_transform(sh, x -> md5('s3:' || x)), 'min'),
-             |   list_aggregate(list_transform(sh, x -> md5('s4:' || x)), 'min'),
-             |   list_aggregate(list_transform(sh, x -> md5('s5:' || x)), 'min')] AS sig
-             |  FROM sh),
+             |  [list_aggregate(list_transform(md5s, m -> substr(m, 1, 5)), 'min'),
+             |   list_aggregate(list_transform(md5s, m -> substr(m, 6, 5)), 'min'),
+             |   list_aggregate(list_transform(md5s, m -> substr(m, 11, 5)), 'min'),
+             |   list_aggregate(list_transform(md5s, m -> substr(m, 16, 5)), 'min'),
+             |   list_aggregate(list_transform(md5s, m -> substr(m, 21, 5)), 'min'),
+             |   list_aggregate(list_transform(md5s, m -> substr(m, 26, 5)), 'min')] AS sig
+             |  FROM md),
              |bands AS (SELECT doc_id, unnest([
              |    'b0|' || sig[1] || '|' || sig[2],
              |    'b1|' || sig[3] || '|' || sig[4],

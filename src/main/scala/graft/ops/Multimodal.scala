@@ -70,6 +70,25 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize: rewrite the metadata to the target dimensions and derive
+    * the "resized" payload deterministically (truncate/extend the byte
+    * stand-in to the implied size). A real decoder would resample
+    * pixels here; the Spark-side shape — narrow map, meta struct
+    * rewritten in place, payload column replaced — is exactly what a
+    * production resize stage looks like. */
+  def resizeStub(df: DataFrame, width: Int, height: Int,
+                 contentCol: String = "content", metaCol: String = "meta"): DataFrame =
+    df.withColumn(metaCol, struct(
+        col(s"$metaCol.kind").as("kind"),
+        lit(width).cast(IntegerType).as("width"),
+        lit(height).cast(IntegerType).as("height"),
+        col(s"$metaCol.sample_rate").as("sample_rate")))
+      // stand-in resample: truncate the byte digest toward the implied
+      // size (a real decoder would resample pixels; the column shape —
+      // payload replaced in the same row — is what matters here)
+      .withColumn(contentCol,
+        expr(s"substring($contentCol, 1, least(octet_length($contentCol), ${math.max(1, width * height / 4096)}))"))
+
   /** Frame sampling: explode the payload into fixed-size chunks ("frames")
     * with an index — pure expressions, stays in codegen. */
   def frameSample(df: DataFrame, contentCol: String = "content", frameBytes: Int = 4): DataFrame =

@@ -89,6 +89,12 @@ class OpsSpec extends SparkSpec {
     // 16 bytes / 4 = 4 frames per doc, each exactly 4 bytes
     assert(frames.count() == 8)
     assert(frames.select(length($"frame")).as[Int].collect().forall(_ == 4))
+
+    val resized = Multimodal.resizeStub(attached, 128, 128)
+    assert(resized.select($"meta.width", $"meta.height").as[(Int, Int)]
+      .collect().forall(_ == ((128, 128))))
+    // 128*128/4096 = 4 bytes of the 16-byte digest survive the downsample
+    assert(resized.select(length($"content")).as[Int].collect().forall(_ == 4))
   }
 
   test("lang profiles predict their own stopwords") {

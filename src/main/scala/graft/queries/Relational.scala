@@ -683,6 +683,69 @@ object Relational {
              |  CAST(json_extract_string(props, '$.k') AS INT) AS k3
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Correlated scalar subquery — Catalyst decorrelates it into an
+    // aggregate + join (no per-row re-execution at any scale).
+    GQuery(
+      "q_subquery_scalar",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("gq_orders_sub")
+        s.sql(
+          """SELECT o_orderkey, round(CAST(o_totalprice AS DOUBLE), 2) AS price
+            |FROM gq_orders_sub o
+            |WHERE o_totalprice > 2 * (SELECT CAST(avg(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+            |                          FROM gq_orders_sub WHERE o_custkey = o.o_custkey)
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, round(CAST(o_totalprice AS DOUBLE), 2) AS price
+             |FROM orders o
+             |WHERE o_totalprice > 2 * (SELECT CAST(avg(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             |                          FROM orders WHERE o_custkey = o.o_custkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Pivot as conditional aggregation (the portable formulation — the
+    // groupBy().pivot() API compiles to exactly this plan).
+    GQuery(
+      "q_pivot",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+            count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+            count(when(col("o_orderstatus") === "P", 1)).as("n_p"),
+            dround(sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice"))))).as("total_f"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  count(CASE WHEN o_orderstatus='F' THEN 1 END) AS n_f,
+             |  count(CASE WHEN o_orderstatus='O' THEN 1 END) AS n_o,
+             |  count(CASE WHEN o_orderstatus='P' THEN 1 END) AS n_p,
+             |  round(CAST(sum(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS total_f
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Distribution window functions over the same partitioning as
+    // q_win_rank (percent_rank/cume_dist share the sort).
+    GQuery(
+      "q_win_percentile",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .filter(col("pr") >= 0.99)
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice, pr, cd FROM (
+             |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |    round(percent_rank() OVER w, 6) AS pr,
+             |    round(cume_dist() OVER w, 6) AS cd
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_orderpriority
+             |               ORDER BY o_totalprice, o_orderkey)) t
+             |WHERE pr >= 0.99 ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
     GQuery(
       "q_case_when",
       (s, dir) => {

@@ -441,26 +441,32 @@ object Extensions {
       (s, dir) => {
         val enStops = Text.langProfiles.toMap.apply("en")
         val toks = Text.tokens(col("text"))
+        // r4: explicit HALF_UP (floor(x·10⁴+½)/10⁴) — the score is a sum
+        // of small rationals that can land EXACTLY on a .xxxx5 boundary,
+        // where Spark's round() goes up but DuckDB's goes to even. The
+        // underlying doubles are bitwise-identical across engines (same
+        // inputs, same op order), so pinning the tie rule pins the hash.
+        def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
         Tables.documents(s, dir)
           .withColumn("n_tokens", size(toks))
           .withColumn("n_stop", Text.langScore(toks, enStops))
           .withColumn("n_punct", size(expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)")))
           .select(col("doc_id"),
-            round(col("n_punct").cast("double") / col("n_chars"), 4).as("punct_ratio"),
-            round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
-            round(
+            r4(col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
+            r4(col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+            r4(
               least(lit(1.0), col("n_chars").cast("double") / 400) * 0.4
                 + (col("n_stop").cast("double") / col("n_tokens")) * 0.4
-                + (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.2,
-              4).as("quality"))
+                + (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.2
+              ).as("quality"))
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
-             |  round(n_punct::DOUBLE / n_chars, 4) AS punct_ratio,
-             |  round(n_stop::DOUBLE / n_tokens, 4) AS stop_ratio,
-             |  round(least(1.0, n_chars::DOUBLE / 400) * 0.4
+             |  floor((n_punct::DOUBLE / n_chars) * 10000 + 0.5) / 10000 AS punct_ratio,
+             |  floor((n_stop::DOUBLE / n_tokens) * 10000 + 0.5) / 10000 AS stop_ratio,
+             |  floor((least(1.0, n_chars::DOUBLE / 400) * 0.4
              |        + (n_stop::DOUBLE / n_tokens) * 0.4
-             |        + (1.0 - n_punct::DOUBLE / n_chars) * 0.2, 4) AS quality
+             |        + (1.0 - n_punct::DOUBLE / n_chars) * 0.2) * 10000 + 0.5) / 10000 AS quality
              |FROM (SELECT doc_id, n_chars,
              |        len(string_split(text, ' ')) AS n_tokens,
              |        len(list_filter(string_split(text, ' '),

@@ -435,14 +435,19 @@ object Relational {
           .withColumn("ts_sec", unix_timestamp(col("ts")))
           .withColumn("mov_sum", sum(dec(col("value"))).over(w))
           .withColumn("mov_n", count(lit(1)).over(w))
+          // floor-half-up, not round(): mov_n is a small int (often 2^k),
+          // so the average's decimal expansion can terminate EXACTLY on a
+          // .xxxx5 — where Spark's round (shortest-repr HALF_UP) and
+          // DuckDB's (binary) disagree. floor(x·10⁴+½) pins the tie rule
+          // on the bitwise-identical doubles.
           .select(col("event_id"), col("user_id"),
             dround(col("mov_sum")).as("mov_sum"), col("mov_n"),
-            round(col("mov_sum").cast("double") / col("mov_n"), 4).as("mov_avg"))
+            (floor(col("mov_sum").cast("double") / col("mov_n") * 10000 + 0.5) / 10000).as("mov_avg"))
           .orderBy(col("event_id"))
       },
       Some("""SELECT event_id, user_id,
              |  round(CAST(mov_sum AS DOUBLE), 4) AS mov_sum, mov_n,
-             |  round(CAST(mov_sum AS DOUBLE) / mov_n, 4) AS mov_avg
+             |  floor(CAST(mov_sum AS DOUBLE) / mov_n * 10000 + 0.5) / 10000 AS mov_avg
              |FROM (
              |  SELECT event_id, user_id,
              |    sum(CAST(value AS DECIMAL(18,4))) OVER w AS mov_sum,

@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Regression pin: every declared query runs at sf0.001 and returns
+  * exactly its golden row count (captured from an oracle-green run).
+  * Catches silent semantic drift between rounds without needing DuckDB
+  * in the sbt loop. The driver's DuckDB gate remains the value-level
+  * check; this is the cheap structural one.
+  */
+class QueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private val golden: Map[String, Long] = Map(
+    "q_agg_approx_distinct" -> 3, "q_agg_cube" -> 12, "q_agg_distinct" -> 3,
+    "q_agg_gsets" -> 124, "q_agg_hash" -> 6, "q_agg_rollup" -> 19,
+    "q_array_map_funcs" -> 500, "q_case_when" -> 1500,
+    "q_cdc_upsert_snapshot" -> 14, "q_date_funcs" -> 1500,
+    "q_dedup_embedding" -> 89, "q_dedup_exact" -> 500,
+    "q_dedup_minhash" -> 28, "q_dedup_ngram" -> 28, "q_dedup_simhash" -> 500,
+    "q_filter_pred" -> 1427, "q_fingerprint" -> 500,
+    "q_join_anti" -> 2, "q_join_asof" -> 202, "q_join_broadcast" -> 5,
+    "q_join_full" -> 900, "q_join_inner" -> 1500, "q_join_left" -> 498,
+    "q_join_semi" -> 148, "q_join_theta_range" -> 23,
+    "q_json_funcs" -> 1000, "q_lang_id" -> 500, "q_math_funcs" -> 6000,
+    "q_multimodal" -> 500, "q_pivot" -> 5, "q_quality_score" -> 500,
+    "q_scan_project" -> 6000, "q_set_except" -> 0, "q_set_intersect" -> 34,
+    "q_set_union" -> 179, "q_sim_ivf" -> 153, "q_sim_topk" -> 255,
+    "q_sort_limit" -> 100, "q_str_funcs" -> 200, "q_subquery_scalar" -> 48,
+    "q_text_stats" -> 5, "q_token_count" -> 500, "q_topk" -> 449,
+    "q_win_analytic" -> 1500, "q_win_percentile" -> 17,
+    "q_win_range_frame" -> 1000, "q_win_rank" -> 100, "q_win_tumbling" -> 868,
+    "stream_ingest_e2e" -> 172)
+
+  test("every GQuery is declared in the golden map and vice versa") {
+    assert(GQuery.all.map(_.name).toSet == golden.keySet)
+  }
+
+  for ((name, want) <- golden.toSeq.sortBy(_._1)) {
+    test(s"$name returns $want rows at sf0.001") {
+      assert(GQuery.all.find(_.name == name).get.fn(spark, dir).count() == want)
+    }
+  }
+}

@@ -29,7 +29,12 @@ object Ingest {
   def readTopicStream(spark: SparkSession, dir: String, topicPattern: String = "debezium1.*"): DataFrame = {
     val raw = StructType.fromDDL(
       "value STRING, topic STRING, partition INT, offset BIGINT, timestamp TIMESTAMP")
-    spark.readStream.schema(raw).json(dir)
+    spark.readStream.schema(raw)
+      // one file = one micro-batch: each topic segment file plays a
+      // Kafka offset range, so the incremental merge path actually runs
+      // per segment instead of swallowing the backlog in one batch
+      .option("maxFilesPerTrigger", 1)
+      .json(dir)
       .filter(col("topic").rlike(topicPattern))
       .select(
         lit(null).cast("binary").as("key"),

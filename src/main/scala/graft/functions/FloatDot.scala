@@ -20,10 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * (SURVEY.md §7.4's profiling gate): a tight primitive loop over the
   * two `ArrayData`, inside whole-stage codegen, no allocation.
   *
-  * Semantics match the composed form exactly for equal-length arrays:
-  * left-to-right summation of float→double products (bitwise-identical
-  * results, so the DuckDB oracles are unaffected). Null if either array
-  * is null.
+  * Semantics match the composed form exactly: left-to-right summation
+  * of float→double products (bitwise-identical results, so the DuckDB
+  * oracles are unaffected); null if either array is null OR the lengths
+  * differ (zip_with pads the short side with null, which nulls the
+  * composed sum — mismatched embeddings are a data bug worth surfacing,
+  * not truncating).
   */
 case class FloatDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -41,10 +43,17 @@ case class FloatDot(left: Expression, right: Expression)
         s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var sum = 0.0
     var i = 0
     while (i < n) {
@@ -60,12 +69,16 @@ case class FloatDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

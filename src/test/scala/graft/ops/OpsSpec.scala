@@ -44,10 +44,13 @@ class OpsSpec extends SparkSpec {
       Vectors.dot($"a", $"b").as("fast"),
       Vectors.dotComposed($"a", $"b").as("slow")).as[(Double, Double)].collect()
     assert(rows.forall { case (f, sl) => f == sl }) // exact, not approximate
-    // null propagation
-    val n = Seq((Seq(1f), null.asInstanceOf[Seq[Float]])).toDF("a", "b")
-      .select(Vectors.dot($"a", $"b")).collect()
-    assert(n.head.isNullAt(0))
+    // null propagation + ragged-length null (matches zip_with padding)
+    val n = Seq(
+      (Seq(1f), null.asInstanceOf[Seq[Float]]),
+      (Seq(1f, 2f), Seq(3f))).toDF("a", "b")
+      .select(Vectors.dot($"a", $"b").as("fast"), Vectors.dotComposed($"a", $"b").as("slow"))
+      .collect()
+    assert(n.forall(r => r.isNullAt(0) && r.isNullAt(1)))
   }
 
   test("graft_dot is SQL-callable after registration") {

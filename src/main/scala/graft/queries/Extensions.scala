@@ -497,6 +497,86 @@ object Extensions {
              |      FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) x) y
              |ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic corpus sampling: hash-threshold on a portable
+    // content hash — the production way to take a reproducible p% sample
+    // (or train/test split) with no RNG state and no coordination; any
+    // engine reproduces the same subset. Narrow map, linear.
+    GQuery(
+      "q_sample_hash",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .withColumn("bucket", pmod(Text.hash48(col("text")), lit(100)))
+          .filter(col("bucket") < 20) // deterministic 20% sample
+          .select(col("doc_id"), col("bucket").cast("int").as("bucket"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, bucket::INT AS bucket, lang FROM (
+             |  SELECT doc_id, lang,
+             |    ('0x' || substr(md5(text), 1, 12))::BIGINT % 100 AS bucket
+             |  FROM documents) t
+             |WHERE bucket < 20 ORDER BY doc_id""".stripMargin)),
+
+    // Train/test decontamination: flag held-out docs sharing any 5-gram
+    // with the training split — the standard n-gram-overlap contamination
+    // check. Inverted-index semi-join: one shuffle on the shingle key,
+    // per-shingle work bounded by df (no corpus self-join).
+    GQuery(
+      "q_decontaminate",
+      (s, dir) => {
+        val posts = fanout(Tables.documents(s, dir))
+          .withColumn("toks", Text.tokens(col("text")))
+          .withColumn("sh", array_distinct(Text.shingles(col("toks"), 5)))
+          .select(col("doc_id"), explode_outer(col("sh")).as("g"))
+          .filter(col("g").isNotNull)
+        val test = posts.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val train = posts.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("g"), col("doc_id").as("train_id"))
+        test.join(train, "g")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("g")).as("shared_ngrams"),
+            countDistinct(col("train_id")).as("contaminating_docs"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH posts AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+             |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))) AS g
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+             |  WHERE len(toks) >= 5)
+             |SELECT a.doc_id, count(DISTINCT a.g) AS shared_ngrams,
+             |       count(DISTINCT b.doc_id) AS contaminating_docs
+             |FROM posts a JOIN posts b ON a.g = b.g
+             |WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+             |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)),
+
+    // PII redaction: scrub email/phone/long-digit-run patterns — the
+    // standard pre-training scrub pass. Pure codegen'd regexp_replace
+    // chain, linear at any scale.
+    GQuery(
+      "q_redact_pii",
+      (s, dir) => {
+        val emailRe = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+        val phoneRe = "[0-9]{3}-[0-9]{4}"
+        val digitRe = "[0-9]{6,}"
+        Tables.documents(s, dir)
+          .withColumn("redacted",
+            regexp_replace(regexp_replace(regexp_replace(col("text"),
+              emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), digitRe, "<NUM>"))
+          .select(col("doc_id"),
+            (col("text") =!= col("redacted")).as("had_pii"),
+            length(col("redacted")).as("redacted_len"),
+            md5(col("redacted")).as("redacted_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, text <> redacted AS had_pii,
+             |  length(redacted) AS redacted_len, md5(redacted) AS redacted_md5
+             |FROM (
+             |  SELECT doc_id, text,
+             |    regexp_replace(regexp_replace(regexp_replace(text,
+             |      '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+             |      '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             |      '[0-9]{6,}', '<NUM>', 'g') AS redacted
+             |  FROM documents) t ORDER BY doc_id""".stripMargin)),
+
     // ----------------------------------------------------- multimodal
     // Opaque binary payload + typed metadata struct riding beside the
     // text — the training-data-lake column shape. Content is a

@@ -77,9 +77,22 @@ object Extensions {
     GQuery(
       "stream_ingest_e2e",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_e2e").toString
-        CdcGen.writeTopicFiles(s, 200, tmp + "/topic", nBatches = 3)
-        Ingest.snapshotFromTopic(s, tmp + "/topic")
+        // the generator is fully seeded → the fixture is immutable; cache
+        // it across invocations (marker written only after a complete
+        // write, so a killed run regenerates)
+        val cache = new java.io.File("/tmp/graft_e2e_cache_200_3")
+        val marker = new java.io.File(cache, "_DONE")
+        val topicDir =
+          if (marker.exists()) cache.getAbsolutePath + "/topic"
+          else {
+            val fresh = java.nio.file.Files.createTempDirectory("graft_e2e").toFile
+            CdcGen.writeTopicFiles(s, 200, fresh.getAbsolutePath + "/topic", nBatches = 3)
+            if (!cache.exists() && fresh.renameTo(cache)) {
+              marker.createNewFile()
+              cache.getAbsolutePath + "/topic"
+            } else fresh.getAbsolutePath + "/topic" // lost the race: use the fresh copy
+          }
+        Ingest.snapshotFromTopic(s, topicDir)
           .select(col("id"), col("full_name"), col("email"), col("department"),
             col("salary"), col("created_date"))
           .orderBy(col("id"))

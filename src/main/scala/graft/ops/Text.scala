@@ -116,6 +116,22 @@ object Text {
     round(inter.cast("double") / (size(da) + size(db) - inter), 4)
   }
 
+  /** Character-level polynomial rolling hashes over sliding windows of
+    * width `w`: h(i) = (Σ_j code(c_{i+j})·31^(w-1-j)) mod 2³¹-1. The sum
+    * is computed WITHOUT per-step modular reduction — with w ≤ 8 it
+    * stays well inside int64, so any engine reproduces it exactly
+    * (classic Rabin-Karp reduces per step, which is engine-hostile).
+    * Returns array<long>, one hash per window; empty for short docs.
+    * Note sequence(1, n) counts DOWN when n < 1 — hence the guard. */
+  def rollingHashes(text: Column, w: Int = 8): Column = {
+    require(w <= 8, s"w=$w risks int64 overflow on high code points")
+    val nWin = length(text) - (w - 1)
+    val hashes = transform(sequence(lit(1), nWin), i =>
+      ((0 until w).map(j => ascii(text.substr(i + lit(j), lit(1))).cast("long") *
+        lit(math.pow(31, w - 1 - j).toLong)).reduce(_ + _) % lit(2147483647L)))
+    when(nWin >= 1, hashes).otherwise(array().cast("array<bigint>"))
+  }
+
   /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
   val langProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist"),

@@ -590,6 +590,29 @@ object Extensions {
              |      '[0-9]{6,}', '<NUM>', 'g') AS redacted
              |  FROM documents) t ORDER BY doc_id""".stripMargin)),
 
+    // Rolling-hash fingerprint: min of character-level polynomial
+    // rolling hashes (winnowing-lite). Narrow map; the per-window sums
+    // avoid per-step modular reduction so both engines compute the
+    // identical int64 values (Text.rollingHashes).
+    GQuery(
+      "q_fingerprint_rolling",
+      (s, dir) => {
+        fanout(Tables.documents(s, dir))
+          .withColumn("h", Text.rollingHashes(col("text"), 8))
+          .select(col("doc_id"), array_min(col("h")).as("min_hash"),
+            size(col("h")).as("n_windows"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val terms = (0 until 8).map(j =>
+          s"ascii(substr(text, i+$j, 1))::BIGINT * ${math.pow(31, 7 - j).toLong}").mkString(" + ")
+        s"""SELECT doc_id, list_aggregate(h, 'min') AS min_hash, len(h)::INT AS n_windows
+           |FROM (SELECT doc_id, CASE WHEN length(text) >= 8 THEN
+           |        list_transform(range(1, length(text) - 6), i -> ($terms) % 2147483647)
+           |      ELSE [] END AS h
+           |      FROM documents) t ORDER BY doc_id""".stripMargin
+      }),
+
     // ----------------------------------------------------- multimodal
     // Opaque binary payload + typed metadata struct riding beside the
     // text — the training-data-lake column shape. Content is a

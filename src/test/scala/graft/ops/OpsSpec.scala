@@ -30,6 +30,17 @@ class OpsSpec extends SparkSpec {
     assert(hs.forall(h => h >= 0 && h < 65536))
   }
 
+  test("Text.rollingHashes: window count, determinism, short-doc empty") {
+    val df = Seq("abcdefghij", "short").toDF("t")
+      .select(Text.rollingHashes($"t", 8).as("h"))
+    val rows = df.as[Seq[Long]].collect()
+    assert(rows(0).length == 3) // 10 chars, w=8 -> 3 windows
+    assert(rows(1).isEmpty)
+    // hand-computed first window: sum of ascii('a'+j)*31^(7-j) mod (2^31-1)
+    val want = (0 until 8).map(j => ('a' + j).toLong * math.pow(31, 7 - j).toLong).sum % 2147483647L
+    assert(rows(0).head == want)
+  }
+
   test("Text.hash48 fits in 48 bits and matches conv semantics") {
     val h = Seq("abc").toDF("t").select(Text.hash48($"t").as("h")).as[Long].head()
     assert(h >= 0 && h < (1L << 48))

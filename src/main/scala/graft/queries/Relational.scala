@@ -302,6 +302,26 @@ object Relational {
       },
       None),
 
+    // Exact percentiles (sort-based within group; interpolating —
+    // matches quantile_cont). At scale prefer approx_percentile
+    // (t-digest, mergeable partial agg) — exact is the oracle form.
+    GQuery(
+      "q_agg_percentile",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+            round(expr("percentile(l_quantity, 0.95)"), 4).as("p95_qty"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+             |  round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     GQuery(
       "q_agg_rollup",
       (s, dir) => {

@@ -22,4 +22,18 @@ object Catalog {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$parquetPath'")
   }
+
+  /** Bucketed registration: pre-hash-partitions the data on the join
+    * key at write time so repeated joins/aggregations on that key run
+    * WITHOUT a shuffle (the planner sees compatible output
+    * partitioning on both sides). The 100 TB pattern for fact-fact
+    * joins that recur: pay the shuffle once at ingest, never again. */
+  def syncBucketed(spark: SparkSession, name: String, df: DataFrame,
+                   buckets: Int, bucketCols: Seq[String]): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(name)
+  }
 }

@@ -29,4 +29,28 @@ class CatalogSpec extends SparkSpec {
     Catalog.syncExternal(spark, s"employees_ext_$run", s"$dir/emp")
     assert(spark.table(s"employees_ext_$run").count() == 20 - 2) // minus id%7
   }
+
+  test("bucketed tables join WITHOUT a shuffle exchange") {
+    val emp = CdcGen.expectedSnapshot(spark, 100)
+    Catalog.syncBucketed(spark, s"emp_a_$run", emp, 4, Seq("id"))
+    Catalog.syncBucketed(spark, s"emp_b_$run", emp.selectExpr("id", "salary AS sal2"), 4, Seq("id"))
+    val joined = spark.table(s"emp_a_$run").join(spark.table(s"emp_b_$run"), "id")
+    val plan = joined.queryExecution.executedPlan.treeString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should be shuffle-free:\n$plan")
+    assert(joined.count() == 86)
+  }
+
+  test("salted join spreads a hot key and preserves multiplicity") {
+    import graft.ops.Skew
+    // 1000 rows of one hot key + a small dim side
+    val large = spark.range(1000).selectExpr("1 AS k", "id AS payload")
+      .union(spark.range(50).selectExpr("2 AS k", "id AS payload"))
+    val small = Seq((1, "hot"), (2, "cold")).toDF("k", "label")
+    val salted = Skew.saltedJoin(large, small, "k", salt = 8)
+    val plain = large.join(small, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.groupBy("k").count().orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 1000L), (2, 50L)))
+  }
 }

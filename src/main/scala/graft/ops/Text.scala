@@ -19,9 +19,17 @@ object Text {
 
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles from a tokens array column.
-    * Empty array for docs shorter than n tokens. */
+  /** Word n-gram shingles from a tokens array column; empty array for
+    * docs shorter than n tokens. Backed by the codegen'd
+    * [[graft.functions.NgramShingles]] expression (the composed
+    * higher-order form below is interpreted and shingling feeds every
+    * dedup operator). */
   def shingles(toks: Column, n: Int): Column =
+    graft.functions.NgramShingles(toks, n)
+
+  /** Built-in-composed twin of [[shingles]] (semantic reference; pinned
+    * equal by OpsSpec). */
+  def shinglesComposed(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - lit(n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, (i + lit(k)).cast("int"))): _*)))

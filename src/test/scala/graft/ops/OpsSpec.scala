@@ -14,6 +14,18 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq(Seq("a b", "b c", "c d"), Seq()))
   }
 
+  test("NgramShingles codegen == composed higher-order form, string-exact") {
+    val docs = (1 to 100).map(i => ((1 to i % 12).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("text").withColumn("toks", Text.tokens($"text"))
+    for (n <- Seq(2, 3, 5)) {
+      val rows = docs.select(
+        Text.shingles($"toks", n).as("fast"),
+        Text.shinglesComposed($"toks", n).as("slow"))
+        .as[(Seq[String], Seq[String])].collect()
+      assert(rows.forall { case (f, sl) => f == sl }, s"n=$n")
+    }
+  }
+
   test("Text.jaccard: identical → 1.0, disjoint → 0.0") {
     val df = Seq(
       (Seq("x", "y"), Seq("x", "y")),

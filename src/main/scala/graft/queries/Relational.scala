@@ -494,6 +494,47 @@ object Relational {
              |  ${OD.format("sum(CAST(value AS DECIMAL(18,4)))")} AS total
              |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
 
+    // Sliding event-time window (1h window, 30m slide) — each event
+    // lands in exactly 2 windows; the batch-checkable analog of the
+    // streaming sliding aggregation (graft.streaming.Streams.slidingAgg).
+    // Window starts computed arithmetically from epoch seconds so both
+    // engines share the alignment by construction.
+    GQuery(
+      "q_win_sliding",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+            col("event_type"), col("n"))
+          .orderBy(col("win_start"), col("event_type"))
+      },
+      Some("""SELECT strftime(to_timestamp(s), '%Y-%m-%d %H:%M:%S') AS win_start,
+             |  event_type, count(*) AS n
+             |FROM (
+             |  SELECT event_type,
+             |    unnest([CAST(floor(date_part('epoch', ts) / 1800) * 1800 AS BIGINT),
+             |            CAST(floor(date_part('epoch', ts) / 1800) * 1800 - 1800 AS BIGINT)]) AS s
+             |  FROM events) t
+             |GROUP BY s, event_type ORDER BY win_start, event_type""".stripMargin)),
+
+    // Generator / lateral-view surface: posexplode with ordinal.
+    GQuery(
+      "q_posexplode",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .filter(col("pos") < 5)
+          .orderBy(col("doc_id"), col("pos"))
+      },
+      Some("""SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tok FROM (
+             |  SELECT doc_id, unnest(list_transform(range(1, least(len(toks), 5) + 1),
+             |           i -> {'pos': i - 1, 'tok': toks[i]})) AS u
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+             |        FROM documents WHERE doc_id < 50) t) z
+             |ORDER BY doc_id, pos""".stripMargin)),
+
     // ---------------------------------------------------------- sort/limit
     // Global top-N: Spark plans TakeOrderedAndProject — each partition
     // keeps N rows, driver merges; no full sort at any scale.

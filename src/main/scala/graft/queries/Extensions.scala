@@ -68,6 +68,35 @@ object Extensions {
              |  FROM events) t
              |WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin)),
 
+    // The INCREMENTAL merge path under the same oracle: snapshot the
+    // first half of the log, then upsertPruned the second half in — the
+    // result must equal the one-shot latest-wins collapse (that equality
+    // is exactly Hudi's incremental-commit == full-recompute invariant,
+    // and the scalacheck property, now value-checked against DuckDB).
+    GQuery(
+      "q_cdc_incremental",
+      (s, dir) => {
+        val log = Tables.events(s, dir).select(
+          col("user_id").as("id"),
+          col("event_id").as("lsn"),
+          when(pmod(col("event_id"), lit(11)) === 0, "d")
+            .when(pmod(col("event_id"), lit(3)) === 0, "u")
+            .otherwise("c").as("op"),
+          col("value"))
+        val mid = 5000 // event_ids are 0..n-1; sf0.01 has 10k events
+        val first = CdcMerge.snapshot(log.filter(col("lsn") < mid), Seq("id"), Seq("lsn"))
+        val merged = CdcMerge.upsertPruned(first, log.filter(col("lsn") >= mid), Seq("id"), Seq("lsn"))
+        merged.select(col("id"), col("lsn"), col("op"), col("value")).orderBy(col("id"))
+      },
+      Some("""SELECT id, lsn, op, value FROM (
+             |  SELECT user_id AS id, event_id AS lsn,
+             |    CASE WHEN event_id % 11 = 0 THEN 'd'
+             |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+             |    value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |  FROM events) t
+             |WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin)),
+
     // Batch replay of the emulated Kafka topic through the full ingest
     // path (S1-S9 + U1-U3): seeded envelope generation → JSON-lines topic
     // files → parse → latest-wins snapshot. Deterministic output (seeded

@@ -64,10 +64,11 @@ object Ingest {
     * projection (README.md:195, 181-185). Keeps op + source.lsn + ts_ms
     * as merge metadata, decodes the Debezium epoch-days date. */
   def extractPostImage(kafkaShaped: DataFrame,
-                       schema: StructType = Envelope.employeesEnvelope): DataFrame =
-    parse(kafkaShaped, schema)
+                       schema: StructType = Envelope.employeesEnvelope,
+                       keyCol: String = "id"): DataFrame =
+    parse(kafkaShaped, schema, keyCol)
 
-  private def parse(df: DataFrame, schema: StructType): DataFrame = {
+  private def parse(df: DataFrame, schema: StructType, keyCol: String = "id"): DataFrame = {
     // Schema-drift/delete-only hazard (SURVEY.md §7.5 #1): with the
     // dynamic inference path, a batch of only deletes infers `after` as
     // an untyped null — star-expanding it would fail. The post-image
@@ -90,12 +91,12 @@ object Ingest {
       col("json.payload.op").as("op"),
       col("json.payload.source.lsn").as("lsn"),
       col("json.payload.ts_ms").as("ts_ms"),
-      (if (afterOk && structOf("before").exists(_.fieldNames.contains("id")))
-         col("json.payload.before.id")
-       else lit(null).cast("int")).as("before_id"),
+      (if (afterOk && structOf("before").exists(_.fieldNames.contains(keyCol)))
+         col(s"json.payload.before.$keyCol")
+       else lit(null).cast("int")).as("_before_key"),
       col("timestamp").as("kafka_ts"))
-      .withColumn("id", coalesce(col("id"), col("before_id"))) // delete events carry the key in `before`
-      .drop("before_id")
+      .withColumn(keyCol, coalesce(col(keyCol), col("_before_key"))) // delete events carry the key in `before`
+      .drop("_before_key")
     if (rowSchema.fieldNames.contains("created_at"))
       // cast: the dynamic inference path widens int32 epoch-days to long
       projected.withColumn("created_date", Envelope.epochDaysToDate(col("created_at").cast("int")))
@@ -129,6 +130,25 @@ object Ingest {
   /** Read the current committed snapshot state (empty if none). */
   def readSnapshot(spark: SparkSession, dir: String): Option[DataFrame] =
     committedBatch(spark, dir).map(id => spark.read.parquet(s"$dir/v$id"))
+
+  /** All still-retained committed versions (GC keeps the current and one
+    * prior), oldest first. */
+  def snapshotVersions(spark: SparkSession, dir: String): Seq[Long] = {
+    val fs = fsOf(spark)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_COMMIT_") => n.stripPrefix("_COMMIT_").toLong }
+      .sorted.toSeq
+  }
+
+  /** Time travel: read the table as of a specific committed batch
+    * (Hudi/Delta `VERSION AS OF` analog over the versioned-dir layout).
+    * None if that version was never committed or has been GC'd. */
+  def readSnapshotAt(spark: SparkSession, dir: String, batchId: Long): Option[DataFrame] =
+    if (snapshotVersions(spark, dir).contains(batchId))
+      Some(spark.read.parquet(s"$dir/v$batchId"))
+    else None
 
   /** S10-S13: checkpointed micro-batch ingest. Appends the parsed event
     * log as parquet partitioned by `_batch_id` (replay-idempotent:
@@ -171,38 +191,77 @@ object Ingest {
           .option("partitionOverwriteMode", "dynamic")
           .parquet(logDir)
         snapshotDir.foreach { dir =>
-          val sess = batch.sparkSession
-          val fs = fsOf(sess)
-          val committed = committedBatch(sess, dir)
-          if (!committed.exists(_ >= batchId)) { // exactly-once replay guard
-            val merged = committed match {
-              case Some(id) =>
-                CdcMerge.upsertPruned(sess.read.parquet(s"$dir/v$id"), parsed,
-                  Seq("id"), Seq("lsn"))
-              case None => CdcMerge.snapshot(parsed, Seq("id"), Seq("lsn"))
-            }
-            // U5: hive-style key partitioning (k=v dirs) of the
-            // materialized table, as Hudi's hive_style_partitioning
-            // lays out the COW table (reference README.md:307).
-            val writer = merged.write.mode("overwrite")
-            (if (snapshotPartitionBy.nonEmpty) writer.partitionBy(snapshotPartitionBy: _*)
-             else writer).parquet(s"$dir/v$batchId")
-            fs.createNewFile(new org.apache.hadoop.fs.Path(s"$dir/_COMMIT_$batchId"))
-            // GC: drop everything older than the previous version (kept
-            // for readers that resolved the pointer just before commit).
-            committedBatch(sess, dir).foreach { cur =>
-              fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath)
-                .foreach { p =>
-                  val n = p.getName
-                  val id = if (n.startsWith("_COMMIT_")) Some(n.stripPrefix("_COMMIT_").toLong)
-                           else if (n.startsWith("v")) n.stripPrefix("v").toLongOption
-                           else None
-                  if (id.exists(i => i < cur && i != committed.getOrElse(-1L)))
-                    fs.delete(p, true)
-                }
-            }
-          }
+          commitMerge(batch.sparkSession, dir, parsed, batchId,
+            Seq("id"), Seq("lsn"), snapshotPartitionBy)
         }
+      }
+      .start()
+  }
+
+  /** One versioned COW commit of `parsed` into the snapshot at `dir`
+    * (exactly-once by batch id; see the commit-protocol comment above).
+    * U5: hive-style key partitioning of the materialized table, as
+    * Hudi's hive_style_partitioning lays out COW (README.md:307). */
+  private def commitMerge(sess: SparkSession, dir: String, parsed: DataFrame, batchId: Long,
+                          keys: Seq[String], ord: Seq[String],
+                          partitionCols: Seq[String]): Unit = {
+    val fs = fsOf(sess)
+    val committed = committedBatch(sess, dir)
+    if (!committed.exists(_ >= batchId)) { // exactly-once replay guard
+      val merged = committed match {
+        case Some(id) =>
+          CdcMerge.upsertPruned(sess.read.parquet(s"$dir/v$id"), parsed, keys, ord)
+        case None => CdcMerge.snapshot(parsed, keys, ord)
+      }
+      val writer = merged.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+       else writer).parquet(s"$dir/v$batchId")
+      fs.createNewFile(new org.apache.hadoop.fs.Path(s"$dir/_COMMIT_$batchId"))
+      // GC: drop everything older than the previous version (kept for
+      // readers that resolved the pointer just before commit).
+      committedBatch(sess, dir).foreach { cur =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath)
+          .foreach { p =>
+            val n = p.getName
+            val id = if (n.startsWith("_COMMIT_")) Some(n.stripPrefix("_COMMIT_").toLong)
+                     else if (n.startsWith("v")) n.stripPrefix("v").toLongOption
+                     else None
+            if (id.exists(i => i < cur && i != committed.getOrElse(-1L)))
+              fs.delete(p, true)
+          }
+      }
+    }
+  }
+
+  /** Per-table route: declared envelope schema + merge key/ordering +
+    * optional hive partitioning of the materialized table. */
+  final case class TableRoute(schema: StructType, keys: Seq[String] = Seq("id"),
+                              ord: Seq[String] = Seq("lsn"),
+                              partitionBy: Seq[String] = Nil)
+
+  /** Multi-table ingest: ONE checkpointed stream over the whole topic
+    * pattern (the reference subscribes to `debezium1.*`, README.md:193 —
+    * inherently multi-table even though its include-list names one
+    * table), routed per batch by topic suffix `<prefix>.<schema>.<table>`
+    * (README.md:104). Each table gets its own append log and versioned
+    * snapshot under `baseDir/<table>/`. */
+  def runRouted(spark: SparkSession, inputDir: String, baseDir: String, checkpointDir: String,
+                routes: Map[String, TableRoute],
+                topicPattern: String = "debezium1.*"): StreamingQuery = {
+    readTopicStream(spark, inputDir, topicPattern).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.cache() // one source read, N table routes
+        try routes.foreach { case (table, r) =>
+          val sub = cached.filter(col("topic").endsWith("." + table))
+          val parsed = parse(sub, r.schema, r.keys.head)
+          parsed.withColumn("_batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("_batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(s"$baseDir/$table/log")
+          commitMerge(batch.sparkSession, s"$baseDir/$table/snapshot", parsed,
+            batchId, r.keys, r.ord, r.partitionBy)
+        } finally cached.unpersist()
       }
       .start()
   }

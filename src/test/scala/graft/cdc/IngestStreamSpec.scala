@@ -61,6 +61,51 @@ class IngestStreamSpec extends SparkSpec {
     assert(it.count() > 0)
   }
 
+  test("multi-table routing: one stream, per-table snapshots") {
+    import org.apache.spark.sql.types._
+    val root = tmpDir("graft_multi")
+    // employees topic files from the generator
+    CdcGen.writeTopicFiles(spark, n = 30, s"$root/in", nBatches = 1)
+    // a second table's events, hand-written on the departments topic
+    def dep(op: String, id: Int, lsn: Long, name: String): String = {
+      val row = s"""{"dept_id":$id,"name":"$name"}"""
+      val before = if (op == "d") row else "null"
+      val after = if (op == "d") "null" else row
+      val value = s"""{"payload":{"before":$before,"after":$after,"source":{"lsn":$lsn,"table":"departments"},"op":"$op","ts_ms":$lsn}}"""
+      val esc = value.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"value":"$esc","topic":"debezium1.public.departments","partition":0,"offset":$lsn,"timestamp":"2023-05-25T00:00:0${lsn % 10}.000Z"}"""
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/in/departments.jsonl"),
+      Seq(dep("c", 1, 1, "Eng"), dep("c", 2, 2, "Ops"),
+        dep("u", 1, 3, "Engineering"), dep("d", 2, 4, "Ops")).mkString("\n"))
+
+    val depRow = StructType(Seq(StructField("dept_id", IntegerType), StructField("name", StringType)))
+    val q = Ingest.runRouted(spark, s"$root/in", s"$root/out", s"$root/ckpt", Map(
+      "employees" -> Ingest.TableRoute(Envelope.employeesEnvelope),
+      "departments" -> Ingest.TableRoute(Envelope.envelope(depRow), keys = Seq("dept_id"))))
+    q.processAllAvailable(); q.stop()
+
+    val emp = Ingest.readSnapshot(spark, s"$root/out/employees/snapshot").get
+    assert(emp.count() == 30 - 4) // minus multiples of 7
+    val deps = Ingest.readSnapshot(spark, s"$root/out/departments/snapshot").get
+    assert(deps.select("dept_id", "name").as[(Int, String)].collect().toSet ==
+      Set((1, "Engineering"))) // dept 2 deleted, dept 1 renamed
+  }
+
+  test("time travel: retained versions readable by batch id") {
+    val root = tmpDir("graft_tt")
+    CdcGen.writeTopicFiles(spark, n = 40, s"$root/topic", nBatches = 3)
+    val q = Ingest.run(spark, s"$root/topic", s"$root/log", s"$root/ckpt",
+      snapshotDir = Some(s"$root/snap"))
+    q.processAllAvailable(); q.stop()
+    val versions = Ingest.snapshotVersions(spark, s"$root/snap")
+    assert(versions.size == 2) // GC keeps current + one prior
+    val prev = Ingest.readSnapshotAt(spark, s"$root/snap", versions.head).get
+    val cur = Ingest.readSnapshotAt(spark, s"$root/snap", versions.last).get
+    assert(prev.count() <= cur.count() + 10) // both readable, sane sizes
+    assert(Ingest.readSnapshotAt(spark, s"$root/snap", 9999L).isEmpty)
+  }
+
   test("batch replay twin (U8 earliest): snapshotFromTopic equals golden") {
     val root = tmpDir("graft_batch")
     CdcGen.writeTopicFiles(spark, n = 50, s"$root/topic", nBatches = 2)

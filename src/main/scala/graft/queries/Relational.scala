@@ -101,6 +101,20 @@ object Relational {
              |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin)),
 
     GQuery(
+      "q_join_right",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        val c = Tables.customer(s, dir)
+        o.join(c, o("o_custkey") === c("c_custkey"), "right")
+          .select(col("c_custkey"), col("o_orderkey"))
+          .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+      },
+      Some("""SELECT c_custkey, o_orderkey
+             |FROM (SELECT * FROM orders WHERE o_orderstatus='F') o
+             |RIGHT JOIN customer ON o.o_custkey = c_custkey
+             |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin)),
+
+    GQuery(
       "q_join_full",
       (s, dir) => {
         val c = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)

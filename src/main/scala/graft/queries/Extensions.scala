@@ -108,8 +108,10 @@ object Extensions {
       (s, dir) => {
         // the generator is fully seeded → the fixture is immutable; cache
         // it across invocations (marker written only after a complete
-        // write, so a killed run regenerates)
-        val cache = new java.io.File("/tmp/graft_e2e_cache_200_3")
+        // write, so a killed run regenerates). The version component MUST
+        // be bumped whenever CdcGen's output changes, or the cache serves
+        // stale fixtures.
+        val cache = new java.io.File("/tmp/graft_e2e_cache_v1_200_3")
         val marker = new java.io.File(cache, "_DONE")
         val topicDir =
           if (marker.exists()) cache.getAbsolutePath + "/topic"

@@ -116,12 +116,15 @@ object Text {
   }
 
   /** Exact n-gram Jaccard between two shingle-array columns (distinct
-    * sets). Integer arithmetic → oracle-exact. */
+    * sets). Integer arithmetic → oracle-exact. Rounded floor-half-up:
+    * inter/union is a small rational that can terminate EXACTLY on a
+    * .xxxx5 (union a power of two), where engines' round() tie rules
+    * diverge — floor(x·10⁴+½) pins the rule on identical doubles. */
   def jaccard(a: Column, b: Column): Column = {
     val da = array_distinct(a)
     val db = array_distinct(b)
     val inter = size(array_intersect(da, db))
-    round(inter.cast("double") / (size(da) + size(db) - inter), 4)
+    floor(inter.cast("double") / (size(da) + size(db) - inter) * 10000 + 0.5) / 10000
   }
 
   /** Character-level polynomial rolling hashes over sliding windows of

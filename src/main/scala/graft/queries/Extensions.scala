@@ -209,8 +209,8 @@ object Extensions {
              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
              |jj AS (SELECT id_a, id_b,
-             |  round(len(list_intersect(x.sh, y.sh))::DOUBLE /
-             |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS jac
+             |  floor(len(list_intersect(x.sh, y.sh))::DOUBLE /
+             |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) * 10000 + 0.5) / 10000 AS jac
              |  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
              |SELECT id_a, id_b, jac FROM jj WHERE jac >= 0.5
              |ORDER BY id_a, id_b""".stripMargin)),
@@ -279,7 +279,9 @@ object Extensions {
           .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
             col("p.na").as("na"), col("p.nb").as("nb"))
           .agg(count(lit(1)).as("inter"))
-          .withColumn("jac", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+          // floor-half-up: see Text.jaccard — power-of-two unions tie at
+          // the 4th decimal where engine round() rules diverge
+          .withColumn("jac", floor(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) * 10000 + 0.5) / 10000)
           .filter(col("jac") >= 0.5)
           .select(col("id_a"), col("id_b"), col("jac"))
           .orderBy(col("id_a"), col("id_b"))
@@ -295,7 +297,7 @@ object Extensions {
              |sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
              |SELECT id_a, id_b, jac FROM (
              |  SELECT id_a, id_b,
-             |    round(inter::DOUBLE / (x.n + y.n - inter), 4) AS jac
+             |    floor(inter::DOUBLE / (x.n + y.n - inter) * 10000 + 0.5) / 10000 AS jac
              |  FROM inter JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b) z
              |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 

@@ -15,13 +15,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    // Run queries on a small thread pool: Spark happily schedules
+    // concurrent jobs from multiple threads, and the per-query driver
+    // overhead (planning, small-stage latency) dominates at sf0.01 —
+    // 4-way concurrency roughly quarters the wall-clock. Results are
+    // per-query-deterministic regardless of completion order.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val tasks = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
     }
+    tasks.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

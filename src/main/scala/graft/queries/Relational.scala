@@ -316,6 +316,23 @@ object Relational {
       },
       None),
 
+    // Ordered string aggregation (listagg/string_agg): deterministic via
+    // distinct + explicit sort before the join.
+    GQuery(
+      "q_agg_listagg",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+             |  count(*) AS n
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Exact percentiles (sort-based within group; interpolating —
     // matches quantile_cont). At scale prefer approx_percentile
     // (t-digest, mergeable partial agg) — exact is the oracle form.

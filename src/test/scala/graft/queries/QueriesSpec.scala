@@ -14,7 +14,8 @@ class QueriesSpec extends SparkSpec {
 
   private val golden: Map[String, Long] = Map(
     "q_agg_approx_distinct" -> 3, "q_agg_cube" -> 12, "q_agg_distinct" -> 3,
-    "q_agg_gsets" -> 124, "q_agg_hash" -> 6, "q_agg_percentile" -> 3, "q_agg_rollup" -> 19,
+    "q_agg_gsets" -> 124, "q_agg_hash" -> 6, "q_agg_listagg" -> 5,
+    "q_agg_percentile" -> 3, "q_agg_rollup" -> 19,
     "q_array_map_funcs" -> 500, "q_case_when" -> 1500,
     "q_cdc_upsert_snapshot" -> 14, "q_cdc_incremental" -> 14, "q_date_funcs" -> 1500,
     "q_dedup_embedding" -> 89, "q_dedup_exact" -> 500,

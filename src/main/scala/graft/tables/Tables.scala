@@ -27,13 +27,14 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "embeddings"))
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as epoch-nanos long
-    * (`nanosAsLong`) and truncate to microseconds — identical to DuckDB's
-    * ns→µs truncation, so oracle comparisons line up exactly.
-    */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(p(dir, "events"))
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Declaring the column BIGINT
+    * in the read schema makes the reader hand over the raw epoch-nanos
+    * int64 (scoped to this read — no session-wide `nanosAsLong`
+    * mutation); truncating to microseconds matches DuckDB's ns→µs
+    * truncation exactly, so oracle comparisons line up. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(p(dir, "events"))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 }

@@ -756,6 +756,31 @@ object Relational {
              |  'a,b' AS mkeys
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Map construction + higher-order map functions (map_from_entries,
+    // map_filter, map_zip_with surfaces; result projected to plain
+    // columns for a portable oracle).
+    GQuery(
+      "q_map_funcs",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .filter(col("o_orderkey") < 500)
+          .withColumn("m", map(
+            lit("price"), col("o_totalprice"),
+            lit("double_price"), col("o_totalprice") * 2))
+          .select(col("o_orderkey"),
+            element_at(col("m"), "price").as("price"),
+            element_at(expr("map_filter(m, (k, v) -> v > 100000)"), "price").as("big_price"),
+            size(expr("map_filter(m, (k, v) -> v > 100000)")).as("n_big"),
+            array_join(sort_array(map_keys(col("m"))), ",").as("keys"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price,
+             |  CASE WHEN o_totalprice > 100000 THEN o_totalprice END AS big_price,
+             |  (CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END
+             |   + CASE WHEN o_totalprice * 2 > 100000 THEN 1 ELSE 0 END)::INT AS n_big,
+             |  'double_price,price' AS keys
+             |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
+
     // JSON surface — the reference's core parsing capability
     // (README.md:179-185) applied to the events.props JSON column.
     GQuery(

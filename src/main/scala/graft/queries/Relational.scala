@@ -420,6 +420,34 @@ object Relational {
              |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), (c_mktsegment, c_nationkey), ())
              |ORDER BY g_seg, g_nk, seg, nk""".stripMargin)),
 
+    // HAVING: post-aggregation filter (Catalyst folds it into the same
+    // aggregate stage — no extra pass).
+    GQuery(
+      "q_having",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"), dround(sum(dec(col("o_totalprice")))).as("total"))
+          .filter(col("n") >= 3)
+          .orderBy(col("o_custkey"))
+      },
+      Some(s"""SELECT o_custkey, count(*) AS n,
+             |  ${OD.format("sum(CAST(o_totalprice AS DECIMAL(18,4)))")} AS total
+             |FROM orders GROUP BY o_custkey HAVING count(*) >= 3
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // t-digest percentile sketch — engine-specific, rows-only check;
+    // the exact twin is q_agg_percentile.
+    GQuery(
+      "q_agg_approx_percentile",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
+          .orderBy(col("l_returnflag"))
+      },
+      None),
+
     // ------------------------------------------------------------- windows
     // Partitioned by suppkey (high cardinality) — at 100 TB this is one
     // shuffle into ~|suppliers| balanced partitions, never a 3-partition
@@ -612,6 +640,23 @@ object Relational {
              |  UNION ALL
              |  SELECT o_custkey AS custkey, 'finished' AS src FROM orders WHERE o_orderstatus='F') t
              |ORDER BY custkey, src""".stripMargin)),
+
+    GQuery(
+      "q_set_union_all",
+      (s, dir) => {
+        val a = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey"), lit("building").as("src"))
+        val b = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey"), lit("finished").as("src"))
+        a.unionByName(b).groupBy(col("custkey"), col("src"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("custkey"), col("src"))
+      },
+      Some("""SELECT custkey, src, count(*) AS n FROM (
+             |  SELECT c_custkey AS custkey, 'building' AS src FROM customer WHERE c_mktsegment='BUILDING'
+             |  UNION ALL
+             |  SELECT o_custkey AS custkey, 'finished' AS src FROM orders WHERE o_orderstatus='F') t
+             |GROUP BY custkey, src ORDER BY custkey, src""".stripMargin)),
 
     GQuery(
       "q_set_intersect",

@@ -21,6 +21,7 @@ class QueriesSpec extends SparkSpec {
     "q_dedup_embedding" -> 89, "q_dedup_exact" -> 500,
     "q_dedup_minhash" -> 28, "q_dedup_ngram" -> 28, "q_dedup_simhash" -> 500,
     "q_filter_pred" -> 1427, "q_fingerprint" -> 500, "q_fingerprint_rolling" -> 500,
+    "q_having" -> 149, "q_set_union_all" -> 179, "q_agg_approx_percentile" -> 3,
     "q_join_anti" -> 2, "q_join_asof" -> 202, "q_join_broadcast" -> 5,
     "q_join_full" -> 900, "q_join_inner" -> 1500, "q_join_left" -> 498,
     "q_join_right" -> 498, "q_join_semi" -> 148, "q_join_theta_range" -> 23,

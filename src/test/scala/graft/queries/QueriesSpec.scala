@@ -41,6 +41,35 @@ class QueriesSpec extends SparkSpec {
     assert(GQuery.all.map(_.name).toSet == golden.keySet)
   }
 
+  // ---- physical-plan regression pins (the perf claims in SCALE.md) ----
+  private def plan(name: String): String =
+    GQuery.all.find(_.name == name).get.fn(spark, dir)
+      .queryExecution.executedPlan.treeString
+
+  test("q_join_broadcast: three broadcast joins, no shuffle join") {
+    val p = plan("q_join_broadcast")
+    assert(p.split("\n").count(_.contains("BroadcastHashJoin")) == 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_join_asof: linear plan — no nested-loop join, one hash shuffle") {
+    val p = plan("q_join_asof")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("q_sort_limit: TakeOrderedAndProject, zero exchanges") {
+    val p = plan("q_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q_scan_project: column-pruned scan (4 of 11 lineitem columns)") {
+    val p = plan("q_scan_project")
+    val scan = p.split("\n").find(_.contains("FileScan parquet")).get
+    assert(scan.contains("l_orderkey") && !scan.contains("l_shipdate"), scan)
+  }
+
   for ((name, want) <- golden.toSeq.sortBy(_._1)) {
     test(s"$name returns $want rows at sf0.001") {
       assert(GQuery.all.find(_.name == name).get.fn(spark, dir).count() == want)

@@ -65,10 +65,10 @@ object Ingest {
     * as merge metadata, decodes the Debezium epoch-days date. */
   def extractPostImage(kafkaShaped: DataFrame,
                        schema: StructType = Envelope.employeesEnvelope,
-                       keyCol: String = "id"): DataFrame =
-    parse(kafkaShaped, schema, keyCol)
+                       keyCols: Seq[String] = Seq("id")): DataFrame =
+    parse(kafkaShaped, schema, keyCols)
 
-  private def parse(df: DataFrame, schema: StructType, keyCol: String = "id"): DataFrame = {
+  private def parse(df: DataFrame, schema: StructType, keyCols: Seq[String] = Seq("id")): DataFrame = {
     // Schema-drift/delete-only hazard (SURVEY.md §7.5 #1): with the
     // dynamic inference path, a batch of only deletes infers `after` as
     // an untyped null — star-expanding it would fail. The post-image
@@ -86,17 +86,30 @@ object Ingest {
     val base = df.select(col("timestamp"), col("value").cast("string").as("value"))
       .withColumn("json", from_json(col("value"), schema))
     val imageCol = if (afterOk) "after" else "before"
-    val projected = base.select(
-      col(s"json.payload.$imageCol.*"),
+    // Delete events carry their key in `before` (after is null) — recover
+    // EVERY merge-key column, not just the first, or a composite-key
+    // delete groups under a wrong partially-null key and the live row is
+    // never removed. The null fallback is typed from the row schema (a
+    // hardcoded int cast would silently coerce long/string key columns).
+    val beforeKeys = if (afterOk) keyCols.map { k =>
+      val keyType = rowSchema.fields.find(_.name == k).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"merge key '$k' not in row schema: ${rowSchema.catalogString}"))
+      (if (structOf("before").exists(_.fieldNames.contains(k)))
+         col(s"json.payload.before.$k").cast(keyType)
+       else lit(null).cast(keyType)).as(s"_before_$k")
+    } else Nil
+    val meta = Seq(
       col("json.payload.op").as("op"),
       col("json.payload.source.lsn").as("lsn"),
       col("json.payload.ts_ms").as("ts_ms"),
-      (if (afterOk && structOf("before").exists(_.fieldNames.contains(keyCol)))
-         col(s"json.payload.before.$keyCol")
-       else lit(null).cast("int")).as("_before_key"),
       col("timestamp").as("kafka_ts"))
-      .withColumn(keyCol, coalesce(col(keyCol), col("_before_key"))) // delete events carry the key in `before`
-      .drop("_before_key")
+    val withBefore = base.select(
+      col(s"json.payload.$imageCol.*") +: (meta ++ beforeKeys): _*)
+    val projected = keyCols.foldLeft(withBefore) { (acc, k) =>
+      if (afterOk) acc.withColumn(k, coalesce(col(k), col(s"_before_$k"))).drop(s"_before_$k")
+      else acc
+    }
     if (rowSchema.fieldNames.contains("created_at"))
       // cast: the dynamic inference path widens int32 epoch-days to long
       projected.withColumn("created_date", Envelope.epochDaysToDate(col("created_at").cast("int")))
@@ -254,7 +267,7 @@ object Ingest {
         val cached = batch.cache() // one source read, N table routes
         try routes.foreach { case (table, r) =>
           val sub = cached.filter(col("topic").endsWith("." + table))
-          val parsed = parse(sub, r.schema, r.keys.head)
+          val parsed = parse(sub, r.schema, r.keys)
           parsed.withColumn("_batch_id", lit(batchId))
             .write.mode("overwrite").partitionBy("_batch_id")
             .option("partitionOverwriteMode", "dynamic")

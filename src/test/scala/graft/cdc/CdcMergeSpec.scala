@@ -87,6 +87,41 @@ class CdcMergeSpec extends SparkSpec {
     assert(CdcMerge.snapshot(parsed, Seq("id"), Seq("lsn")).count() == 0)
   }
 
+  test("fixture 8: composite-key delete — ALL key columns recovered from before") {
+    // A (tenant, id) composite merge key: the delete for (b, 1) must not
+    // group under a partially-null key (which would leave the live row).
+    import org.apache.spark.sql.types._
+    val row = StructType(Seq(StructField("tenant", StringType),
+      StructField("id", LongType), StructField("v", IntegerType)))
+    def cev(op: String, tenant: String, id: Int, lsn: Long, v: Int = 0): String = {
+      val r = s"""{"tenant":"$tenant","id":$id,"v":$v}"""
+      val before = if (op == "u" || op == "d") r else "null"
+      val after = if (op == "d") "null" else r
+      s"""{"payload":{"before":$before,"after":$after,"source":{"version":"2.2.0.Final","connector":"postgresql","name":"debezium1","ts_ms":${1685000000000L + lsn},"snapshot":"false","db":"railway","schema":"public","table":"t","txId":1,"lsn":$lsn},"op":"$op","ts_ms":${1685000000000L + lsn}}}"""
+    }
+    val keys = Seq("tenant", "id")
+    val parsed = Ingest.extractPostImage(kafkaShaped(Seq(
+      cev("c", "a", 1, 10, v = 5), cev("c", "b", 1, 11, v = 6), cev("d", "b", 1, 20))),
+      Envelope.envelope(row), keys)
+    // the delete row recovered BOTH key columns (typed per the row schema)
+    val del = parsed.filter($"op" === "d").select("tenant", "id").as[(String, Long)].collect()
+    assert(del.toSeq == Seq(("b", 1L)))
+    val s = CdcMerge.snapshot(parsed, keys, Seq("lsn"))
+    assert(s.select("tenant", "id", "v").as[(String, Long, Int)].collect().toSeq ==
+      Seq(("a", 1L, 5)))
+  }
+
+  test("fixture 9: full Debezium {schema, payload} envelope — unknown top-level field tolerated") {
+    // Real Debezium with converter schemas.enable=true emits a top-level
+    // `schema` descriptor alongside `payload`; the declared envelope only
+    // names `payload`, and from_json must ignore the extra field.
+    val schemaField = """"schema":{"type":"struct","fields":[{"type":"struct","field":"after"}],"optional":false,"name":"debezium1.public.employees.Envelope"}"""
+    val lines = Seq(ev("c", 1, 10, salary = 700), ev("u", 1, 20, salary = 800))
+      .map(l => "{" + schemaField + "," + l.stripPrefix("{"))
+    val s = snap(lines)
+    assert(s.select("id", "salary").as[(Int, Int)].collect().toSeq == Seq((1, 800)))
+  }
+
   // ---- upsert algebra (SURVEY.md §5.4), exercised over a seeded
   // pseudo-random op log rather than scalacheck generators (DataFrames
   // in forAll thrash the session; determinism matters more here).

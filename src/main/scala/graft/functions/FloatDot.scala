@@ -22,15 +22,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Semantics match the composed form exactly: left-to-right summation
   * of float→double products (bitwise-identical results, so the DuckDB
-  * oracles are unaffected); null if either array is null OR the lengths
+  * oracles are unaffected); null if either array is null, the lengths
   * differ (zip_with pads the short side with null, which nulls the
   * composed sum — mismatched embeddings are a data bug worth surfacing,
-  * not truncating).
+  * not truncating), OR any element is null (null * x is null and
+  * acc + null nulls the composed fold). The per-element null check is
+  * emitted only when the array type's containsNull is true — on the
+  * common containsNull=false embedding columns the loop stays tight.
   */
 case class FloatDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  private def containsNulls: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -54,9 +62,11 @@ case class FloatDot(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    val checkNulls = containsNulls
     var sum = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -68,6 +78,9 @@ case class FloatDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
+      val nullCheck = if (containsNulls)
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -75,6 +88,7 @@ case class FloatDot(left: Expression, right: Expression)
          |} else {
          |  double $sum = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
          |  ${ev.value} = $sum;

@@ -18,10 +18,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * lambda dispatch per element — and shingling feeds every dedup /
   * fingerprint / decontamination operator, so it is the engine's second
   * profiling-justified custom expression (after FloatDot). Produces the
-  * identical strings, so every DuckDB oracle is unaffected.
+  * identical strings, so every DuckDB oracle is unaffected — including
+  * on null tokens, which are SKIPPED exactly as the composed concat_ws
+  * skips null arguments (UnsafeArrayData.getUTF8String on a null slot
+  * would otherwise yield "" and insert a phantom separator). The
+  * per-element null check is emitted only when the input array type's
+  * containsNull is true.
   */
 case class NgramShingles(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  private def containsNulls: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -39,12 +49,17 @@ case class NgramShingles(child: Expression, n: Int) extends UnaryExpression {
     val cnt = math.max(m - n + 1, 0)
     if (m < n) new GenericArrayData(Array.empty[Any])
     else {
+      val checkNulls = containsNulls
       val out = new Array[Any](cnt)
       var i = 0
       while (i < cnt) {
         val parts = new Array[UTF8String](n)
         var j = 0
-        while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        while (j < n) {
+          // null parts are skipped by concatWs, matching composed concat_ws
+          parts(j) = if (checkNulls && toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+          j += 1
+        }
         out(i) = UTF8String.concatWs(space, parts: _*)
         i += 1
       }
@@ -68,7 +83,9 @@ case class NgramShingles(child: Expression, n: Int) extends UnaryExpression {
          |$u[] $out = new $u[$cnt];
          |for (int $i = 0; $i < $cnt; $i++) {
          |  $u[] $parts = new $u[$n];
-         |  for (int $j = 0; $j < $n; $j++) { $parts[$j] = $a.getUTF8String($i + $j); }
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $parts[$j] = ${if (containsNulls) s"$a.isNullAt($i + $j) ? null : " else ""}$a.getUTF8String($i + $j);
+         |  }
          |  $out[$i] = $u.concatWs($spaceRef, $parts);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);

@@ -118,6 +118,18 @@ object Extensions {
           else {
             val fresh = java.nio.file.Files.createTempDirectory("graft_e2e").toFile
             CdcGen.writeTopicFiles(s, 200, fresh.getAbsolutePath + "/topic", nBatches = 3)
+            // Repair a poisoned cache: a crash between renameTo and the
+            // marker write leaves a dir without _DONE that would
+            // otherwise block the rename FOREVER (every later run would
+            // regenerate into a leaked temp dir). No marker = garbage;
+            // delete it so the fresh copy can take its place.
+            if (cache.exists() && !marker.exists()) {
+              def rm(f: java.io.File): Unit = {
+                if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+                f.delete()
+              }
+              rm(cache)
+            }
             if (!cache.exists() && fresh.renameTo(cache)) {
               marker.createNewFile()
               cache.getAbsolutePath + "/topic"

@@ -198,8 +198,20 @@ object Relational {
       "q_join_theta_range",
       (s, dir) => {
         val bandW = 1000
-        val su = Tables.supplier(s, dir)
-          .withColumn("band", explode(sequence(lit(-1), floor(col("s_acctbal") / bandW).cast("int"))))
+        // The band floor is DERIVED from min(c_acctbal) (one cheap
+        // column-min scan, broadcast as a 1-row scalar) rather than
+        // assumed: a hardcoded floor silently drops qualifying pairs the
+        // moment a balance falls below it. Suppliers whose own band sits
+        // below every customer band can match nothing — the empty-array
+        // branch (sequence() would count DOWN, generating junk bands)
+        // explodes them away.
+        val lo = Tables.customer(s, dir)
+          .agg(floor(min(col("c_acctbal")) / bandW).cast("int").as("lo_band"))
+        val su = Tables.supplier(s, dir).crossJoin(broadcast(lo))
+          .withColumn("hi_band", floor(col("s_acctbal") / bandW).cast("int"))
+          .withColumn("band", explode(
+            when(col("hi_band") >= col("lo_band"), sequence(col("lo_band"), col("hi_band")))
+              .otherwise(array().cast("array<int>"))))
         val c = Tables.customer(s, dir)
           .withColumn("band", floor(col("c_acctbal") / bandW).cast("int"))
         su.join(c, su("s_nationkey") === c("c_nationkey") &&

@@ -81,10 +81,15 @@ object Streams {
             state.remove()
             Iterator(SessionAgg(key, n, total, lastMs))
           } else {
-            val batch = rows.toSeq
-            val (n0, t0, last0) = state.getOption.getOrElse((0L, 0.0, 0L))
-            val lastMs = math.max(last0, batch.map(_._2.getTime).max)
-            state.update((n0 + batch.size, t0 + batch.map(_._3).sum, lastMs))
+            // single-pass fold over the iterator — never materializes the
+            // group's batch, so a reconnect storm (one key, millions of
+            // buffered events) streams through in O(1) memory
+            val init = state.getOption.getOrElse((0L, 0.0, 0L))
+            val (n, total, lastMs) = rows.foldLeft(init) {
+              case ((n0, t0, last0), (_, ts, v)) =>
+                (n0 + 1, t0 + v, math.max(last0, ts.getTime))
+            }
+            state.update((n, total, lastMs))
             state.setTimeoutTimestamp(lastMs + gapMs)
             Iterator.empty
           }

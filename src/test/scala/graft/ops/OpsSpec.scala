@@ -76,6 +76,34 @@ class OpsSpec extends SparkSpec {
     assert(n.forall(r => r.isNullAt(0) && r.isNullAt(1)))
   }
 
+  test("FloatDot/NgramShingles: null ELEMENTS match the composed forms (codegen + eval)") {
+    // containsNull=true inputs: a null element must null the dot product
+    // (acc + null nulls the composed fold) and be SKIPPED by shingling
+    // (concat_ws skips null args) — not read as 0.0f / "" off the unsafe
+    // array's zeroed slot. repartition defeats ConvertToLocalRelation so
+    // the codegen path actually runs.
+    val vdf = Seq(
+      (Seq(Option(1f), None, Option(2f)), Seq(Option(3f), Option(4f), Option(5f))),
+      (Seq(Option(1f), Option(2f)), Seq(Option(3f), Option(4f)))).toDF("a", "b")
+      .repartition(1)
+    val vrows = vdf.select(
+      Vectors.dot($"a", $"b").as("fast"),
+      Vectors.dotComposed($"a", $"b").as("slow")).collect()
+    assert(vrows.forall(r => r.isNullAt(0) == r.isNullAt(1)))
+    assert(vrows.count(_.isNullAt(0)) == 1)
+    assert(vrows.filterNot(_.isNullAt(0)).head.getDouble(0) == 11.0)
+
+    val tdf = Seq(
+      Seq(Option("a"), None, Option("b"), Option("c")),
+      Seq(Option("x"), Option("y"))).toDF("toks").repartition(1)
+    val trows = tdf.select(
+      Text.shingles($"toks", 2).as("fast"),
+      Text.shinglesComposed($"toks", 2).as("slow"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(trows.forall { case (f, sl) => f == sl })
+    assert(trows.map(_._1).toSet == Set(Seq("a", "b", "b c"), Seq("x y")))
+  }
+
   test("graft_dot is SQL-callable after registration") {
     graft.functions.GraftExtensions.register(spark)
     Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b").createOrReplaceTempView("vt")

@@ -96,13 +96,18 @@ object CdcGen {
     * one JSON object per record with the envelope serialized into
     * `value`, exactly what the real Kafka source would deliver after
     * `CAST(value AS STRING)`. */
-  def toKafkaJsonLines(log: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy(col("lsn"))
-    log.select(
+  def toKafkaJsonLines(log: DataFrame): DataFrame =
+    wrapKafkaLines(log.select(
       to_json(struct(col("payload"))).as("value"),
       col("payload.source.lsn").as("lsn"),
-      col("payload.ts_ms").as("ts_ms"))
+      col("payload.ts_ms").as("ts_ms")))
+
+  /** The emulated-Kafka record wrapper shared by both wire formats:
+    * (value, topic, partition, offset, timestamp) as one JSON line. */
+  private def wrapKafkaLines(valued: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("lsn"))
+    valued
       .withColumn("offset", row_number().over(w).cast("long") - 1)
       .select(to_json(struct(
         col("value"),
@@ -113,12 +118,54 @@ object CdcGen {
         col("offset"))
   }
 
+  /** S15 wire-format twin of [[toKafkaJsonLines]]: the envelope is
+    * Avro-binary encoded (what the Confluent value converter puts on the
+    * wire, reference README.md:262-263) and base64-wrapped purely for
+    * the JSON-lines file transport — `unbase64` on read restores the
+    * exact bytes a real Avro-valued topic would deliver. Encoding runs
+    * per partition on executors (the writer schema travels as its JSON
+    * form; nothing is collected). */
+  def toKafkaAvroLines(log: DataFrame): DataFrame = {
+    import log.sparkSession.implicits._
+    val schemaJson = Avro.toAvroSchema(log.schema).toString
+    val encoded = log
+      .select(col("payload"), col("payload.source.lsn").as("lsn"), col("payload.ts_ms").as("ts_ms"))
+      .mapPartitions { rows =>
+        val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        val writer = new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](schema)
+        val out = new java.io.ByteArrayOutputStream()
+        var enc: org.apache.avro.io.BinaryEncoder = null
+        rows.map { r =>
+          out.reset()
+          enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, enc)
+          writer.write(Avro.rowToRecord(r, schema), enc)
+          enc.flush()
+          (java.util.Base64.getEncoder.encodeToString(out.toByteArray),
+            r.getLong(1), r.getLong(2))
+        }
+      }.toDF("value", "lsn", "ts_ms")
+    wrapKafkaLines(encoded)
+  }
+
   /** Write the change log as `nBatches` JSON-lines files under `dir` —
     * each file plays one Kafka topic-partition segment for the streaming
     * file source (SURVEY.md §7.2 Kafka emulation). Single-partition
     * writes are fine: this is test fixture generation, not the data path. */
-  def writeTopicFiles(spark: SparkSession, n: Long, dir: String, nBatches: Int = 3, seed: Long = 42L): Unit = {
-    val lines = toKafkaJsonLines(changeLog(spark, n, seed)).cache()
+  def writeTopicFiles(spark: SparkSession, n: Long, dir: String, nBatches: Int = 3, seed: Long = 42L): Unit =
+    writeLines(toKafkaJsonLines(changeLog(spark, n, seed)), dir, nBatches)
+
+  /** Avro-valued twin of [[writeTopicFiles]] (S15 fixture). */
+  def writeTopicAvroFiles(spark: SparkSession, n: Long, dir: String, nBatches: Int = 3, seed: Long = 42L): Unit =
+    writeLines(toKafkaAvroLines(changeLog(spark, n, seed)), dir, nBatches)
+
+  /** Writer-schema JSON for `changeLog`'s envelope (the stand-in for a
+    * schema-registry lookup on the decode side). */
+  def avroWriterSchemaJson(spark: SparkSession): String =
+    Avro.toAvroSchema(changeLog(spark, 1).schema).toString
+
+  private def writeLines(linesDf: DataFrame, dir: String, nBatches: Int): Unit = {
+    val lines = linesDf.cache()
     try {
       val total = lines.count()
       val per = math.max(1L, (total + nBatches - 1) / nBatches)

@@ -25,8 +25,12 @@ import org.apache.spark.sql.types.StructType
 object Ingest {
 
   /** S1/S2: subscribe to the emulated topic directory; emit Kafka-shaped
-    * rows. `subscribePattern` filtering (README.md:193) is the rlike. */
-  def readTopicStream(spark: SparkSession, dir: String, topicPattern: String = "debezium1.*"): DataFrame = {
+    * rows. `subscribePattern` filtering (README.md:193) is the rlike.
+    * `valueBase64 = true` for Avro-valued topics: the file transport
+    * carries binary values base64-encoded, and unbase64 restores the
+    * exact bytes a real Kafka record would deliver (S15 wire format). */
+  def readTopicStream(spark: SparkSession, dir: String, topicPattern: String = "debezium1.*",
+                      valueBase64: Boolean = false): DataFrame = {
     val raw = StructType.fromDDL(
       "value STRING, topic STRING, partition INT, offset BIGINT, timestamp TIMESTAMP")
     spark.readStream.schema(raw)
@@ -38,21 +42,35 @@ object Ingest {
       .filter(col("topic").rlike(topicPattern))
       .select(
         lit(null).cast("binary").as("key"),
-        col("value").cast("binary").as("value"),
+        valueColumn(valueBase64),
         col("topic"), col("partition"), col("offset"), col("timestamp"),
         lit(0).as("timestampType"))
   }
 
+  private def valueColumn(valueBase64: Boolean) =
+    (if (valueBase64) unbase64(col("value")) else col("value").cast("binary")).as("value")
+
   /** Batch twin of [[readTopicStream]] (startingOffsets=earliest replay,
     * U8 — the file source naturally reads everything). */
-  def readTopicBatch(spark: SparkSession, dir: String, topicPattern: String = "debezium1.*"): DataFrame = {
+  def readTopicBatch(spark: SparkSession, dir: String, topicPattern: String = "debezium1.*",
+                     valueBase64: Boolean = false): DataFrame = {
     val raw = StructType.fromDDL(
       "value STRING, topic STRING, partition INT, offset BIGINT, timestamp TIMESTAMP")
     spark.read.schema(raw).json(dir)
       .filter(col("topic").rlike(topicPattern))
-      .select(lit(null).cast("binary").as("key"), col("value").cast("binary").as("value"),
+      .select(lit(null).cast("binary").as("key"), valueColumn(valueBase64),
         col("topic"), col("partition"), col("offset"), col("timestamp"), lit(0).as("timestampType"))
   }
+
+  /** S15: Avro envelope decode — the Confluent-value-converter stand-in
+    * (reference README.md:262-263, 309). Rewrites `value` from Avro
+    * binary to the equivalent plain-JSON bytes, so EVERYTHING downstream
+    * (from_json with the declared envelope schema, post-image
+    * projection, merge) is byte-identical to the JSON wire path.
+    * `writerSchemaJson` plays the schema-registry lookup. */
+  def decodeAvroValues(kafkaShaped: DataFrame, writerSchemaJson: String): DataFrame =
+    kafkaShaped.withColumn("value",
+      graft.functions.AvroToJson(col("value"), writerSchemaJson).cast("binary"))
 
   /** S5: the reference's per-batch dynamic schema inference
     * (README.md:179, `spark.read.json(df.rdd.map(lambda r: r.value))`).
@@ -283,4 +301,12 @@ object Ingest {
   def snapshotFromTopic(spark: SparkSession, inputDir: String,
                         schema: StructType = Envelope.employeesEnvelope): DataFrame =
     CdcMerge.snapshot(parse(readTopicBatch(spark, inputDir), schema), Seq("id"), Seq("lsn"))
+
+  /** S15 batch end-to-end over an Avro-valued topic: decode → the SAME
+    * parse/merge path as the JSON wire format. */
+  def snapshotFromAvroTopic(spark: SparkSession, inputDir: String, writerSchemaJson: String,
+                            schema: StructType = Envelope.employeesEnvelope): DataFrame =
+    CdcMerge.snapshot(
+      parse(decodeAvroValues(readTopicBatch(spark, inputDir, valueBase64 = true), writerSchemaJson), schema),
+      Seq("id"), Seq("lsn"))
 }

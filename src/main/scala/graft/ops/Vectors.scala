@@ -37,13 +37,35 @@ object Vectors {
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
-  /** Sign signature of the first `bits` dimensions — an axis-aligned
-    * locality-sensitive bucket key. Vectors with matching signs on those
-    * axes land in the same bucket; near-duplicates (cos→1) almost always
-    * share it. */
-  def signBucket(v: Column, bits: Int): Column =
-    concat_ws("", (1 to bits).map(i =>
-      when(element_at(v, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+  /** Deterministic "random" hyperplanes for sign-LSH: component d of
+    * plane i is `(splitmix64(seed, i, d) mod 129 - 64) / 64` ∈ [-1, 1].
+    * Dyadic k/64 rationals are EXACTLY representable in both float and
+    * double, and each product v_d·h_d (≤24-bit × ≤7-bit significand) is
+    * an exact double, so the dot's sign is identical on any engine that
+    * sums exactly-representable terms — the constants embed verbatim in
+    * a SQL oracle and the bucketing replays bit-for-bit. splitmix64 is
+    * the public-domain finalizer (Steele et al., "Fast Splittable
+    * Pseudorandom Number Generators", OOPSLA'14). */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] =
+    (0 until bits).map { i =>
+      Array.tabulate(dim) { d =>
+        var z = seed + (i.toLong * dim + d + 1) * 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= z >>> 31
+        (java.lang.Math.floorMod(z, 129L) - 64L) / 64.0
+      }
+    }
+
+  /** Random-hyperplane sign signature (SimHash over the embedding,
+    * Charikar STOC'02): bit i = [v·h_i ≥ 0]. Unlike an axis-aligned
+    * first-k-dims sign key, recall does not collapse when leading
+    * dimensions are correlated or hover near zero — every dimension
+    * contributes to every bit. P(bit agrees) = 1 − θ(a,b)/π. */
+  def signBucket(v: Column, planes: Seq[Array[Double]]): Column =
+    concat_ws("", planes.map { h =>
+      when(dot(v, typedLit(h.map(_.toFloat).toSeq)) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
 
   /** Brute-force exact cosine top-k: every vector against every other.
     * `right` is broadcast — ship the small side to all executors, never
@@ -62,13 +84,16 @@ object Vectors {
   }
 
   /** Near-duplicate pairs by cosine threshold, candidate-limited to
-    * sign-LSH buckets: one shuffle on the bucket key, pairwise work only
-    * within buckets. */
+    * random-hyperplane sign-LSH buckets: one shuffle on the bucket key,
+    * pairwise work only within buckets. `dim` sizes the hyperplanes
+    * (embedding dimensionality); `seed` makes the bucketing
+    * deterministic and oracle-replayable. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, bits: Int = 8): DataFrame = {
+                   threshold: Double, bits: Int = 8, dim: Int = 64,
+                   seed: Long = 42L): DataFrame = {
     val withMeta = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
-      .withColumn("bucket", signBucket(col("v"), bits))
+      .withColumn("bucket", signBucket(col("v"), hyperplanes(bits, dim, seed)))
     val a = withMeta.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = withMeta.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("bucket"))

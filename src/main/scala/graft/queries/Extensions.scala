@@ -313,27 +313,35 @@ object Extensions {
              |  FROM inter JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b) z
              |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
-    // Embedding-cosine near-dup pairs, candidate-limited to sign-LSH
-    // buckets (first-8-dims sign signature): ONE shuffle on the bucket
-    // key, pairwise cosine only within buckets — the 100 TB shape. The
-    // oracle replays the identical bucketing, so the LSH path itself is
-    // correctness-checked, not just the exact fallback.
+    // Embedding-cosine near-dup pairs, candidate-limited to
+    // random-hyperplane sign-LSH buckets (Charikar SimHash — bit i =
+    // sign(v·h_i)): ONE shuffle on the bucket key, pairwise cosine only
+    // within buckets — the 100 TB shape. Unlike an axis-aligned
+    // first-k-dims key, recall survives correlated leading dimensions.
+    // The hyperplane components are dyadic k/64 rationals (exact in both
+    // float and double) generated from a fixed seed and embedded
+    // verbatim in the oracle SQL, so the LSH bucketing itself is
+    // correctness-checked bit-for-bit, not just the exact fallback.
     GQuery(
       "q_dedup_embedding",
       (s, dir) => {
         Vectors.nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-            threshold = 0.2, bits = 8)
+            threshold = 0.2, bits = 8, dim = 64)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-             |  array_to_string(list_transform((embedding::DOUBLE[])[1:8],
-             |    x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
-             |  FROM embeddings)
-             |SELECT id_a, id_b, round(c, 4) AS cos FROM (
-             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             |    list_cosine_similarity(a.e, b.e) AS c
-             |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p
-             |WHERE c > 0.2 ORDER BY id_a, id_b""".stripMargin)),
+      Some {
+        val bucket = Vectors.hyperplanes(8, 64).map { h =>
+          val arr = h.mkString("[", ",", "]")
+          s"(CASE WHEN list_dot_product(e, $arr::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+        }.mkString(" || ")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           |b AS (SELECT vec_id, e, $bucket AS bucket FROM v)
+           |SELECT id_a, id_b, round(c, 4) AS cos FROM (
+           |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           |    list_cosine_similarity(a.e, b2.e) AS c
+           |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) p
+           |WHERE c > 0.2 ORDER BY id_a, id_b""".stripMargin
+      }),
 
     // ------------------------------------------------ similarity search
     // Brute-force exact cosine top-k for a bounded query set (vec_id ≤

@@ -122,6 +122,38 @@ class OpsSpec extends SparkSpec {
     assert(rows(1) == ((25.0, 5.0)))
   }
 
+  test("sign-LSH hyperplanes: deterministic, dyadic, full recall on adversarial leading dims") {
+    val planes = Vectors.hyperplanes(8, 64)
+    // deterministic and exactly dyadic (k/64 — representable in float AND
+    // double, the property that makes the oracle replay bit-for-bit)
+    assert(planes.map(_.toSeq) == Vectors.hyperplanes(8, 64).map(_.toSeq))
+    assert(planes.flatten.forall(c => c * 64 == math.rint(c * 64) && c >= -1 && c <= 1))
+    // not degenerate: planes differ and use many distinct values
+    assert(planes.map(_.toSeq).distinct.size == 8)
+
+    // 20 planted near-dup pairs whose first 8 dims hover at ±1e-6 with
+    // OPPOSITE signs between the twins — an axis-aligned first-8-dims
+    // sign key puts every such pair in different buckets (recall 0);
+    // random hyperplanes weigh all 64 dims, so the tiny dims never flip
+    // a bucket bit and every pair is recovered.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 20).flatMap { p =>
+      val tail = Array.fill(56)((rnd.nextDouble() * 2 - 1).toFloat)
+      Seq((2L * p, (Array.fill(8)(1e-6f) ++ tail).toSeq),
+          (2L * p + 1, (Array.fill(8)(-1e-6f) ++ tail).toSeq))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    // sanity of the plant: the twins really do disagree on every leading sign
+    val axisAligned = concat_ws("", (1 to 8).map(i =>
+      when(element_at($"embedding", i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+    assert(emb.select(axisAligned).distinct().count() == 2)
+    val pairs = Vectors.nearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.99, bits = 8, dim = 64)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val want = (0 until 20).map(p => (2L * p, 2L * p + 1)).toSet
+    assert(want.subsetOf(pairs), s"missed: ${want -- pairs}")
+  }
+
   test("Vectors.bruteForceTopK returns k neighbors per vector") {
     val emb = (1 to 6).map(i => (i.toLong, Seq(i.toFloat, (i * i).toFloat, 1f)))
       .toDF("vec_id", "embedding")

@@ -173,8 +173,13 @@ object Extensions {
         // (token count — pushed to the scan), materialize sig in its own
         // projection (CollapseProject keeps multi-referenced non-cheap
         // exprs un-inlined), and generate in-bucket pairs via
-        // groupBy+collect instead of a self-join, so the corpus is
-        // scanned once for banding — ONE shuffle on the band key.
+        // groupBy+collect instead of a self-join. The shingle set RIDES
+        // THE BAND STREAM through the groupBy (the q_dedup_ngram
+        // ride-along trick) so the corpus is scanned ONCE and the
+        // shingle arrays are computed once — not re-scanned and
+        // re-shingled twice more for the verify joins. A pair sharing
+        // k bands costs k cheap array-intersects but no extra scan;
+        // the dedup shuffles only the small (id_a, id_b, jac) tuple.
         val sh = fanout(Tables.documents(s, dir)
             .filter(size(split(col("text"), " ")) >= 2))
           .withColumn("toks", Text.tokens(col("text")))
@@ -182,23 +187,21 @@ object Extensions {
         val banded = sh
           .withColumn("md5s", transform(col("sh"), x => md5(x)))
           .withColumn("sig", Text.minhashSignatureFromMd5s(col("md5s"), 6))
-          .select(col("doc_id"), explode_outer(Text.lshBands(col("sig"), 3, 2)).as("band"))
+          .select(col("doc_id"), col("sh"),
+            explode_outer(Text.lshBands(col("sig"), 3, 2)).as("band"))
           .filter(col("band").isNotNull)
-        val cand = banded.groupBy(col("band"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        banded.groupBy(col("band"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("ids"))
           .filter(size(col("ids")) > 1)
           .select(explode(expr(
             """flatten(transform(ids, (x, i) ->
-              |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"""
+              |  transform(slice(ids, i + 2, size(ids)),
+              |            y -> struct(x.doc_id AS id_a, x.sh AS sha, y.doc_id AS id_b, y.sh AS shb))))"""
               .stripMargin)).as("p"))
-          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-          .distinct()
-        cand
-          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
-          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
-          .withColumn("jac", Text.jaccard(col("sha"), col("shb")))
+          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+            Text.jaccard(col("p.sha"), col("p.shb")).as("jac"))
           .filter(col("jac") >= 0.5)
-          .select(col("id_a"), col("id_b"), col("jac"))
+          .distinct()
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -18,7 +18,7 @@ class QueriesSpec extends SparkSpec {
     "q_agg_percentile" -> 3, "q_agg_rollup" -> 19,
     "q_array_map_funcs" -> 500, "q_case_when" -> 1500,
     "q_cdc_upsert_snapshot" -> 14, "q_cdc_incremental" -> 14, "q_date_funcs" -> 1500,
-    "q_dedup_embedding" -> 89, "q_dedup_exact" -> 500,
+    "q_dedup_embedding" -> 88, "q_dedup_exact" -> 500,
     "q_dedup_minhash" -> 28, "q_dedup_ngram" -> 28, "q_dedup_simhash" -> 500,
     "q_filter_pred" -> 1427, "q_fingerprint" -> 500, "q_fingerprint_rolling" -> 500,
     "q_having" -> 149, "q_set_union_all" -> 179, "q_agg_approx_percentile" -> 3,
@@ -68,6 +68,50 @@ class QueriesSpec extends SparkSpec {
     val p = plan("q_scan_project")
     val scan = p.split("\n").find(_.contains("FileScan parquet")).get
     assert(scan.contains("l_orderkey") && !scan.contains("l_shipdate"), scan)
+  }
+
+  test("q_dedup_minhash: single documents scan (shingles ride the band stream)") {
+    val p = plan("q_dedup_minhash")
+    assert(p.split("\n").count(_.contains("FileScan parquet")) == 1, p)
+  }
+
+  // ---- sketch-accuracy gates for the two rows-only aggregates: the
+  // sketches must land within their DECLARED error of the exact twins,
+  // otherwise "no oracle by design" would hide a broken value.
+  private def run(name: String) =
+    GQuery.all.find(_.name == name).get.fn(spark, "/root/testdata/sf0.01")
+
+  test("q_agg_approx_distinct within HLL++ error of the exact twin") {
+    import spark.implicits._
+    val approx = run("q_agg_approx_distinct")
+      .select("l_returnflag", "approx_parts").as[(String, Long)].collect().toMap
+    val exact = run("q_agg_distinct")
+      .select("l_returnflag", "n_parts").as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, e) <- exact) {
+      // default relativeSD = 0.05; allow 3 sigma
+      assert(math.abs(approx(k) - e) <= 0.15 * e, s"$k: approx ${approx(k)} vs exact $e")
+    }
+  }
+
+  test("q_agg_approx_percentile within declared rank error of the exact quantiles") {
+    import spark.implicits._
+    // accuracy=1000 guarantees rank error ≤ n/1000; the approx median
+    // must therefore lie between the exact 0.49 and 0.51 quantiles
+    // (wide margin over the guarantee).
+    val approx = run("q_agg_approx_percentile")
+      .select("l_returnflag", "approx_median").as[(String, Double)].collect().toMap
+    val bounds = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .groupBy($"l_returnflag")
+      .agg(org.apache.spark.sql.functions.expr(
+        "percentile(l_extendedprice, array(0.49, 0.51))").as("b"))
+      .select($"l_returnflag", $"b".getItem(0).as("lo"), $"b".getItem(1).as("hi"))
+      .as[(String, Double, Double)].collect()
+    assert(bounds.nonEmpty)
+    for ((k, lo, hi) <- bounds) {
+      val a = approx(k)
+      assert(a >= lo && a <= hi, s"$k: approx median $a outside exact [$lo, $hi]")
+    }
   }
 
   for ((name, want) <- golden.toSeq.sortBy(_._1)) {

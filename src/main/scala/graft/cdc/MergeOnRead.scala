@@ -1,0 +1,139 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** MERGE_ON_READ-style table service over the versioned-snapshot layout
+  * — the second Hudi table type. The reference runs COPY_ON_WRITE only
+  * (README.md:300); this completes the semantic family: writes are
+  * cheap log appends, reads merge base + pending logs on the fly, and a
+  * periodic compaction folds the logs into a new base.
+  *
+  * Layout under `dir` (extends the COW protocol in [[Ingest]]):
+  * {{{
+  *   v<id>/           base parquet — compacted state as of batch <id>
+  *   _COMMIT_<id>     base marker (written after v<id> is complete)
+  *   log/d<batchId>/  one delta dir per ingested batch (parsed rows)
+  *   _DELTA_<batchId> delta marker (written after log/d<batchId>)
+  * }}}
+  *
+  * Crash safety mirrors COW: data dirs first, atomic marker creation
+  * second, so a dangling dir without its marker is invisible garbage
+  * that the replayed batch/compaction simply overwrites. Exactly-once:
+  * a replayed batch whose `_DELTA_` marker exists (or whose id is ≤ the
+  * base id) is a no-op.
+  *
+  * Scale story (the COW/MOR tradeoff, verbatim from the Hudi design):
+  * COW pays a full key-partition rewrite per batch for O(1)-merge
+  * reads; MOR pays O(#pending logs) read amplification for O(batch)
+  * writes. At 100 TB with minutely micro-batches the rewrite dominates
+  * — MOR's append is one narrow parquet write, and compaction (the only
+  * rewrite) runs every N batches on the SAME one-shuffle merge plan as
+  * the COW commit. Read-time merge is the identical window-over-union:
+  * one shuffle on the key, never a driver-side loop.
+  */
+object MergeOnRead {
+
+  private def fsOf(spark: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def path(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  /** Batch ids of committed (marker present) pending log deltas. */
+  def deltaIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val fs = fsOf(spark)
+    if (!fs.exists(path(dir))) Seq.empty
+    else fs.listStatus(path(dir)).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_DELTA_") => n.stripPrefix("_DELTA_").toLong }
+      .sorted.toSeq
+  }
+
+  /** Append one parsed batch as a log delta (idempotent by marker;
+    * a batch already folded into the base is skipped). */
+  def logAppend(sess: SparkSession, dir: String, parsed: DataFrame, batchId: Long): Unit = {
+    val fs = fsOf(sess)
+    val marker = path(s"$dir/_DELTA_$batchId")
+    val covered = Ingest.committedBatch(sess, dir).exists(_ >= batchId)
+    if (!fs.exists(marker) && !covered) {
+      parsed.write.mode("overwrite").parquet(s"$dir/log/d$batchId")
+      fs.createNewFile(marker)
+    }
+  }
+
+  /** Read the CURRENT state: base snapshot merged with every pending
+    * log delta above it (the MOR read path — what Hudi calls the
+    * snapshot/real-time view). One window shuffle regardless of how
+    * many logs are pending. */
+  def readMerged(spark: SparkSession, dir: String,
+                 keys: Seq[String], ord: Seq[String]): Option[DataFrame] = {
+    val baseId = Ingest.committedBatch(spark, dir).getOrElse(-1L)
+    val pending = deltaIds(spark, dir).filter(_ > baseId)
+    val base = Ingest.readSnapshot(spark, dir)
+    if (pending.isEmpty) base
+    else {
+      val logs = pending.map(id => spark.read.parquet(s"$dir/log/d$id"))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      Some(base match {
+        case Some(b) => CdcMerge.upsert(b, logs, keys, ord)
+        case None => CdcMerge.snapshot(logs, keys, ord)
+      })
+    }
+  }
+
+  /** Fold all pending logs into a new base version (Hudi's compaction
+    * table service). Returns the new base id, or None if nothing is
+    * pending. Consumed logs are deleted only AFTER the base marker is
+    * committed; the prior base is retained (same GC policy as COW —
+    * readers that resolved the old pointer keep working, and time
+    * travel to the previous compaction point stays possible). */
+  def compact(sess: SparkSession, dir: String,
+              keys: Seq[String], ord: Seq[String],
+              partitionCols: Seq[String] = Nil): Option[Long] = {
+    val fs = fsOf(sess)
+    val prevBase = Ingest.committedBatch(sess, dir).getOrElse(-1L)
+    val pending = deltaIds(sess, dir).filter(_ > prevBase)
+    if (pending.isEmpty) None
+    else {
+      val target = pending.max
+      val merged = readMerged(sess, dir, keys, ord).get
+      val writer = merged.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+       else writer).parquet(s"$dir/v$target")
+      fs.createNewFile(path(s"$dir/_COMMIT_$target"))
+      // GC: consumed logs go; bases older than the prior one go.
+      pending.foreach { id =>
+        fs.delete(path(s"$dir/log/d$id"), true)
+        fs.delete(path(s"$dir/_DELTA_$id"), false)
+      }
+      fs.listStatus(path(dir)).map(_.getPath).foreach { p =>
+        val n = p.getName
+        val id = if (n.startsWith("_COMMIT_")) Some(n.stripPrefix("_COMMIT_").toLong)
+                 else if (n.startsWith("v")) n.stripPrefix("v").toLongOption
+                 else None
+        if (id.exists(i => i < prevBase)) fs.delete(p, true)
+      }
+      Some(target)
+    }
+  }
+
+  /** Checkpointed MOR streaming ingest: per micro-batch, parse + log
+    * append (cheap), compaction every `compactEvery` batches. The twin
+    * of [[Ingest.run]] with the write/read cost trade flipped. */
+  def run(spark: SparkSession, inputDir: String, morDir: String, checkpointDir: String,
+          compactEvery: Int = 4,
+          schema: StructType = Envelope.employeesEnvelope,
+          keys: Seq[String] = Seq("id"), ord: Seq[String] = Seq("lsn"),
+          partitionCols: Seq[String] = Nil): StreamingQuery = {
+    Ingest.readTopicStream(spark, inputDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val parsed = Ingest.extractPostImage(batch, schema, keys)
+        logAppend(batch.sparkSession, morDir, parsed, batchId)
+        if ((batchId + 1) % compactEvery == 0)
+          compact(batch.sparkSession, morDir, keys, ord, partitionCols)
+        ()
+      }
+      .start()
+  }
+}

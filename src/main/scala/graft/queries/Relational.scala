@@ -589,6 +589,48 @@ object Relational {
              |  FROM events) t
              |GROUP BY s, event_type ORDER BY win_start, event_type""".stripMargin)),
 
+    // Gap-based SESSION windows, batch form — the third window family
+    // (after tumbling/sliding) and the batch-checkable analog of the
+    // streaming flatMapGroupsWithState sessionization
+    // (graft.streaming.Streams.sessionize): a new session starts when a
+    // user is quiet > 30 min. The classic two-window linear plan: lag to
+    // flag session starts, running sum to number sessions, then one
+    // aggregation — ONE shuffle on user_id, O(n log n) per user, no
+    // gap self-join. Micro-second epoch arithmetic so both engines
+    // share tie/threshold behavior exactly.
+    GQuery(
+      "q_win_session",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn("new_sess", when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1).otherwise(0))
+          .withColumn("session_id", sum(col("new_sess")).over(run))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            fmtTs(min(col("ts"))).as("sess_start"),
+            fmtTs(max(col("ts"))).as("sess_end"),
+            dround(sum(dec(col("value")))).as("total"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some(s"""WITH g AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), n AS (
+             |  SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+             |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_end,
+             |  ${OD.format("sum(CAST(value AS DECIMAL(18,4)))")} AS total
+             |FROM n GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
     // Generator / lateral-view surface: posexplode with ordinal.
     GQuery(
       "q_posexplode",

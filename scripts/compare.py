@@ -12,15 +12,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
+    # Driver-strict: NO float rounding, NO -0.0 collapse. The oracle
+    # strategy (decimal sums + round(...,4) in SQL on both sides) must
+    # guarantee bit-equality; if it doesn't, this mirror must fail the
+    # same way the driver's hash does.
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 and format stably
-        if v == 0:
-            v = 0.0
-        return repr(round(v, 9))
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
@@ -43,18 +44,30 @@ def main():
             results[name] = "MISSING_SPARK_OUTPUT"
             continue
         try:
-            spark_rel = con.execute(
+            spark_rel = con.sql(
                 f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
-            s_cols = [d[0] for d in spark_rel.description]
+            s_cols = list(spark_rel.columns)
+            s_types = [str(t) for t in spark_rel.types]
             s_rows = spark_rel.fetchall()
-            duck_rel = con.execute(sql)
-            d_cols = [d[0] for d in duck_rel.description]
+            duck_rel = con.sql(sql)
+            d_cols = list(duck_rel.columns)
+            d_types = [str(t) for t in duck_rel.types]
             d_rows = duck_rel.fetchall()
         except Exception as e:
             results[name] = f"ERR {type(e).__name__}: {e}"
             continue
         if sorted(s_cols) != sorted(d_cols):
             results[name] = f"SCHEMA spark={sorted(s_cols)} duck={sorted(d_cols)}"
+            continue
+        # Driver-strict type check: the driver's hash is type-sensitive
+        # (r3's q_win_session miss was HUGEINT-vs-BIGINT, invisible to
+        # str()). Compare the DuckDB-visible type of every column.
+        s_tmap = dict(zip(s_cols, s_types))
+        d_tmap = dict(zip(d_cols, d_types))
+        tbad = {c: (s_tmap[c], d_tmap[c]) for c in sorted(s_cols)
+                if s_tmap[c] != d_tmap[c]}
+        if tbad:
+            results[name] = f"TYPE {tbad}"
             continue
         s_ix = [s_cols.index(c) for c in sorted(s_cols)]
         d_ix = [d_cols.index(c) for c in sorted(d_cols)]

@@ -370,7 +370,7 @@ object Extensions {
           .orderBy(col("vec_id"), col("rn"))
       },
       Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-             |SELECT vec_id, rn, nn_id, round(c, 4) AS cos FROM (
+             |SELECT vec_id, CAST(rn AS INT) AS rn, nn_id, round(c, 4) AS cos FROM (
              |  SELECT a.vec_id, b.vec_id AS nn_id,
              |    list_cosine_similarity(a.e, b.e) AS c,
              |    row_number() OVER (PARTITION BY a.vec_id
@@ -420,7 +420,7 @@ object Extensions {
              |      row_number() OVER (PARTITION BY a.vec_id
              |        ORDER BY list_cosine_similarity(a.e, c.ce) DESC, c.c_id) AS rn
              |    FROM v a CROSS JOIN cent c) z WHERE rn = 1)
-             |SELECT vec_id, rn, nn_id, round(cc, 4) AS cos FROM (
+             |SELECT vec_id, CAST(rn AS INT) AS rn, nn_id, round(cc, 4) AS cos FROM (
              |  SELECT q.vec_id, x.vec_id AS nn_id,
              |    list_cosine_similarity(q.e, x.e) AS cc,
              |    row_number() OVER (PARTITION BY q.vec_id
@@ -637,7 +637,7 @@ object Extensions {
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id, text <> redacted AS had_pii,
-             |  length(redacted) AS redacted_len, md5(redacted) AS redacted_md5
+             |  CAST(length(redacted) AS INT) AS redacted_len, md5(redacted) AS redacted_md5
              |FROM (
              |  SELECT doc_id, text,
              |    regexp_replace(regexp_replace(regexp_replace(text,

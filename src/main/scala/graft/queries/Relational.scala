@@ -478,7 +478,10 @@ object Relational {
           .filter(col("rn") <= 10)
           .orderBy(col("l_suppkey"), col("rn"))
       },
-      Some("""SELECT * FROM (
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             |  CAST(rn AS INT) AS rn, CAST(rnk AS INT) AS rnk,
+             |  CAST(drnk AS INT) AS drnk, CAST(nt AS INT) AS nt
+             |FROM (
              |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
              |    row_number() OVER w AS rn, rank() OVER w AS rnk,
              |    dense_rank() OVER w AS drnk, ntile(4) OVER w AS nt
@@ -620,9 +623,9 @@ object Relational {
              |  FROM events
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              |), n AS (
-             |  SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+             |  SELECT *, CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
              |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
              |  FROM g)
              |SELECT user_id, session_id, count(*) AS n_events,
              |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
@@ -672,7 +675,7 @@ object Relational {
           .filter(col("rn") <= 3)
           .orderBy(col("o_custkey"), col("rn"))
       },
-      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
              |  SELECT o_custkey, o_orderkey, o_totalprice,
              |    row_number() OVER (PARTITION BY o_custkey
              |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -764,7 +767,7 @@ object Relational {
              |  string_split(p_name, ' ')[1] AS first_word,
              |  regexp_extract(p_name, '([a-z]+)', 1) AS first_alpha,
              |  replace(p_name, 'a', '#') AS replaced,
-             |  length(p_name) AS name_len,
+             |  CAST(length(p_name) AS INT) AS name_len,
              |  lpad(p_brand, 12, '*') AS padded
              |FROM part ORDER BY p_partkey""".stripMargin)),
 

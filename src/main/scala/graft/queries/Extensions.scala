@@ -592,15 +592,27 @@ object Extensions {
     GQuery(
       "q_decontaminate",
       (s, dir) => {
-        val posts = fanout(Tables.documents(s, dir))
+        // SINGLE corpus scan (the q_dedup_ngram ride-along): the
+        // train/test tag rides each posting, postings aggregate per
+        // shingle ONCE into a test-id list and a train-id list
+        // (collect_list drops the nulls the `when` leaves on the other
+        // split), and test×train pairs are emitted from the per-shingle
+        // lists — no self-join, so the scan + interpreted shingle
+        // expression run once instead of once per join side. Two
+        // shuffles total: shingle key, then the per-test-doc distinct
+        // aggregation. Per-shingle work is bounded by df, as before.
+        fanout(Tables.documents(s, dir))
           .withColumn("toks", Text.tokens(col("text")))
           .withColumn("sh", array_distinct(Text.shingles(col("toks"), 5)))
-          .select(col("doc_id"), explode_outer(col("sh")).as("g"))
+          .withColumn("is_test", pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"), col("is_test"), explode_outer(col("sh")).as("g"))
           .filter(col("g").isNotNull)
-        val test = posts.filter(pmod(col("doc_id"), lit(10)) === 0)
-        val train = posts.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-          .select(col("g"), col("doc_id").as("train_id"))
-        test.join(train, "g")
+          .groupBy(col("g"))
+          .agg(collect_list(when(col("is_test"), col("doc_id"))).as("test_ids"),
+            collect_list(when(!col("is_test"), col("doc_id"))).as("train_ids"))
+          .filter(size(col("test_ids")) > 0 && size(col("train_ids")) > 0)
+          .select(col("g"), explode(col("test_ids")).as("doc_id"), col("train_ids"))
+          .select(col("g"), col("doc_id"), explode(col("train_ids")).as("train_id"))
           .groupBy(col("doc_id"))
           .agg(countDistinct(col("g")).as("shared_ngrams"),
             countDistinct(col("train_id")).as("contaminating_docs"))

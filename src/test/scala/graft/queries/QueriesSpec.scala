@@ -75,6 +75,11 @@ class QueriesSpec extends SparkSpec {
     assert(p.split("\n").count(_.contains("FileScan parquet")) == 1, p)
   }
 
+  test("q_decontaminate: single documents scan (train/test tag rides the postings)") {
+    val p = plan("q_decontaminate")
+    assert(p.split("\n").count(_.contains("FileScan parquet")) == 1, p)
+  }
+
   // ---- sketch-accuracy gates for the two rows-only aggregates: the
   // sketches must land within their DECLARED error of the exact twins,
   // otherwise "no oracle by design" would hide a broken value.

@@ -947,18 +947,47 @@ object Relational {
              |  round(CAST(sum(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS total_f
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
-    // Distribution window functions over the same partitioning as
-    // q_win_rank (percent_rank/cume_dist share the sort).
+    // Distribution window functions (percent_rank/cume_dist) per
+    // o_orderpriority — 5 distinct values, so a plain Window
+    // partitioned by priority would sort n/5 rows in each of 5
+    // reducers: the exact skew monster the q_win_rank comment warns
+    // about. Scale-safe two-pass plan instead: because the window
+    // order ends in the unique o_orderkey there are no peers, so
+    // percent_rank = (rank-1)/(N-1) and cume_dist = rank/N with
+    // rank = global row number. Compute that rank distributively:
+    // bucket prices into monotone ranges (any monotone bucketing is
+    // correct — offsets and within-bucket ranks sum to the same
+    // global rank), aggregate counts per (priority, bucket) [tiny],
+    // prefix-sum offsets + per-priority totals over the aggregate,
+    // broadcast back, and row_number within (priority, bucket) —
+    // every sorted partition is now a bounded price range, never n/5.
+    // The divisions reproduce the engines' own percent_rank/cume_dist
+    // arithmetic bit-for-bit (integer-valued doubles < 2^53).
     GQuery(
       "q_win_percentile",
       (s, dir) => {
-        val w = Window.partitionBy(col("o_orderpriority"))
-          .orderBy(col("o_totalprice"), col("o_orderkey"))
-        Tables.orders(s, dir)
+        val base = Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-          .withColumn("pr", round(percent_rank().over(w), 6))
-          .withColumn("cd", round(cume_dist().over(w), 6))
+          .withColumn("bkt", floor(col("o_totalprice") / 1000).cast("int"))
+        val wOff = Window.partitionBy(col("o_orderpriority")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wTot = Window.partitionBy(col("o_orderpriority"))
+        val offsets = base.groupBy(col("o_orderpriority"), col("bkt"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+          .withColumn("n_part", sum(col("c")).over(wTot))
+          .select(col("o_orderpriority"), col("bkt"), col("off"), col("n_part"))
+        val wIn = Window.partitionBy(col("o_orderpriority"), col("bkt"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        base.join(broadcast(offsets), Seq("o_orderpriority", "bkt"))
+          .withColumn("rn", col("off") + row_number().over(wIn))
+          .withColumn("pr", round(when(col("n_part") > 1,
+            (col("rn") - 1).cast("double") / (col("n_part") - 1).cast("double"))
+            .otherwise(lit(0.0)), 6))
+          .withColumn("cd", round(col("rn").cast("double") / col("n_part").cast("double"), 6))
           .filter(col("pr") >= 0.99)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+            col("pr"), col("cd"))
           .orderBy(col("o_orderpriority"), col("o_orderkey"))
       },
       Some("""SELECT o_orderkey, o_orderpriority, o_totalprice, pr, cd FROM (

@@ -80,6 +80,17 @@ class QueriesSpec extends SparkSpec {
     assert(p.split("\n").count(_.contains("FileScan parquet")) == 1, p)
   }
 
+  test("q_win_percentile: row-level window is bucket-partitioned, offsets come from an aggregate") {
+    val p = plan("q_win_percentile")
+    // the per-row sort must be partitioned by (priority, bucket), never
+    // by the 5-value priority alone — that's the n/5 skew monster
+    val rowWin = p.split("\n").find(l => l.contains("Window") && l.contains("row_number")).get
+    assert(rowWin.contains("bkt"), rowWin)
+    // the offsets/totals come from a count aggregate, not a raw-row window
+    assert(p.contains("HashAggregate"), p)
+    assert(p.split("\n").count(_.contains("BroadcastHashJoin")) == 1, p)
+  }
+
   // ---- sketch-accuracy gates for the two rows-only aggregates: the
   // sketches must land within their DECLARED error of the exact twins,
   // otherwise "no oracle by design" would hide a broken value.

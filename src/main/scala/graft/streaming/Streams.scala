@@ -56,16 +56,35 @@ object Streams {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
-  /** Session state: (count, sum, last event-time millis). */
-  case class SessionAgg(key: Long, n: Long, total: Double, closedAtMs: Long)
+  /** Closed session: count, sum, event-time bounds in epoch micros. */
+  case class SessionAgg(key: Long, n: Long, total: Double, startUs: Long, endUs: Long)
+
+  /** Open-session state carried across micro-batches. */
+  case class SessState(startUs: Long, lastUs: Long, n: Long, total: Double)
+
+  private def toUs(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Sessionization with a `gap` inactivity timeout via
-    * flatMapGroupsWithState: one session row emitted when a key goes
-    * quiet for `gap` (event-time clock = watermark). State per ACTIVE
-    * key only. Input needs columns (user_id long, ts timestamp,
-    * value double). */
+    * flatMapGroupsWithState: a session row is emitted when a key goes
+    * quiet for > `gap` (strict, microsecond arithmetic — the same
+    * tie/threshold rule as the batch q_win_session query, so the two
+    * families produce identical sessions on the same input; pinned by
+    * StreamsSpec's equivalence test). State per ACTIVE key only.
+    *
+    * Gap splits are an event-time-order property, so each key's batch
+    * slice is buffered and sorted before the fold — quiet gaps WITHIN
+    * a micro-batch split correctly, not just across batches. Memory is
+    * bounded by one key's volume per micro-batch (not per stream);
+    * at 100 TB/day that bound is set by trigger interval, not history.
+    * Out-of-order rows inside the watermark that merge into the open
+    * session extend its bounds via min/max; rows late beyond the
+    * watermark were already dropped upstream.
+    *
+    * Input needs columns (user_id long, ts timestamp, value double). */
   def sessionize(events: DataFrame, gapMs: Long, delay: String = "10 minutes"): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", delay)
       // the watermarked ts column must reach the stateful operator
@@ -73,25 +92,31 @@ object Streams {
       .select(col("user_id"), col("ts"), col("value"))
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Double, Long), SessionAgg](
+      .flatMapGroupsWithState[SessState, SessionAgg](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (key, rows, state: GroupState[(Long, Double, Long)]) =>
+        case (key, rows, state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
-            val (n, total, lastMs) = state.get
+            val s = state.get
             state.remove()
-            Iterator(SessionAgg(key, n, total, lastMs))
+            Iterator(SessionAgg(key, s.n, s.total, s.startUs, s.lastUs))
           } else {
-            // single-pass fold over the iterator — never materializes the
-            // group's batch, so a reconnect storm (one key, millions of
-            // buffered events) streams through in O(1) memory
-            val init = state.getOption.getOrElse((0L, 0.0, 0L))
-            val (n, total, lastMs) = rows.foldLeft(init) {
-              case ((n0, t0, last0), (_, ts, v)) =>
-                (n0 + 1, t0 + v, math.max(last0, ts.getTime))
+            val evs = rows.map { case (_, t, v) => (toUs(t), v) }.toArray.sortBy(_._1)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+            var cur = state.getOption.orNull
+            for ((u, v) <- evs) {
+              if (cur == null) cur = SessState(u, u, 1L, v)
+              else if (u - cur.lastUs > gapUs) { // strict >, like the batch query
+                closed += SessionAgg(key, cur.n, cur.total, cur.startUs, cur.lastUs)
+                cur = SessState(u, u, 1L, v)
+              } else cur = SessState(math.min(cur.startUs, u), math.max(cur.lastUs, u),
+                cur.n + 1, cur.total + v)
             }
-            state.update((n, total, lastMs))
-            state.setTimeoutTimestamp(lastMs + gapMs)
-            Iterator.empty
+            state.update(cur) // rows is non-empty when not timed out
+            // timeout must sit above the current watermark; if the open
+            // session is already quiet past the gap it fires next batch
+            state.setTimeoutTimestamp(
+              math.max(cur.lastUs / 1000L + gapMs, state.getCurrentWatermarkMs() + 1L))
+            closed.iterator
           }
       }
   }

@@ -79,6 +79,65 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Streaming/batch family tie: Streams.sessionize must produce the
+    * exact sessions of the batch q_win_session query
+    * (Relational.scala q_win_session: lag-gap > 30 min starts a new
+    * session) on the same input. Real sf0.001 events ride a
+    * MemoryStream in three time-ordered micro-batches, so sessions
+    * split both WITHIN a batch (the sort+fold path) and ACROSS batches
+    * (the state-timeout path). */
+  test("sessionize == batch q_win_session sessions on the events table") {
+    import org.apache.spark.sql.expressions.Window
+    implicit val sc = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val gapUs = 1800000000L // 30 min, same literal as q_win_session
+
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val batch = graft.tables.Tables.events(spark, dir)
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess", when(col("gap_us").isNull || col("gap_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n"), min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"), sum(col("value")).as("total"))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n"), col("total"))
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toList
+
+    val fixture = graft.tables.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, Timestamp, Double)].collect().sortBy(_._2.getTime)
+    val slices = fixture.grouped(math.max(1, fixture.length / 3 + 1)).toList
+    val lastMs = fixture.last._2.getTime
+
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val sess = Streams.sessionize(
+      in.toDF().toDF("user_id", "ts", "value"), gapMs = gapUs / 1000L, delay = "0 seconds")
+    val q = sess.writeStream.format("memory").queryName("sess_eq")
+      .outputMode("append").start()
+    try {
+      slices.foreach { s => in.addData(s.toSeq); q.processAllAvailable() }
+      // sentinel events push the watermark past every open session's
+      // gap; two rounds so the timeout batch itself runs
+      in.addData((-1L, new Timestamp(lastMs + gapUs / 1000L + 60000L), 0.0))
+      q.processAllAvailable()
+      in.addData((-1L, new Timestamp(lastMs + 2 * (gapUs / 1000L) + 120000L), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_eq").as[Streams.SessionAgg].collect()
+        .filter(_.key >= 0).map(r => (r.key, r.startUs, r.endUs, r.n, r.total))
+        .sortBy(r => (r._1, r._2)).toList
+      assert(streamed.length == batch.length,
+        s"session count: streamed ${streamed.length} vs batch ${batch.length}")
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert((s._1, s._2, s._3, s._4) == (b._1, b._2, b._3, b._4),
+          s"session identity mismatch: $s vs $b")
+        // both sides sum doubles, in different orders — allow fp slack
+        assert(math.abs(s._5 - b._5) <= 1e-9 * math.max(1.0, math.abs(b._5)),
+          s"total mismatch: $s vs $b")
+      }
+    } finally q.stop()
+  }
+
   test("sessionize: inactivity gap closes session with aggregates") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Double)]

@@ -122,10 +122,12 @@ object CdcGen {
     * Avro-binary encoded (what the Confluent value converter puts on the
     * wire, reference README.md:262-263) and base64-wrapped purely for
     * the JSON-lines file transport — `unbase64` on read restores the
-    * exact bytes a real Avro-valued topic would deliver. Encoding runs
-    * per partition on executors (the writer schema travels as its JSON
-    * form; nothing is collected). */
-  def toKafkaAvroLines(log: DataFrame): DataFrame = {
+    * exact bytes a real Avro-valued topic would deliver. With `schemaId`
+    * set, each value carries the Confluent 5-byte frame (magic 0 +
+    * big-endian int32 id) exactly as KafkaAvroSerializer writes it.
+    * Encoding runs per partition on executors (the writer schema travels
+    * as its JSON form; nothing is collected). */
+  def toKafkaAvroLines(log: DataFrame, schemaId: Option[Int] = None): DataFrame = {
     import log.sparkSession.implicits._
     val schemaJson = Avro.toAvroSchema(log.schema).toString
     val encoded = log
@@ -138,6 +140,11 @@ object CdcGen {
         var enc: org.apache.avro.io.BinaryEncoder = null
         rows.map { r =>
           out.reset()
+          schemaId.foreach { id => // header precedes the payload bytes
+            out.write(0)
+            out.write((id >>> 24) & 0xff); out.write((id >>> 16) & 0xff)
+            out.write((id >>> 8) & 0xff); out.write(id & 0xff)
+          }
           enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, enc)
           writer.write(Avro.rowToRecord(r, schema), enc)
           enc.flush()
@@ -155,9 +162,11 @@ object CdcGen {
   def writeTopicFiles(spark: SparkSession, n: Long, dir: String, nBatches: Int = 3, seed: Long = 42L): Unit =
     writeLines(toKafkaJsonLines(changeLog(spark, n, seed)), dir, nBatches)
 
-  /** Avro-valued twin of [[writeTopicFiles]] (S15 fixture). */
-  def writeTopicAvroFiles(spark: SparkSession, n: Long, dir: String, nBatches: Int = 3, seed: Long = 42L): Unit =
-    writeLines(toKafkaAvroLines(changeLog(spark, n, seed)), dir, nBatches)
+  /** Avro-valued twin of [[writeTopicFiles]] (S15 fixture); `schemaId`
+    * adds the Confluent 5-byte frame to every value. */
+  def writeTopicAvroFiles(spark: SparkSession, n: Long, dir: String, nBatches: Int = 3, seed: Long = 42L,
+                          schemaId: Option[Int] = None): Unit =
+    writeLines(toKafkaAvroLines(changeLog(spark, n, seed), schemaId), dir, nBatches)
 
   /** Writer-schema JSON for `changeLog`'s envelope (the stand-in for a
     * schema-registry lookup on the decode side). */

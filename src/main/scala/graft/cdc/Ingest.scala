@@ -72,6 +72,16 @@ object Ingest {
     kafkaShaped.withColumn("value",
       graft.functions.AvroToJson(col("value"), writerSchemaJson).cast("binary"))
 
+  /** S15 with the full Confluent frame: values carry the 5-byte header
+    * (magic 0 + int32 schema id) KafkaAvroSerializer writes; the id is
+    * resolved against `registry` per record, so schema evolution on the
+    * topic (mixed writer ids) decodes correctly. `registry` is the
+    * offline stand-in for the schema-registry HTTP client
+    * (README.md:262-263 SCHEMA_REGISTRY_URL). */
+  def decodeConfluentAvroValues(kafkaShaped: DataFrame, registry: Map[Int, String]): DataFrame =
+    kafkaShaped.withColumn("value",
+      graft.functions.ConfluentAvroToJson(col("value"), registry).cast("binary"))
+
   /** S5: the reference's per-batch dynamic schema inference
     * (README.md:179, `spark.read.json(df.rdd.map(lambda r: r.value))`).
     * Exposed for fidelity; the hot path caches the result. */
@@ -308,5 +318,13 @@ object Ingest {
                             schema: StructType = Envelope.employeesEnvelope): DataFrame =
     CdcMerge.snapshot(
       parse(decodeAvroValues(readTopicBatch(spark, inputDir, valueBase64 = true), writerSchemaJson), schema),
+      Seq("id"), Seq("lsn"))
+
+  /** Confluent-framed twin of [[snapshotFromAvroTopic]]: header strip +
+    * registry lookup → the SAME parse/merge path. */
+  def snapshotFromConfluentTopic(spark: SparkSession, inputDir: String, registry: Map[Int, String],
+                                 schema: StructType = Envelope.employeesEnvelope): DataFrame =
+    CdcMerge.snapshot(
+      parse(decodeConfluentAvroValues(readTopicBatch(spark, inputDir, valueBase64 = true), registry), schema),
       Seq("id"), Seq("lsn"))
 }

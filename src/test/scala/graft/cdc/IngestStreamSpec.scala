@@ -142,6 +142,40 @@ class IngestStreamSpec extends SparkSpec {
     assert(decoded.filter($"j.payload.op".isNull).count() == 0)
   }
 
+  test("S15 Confluent frame: header-framed values decode via registry to the JSON-path snapshot") {
+    val root = tmpDir("graft_confluent")
+    CdcGen.writeTopicFiles(spark, n = 60, s"$root/json", nBatches = 2)
+    CdcGen.writeTopicAvroFiles(spark, n = 60, s"$root/framed", nBatches = 2, schemaId = Some(7))
+    val registry = Map(7 -> CdcGen.avroWriterSchemaJson(spark))
+
+    val jsonSnap = Ingest.snapshotFromTopic(spark, s"$root/json")
+    val framedSnap = Ingest.snapshotFromConfluentTopic(spark, s"$root/framed", registry)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "full_name", "email", "phone", "department", "salary", "op", "lsn")
+        .as[(Int, String, String, String, String, Int, String, Long)]
+        .collect().sortBy(_._1).toSeq
+    assert(canon(framedSnap) == canon(jsonSnap))
+
+    // frame errors fail loudly, not as silent nulls: unframed payload
+    // (wrong magic) and an id missing from the registry both throw
+    CdcGen.writeTopicAvroFiles(spark, n = 5, s"$root/unframed", nBatches = 1)
+    val unframed = intercept[org.apache.spark.SparkException] {
+      Ingest.decodeConfluentAvroValues(
+        Ingest.readTopicBatch(spark, s"$root/unframed", valueBase64 = true), registry)
+        .select("value").collect()
+    }
+    assert(unframed.getMessage.contains("Confluent-framed") ||
+      Option(unframed.getCause).exists(_.getMessage.contains("Confluent-framed")))
+    val unknownId = intercept[org.apache.spark.SparkException] {
+      Ingest.decodeConfluentAvroValues(
+        Ingest.readTopicBatch(spark, s"$root/framed", valueBase64 = true),
+        registry = Map(9 -> CdcGen.avroWriterSchemaJson(spark)))
+        .select("value").collect()
+    }
+    assert(unknownId.getMessage.contains("not in registry") ||
+      Option(unknownId.getCause).exists(_.getMessage.contains("not in registry")))
+  }
+
   test("kafka-shaped source schema is byte-compatible with the connector") {
     val root = tmpDir("graft_schema")
     CdcGen.writeTopicFiles(spark, n = 10, s"$root/topic", nBatches = 1)

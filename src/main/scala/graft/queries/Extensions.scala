@@ -97,6 +97,49 @@ object Extensions {
              |  FROM events) t
              |WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin)),
 
+    // MERGE_ON_READ read path under the SAME latest-wins oracle: the
+    // derived change log rides the full MOR lifecycle — two log appends,
+    // a compaction folding them into a base, a third append left pending
+    // — and readMerged (base ⊎ pending logs, one window shuffle) must
+    // equal the one-shot collapse. This is Hudi's snapshot-view
+    // invariant (read amplification never changes the answer), the MOR
+    // twin of q_cdc_incremental's commit == recompute check, now
+    // DuckDB-value-checked rather than scalatest-only.
+    GQuery(
+      "q_cdc_mor_read",
+      (s, dir) => {
+        val log = Tables.events(s, dir).select(
+          col("user_id").as("id"),
+          col("event_id").as("lsn"),
+          when(pmod(col("event_id"), lit(11)) === 0, "d")
+            .when(pmod(col("event_id"), lit(3)) === 0, "u")
+            .otherwise("c").as("op"),
+          col("value"))
+        // deterministic 3-way split on the monotone lsn: the cut points
+        // scale with the table so every SF exercises base + pending
+        val Seq(c1, c2) = {
+          val n = Tables.events(s, dir).count()
+          Seq(n * 2 / 5, n * 4 / 5)
+        }
+        val root = java.nio.file.Files.createTempDirectory("graft_mor_q").toString
+        val mor = s"$root/table"
+        graft.cdc.MergeOnRead.logAppend(s, mor, log.filter(col("lsn") < c1), 0L)
+        graft.cdc.MergeOnRead.logAppend(s, mor, log.filter(col("lsn") >= c1 && col("lsn") < c2), 1L)
+        graft.cdc.MergeOnRead.compact(s, mor, Seq("id"), Seq("lsn"))
+        graft.cdc.MergeOnRead.logAppend(s, mor, log.filter(col("lsn") >= c2), 2L)
+        graft.cdc.MergeOnRead.readMerged(s, mor, Seq("id"), Seq("lsn")).get
+          .select(col("id"), col("lsn"), col("op"), col("value"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT id, lsn, op, value FROM (
+             |  SELECT user_id AS id, event_id AS lsn,
+             |    CASE WHEN event_id % 11 = 0 THEN 'd'
+             |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+             |    value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |  FROM events) t
+             |WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin)),
+
     // Batch replay of the emulated Kafka topic through the full ingest
     // path (S1-S9 + U1-U3): seeded envelope generation → JSON-lines topic
     // files → parse → latest-wins snapshot. Deterministic output (seeded

@@ -33,6 +33,64 @@ object Extensions {
   private def fanout(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jac >= 0.5) —
+    * the shared pair pipeline behind q_dedup_ngram (pair surface) and
+    * q_dedup_cluster (edge set). ONE pass over the corpus: tokens and
+    * the shingle array are materialized in their own projections (the
+    * interpreted lambda would otherwise re-split the text for every
+    * element_at), the set size rides along the posting stream (no
+    * second scan for a sizes join), explode is the empty-filter (no
+    * predicate on the expensive derived column), and pairs come from
+    * groupBy(shingle)+collect — the corpus is never self-joined.
+    * Two shuffles total: shingle key, then pair aggregation.
+    * explode_outer, NOT explode: InferFiltersFromGenerate would put a
+    * size(sh)>0 filter under a plain explode, and predicate pushdown
+    * re-inlines the whole shingle expression into the scan filter —
+    * recomputing it per row. Outer explode infers nothing; the null-row
+    * filter on the generated attribute is free. */
+  private def ngramPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val posts = fanout(Tables.documents(s, dir))
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("sh", array_distinct(Text.shingles(col("toks"), 5)))
+      .select(col("doc_id"), size(col("sh")).as("n"), explode_outer(col("sh")).as("g"))
+      .filter(col("g").isNotNull)
+    posts.groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(x.doc_id AS id_a, x.n AS na, y.doc_id AS id_b, y.n AS nb))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      // floor-half-up: see Text.jaccard — power-of-two unions tie at
+      // the 4th decimal where engine round() rules diverge
+      .withColumn("jac", floor(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) * 10000 + 0.5) / 10000)
+      .filter(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** DuckDB twin of [[ngramPairs]] as a CTE chain ending in `pairs`
+    * (id_a, id_b, jac) — spliced into both dedup oracles so the pair
+    * semantics are defined once on each side. */
+  private val ngramPairSql =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+      |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))) AS sh
+      |       FROM t WHERE len(toks) >= 5),
+      |posts AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |          FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+      |pairs AS (SELECT id_a, id_b, jac FROM (
+      |  SELECT id_a, id_b,
+      |    floor(inter::DOUBLE / (x.n + y.n - inter) * 10000 + 0.5) / 10000 AS jac
+      |  FROM inter JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b) z
+      |  WHERE jac >= 0.5)""".stripMargin
+
   def queries: Seq[GQuery] = Seq(
 
     // ------------------------------------------------------- CDC merge
@@ -304,60 +362,67 @@ object Extensions {
     // count shared per pair, Jaccard from exact set sizes. This IS the
     // scalable exact algorithm — one shuffle on the shingle key, work
     // ∝ Σ df(shingle)², no all-pairs expansion and no array intersects
-    // (measured df: max 4 docs per 5-shingle at sf0.1).
+    // (measured df: max 4 docs per 5-shingle at sf0.1). Pair pipeline
+    // shared with q_dedup_cluster via `ngramPairs`.
     GQuery(
       "q_dedup_ngram",
+      (s, dir) => ngramPairs(s, dir).orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $ngramPairSql
+             |SELECT id_a, id_b, jac FROM pairs ORDER BY id_a, id_b""".stripMargin)),
+
+    // Duplicate CLUSTERING: the stage a real dedup pipeline runs after
+    // pair generation — connected components over the near-dup pair
+    // graph, cluster id = min doc_id in the component (the canonical
+    // document every member dedups to; singletons are their own
+    // cluster). Min-label propagation as iterated DataFrame joins:
+    // each round is one join of the edge set against the current labels
+    // + one min-aggregation — pure shuffle-parallel work, no driver
+    // data. Rounds = component diameter; near-dup clusters are
+    // small-diameter by construction (a chain of 0.5-Jaccard docs decays
+    // fast), so this converges in 2-4 rounds here and O(log n) rounds
+    // with the large-star/small-star variant ("Connected Components in
+    // MapReduce and Beyond", Kiveris et al. 2014) — the documented
+    // upgrade if components ever get deep at 100 TB. Per-round
+    // localCheckpoint truncates the lineage (iterative plans otherwise
+    // grow exponentially in the optimizer); the convergence test is a
+    // 1-row sum aggregate per round (labels only ever decrease, so an
+    // unchanged sum == fixpoint — no per-row diff join, no collect of
+    // data rows).
+    GQuery(
+      "q_dedup_cluster",
       (s, dir) => {
-        // ONE pass over the corpus: tokens and the shingle array are
-        // materialized in their own projections (the interpreted lambda
-        // would otherwise re-split the text for every element_at), the
-        // set size rides along the posting stream (no second scan for a
-        // sizes join), explode is the empty-filter (no predicate on the
-        // expensive derived column), and pairs come from
-        // groupBy(shingle)+collect — the corpus is never self-joined.
-        // Two shuffles total: shingle key, then pair aggregation.
-        // explode_outer, NOT explode: InferFiltersFromGenerate would put
-        // a size(sh)>0 filter under a plain explode, and predicate
-        // pushdown re-inlines the whole shingle expression into the scan
-        // filter — recomputing it per row. Outer explode infers nothing;
-        // the null-row filter on the generated attribute is free.
-        val posts = fanout(Tables.documents(s, dir))
-          .withColumn("toks", Text.tokens(col("text")))
-          .withColumn("sh", array_distinct(Text.shingles(col("toks"), 5)))
-          .select(col("doc_id"), size(col("sh")).as("n"), explode_outer(col("sh")).as("g"))
-          .filter(col("g").isNotNull)
-        posts.groupBy(col("g"))
-          .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(expr(
-            """flatten(transform(ids, (x, i) ->
-              |  transform(slice(ids, i + 2, size(ids)),
-              |            y -> struct(x.doc_id AS id_a, x.n AS na, y.doc_id AS id_b, y.n AS nb))))"""
-              .stripMargin)).as("p"))
-          .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-            col("p.na").as("na"), col("p.nb").as("nb"))
-          .agg(count(lit(1)).as("inter"))
-          // floor-half-up: see Text.jaccard — power-of-two unions tie at
-          // the 4th decimal where engine round() rules diverge
-          .withColumn("jac", floor(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) * 10000 + 0.5) / 10000)
-          .filter(col("jac") >= 0.5)
-          .select(col("id_a"), col("id_b"), col("jac"))
-          .orderBy(col("id_a"), col("id_b"))
+        val pairs = ngramPairs(s, dir).select(col("id_a"), col("id_b"))
+        // undirected: propagate min labels both ways along each edge
+        val edges = pairs
+          .union(pairs.select(col("id_b"), col("id_a")))
+          .toDF("src", "dst").localCheckpoint()
+        var labels = Tables.documents(s, dir)
+          .select(col("doc_id").as("id"), col("doc_id").as("lab")).localCheckpoint()
+        var prevSum = labels.agg(sum(col("lab"))).head.getLong(0)
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 30) {
+          val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .select(col("dst").as("id"), col("lab"))
+          labels = labels.union(prop)
+            .groupBy(col("id")).agg(min(col("lab")).as("lab"))
+            .localCheckpoint()
+          val cur = labels.agg(sum(col("lab"))).head.getLong(0)
+          converged = cur == prevSum
+          prevSum = cur
+          rounds += 1
+        }
+        labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
+          .orderBy(col("doc_id"))
       },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
-             |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))) AS sh
-             |       FROM t WHERE len(toks) >= 5),
-             |posts AS (SELECT doc_id, unnest(sh) AS g FROM sh),
-             |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-             |          FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
-             |          GROUP BY 1, 2),
-             |sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
-             |SELECT id_a, id_b, jac FROM (
-             |  SELECT id_a, id_b,
-             |    floor(inter::DOUBLE / (x.n + y.n - inter) * 10000 + 0.5) / 10000 AS jac
-             |  FROM inter JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b) z
-             |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+      Some(s"""WITH RECURSIVE $ngramPairSql,
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+             |reach AS (SELECT doc_id AS id, doc_id AS lab FROM documents
+             |          UNION
+             |          SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+             |SELECT id AS doc_id, min(lab) AS cluster_id
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
     // Embedding-cosine near-dup pairs, candidate-limited to
     // random-hyperplane sign-LSH buckets (Charikar SimHash — bit i =

@@ -19,7 +19,7 @@ class QueriesSpec extends SparkSpec {
     "q_array_map_funcs" -> 500, "q_case_when" -> 1500,
     "q_cdc_upsert_snapshot" -> 14, "q_cdc_incremental" -> 14, "q_cdc_mor_read" -> 14,
     "q_date_funcs" -> 1500,
-    "q_dedup_embedding" -> 88, "q_dedup_exact" -> 500,
+    "q_dedup_cluster" -> 500, "q_dedup_embedding" -> 88, "q_dedup_exact" -> 500,
     "q_dedup_minhash" -> 28, "q_dedup_ngram" -> 28, "q_dedup_simhash" -> 500,
     "q_filter_pred" -> 1427, "q_fingerprint" -> 500, "q_fingerprint_rolling" -> 500,
     "q_having" -> 149, "q_set_union_all" -> 179, "q_agg_approx_percentile" -> 3,
@@ -129,6 +129,22 @@ class QueriesSpec extends SparkSpec {
       val a = approx(k)
       assert(a >= lo && a <= hi, s"$k: approx median $a outside exact [$lo, $hi]")
     }
+  }
+
+  test("q_dedup_cluster: pairs land in one cluster; cluster id is the component min") {
+    import spark.implicits._
+    val lab = run("q_dedup_cluster")
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val pairs = run("q_dedup_ngram")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    for ((a, b) <- pairs) {
+      assert(lab(a) == lab(b), s"pair ($a,$b) split across clusters ${lab(a)}/${lab(b)}")
+      assert(lab(a) <= math.min(a, b), s"cluster id ${lab(a)} above member min of ($a,$b)")
+    }
+    // transitivity witness: the relabeled docs form clusters whose id is
+    // itself a member labeled by itself (a canonical representative)
+    for ((_, c) <- lab if lab.contains(c)) assert(lab(c) == c)
   }
 
   for ((name, want) <- golden.toSeq.sortBy(_._1)) {

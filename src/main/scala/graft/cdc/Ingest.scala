@@ -169,8 +169,10 @@ object Ingest {
   }
 
   /** Read the current committed snapshot state (empty if none). */
+  /** Current state; prefers a clustered REPLACE copy of the base when
+    * [[Clustering]] has committed one for the current id. */
   def readSnapshot(spark: SparkSession, dir: String): Option[DataFrame] =
-    committedBatch(spark, dir).map(id => spark.read.parquet(s"$dir/v$id"))
+    Clustering.baseDir(spark, dir).map(spark.read.parquet)
 
   /** All still-retained committed versions (GC keeps the current and one
     * prior), oldest first. */

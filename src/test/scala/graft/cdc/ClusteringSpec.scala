@@ -1,0 +1,76 @@
+package graft.cdc
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** The clustering REPLACE commit: layout changes, contents never do,
+  * readers follow the pointer, and a later COW commit supersedes it. */
+class ClusteringSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // base committed through the MOR service (same v<id>/_COMMIT_ protocol)
+  private def mkTable(dir: String): Unit = {
+    val log = Tables.events(spark, sf).select(
+      col("user_id").as("id"), col("event_id").as("lsn"),
+      lit("c").as("op"), col("value"))
+    MergeOnRead.logAppend(spark, dir, log, 0L)
+    MergeOnRead.compact(spark, dir, Seq("id"), Seq("lsn"))
+  }
+
+  test("zvalue interleaves bits (matches a bit-twiddling reference)") {
+    import spark.implicits._
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i => (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))).reduce(_ | _)
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L), (1023L, 512L), (123456L, 654321L))
+    val got = samples.toDF("a", "b")
+      .select(Clustering.zvalue(col("a"), col("b"), 21).as("z")).as[Long].collect()
+    assert(got.toSeq == samples.map { case (a, b) => ref(a, b, 21) })
+  }
+
+  test("cluster: contents identical, file key-ranges pairwise disjoint, reader follows") {
+    val dir = tmpDir("graft_cluster") + "/t"
+    mkTable(dir)
+    val before = Ingest.readSnapshot(spark, dir).get.orderBy("id", "lsn").collect()
+    val id = Clustering.cluster(spark, dir, Seq(col("id")), files = 4)
+    assert(id.contains(0L))
+    // reader now resolves the clustered copy
+    assert(Clustering.baseDir(spark, dir).get.endsWith("/c0"))
+    val after = Ingest.readSnapshot(spark, dir).get
+    assert(after.orderBy("id", "lsn").collect().toSeq == before.toSeq)
+    // per-file [min,max] of the clustering key must not overlap — the
+    // property parquet min/max skipping needs to prune range scans
+    val ranges = after
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, ranges.mkString(","))
+    for (Seq((_, hi), (lo2, _)) <- ranges.toSeq.sliding(2))
+      assert(hi <= lo2, s"overlapping file ranges: ${ranges.mkString(",")}")
+    // idempotent: a second pass is a no-op
+    assert(Clustering.cluster(spark, dir, Seq(col("id"))).isEmpty)
+  }
+
+  test("a later COW commit supersedes the clustered copy; recluster GCs it") {
+    val dir = tmpDir("graft_cluster2") + "/t"
+    mkTable(dir)
+    Clustering.cluster(spark, dir, Seq(col("id")), files = 2)
+    // new batch: one upsert row, folded in through the same service
+    val upd = Ingest.readSnapshot(spark, dir).get.limit(1)
+      .select(col("id"), (col("lsn") + 1000000).as("lsn"), lit("u").as("op"),
+        (col("value") * 0).as("value"))
+    MergeOnRead.logAppend(spark, dir, upd, 1L)
+    MergeOnRead.compact(spark, dir, Seq("id"), Seq("lsn"))
+    // pointer moved to the raw v1; stale c0 not consulted
+    assert(Clustering.baseDir(spark, dir).get.endsWith("/v1"))
+    assert(Clustering.clusteredId(spark, dir).isEmpty)
+    val before = Ingest.readSnapshot(spark, dir).get.orderBy("id", "lsn").collect()
+    // reclustering the new base GCs the stale copy and re-points
+    assert(Clustering.cluster(spark, dir, Seq(col("id")), files = 2).contains(1L))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/c0")))
+    assert(Clustering.baseDir(spark, dir).get.endsWith("/c1"))
+    assert(Ingest.readSnapshot(spark, dir).get.orderBy("id", "lsn").collect().toSeq == before.toSeq)
+  }
+}

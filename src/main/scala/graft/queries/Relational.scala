@@ -947,6 +947,59 @@ object Relational {
              |  round(CAST(sum(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS total_f
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Unpivot/melt: wide metric columns to (metric, val) rows — the
+    // inverse of q_pivot, as the portable stack() generator (the
+    // DataFrame unpivot API compiles to the same Expand node). Narrow
+    // per-row expansion, no shuffle; output ORDER BY includes val so
+    // fully-duplicate source rows order deterministically.
+    GQuery(
+      "q_unpivot",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .filter(col("l_quantity") >= 48)
+          .selectExpr("l_orderkey", "l_linenumber",
+            """stack(3, 'quantity', CAST(l_quantity AS DOUBLE),
+              |         'extendedprice', l_extendedprice,
+              |         'discount', l_discount) AS (metric, val)""".stripMargin)
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"), col("val"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, metric, val FROM (
+             |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity::DOUBLE AS val
+             |    FROM lineitem WHERE l_quantity >= 48
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+             |    FROM lineitem WHERE l_quantity >= 48
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'discount', l_discount
+             |    FROM lineitem WHERE l_quantity >= 48) u
+             |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin)),
+
+    // ntile quantile bucketing per returnflag. The filter keeps window
+    // partitions bounded here; at scale ntile = floor((rank*n)/N) over
+    // the global rank, so the skew-safe path is q_win_percentile's
+    // bucketed-rank decomposition, not a wider sort. Window order is
+    // total (5-column tie-break) so bucket assignment is deterministic;
+    // the output ORDER BY ends in bucket so fully-duplicate rows
+    // (assigned adjacent buckets) order deterministically too.
+    GQuery(
+      "q_win_ntile",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"))
+        Tables.lineitem(s, dir)
+          .filter(col("l_quantity") === 50)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_extendedprice"), ntile(8).over(w).as("bucket"))
+          .orderBy(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber"), col("bucket"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+             |  CAST(ntile(8) OVER (PARTITION BY l_returnflag
+             |    ORDER BY l_extendedprice, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS INTEGER) AS bucket
+             |FROM lineitem WHERE l_quantity = 50
+             |ORDER BY l_returnflag, l_extendedprice, l_orderkey, l_linenumber, bucket""".stripMargin)),
+
     // Distribution window functions (percent_rank/cume_dist) per
     // o_orderpriority — 5 distinct values, so a plain Window
     // partitioned by priority would sort n/5 rows in each of 5

@@ -34,6 +34,7 @@ class QueriesSpec extends SparkSpec {
     "q_sort_limit" -> 100, "q_str_funcs" -> 200, "q_subquery_scalar" -> 48,
     "q_text_stats" -> 5, "q_token_count" -> 500, "q_topk" -> 449,
     "q_win_sliding" -> 1732, "q_win_session" -> 946, "q_posexplode" -> 250,
+    "q_unpivot" -> 1071, "q_win_ntile" -> 124,
     "q_win_analytic" -> 1500, "q_win_percentile" -> 17,
     "q_win_range_frame" -> 1000, "q_win_rank" -> 100, "q_win_tumbling" -> 868,
     "stream_ingest_e2e" -> 172)

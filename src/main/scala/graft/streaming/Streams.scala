@@ -56,6 +56,30 @@ object Streams {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Watermarked stream-stream INTERVAL join: each purchase matched to
+    * every click by the same user with `c_ts` in
+    * `[p_ts - window, p_ts]` (attribution-window semantics). Both
+    * sides are watermarked and the join condition carries the
+    * event-time band — the two things Structured Streaming needs to
+    * bound join state: a buffered purchase is evicted once the click
+    * side's watermark passes its band, and vice versa, so state is
+    * O(rows inside the horizon), never O(stream). Inner matches emit
+    * as soon as both rows have arrived — no watermark wait on the
+    * output path. Inputs need (user_id, ts, event_id) columns.
+    * Batch-equivalence pinned in StreamsSpec. */
+  def intervalJoin(purchases: DataFrame, clicks: DataFrame,
+                   windowMs: Long, delay: String = "10 minutes"): DataFrame = {
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+      col("event_id").as("p_id")).withWatermark("p_ts", delay)
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+      col("event_id").as("c_id")).withWatermark("c_ts", delay)
+    p.join(c, col("p_user") === col("c_user") &&
+      col("c_ts") <= col("p_ts") &&
+      col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMs MILLISECONDS"))
+      .select(col("p_user").as("user_id"), col("p_id"), col("c_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** Closed session: count, sum, event-time bounds in epoch micros. */
   case class SessionAgg(key: Long, n: Long, total: Double, startUs: Long, endUs: Long)
 

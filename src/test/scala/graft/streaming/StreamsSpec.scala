@@ -138,6 +138,58 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Streaming/batch family tie for joins: the watermarked
+    * stream-stream interval join must produce exactly the batch range
+    * join's pairs on the same input. Real sf0.001 events ride two
+    * MemoryStreams (clicks and purchases) in interleaved time-ordered
+    * micro-batches; the long delay keeps state alive for the whole
+    * fixture so the set equality is exact. */
+  test("intervalJoin == batch range join on the events table") {
+    implicit val sc = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val winMs = 3600000L // 1 hour attribution window
+
+    val ev = graft.tables.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val bp = ev.filter(col("event_type") === "purchase")
+    val bc = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+    val batch = bp.join(bc, col("user_id") === col("cu") &&
+        col("c_ts") <= col("ts") &&
+        col("c_ts") >= col("ts") - expr(s"INTERVAL $winMs MILLISECONDS"))
+      .select(col("event_id").as("p_id"), col("c_id"))
+      .as[(Long, Long)].collect().sorted.toList
+    assert(batch.nonEmpty)
+
+    def slices(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, Timestamp, Long)].collect().sortBy(_._2.getTime)
+      .grouped(200).toList
+    val pIn = MemoryStream[(Long, Timestamp, Long)]
+    val cIn = MemoryStream[(Long, Timestamp, Long)]
+    val joined = Streams.intervalJoin(
+      pIn.toDF().toDF("user_id", "ts", "event_id"),
+      cIn.toDF().toDF("user_id", "ts", "event_id"),
+      windowMs = winMs, delay = "365 days")
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      // interleave the two sides' micro-batches to exercise buffering
+      // in both directions (a click can arrive before OR after the
+      // purchase it attributes to)
+      val (ps, cs) = (slices("purchase"), slices("click"))
+      for (i <- 0 until math.max(ps.length, cs.length)) {
+        if (i < cs.length) cIn.addData(cs(i).toSeq)
+        if (i < ps.length) pIn.addData(ps(i).toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("ivj").select(col("p_id"), col("c_id"))
+        .as[(Long, Long)].collect().sorted.toList
+      assert(streamed == batch,
+        s"pair sets differ: streamed ${streamed.length} vs batch ${batch.length}")
+    } finally q.stop()
+  }
+
   test("sessionize: inactivity gap closes session with aggregates") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Double)]

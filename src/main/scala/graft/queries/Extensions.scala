@@ -198,6 +198,46 @@ object Extensions {
              |  FROM events) t
              |WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin)),
 
+    // Clustering REPLACE commit under the same latest-wins oracle: the
+    // MOR lifecycle with a clustering pass after compaction — the
+    // clustered base (range-sorted, min/max-disjoint files) plus the
+    // pending log must STILL merge to the one-shot collapse. This is
+    // the replace-commit invariant (layout changes, contents never do)
+    // value-checked through the whole read path, not just scalatest.
+    GQuery(
+      "q_cdc_clustered_read",
+      (s, dir) => {
+        val log = Tables.events(s, dir).select(
+          col("user_id").as("id"),
+          col("event_id").as("lsn"),
+          when(pmod(col("event_id"), lit(11)) === 0, "d")
+            .when(pmod(col("event_id"), lit(3)) === 0, "u")
+            .otherwise("c").as("op"),
+          col("value"))
+        val Seq(c1, c2) = {
+          val n = Tables.events(s, dir).count()
+          Seq(n * 2 / 5, n * 4 / 5)
+        }
+        val root = java.nio.file.Files.createTempDirectory("graft_clu_q").toString
+        val mor = s"$root/table"
+        graft.cdc.MergeOnRead.logAppend(s, mor, log.filter(col("lsn") < c1), 0L)
+        graft.cdc.MergeOnRead.logAppend(s, mor, log.filter(col("lsn") >= c1 && col("lsn") < c2), 1L)
+        graft.cdc.MergeOnRead.compact(s, mor, Seq("id"), Seq("lsn"))
+        graft.cdc.Clustering.cluster(s, mor, Seq(col("id")), files = 4)
+        graft.cdc.MergeOnRead.logAppend(s, mor, log.filter(col("lsn") >= c2), 2L)
+        graft.cdc.MergeOnRead.readMerged(s, mor, Seq("id"), Seq("lsn")).get
+          .select(col("id"), col("lsn"), col("op"), col("value"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT id, lsn, op, value FROM (
+             |  SELECT user_id AS id, event_id AS lsn,
+             |    CASE WHEN event_id % 11 = 0 THEN 'd'
+             |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+             |    value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             |  FROM events) t
+             |WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin)),
+
     // Batch replay of the emulated Kafka topic through the full ingest
     // path (S1-S9 + U1-U3): seeded envelope generation → JSON-lines topic
     // files → parse → latest-wins snapshot. Deterministic output (seeded

@@ -18,6 +18,7 @@ class QueriesSpec extends SparkSpec {
     "q_agg_percentile" -> 3, "q_agg_rollup" -> 19,
     "q_array_map_funcs" -> 500, "q_case_when" -> 1500,
     "q_cdc_upsert_snapshot" -> 14, "q_cdc_incremental" -> 14, "q_cdc_mor_read" -> 14,
+    "q_cdc_clustered_read" -> 14,
     "q_date_funcs" -> 1500,
     "q_dedup_cluster" -> 500, "q_dedup_embedding" -> 88, "q_dedup_exact" -> 500,
     "q_dedup_minhash" -> 28, "q_dedup_ngram" -> 28, "q_dedup_simhash" -> 500,

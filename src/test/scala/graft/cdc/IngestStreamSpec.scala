@@ -92,6 +92,34 @@ class IngestStreamSpec extends SparkSpec {
       Set((1, "Engineering"))) // dept 2 deleted, dept 1 renamed
   }
 
+  test("routed COMPOSITE-key delete recovers every key column from before") {
+    import org.apache.spark.sql.types._
+    val root = tmpDir("graft_ck")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/in"))
+    // (tenant, id) composite merge key; the delete for (b, 1) must not
+    // touch the live (a, 1) row — a partially-recovered key would
+    // group both under (null-ish, 1) and drop the wrong row
+    def ev(op: String, tenant: String, id: Int, lsn: Long, v: Int): String = {
+      val row = s"""{"tenant":"$tenant","id":$id,"v":$v}"""
+      val before = if (op == "d") row else "null"
+      val after = if (op == "d") "null" else row
+      val value = s"""{"payload":{"before":$before,"after":$after,"source":{"lsn":$lsn,"table":"accounts"},"op":"$op","ts_ms":$lsn}}"""
+      val esc = value.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"value":"$esc","topic":"debezium1.public.accounts","partition":0,"offset":$lsn,"timestamp":"2023-05-25T00:00:0${lsn % 10}.000Z"}"""
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/in/accounts.jsonl"),
+      Seq(ev("c", "a", 1, 1, 10), ev("c", "b", 1, 2, 20),
+        ev("u", "a", 1, 3, 11), ev("d", "b", 1, 4, 0)).mkString("\n"))
+    val row = StructType(Seq(StructField("tenant", StringType),
+      StructField("id", IntegerType), StructField("v", IntegerType)))
+    val q = Ingest.runRouted(spark, s"$root/in", s"$root/out", s"$root/ckpt", Map(
+      "accounts" -> Ingest.TableRoute(Envelope.envelope(row), keys = Seq("tenant", "id"))))
+    q.processAllAvailable(); q.stop()
+    val got = Ingest.readSnapshot(spark, s"$root/out/accounts/snapshot").get
+      .select("tenant", "id", "v").as[(String, Int, Int)].collect().toSet
+    assert(got == Set(("a", 1, 11))) // (b,1) deleted; (a,1) updated, alive
+  }
+
   test("time travel: retained versions readable by batch id") {
     val root = tmpDir("graft_tt")
     CdcGen.writeTopicFiles(spark, n = 40, s"$root/topic", nBatches = 3)

@@ -185,6 +185,27 @@ object Relational {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
 
+    // Salted join under the value gate: Skew.saltedJoin's contract is
+    // row-multiplicity identity with the plain join — here the oracle
+    // IS the plain join, so the scatter/replicate rewrite is checked
+    // value-for-value, not just by count. The salting pattern is the
+    // fallback when one key is so hot even AQE's skew split leaves an
+    // oversized build side (or in streaming batches, where AQE is off).
+    GQuery(
+      "q_join_salted",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val pa = Tables.part(s, dir).filter(col("p_size") === 1)
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+        graft.ops.Skew.saltedJoin(li, pa, "l_partkey", salt = 8)
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+      },
+      Some("""SELECT l_partkey, l_orderkey, l_linenumber, l_quantity, p_brand
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_size = 1
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin)),
+
     // Range/theta join, BANDED: nationkey alone has 25 values, so at
     // scale each nation bucket degenerates to |S_n|×|C_n| pairwise work
     // on one reducer. Banding acctbal into 1000-wide buckets and

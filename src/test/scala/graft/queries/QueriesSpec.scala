@@ -26,6 +26,7 @@ class QueriesSpec extends SparkSpec {
     "q_having" -> 149, "q_set_union_all" -> 179, "q_agg_approx_percentile" -> 3,
     "q_join_anti" -> 2, "q_join_asof" -> 202, "q_join_broadcast" -> 5,
     "q_join_full" -> 900, "q_join_inner" -> 1500, "q_join_left" -> 498,
+    "q_join_salted" -> 203,
     "q_join_right" -> 498, "q_join_semi" -> 148, "q_join_theta_range" -> 23,
     "q_json_funcs" -> 1000, "q_lang_id" -> 500, "q_map_funcs" -> 500, "q_math_funcs" -> 6000,
     "q_multimodal" -> 500, "q_pivot" -> 5, "q_quality_score" -> 500,

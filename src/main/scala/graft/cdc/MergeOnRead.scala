@@ -118,20 +118,30 @@ object MergeOnRead {
   }
 
   /** Checkpointed MOR streaming ingest: per micro-batch, parse + log
-    * append (cheap), compaction every `compactEvery` batches. The twin
-    * of [[Ingest.run]] with the write/read cost trade flipped. */
+    * append (cheap), compaction every `compactEvery` batches, and —
+    * when `clusterBy` is set — an inline clustering pass after each
+    * compaction (Hudi's inline clustering: the freshly compacted base
+    * is immediately rewritten min/max-disjoint, so reads between
+    * compactions get both the merged state AND the pruned layout).
+    * The twin of [[Ingest.run]] with the write/read cost trade
+    * flipped. */
   def run(spark: SparkSession, inputDir: String, morDir: String, checkpointDir: String,
           compactEvery: Int = 4,
           schema: StructType = Envelope.employeesEnvelope,
           keys: Seq[String] = Seq("id"), ord: Seq[String] = Seq("lsn"),
-          partitionCols: Seq[String] = Nil): StreamingQuery = {
+          partitionCols: Seq[String] = Nil,
+          clusterBy: Seq[String] = Nil, clusterFiles: Int = 8): StreamingQuery = {
     Ingest.readTopicStream(spark, inputDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val parsed = Ingest.extractPostImage(batch, schema, keys)
         logAppend(batch.sparkSession, morDir, parsed, batchId)
-        if ((batchId + 1) % compactEvery == 0)
+        if ((batchId + 1) % compactEvery == 0) {
           compact(batch.sparkSession, morDir, keys, ord, partitionCols)
+          if (clusterBy.nonEmpty)
+            Clustering.cluster(batch.sparkSession, morDir,
+              clusterBy.map(org.apache.spark.sql.functions.col), clusterFiles)
+        }
         ()
       }
       .start()

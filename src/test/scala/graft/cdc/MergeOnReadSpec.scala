@@ -69,6 +69,21 @@ class MergeOnReadSpec extends SparkSpec {
     assert(MergeOnRead.deltaIds(spark, s"$root/mor").size == 2)
   }
 
+  test("inline clustering: compacted base comes out clustered, state unchanged") {
+    val root = tmpDir("graft_morclu")
+    CdcGen.writeTopicFiles(spark, n = 80, s"$root/topic", nBatches = 3)
+    // compaction fires after batch 1 and inline clustering rewrites the
+    // fresh base; batch 2 stays a pending log on top of the clustered base
+    val q = MergeOnRead.run(spark, s"$root/topic", s"$root/mor", s"$root/ckpt",
+      compactEvery = 2, clusterBy = Seq("id"), clusterFiles = 2)
+    q.processAllAvailable(); q.stop()
+    assert(Clustering.clusteredId(spark, s"$root/mor").contains(1L))
+    assert(Clustering.baseDir(spark, s"$root/mor").get.endsWith("/c1"))
+    // merged view over clustered base + pending log == golden
+    val merged = MergeOnRead.readMerged(spark, s"$root/mor", Seq("id"), Seq("lsn")).get
+    assert(canon(merged) == canon(CdcGen.expectedSnapshot(spark, 80)))
+  }
+
   test("logAppend is idempotent by marker and skips base-covered batches") {
     val root = tmpDir("graft_morappend")
     val rows = Seq((1, 10L, "c", 100)).toDF("id", "lsn", "op", "salary")

@@ -777,6 +777,89 @@ object Extensions {
              |WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
              |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)),
 
+    // The CURATION pipeline — the four pre-training corpus gates
+    // composed in one query: language filter (lang_pred = 'en'),
+    // quality gate (the q_quality_score formula ≥ 0.5), exact-dedup
+    // canonical-copy selection (doc_id = min over the content-hash
+    // group), and test-set decontamination (anti-join against train
+    // docs sharing any 5-shingle with a held-out doc). ONE corpus scan
+    // builds the narrow per-doc projection (lang/quality/hash/shingle
+    // set), explicitly materialized with localCheckpoint so the
+    // dedup-window branch and the contamination branch both reuse it
+    // instead of re-scanning + re-shingling (three scans otherwise —
+    // the q_decontaminate lesson). Three shuffles end-to-end: hash
+    // window, shingle aggregation, anti-join.
+    GQuery(
+      "q_curate",
+      (s, dir) => {
+        val enStops = Text.langProfiles.toMap.apply("en")
+        def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+        val enriched = fanout(Tables.documents(s, dir))
+          .withColumn("toks", Text.tokens(col("text")))
+          .withColumn("ltoks", Text.tokens(lower(col("text"))))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("n_stop", Text.langScore(col("toks"), enStops))
+          .withColumn("n_punct", size(expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)")))
+          .withColumn("lang_pred", Text.langPredict(
+            Text.langProfiles.map { case (l, sws) => l -> Text.langScore(col("ltoks"), sws) }))
+          .withColumn("quality", r4(
+            least(lit(1.0), col("n_chars").cast("double") / 400) * 0.4
+              + (col("n_stop").cast("double") / col("n_tokens")) * 0.4
+              + (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.2))
+          .withColumn("h", md5(lower(trim(col("text")))))
+          .withColumn("is_test", pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("sh", array_distinct(Text.shingles(col("toks"), 5)))
+          .select(col("doc_id"), col("lang_pred"), col("quality"), col("h"),
+            col("is_test"), col("sh"))
+          .localCheckpoint()
+        val contaminated = enriched
+          .select(col("doc_id"), col("is_test"), explode_outer(col("sh")).as("g"))
+          .filter(col("g").isNotNull)
+          .groupBy(col("g"))
+          .agg(max(when(col("is_test"), 1).otherwise(0)).as("has_test"),
+            collect_set(when(!col("is_test"), col("doc_id"))).as("train_ids"))
+          .filter(col("has_test") === 1)
+          .select(explode(col("train_ids")).as("doc_id"))
+          .distinct()
+        enriched
+          .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+          .filter(!col("is_test") && col("lang_pred") === "en" &&
+            col("quality") >= 0.5 && col("doc_id") === col("keep_id"))
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang_pred"), col("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val profs = Text.langProfiles.map { case (l, sws) =>
+          l -> s"len(list_filter(ltoks, t -> list_contains([${sws.map(w => s"'$w'").mkString(",")}], t)))"
+        }
+        val ordered = profs.sortBy(_._1)
+        val caseChain = ordered.init.map { case (l, sc) =>
+          val others = ordered.filter(_._1 != l).map(_._2)
+          s"WHEN ${others.map(o => s"$sc >= $o").mkString(" AND ")} THEN '$l'"
+        }.mkString(" ")
+        s"""WITH t AS (SELECT doc_id, text, n_chars,
+           |            string_split(text, ' ') AS toks,
+           |            string_split(lower(text), ' ') AS ltoks FROM documents),
+           |q AS (SELECT doc_id,
+           |        CASE $caseChain ELSE '${ordered.last._1}' END AS lang_pred,
+           |        floor((least(1.0, n_chars::DOUBLE / 400) * 0.4
+           |          + (len(list_filter(toks, t2 -> list_contains(['the','a','of','and','is'], t2)))::DOUBLE / len(toks)) * 0.4
+           |          + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE / n_chars) * 0.2) * 10000 + 0.5) / 10000 AS quality,
+           |        md5(lower(trim(text))) AS h
+           |      FROM t),
+           |k AS (SELECT doc_id, lang_pred, quality, min(doc_id) OVER (PARTITION BY h) AS keep_id FROM q),
+           |posts AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+           |            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))) AS g
+           |          FROM t WHERE len(toks) >= 5),
+           |contam AS (SELECT DISTINCT b.doc_id FROM posts a JOIN posts b ON a.g = b.g
+           |           WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+           |SELECT doc_id, lang_pred, quality FROM k
+           |WHERE doc_id % 10 <> 0 AND lang_pred = 'en' AND quality >= 0.5
+           |  AND doc_id = keep_id AND doc_id NOT IN (SELECT doc_id FROM contam)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // PII redaction: scrub email/phone/long-digit-run patterns — the
     // standard pre-training scrub pass. Pure codegen'd regexp_replace
     // chain, linear at any scale.

@@ -414,45 +414,16 @@ object Extensions {
     // pair generation — connected components over the near-dup pair
     // graph, cluster id = min doc_id in the component (the canonical
     // document every member dedups to; singletons are their own
-    // cluster). Min-label propagation as iterated DataFrame joins:
-    // each round is one join of the edge set against the current labels
-    // + one min-aggregation — pure shuffle-parallel work, no driver
-    // data. Rounds = component diameter; near-dup clusters are
-    // small-diameter by construction (a chain of 0.5-Jaccard docs decays
-    // fast), so this converges in 2-4 rounds here and O(log n) rounds
-    // with the large-star/small-star variant ("Connected Components in
-    // MapReduce and Beyond", Kiveris et al. 2014) — the documented
-    // upgrade if components ever get deep at 100 TB. Per-round
-    // localCheckpoint truncates the lineage (iterative plans otherwise
-    // grow exponentially in the optimizer); the convergence test is a
-    // 1-row sum aggregate per round (labels only ever decrease, so an
-    // unchanged sum == fixpoint — no per-row diff join, no collect of
-    // data rows).
+    // cluster). Algorithm + scale notes in ops/Components (min-label
+    // propagation, lineage-truncated rounds, sum-fixpoint convergence;
+    // property-tested against a union-find reference in OpsSpec).
     GQuery(
       "q_dedup_cluster",
       (s, dir) => {
-        val pairs = ngramPairs(s, dir).select(col("id_a"), col("id_b"))
-        // undirected: propagate min labels both ways along each edge
-        val edges = pairs
-          .union(pairs.select(col("id_b"), col("id_a")))
-          .toDF("src", "dst").localCheckpoint()
-        var labels = Tables.documents(s, dir)
-          .select(col("doc_id").as("id"), col("doc_id").as("lab")).localCheckpoint()
-        var prevSum = labels.agg(sum(col("lab"))).head.getLong(0)
-        var converged = false
-        var rounds = 0
-        while (!converged && rounds < 30) {
-          val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
-            .select(col("dst").as("id"), col("lab"))
-          labels = labels.union(prop)
-            .groupBy(col("id")).agg(min(col("lab")).as("lab"))
-            .localCheckpoint()
-          val cur = labels.agg(sum(col("lab"))).head.getLong(0)
-          converged = cur == prevSum
-          prevSum = cur
-          rounds += 1
-        }
-        labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
+        graft.ops.Components.connectedComponents(
+            Tables.documents(s, dir).select(col("doc_id")),
+            ngramPairs(s, dir).select(col("id_a"), col("id_b")))
+          .select(col("id").as("doc_id"), col("lab").as("cluster_id"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH RECURSIVE $ngramPairSql,

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Distributed connected components vs a sequential union-find oracle
+  * on random graphs — the propagation loop, convergence test, and
+  * undirected-edge handling all have to agree with the textbook
+  * answer on every generated topology (chains, stars, cliques,
+  * singletons, self-loops, duplicate edges all arise at these sizes).
+  * Spark-backed, so the case count is capped.
+  */
+object ComponentsProps extends Properties("Components") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withWorkers(1)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val genGraph: Gen[(Int, List[(Long, Long)])] = for {
+    n <- Gen.choose(1, 24)
+    m <- Gen.choose(0, 40)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n - 1L)
+      b <- Gen.choose(0L, n - 1L)
+    } yield (a, b))
+  } yield (n, edges)
+
+  private def unionFind(n: Int, edges: List[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  property("labels equal union-find component minima") = forAll(genGraph) {
+    case (n, edges) =>
+      import spark.implicits._
+      val nodes = (0L until n.toLong).toDF("id")
+      val pairs = edges match {
+        case Nil => Seq.empty[(Long, Long)].toDF("a", "b")
+        case es  => es.toDF("a", "b")
+      }
+      val got = Components.connectedComponents(nodes, pairs)
+        .as[(Long, Long)].collect().toMap
+      got == unionFind(n, edges)
+  }
+}

@@ -83,6 +83,63 @@ object Vectors {
       .select(col("vec_id"), col("rn"), col("nn_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Assign every vector to its nearest centroid by cosine (ties to
+    * the lower centroid id). Centroids are broadcast — the assignment
+    * is a map-side pass over the corpus, the argmax a per-vector
+    * window over k candidate rows. Returns (id, v, nrm, cluster, cos). */
+  def assignToCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                        cents: DataFrame): DataFrame = {
+    val withNorm = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    withNorm.join(broadcast(cents.select(col("c_id"), col("cv"),
+        norm(col("cv")).as("cnrm"))))
+      .withColumn("ccos", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
+      .withColumn("arn", row_number().over(w)).filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("c_id").as("cluster"), col("ccos").as("cos"))
+  }
+
+  /** Distributed Lloyd k-means over array<float> embeddings — trains
+    * the IVF coarse quantizer (q_sim_ivf's first-k centroids are the
+    * deterministic time-zero init; this is the refinement a real index
+    * build runs). Per iteration: broadcast-assign (map-side), then
+    * recompute each centroid as the element-wise member mean by
+    * exploding members to (cluster, dim, value) rows — 2 shuffles per
+    * iteration, centroids (k×dim doubles) are the ONLY driver-side
+    * data. Init = first k vectors by id (deterministic, like the
+    * query). Empty clusters keep their previous centroid. Returns the
+    * final (c_id, cv) centroid DataFrame. */
+  def kmeans(emb: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    var cents = emb.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("c_id"), col(vecCol).as("cv"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assigned = assignToCentroids(emb, idCol, vecCol, cents)
+      val means = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cluster"), col("d"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(transform(sort_array(collect_list(struct(col("d"), col("m")))),
+          e => e.getField("m").cast("float")).as("cv2"))
+      cents = cents.join(means, cents("c_id") === means("cluster"), "left")
+        .select(col("c_id"), coalesce(col("cv2"), col("cv")).as("cv"))
+        .localCheckpoint() // truncate the iterative lineage
+    }
+    cents
+  }
+
+  /** Mean cosine distance of every vector to its assigned centroid —
+    * the (cosine-form) k-means objective; Lloyd iterations must not
+    * increase it. */
+  def inertia(emb: DataFrame, idCol: String, vecCol: String,
+              cents: DataFrame): Double =
+    assignToCentroids(emb, idCol, vecCol, cents)
+      .agg(avg(lit(1.0) - col("cos"))).head.getDouble(0)
+
   /** Near-duplicate pairs by cosine threshold, candidate-limited to
     * random-hyperplane sign-LSH buckets: one shuffle on the bucket key,
     * pairwise work only within buckets. `dim` sizes the hyperplanes

@@ -190,4 +190,35 @@ class OpsSpec extends SparkSpec {
     val preds = df.select(Text.langPredict(scores).as("p")).as[String].collect().toSeq
     assert(preds == Seq("en", "de"))
   }
+
+  test("kmeans: Lloyd iterations never increase inertia; assignment is argmax") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val init = Vectors.kmeans(emb, "vec_id", "embedding", k = 4, iters = 0)
+    val i0 = Vectors.inertia(emb, "vec_id", "embedding", init)
+    val c1 = Vectors.kmeans(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val i1 = Vectors.inertia(emb, "vec_id", "embedding", c1)
+    val c3 = Vectors.kmeans(emb, "vec_id", "embedding", k = 4, iters = 3)
+    val i3 = Vectors.inertia(emb, "vec_id", "embedding", c3)
+    assert(i1 <= i0 + 1e-12, s"iter 1 raised inertia: $i0 -> $i1")
+    assert(i3 <= i1 + 1e-12, s"iter 3 raised inertia: $i1 -> $i3")
+    assert(i3 < i0, s"training did nothing: $i0 -> $i3")
+
+    // assignment optimality: the chosen centroid's cosine is the max
+    // over ALL centroids for every vector
+    val assigned = Vectors.assignToCentroids(emb, "vec_id", "embedding", c3)
+      .select($"vec_id", $"cluster", $"cos")
+    val best = Vectors.assignToCentroids(emb, "vec_id", "embedding", c3)
+      .select($"vec_id".as("v2"), $"cos".as("best"))
+    val all = emb.select($"vec_id".as("v3"), $"embedding".as("v"))
+      .withColumn("nrm", Vectors.norm($"v"))
+      .join(broadcast(c3.select($"c_id", $"cv", Vectors.norm($"cv").as("cnrm"))))
+      .withColumn("c", Vectors.cosine($"v", $"cv", $"nrm", $"cnrm"))
+      .groupBy($"v3").agg(max($"c").as("maxc"))
+    val joined = assigned.join(all, $"vec_id" === $"v3")
+      .select($"vec_id", $"cos", $"maxc").as[(Long, Double, Double)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (id, cos, maxc) =>
+      assert(math.abs(cos - maxc) < 1e-12, s"vec $id assigned $cos but max is $maxc")
+    }
+  }
 }

@@ -55,35 +55,46 @@ object Clustering {
       .filter(id => fsOf(spark).exists(path(s"$dir/_CLUSTER_$id")))
 
   /** Resolve the current base data dir: the clustered copy when one
-    * exists for the committed id, the raw version otherwise. */
+    * exists for the committed id, the raw version otherwise. ONE
+    * committed-id listing + one marker check — this sits on the hot
+    * read path (every readSnapshot/readMerged), where on an object
+    * store each extra listing is a remote call. */
   def baseDir(spark: SparkSession, dir: String): Option[String] =
     Ingest.committedBatch(spark, dir).map { id =>
-      if (clusteredId(spark, dir).contains(id)) s"$dir/c$id" else s"$dir/v$id"
+      if (fsOf(spark).exists(path(s"$dir/_CLUSTER_$id"))) s"$dir/c$id"
+      else s"$dir/v$id"
     }
 
   /** Rewrite the current base version range-sorted by `sortCols` into
-    * `files` min/max-disjoint files (a REPLACE commit). Returns the
-    * clustered base id, or None when there is no base or it is already
-    * clustered. Idempotent; stale clustered copies of superseded bases
-    * are GC'd here. */
+    * `files` min/max-disjoint files (a REPLACE commit), preserving the
+    * base's hive partition layout when `partitionCols` is passed (the
+    * clustered copy must keep the DPP-enabling directory structure the
+    * base had — see RuntimeFilterSpec). Returns the clustered base id,
+    * or None when there is no base or it is already clustered.
+    * Idempotent. GC matches the COW retention policy: clustered copies
+    * of still-retained versions (current + one prior) are kept so
+    * readers that resolved the old pointer keep working; only copies
+    * of GC'd bases are deleted. */
   def cluster(sess: SparkSession, dir: String, sortCols: Seq[Column],
-              files: Int = 8): Option[Long] = {
+              files: Int = 8, partitionCols: Seq[String] = Nil): Option[Long] = {
     require(sortCols.nonEmpty, "clustering needs at least one sort column")
     val fs = fsOf(sess)
-    // GC clustered copies whose base has been superseded
-    val cur = Ingest.committedBatch(sess, dir)
+    // GC clustered copies whose base version itself has been GC'd
+    val retained = Ingest.snapshotVersions(sess, dir).toSet
     if (fs.exists(path(dir))) fs.listStatus(path(dir)).map(_.getPath).foreach { p =>
       val n = p.getName
       val id = if (n.startsWith("_CLUSTER_")) Some(n.stripPrefix("_CLUSTER_").toLong)
                else if (n.startsWith("c")) n.stripPrefix("c").toLongOption
                else None
-      if (id.exists(i => !cur.contains(i))) fs.delete(p, true)
+      if (id.exists(i => !retained.contains(i))) fs.delete(p, true)
     }
-    cur.filterNot(clusteredId(sess, dir).contains).map { id =>
-      sess.read.parquet(s"$dir/v$id")
+    Ingest.committedBatch(sess, dir).filterNot(clusteredId(sess, dir).contains).map { id =>
+      val writer = sess.read.parquet(s"$dir/v$id")
         .repartitionByRange(files, sortCols: _*)
         .sortWithinPartitions(sortCols: _*)
-        .write.mode("overwrite").parquet(s"$dir/c$id")
+        .write.mode("overwrite")
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+       else writer).parquet(s"$dir/c$id")
       fs.createNewFile(path(s"$dir/_CLUSTER_$id"))
       id
     }

@@ -168,9 +168,9 @@ object Ingest {
       .maxOption
   }
 
-  /** Read the current committed snapshot state (empty if none). */
-  /** Current state; prefers a clustered REPLACE copy of the base when
-    * [[Clustering]] has committed one for the current id. */
+  /** Read the current committed snapshot state (empty if none);
+    * prefers a clustered REPLACE copy of the base when [[Clustering]]
+    * has committed one for the current id. */
   def readSnapshot(spark: SparkSession, dir: String): Option[DataFrame] =
     Clustering.baseDir(spark, dir).map(spark.read.parquet)
 

@@ -140,7 +140,8 @@ object MergeOnRead {
           compact(batch.sparkSession, morDir, keys, ord, partitionCols)
           if (clusterBy.nonEmpty)
             Clustering.cluster(batch.sparkSession, morDir,
-              clusterBy.map(org.apache.spark.sql.functions.col), clusterFiles)
+              clusterBy.map(org.apache.spark.sql.functions.col), clusterFiles,
+              partitionCols) // clustered copy keeps the base's hive layout
         }
         ()
       }

@@ -27,7 +27,7 @@ object Components {
     * @return (id, lab) DF — lab = min id of the node's component
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-                          maxRounds: Int = 30): DataFrame = {
+                          maxRounds: Int = 50): DataFrame = {
     val Seq(na) = nodes.columns.toSeq.take(1)
     val Seq(ea, eb) = pairs.columns.toSeq.take(2)
     // undirected: propagate min labels both ways along each edge
@@ -49,6 +49,14 @@ object Components {
       prevSum = cur
       rounds += 1
     }
+    // a silent non-converged return would hand back WRONG labels (a
+    // >maxRounds-diameter chain still mid-propagation) — fail loudly;
+    // the caller raises maxRounds or switches to the round-halving
+    // large-star/small-star variant
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxRounds rounds — " +
+        "component diameter exceeds the bound; raise maxRounds or use " +
+        "large-star/small-star (Kiveris et al. 2014)")
     labels
   }
 }

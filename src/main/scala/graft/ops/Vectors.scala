@@ -100,28 +100,29 @@ object Vectors {
         col("c_id").as("cluster"), col("ccos").as("cos"))
   }
 
-  /** Distributed Lloyd k-means over array<float> embeddings — trains
-    * the IVF coarse quantizer (q_sim_ivf's first-k centroids are the
-    * deterministic time-zero init; this is the refinement a real index
-    * build runs). Per iteration: broadcast-assign (map-side), then
-    * recompute each centroid as the element-wise member mean by
-    * exploding members to (cluster, dim, value) rows — 2 shuffles per
-    * iteration, centroids (k×dim doubles) are the ONLY driver-side
-    * data. Init = first k vectors by id (deterministic, like the
-    * query). Empty clusters keep their previous centroid. Returns the
-    * final (c_id, cv) centroid DataFrame. */
+  /** Distributed SPHERICAL Lloyd k-means over array<float> embeddings —
+    * trains the IVF coarse quantizer (q_sim_ivf's first-k centroids are
+    * the deterministic time-zero init; this is the refinement a real
+    * index build runs). Per iteration: broadcast-assign by cosine
+    * (map-side), then recompute each centroid as the element-wise mean
+    * of its members' UNIT vectors (the direction maximizing Σcos — the
+    * raw-vector mean would weight members by norm and can raise cosine
+    * inertia), exploding members to (cluster, dim, value) rows — 2
+    * shuffles per iteration, centroids (k×dim doubles) are the ONLY
+    * driver-side data. Init = first k vectors by id (deterministic,
+    * like the query). Empty clusters keep their previous centroid.
+    * Returns the final (c_id, cv) centroid DataFrame. */
   def kmeans(emb: DataFrame, idCol: String, vecCol: String,
              k: Int, iters: Int): DataFrame = {
-    val spark = emb.sparkSession
     var cents = emb.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long").as("c_id"), col(vecCol).as("cv"))
       .localCheckpoint()
     for (_ <- 0 until iters) {
       val assigned = assignToCentroids(emb, idCol, vecCol, cents)
       val means = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
+        .select(col("cluster"), col("nrm"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy(col("cluster"), col("d"))
-        .agg(avg(col("x")).as("m"))
+        .agg(avg(col("x") / col("nrm")).as("m")) // mean of UNIT vectors
         .groupBy(col("cluster"))
         .agg(transform(sort_array(collect_list(struct(col("d"), col("m")))),
           e => e.getField("m").cast("float")).as("cv2"))

@@ -91,6 +91,59 @@ object Extensions {
       |  FROM inter JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b) z
       |  WHERE jac >= 0.5)""".stripMargin
 
+  /** The deterministic CDC change log every CDC-merge query derives
+    * from `events`: event_id = monotone LSN stand-in, user_id = record
+    * key, op from fixed residue rules (so the DuckDB oracle can replay
+    * the identical merge in window SQL). */
+  private def cdcLog(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir).select(
+      col("user_id").as("id"),
+      col("event_id").as("lsn"),
+      when(pmod(col("event_id"), lit(11)) === 0, "d")
+        .when(pmod(col("event_id"), lit(3)) === 0, "u")
+        .otherwise("c").as("op"),
+      col("value"))
+
+  /** DuckDB twin of [[cdcLog]] collapsed latest-wins — the ONE oracle
+    * all four CDC-merge queries share: however the engine materializes
+    * the log (one-shot window, incremental upsert, MOR read, clustered
+    * read), the answer is this collapse. */
+  private val latestWinsSql =
+    """SELECT id, lsn, op, value FROM (
+      |  SELECT user_id AS id, event_id AS lsn,
+      |    CASE WHEN event_id % 11 = 0 THEN 'd'
+      |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+      |    value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin
+
+  /** The MOR lifecycle shared by q_cdc_mor_read and
+    * q_cdc_clustered_read: two log appends, a compaction folding them
+    * into a base (optionally followed by a clustering REPLACE commit),
+    * a third append left pending, then the merged snapshot view. The
+    * cut points scale with the table so every SF exercises base +
+    * pending. The table is built in a fresh temp dir per invocation —
+    * the timed "query" is deliberately the whole lifecycle, not just
+    * the final read. */
+  private def morLifecycle(s: org.apache.spark.sql.SparkSession, dir: String,
+                           cluster: Boolean): org.apache.spark.sql.DataFrame = {
+    val log = cdcLog(s, dir)
+    val Seq(c1, c2) = {
+      val n = Tables.events(s, dir).count()
+      Seq(n * 2 / 5, n * 4 / 5)
+    }
+    val mor = java.nio.file.Files.createTempDirectory("graft_mor_q").toString + "/table"
+    graft.cdc.MergeOnRead.logAppend(s, mor, log.filter(col("lsn") < c1), 0L)
+    graft.cdc.MergeOnRead.logAppend(s, mor, log.filter(col("lsn") >= c1 && col("lsn") < c2), 1L)
+    graft.cdc.MergeOnRead.compact(s, mor, Seq("id"), Seq("lsn"))
+    if (cluster) graft.cdc.Clustering.cluster(s, mor, Seq(col("id")), files = 4)
+    graft.cdc.MergeOnRead.logAppend(s, mor, log.filter(col("lsn") >= c2), 2L)
+    graft.cdc.MergeOnRead.readMerged(s, mor, Seq("id"), Seq("lsn")).get
+      .select(col("id"), col("lsn"), col("op"), col("value"))
+      .orderBy(col("id"))
+  }
+
   def queries: Seq[GQuery] = Seq(
 
     // ------------------------------------------------------- CDC merge
@@ -106,25 +159,11 @@ object Extensions {
     GQuery(
       "q_cdc_upsert_snapshot",
       (s, dir) => {
-        val log = Tables.events(s, dir).select(
-          col("user_id").as("id"),
-          col("event_id").as("lsn"),
-          when(pmod(col("event_id"), lit(11)) === 0, "d")
-            .when(pmod(col("event_id"), lit(3)) === 0, "u")
-            .otherwise("c").as("op"),
-          col("value"))
-        CdcMerge.snapshot(log, Seq("id"), Seq("lsn"))
+        CdcMerge.snapshot(cdcLog(s, dir), Seq("id"), Seq("lsn"))
           .select(col("id"), col("lsn"), col("op"), col("value"))
           .orderBy(col("id"))
       },
-      Some("""SELECT id, lsn, op, value FROM (
-             |  SELECT user_id AS id, event_id AS lsn,
-             |    CASE WHEN event_id % 11 = 0 THEN 'd'
-             |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
-             |    value,
-             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-             |  FROM events) t
-             |WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin)),
+      Some(latestWinsSql)),
 
     // The INCREMENTAL merge path under the same oracle: snapshot the
     // first half of the log, then upsertPruned the second half in — the
@@ -134,26 +173,13 @@ object Extensions {
     GQuery(
       "q_cdc_incremental",
       (s, dir) => {
-        val log = Tables.events(s, dir).select(
-          col("user_id").as("id"),
-          col("event_id").as("lsn"),
-          when(pmod(col("event_id"), lit(11)) === 0, "d")
-            .when(pmod(col("event_id"), lit(3)) === 0, "u")
-            .otherwise("c").as("op"),
-          col("value"))
+        val log = cdcLog(s, dir)
         val mid = 5000 // event_ids are 0..n-1; sf0.01 has 10k events
         val first = CdcMerge.snapshot(log.filter(col("lsn") < mid), Seq("id"), Seq("lsn"))
         val merged = CdcMerge.upsertPruned(first, log.filter(col("lsn") >= mid), Seq("id"), Seq("lsn"))
         merged.select(col("id"), col("lsn"), col("op"), col("value")).orderBy(col("id"))
       },
-      Some("""SELECT id, lsn, op, value FROM (
-             |  SELECT user_id AS id, event_id AS lsn,
-             |    CASE WHEN event_id % 11 = 0 THEN 'd'
-             |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
-             |    value,
-             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-             |  FROM events) t
-             |WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin)),
+      Some(latestWinsSql)),
 
     // MERGE_ON_READ read path under the SAME latest-wins oracle: the
     // derived change log rides the full MOR lifecycle — two log appends,
@@ -165,38 +191,8 @@ object Extensions {
     // DuckDB-value-checked rather than scalatest-only.
     GQuery(
       "q_cdc_mor_read",
-      (s, dir) => {
-        val log = Tables.events(s, dir).select(
-          col("user_id").as("id"),
-          col("event_id").as("lsn"),
-          when(pmod(col("event_id"), lit(11)) === 0, "d")
-            .when(pmod(col("event_id"), lit(3)) === 0, "u")
-            .otherwise("c").as("op"),
-          col("value"))
-        // deterministic 3-way split on the monotone lsn: the cut points
-        // scale with the table so every SF exercises base + pending
-        val Seq(c1, c2) = {
-          val n = Tables.events(s, dir).count()
-          Seq(n * 2 / 5, n * 4 / 5)
-        }
-        val root = java.nio.file.Files.createTempDirectory("graft_mor_q").toString
-        val mor = s"$root/table"
-        graft.cdc.MergeOnRead.logAppend(s, mor, log.filter(col("lsn") < c1), 0L)
-        graft.cdc.MergeOnRead.logAppend(s, mor, log.filter(col("lsn") >= c1 && col("lsn") < c2), 1L)
-        graft.cdc.MergeOnRead.compact(s, mor, Seq("id"), Seq("lsn"))
-        graft.cdc.MergeOnRead.logAppend(s, mor, log.filter(col("lsn") >= c2), 2L)
-        graft.cdc.MergeOnRead.readMerged(s, mor, Seq("id"), Seq("lsn")).get
-          .select(col("id"), col("lsn"), col("op"), col("value"))
-          .orderBy(col("id"))
-      },
-      Some("""SELECT id, lsn, op, value FROM (
-             |  SELECT user_id AS id, event_id AS lsn,
-             |    CASE WHEN event_id % 11 = 0 THEN 'd'
-             |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
-             |    value,
-             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-             |  FROM events) t
-             |WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin)),
+      (s, dir) => morLifecycle(s, dir, cluster = false),
+      Some(latestWinsSql)),
 
     // Clustering REPLACE commit under the same latest-wins oracle: the
     // MOR lifecycle with a clustering pass after compaction — the
@@ -206,37 +202,8 @@ object Extensions {
     // value-checked through the whole read path, not just scalatest.
     GQuery(
       "q_cdc_clustered_read",
-      (s, dir) => {
-        val log = Tables.events(s, dir).select(
-          col("user_id").as("id"),
-          col("event_id").as("lsn"),
-          when(pmod(col("event_id"), lit(11)) === 0, "d")
-            .when(pmod(col("event_id"), lit(3)) === 0, "u")
-            .otherwise("c").as("op"),
-          col("value"))
-        val Seq(c1, c2) = {
-          val n = Tables.events(s, dir).count()
-          Seq(n * 2 / 5, n * 4 / 5)
-        }
-        val root = java.nio.file.Files.createTempDirectory("graft_clu_q").toString
-        val mor = s"$root/table"
-        graft.cdc.MergeOnRead.logAppend(s, mor, log.filter(col("lsn") < c1), 0L)
-        graft.cdc.MergeOnRead.logAppend(s, mor, log.filter(col("lsn") >= c1 && col("lsn") < c2), 1L)
-        graft.cdc.MergeOnRead.compact(s, mor, Seq("id"), Seq("lsn"))
-        graft.cdc.Clustering.cluster(s, mor, Seq(col("id")), files = 4)
-        graft.cdc.MergeOnRead.logAppend(s, mor, log.filter(col("lsn") >= c2), 2L)
-        graft.cdc.MergeOnRead.readMerged(s, mor, Seq("id"), Seq("lsn")).get
-          .select(col("id"), col("lsn"), col("op"), col("value"))
-          .orderBy(col("id"))
-      },
-      Some("""SELECT id, lsn, op, value FROM (
-             |  SELECT user_id AS id, event_id AS lsn,
-             |    CASE WHEN event_id % 11 = 0 THEN 'd'
-             |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
-             |    value,
-             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-             |  FROM events) t
-             |WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin)),
+      (s, dir) => morLifecycle(s, dir, cluster = true),
+      Some(latestWinsSql)),
 
     // Batch replay of the emulated Kafka topic through the full ingest
     // path (S1-S9 + U1-U3): seeded envelope generation → JSON-lines topic

@@ -52,7 +52,7 @@ class ClusteringSpec extends SparkSpec {
     assert(Clustering.cluster(spark, dir, Seq(col("id"))).isEmpty)
   }
 
-  test("a later COW commit supersedes the clustered copy; recluster GCs it") {
+  test("a later COW commit supersedes the clustered copy; retention matches COW") {
     val dir = tmpDir("graft_cluster2") + "/t"
     mkTable(dir)
     Clustering.cluster(spark, dir, Seq(col("id")), files = 2)
@@ -66,10 +66,13 @@ class ClusteringSpec extends SparkSpec {
     assert(Clustering.baseDir(spark, dir).get.endsWith("/v1"))
     assert(Clustering.clusteredId(spark, dir).isEmpty)
     val before = Ingest.readSnapshot(spark, dir).get.orderBy("id", "lsn").collect()
-    // reclustering the new base GCs the stale copy and re-points
+    // reclustering the new base re-points; the OLD clustered copy is
+    // RETAINED while its base version is (in-flight readers that
+    // resolved c0 keep working — same retention window as COW GC)
     assert(Clustering.cluster(spark, dir, Seq(col("id")), files = 2).contains(1L))
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/c0")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/c0")),
+      "clustered copy of a retained base version must survive GC")
     assert(Clustering.baseDir(spark, dir).get.endsWith("/c1"))
     assert(Ingest.readSnapshot(spark, dir).get.orderBy("id", "lsn").collect().toSeq == before.toSeq)
   }

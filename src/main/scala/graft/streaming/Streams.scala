@@ -83,27 +83,36 @@ object Streams {
   /** Closed session: count, sum, event-time bounds in epoch micros. */
   case class SessionAgg(key: Long, n: Long, total: Double, startUs: Long, endUs: Long)
 
-  /** Open-session state carried across micro-batches. */
+  /** Open-session aggregate inside [[SessBufState]]. */
   case class SessState(startUs: Long, lastUs: Long, n: Long, total: Double)
+
+  /** Per-key state: events still above the watermark (not yet safe to
+    * fold — an earlier out-of-order event may still arrive) + the open
+    * session over everything at or below it. */
+  case class SessBufState(pending: Seq[(Long, Double)], open: Option[SessState])
 
   private def toUs(t: java.sql.Timestamp): Long =
     (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Sessionization with a `gap` inactivity timeout via
-    * flatMapGroupsWithState: a session row is emitted when a key goes
-    * quiet for > `gap` (strict, microsecond arithmetic — the same
-    * tie/threshold rule as the batch q_win_session query, so the two
-    * families produce identical sessions on the same input; pinned by
-    * StreamsSpec's equivalence test). State per ACTIVE key only.
+    * flatMapGroupsWithState, EXACTLY matching the batch q_win_session
+    * semantics (a new session starts when the event-time gap is
+    * strictly > `gap`) for ANY arrival order within the watermark —
+    * pinned by StreamsSpec's equivalence test.
     *
-    * Gap splits are an event-time-order property, so each key's batch
-    * slice is buffered and sorted before the fold — quiet gaps WITHIN
-    * a micro-batch split correctly, not just across batches. Memory is
-    * bounded by one key's volume per micro-batch (not per stream);
-    * at 100 TB/day that bound is set by trigger interval, not history.
-    * Out-of-order rows inside the watermark that merge into the open
-    * session extend its bounds via min/max; rows late beyond the
-    * watermark were already dropped upstream.
+    * Gap splits are an event-time-order property, so an event is only
+    * folded into sessions once the watermark passes it (no earlier
+    * event can arrive anymore); until then it waits in the per-key
+    * pending buffer. Folding sorts the ready events and runs the batch
+    * query's fold; the open session closes — and is emitted — once the
+    * watermark passes its gap horizon. Events at/after the watermark
+    * are kept; events strictly older are dropped (the standard
+    * watermark contract — fMGWS leaves late-row handling to the
+    * operator). State per key is bounded by the watermark delay (the
+    * pending buffer spans at most `delay` of event time), not by
+    * stream history; the timeout re-arms to the earliest of the open
+    * session's close point and the oldest pending event, so progress
+    * needs no per-key traffic.
     *
     * Input needs columns (user_id long, ts timestamp, value double). */
   def sessionize(events: DataFrame, gapMs: Long, delay: String = "10 minutes"): Dataset[SessionAgg] = {
@@ -116,32 +125,41 @@ object Streams {
       .select(col("user_id"), col("ts"), col("value"))
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessState, SessionAgg](
+      .flatMapGroupsWithState[SessBufState, SessionAgg](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (key, rows, state: GroupState[SessState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(SessionAgg(key, s.n, s.total, s.startUs, s.lastUs))
-          } else {
-            val evs = rows.map { case (_, t, v) => (toUs(t), v) }.toArray.sortBy(_._1)
-            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
-            var cur = state.getOption.orNull
-            for ((u, v) <- evs) {
-              if (cur == null) cur = SessState(u, u, 1L, v)
-              else if (u - cur.lastUs > gapUs) { // strict >, like the batch query
-                closed += SessionAgg(key, cur.n, cur.total, cur.startUs, cur.lastUs)
-                cur = SessState(u, u, 1L, v)
-              } else cur = SessState(math.min(cur.startUs, u), math.max(cur.lastUs, u),
-                cur.n + 1, cur.total + v)
-            }
-            state.update(cur) // rows is non-empty when not timed out
-            // timeout must sit above the current watermark; if the open
-            // session is already quiet past the gap it fires next batch
-            state.setTimeoutTimestamp(
-              math.max(cur.lastUs / 1000L + gapMs, state.getCurrentWatermarkMs() + 1L))
-            closed.iterator
+        case (key, rows, state: GroupState[SessBufState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption.getOrElse(SessBufState(Nil, None))
+          // ts == wm is NOT late (the wm was derived from that event's
+          // own batch); ts < wm is
+          val incoming = rows.map { case (_, t, v) => (toUs(t), v) }
+            .filter(_._1 >= wmUs).toSeq
+          val (ready, still) = (prev.pending ++ incoming).partition(_._1 <= wmUs)
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+          var cur = prev.open.orNull
+          for ((u, v) <- ready.sortBy(_._1)) {
+            if (cur == null) cur = SessState(u, u, 1L, v)
+            else if (u - cur.lastUs > gapUs) { // strict >, like the batch query
+              closed += SessionAgg(key, cur.n, cur.total, cur.startUs, cur.lastUs)
+              cur = SessState(u, u, 1L, v)
+            } else cur = SessState(cur.startUs, math.max(cur.lastUs, u),
+              cur.n + 1, cur.total + v)
           }
+          // the open session closes once no in-watermark event can
+          // extend it (future events have ts >= wm > lastUs + gap)
+          if (cur != null && cur.lastUs + gapUs < wmUs) {
+            closed += SessionAgg(key, cur.n, cur.total, cur.startUs, cur.lastUs)
+            cur = null
+          }
+          if (still.isEmpty && cur == null) state.remove()
+          else {
+            state.update(SessBufState(still, Option(cur)))
+            val wake = (Option(cur).map(c => c.lastUs / 1000L + gapMs) ++
+              still.map(_._1 / 1000L).minOption).min
+            state.setTimeoutTimestamp(
+              math.max(wake, state.getCurrentWatermarkMs() + 1L))
+          }
+          closed.iterator
       }
   }
 }

@@ -190,6 +190,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: out-of-order arrival across batches still splits on the gap") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    // gap 3 min, watermark 10 min: an event at 10:00 arrives first, then
+    // 9:55 arrives in a LATER batch (inside the watermark). Event-time
+    // order has a 5 min > 3 min quiet gap — batch semantics demand TWO
+    // single-event sessions; an eager fold would merge them into one.
+    val sess = Streams.sessionize(
+      in.toDF().toDF("user_id", "ts", "value"), gapMs = 3 * 60000L, delay = "10 minutes")
+    val q = sess.writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    try {
+      in.addData((5L, ts(60), 1.0))
+      q.processAllAvailable()
+      in.addData((5L, ts(55), 2.0)) // out of order, within watermark
+      q.processAllAvailable()
+      // advance the watermark far past both sessions' gap horizons
+      in.addData((9L, ts(300), 0.0))
+      q.processAllAvailable()
+      in.addData((9L, ts(600), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_ooo").as[Streams.SessionAgg].collect()
+        .filter(_.key == 5L).sortBy(_.startUs).toList
+      assert(rows.map(r => (r.n, r.total, r.startUs, r.endUs)) ==
+        List((1L, 2.0, 55L * 60000000L, 55L * 60000000L),
+             (1L, 1.0, 60L * 60000000L, 60L * 60000000L)),
+        s"expected two single-event sessions, got $rows")
+    } finally q.stop()
+  }
+
   test("sessionize: inactivity gap closes session with aggregates") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Double)]

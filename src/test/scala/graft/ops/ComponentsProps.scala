@@ -53,4 +53,18 @@ object ComponentsProps extends Properties("Components") {
         .as[(Long, Long)].collect().toMap
       got == unionFind(n, edges)
   }
+
+  property("non-convergence within maxRounds fails loudly, never silently wrong") =
+    org.scalacheck.Prop {
+      import spark.implicits._
+      // a 12-node chain has diameter 11 > 3 rounds of one-hop min-propagation
+      val nodes = (0L until 12L).toDF("id")
+      val chain = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+      val threw = try {
+        Components.connectedComponents(nodes, chain, maxRounds = 3); false
+      } catch { case _: IllegalStateException => true }
+      val fine = Components.connectedComponents(nodes, chain, maxRounds = 20)
+        .as[(Long, Long)].collect().forall(_._2 == 0L)
+      threw && fine
+    }
 }

@@ -83,21 +83,50 @@ object Vectors {
       .select(col("vec_id"), col("rn"), col("nn_id"), round(col("cos"), 4).as("cos"))
   }
 
-  /** Assign every vector to its nearest centroid by cosine (ties to
-    * the lower centroid id). Centroids are broadcast — the assignment
-    * is a map-side pass over the corpus, the argmax a per-vector
-    * window over k candidate rows. Returns (id, v, nrm, cluster, cos). */
-  def assignToCentroids(emb: DataFrame, idCol: String, vecCol: String,
-                        cents: DataFrame): DataFrame = {
+  /** Assign every vector to its `n` nearest centroids by cosine (ties
+    * to the lower centroid id). Centroids are broadcast — the
+    * assignment is a map-side pass over the corpus, the arg-top-n a
+    * per-vector window over k candidate rows. Returns one row per
+    * (vector, probed cluster): (id, v, nrm, cluster, cos, probe). */
+  def assignTopN(emb: DataFrame, idCol: String, vecCol: String,
+                 cents: DataFrame, n: Int): DataFrame = {
     val withNorm = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
     withNorm.join(broadcast(cents.select(col("c_id"), col("cv"),
         norm(col("cv")).as("cnrm"))))
       .withColumn("ccos", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
-      .withColumn("arn", row_number().over(w)).filter(col("arn") === 1)
+      .withColumn("arn", row_number().over(w)).filter(col("arn") <= n)
       .select(col("vec_id"), col("v"), col("nrm"),
-        col("c_id").as("cluster"), col("ccos").as("cos"))
+        col("c_id").as("cluster"), col("ccos").as("cos"), col("arn").as("probe"))
+  }
+
+  /** Single nearest-centroid assignment (the Lloyd/IVF-build case). */
+  def assignToCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                        cents: DataFrame): DataFrame =
+    assignTopN(emb, idCol, vecCol, cents, 1).drop("probe")
+
+  /** IVF top-k ANN with multi-probe: the corpus lives in its nearest
+    * cluster, each query probes its `nprobe` nearest clusters and takes
+    * the exact top-k within them. nprobe is THE recall/cost dial: a
+    * query near a cluster boundary misses neighbors filed on the other
+    * side with nprobe=1; probing the next-nearest cluster(s) recovers
+    * them for nprobe× the in-cluster work — same plan shape (one
+    * shuffle on the cluster key), recall gated in OpsSpec against the
+    * brute-force ground truth. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, cents: DataFrame,
+              k: Int, nprobe: Int, queryPred: Column): DataFrame = {
+    val corpus = assignTopN(emb, idCol, vecCol, cents, 1)
+      .select(col("cluster"), col("vec_id").as("nn_id"),
+        col("v").as("v2"), col("nrm").as("nrm2"))
+    val queries = assignTopN(emb.filter(queryPred), idCol, vecCol, cents, nprobe)
+      .select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nn_id"))
+    queries.join(corpus, Seq("cluster"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos", cosine(col("v"), col("v2"), col("nrm"), col("nrm2")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("vec_id"), col("rn"), col("nn_id"), round(col("cos"), 4).as("cos"))
   }
 
   /** Distributed SPHERICAL Lloyd k-means over array<float> embeddings —

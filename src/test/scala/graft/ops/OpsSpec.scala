@@ -191,6 +191,25 @@ class OpsSpec extends SparkSpec {
     assert(preds == Seq("en", "de"))
   }
 
+  test("ivfTopK: multi-probe recall dominates single-probe, vs brute-force truth") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Vectors.kmeans(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val truth = Vectors.bruteForceTopK(emb, "vec_id", "embedding", 3)
+      .filter($"vec_id" <= 50)
+      .select($"vec_id", $"nn_id").as[(Long, Long)].collect().toSet
+    def recall(nprobe: Int): Double = {
+      val got = Vectors.ivfTopK(emb, "vec_id", "embedding", cents, 3, nprobe,
+          $"vec_id" <= 50)
+        .select($"vec_id", $"nn_id").as[(Long, Long)].collect().toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val (r1, r2) = (recall(1), recall(2))
+    assert(r2 >= r1, s"probing more clusters lowered recall: $r1 -> $r2")
+    assert(r2 >= 0.5, s"nprobe=2 recall $r2 below floor") // measured headroom
+    // full probe = exact: every cluster searched recovers brute force
+    assert(recall(4) == 1.0)
+  }
+
   test("kmeans: Lloyd iterations never increase inertia; assignment is argmax") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val init = Vectors.kmeans(emb, "vec_id", "embedding", k = 4, iters = 0)

@@ -798,6 +798,33 @@ object Extensions {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // Within-document repetition (the Gopher-family duplicate-n-gram
+    // filter): fraction of a doc's 3-grams that are repeats of an
+    // earlier 3-gram in the SAME doc — boilerplate and template spam
+    // score high and get cut before training. Pure per-row expression
+    // work (shingle + distinct + ratio), linear at any scale; the
+    // HALF_UP rounding pins engine round-rule ties like q_quality_score.
+    GQuery(
+      "q_repetition",
+      (s, dir) => {
+        def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+        Tables.documents(s, dir)
+          .withColumn("toks", Text.tokens(col("text")))
+          .filter(size(col("toks")) >= 3)
+          .withColumn("sh", Text.shingles(col("toks"), 3))
+          .select(col("doc_id"), size(col("sh")).as("n_grams"),
+            r4(lit(1.0) - size(array_distinct(col("sh"))).cast("double") / size(col("sh")))
+              .as("rep_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, len(sh)::INT AS n_grams,
+             |  floor((1.0 - len(list_distinct(sh))::DOUBLE / len(sh)) * 10000 + 0.5) / 10000 AS rep_ratio
+             |FROM (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+             |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh
+             |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+             |      WHERE len(toks) >= 3) s
+             |ORDER BY doc_id""".stripMargin)),
+
     // PII redaction: scrub email/phone/long-digit-run patterns — the
     // standard pre-training scrub pass. Pure codegen'd regexp_replace
     // chain, linear at any scale.

@@ -31,7 +31,7 @@ class QueriesSpec extends SparkSpec {
     "q_json_funcs" -> 1000, "q_lang_id" -> 500, "q_map_funcs" -> 500, "q_math_funcs" -> 6000,
     "q_multimodal" -> 500, "q_pivot" -> 5, "q_quality_score" -> 500,
     "q_redact_pii" -> 500, "q_sample_hash" -> 98, "q_decontaminate" -> 9,
-    "q_curate" -> 245,
+    "q_curate" -> 245, "q_repetition" -> 500,
     "q_scan_project" -> 6000, "q_set_except" -> 0, "q_set_intersect" -> 34,
     "q_set_union" -> 179, "q_sim_ivf" -> 153, "q_sim_topk" -> 255,
     "q_sort_limit" -> 100, "q_str_funcs" -> 200, "q_subquery_scalar" -> 48,

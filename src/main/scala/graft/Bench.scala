@@ -19,34 +19,49 @@ object Bench {
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    // Each query timed twice, min reported: a single local-JVM run is
-    // exposed to one-off GC/compilation stalls that can inflate one
-    // query's number 20x (observed: 1.2s query recorded as 32s); min-of-2
-    // measures the query, not the stall. A failed query is reported
-    // explicitly in `errors` (never silently timed as if it ran).
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
+    // Each query timed N times (default 3), min reported as the
+    // headline: a single local-JVM run is exposed to one-off GC/
+    // compilation stalls that can inflate one query's number 20x
+    // (observed: 1.2s query recorded as 32s); min-of-N measures the
+    // query, not the stall. The full (min, max, n) spread is emitted
+    // per query so a cross-round swing can be attributed to machine
+    // noise (max >> min within a round) vs a plan regression (tight
+    // spread at a new level) without re-running. A failed query is
+    // reported explicitly in `errors` (never silently timed as if it
+    // ran).
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
         Left(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val r = once(name, fn) match {
-        case Right(t1) => once(name, fn).map(t2 => math.min(t1, t2))
-        case left => left
+    val results: Seq[(String, Either[String, Seq[Double]])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val runs = Iterator.continually(once(fn)).take(nRuns).toSeq
+        // one success is enough to report a time; all-failed reports the
+        // first error
+        val r = runs.collect { case Right(t) => t } match {
+          case ts if ts.nonEmpty => Right(ts)
+          case _ => Left(runs.collectFirst { case Left(e) => e }.get)
+        }
+        name -> r
       }
-      name -> r
-    }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ").replace("\t", " ")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.getOrElse(-1.0) }
-      .mkString("{", ",", "}")
+    def f(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.map(ts => f(ts.min)).getOrElse("-1.0")
+    }.mkString("{", ",", "}")
+    val spread = results.collect { case (k, Right(ts)) =>
+      s"""\"$k\":{"min":${f(ts.min)},"max":${f(ts.max)},"n":${ts.size}}"""
+    }.mkString("{", ",", "}")
     val errors = results.collect { case (k, Left(e)) => s"\"${k}\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(t)) => t }.sum
+    val total = results.collect { case (_, Right(ts)) => ts.min }.sum
     val nErr = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"n_errors":$nErr,"timing":"min_of_2","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errors,"n_errors":$nErr,"timing":"min_of_$nRuns","sf":"$sfDir"}""")
     spark.stop()
   }
 }

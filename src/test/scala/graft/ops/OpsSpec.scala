@@ -210,6 +210,30 @@ class OpsSpec extends SparkSpec {
     assert(recall(4) == 1.0)
   }
 
+  test("kmeans training improves the IVF index it trains: recall@k >= untrained init") {
+    // The trainer exists to build a better coarse quantizer: at the
+    // same probe budget, ivfTopK over Lloyd-refined centroids must
+    // recall at least as much brute-force truth as over the
+    // deterministic first-k init (q_sim_ivf's oracle-replayable
+    // time-zero state). Summed over nprobe 1..2 so a single boundary
+    // flip can't mask the comparison.
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val truth = Vectors.bruteForceTopK(emb, "vec_id", "embedding", 3)
+      .filter($"vec_id" <= 50)
+      .select($"vec_id", $"nn_id").as[(Long, Long)].collect().toSet
+    def recall(cents: org.apache.spark.sql.DataFrame, nprobe: Int): Double = {
+      val got = Vectors.ivfTopK(emb, "vec_id", "embedding", cents, 3, nprobe,
+          $"vec_id" <= 50)
+        .select($"vec_id", $"nn_id").as[(Long, Long)].collect().toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val untrained = Vectors.kmeans(emb, "vec_id", "embedding", k = 4, iters = 0)
+    val trained = Vectors.kmeans(emb, "vec_id", "embedding", k = 4, iters = 3)
+    val (u, t) = (recall(untrained, 1) + recall(untrained, 2),
+                  recall(trained, 1) + recall(trained, 2))
+    assert(t >= u, s"training LOWERED summed ivf recall: $u -> $t")
+  }
+
   test("kmeans: Lloyd iterations never increase inertia; assignment is argmax") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val init = Vectors.kmeans(emb, "vec_id", "embedding", k = 4, iters = 0)

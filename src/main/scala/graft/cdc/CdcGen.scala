@@ -173,6 +173,37 @@ object CdcGen {
   def avroWriterSchemaJson(spark: SparkSession): String =
     Avro.toAvroSchema(changeLog(spark, 1).schema).toString
 
+  /** Schema-EVOLUTION fixture (S15 + U6): one topic, two live writer
+    * ids. The inserts (lsn ≤ n·10) are framed under `id1` with the
+    * original writer schema; the updates and deletes that follow are
+    * framed under `id2` with a drifted writer schema whose row structs
+    * gained a nullable int `bonus` column (salary/10) — the
+    * add-a-column migration a live Debezium topic actually sees.
+    * Returns the id→writer-schema registry the decode side needs;
+    * each entry is exactly the schema [[toKafkaAvroLines]] encoded
+    * that half with. */
+  def writeTopicAvroEvolvedFiles(spark: SparkSession, n: Long, dir: String,
+                                 id1: Int, id2: Int, seed: Long = 42L): Map[Int, String] = {
+    val log = changeLog(spark, n, seed)
+    val cut = n * 10 // changeLog lsn layout: inserts ≤ n·10 < updates < deletes
+    val oldHalf = log.filter(col("payload.source.lsn") <= cut)
+    def withBonus(img: Column): Column = {
+      val fields = Envelope.employees.fields.toSeq.map(f => img.getField(f.name).as(f.name))
+      when(img.isNotNull,
+        struct(fields :+ (img.getField("salary") / 10).cast("int").as("bonus"): _*))
+    }
+    val newHalf = log.filter(col("payload.source.lsn") > cut).select(struct(
+      withBonus(col("payload.before")).as("before"),
+      withBonus(col("payload.after")).as("after"),
+      col("payload.source").as("source"),
+      col("payload.op").as("op"),
+      col("payload.ts_ms").as("ts_ms")).as("payload"))
+    writeLines(toKafkaAvroLines(oldHalf, Some(id1)), dir, 1)
+    writeLines(toKafkaAvroLines(newHalf, Some(id2)), dir, 1)
+    Map(id1 -> Avro.toAvroSchema(oldHalf.schema).toString,
+        id2 -> Avro.toAvroSchema(newHalf.schema).toString)
+  }
+
   private def writeLines(linesDf: DataFrame, dir: String, nBatches: Int): Unit = {
     val lines = linesDf.cache()
     try {

@@ -204,6 +204,43 @@ class IngestStreamSpec extends SparkSpec {
       Option(unknownId.getCause).exists(_.getMessage.contains("not in registry")))
   }
 
+  test("S15+U6 schema evolution: two live writer ids on one topic decode to a reconciled view") {
+    // The evolution case the per-id reader cache exists for: inserts
+    // framed under writer id 1, updates/deletes under id 2 whose schema
+    // gained a nullable int `bonus`. Decoding against the reconciled
+    // (drifted) declared envelope must (a) agree with the plain-JSON
+    // wire path on every common column and (b) carry `bonus` exactly
+    // where the surviving row was written by the NEW writer — U6's
+    // missing-column-is-null rule through from_json.
+    val root = tmpDir("graft_evolve")
+    val registry = CdcGen.writeTopicAvroEvolvedFiles(spark, n = 60, s"$root/topic", id1 = 1, id2 = 2)
+    assert(registry(1) != registry(2), "drifted writer schema must differ")
+    val driftedRow = org.apache.spark.sql.types.StructType(
+      Envelope.employees.fields :+
+        org.apache.spark.sql.types.StructField("bonus", org.apache.spark.sql.types.IntegerType))
+    val snap = Ingest.snapshotFromConfluentTopic(spark, s"$root/topic", registry,
+      Envelope.envelope(driftedRow))
+
+    CdcGen.writeTopicFiles(spark, n = 60, s"$root/json", nBatches = 2)
+    val jsonSnap = Ingest.snapshotFromTopic(spark, s"$root/json")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "full_name", "email", "phone", "department", "salary", "op", "lsn")
+        .as[(Int, String, String, String, String, Int, String, Long)]
+        .collect().sortBy(_._1).toSeq
+    assert(canon(snap) == canon(jsonSnap))
+
+    // survivors: latest event for id%3==0 is an update (new writer,
+    // bonus = salary/10); everyone else still carries the id-1 insert
+    // (bonus null)
+    val bonuses = snap.select($"id", $"salary", $"bonus")
+      .as[(Int, Int, Option[Int])].collect().toSeq
+    assert(bonuses.nonEmpty)
+    bonuses.foreach { case (id, salary, bonus) =>
+      if (id % 3 == 0) assert(bonus.contains(salary / 10), s"id $id: expected bonus, got $bonus")
+      else assert(bonus.isEmpty, s"id $id: old-writer row must have null bonus, got $bonus")
+    }
+  }
+
   test("kafka-shaped source schema is byte-compatible with the connector") {
     val root = tmpDir("graft_schema")
     CdcGen.writeTopicFiles(spark, n = 10, s"$root/topic", nBatches = 1)

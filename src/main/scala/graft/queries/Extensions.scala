@@ -154,6 +154,26 @@ object Extensions {
     } + "/table"
   }
 
+  /** File-group COW fixture: the derived change log replayed in three
+    * batches through [[graft.cdc.FileGroups.commit]] — each commit
+    * rewrites only the hash buckets its batch touches; the rest carry
+    * forward by manifest reference. Built once per sf (same cache
+    * protocol and versioning rule as [[morTable]]). */
+  private def fileGroupTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val sfKey = new java.io.File(dir).getName
+    cachedFixture(s"graft_fg_cache_v1_$sfKey") { root =>
+      val log = cdcLog(s, dir)
+      val Seq(c1, c2) = {
+        val n = Tables.events(s, dir).count()
+        Seq(n * 2 / 5, n * 4 / 5)
+      }
+      val t = root + "/table"
+      graft.cdc.FileGroups.commit(s, t, log.filter(col("lsn") < c1), 0L, Seq("id"), Seq("lsn"), nBuckets = 16)
+      graft.cdc.FileGroups.commit(s, t, log.filter(col("lsn") >= c1 && col("lsn") < c2), 1L, Seq("id"), Seq("lsn"))
+      graft.cdc.FileGroups.commit(s, t, log.filter(col("lsn") >= c2), 2L, Seq("id"), Seq("lsn"))
+    } + "/table"
+  }
+
   /** The MOR snapshot read over the cached lifecycle fixture: base ⊎
     * pending logs, one window shuffle. */
   private def morRead(s: org.apache.spark.sql.SparkSession, dir: String,
@@ -249,6 +269,62 @@ object Extensions {
     GQuery(
       "q_cdc_clustered_read",
       (s, dir) => morRead(s, dir, cluster = true),
+      Some(latestWinsSql)),
+
+    // Incremental change feed (the consumer side of Hudi's incremental
+    // query): key-level diff of the snapshot as of lsn<5000 against the
+    // final snapshot — inserts, updates (precombine moved), deletes,
+    // with before/after images. ONE full-outer shuffle join on the key;
+    // the DuckDB oracle replays the identical diff as window SQL + FULL
+    // OUTER JOIN. ChangeFeedSpec covers the version-dir wrapper
+    // (betweenVersions) over the retained COW versions.
+    GQuery(
+      "q_cdc_changefeed",
+      (s, dir) => {
+        val log = cdcLog(s, dir)
+        val mid = 5000 // event_ids are 0..n-1; sf0.01 has 10k events
+        val s1 = CdcMerge.snapshot(log.filter(col("lsn") < mid), Seq("id"), Seq("lsn"))
+        val s2 = CdcMerge.snapshot(log, Seq("id"), Seq("lsn"))
+        graft.cdc.ChangeFeed.diff(s1, s2, Seq("id"), "lsn", Seq("value"))
+          .select(col("id"), col("change_op"), col("before_lsn"), col("after_lsn"),
+            col("before_value"), col("after_value"))
+          .orderBy(col("id"))
+      },
+      Some(
+        """WITH log AS (
+          |  SELECT user_id AS id, event_id AS lsn,
+          |    CASE WHEN event_id % 11 = 0 THEN 'd'
+          |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+          |    value FROM events),
+          |s1 AS (SELECT id, lsn, value FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+          |  FROM log WHERE lsn < 5000) t WHERE rn = 1 AND op <> 'd'),
+          |s2 AS (SELECT id, lsn, value FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+          |  FROM log) t WHERE rn = 1 AND op <> 'd')
+          |SELECT coalesce(s2.id, s1.id) AS id,
+          |  CASE WHEN s1.lsn IS NULL THEN 'i'
+          |       WHEN s2.lsn IS NULL THEN 'd' ELSE 'u' END AS change_op,
+          |  s1.lsn AS before_lsn, s2.lsn AS after_lsn,
+          |  s1.value AS before_value, s2.value AS after_value
+          |FROM s1 FULL OUTER JOIN s2 ON s1.id = s2.id
+          |WHERE s1.lsn IS NULL OR s2.lsn IS NULL OR s1.lsn <> s2.lsn
+          |ORDER BY id""".stripMargin)),
+
+    // File-group-level COW under the same latest-wins oracle: the log
+    // replayed through hash-bucketed partial commits (only touched file
+    // groups rewrite, clean buckets carry by manifest reference — the
+    // Hudi record-key-index upsert granularity) must read back to the
+    // identical one-shot collapse. The manifest-resolved multi-path
+    // scan is the timed query; FileGroupsSpec pins the
+    // only-dirty-buckets-rewrite property itself.
+    GQuery(
+      "q_cdc_filegroup_upsert",
+      (s, dir) => {
+        graft.cdc.FileGroups.read(s, fileGroupTable(s, dir)).get
+          .select(col("id"), col("lsn"), col("op"), col("value"))
+          .orderBy(col("id"))
+      },
       Some(latestWinsSql)),
 
     // Batch replay of the emulated Kafka topic through the full ingest

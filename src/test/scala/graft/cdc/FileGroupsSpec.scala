@@ -1,0 +1,101 @@
+package graft.cdc
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** File-group COW: only touched buckets rewrite, everything else
+  * carries forward by manifest reference, and the merged view always
+  * equals the one-shot collapse. */
+class FileGroupsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def log() = Tables.events(spark, sf).select(
+    col("user_id").as("id"), col("event_id").as("lsn"),
+    when(pmod(col("event_id"), lit(11)) === 0, "d")
+      .when(pmod(col("event_id"), lit(3)) === 0, "u")
+      .otherwise("c").as("op"),
+    col("value"))
+
+  test("3-batch incremental replay equals the one-shot latest-wins collapse") {
+    val dir = tmpDir("graft_fg") + "/t"
+    val l = log()
+    FileGroups.commit(spark, dir, l.filter($"lsn" < 300), 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    FileGroups.commit(spark, dir, l.filter($"lsn" >= 300 && $"lsn" < 700), 1L, Seq("id"), Seq("lsn"))
+    FileGroups.commit(spark, dir, l.filter($"lsn" >= 700), 2L, Seq("id"), Seq("lsn"))
+    val got = FileGroups.read(spark, dir).get
+      .select($"id", $"lsn", $"op", $"value").orderBy($"id").collect().toSeq
+    val want = CdcMerge.snapshot(l, Seq("id"), Seq("lsn"))
+      .select($"id", $"lsn", $"op", $"value").orderBy($"id").collect().toSeq
+    assert(got == want)
+    // replay idempotence: re-committing an already-committed id is a no-op
+    assert(FileGroups.commit(spark, dir, l.limit(5), 2L, Seq("id"), Seq("lsn")).isEmpty)
+  }
+
+  test("a small batch rewrites ONLY its hash buckets; clean buckets carry by reference") {
+    val dir = tmpDir("graft_fg2") + "/t"
+    val l = log()
+    FileGroups.commit(spark, dir, l, 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    val before = FileGroups.read(spark, dir).get
+      .select(input_file_name().as("f"), $"id")
+    val fileOf = before.groupBy($"id").agg(first($"f").as("f"))
+      .as[(Long, String)].collect().toMap
+
+    // one-key batch: a single update for the smallest id
+    val k = fileOf.keys.min
+    val batch = Seq((k, 100000L, "u", 1.23)).toDF("id", "lsn", "op", "value")
+    val dirty = FileGroups.commit(spark, dir, batch, 1L, Seq("id"), Seq("lsn"))
+    assert(dirty.size == 1, s"one key must dirty exactly one bucket, got $dirty")
+
+    val after = FileGroups.read(spark, dir).get
+      .select(input_file_name().as("f"), $"id", $"lsn")
+    val afterFiles = after.groupBy($"id").agg(first($"f").as("f"))
+      .as[(Long, String)].collect().toMap
+    // the updated key moved to a v1 file; every key in OTHER buckets
+    // still reads from its ORIGINAL v0 file (not a rewritten copy)
+    assert(afterFiles(k).contains("/v1/"))
+    val moved = afterFiles.filter { case (_, f) => f.contains("/v1/") }.keySet
+    val untouched = fileOf.keys.toSet -- moved
+    assert(untouched.nonEmpty)
+    untouched.foreach { id => assert(afterFiles(id) == fileOf(id), s"clean bucket rewritten for id $id") }
+    // and the update itself landed
+    assert(after.filter($"id" === k).select($"lsn").as[Long].head() == 100000L)
+  }
+
+  test("point lookup scans one file group, not the table; stats can empty the scan") {
+    val dir = tmpDir("graft_fg3") + "/t"
+    val l = log()
+    FileGroups.commit(spark, dir, l, 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    val full = FileGroups.read(spark, dir).get
+    val nFilesTotal = full.select(input_file_name()).distinct().count()
+    val k = full.select(min($"id")).as[Long].head()
+
+    val hit = FileGroups.pointLookup(spark, dir, Seq("id"), Seq(k)).get
+    val want = full.filter($"id" === k).select($"id", $"lsn", $"op", $"value")
+      .collect().toSeq
+    assert(hit.select($"id", $"lsn", $"op", $"value").collect().toSeq == want)
+    val nFilesHit = hit.select(input_file_name()).distinct().count()
+    assert(nFilesHit < nFilesTotal,
+      s"point lookup scanned $nFilesHit of $nFilesTotal files - no pruning")
+
+    // a probe outside every bucket's [min,max] returns empty without
+    // matching any file group's stats
+    val ghost = FileGroups.pointLookup(spark, dir, Seq("id"), Seq(99999999L)).get
+    assert(ghost.count() == 0)
+  }
+
+  test("deletes can empty a bucket; it leaves the manifest and the view") {
+    val dir = tmpDir("graft_fg4") + "/t"
+    // 2 keys, 2 buckets-ish: insert both, then delete one entirely
+    val ins = Seq((1L, 10L, "c", 1.0), (2L, 20L, "c", 2.0)).toDF("id", "lsn", "op", "value")
+    FileGroups.commit(spark, dir, ins, 0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    val del = Seq((2L, 30L, "d", 0.0)).toDF("id", "lsn", "op", "value")
+    FileGroups.commit(spark, dir, del, 1L, Seq("id"), Seq("lsn"))
+    val got = FileGroups.read(spark, dir).get.select($"id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+    assert(FileGroups.pointLookup(spark, dir, Seq("id"), Seq(2L)).get.count() == 0)
+  }
+}

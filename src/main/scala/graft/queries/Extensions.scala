@@ -771,6 +771,115 @@ object Extensions {
              |  FROM documents) t
              |WHERE bucket < 20 ORDER BY doc_id""".stripMargin)),
 
+    // Stratified quota sampling: keep at most `cap` docs per
+    // (lang, source) stratum, chosen by content-hash rank — the
+    // domain/language rebalancing pass every training-data mix runs
+    // (oversampled strata get capped, rare strata survive whole).
+    // Deterministic: the hash rank is a pure function of the text, so
+    // any engine reproduces the same subset. ONE shuffle on the
+    // stratum key; per-stratum windows never see more than a stratum.
+    GQuery(
+      "q_sample_stratified",
+      (s, dir) => {
+        val cap = 40
+        val w = Window.partitionBy(col("lang"), col("source"))
+          .orderBy(col("h"), col("doc_id"))
+        Tables.documents(s, dir)
+          .withColumn("h", Text.hash48(col("text")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= cap)
+          .select(col("doc_id"), col("lang"), col("source"), col("rn"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, source, rn::INT AS rn FROM (
+             |  SELECT doc_id, lang, source,
+             |    row_number() OVER (PARTITION BY lang, source
+             |      ORDER BY ('0x' || substr(md5(text), 1, 12))::BIGINT, doc_id) AS rn
+             |  FROM documents) t
+             |WHERE rn <= 40 ORDER BY doc_id""".stripMargin)),
+
+    // TF-IDF top terms per document over the corpus inverted index.
+    // The idf core is the pure-rational BM25 form
+    // (N - df + 0.5)/(df + 0.5) — rank-equivalent to the log variant
+    // per term and exactly reproducible cross-engine (log() is libm-
+    // dependent at the last ulp; a hash-compared oracle can't ride it).
+    // Three shuffles: (doc,term) tf agg, term df agg + key join back,
+    // per-doc top-3 window. df rides the term key — no broadcast of a
+    // vocabulary-sized side at scale.
+    GQuery(
+      "q_tfidf",
+      (s, dir) => {
+        val docs = fanout(Tables.documents(s, dir))
+        val terms = docs
+          .select(col("doc_id"), explode_outer(Text.tokens(col("text"))).as("term"))
+          .filter(col("term").isNotNull && col("term") =!= "")
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfs = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+        terms.join(dfs, "term")
+          .crossJoin(broadcast(nDocs)) // 1-row scalar
+          .withColumn("score",
+            floor(col("tf") * (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) * 10000 + 0.5) / 10000)
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"), col("score"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) z
+             |  WHERE term <> '' GROUP BY 1, 2),
+             |dfs AS (SELECT term, count(*)::BIGINT AS df FROM terms GROUP BY 1),
+             |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT t.doc_id, t.term,
+             |    floor(t.tf * (n.n_docs - d.df + 0.5) / (d.df + 0.5) * 10000 + 0.5) / 10000 AS score
+             |  FROM terms t JOIN dfs d USING (term) CROSS JOIN n)
+             |SELECT doc_id, rk::INT AS rk, term, score FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+             |  FROM scored) z
+             |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
+    // Token-budget shard packing: assign docs (in doc_id order) to
+    // contiguous training shards of ~4000 tokens by cumulative offset —
+    // the sharding pass that turns a curated corpus into fixed-budget
+    // training files. The global running sum is the scale trap: a naive
+    // ORDER BY window is one partition holding the corpus. Two-level
+    // plan instead (same shape as q_win_percentile's bucketed rank):
+    // per-bucket partial sums → ≤nb-row offset table cumulated and
+    // broadcast back → per-bucket windows add their offset. No
+    // partition ever sees more than corpus/nb rows.
+    GQuery(
+      "q_pack_shards",
+      (s, dir) => {
+        val budget = 4000L
+        val nb = 32
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+        // bucket = floor(doc_id / k): monotone in doc_id, k sized off a
+        // 1-row max scalar so the bucket count stays nb at any sf
+        val k = docs.agg((floor(max(col("doc_id")) / nb) + 1).cast("long").as("k"))
+        val withB = docs.crossJoin(broadcast(k))
+          .withColumn("b", floor(col("doc_id") / col("k")).cast("long"))
+        val wOff = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+        val offs = withB.groupBy(col("b")).agg(sum(col("n_tok")).as("bsum"))
+          .withColumn("off", coalesce(sum(col("bsum")).over(wOff), lit(0L)))
+          .select(col("b"), col("off")) // ≤ nb rows: the only global window
+        val wIn = Window.partitionBy(col("b")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        withB.join(broadcast(offs), "b")
+          .withColumn("shard",
+            floor((coalesce(sum(col("n_tok")).over(wIn), lit(0L)) + col("off")) / budget).cast("long"))
+          .select(col("doc_id"), col("n_tok"), col("shard"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok FROM documents)
+             |SELECT doc_id, n_tok,
+             |  floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4000)::BIGINT AS shard
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
     // Train/test decontamination: flag held-out docs sharing any 5-gram
     // with the training split — the standard n-gram-overlap contamination
     // check. Inverted-index semi-join: one shuffle on the shingle key,

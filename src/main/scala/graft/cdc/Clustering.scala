@@ -80,6 +80,9 @@ object Clustering {
     require(sortCols.nonEmpty, "clustering needs at least one sort column")
     val fs = fsOf(sess)
     // GC clustered copies whose base version itself has been GC'd
+    // (savepointed bases count as retained — snapshotVersions lists
+    // every version whose _COMMIT_ marker survives, which GC skips for
+    // savepoints)
     val retained = Ingest.snapshotVersions(sess, dir).toSet
     if (fs.exists(path(dir))) fs.listStatus(path(dir)).map(_.getPath).foreach { p =>
       val n = p.getName

@@ -143,11 +143,14 @@ object FileGroups {
   }
 
   /** Drop data version-dirs and manifests referenced by neither the
-    * current nor the prior manifest (two-version retention, as COW). */
+    * current nor the prior manifest (two-version retention, as COW).
+    * Savepointed manifests stay, and keep every data dir they
+    * reference alive. */
   private def gc(sess: SparkSession, dir: String): Unit = {
     val fs = fsOf(sess)
     val ids = Ingest.snapshotVersions(sess, dir) // sorted committed ids
-    val keep = ids.takeRight(2)
+    val saved = Savepoints.savepoints(sess, dir)
+    val keep = (ids.takeRight(2) ++ ids.filter(saved.contains)).distinct
     val referenced: Set[String] = keep.flatMap { id =>
       readManifest(sess, dir, id)._2.map(e => e.relPath.split("/").take(2).mkString("/"))
     }.toSet // files/v<id> dirs still referenced
@@ -155,7 +158,7 @@ object FileGroups {
       fs.listStatus(path(s"$dir/files")).map(_.getPath).foreach { p =>
         if (!referenced.contains(s"files/${p.getName}")) fs.delete(p, true)
       }
-    ids.dropRight(2).foreach { id =>
+    ids.dropRight(2).filterNot(saved.contains).foreach { id =>
       fs.delete(path(manifestPath(dir, id)), false)
       fs.delete(path(s"$dir/_COMMIT_$id"), false)
     }
@@ -165,7 +168,15 @@ object FileGroups {
     * one multi-path scan (mergeSchema reconciles buckets written under
     * drifted schemas). None before the first commit. */
   def read(sess: SparkSession, dir: String): Option[DataFrame] =
-    committedId(sess, dir).map { id =>
+    committedId(sess, dir).flatMap(readAt(sess, dir, _))
+
+  /** Time travel: the snapshot as of still-retained committed version
+    * `id` (current, prior, or savepointed). The manifest makes this
+    * exact — it lists the very files version `id` saw, including clean
+    * buckets carried from older commits. */
+  def readAt(sess: SparkSession, dir: String, id: Long): Option[DataFrame] =
+    if (!Ingest.snapshotVersions(sess, dir).contains(id)) None
+    else Some {
       val (_, entries) = readManifest(sess, dir, id)
       if (entries.isEmpty) sess.emptyDataFrame
       else sess.read.option("mergeSchema", "true")

@@ -261,15 +261,17 @@ object Ingest {
        else writer).parquet(s"$dir/v$batchId")
       fs.createNewFile(new org.apache.hadoop.fs.Path(s"$dir/_COMMIT_$batchId"))
       // GC: drop everything older than the previous version (kept for
-      // readers that resolved the pointer just before commit).
+      // readers that resolved the pointer just before commit), except
+      // savepointed versions (Savepoints pins them for restore).
       committedBatch(sess, dir).foreach { cur =>
+        val saved = Savepoints.savepoints(sess, dir)
         fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath)
           .foreach { p =>
             val n = p.getName
             val id = if (n.startsWith("_COMMIT_")) Some(n.stripPrefix("_COMMIT_").toLong)
                      else if (n.startsWith("v")) n.stripPrefix("v").toLongOption
                      else None
-            if (id.exists(i => i < cur && i != committed.getOrElse(-1L)))
+            if (id.exists(i => i < cur && i != committed.getOrElse(-1L) && !saved.contains(i)))
               fs.delete(p, true)
           }
       }

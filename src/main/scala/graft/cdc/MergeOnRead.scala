@@ -106,12 +106,13 @@ object MergeOnRead {
         fs.delete(path(s"$dir/log/d$id"), true)
         fs.delete(path(s"$dir/_DELTA_$id"), false)
       }
+      val saved = Savepoints.savepoints(sess, dir)
       fs.listStatus(path(dir)).map(_.getPath).foreach { p =>
         val n = p.getName
         val id = if (n.startsWith("_COMMIT_")) Some(n.stripPrefix("_COMMIT_").toLong)
                  else if (n.startsWith("v")) n.stripPrefix("v").toLongOption
                  else None
-        if (id.exists(i => i < prevBase)) fs.delete(p, true)
+        if (id.exists(i => i < prevBase && !saved.contains(i))) fs.delete(p, true)
       }
       Some(target)
     }

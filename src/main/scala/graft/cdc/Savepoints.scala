@@ -1,0 +1,85 @@
+package graft.cdc
+
+import org.apache.spark.sql.SparkSession
+
+/** Savepoint / restore — the last of Hudi's table-service family next
+  * to compaction ([[MergeOnRead]]), clustering ([[Clustering]]) and
+  * cleaning (the GC inside each commit path). The reference's
+  * DeltaStreamer tables get these operations from the Hudi CLI
+  * (savepoint create / savepoint rollback); here they ride the shared
+  * versioned-commit layout every service already writes
+  * (`v<id>` + `_COMMIT_<id>`, [[Ingest]]).
+  *
+  * A savepoint is an atomic `_SAVEPOINT_<id>` marker that pins version
+  * `<id>` against every GC site (COW commit, MOR compaction, clustering
+  * REPLACE, file-group commit) — the "keep this Tuesday's state
+  * restorable" operation. Rollback deletes every commit ABOVE a target
+  * version, markers first: a reader can never resolve a version whose
+  * data is mid-delete, because the `_COMMIT_` marker is gone before its
+  * data dir is touched (the write protocol's crash-safety argument run
+  * in reverse).
+  *
+  * Driver-side metadata only — markers and listings, no data movement;
+  * rollback deletes whole version dirs. Nothing here scales with table
+  * size.
+  */
+object Savepoints {
+
+  private def fsOf(spark: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def path(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  /** Ids currently pinned by a savepoint marker. */
+  def savepoints(spark: SparkSession, dir: String): Set[Long] = {
+    val fs = fsOf(spark)
+    if (!fs.exists(path(dir))) Set.empty
+    else fs.listStatus(path(dir)).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_SAVEPOINT_") => n.stripPrefix("_SAVEPOINT_").toLong }
+      .toSet
+  }
+
+  /** Pin committed version `id` against GC. False if `id` was never
+    * committed or is already gone — a savepoint of nothing pins
+    * nothing. */
+  def savepoint(spark: SparkSession, dir: String, id: Long): Boolean =
+    Ingest.snapshotVersions(spark, dir).contains(id) &&
+      fsOf(spark).createNewFile(path(s"$dir/_SAVEPOINT_$id"))
+
+  /** Release a savepoint; the version becomes ordinary GC fodder. */
+  def release(spark: SparkSession, dir: String, id: Long): Unit =
+    fsOf(spark).delete(path(s"$dir/_SAVEPOINT_$id"), false)
+
+  /** Roll the table back to committed version `toId`: every commit
+    * above it — base versions, clustered copies, file-group manifests
+    * and their data dirs, pending MOR log deltas — is removed, markers
+    * first. Returns the removed commit ids (empty when `toId` is
+    * already the head or was never committed). */
+  def rollback(spark: SparkSession, dir: String, toId: Long): Seq[Long] = {
+    val fs = fsOf(spark)
+    val ids = Ingest.snapshotVersions(spark, dir)
+    if (!ids.contains(toId)) Seq.empty
+    else {
+      val doomed = ids.filter(_ > toId)
+      doomed.foreach { id =>
+        // markers first: once _COMMIT_ is gone no reader resolves the
+        // version, and the data dirs become invisible garbage
+        fs.delete(path(s"$dir/_COMMIT_$id"), false)
+        fs.delete(path(s"$dir/_SAVEPOINT_$id"), false)
+        fs.delete(path(s"$dir/_CLUSTER_$id"), false)
+        fs.delete(path(s"$dir/manifest_v$id.tsv"), false)
+        fs.delete(path(s"$dir/v$id"), true)
+        fs.delete(path(s"$dir/c$id"), true)
+        fs.delete(path(s"$dir/files/v$id"), true)
+      }
+      // MOR deltas above the restored base replay from the stream; a
+      // rollback that keeps them would immediately re-apply the rolled-
+      // back changes on the next read
+      MergeOnRead.deltaIds(spark, dir).filter(_ > toId).foreach { id =>
+        fs.delete(path(s"$dir/_DELTA_$id"), false)
+        fs.delete(path(s"$dir/log/d$id"), true)
+      }
+      doomed
+    }
+  }
+}

@@ -810,10 +810,14 @@ object Extensions {
       "q_tfidf",
       (s, dir) => {
         val docs = fanout(Tables.documents(s, dir))
+        // the inverted index is materialized ONCE (localCheckpoint) —
+        // without it the whole tokenize+agg subtree runs twice, feeding
+        // the df aggregate and the join separately (two corpus scans)
         val terms = docs
           .select(col("doc_id"), explode_outer(Text.tokens(col("text"))).as("term"))
           .filter(col("term").isNotNull && col("term") =!= "")
           .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
         val dfs = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val nDocs = docs.agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
@@ -854,8 +858,12 @@ object Extensions {
       (s, dir) => {
         val budget = 4000L
         val nb = 32
+        // (doc_id, n_tok) materialized once — 16 bytes/doc — so the
+        // scalar max, the offset pass and the main pass share ONE
+        // corpus scan+tokenize instead of three
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .localCheckpoint()
         // bucket = floor(doc_id / k): monotone in doc_id, k sized off a
         // 1-row max scalar so the bucket count stays nb at any sf
         val k = docs.agg((floor(max(col("doc_id")) / nb) + 1).cast("long").as("k"))

@@ -184,6 +184,25 @@ object FileGroups {
         .drop("_bucket")
     }
 
+  /** Checkpointed streaming ingest at file-group granularity — the
+    * third member of the service triad next to [[Ingest.run]] (table-
+    * rewrite COW) and [[MergeOnRead.run]] (log-append MOR): per
+    * micro-batch, parse and [[commit]] — each trigger rewrites only the
+    * file groups its batch touches. Replay safety is commit()'s batch-id
+    * guard; the checkpoint only avoids re-reading acked files. */
+  def run(spark: SparkSession, inputDir: String, tableDir: String, checkpointDir: String,
+          schema: org.apache.spark.sql.types.StructType = Envelope.employeesEnvelope,
+          keys: Seq[String] = Seq("id"), ord: Seq[String] = Seq("lsn"),
+          nBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    Ingest.readTopicStream(spark, inputDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val parsed = Ingest.extractPostImage(batch, schema, keys)
+        commit(batch.sparkSession, tableDir, parsed, batchId, keys, ord, nBuckets)
+        ()
+      }
+      .start()
+
   /** Point lookup: resolve each probed key's hash bucket, drop buckets
     * whose [min,max] stats exclude it, and scan only what survives —
     * the metadata-table read path (1 file group per key instead of the

@@ -282,7 +282,9 @@ object Extensions {
       "q_cdc_changefeed",
       (s, dir) => {
         val log = cdcLog(s, dir)
-        val mid = 5000 // event_ids are 0..n-1; sf0.01 has 10k events
+        // half the log (1-row count scalar): scales with the table so
+        // every SF diffs a real mid-state, not an empty feed
+        val mid = Tables.events(s, dir).count() / 2
         val s1 = CdcMerge.snapshot(log.filter(col("lsn") < mid), Seq("id"), Seq("lsn"))
         val s2 = CdcMerge.snapshot(log, Seq("id"), Seq("lsn"))
         graft.cdc.ChangeFeed.diff(s1, s2, Seq("id"), "lsn", Seq("value"))
@@ -298,7 +300,8 @@ object Extensions {
           |    value FROM events),
           |s1 AS (SELECT id, lsn, value FROM (
           |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
-          |  FROM log WHERE lsn < 5000) t WHERE rn = 1 AND op <> 'd'),
+          |  FROM log WHERE lsn < (SELECT count(*) // 2 FROM events)) t
+          |  WHERE rn = 1 AND op <> 'd'),
           |s2 AS (SELECT id, lsn, value FROM (
           |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
           |  FROM log) t WHERE rn = 1 AND op <> 'd')
@@ -781,7 +784,7 @@ object Extensions {
     GQuery(
       "q_sample_stratified",
       (s, dir) => {
-        val cap = 40
+        val cap = 8
         val w = Window.partitionBy(col("lang"), col("source"))
           .orderBy(col("h"), col("doc_id"))
         Tables.documents(s, dir)
@@ -796,7 +799,7 @@ object Extensions {
              |    row_number() OVER (PARTITION BY lang, source
              |      ORDER BY ('0x' || substr(md5(text), 1, 12))::BIGINT, doc_id) AS rn
              |  FROM documents) t
-             |WHERE rn <= 40 ORDER BY doc_id""".stripMargin)),
+             |WHERE rn <= 8 ORDER BY doc_id""".stripMargin)),
 
     // TF-IDF top terms per document over the corpus inverted index.
     // The idf core is the pure-rational BM25 form

@@ -87,6 +87,29 @@ class FileGroupsSpec extends SparkSpec {
     assert(ghost.count() == 0)
   }
 
+  test("streaming ingest twin: golden snapshot, per-batch partial commits, replay no-op") {
+    val root = tmpDir("graft_fg_stream")
+    CdcGen.writeTopicFiles(spark, n = 80, s"$root/topic", nBatches = 3)
+
+    val q = FileGroups.run(spark, s"$root/topic", s"$root/fg", s"$root/ckpt", nBuckets = 8)
+    q.processAllAvailable(); q.stop()
+    assert(FileGroups.committedId(spark, s"$root/fg").contains(2L)) // 3 micro-batches
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "full_name", "department", "salary")
+        .as[(Int, String, String, Int)].collect().sortBy(_._1).toSeq
+    val got = FileGroups.read(spark, s"$root/fg").get
+    assert(got.count() == 80 - 11) // minus multiples of 7
+    assert(canon(got) == canon(CdcGen.expectedSnapshot(spark, 80)))
+
+    // replay over the SAME checkpoint: exactly-once, state unchanged
+    val q2 = FileGroups.run(spark, s"$root/topic", s"$root/fg", s"$root/ckpt", nBuckets = 8)
+    q2.processAllAvailable(); q2.stop()
+    assert(FileGroups.committedId(spark, s"$root/fg").contains(2L))
+    assert(canon(FileGroups.read(spark, s"$root/fg").get) ==
+      canon(CdcGen.expectedSnapshot(spark, 80)))
+  }
+
   test("deletes can empty a bucket; it leaves the manifest and the view") {
     val dir = tmpDir("graft_fg4") + "/t"
     // 2 keys, 2 buckets-ish: insert both, then delete one entirely

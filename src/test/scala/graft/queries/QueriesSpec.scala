@@ -40,7 +40,9 @@ class QueriesSpec extends SparkSpec {
     "q_unpivot" -> 1071, "q_win_ntile" -> 124,
     "q_win_analytic" -> 1500, "q_win_percentile" -> 17,
     "q_win_range_frame" -> 1000, "q_win_rank" -> 100, "q_win_tumbling" -> 868,
-    "stream_ingest_e2e" -> 172)
+    "stream_ingest_e2e" -> 172,
+    "q_cdc_filegroup_upsert" -> 14, "q_cdc_changefeed" -> 15,
+    "q_sample_stratified" -> 459, "q_tfidf" -> 1500, "q_pack_shards" -> 500)
 
   test("every GQuery is declared in the golden map and vice versa") {
     assert(GQuery.all.map(_.name).toSet == golden.keySet)

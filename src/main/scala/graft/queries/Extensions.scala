@@ -48,7 +48,7 @@ object Extensions {
     * re-inlines the whole shingle expression into the scan filter —
     * recomputing it per row. Outer explode infers nothing; the null-row
     * filter on the generated attribute is free. */
-  private def ngramPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  private def ngramPairCounts(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val posts = fanout(Tables.documents(s, dir))
       .withColumn("toks", Text.tokens(col("text")))
       .withColumn("sh", array_distinct(Text.shingles(col("toks"), 5)))
@@ -65,12 +65,15 @@ object Extensions {
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.na").as("na"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("inter"))
+  }
+
+  private def ngramPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    ngramPairCounts(s, dir)
       // floor-half-up: see Text.jaccard — power-of-two unions tie at
       // the 4th decimal where engine round() rules diverge
       .withColumn("jac", floor(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) * 10000 + 0.5) / 10000)
       .filter(col("jac") >= 0.5)
       .select(col("id_a"), col("id_b"), col("jac"))
-  }
 
   /** DuckDB twin of [[ngramPairs]] as a CTE chain ending in `pairs`
     * (id_a, id_b, jac) — spliced into both dedup oracles so the pair
@@ -85,10 +88,12 @@ object Extensions {
       |          FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2),
       |sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+      |paircounts AS (SELECT id_a, id_b, x.n AS na, y.n AS nb, inter
+      |  FROM inter JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b),
       |pairs AS (SELECT id_a, id_b, jac FROM (
       |  SELECT id_a, id_b,
-      |    floor(inter::DOUBLE / (x.n + y.n - inter) * 10000 + 0.5) / 10000 AS jac
-      |  FROM inter JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b) z
+      |    floor(inter::DOUBLE / (na + nb - inter) * 10000 + 0.5) / 10000 AS jac
+      |  FROM paircounts) z
       |  WHERE jac >= 0.5)""".stripMargin
 
   /** The deterministic CDC change log every CDC-merge query derives
@@ -480,6 +485,26 @@ object Extensions {
       Some(s"""WITH $ngramPairSql
              |SELECT id_a, id_b, jac FROM pairs ORDER BY id_a, id_b""".stripMargin)),
 
+    // CONTAINMENT near-dup pairs off the same inverted-index counts:
+    // inter / min(|A|, |B|) — the asymmetric measure that catches a
+    // short doc embedded inside a long one, which Jaccard structurally
+    // misses (inter/union shrinks as the long side grows; containment
+    // doesn't). Same two shuffles as q_dedup_ngram, threshold 0.8.
+    GQuery(
+      "q_dedup_containment",
+      (s, dir) => ngramPairCounts(s, dir)
+        .withColumn("cont",
+          floor(col("inter").cast("double") / least(col("na"), col("nb")) * 10000 + 0.5) / 10000)
+        .filter(col("cont") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("cont"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $ngramPairSql
+             |SELECT id_a, id_b, cont FROM (
+             |  SELECT id_a, id_b,
+             |    floor(inter::DOUBLE / least(na, nb) * 10000 + 0.5) / 10000 AS cont
+             |  FROM paircounts) z
+             |WHERE cont >= 0.8 ORDER BY id_a, id_b""".stripMargin)),
+
     // Duplicate CLUSTERING: the stage a real dedup pipeline runs after
     // pair generation — connected components over the near-dup pair
     // graph, cluster id = min doc_id in the component (the canonical
@@ -773,6 +798,34 @@ object Extensions {
              |    ('0x' || substr(md5(text), 1, 12))::BIGINT % 100 AS bucket
              |  FROM documents) t
              |WHERE bucket < 20 ORDER BY doc_id""".stripMargin)),
+
+    // Exact heavy hitters: top-10 terms per language — the vocabulary
+    // profile pass (stopword discovery, boilerplate detection) every
+    // corpus audit runs. Two-level shape: the (lang, term) hash agg
+    // does map-side partial counting so the shuffle carries vocabulary
+    // rows, not corpus tokens; the per-lang top-k window then sees only
+    // each language's vocabulary. No sketch needed — exactness costs
+    // one agg.
+    GQuery(
+      "q_heavy_hitters",
+      (s, dir) => {
+        val counts = fanout(Tables.documents(s, dir))
+          .select(col("lang"), explode_outer(Text.tokens(col("text"))).as("term"))
+          .filter(col("term").isNotNull && col("term") =!= "")
+          .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("term"))
+        counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+          .select(col("lang"), col("rk"), col("term"), col("n"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""SELECT lang, rk::INT AS rk, term, n FROM (
+             |  SELECT lang, term, n,
+             |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rk
+             |  FROM (
+             |    SELECT lang, term, count(*)::BIGINT AS n FROM (
+             |      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents) z
+             |    WHERE term <> '' GROUP BY 1, 2) c) r
+             |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin)),
 
     // Stratified quota sampling: keep at most `cap` docs per
     // (lang, source) stratum, chosen by content-hash rank — the

@@ -48,7 +48,11 @@ object FileGroups {
 
   /** bucket of a key tuple: non-negative hash mod nBuckets. xxhash64 is
     * Spark-codegen'd and stable across sessions — the index must hash
-    * identically forever or every historical bucket assignment breaks. */
+    * identically forever or every historical bucket assignment breaks.
+    * That stability is also TYPE-sensitive (xxhash64 of int 5 ≠ long
+    * 5): batches must present key columns at the table's declared types,
+    * which the ingest path guarantees by parsing against the declared
+    * envelope schema (schema drift reconciles non-key columns only). */
   private def bucketCol(keys: Seq[String], nBuckets: Int) =
     pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
 

@@ -87,6 +87,42 @@ class FileGroupsSpec extends SparkSpec {
     assert(ghost.count() == 0)
   }
 
+  test("property: random batch splits and bucket counts all replay to the one-shot collapse") {
+    // the file-group invariant (partial commits == full recompute) must
+    // hold regardless of where the log is cut or how many buckets the
+    // table hashes into
+    val l = log().localCheckpoint()
+    val want = CdcMerge.snapshot(l, Seq("id"), Seq("lsn"))
+      .select($"id", $"lsn", $"op", $"value").orderBy($"id").collect().toSeq
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val cuts = Seq.fill(2)(rnd.nextInt(1000)).sorted
+      val nb = 1 + rnd.nextInt(15)
+      val dir = tmpDir(s"graft_fg_prop$seed") + "/t"
+      FileGroups.commit(spark, dir, l.filter($"lsn" < cuts(0)), 0L, Seq("id"), Seq("lsn"), nb)
+      FileGroups.commit(spark, dir, l.filter($"lsn" >= cuts(0) && $"lsn" < cuts(1)), 1L, Seq("id"), Seq("lsn"))
+      FileGroups.commit(spark, dir, l.filter($"lsn" >= cuts(1)), 2L, Seq("id"), Seq("lsn"))
+      val got = FileGroups.read(spark, dir).get
+        .select($"id", $"lsn", $"op", $"value").orderBy($"id").collect().toSeq
+      assert(got == want, s"seed=$seed cuts=$cuts nb=$nb")
+    }
+  }
+
+  test("schema drift: a batch with a new column reconciles across buckets (U6)") {
+    val dir = tmpDir("graft_fg_drift") + "/t"
+    val b0 = Seq((1L, 10L, "c", 1.0), (2L, 11L, "c", 2.0)).toDF("id", "lsn", "op", "value")
+    FileGroups.commit(spark, dir, b0, 0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    // the drifted batch carries an extra column; only key 1's bucket
+    // rewrites, so the table now mixes bucket files WITH and WITHOUT it
+    val b1 = Seq((1L, 20L, "u", 1.5, "eu")).toDF("id", "lsn", "op", "value", "region")
+    FileGroups.commit(spark, dir, b1, 1L, Seq("id"), Seq("lsn"))
+    val got = FileGroups.read(spark, dir).get
+      .select($"id", $"value", $"region")
+      .as[(Long, Double, Option[String])].collect().sortBy(_._1).toSeq
+    // mergeSchema surfaces the new column; old-bucket rows read null
+    assert(got == Seq((1L, 1.5, Some("eu")), (2L, 2.0, None)))
+  }
+
   test("streaming ingest twin: golden snapshot, per-batch partial commits, replay no-op") {
     val root = tmpDir("graft_fg_stream")
     CdcGen.writeTopicFiles(spark, n = 80, s"$root/topic", nBatches = 3)

@@ -99,6 +99,34 @@ class QueriesSpec extends SparkSpec {
     assert(p.split("\n").count(_.contains("BroadcastHashJoin")) == 1, p)
   }
 
+  test("q_cdc_filegroup_upsert: manifest-resolved read is scan+sort only (no shuffle merge)") {
+    // the whole point of file-group COW: merge cost was paid at commit
+    // time; the read is a multi-path scan with zero hash exchanges
+    val p = plan("q_cdc_filegroup_upsert")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.split("\n").count(_.contains("FileScan parquet")) == 1, p)
+  }
+
+  test("q_tfidf: one corpus scan (inverted index materialized, not re-derived per consumer)") {
+    val p = plan("q_tfidf")
+    // the only FileScan is the count(*) metadata scan; terms come from
+    // the checkpointed RDD
+    assert(p.split("\n").count(_.contains("FileScan parquet")) == 1, p)
+    assert(!p.contains("SortMergeJoin"), p) // df join broadcasts or hashes, never sorts the corpus
+  }
+
+  test("q_pack_shards: the corpus cumsum window is bucket-partitioned, not global") {
+    val p = plan("q_pack_shards")
+    val wins = p.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(wins.length == 2, p) // per-bucket cumsum + <=nb-row offsets
+    // the per-doc running sum partitions by the bucket THEN orders by
+    // doc_id — an unpartitioned spec here is the corpus-in-one-partition
+    // regression this pin exists to catch
+    assert(wins.exists(_.matches(""".*windowspecdefinition\(b#\d+L?, doc_id#\d+L? ASC.*""")),
+      wins.mkString("\n"))
+    assert(p.split("\n").count(_.contains("FileScan parquet")) == 0, p) // checkpointed token table
+  }
+
   // ---- sketch-accuracy gates for the two rows-only aggregates: the
   // sketches must land within their DECLARED error of the exact twins,
   // otherwise "no oracle by design" would hide a broken value.

@@ -54,6 +54,34 @@ object ComponentsProps extends Properties("Components") {
       got == unionFind(n, edges)
   }
 
+  property("star variant labels equal union-find component minima") = forAll(genGraph) {
+    case (n, edges) =>
+      import spark.implicits._
+      val nodes = (0L until n.toLong).toDF("id")
+      val pairs = edges match {
+        case Nil => Seq.empty[(Long, Long)].toDF("a", "b")
+        case es  => es.toDF("a", "b")
+      }
+      val got = Components.connectedComponentsStar(nodes, pairs)
+        .as[(Long, Long)].collect().toMap
+      got == unionFind(n, edges)
+  }
+
+  property("round-halving: a 200-hop chain converges where one-hop propagation cannot") =
+    org.scalacheck.Prop {
+      import spark.implicits._
+      val nodes = (0L until 200L).toDF("id")
+      val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+      // one-hop min propagation needs diameter (199) rounds — 12 must throw
+      val threw = try {
+        Components.connectedComponents(nodes, chain, maxRounds = 12); false
+      } catch { case _: IllegalStateException => true }
+      // the star alternation halves depth per round — 12 suffice
+      val star = Components.connectedComponentsStar(nodes, chain, maxRounds = 12)
+        .as[(Long, Long)].collect()
+      threw && star.forall(_._2 == 0L)
+    }
+
   property("non-convergence within maxRounds fails loudly, never silently wrong") =
     org.scalacheck.Prop {
       import spark.implicits._

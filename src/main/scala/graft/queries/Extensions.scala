@@ -530,6 +530,30 @@ object Extensions {
              |SELECT id AS doc_id, min(lab) AS cluster_id
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    // The SAME clustering through the round-halving algorithm
+    // (large-star/small-star, Kiveris et al. 2014) under the SAME
+    // recursive-CTE oracle: rounds ∝ log(diameter) instead of diameter
+    // — the path a deep-component graph (long chains of pairwise-similar
+    // revisions) needs at 100 TB. Algorithm + separation proof in
+    // ops/Components + ComponentsProps.
+    GQuery(
+      "q_dedup_cluster_star",
+      (s, dir) => {
+        graft.ops.Components.connectedComponentsStar(
+            Tables.documents(s, dir).select(col("doc_id")),
+            ngramPairs(s, dir).select(col("id_a"), col("id_b")))
+          .select(col("id").as("doc_id"), col("lab").as("cluster_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $ngramPairSql,
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+             |reach AS (SELECT doc_id AS id, doc_id AS lab FROM documents
+             |          UNION
+             |          SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+             |SELECT id AS doc_id, min(lab) AS cluster_id
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     // Embedding-cosine near-dup pairs, candidate-limited to
     // random-hyperplane sign-LSH buckets (Charikar SimHash — bit i =
     // sign(v·h_i)): ONE shuffle on the bucket key, pairwise cosine only

@@ -43,7 +43,8 @@ class QueriesSpec extends SparkSpec {
     "stream_ingest_e2e" -> 172,
     "q_cdc_filegroup_upsert" -> 14, "q_cdc_changefeed" -> 15,
     "q_sample_stratified" -> 459, "q_tfidf" -> 1500, "q_pack_shards" -> 500,
-    "q_dedup_containment" -> 28, "q_heavy_hitters" -> 50)
+    "q_dedup_containment" -> 28, "q_heavy_hitters" -> 50,
+    "q_dedup_cluster_star" -> 500)
 
   test("every GQuery is declared in the golden map and vice versa") {
     assert(GQuery.all.map(_.name).toSet == golden.keySet)

@@ -37,6 +37,34 @@ class ChangeFeedSpec extends SparkSpec {
       Seq("id"), "lsn", Seq("value")).isEmpty)
   }
 
+  test("incremental consumer: a downstream aggregate maintained from deltas equals recompute") {
+    // the reason the feed exists: a downstream job holds sum(value) and
+    // applies after - before per changed key instead of re-reading the
+    // table. Replayed over two commits, the maintained total must equal
+    // the recomputed one exactly.
+    val dir = tmpDir("graft_feed2") + "/t"
+    val b0 = Seq((1L, 10L, "c", 1.0), (2L, 20L, "c", 2.0), (3L, 30L, "c", 3.0))
+      .toDF("id", "lsn", "op", "value")
+    MergeOnRead.logAppend(spark, dir, b0, 0L)
+    MergeOnRead.compact(spark, dir, Seq("id"), Seq("lsn"))
+    var downstream = Ingest.readSnapshotAt(spark, dir, 0L).get
+      .agg(sum($"value")).as[Double].head()
+
+    val b1 = Seq((2L, 40L, "u", 2.5), (3L, 50L, "d", 0.0), (4L, 60L, "c", 4.0))
+      .toDF("id", "lsn", "op", "value")
+    MergeOnRead.logAppend(spark, dir, b1, 1L)
+    MergeOnRead.compact(spark, dir, Seq("id"), Seq("lsn"))
+
+    val delta = ChangeFeed.betweenVersions(spark, dir, 0L, 1L, Seq("id"), "lsn", Seq("value")).get
+      .agg(sum(coalesce($"after_value", lit(0.0)) - coalesce($"before_value", lit(0.0))))
+      .as[Double].head()
+    downstream += delta
+
+    val recomputed = Ingest.readSnapshotAt(spark, dir, 1L).get
+      .agg(sum($"value")).as[Double].head()
+    assert(downstream == recomputed, s"maintained $downstream vs recomputed $recomputed")
+  }
+
   test("diff of identical snapshots is empty; ord moves alone mark updates") {
     val s0 = Seq((1L, 10L, 1.0), (2L, 20L, 2.0)).toDF("id", "lsn", "value")
     assert(ChangeFeed.diff(s0, s0, Seq("id"), "lsn", Seq("value")).count() == 0)

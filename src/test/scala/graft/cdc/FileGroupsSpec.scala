@@ -146,6 +146,27 @@ class FileGroupsSpec extends SparkSpec {
       canon(CdcGen.expectedSnapshot(spark, 80)))
   }
 
+  test("crash between data write and marker: dangling files are invisible; replay completes") {
+    val dir = tmpDir("graft_fg_crash") + "/t"
+    val b0 = Seq((1L, 10L, "c", 1.0), (2L, 11L, "c", 2.0)).toDF("id", "lsn", "op", "value")
+    FileGroups.commit(spark, dir, b0, 0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    // simulate a crash mid-commit-1: data + manifest written, NO marker
+    val b1 = Seq((1L, 20L, "u", 9.9)).toDF("id", "lsn", "op", "value")
+    b1.withColumn("_bucket", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64($"id"), org.apache.spark.sql.functions.lit(4L)))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(s"$dir/files/v1")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_COMMIT_1")))
+    // readers still resolve v0 — the dangling dir is invisible
+    assert(FileGroups.committedId(spark, dir).contains(0L))
+    assert(FileGroups.read(spark, dir).get.count() == 2)
+    // the replayed batch overwrites the garbage and commits
+    assert(FileGroups.commit(spark, dir, b1, 1L, Seq("id"), Seq("lsn")).nonEmpty)
+    val got = FileGroups.read(spark, dir).get
+      .select($"id", $"value").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 9.9), (2L, 2.0)))
+  }
+
   test("deletes can empty a bucket; it leaves the manifest and the view") {
     val dir = tmpDir("graft_fg4") + "/t"
     // 2 keys, 2 buckets-ish: insert both, then delete one entirely

@@ -63,6 +63,23 @@ object Demo {
 
     // 5. the custom expression through SQL (similarity surface)
     spark.sql("SELECT round(graft_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)), 1) AS dot").show()
+
+    // 6. file-group COW: the same topic replayed at file-group
+    //    granularity — each micro-batch rewrites only its hash buckets
+    val q2 = graft.cdc.FileGroups.run(spark, s"$work/topic", s"$work/fg", s"$work/ckpt_fg")
+    q2.processAllAvailable(); q2.stop()
+    val fg = graft.cdc.FileGroups.read(spark, s"$work/fg").get
+    println(s"[demo] 6. file-group table: ${fg.count()} rows across " +
+      s"${fg.select(input_file_name()).distinct().count()} bucket files " +
+      "(commits rewrote only touched buckets)")
+
+    // 7. savepoint + change feed: pin the current version, then diff it
+    //    against a later state instead of re-reading the table
+    val head = graft.cdc.Ingest.committedBatch(spark, s"$work/snapshot").get
+    graft.cdc.Savepoints.savepoint(spark, s"$work/snapshot", head)
+    println(s"[demo] 7. savepointed snapshot v$head; change feed vs itself: " +
+      graft.cdc.ChangeFeed.betweenVersions(spark, s"$work/snapshot", head, head,
+        Seq("id"), "lsn", Seq("salary")).get.count() + " changes (none, as expected)")
     spark.stop()
   }
 }

@@ -14,6 +14,24 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.warehouse.dir", "target/spark-warehouse")
     .getOrCreate()
 
-  def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    SparkSpec.cleanupAtExit(d)
+    d.toString
+  }
+}
+
+object SparkSpec {
+  // every suite temp dir is swept when the test JVM exits — without
+  // this each `sbt test` run leaks dozens of /tmp/graft_* dirs
+  private val created = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val hook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    created.forEach { f =>
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
+        x.delete(); ()
+      }
+      rm(f)
+    }))
+  private def cleanupAtExit(f: java.io.File): Unit = { hook; created.add(f); () }
 }

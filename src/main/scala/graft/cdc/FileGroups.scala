@@ -217,13 +217,18 @@ object FileGroups {
       val (nb, entries) = readManifest(sess, dir, id)
       import sess.implicits._
       // bucket of each probe via the SAME codegen'd expression as the
-      // writer (a driver-side reimplementation could drift)
-      val probeBuckets = probes.toDF(keys.head)
-        .select(bucketCol(keys, nb).as("b")).as[Long].collect().toSet
+      // writer (a driver-side reimplementation could drift). A bucket
+      // survives only if SOME probe both hashes into it and lies inside
+      // its [min,max] — the per-probe pairing matters: with probes 1 and
+      // 99, a bucket spanning [40,60] must not survive on "1 ≤ hi and
+      // 99 ≥ lo"
+      val probePairs = probes.toDF(keys.head)
+        .select(col(keys.head).cast("long").as("p"), bucketCol(keys, nb).as("b"))
+        .as[(Long, Long)].collect()
       val hit = entries.filter { e =>
-        probeBuckets.contains(e.bucket) &&
-          e.lo.forall(lo => probes.exists(_ >= lo)) &&
-          e.hi.forall(hi => probes.exists(_ <= hi))
+        probePairs.exists { case (p, b) =>
+          b == e.bucket && e.lo.forall(p >= _) && e.hi.forall(p <= _)
+        }
       }
       if (hit.isEmpty) read(sess, dir).get.limit(0)
       else sess.read.option("mergeSchema", "true")

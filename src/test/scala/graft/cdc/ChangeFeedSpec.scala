@@ -65,6 +65,20 @@ class ChangeFeedSpec extends SparkSpec {
     assert(downstream == recomputed, s"maintained $downstream vs recomputed $recomputed")
   }
 
+  test("file-group versions diff too: manifest time travel feeds the same change feed") {
+    val dir = tmpDir("graft_feed_fg") + "/t"
+    val b0 = Seq((1L, 10L, "c", 1.0), (2L, 20L, "c", 2.0)).toDF("id", "lsn", "op", "value")
+    FileGroups.commit(spark, dir, b0, 0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    val b1 = Seq((2L, 30L, "u", 2.5), (3L, 40L, "c", 3.0)).toDF("id", "lsn", "op", "value")
+    FileGroups.commit(spark, dir, b1, 1L, Seq("id"), Seq("lsn"))
+    val feed = ChangeFeed.diff(
+        FileGroups.readAt(spark, dir, 0L).get,
+        FileGroups.readAt(spark, dir, 1L).get,
+        Seq("id"), "lsn", Seq("value"))
+      .select($"id", $"change_op").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(feed == Seq((2L, "u"), (3L, "i")))
+  }
+
   test("diff of identical snapshots is empty; ord moves alone mark updates") {
     val s0 = Seq((1L, 10L, 1.0), (2L, 20L, 2.0)).toDF("id", "lsn", "value")
     assert(ChangeFeed.diff(s0, s0, Seq("id"), "lsn", Seq("value")).count() == 0)

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index — the build/serve split a real ANN deployment
+  * runs: train once, write the index as tables, answer queries from
+  * the stored layout without touching the raw corpus again.
+  *
+  * Layout under `dir`:
+  * {{{
+  *   centroids/            (c_id, cv) — k rows
+  *   corpus/cluster=<c>/   assigned vectors, partitioned by cluster
+  *   _INDEX                marker (written last)
+  * }}}
+  *
+  * The corpus is hive-partitioned BY CLUSTER, so a query's probed
+  * clusters become directory-pruned reads: serving cost is
+  * ∝ probed-partition bytes, never corpus bytes. The probed-cluster
+  * list is a ≤k-element driver collect (index metadata, bounded by the
+  * centroid count regardless of query-batch size). Same window top-k
+  * shape as [[Vectors.ivfTopK]]; recall characteristics are identical
+  * because the assignment is identical (floats round-trip parquet
+  * bit-exactly).
+  */
+object IvfIndex {
+
+  private def fsOf(spark: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, dir: String): Boolean =
+    fsOf(spark).exists(new org.apache.hadoop.fs.Path(s"$dir/_INDEX"))
+
+  /** Train (spherical k-means) and persist the index: centroids first,
+    * then the cluster-partitioned corpus assignment, marker last (the
+    * usual data-then-marker crash rule). */
+  def build(sess: SparkSession, dir: String, emb: DataFrame,
+            idCol: String, vecCol: String, k: Int, iters: Int): Unit = {
+    Vectors.kmeans(emb, idCol, vecCol, k, iters)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    val cents = sess.read.parquet(s"$dir/centroids")
+    Vectors.assignToCentroids(emb, idCol, vecCol, cents)
+      .select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/corpus")
+    fsOf(sess).createNewFile(new org.apache.hadoop.fs.Path(s"$dir/_INDEX"))
+  }
+
+  /** Exact top-k within the `nprobe` nearest clusters of each query,
+    * served from the persisted layout. Queries are any (id, vector)
+    * DataFrame — they need not come from the indexed corpus; self-hits
+    * (same id) are excluded as in [[Vectors.bruteForceTopK]]. */
+  def topK(sess: SparkSession, dir: String, queries: DataFrame,
+           idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    require(exists(sess, dir), s"no committed IVF index at $dir")
+    val cents = sess.read.parquet(s"$dir/centroids")
+    val q = Vectors.assignTopN(queries, idCol, vecCol, cents, nprobe)
+      .select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
+    // ≤ k distinct cluster ids whatever the query count — index
+    // metadata, not data
+    val probed = q.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0))
+    val corpus = sess.read.parquet(s"$dir/corpus")
+      .filter(col("cluster").isin(probed: _*)) // partition-pruned scan
+      .select(col("cluster").cast("long").as("cluster"), col("vec_id").as("nn_id"),
+        col("v").as("v2"), col("nrm").as("nrm2"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nn_id"))
+    q.join(corpus, Seq("cluster"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos", Vectors.cosine(col("v"), col("v2"), col("nrm"), col("nrm2")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("vec_id"), col("rn"), col("nn_id"), round(col("cos"), 4).as("cos"))
+  }
+}

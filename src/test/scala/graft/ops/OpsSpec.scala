@@ -210,6 +210,36 @@ class OpsSpec extends SparkSpec {
     assert(recall(4) == 1.0)
   }
 
+  test("persisted IVF index: serves the same answers as the in-memory path, partition-pruned") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = tmpDir("graft_ivfidx")
+    IvfIndex.build(spark, dir, emb, "vec_id", "embedding", k = 4, iters = 2)
+    assert(IvfIndex.exists(spark, dir))
+
+    // identical results to ivfTopK over the same (persisted) centroids —
+    // floats round-trip parquet bit-exactly, so assignment and scores agree
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val fresh = Vectors.ivfTopK(emb, "vec_id", "embedding", cents, 3, 2, $"vec_id" <= 20)
+      .select($"vec_id", $"rn", $"nn_id", $"cos").collect().toSet
+    val served = IvfIndex.topK(spark, dir, emb.filter($"vec_id" <= 20),
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      .select($"vec_id", $"rn", $"nn_id", $"cos").collect().toSet
+    assert(served == fresh)
+
+    // serving cost ∝ probed partitions: the corpus scan a single
+    // nprobe=1 query triggers (cluster partition filter) touches
+    // strictly fewer files than the whole index holds
+    val total = spark.read.parquet(s"$dir/corpus")
+      .select(input_file_name()).distinct().count()
+    val probedCluster = Vectors.assignTopN(emb.filter($"vec_id" === 5),
+        "vec_id", "embedding", cents, 1)
+      .select($"cluster").as[Long].head()
+    val one = spark.read.parquet(s"$dir/corpus")
+      .filter($"cluster" === probedCluster)
+      .select(input_file_name()).distinct().count()
+    assert(one > 0 && one < total, s"single-probe scan touched $one of $total index files")
+  }
+
   test("kmeans training improves the IVF index it trains: recall@k >= untrained init") {
     // The trainer exists to build a better coarse quantizer: at the
     // same probe budget, ivfTopK over Lloyd-refined centroids must

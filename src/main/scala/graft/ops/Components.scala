@@ -106,14 +106,25 @@ object Components {
         .distinct()
     }
 
+    // convergence: a cheap multiset fingerprint (count + component
+    // sums) screens each round in one agg; only when it stabilizes is
+    // the exact exceptAll confirmation run — a hash collision merely
+    // costs one extra confirmation, never a wrong early stop
+    def fingerprint(e: DataFrame): Seq[Long] =
+      e.agg(count(lit(1)), coalesce(sum(col("u")), lit(0L)),
+          coalesce(sum(col("v")), lit(0L)),
+          coalesce(sum(pmod(col("u") * 31 + col("v"), lit(1000000007L))), lit(0L)))
+        .head().toSeq.map(v => v.asInstanceOf[Long])
     var edges = pairs.select(col(ea).as("u"), col(eb).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
-    var converged = edges.isEmpty
+    var prevFp = fingerprint(edges)
+    var converged = prevFp.head == 0L
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      val fp = fingerprint(next)
+      converged = fp == prevFp && next.exceptAll(edges).isEmpty
+      prevFp = fp
       edges = next
       rounds += 1
     }

@@ -240,6 +240,26 @@ class OpsSpec extends SparkSpec {
     assert(one > 0 && one < total, s"single-probe scan touched $one of $total index files")
   }
 
+  test("multimodal bytes → decoded features → persisted ANN index, end to end") {
+    // the retrieval pipeline a multimodal training set runs: payloads
+    // decoded (stub, real batch shape) into feature vectors, indexed
+    // once, served partition-pruned
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
+    val feats = Multimodal.decodeFeatures(Multimodal.attach(docs))
+      .select($"doc_id".as("vec_id"), $"features".as("embedding"))
+    val dir = tmpDir("graft_mm_idx")
+    IvfIndex.build(spark, dir, feats, "vec_id", "embedding", k = 4, iters = 1)
+    val res = IvfIndex.topK(spark, dir, feats.filter($"vec_id" <= 10),
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      .select($"vec_id", $"rn", $"nn_id").as[(Long, Int, Long)].collect()
+    assert(res.nonEmpty)
+    assert(res.forall { case (q, rn, nn) => rn >= 1 && rn <= 3 && q != nn })
+    // every query got a full (or cluster-limited) neighbor list, ranked densely
+    res.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+  }
+
   test("kmeans training improves the IVF index it trains: recall@k >= untrained init") {
     // The trainer exists to build a better coarse quantizer: at the
     // same probe budget, ivfTopK over Lloyd-refined centroids must

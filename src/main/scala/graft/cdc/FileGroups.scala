@@ -112,10 +112,15 @@ object FileGroups {
       val dirty = withB.select(col("_bucket")).distinct()
         .collect().map(_.getLong(0)).toSet
       val existingDirty = current.filter(e => dirty.contains(e.bucket))
-      val existing = existingDirty.map(e => sess.read.parquet(s"$dir/${e.relPath}"))
-        .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      // ONE multi-path scan over the dirty buckets (mergeSchema
+      // reconciles drifted buckets) — a per-bucket read would launch a
+      // job per file group
+      val existing =
+        if (existingDirty.isEmpty) None
+        else Some(sess.read.option("mergeSchema", "true")
+          .parquet(existingDirty.map(e => s"$dir/${e.relPath}"): _*))
       val merged = existing match {
-        case Some(t) => CdcMerge.upsert(t.drop("_bucket"), batch, keys, ord)
+        case Some(t) => CdcMerge.upsert(t, batch, keys, ord)
         case None => CdcMerge.snapshot(batch, keys, ord)
       }
       // persisted across the write and the stats pass so the dirty

@@ -37,6 +37,9 @@ object IvfIndex {
     * usual data-then-marker crash rule). */
   def build(sess: SparkSession, dir: String, emb: DataFrame,
             idCol: String, vecCol: String, k: Int, iters: Int): Unit = {
+    // a rebuild drops the marker FIRST: a crash mid-rewrite must leave
+    // an uncommitted index, never a readable centroids/corpus mismatch
+    fsOf(sess).delete(new org.apache.hadoop.fs.Path(s"$dir/_INDEX"), false)
     Vectors.kmeans(emb, idCol, vecCol, k, iters)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     val cents = sess.read.parquet(s"$dir/centroids")

@@ -57,7 +57,7 @@ class StreamsSpec extends SparkSpec {
 
   test("CDC stream composes with watermarked dedup (at-least-once -> effectively-once)") {
     import graft.cdc.{CdcGen, Ingest}
-    val root = java.nio.file.Files.createTempDirectory("graft_cdc_dedup").toString
+    val root = tmpDir("graft_cdc_dedup")
     CdcGen.writeTopicFiles(spark, n = 30, s"$root/topic", nBatches = 2)
     // duplicate a topic file to simulate at-least-once redelivery
     val dirF = new java.io.File(s"$root/topic")

@@ -46,6 +46,18 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col(keyCol), col("n"))
 
+  /** Stream-static enrich: join the event stream against a batch
+    * dimension table — the standard CDC-enrichment shape (stream side
+    * stays streaming, static side is re-read per micro-batch, so a
+    * dimension refresh is picked up without restarting the query). The
+    * static side broadcasts when small; no watermark is needed because
+    * the static side never holds state. */
+  def enrich(events: DataFrame, dim: DataFrame, keyCol: String,
+             broadcastDim: Boolean = true): DataFrame =
+    events.join(
+      if (broadcastDim) org.apache.spark.sql.functions.broadcast(dim) else dim,
+      Seq(keyCol), "left")
+
   /** Watermarked exact dedup on key columns: emits the first arrival of
     * each key, drops re-arrivals within the watermark horizon, and
     * evicts state past it (unbounded dedup state is the classic

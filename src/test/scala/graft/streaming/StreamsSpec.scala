@@ -39,6 +39,23 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrich: broadcast dimension join, no watermark state") {
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val out = Streams.enrich(in.toDF().toDF("ts", "user_id", "value"), dim, "user_id")
+    val q = out.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(1), 1L, 2.0), (ts(2), 2L, 3.0), (ts(3), 9L, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select($"user_id", $"tier").as[(Long, Option[String])].collect().sortBy(_._1).toList
+      // left join: unknown dimension keys pass through with null tier
+      assert(rows == List((1L, Some("gold")), (2L, Some("silver")), (9L, None)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark: re-arrivals inside horizon dropped") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Double)]

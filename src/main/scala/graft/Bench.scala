@@ -51,8 +51,18 @@ object Bench {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\r", " ").replace("\t", " ")
     def f(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    // stdout values are 2-decimal and trailing-zero-trimmed: the driver keeps
+    // only the LAST 2000 CHARS of stdout and parses the JSON line out of that
+    // window, so the line must stay short enough to survive the tail cut plus
+    // sbt's trailing "[success] ..." line. Full 4-decimal timings + per-query
+    // (min,max,n) spread + errors go to bench_detail.json instead.
+    def f2(d: Double) = {
+      val s = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      if (t.isEmpty) "0" else t
+    }
     val qs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + v.map(ts => f(ts.min)).getOrElse("-1.0")
+      s"\"" + k + "\":" + v.map(ts => f2(ts.min)).getOrElse("-1")
     }.mkString("{", ",", "}")
     val spread = results.collect { case (k, Right(ts)) =>
       s"""\"$k\":{"min":${f(ts.min)},"max":${f(ts.max)},"n":${ts.size}}"""
@@ -61,7 +71,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(ts)) => ts.min }.sum
     val nErr = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spread":$spread,"errors":$errors,"n_errors":$nErr,"timing":"min_of_$nRuns","sf":"$sfDir"}""")
+    // numeric sf parsed from the dir name keeps the line short; falls back to
+    // the raw path if the suffix isn't numeric
+    val sfNum = sfDir.split("/").lastOption.map(_.stripPrefix("sf")) match {
+      case Some(s) if s.nonEmpty && s.forall(c => c.isDigit || c == '.') => s
+      case _ => "\"" + esc(sfDir) + "\""
+    }
+    val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${
+      results.map { case (k, v) => s"\"$k\":" + v.map(ts => f(ts.min)).getOrElse("-1.0") }
+        .mkString("{", ",", "}")
+    },"spread":$spread,"errors":$errors,"n_errors":$nErr,"timing":"min_of_$nRuns","sf":"$sfDir"}"""
+    val detailPath = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
+    java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
+    val errField = if (nErr == 0) "" else s""","errors":$errors"""
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$errField,"n_errors":$nErr,"sf":$sfNum}""")
     spark.stop()
   }
 }

@@ -65,24 +65,39 @@ object FileGroups {
   def committedId(spark: SparkSession, dir: String): Option[Long] =
     Ingest.committedBatch(spark, dir)
 
-  private def readManifest(spark: SparkSession, dir: String, id: Long): (Int, Seq[Entry]) = {
+  /** Manifest = `#nbuckets=` header, a `#schema=` header carrying the
+    * table schema as Spark JSON (so an all-deleted table still reads as
+    * a TYPED empty DataFrame, and [[pointLookup]] hashes probes at the
+    * committed key type), then one tab-separated line per bucket. */
+  private def readManifest(spark: SparkSession, dir: String, id: Long):
+      (Int, Option[org.apache.spark.sql.types.StructType], Seq[Entry]) = {
     val fs = fsOf(spark)
     val in = fs.open(path(manifestPath(dir, id)))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val lines = text.split("\n").filter(_.nonEmpty)
-    val nBuckets = lines.head.stripPrefix("#nbuckets=").toInt
-    val entries = lines.tail.toSeq.map { l =>
+    val headers = lines.takeWhile(_.startsWith("#"))
+    val nBuckets = headers.collectFirst {
+      case h if h.startsWith("#nbuckets=") => h.stripPrefix("#nbuckets=").toInt
+    }.get
+    val schema = headers.collectFirst {
+      case h if h.startsWith("#schema=") =>
+        org.apache.spark.sql.types.DataType.fromJson(h.stripPrefix("#schema="))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+    val entries = lines.drop(headers.length).toSeq.map { l =>
       val f = l.split("\t", -1)
       Entry(f(0).toLong, f(1), f(2).toLongOption, f(3).toLongOption, f(4).toLong)
     }
-    (nBuckets, entries)
+    (nBuckets, schema, entries)
   }
 
-  private def writeManifest(spark: SparkSession, dir: String, id: Long,
-                            nBuckets: Int, entries: Seq[Entry]): Unit = {
-    val body = s"#nbuckets=$nBuckets\n" + entries.sortBy(_.bucket).map { e =>
-      s"${e.bucket}\t${e.relPath}\t${e.lo.fold("")(_.toString)}\t${e.hi.fold("")(_.toString)}\t${e.count}"
-    }.mkString("\n")
+  private def writeManifest(spark: SparkSession, dir: String, id: Long, nBuckets: Int,
+                            schema: org.apache.spark.sql.types.StructType,
+                            entries: Seq[Entry]): Unit = {
+    val body = s"#nbuckets=$nBuckets\n#schema=${schema.json}\n" +
+      entries.sortBy(_.bucket).map { e =>
+        s"${e.bucket}\t${e.relPath}\t${e.lo.fold("")(_.toString)}\t${e.hi.fold("")(_.toString)}\t${e.count}"
+      }.mkString("\n")
     val out = fsOf(spark).create(path(manifestPath(dir, id)), true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
@@ -105,7 +120,7 @@ object FileGroups {
     if (committed.exists(_ >= batchId)) Set.empty
     else {
       val (nb, current) = committed match {
-        case Some(id) => readManifest(sess, dir, id)
+        case Some(id) => val (n, _, es) = readManifest(sess, dir, id); (n, es)
         case None => (nBuckets, Seq.empty[Entry])
       }
       val withB = batch.withColumn("_bucket", bucketCol(keys, nb))
@@ -144,7 +159,7 @@ object FileGroups {
       // a dirty bucket can merge to EMPTY (every key deleted) — it then
       // has no partition dir and simply leaves the manifest
       val entries = current.filterNot(e => dirty.contains(e.bucket)) ++ stats.values
-      writeManifest(sess, dir, batchId, nb, entries)
+      writeManifest(sess, dir, batchId, nb, merged.schema, entries)
       fs.createNewFile(path(s"$dir/_COMMIT_$batchId"))
       gc(sess, dir)
       dirty
@@ -161,7 +176,7 @@ object FileGroups {
     val saved = Savepoints.savepoints(sess, dir)
     val keep = (ids.takeRight(2) ++ ids.filter(saved.contains)).distinct
     val referenced: Set[String] = keep.flatMap { id =>
-      readManifest(sess, dir, id)._2.map(e => e.relPath.split("/").take(2).mkString("/"))
+      readManifest(sess, dir, id)._3.map(e => e.relPath.split("/").take(2).mkString("/"))
     }.toSet // files/v<id> dirs still referenced
     if (fs.exists(path(s"$dir/files")))
       fs.listStatus(path(s"$dir/files")).map(_.getPath).foreach { p =>
@@ -186,8 +201,13 @@ object FileGroups {
   def readAt(sess: SparkSession, dir: String, id: Long): Option[DataFrame] =
     if (!Ingest.snapshotVersions(sess, dir).contains(id)) None
     else Some {
-      val (_, entries) = readManifest(sess, dir, id)
-      if (entries.isEmpty) sess.emptyDataFrame
+      val (_, schema, entries) = readManifest(sess, dir, id)
+      if (entries.isEmpty)
+        // all keys deleted: a TYPED empty frame from the manifest schema,
+        // so downstream selects still resolve
+        schema.fold(sess.emptyDataFrame) { st =>
+          sess.createDataFrame(sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+        }
       else sess.read.option("mergeSchema", "true")
         .parquet(entries.map(e => s"$dir/${e.relPath}"): _*)
         .drop("_bucket")
@@ -219,15 +239,22 @@ object FileGroups {
   def pointLookup(sess: SparkSession, dir: String, keys: Seq[String],
                   probes: Seq[Long]): Option[DataFrame] =
     committedId(sess, dir).map { id =>
-      val (nb, entries) = readManifest(sess, dir, id)
+      val (nb, schema, entries) = readManifest(sess, dir, id)
       import sess.implicits._
       // bucket of each probe via the SAME codegen'd expression as the
-      // writer (a driver-side reimplementation could drift). A bucket
+      // writer (a driver-side reimplementation could drift) — AFTER
+      // casting the probe to the COMMITTED key type from the manifest
+      // schema: xxhash64 is type-sensitive (hash of int 5 ≠ long 5), so
+      // probing a non-bigint key table at LongType would silently hash
+      // every probe into the wrong bucket and return empty. A bucket
       // survives only if SOME probe both hashes into it and lies inside
       // its [min,max] — the per-probe pairing matters: with probes 1 and
       // 99, a bucket spanning [40,60] must not survive on "1 ≤ hi and
       // 99 ≥ lo"
+      val keyType = schema.flatMap(st => st.fields.find(_.name == keys.head).map(_.dataType))
+        .getOrElse(org.apache.spark.sql.types.LongType)
       val probePairs = probes.toDF(keys.head)
+        .select(col(keys.head).cast(keyType).as(keys.head))
         .select(col(keys.head).cast("long").as("p"), bucketCol(keys, nb).as("b"))
         .as[(Long, Long)].collect()
       val hit = entries.filter { e =>

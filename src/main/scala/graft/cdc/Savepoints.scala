@@ -54,10 +54,19 @@ object Savepoints {
     * above it — base versions, clustered copies, file-group manifests
     * and their data dirs, pending MOR log deltas — is removed, markers
     * first. Returns the removed commit ids (empty when `toId` is
-    * already the head or was never committed). */
+    * already the head or was never committed).
+    *
+    * Savepoints take precedence (Hudi's restore guard): a rollback that
+    * would destroy a savepointed version REFUSES loudly — the caller
+    * must [[release]] the pin first. A savepoint thereby protects its
+    * version from both GC and restore, never silently dying. */
   def rollback(spark: SparkSession, dir: String, toId: Long): Seq[Long] = {
     val fs = fsOf(spark)
     val ids = Ingest.snapshotVersions(spark, dir)
+    val pinned = savepoints(spark, dir).filter(_ > toId)
+    require(pinned.isEmpty,
+      s"rollback to $toId would destroy savepointed version(s) " +
+        s"${pinned.toSeq.sorted.mkString(", ")} — release them first")
     if (!ids.contains(toId)) Seq.empty
     else {
       val doomed = ids.filter(_ > toId)

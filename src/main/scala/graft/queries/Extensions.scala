@@ -188,11 +188,14 @@ object Extensions {
       .orderBy(col("id"))
 
   /** Build-once fixture cache under /tmp. `build` writes into a fresh
-    * temp dir which is atomically renamed to `/tmp/<name>`; the `_DONE`
-    * marker is created only after a complete rename, so a killed run is
-    * invisible garbage that the next run repairs (deletes) rather than
-    * permanently falling back to leaked temp dirs. Losing the rename
-    * race is benign: the fresh copy is used directly for this
+    * temp dir; the `_DONE` marker is written into the fresh dir BEFORE
+    * the atomic rename to `/tmp/<name>`, so the rename publishes data
+    * and marker together — no instant exists where the cache dir is
+    * visible without its marker, which is what previously let a
+    * concurrent process mistake a just-published cache for a poisoned
+    * one and delete it. A killed run leaves an unrenamed (markerless)
+    * temp dir — invisible garbage, never a half-cache. Losing the
+    * rename race is benign: the fresh copy is used directly for this
     * invocation. */
   private def cachedFixture(name: String)(build: String => Unit): String = {
     val cache = new java.io.File("/tmp", name)
@@ -201,17 +204,16 @@ object Extensions {
     else {
       val fresh = java.nio.file.Files.createTempDirectory("graft_fix").toFile
       build(fresh.getAbsolutePath)
-      if (cache.exists() && !marker.exists()) { // repair a poisoned cache
+      new java.io.File(fresh, "_DONE").createNewFile()
+      if (cache.exists() && !marker.exists()) { // repair a pre-protocol cache
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
           f.delete()
         }
         rm(cache)
       }
-      if (!cache.exists() && fresh.renameTo(cache)) {
-        marker.createNewFile()
-        cache.getAbsolutePath
-      } else fresh.getAbsolutePath // lost the race: use the fresh copy
+      if (fresh.renameTo(cache)) cache.getAbsolutePath
+      else fresh.getAbsolutePath // lost the race: use the fresh copy
     }
   }
 

@@ -167,6 +167,32 @@ class FileGroupsSpec extends SparkSpec {
     assert(got == Seq((1L, 9.9), (2L, 2.0)))
   }
 
+  test("point lookup on an int-keyed table hashes probes at the committed type") {
+    // xxhash64 is type-sensitive: before the manifest carried the table
+    // schema, Long probes against an int-keyed table (e.g. the employees
+    // envelope's int id) hashed into the wrong buckets and the lookup
+    // silently returned empty
+    val dir = tmpDir("graft_fg_int") + "/t"
+    val ins = Seq((1, 10L, "c", 1.0), (2, 20L, "c", 2.0), (3, 30L, "c", 3.0))
+      .toDF("id", "lsn", "op", "value") // id is IntegerType
+    FileGroups.commit(spark, dir, ins, 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    val hit = FileGroups.pointLookup(spark, dir, Seq("id"), Seq(2L)).get
+    assert(hit.select($"id".cast("long"), $"value").as[(Long, Double)].collect().toSeq
+      == Seq((2L, 2.0)))
+  }
+
+  test("an all-deleted table still reads as a TYPED empty frame") {
+    val dir = tmpDir("graft_fg_empty") + "/t"
+    val ins = Seq((1L, 10L, "c", 1.0)).toDF("id", "lsn", "op", "value")
+    FileGroups.commit(spark, dir, ins, 0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    val del = Seq((1L, 20L, "d", 0.0)).toDF("id", "lsn", "op", "value")
+    FileGroups.commit(spark, dir, del, 1L, Seq("id"), Seq("lsn"))
+    val got = FileGroups.read(spark, dir).get
+    // selecting table columns must resolve (schema from the manifest
+    // header), not throw on a zero-column emptyDataFrame
+    assert(got.select($"id", $"lsn", $"op", $"value").count() == 0)
+  }
+
   test("deletes can empty a bucket; it leaves the manifest and the view") {
     val dir = tmpDir("graft_fg4") + "/t"
     // 2 keys, 2 buckets-ish: insert both, then delete one entirely

@@ -55,6 +55,20 @@ class SavepointSpec extends SparkSpec {
     assert(Savepoints.rollback(spark, dir, 0L).isEmpty)
   }
 
+  test("rollback refuses to destroy a savepointed version until it is released") {
+    val dir = tmpDir("graft_sp4") + "/t"
+    MergeOnRead.logAppend(spark, dir, batch((1L, 10L, "c", 1.0)), 0L)
+    MergeOnRead.compact(spark, dir, Seq("id"), Seq("lsn")) // v0
+    MergeOnRead.logAppend(spark, dir, batch((1L, 20L, "u", 9.9)), 1L)
+    MergeOnRead.compact(spark, dir, Seq("id"), Seq("lsn")) // v1
+    assert(Savepoints.savepoint(spark, dir, 1L))
+    // the pin outranks restore: Hudi's guard, run loudly
+    intercept[IllegalArgumentException] { Savepoints.rollback(spark, dir, 0L) }
+    assert(Ingest.snapshotVersions(spark, dir) == Seq(0L, 1L)) // nothing destroyed
+    Savepoints.release(spark, dir, 1L)
+    assert(Savepoints.rollback(spark, dir, 0L) == Seq(1L))
+  }
+
   test("file-group table: savepointed manifest + its referenced files survive; rollback restores") {
     val dir = tmpDir("graft_sp3") + "/t"
     FileGroups.commit(spark, dir, batch((1L, 10L, "c", 1.0), (2L, 11L, "c", 2.0)), 0L,

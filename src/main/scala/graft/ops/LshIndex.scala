@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH dedup index — the build/serve split that makes
+  * near-dup detection INCREMENTAL: index the corpus once, then dedup
+  * each incoming batch against the index by reading only the band
+  * buckets the batch's signatures hash into, never rescanning (or
+  * re-pairing) the historical corpus.
+  *
+  * This is the daily-ingest shape of the q_dedup_minhash pipeline: at
+  * 100 TB the full-corpus pair generation is a once-ever build cost;
+  * per-batch dedup must be ∝ batch size + touched-bucket bytes. The
+  * reference's pipeline (CDC batches landing forever,
+  * README.md:170-204) meets training-data curation exactly here — every
+  * landed batch asks "which of these documents do we already have?"
+  *
+  * Layout under `dir`:
+  * {{{
+  *   bands/bucket=<b>/        (band, doc_id, sh) for the base corpus
+  *   bands_d<id>/bucket=<b>/  appended batches (delta, one dir per id)
+  *   _DELTA_<id>              append marker (written last)
+  *   _INDEX                   base marker, carries "nbuckets=<n>"
+  * }}}
+  *
+  * The bucket is a stable hash of the band string modulo a fixed
+  * nBuckets (pinned in `_INDEX` — a rehash would strand every existing
+  * row). A probe batch's distinct buckets are a ≤nBuckets-long driver
+  * collect (index metadata, not data); the index scan prunes to those
+  * hive partitions. Appends follow the delta+marker crash rule: a
+  * killed append leaves an unmarked dir that readers never resolve, and
+  * re-appending a committed id is a no-op (streaming replay safety).
+  *
+  * Signature parameters are fixed to the q_dedup_minhash contract
+  * (2-gram shingles, 6 minhash slots, 3 bands of 2) so index matches
+  * are oracle-replayable in DuckDB.
+  */
+object LshIndex {
+
+  private def fsOf(spark: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def path(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  def exists(spark: SparkSession, dir: String): Boolean =
+    fsOf(spark).exists(path(s"$dir/_INDEX"))
+
+  /** (doc_id, sh, band): distinct 2-gram shingle set + one row per LSH
+    * band of the 6-slot MinHash signature. Shared by the index writer,
+    * the probe side, and q_dedup_minhash — band semantics are defined
+    * once. The shingle set rides along so the exact-Jaccard verify
+    * never rescans text. */
+  def bands(docs: DataFrame): DataFrame =
+    docs.filter(size(split(col("text"), " ")) >= 2)
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"), array_distinct(Text.shingles(col("toks"), 2)).as("sh"))
+      .withColumn("md5s", transform(col("sh"), x => md5(x)))
+      .withColumn("sig", Text.minhashSignatureFromMd5s(col("md5s"), 6))
+      .select(col("doc_id"), col("sh"),
+        explode_outer(Text.lshBands(col("sig"), 3, 2)).as("band"))
+      .filter(col("band").isNotNull)
+
+  private def bucketCol(nBuckets: Int) = pmod(xxhash64(col("band")), lit(nBuckets.toLong))
+
+  private def nBucketsOf(spark: SparkSession, dir: String): Int = {
+    val fs = fsOf(spark)
+    val in = fs.open(path(s"$dir/_INDEX"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    text.trim.stripPrefix("nbuckets=").toInt
+  }
+
+  /** Index the base corpus: band rows bucket-partitioned, marker last
+    * (with nBuckets pinned inside it). A rebuild drops the marker first
+    * so a crash mid-rewrite leaves an uncommitted index, never a
+    * half-rewritten readable one. */
+  def build(sess: SparkSession, dir: String, docs: DataFrame, nBuckets: Int = 16): Unit = {
+    val fs = fsOf(sess)
+    fs.delete(path(s"$dir/_INDEX"), false)
+    bands(docs).withColumn("bucket", bucketCol(nBuckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands")
+    val out = fs.create(path(s"$dir/_INDEX"), true)
+    try out.write(s"nbuckets=$nBuckets".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Committed delta ids, sorted. */
+  def deltaIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val fs = fsOf(spark)
+    if (!fs.exists(path(dir))) Seq.empty
+    else fs.listStatus(path(dir)).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_DELTA_") => n.stripPrefix("_DELTA_").toLong }
+      .toSeq.sorted
+  }
+
+  /** Append a batch's band rows as delta `id` — dir first, marker last;
+    * an already-committed id is a no-op (replay idempotence). Returns
+    * whether the delta was written. */
+  def append(sess: SparkSession, dir: String, docs: DataFrame, id: Long): Boolean = {
+    require(exists(sess, dir), s"no committed LSH index at $dir")
+    if (deltaIds(sess, dir).contains(id)) false
+    else {
+      val nb = nBucketsOf(sess, dir)
+      bands(docs).withColumn("bucket", bucketCol(nb))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands_d$id")
+      fsOf(sess).createNewFile(path(s"$dir/_DELTA_$id"))
+      true
+    }
+  }
+
+  /** The indexed band rows restricted to `buckets` — base plus every
+    * committed delta, each a partition-pruned scan. */
+  private def readBands(sess: SparkSession, dir: String, buckets: Seq[Long]): DataFrame = {
+    val dirs = s"$dir/bands" +: deltaIds(sess, dir).map(id => s"$dir/bands_d$id")
+    dirs.map(d => sess.read.parquet(d).filter(col("bucket").isin(buckets: _*)))
+      .reduce(_.unionByName(_))
+  }
+
+  /** Near-dup matches of `batch` (doc_id, text) against the INDEXED
+    * corpus: (corpus_id, new_id, jac) with exact Jaccard ≥ `minJac`,
+    * deduped across bands. Reads only the band buckets the batch
+    * probes; per-batch cost is ∝ batch bands + touched-bucket bytes.
+    * Self-matches (a batch doc already indexed under the same id) are
+    * excluded. */
+  def matches(sess: SparkSession, dir: String, batch: DataFrame,
+              minJac: Double = 0.5): DataFrame = {
+    require(exists(sess, dir), s"no committed LSH index at $dir")
+    val nb = nBucketsOf(sess, dir)
+    val probe = bands(batch)
+      .select(col("doc_id").as("new_id"), col("sh").as("shb"), col("band"),
+        bucketCol(nb).as("bucket"))
+    // distinct probed buckets: a ≤nBuckets driver collect — index
+    // metadata, bounded regardless of batch size
+    val buckets = probe.select(col("bucket")).distinct().collect().map(_.getLong(0)).toSeq
+    val idx = readBands(sess, dir, buckets)
+      .select(col("doc_id").as("corpus_id"), col("sh").as("sha"), col("band"))
+    probe.join(idx, Seq("band"))
+      .filter(col("corpus_id") =!= col("new_id"))
+      .select(col("corpus_id"), col("new_id"),
+        Text.jaccard(col("sha"), col("shb")).as("jac"))
+      .filter(col("jac") >= minJac)
+      .distinct()
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.cdc.{CdcGen, CdcMerge, Ingest}
-import graft.ops.{Text, Vectors}
+import graft.ops.{LshIndex, Text, Vectors}
 import graft.tables.Tables
 
 /** The extension query surface: the reference's core CDC-merge semantics
@@ -398,16 +398,9 @@ object Extensions {
         // re-shingled twice more for the verify joins. A pair sharing
         // k bands costs k cheap array-intersects but no extra scan;
         // the dedup shuffles only the small (id_a, id_b, jac) tuple.
-        val sh = fanout(Tables.documents(s, dir)
-            .filter(size(split(col("text"), " ")) >= 2))
-          .withColumn("toks", Text.tokens(col("text")))
-          .select(col("doc_id"), array_distinct(Text.shingles(col("toks"), 2)).as("sh"))
-        val banded = sh
-          .withColumn("md5s", transform(col("sh"), x => md5(x)))
-          .withColumn("sig", Text.minhashSignatureFromMd5s(col("md5s"), 6))
-          .select(col("doc_id"), col("sh"),
-            explode_outer(Text.lshBands(col("sig"), 3, 2)).as("band"))
-          .filter(col("band").isNotNull)
+        // band semantics live in LshIndex.bands — ONE definition shared
+        // with the persisted incremental index (q_dedup_incremental)
+        val banded = LshIndex.bands(fanout(Tables.documents(s, dir)))
         banded.groupBy(col("band"))
           .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("ids"))
           .filter(size(col("ids")) > 1)
@@ -447,6 +440,57 @@ object Extensions {
              |  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
              |SELECT id_a, id_b, jac FROM jj WHERE jac >= 0.5
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // INCREMENTAL near-dup against a PERSISTED index — the daily-ingest
+    // form of the minhash pipeline: the corpus (doc_id % 5 != 0) is
+    // indexed once into a band-bucket-partitioned layout (cached
+    // fixture, same protocol as morTable); the query dedups the
+    // incoming batch (doc_id % 5 == 0) by probing ONLY the band buckets
+    // its signatures hash into. What verify oracles and bench time is
+    // the per-batch serve cost — batch bands + touched-bucket bytes —
+    // exactly what a 100 TB corpus charges per landed batch; the
+    // full-corpus scan is a once-ever build. The oracle replays the
+    // identical bands + exact-Jaccard verify restricted to
+    // corpus-side × batch-side pairs.
+    GQuery(
+      "q_dedup_incremental",
+      (s, dir) => {
+        val sfKey = new java.io.File(dir).getName
+        val docs = Tables.documents(s, dir)
+        val idxDir = cachedFixture(s"graft_lsh_cache_v1_$sfKey") { root =>
+          LshIndex.build(s, root + "/idx",
+            fanout(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)), nBuckets = 16)
+        } + "/idx"
+        val batch = fanout(docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+        LshIndex.matches(s, idxDir, batch)
+          .orderBy(col("corpus_id"), col("new_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+             |         i -> concat_ws(' ', toks[i], toks[i+1]))) AS sh
+             |       FROM t WHERE len(toks) >= 2),
+             |md AS (SELECT doc_id, sh, list_transform(sh, x -> md5(x)) AS md5s FROM sh),
+             |sig AS (SELECT doc_id, sh,
+             |  [list_aggregate(list_transform(md5s, m -> substr(m, 1, 5)), 'min'),
+             |   list_aggregate(list_transform(md5s, m -> substr(m, 6, 5)), 'min'),
+             |   list_aggregate(list_transform(md5s, m -> substr(m, 11, 5)), 'min'),
+             |   list_aggregate(list_transform(md5s, m -> substr(m, 16, 5)), 'min'),
+             |   list_aggregate(list_transform(md5s, m -> substr(m, 21, 5)), 'min'),
+             |   list_aggregate(list_transform(md5s, m -> substr(m, 26, 5)), 'min')] AS sig
+             |  FROM md),
+             |bands AS (SELECT doc_id, unnest([
+             |    'b0|' || sig[1] || '|' || sig[2],
+             |    'b1|' || sig[3] || '|' || sig[4],
+             |    'b2|' || sig[5] || '|' || sig[6]]) AS band FROM sig),
+             |cand AS (SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS new_id
+             |         FROM bands a JOIN bands b ON a.band = b.band
+             |         WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0),
+             |jj AS (SELECT corpus_id, new_id,
+             |  floor(len(list_intersect(x.sh, y.sh))::DOUBLE /
+             |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) * 10000 + 0.5) / 10000 AS jac
+             |  FROM cand JOIN sh x ON x.doc_id = corpus_id JOIN sh y ON y.doc_id = new_id)
+             |SELECT corpus_id, new_id, jac FROM jj WHERE jac >= 0.5
+             |ORDER BY corpus_id, new_id""".stripMargin)),
 
     // SimHash fingerprint per doc (portable 16-bit random-projection
     // hash) + how many docs share it. Pure narrow map + one groupBy-size

@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout, NOT through
+// sbt's logger: the driver parses Bench's one-line JSON out of the last
+// 2000 chars of stdout, and the logger's "[info] " prefix breaks that
+// parse (BENCH_r05/r06 both recorded parsed:null with the line present
+// in the tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

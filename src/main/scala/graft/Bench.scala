@@ -73,8 +73,10 @@ object Bench {
     val nErr = results.count(_._2.isLeft)
     // numeric sf parsed from the dir name keeps the line short; falls back to
     // the raw path if the suffix isn't numeric
+    // strict numeric shape (\d+(\.\d+)?): "0.0.1" or "." pass a
+    // digits-and-dots test but are invalid bare JSON tokens
     val sfNum = sfDir.split("/").lastOption.map(_.stripPrefix("sf")) match {
-      case Some(s) if s.nonEmpty && s.forall(c => c.isDigit || c == '.') => s
+      case Some(s) if s.matches(raw"\d+(\.\d+)?") => s
       case _ => "\"" + esc(sfDir) + "\""
     }
     val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${

@@ -63,12 +63,14 @@ object Savepoints {
   def rollback(spark: SparkSession, dir: String, toId: Long): Seq[Long] = {
     val fs = fsOf(spark)
     val ids = Ingest.snapshotVersions(spark, dir)
-    val pinned = savepoints(spark, dir).filter(_ > toId)
-    require(pinned.isEmpty,
-      s"rollback to $toId would destroy savepointed version(s) " +
-        s"${pinned.toSeq.sorted.mkString(", ")} — release them first")
     if (!ids.contains(toId)) Seq.empty
     else {
+      // guard only rollbacks that would actually destroy versions: a
+      // never-committed toId returns empty above regardless of pins
+      val pinned = savepoints(spark, dir).filter(_ > toId)
+      require(pinned.isEmpty,
+        s"rollback to $toId would destroy savepointed version(s) " +
+          s"${pinned.toSeq.sorted.mkString(", ")} — release them first")
       val doomed = ids.filter(_ > toId)
       doomed.foreach { id =>
         // markers first: once _COMMIT_ is gone no reader resolves the

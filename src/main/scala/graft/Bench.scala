@@ -28,7 +28,10 @@ object Bench {
     // noise (max >> min within a round) vs a plan regression (tight
     // spread at a new level) without re-running. A failed query is
     // reported explicitly in `errors` (never silently timed as if it
-    // ran).
+    // ran). Queries over cachedFixture tables (q_cdc_*, q_dedup_
+    // incremental) pay their one-time fixture build in run 1 only —
+    // it shows in `max`, never in the `min` headline, which times the
+    // steady-state read/serve path the fixture exists to isolate.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
@@ -73,10 +76,11 @@ object Bench {
     val nErr = results.count(_._2.isLeft)
     // numeric sf parsed from the dir name keeps the line short; falls back to
     // the raw path if the suffix isn't numeric
-    // strict numeric shape (\d+(\.\d+)?): "0.0.1" or "." pass a
-    // digits-and-dots test but are invalid bare JSON tokens
+    // strict numeric shape: leading-zero integer parts ("007") are valid
+    // digit strings but invalid bare JSON number tokens (RFC 8259), so
+    // they take the quoted-string branch like any other non-number
     val sfNum = sfDir.split("/").lastOption.map(_.stripPrefix("sf")) match {
-      case Some(s) if s.matches(raw"\d+(\.\d+)?") => s
+      case Some(s) if s.matches(raw"(0|[1-9]\d*)(\.\d+)?") => s
       case _ => "\"" + esc(sfDir) + "\""
     }
     val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${

@@ -73,10 +73,23 @@ object LshIndex {
   /** Index the base corpus: band rows bucket-partitioned, marker last
     * (with nBuckets pinned inside it). A rebuild drops the marker first
     * so a crash mid-rewrite leaves an uncommitted index, never a
-    * half-rewritten readable one. */
+    * half-rewritten readable one — and it removes every prior delta
+    * (markers first, then dirs): a delta from the previous index
+    * generation would otherwise resurface docs the new corpus no longer
+    * contains, or — under a different nBuckets — carry bucket values
+    * from the old modulus that the probe's `isin` filter silently
+    * drops, i.e. missed duplicates. */
   def build(sess: SparkSession, dir: String, docs: DataFrame, nBuckets: Int = 16): Unit = {
     val fs = fsOf(sess)
     fs.delete(path(s"$dir/_INDEX"), false)
+    if (fs.exists(path(dir))) {
+      // every delta, committed or crash-orphaned: markers first so no
+      // reader resolves a delta whose dir is mid-delete
+      fs.listStatus(path(dir)).map(_.getPath.getName)
+        .filter(_.startsWith("_DELTA_")).foreach(n => fs.delete(path(s"$dir/$n"), false))
+      fs.listStatus(path(dir)).map(_.getPath.getName)
+        .filter(_.startsWith("bands_d")).foreach(n => fs.delete(path(s"$dir/$n"), true))
+    }
     bands(docs).withColumn("bucket", bucketCol(nBuckets))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands")
     val out = fs.create(path(s"$dir/_INDEX"), true)
@@ -125,9 +138,17 @@ object LshIndex {
               minJac: Double = 0.5): DataFrame = {
     require(exists(sess, dir), s"no committed LSH index at $dir")
     val nb = nBucketsOf(sess, dir)
+    // the band pipeline (tokenize → shingle → md5 → minhash, interpreted
+    // higher-order exprs — the expensive part of a probe) has TWO
+    // consumers: the driver-side bucket collect and the index join.
+    // localCheckpoint materializes it exactly once; unlike persist() it
+    // isn't pinned in the CacheManager, so the blocks are released when
+    // the plan is garbage-collected — the right lifetime for a library
+    // call that can't know when its caller is done with the result.
     val probe = bands(batch)
       .select(col("doc_id").as("new_id"), col("sh").as("shb"), col("band"),
         bucketCol(nb).as("bucket"))
+      .localCheckpoint()
     // distinct probed buckets: a ≤nBuckets driver collect — index
     // metadata, bounded regardless of batch size
     val buckets = probe.select(col("bucket")).distinct().collect().map(_.getLong(0)).toSeq

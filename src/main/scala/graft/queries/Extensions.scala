@@ -664,25 +664,46 @@ object Extensions {
              |WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin)),
 
     // IVF-style ANN — the declared scale path for similarity search:
-    // assign every vector to its nearest centroid (broadcast centroids,
-    // narrow map), then search only within the query's own cluster
-    // (nprobe=1). ONE shuffle on the cluster key; candidate count drops
-    // by the centroid factor. At real scale centroids come from k-means
-    // and nprobe grows — the plan shape (broadcast-assign → co-partition
-    // by cluster → in-cluster top-k) is exactly this one.
+    // assign every vector to its nearest centroid, then search only
+    // within the query's own cluster (nprobe=1). The centroids are
+    // INDEX METADATA (k vectors, driver-sized even at k=thousands — the
+    // same bounded-collect rule as IvfIndex's probed-cluster list), so
+    // the assignment is a NARROW per-row argmax over centroid literals:
+    // greatest() over (cosine, -c_id) structs, FloatDot inside
+    // whole-stage codegen, zero joins and zero shuffles. The only wide
+    // exchange left is the real one — co-partitioning by cluster key
+    // for the in-cluster top-k. (Previously a join + row_number window
+    // partitioned by vec_id: a full-corpus shuffle that existed only to
+    // pick a per-row maximum.) At real scale centroids come from
+    // k-means and nprobe grows — the plan shape (narrow assign →
+    // co-partition by cluster → in-cluster top-k) is exactly this one.
     GQuery(
       "q_sim_ivf",
       (s, dir) => {
         val emb = fanout(Tables.embeddings(s, dir))
           .select(col("vec_id"), col("embedding").as("v"))
           .withColumn("nrm", Vectors.norm(col("v")))
-        val cents = broadcast(emb.filter(col("vec_id") <= 8)
-          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm")))
-        val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
-        val assigned = emb.join(cents)
-          .withColumn("ccos", Vectors.cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
-          .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
-          .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cluster"))
+        // driver-side norm replays FloatDot's fold exactly (sequential
+        // left-to-right sum of float→double products), so the literal
+        // path is bit-identical to the previous join's column math
+        val cents = Tables.embeddings(s, dir).filter(col("vec_id") <= 8)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map { r =>
+            val cv = r.getSeq[Float](1)
+            val cnrm = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+            (r.getLong(0), cv, cnrm)
+          }.sortBy(_._1).toSeq
+        // argmax by (cosine desc, c_id asc): struct compares cosine
+        // first; the negated id makes greatest() break ties to the
+        // LOWEST centroid id, matching the window's ORDER BY
+        val scored = cents.map { case (cid, cv, cnrm) =>
+          struct(
+            (Vectors.dot(col("v"), typedLit(cv)) / (col("nrm") * lit(cnrm))).as("c"),
+            lit(-cid).as("nid"))
+        }
+        val assigned = emb
+          .withColumn("cluster", -greatest(scored: _*).getField("nid"))
+          .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
         val queries = assigned.filter(col("vec_id") <= 50)
           .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
         val corpus = assigned.select(col("vec_id").as("nn_id"),

@@ -69,6 +69,24 @@ class SavepointSpec extends SparkSpec {
     assert(Savepoints.rollback(spark, dir, 0L) == Seq(1L))
   }
 
+  test("rollback to a never-committed version is empty even when newer savepoints exist") {
+    // regression pin for the guard ORDER: the savepoint check must only
+    // fire for rollbacks that would actually destroy versions — a
+    // nonsense toId returns empty, it doesn't trip the pin refusal
+    val dir = tmpDir("graft_sp5") + "/t"
+    MergeOnRead.logAppend(spark, dir, batch((1L, 10L, "c", 1.0)), 0L)
+    MergeOnRead.compact(spark, dir, Seq("id"), Seq("lsn")) // v0
+    MergeOnRead.logAppend(spark, dir, batch((1L, 20L, "u", 9.9)), 1L)
+    MergeOnRead.compact(spark, dir, Seq("id"), Seq("lsn")) // v1
+    assert(Savepoints.savepoint(spark, dir, 1L))
+    assert(Savepoints.rollback(spark, dir, 99L).isEmpty) // no throw, no effect
+    assert(Ingest.snapshotVersions(spark, dir) == Seq(0L, 1L))
+    // the pin still outranks a REAL restore until released
+    intercept[IllegalArgumentException] { Savepoints.rollback(spark, dir, 0L) }
+    Savepoints.release(spark, dir, 1L)
+    assert(Savepoints.rollback(spark, dir, 0L) == Seq(1L))
+  }
+
   test("file-group table: savepointed manifest + its referenced files survive; rollback restores") {
     val dir = tmpDir("graft_sp3") + "/t"
     FileGroups.commit(spark, dir, batch((1L, 10L, "c", 1.0), (2L, 11L, "c", 2.0)), 0L,

@@ -89,4 +89,84 @@ class LshIndexSpec extends SparkSpec {
     val after = canon(LshIndex.matches(spark, dir, probe))
     assert(!after.exists(_._1 == 3000L), "unmarked delta dir must be invisible")
   }
+
+  test("rebuild clears prior deltas: removed docs do not resurface (same nBuckets)") {
+    val dir = tmpDir("graft_lsh4") + "/idx"
+    val corpus = docs().filter($"doc_id" < 20)
+    val donor = docs().filter($"doc_id" === 30).select($"text").as[String].head()
+    LshIndex.build(spark, dir, corpus, nBuckets = 8)
+    assert(LshIndex.append(spark, dir, Seq((1000L, donor)).toDF("doc_id", "text"), 0L))
+
+    val probe = Seq((2000L, donor)).toDF("doc_id", "text")
+    assert(canon(LshIndex.matches(spark, dir, probe)).contains((1000L, 2000L, 1.0)))
+
+    // rebuild over the same corpus, same nBuckets: doc 1000 lived only
+    // in a delta of the previous index generation and must be gone
+    LshIndex.build(spark, dir, corpus, nBuckets = 8)
+    assert(LshIndex.deltaIds(spark, dir).isEmpty, "rebuild must drop committed delta markers")
+    val after = canon(LshIndex.matches(spark, dir, probe))
+    assert(!after.exists(_._1 == 1000L), s"stale delta doc resurfaced after rebuild: $after")
+  }
+
+  test("rebuild frees delta ids: a replayed batch re-indexes under the new modulus") {
+    val dir = tmpDir("graft_lsh5") + "/idx"
+    val corpus = docs().filter($"doc_id" < 20)
+    val donor = docs().filter($"doc_id" === 30).select($"text").as[String].head()
+    LshIndex.build(spark, dir, corpus, nBuckets = 8)
+    assert(LshIndex.append(spark, dir, Seq((1000L, donor)).toDF("doc_id", "text"), 0L))
+
+    // rebuild under a DIFFERENT modulus. Before the fix, the stale
+    // _DELTA_0 marker survived: the replayed append(id=0) below was a
+    // no-op, while the stale delta's bucket values (old modulus) fail
+    // the probe's isin filter — doc 1000 silently unfindable = missed
+    // duplicates. After the fix the id is free and the batch re-indexes.
+    LshIndex.build(spark, dir, corpus, nBuckets = 5)
+    assert(LshIndex.append(spark, dir, Seq((1000L, donor)).toDF("doc_id", "text"), 0L),
+      "rebuild must free previously committed delta ids for replay")
+    val got = canon(LshIndex.matches(spark, dir, Seq((2000L, donor)).toDF("doc_id", "text")))
+    assert(got.contains((1000L, 2000L, 1.0)), s"re-appended doc must match: $got")
+  }
+
+  test("matches() computes the probe band pipeline once (checkpointed, no batch rescan)") {
+    val dir = tmpDir("graft_lsh6") + "/idx"
+    LshIndex.build(spark, dir, docs(), nBuckets = 8)
+    val batch = docs().filter(pmod($"doc_id", lit(5)) === 0)
+    val m = LshIndex.matches(spark, dir, batch)
+    val plan = m.queryExecution.executedPlan.toString
+    // probe side must come from the materialized checkpoint, and every
+    // file scan in the plan must be an index bands dir — a documents
+    // scan here means the expensive shingle/minhash pipeline ran twice
+    assert(plan.contains("ExistingRDD"), plan)
+    val fileScans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(fileScans.nonEmpty && fileScans.forall(_.contains("/bands")),
+      s"probe batch rescanned from source:\n$plan")
+  }
+
+  test("nBuckets is the corpus-scale dial: pruning holds at 256 buckets") {
+    // at corpus scale nBuckets must grow (thousands) or a batch probes
+    // every bucket and "read only touched buckets" degrades to a full
+    // index scan; the pinned-modulus layout supports any build-time
+    // value — prove pruning + the bounded driver collect hold at 256
+    val dir = tmpDir("graft_lsh7") + "/idx"
+    LshIndex.build(spark, dir, docs(), nBuckets = 256)
+    val one = docs().orderBy($"doc_id").limit(1)
+    val probedBuckets = LshIndex.bands(one)
+      .select(pmod(xxhash64($"band"), lit(256L)).as("b"))
+      .distinct().as[Long].collect().toSeq
+    assert(probedBuckets.nonEmpty && probedBuckets.length <= 3) // ≤3 bands per doc
+    val m = LshIndex.matches(spark, dir, one)
+    val plan = m.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator
+      .filter(l => l.contains("PartitionFilters") && l.contains("/bands")).toSeq
+    assert(scans.nonEmpty && scans.forall(l => !l.contains("PartitionFilters: []")),
+      s"bucket filter not pushed to partition pruning at 256 buckets:\n$plan")
+    // the probe reads only its own bucket dirs, not the other ~250
+    val bucketsRead = spark.read.parquet(s"$dir/bands")
+      .filter($"bucket".isin(probedBuckets: _*))
+      .select(input_file_name()).distinct().collect()
+      .flatMap(r => "bucket=(\\d+)".r.findFirstMatchIn(r.getString(0)).map(_.group(1)))
+      .distinct
+    assert(bucketsRead.length <= probedBuckets.length,
+      s"1-doc probe touched ${bucketsRead.length} buckets for ${probedBuckets.length} bands")
+  }
 }

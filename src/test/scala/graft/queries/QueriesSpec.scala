@@ -21,6 +21,7 @@ class QueriesSpec extends SparkSpec {
     "q_cdc_clustered_read" -> 14,
     "q_date_funcs" -> 1500,
     "q_dedup_cluster" -> 500, "q_dedup_embedding" -> 88, "q_dedup_exact" -> 500,
+    "q_dedup_incremental" -> 11,
     "q_dedup_minhash" -> 28, "q_dedup_ngram" -> 28, "q_dedup_simhash" -> 500,
     "q_filter_pred" -> 1427, "q_fingerprint" -> 500, "q_fingerprint_rolling" -> 500,
     "q_having" -> 149, "q_set_union_all" -> 179, "q_agg_approx_percentile" -> 3,

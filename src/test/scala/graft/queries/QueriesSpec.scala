@@ -12,42 +12,21 @@ class QueriesSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private val golden: Map[String, Long] = Map(
-    "q_agg_approx_distinct" -> 3, "q_agg_cube" -> 12, "q_agg_distinct" -> 3,
-    "q_agg_gsets" -> 124, "q_agg_hash" -> 6, "q_agg_listagg" -> 5,
-    "q_agg_percentile" -> 3, "q_agg_rollup" -> 19,
-    "q_array_map_funcs" -> 500, "q_case_when" -> 1500,
-    "q_cdc_upsert_snapshot" -> 14, "q_cdc_incremental" -> 14, "q_cdc_mor_read" -> 14,
-    "q_cdc_clustered_read" -> 14,
-    "q_date_funcs" -> 1500,
-    "q_dedup_cluster" -> 500, "q_dedup_embedding" -> 88, "q_dedup_exact" -> 500,
-    "q_dedup_incremental" -> 11,
-    "q_dedup_minhash" -> 28, "q_dedup_ngram" -> 28, "q_dedup_simhash" -> 500,
-    "q_filter_pred" -> 1427, "q_fingerprint" -> 500, "q_fingerprint_rolling" -> 500,
-    "q_having" -> 149, "q_set_union_all" -> 179, "q_agg_approx_percentile" -> 3,
-    "q_join_anti" -> 2, "q_join_asof" -> 202, "q_join_broadcast" -> 5,
-    "q_join_full" -> 900, "q_join_inner" -> 1500, "q_join_left" -> 498,
-    "q_join_salted" -> 203,
-    "q_join_right" -> 498, "q_join_semi" -> 148, "q_join_theta_range" -> 23,
-    "q_json_funcs" -> 1000, "q_lang_id" -> 500, "q_map_funcs" -> 500, "q_math_funcs" -> 6000,
-    "q_multimodal" -> 500, "q_pivot" -> 5, "q_quality_score" -> 500,
-    "q_redact_pii" -> 500, "q_sample_hash" -> 98, "q_decontaminate" -> 9,
-    "q_curate" -> 245, "q_repetition" -> 500,
-    "q_scan_project" -> 6000, "q_set_except" -> 0, "q_set_intersect" -> 34,
-    "q_set_union" -> 179, "q_sim_ivf" -> 153, "q_sim_topk" -> 255,
-    "q_sort_limit" -> 100, "q_str_funcs" -> 200, "q_subquery_scalar" -> 48,
-    "q_text_stats" -> 5, "q_token_count" -> 500, "q_topk" -> 449,
-    "q_win_sliding" -> 1732, "q_win_session" -> 946, "q_posexplode" -> 250,
-    "q_unpivot" -> 1071, "q_win_ntile" -> 124,
-    "q_win_analytic" -> 1500, "q_win_percentile" -> 17,
-    "q_win_range_frame" -> 1000, "q_win_rank" -> 100, "q_win_tumbling" -> 868,
-    "stream_ingest_e2e" -> 172,
-    "q_cdc_filegroup_upsert" -> 14, "q_cdc_changefeed" -> 15,
-    "q_sample_stratified" -> 459, "q_tfidf" -> 1500, "q_pack_shards" -> 500,
-    "q_dedup_containment" -> 28, "q_heavy_hitters" -> 50,
-    "q_dedup_cluster_star" -> 500)
+  // ONE source of truth, machine-refreshed: `sbt "runMain graft.GoldenGen"`
+  // regenerates the resource from an oracle-green tree (the hand-kept
+  // twin of this map went stale twice — a declared query with no golden
+  // entry shipped two rounds red). The sync test below stays the
+  // tripwire for a query added without regenerating.
+  private val golden: Map[String, Long] = {
+    val in = getClass.getResourceAsStream("/golden_sf0.001.json")
+    assert(in != null, "missing resource golden_sf0.001.json — run graft.GoldenGen")
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    """"([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+  }
 
   test("every GQuery is declared in the golden map and vice versa") {
+    assert(golden.nonEmpty)
     assert(GQuery.all.map(_.name).toSet == golden.keySet)
   }
 

@@ -84,21 +84,41 @@ object Vectors {
   }
 
   /** Assign every vector to its `n` nearest centroids by cosine (ties
-    * to the lower centroid id). Centroids are broadcast — the
-    * assignment is a map-side pass over the corpus, the arg-top-n a
-    * per-vector window over k candidate rows. Returns one row per
-    * (vector, probed cluster): (id, v, nrm, cluster, cos, probe). */
+    * to the lower centroid id). Centroids are INDEX METADATA — k
+    * vectors, driver-sized even at k=thousands — so they are collected
+    * once and embedded as literals: the assignment is a NARROW per-row
+    * sort of k (cos, -c_id) structs, zero joins and zero shuffles.
+    * This is what makes every consumer scale: each Lloyd iteration
+    * ([[kmeans]]) and every [[ivfTopK]]/[[IvfIndex]] probe previously
+    * paid a full-corpus shuffle (join + per-vector row_number window)
+    * just to pick per-row maxima. Ordering matches the old window's
+    * ORDER BY exactly: cos desc, nulls last (malformed embeddings),
+    * ties to the lower centroid id. Returns one row per (vector,
+    * probed cluster): (id, v, nrm, cluster, cos, probe). */
   def assignTopN(emb: DataFrame, idCol: String, vecCol: String,
                  cents: DataFrame, n: Int): DataFrame = {
-    val withNorm = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    // driver-side norm replays FloatDot's fold exactly (sequential
+    // left-to-right sum of float→double products) — bit-identical to
+    // the norm(cv) column the broadcast join used to compute
+    val centSeq = cents.select(col("c_id").cast("long"), col("cv")).collect()
+      .map { r =>
+        val cv = r.getSeq[Float](1)
+        (r.getLong(0), cv, math.sqrt(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+      }.sortBy(_._1).toSeq
+    require(centSeq.nonEmpty, "assignTopN needs at least one centroid")
+    val scored = centSeq.map { case (cid, cv, cnrm) =>
+      val ccos = dot(col("v"), typedLit(cv)) / (col("nrm") * lit(cnrm))
+      // sort key replays (ccos desc NULLS LAST, c_id asc) after the
+      // reverse: ok=false (null cos) sinks, -c_id breaks ties low-first
+      struct(ccos.isNotNull.as("ok"), ccos.as("ccos"), lit(-cid).as("nid"))
+    }
+    emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
-    withNorm.join(broadcast(cents.select(col("c_id"), col("cv"),
-        norm(col("cv")).as("cnrm"))))
-      .withColumn("ccos", cosine(col("v"), col("cv"), col("nrm"), col("cnrm")))
-      .withColumn("arn", row_number().over(w)).filter(col("arn") <= n)
+      .withColumn("top", slice(reverse(array_sort(array(scored: _*))), 1, n))
+      .select(col("vec_id"), col("v"), col("nrm"), posexplode(col("top")))
       .select(col("vec_id"), col("v"), col("nrm"),
-        col("c_id").as("cluster"), col("ccos").as("cos"), col("arn").as("probe"))
+        (-col("col.nid")).as("cluster"), col("col.ccos").as("cos"),
+        (col("pos") + 1).as("probe"))
   }
 
   /** Single nearest-centroid assignment (the Lloyd/IVF-build case). */
@@ -111,9 +131,9 @@ object Vectors {
     * the exact top-k within them. nprobe is THE recall/cost dial: a
     * query near a cluster boundary misses neighbors filed on the other
     * side with nprobe=1; probing the next-nearest cluster(s) recovers
-    * them for nprobe× the in-cluster work — same plan shape (one
-    * shuffle on the cluster key), recall gated in OpsSpec against the
-    * brute-force ground truth. */
+    * them for nprobe× the in-cluster work — same plan shape (narrow
+    * assign, one shuffle on the cluster key), recall gated in OpsSpec
+    * against the brute-force ground truth. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, cents: DataFrame,
               k: Int, nprobe: Int, queryPred: Column): DataFrame = {
     val corpus = assignTopN(emb, idCol, vecCol, cents, 1)
@@ -132,13 +152,14 @@ object Vectors {
   /** Distributed SPHERICAL Lloyd k-means over array<float> embeddings —
     * trains the IVF coarse quantizer (q_sim_ivf's first-k centroids are
     * the deterministic time-zero init; this is the refinement a real
-    * index build runs). Per iteration: broadcast-assign by cosine
-    * (map-side), then recompute each centroid as the element-wise mean
-    * of its members' UNIT vectors (the direction maximizing Σcos — the
-    * raw-vector mean would weight members by norm and can raise cosine
-    * inertia), exploding members to (cluster, dim, value) rows — 2
-    * shuffles per iteration, centroids (k×dim doubles) are the ONLY
-    * driver-side data. Init = first k vectors by id (deterministic,
+    * index build runs). Per iteration: NARROW centroid-literal assign
+    * by cosine ([[assignTopN]] — no shuffle), then recompute each
+    * centroid as the element-wise mean of its members' UNIT vectors
+    * (the direction maximizing Σcos — the raw-vector mean would weight
+    * members by norm and can raise cosine inertia), exploding members
+    * to (cluster, dim, value) rows — the only shuffles per iteration
+    * are the two mean aggregations; centroids (k×dim doubles) are the
+    * ONLY driver-side data. Init = first k vectors by id (deterministic,
     * like the query). Empty clusters keep their previous centroid.
     * Returns the final (c_id, cv) centroid DataFrame. */
   def kmeans(emb: DataFrame, idCol: String, vecCol: String,

@@ -191,6 +191,37 @@ class OpsSpec extends SparkSpec {
     assert(preds == Seq("en", "de"))
   }
 
+  test("assignTopN: narrow centroid-literal assign equals the join+window reference bit-for-bit") {
+    // the narrow argmax (sorted literal structs, zero shuffles) must
+    // reproduce the broadcast-join + row_number window it replaced —
+    // same rows, same cosines, same tie-breaks, for single and
+    // multi-probe assignment
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Vectors.kmeans(emb, "vec_id", "embedding", k = 4, iters = 1)
+    def reference(n: Int) = {
+      val withNorm = emb.select($"vec_id", $"embedding".as("v"))
+        .withColumn("nrm", Vectors.norm($"v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"vec_id").orderBy($"ccos".desc, $"c_id")
+      withNorm.join(broadcast(cents.select($"c_id", $"cv", Vectors.norm($"cv").as("cnrm"))))
+        .withColumn("ccos", Vectors.cosine($"v", $"cv", $"nrm", $"cnrm"))
+        .withColumn("arn", row_number().over(w)).filter($"arn" <= n)
+        .select($"vec_id", $"c_id".as("cluster"), $"ccos".as("cos"), $"arn".as("probe"))
+    }
+    for (n <- Seq(1, 3)) {
+      val got = Vectors.assignTopN(emb, "vec_id", "embedding", cents, n)
+        .select($"vec_id", $"cluster", $"cos", $"probe")
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+      val want = reference(n)
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+      assert(got == want, s"narrow assign diverged from reference at n=$n")
+    }
+    // and it is actually narrow: no exchange anywhere in the plan
+    val plan = Vectors.assignTopN(emb, "vec_id", "embedding", cents, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignTopN plan has a shuffle:\n$plan")
+  }
+
   test("ivfTopK: multi-probe recall dominates single-probe, vs brute-force truth") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cents = Vectors.kmeans(emb, "vec_id", "embedding", k = 4, iters = 2)

@@ -80,6 +80,25 @@ object LshIndex {
     * from the old modulus that the probe's `isin` filter silently
     * drops, i.e. missed duplicates. */
   def build(sess: SparkSession, dir: String, docs: DataFrame, nBuckets: Int = 16): Unit = {
+    clearPriorIndex(sess, dir)
+    bands(docs).withColumn("bucket", bucketCol(nBuckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands")
+    commitMarker(sess, dir, nBuckets)
+  }
+
+  /** Commit an index over an EMPTY base corpus — the streaming-ingest
+    * bootstrap ([[graft.streaming.Streams.nearDupIngest]]): initialize
+    * once, then every micro-batch enters through the append path and
+    * the delta protocol's replay rules apply uniformly from batch 0
+    * (a special-cased "first batch builds the base" would re-dedup the
+    * bootstrap batch against itself on crash replay). */
+  def buildEmpty(sess: SparkSession, dir: String, nBuckets: Int = 16): Unit = {
+    clearPriorIndex(sess, dir)
+    fsOf(sess).delete(path(s"$dir/bands"), true)
+    commitMarker(sess, dir, nBuckets)
+  }
+
+  private def clearPriorIndex(sess: SparkSession, dir: String): Unit = {
     val fs = fsOf(sess)
     fs.delete(path(s"$dir/_INDEX"), false)
     if (fs.exists(path(dir))) {
@@ -90,8 +109,11 @@ object LshIndex {
       fs.listStatus(path(dir)).map(_.getPath.getName)
         .filter(_.startsWith("bands_d")).foreach(n => fs.delete(path(s"$dir/$n"), true))
     }
-    bands(docs).withColumn("bucket", bucketCol(nBuckets))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands")
+  }
+
+  private def commitMarker(sess: SparkSession, dir: String, nBuckets: Int): Unit = {
+    val fs = fsOf(sess)
+    fs.mkdirs(path(dir))
     val out = fs.create(path(s"$dir/_INDEX"), true)
     try out.write(s"nbuckets=$nBuckets".getBytes("UTF-8")) finally out.close()
   }
@@ -120,11 +142,21 @@ object LshIndex {
     }
   }
 
-  /** The indexed band rows restricted to `buckets` — base plus every
-    * committed delta, each a partition-pruned scan. */
+  /** The indexed band rows restricted to `buckets` — base (when one
+    * exists; a [[buildEmpty]] index has none) plus every committed
+    * delta, each a partition-pruned scan. */
   private def readBands(sess: SparkSession, dir: String, buckets: Seq[Long]): DataFrame = {
-    val dirs = s"$dir/bands" +: deltaIds(sess, dir).map(id => s"$dir/bands_d$id")
-    dirs.map(d => sess.read.parquet(d).filter(col("bucket").isin(buckets: _*)))
+    val base = if (fsOf(sess).exists(path(s"$dir/bands"))) Seq(s"$dir/bands") else Nil
+    val dirs = base ++ deltaIds(sess, dir).map(id => s"$dir/bands_d$id")
+    if (dirs.isEmpty)
+      sess.createDataFrame(sess.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sh",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+          org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.LongType))))
+    else dirs.map(d => sess.read.parquet(d).filter(col("bucket").isin(buckets: _*)))
       .reduce(_.unionByName(_))
   }
 

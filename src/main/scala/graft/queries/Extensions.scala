@@ -360,6 +360,80 @@ object Extensions {
       },
       None),
 
+    // STREAMING near-dup ingest e2e: documents arrive in 3 micro-batches
+    // (doc_id % 3 = arrival order); each batch dedups against the
+    // survivors landed so far via the persisted LSH index and appends
+    // its own survivors as an index delta (Streams.nearDupIngest — the
+    // training-data ingest loop as a checkpointed Structured Streaming
+    // pipeline). Unlike stream_ingest_e2e this IS DuckDB-oracled: the
+    // oracle replays the sequential gate as chained survivor CTEs over
+    // the same band-candidate + exact-Jaccard pair pipeline the other
+    // dedup oracles use. The pipeline runs once per sf (cached fixture);
+    // what verify hashes and bench times is the landed-corpus read.
+    GQuery(
+      "stream_dedup_e2e",
+      (s, dir) => {
+        val sfKey = new java.io.File(dir).getName
+        val root = cachedFixture(s"graft_sdedup_cache_v1_$sfKey") { root =>
+          val docs = Tables.documents(s, dir)
+          LshIndex.buildEmpty(s, root + "/idx", nBuckets = 16)
+          val src = root + "/src"
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+            .coalesce(1).write.mode("append").parquet(src)
+          val q = graft.streaming.Streams.nearDupIngest(
+            s.readStream.schema(docs.schema).parquet(src),
+            root + "/idx", root + "/out", root + "/ckpt")
+          try {
+            q.processAllAvailable()
+            for (i <- 1 to 2) {
+              docs.filter(pmod(col("doc_id"), lit(3)) === i)
+                .coalesce(1).write.mode("append").parquet(src)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
+        s.read.parquet(root + "/out")
+          .select(col("doc_id"), col("_batch_id").cast("long").as("_batch_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)),
+             |         i -> concat_ws(' ', toks[i], toks[i+1]))) AS sh
+             |       FROM t WHERE len(toks) >= 2),
+             |md AS (SELECT doc_id, sh, list_transform(sh, x -> md5(x)) AS md5s FROM sh),
+             |sig AS (SELECT doc_id, sh,
+             |  [list_aggregate(list_transform(md5s, m -> substr(m, 1, 5)), 'min'),
+             |   list_aggregate(list_transform(md5s, m -> substr(m, 6, 5)), 'min'),
+             |   list_aggregate(list_transform(md5s, m -> substr(m, 11, 5)), 'min'),
+             |   list_aggregate(list_transform(md5s, m -> substr(m, 16, 5)), 'min'),
+             |   list_aggregate(list_transform(md5s, m -> substr(m, 21, 5)), 'min'),
+             |   list_aggregate(list_transform(md5s, m -> substr(m, 26, 5)), 'min')] AS sig
+             |  FROM md),
+             |bands AS (SELECT doc_id, unnest([
+             |    'b0|' || sig[1] || '|' || sig[2],
+             |    'b1|' || sig[3] || '|' || sig[4],
+             |    'b2|' || sig[5] || '|' || sig[6]]) AS band FROM sig),
+             |cand AS (SELECT DISTINCT a.doc_id AS cid, b.doc_id AS nid
+             |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id <> b.doc_id),
+             |pairs AS (SELECT cid, nid FROM (
+             |  SELECT cid, nid,
+             |    floor(len(list_intersect(x.sh, y.sh))::DOUBLE /
+             |          (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) * 10000 + 0.5) / 10000 AS jac
+             |  FROM cand JOIN sh x ON x.doc_id = cid JOIN sh y ON y.doc_id = nid) z
+             |  WHERE jac >= 0.5),
+             |s0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+             |s1 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 = 1
+             |       AND NOT EXISTS (SELECT 1 FROM pairs p JOIN s0 ON p.cid = s0.doc_id
+             |                       WHERE p.nid = d.doc_id)),
+             |s01 AS (SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1),
+             |s2 AS (SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 = 2
+             |       AND NOT EXISTS (SELECT 1 FROM pairs p JOIN s01 ON p.cid = s01.doc_id
+             |                       WHERE p.nid = d.doc_id))
+             |SELECT doc_id, CAST(0 AS BIGINT) AS _batch_id FROM s0
+             |UNION ALL SELECT doc_id, CAST(1 AS BIGINT) FROM s1
+             |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) FROM s2
+             |ORDER BY doc_id""".stripMargin)),
+
     // ----------------------------------------------------- dedup family
     // Exact dedup: group by content hash, keep the smallest doc_id.
     // Narrow map + one hash-shuffle groupBy — embarrassingly scalable.

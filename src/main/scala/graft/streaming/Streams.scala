@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.ops.LshIndex
 
 /** Streaming transforms beyond the reference's executed surface
   * (README.md never windows or watermarks — its only state is source
@@ -67,6 +69,55 @@ object Streams {
     events
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Streaming near-duplicate gate over a persisted LSH index
+    * ([[graft.ops.LshIndex]]) — the training-data ingest loop run as a
+    * Structured Streaming pipeline: documents land in micro-batches,
+    * and each batch keeps only what the corpus doesn't already have.
+    * Per batch, under the index's delta protocol:
+    *
+    *  1. probe the index for near-dups of the batch (`minJac` exact
+    *     Jaccard within shared-band candidates) — cost ∝ batch bands +
+    *     touched-bucket bytes, never corpus bytes;
+    *  2. land the SURVIVORS in `outDir` partitioned by `_batch_id`
+    *     (dynamic partition overwrite — a replayed batch overwrites
+    *     its own partition);
+    *  3. append the survivors-as-landed (read back from `outDir`) as
+    *     index delta `batchId`, so the corpus and its index stay in
+    *     lockstep and later batches dedup against everything kept so
+    *     far.
+    *
+    * Exactly-once by the delta marker: a replayed batch whose delta is
+    * committed is a full no-op (its survivors landed before the marker
+    * by step order); a crash between steps 2 and 3 replays into an
+    * unchanged index and recomputes identical survivors over its own
+    * partition. Within-batch near-dups land together (batch-vs-corpus
+    * semantics, like two files in one commit) — run q_dedup_minhash
+    * over the landed corpus for an intra-corpus pass.
+    *
+    * Bootstrap with [[graft.ops.LshIndex.buildEmpty]] so batch 0 goes
+    * through the same path as every other batch. */
+  def nearDupIngest(docs: DataFrame, idxDir: String, outDir: String,
+                    checkpointDir: String, minJac: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        require(LshIndex.exists(s, idxDir),
+          s"no committed LSH index at $idxDir — LshIndex.buildEmpty first")
+        if (!LshIndex.deltaIds(s, idxDir).contains(batchId)) {
+          val dups = LshIndex.matches(s, idxDir, batch, minJac)
+            .select(col("new_id").as("doc_id")).distinct()
+          batch.join(dups, Seq("doc_id"), "left_anti")
+            .withColumn("_batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("_batch_id")
+            .option("partitionOverwriteMode", "dynamic").parquet(outDir)
+          LshIndex.append(s, idxDir,
+            s.read.parquet(outDir).filter(col("_batch_id") === batchId), batchId)
+          ()
+        }
+      }
+      .start()
 
   /** Watermarked stream-stream INTERVAL join: each purchase matched to
     * every click by the same user with `c_ts` in

@@ -39,6 +39,58 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupIngest: each batch dedups against landed survivors; restart is a no-op") {
+    import graft.ops.{LshIndex, Text}
+    val root = tmpDir("graft_sdedup")
+    val (idx, out, ck, src) = (root + "/idx", root + "/out", root + "/ckpt", root + "/src")
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val slice = (0 to 2).map(i => docs.filter(pmod($"doc_id", lit(3)) === i))
+
+    // driver-side reference: near-dup (corpus, new) pairs via the direct
+    // band join (the LshIndexSpec equivalence form), replayed batch by
+    // batch against the accumulated SURVIVOR corpus
+    def dupsAgainst(corpus: org.apache.spark.sql.DataFrame,
+                    batch: org.apache.spark.sql.DataFrame): Set[Long] =
+      LshIndex.bands(batch).select($"doc_id".as("new_id"), $"sh".as("shb"), $"band")
+        .join(LshIndex.bands(corpus).select($"sh".as("sha"), $"band"), Seq("band"))
+        .filter(Text.jaccard($"sha", $"shb") >= 0.5)
+        .select($"new_id").distinct().as[Long].collect().toSet
+    val surv0 = slice(0)
+    val dup1 = dupsAgainst(surv0, slice(1))
+    val surv1 = slice(1).filter(!$"doc_id".isin(dup1.toSeq: _*))
+    val dup2 = dupsAgainst(surv0.unionByName(surv1), slice(2))
+    val surv2 = slice(2).filter(!$"doc_id".isin(dup2.toSeq: _*))
+    assert(dup1.nonEmpty || dup2.nonEmpty, "fixture must drop at least one cross-batch dup")
+    val expected = (surv0.select($"doc_id").as[Long].collect().map(_ -> 0L) ++
+      surv1.select($"doc_id").as[Long].collect().map(_ -> 1L) ++
+      surv2.select($"doc_id").as[Long].collect().map(_ -> 2L)).toSet
+
+    LshIndex.buildEmpty(spark, idx, nBuckets = 16)
+    slice(0).coalesce(1).write.mode("append").parquet(src) // batch 0 ready pre-start
+    val stream = spark.readStream.schema(docs.schema).parquet(src)
+    val q = Streams.nearDupIngest(stream, idx, out, ck)
+    try {
+      q.processAllAvailable()
+      slice(1).coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      slice(2).coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(out).select($"doc_id", $"_batch_id".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected, s"landed corpus diverged from the sequential reference")
+    assert(LshIndex.deltaIds(spark, idx) == Seq(0L, 1L, 2L))
+
+    // restart on the same checkpoint with no new files: nothing replays,
+    // nothing lands twice, the index gains no delta
+    val q2 = Streams.nearDupIngest(spark.readStream.schema(docs.schema).parquet(src),
+      idx, out, ck)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(out).count() == got.size)
+    assert(LshIndex.deltaIds(spark, idx) == Seq(0L, 1L, 2L))
+  }
+
   test("stream-static enrich: broadcast dimension join, no watermark state") {
     implicit val sc = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")

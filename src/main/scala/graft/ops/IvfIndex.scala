@@ -12,6 +12,8 @@ import org.apache.spark.sql.functions._
   * {{{
   *   centroids/            (c_id, cv) — k rows
   *   corpus/cluster=<c>/   assigned vectors, partitioned by cluster
+  *   corpus_d<id>/         appended batches (delta, one dir per id)
+  *   _DELTA_<id>           append marker (written last)
   *   _INDEX                marker (written last)
   * }}}
   *
@@ -32,21 +34,66 @@ object IvfIndex {
   def exists(spark: SparkSession, dir: String): Boolean =
     fsOf(spark).exists(new org.apache.hadoop.fs.Path(s"$dir/_INDEX"))
 
+  private def path(s: String) = new org.apache.hadoop.fs.Path(s)
+
   /** Train (spherical k-means) and persist the index: centroids first,
     * then the cluster-partitioned corpus assignment, marker last (the
-    * usual data-then-marker crash rule). */
+    * usual data-then-marker crash rule). A rebuild also clears every
+    * prior delta, committed or crash-orphaned, markers first — a delta
+    * from the previous index generation carries assignments under the
+    * OLD centroids and would silently corrupt serving (the LshIndex
+    * rebuild rule, applied to its sibling). */
   def build(sess: SparkSession, dir: String, emb: DataFrame,
             idCol: String, vecCol: String, k: Int, iters: Int): Unit = {
+    val fs = fsOf(sess)
     // a rebuild drops the marker FIRST: a crash mid-rewrite must leave
     // an uncommitted index, never a readable centroids/corpus mismatch
-    fsOf(sess).delete(new org.apache.hadoop.fs.Path(s"$dir/_INDEX"), false)
+    fs.delete(path(s"$dir/_INDEX"), false)
+    if (fs.exists(path(dir))) {
+      fs.listStatus(path(dir)).map(_.getPath.getName)
+        .filter(_.startsWith("_DELTA_")).foreach(n => fs.delete(path(s"$dir/$n"), false))
+      fs.listStatus(path(dir)).map(_.getPath.getName)
+        .filter(_.startsWith("corpus_d")).foreach(n => fs.delete(path(s"$dir/$n"), true))
+    }
     Vectors.kmeans(emb, idCol, vecCol, k, iters)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     val cents = sess.read.parquet(s"$dir/centroids")
     Vectors.assignToCentroids(emb, idCol, vecCol, cents)
       .select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/corpus")
-    fsOf(sess).createNewFile(new org.apache.hadoop.fs.Path(s"$dir/_INDEX"))
+    fs.createNewFile(path(s"$dir/_INDEX"))
+  }
+
+  /** Committed delta ids, sorted. */
+  def deltaIds(sess: SparkSession, dir: String): Seq[Long] = {
+    val fs = fsOf(sess)
+    if (!fs.exists(path(dir))) Seq.empty
+    else fs.listStatus(path(dir)).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_DELTA_") => n.stripPrefix("_DELTA_").toLong }
+      .toSeq.sorted
+  }
+
+  /** Append a vector batch as delta `id` — the daily-ingest path: new
+    * vectors are assigned to the FIXED trained centroids (an IVF
+    * index's centroids are immutable between rebuilds; appending never
+    * moves them, it only files new members) and written
+    * cluster-partitioned under `corpus_d<id>/`, marker last. A
+    * committed id is a no-op (streaming replay safety); an unmarked
+    * dir from a crashed append is invisible to serving. Per-batch cost
+    * is the narrow assignment of the batch itself — the indexed corpus
+    * is never re-read. */
+  def append(sess: SparkSession, dir: String, emb: DataFrame,
+             idCol: String, vecCol: String, id: Long): Boolean = {
+    require(exists(sess, dir), s"no committed IVF index at $dir")
+    if (deltaIds(sess, dir).contains(id)) false
+    else {
+      val cents = sess.read.parquet(s"$dir/centroids")
+      Vectors.assignToCentroids(emb, idCol, vecCol, cents)
+        .select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/corpus_d$id")
+      fsOf(sess).createNewFile(path(s"$dir/_DELTA_$id"))
+      true
+    }
   }
 
   /** Exact top-k within the `nprobe` nearest clusters of each query,
@@ -63,8 +110,11 @@ object IvfIndex {
     // metadata, not data
     val probed = q.select(col("cluster")).distinct()
       .collect().map(_.getLong(0))
-    val corpus = sess.read.parquet(s"$dir/corpus")
-      .filter(col("cluster").isin(probed: _*)) // partition-pruned scan
+    // base plus every committed delta, each a partition-pruned scan
+    val dirs = s"$dir/corpus" +: deltaIds(sess, dir).map(id => s"$dir/corpus_d$id")
+    val corpus = dirs
+      .map(d => sess.read.parquet(d).filter(col("cluster").isin(probed: _*)))
+      .reduce(_.unionByName(_))
       .select(col("cluster").cast("long").as("cluster"), col("vec_id").as("nn_id"),
         col("v").as("v2"), col("nrm").as("nrm2"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nn_id"))

@@ -271,6 +271,50 @@ class OpsSpec extends SparkSpec {
     assert(one > 0 && one < total, s"single-probe scan touched $one of $total index files")
   }
 
+  test("IvfIndex append: deltas serve, replay is a no-op, unmarked dirs invisible, rebuild clears") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = tmpDir("graft_ivfd")
+    val base = emb.filter(pmod($"vec_id", lit(5)) =!= 0)
+    val batch = emb.filter(pmod($"vec_id", lit(5)) === 0)
+    IvfIndex.build(spark, dir, base, "vec_id", "embedding", k = 4, iters = 1)
+    assert(IvfIndex.append(spark, dir, batch, "vec_id", "embedding", 0L))
+    assert(!IvfIndex.append(spark, dir, batch, "vec_id", "embedding", 0L)) // replay no-op
+
+    // base + delta served together == the in-memory path over the full
+    // corpus with the same persisted centroids (assignment is per-row
+    // deterministic, so the union of assignments IS the assignment of
+    // the union)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"rn", $"nn_id", $"cos").collect().toSet
+    val fresh = proj(Vectors.ivfTopK(emb, "vec_id", "embedding", cents, 3, 2, $"vec_id" <= 20))
+    val served = proj(IvfIndex.topK(spark, dir, emb.filter($"vec_id" <= 20),
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    assert(served == fresh)
+
+    // crash-shaped delta: an assigned dir without its marker never
+    // serves — the impostors carry the originals' vectors (cos 1.0,
+    // guaranteed top-k) under ids +10000, so a leak is unmissable
+    Vectors.assignToCentroids(batch.withColumn("vec_id", $"vec_id" + 10000),
+        "vec_id", "embedding", cents)
+      .select($"cluster", $"vec_id", $"v", $"nrm")
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/corpus_d7")
+    val after = IvfIndex.topK(spark, dir, emb.filter($"vec_id" <= 20),
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      .select($"nn_id").as[Long].collect()
+    assert(!after.exists(_ >= 10000L), "unmarked delta dir must be invisible")
+
+    // rebuild: prior deltas (committed and orphaned) are gone, serving
+    // reflects the base corpus only
+    IvfIndex.build(spark, dir, base, "vec_id", "embedding", k = 4, iters = 1)
+    assert(IvfIndex.deltaIds(spark, dir).isEmpty, "rebuild must drop committed delta markers")
+    val cents2 = spark.read.parquet(s"$dir/centroids")
+    val baseOnly = proj(Vectors.ivfTopK(base, "vec_id", "embedding", cents2, 3, 2, $"vec_id" <= 20))
+    val served2 = proj(IvfIndex.topK(spark, dir, base.filter($"vec_id" <= 20),
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    assert(served2 == baseOnly, "stale delta rows resurfaced after rebuild")
+  }
+
   test("multimodal bytes → decoded features → persisted ANN index, end to end") {
     // the retrieval pipeline a multimodal training set runs: payloads
     // decoded (stub, real batch shape) into feature vectors, indexed

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.cdc.{CdcGen, CdcMerge, Ingest}
-import graft.ops.{LshIndex, Text, Vectors}
+import graft.ops.{IvfIndex, LshIndex, Text, Vectors}
 import graft.tables.Tables
 
 /** The extension query surface: the reference's core CDC-merge semantics
@@ -793,6 +793,46 @@ object Extensions {
       },
       Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
              |cent AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id <= 8),
+             |assigned AS (
+             |  SELECT vec_id, e, c_id AS cluster FROM (
+             |    SELECT a.vec_id, a.e, c.c_id,
+             |      row_number() OVER (PARTITION BY a.vec_id
+             |        ORDER BY list_cosine_similarity(a.e, c.ce) DESC, c.c_id) AS rn
+             |    FROM v a CROSS JOIN cent c) z WHERE rn = 1)
+             |SELECT vec_id, CAST(rn AS INT) AS rn, nn_id, round(cc, 4) AS cos FROM (
+             |  SELECT q.vec_id, x.vec_id AS nn_id,
+             |    list_cosine_similarity(q.e, x.e) AS cc,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(q.e, x.e) DESC, x.vec_id) AS rn
+             |  FROM assigned q JOIN assigned x
+             |    ON q.cluster = x.cluster AND q.vec_id <> x.vec_id
+             |  WHERE q.vec_id <= 50) t
+             |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin)),
+
+    // The SAME ANN search served from the PERSISTED IVF index
+    // (ops/IvfIndex): built once per sf (cached fixture — train at
+    // iters=0 so the centroids are the deterministic first-8 init and
+    // the oracle can replay them; a trained quantizer's float means are
+    // not portably replayable), then every invocation reads centroids +
+    // only the probed cluster partitions from the committed layout.
+    // What verify value-checks here is the full build/serve split —
+    // parquet round-trip, partition pruning, delta-union read path —
+    // against the identical DuckDB semantics as q_sim_ivf (centroids
+    // vec_id < 8 = the first-8-ids init).
+    GQuery(
+      "q_sim_ivf_served",
+      (s, dir) => {
+        val sfKey = new java.io.File(dir).getName
+        val idxDir = cachedFixture(s"graft_ivfq_cache_v1_$sfKey") { root =>
+          IvfIndex.build(s, root + "/idx", fanout(Tables.embeddings(s, dir)),
+            "vec_id", "embedding", k = 8, iters = 0)
+        } + "/idx"
+        IvfIndex.topK(s, idxDir, Tables.embeddings(s, dir).filter(col("vec_id") <= 50),
+            "vec_id", "embedding", k = 3, nprobe = 1)
+          .orderBy(col("vec_id"), col("rn"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |cent AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id < 8),
              |assigned AS (
              |  SELECT vec_id, e, c_id AS cluster FROM (
              |    SELECT a.vec_id, a.e, c.c_id,

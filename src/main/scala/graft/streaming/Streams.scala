@@ -102,22 +102,36 @@ object Streams {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        require(LshIndex.exists(s, idxDir),
-          s"no committed LSH index at $idxDir — LshIndex.buildEmpty first")
-        if (!LshIndex.deltaIds(s, idxDir).contains(batchId)) {
-          val dups = LshIndex.matches(s, idxDir, batch, minJac)
-            .select(col("new_id").as("doc_id")).distinct()
-          batch.join(dups, Seq("doc_id"), "left_anti")
-            .withColumn("_batch_id", lit(batchId))
-            .write.mode("overwrite").partitionBy("_batch_id")
-            .option("partitionOverwriteMode", "dynamic").parquet(outDir)
-          LshIndex.append(s, idxDir,
-            s.read.parquet(outDir).filter(col("_batch_id") === batchId), batchId)
-          ()
-        }
+        dedupBatch(batch, batchId, idxDir, outDir, minJac)
+        ()
       }
       .start()
+
+  /** One [[nearDupIngest]] transaction, callable directly (batch-mode
+    * backfill, crash-protocol tests): probe → land survivors → commit
+    * the delta marker. Idempotent at every crash point — a committed
+    * batchId is a full no-op; a replay after a crash between the
+    * survivors write and the marker recomputes identical survivors
+    * (the index is unchanged until the marker commits) over its own
+    * partition. Returns whether this call committed the batch. */
+  def dedupBatch(batch: DataFrame, batchId: Long, idxDir: String,
+                 outDir: String, minJac: Double = 0.5): Boolean = {
+    val s = batch.sparkSession
+    require(LshIndex.exists(s, idxDir),
+      s"no committed LSH index at $idxDir — LshIndex.buildEmpty first")
+    if (LshIndex.deltaIds(s, idxDir).contains(batchId)) false
+    else {
+      val dups = LshIndex.matches(s, idxDir, batch, minJac)
+        .select(col("new_id").as("doc_id")).distinct()
+      batch.join(dups, Seq("doc_id"), "left_anti")
+        .withColumn("_batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("_batch_id")
+        .option("partitionOverwriteMode", "dynamic").parquet(outDir)
+      LshIndex.append(s, idxDir,
+        s.read.parquet(outDir).filter(col("_batch_id") === batchId), batchId)
+      true
+    }
+  }
 
   /** Watermarked stream-stream INTERVAL join: each purchase matched to
     * every click by the same user with `c_ts` in

@@ -91,6 +91,39 @@ class StreamsSpec extends SparkSpec {
     assert(LshIndex.deltaIds(spark, idx) == Seq(0L, 1L, 2L))
   }
 
+  test("dedupBatch crash protocol: replay after any partial state converges to the committed state") {
+    import graft.ops.LshIndex
+    val root = tmpDir("graft_sdedup_crash")
+    val (idx, out) = (root + "/idx", root + "/out")
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val b0 = docs.filter(pmod($"doc_id", lit(3)) === 0)
+    val b1 = docs.filter(pmod($"doc_id", lit(3)) === 1)
+
+    LshIndex.buildEmpty(spark, idx, nBuckets = 16)
+    assert(Streams.dedupBatch(b0, 0L, idx, out))
+    assert(Streams.dedupBatch(b1, 1L, idx, out))
+    val committed = spark.read.parquet(out)
+      .select($"doc_id", $"_batch_id".cast("long")).as[(Long, Long)].collect().toSet
+
+    // committed batch replayed → full no-op, state unchanged
+    assert(!Streams.dedupBatch(b1, 1L, idx, out))
+    assert(spark.read.parquet(out).count() == committed.size)
+
+    // crash between the survivors write and the marker: batch 1's delta
+    // never committed (marker + dir gone), its survivors partition left
+    // behind. The replay must recompute IDENTICAL survivors (the index
+    // is back to the pre-batch state) and land the marker.
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_DELTA_1"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/bands_d1"), true)
+    assert(LshIndex.deltaIds(spark, idx) == Seq(0L))
+    assert(Streams.dedupBatch(b1, 1L, idx, out), "replay must re-commit the crashed batch")
+    val replayed = spark.read.parquet(out)
+      .select($"doc_id", $"_batch_id".cast("long")).as[(Long, Long)].collect().toSet
+    assert(replayed == committed, "crash replay diverged from the committed state")
+    assert(LshIndex.deltaIds(spark, idx) == Seq(0L, 1L))
+  }
+
   test("stream-static enrich: broadcast dimension join, no watermark state") {
     implicit val sc = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")

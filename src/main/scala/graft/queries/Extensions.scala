@@ -704,6 +704,57 @@ object Extensions {
            |WHERE c > 0.2 ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023): partition
+    // the embedding space with the coarse quantizer (narrow
+    // centroid-literal assignment — zero shuffles), generate cosine
+    // near-dup pairs ONLY within clusters (ONE shuffle on the cluster
+    // key — the all-pairs cut that makes semantic dedup feasible at
+    // corpus scale; sf0.1 measured: in-cluster pairs ≈ corpus²/k), then
+    // connected components → every vector labeled with its semantic
+    // group representative (component min — the copy a curation pass
+    // keeps). Centroids are the deterministic first-8 init so the full
+    // pipeline is oracle-replayable; a k-means-trained quantizer only
+    // sharpens the clusters, the plan shape is identical.
+    GQuery(
+      "q_dedup_semantic",
+      (s, dir) => {
+        val cents = Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+        val assigned = Vectors.assignTopN(fanout(Tables.embeddings(s, dir)),
+          "vec_id", "embedding", cents, 1)
+        val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+          col("v").as("va"), col("nrm").as("na"))
+        val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+          col("v").as("vb"), col("nrm").as("nb"))
+        val pairs = a.join(b, Seq("cluster"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(Vectors.cosine(col("va"), col("vb"), col("na"), col("nb")) > 0.2)
+          .select(col("id_a"), col("id_b"))
+        graft.ops.Components.connectedComponents(
+            Tables.embeddings(s, dir).select(col("vec_id")), pairs)
+          .select(col("id").as("vec_id"), col("lab").as("rep_id"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |cent AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id < 8),
+             |assigned AS (
+             |  SELECT vec_id, e, c_id AS cluster FROM (
+             |    SELECT a.vec_id, a.e, c.c_id,
+             |      row_number() OVER (PARTITION BY a.vec_id
+             |        ORDER BY list_cosine_similarity(a.e, c.ce) DESC, c.c_id) AS rn
+             |    FROM v a CROSS JOIN cent c) z WHERE rn = 1),
+             |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |      FROM assigned a JOIN assigned b
+             |        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+             |      WHERE list_cosine_similarity(a.e, b.e) > 0.2),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+             |          UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+             |reach AS (SELECT vec_id AS id, vec_id AS lab FROM embeddings
+             |          UNION
+             |          SELECT e2.dst AS id, r.lab FROM reach r JOIN edges e2 ON e2.src = r.id)
+             |SELECT id AS vec_id, min(lab) AS rep_id FROM reach GROUP BY id
+             |ORDER BY vec_id""".stripMargin)),
+
     // ------------------------------------------------ similarity search
     // Brute-force exact cosine top-k for a bounded query set (vec_id ≤
     // 50) against the full corpus: corpus broadcast, queries scanned —

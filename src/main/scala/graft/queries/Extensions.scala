@@ -451,6 +451,29 @@ object Extensions {
              |  md5(lower(trim(text))) AS h
              |FROM documents GROUP BY 3 ORDER BY keep_id""".stripMargin)),
 
+    // SOFT dedup: keep every copy but weight it 1/n_copies — the
+    // alternative curation policy to dropping (train on everything,
+    // down-weight repeats so the corpus-level gradient matches the
+    // deduped one). Same narrow hash + ONE shuffle on the content-hash
+    // key as q_dedup_exact; the count comes back as a window over that
+    // key so no second join is needed.
+    GQuery(
+      "q_dedup_weight",
+      (s, dir) => {
+        val w = Window.partitionBy(col("h"))
+        Tables.documents(s, dir)
+          .withColumn("h", md5(lower(trim(col("text")))))
+          .withColumn("n_copies", count(lit(1)).over(w))
+          .select(col("doc_id"), col("n_copies"),
+            round(lit(1.0) / col("n_copies"), 4).as("weight"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, n_copies,
+             |  round(1.0::DOUBLE / n_copies, 4) AS weight FROM (
+             |  SELECT doc_id,
+             |    count(*) OVER (PARTITION BY md5(lower(trim(text)))) AS n_copies
+             |  FROM documents) t ORDER BY doc_id""".stripMargin)),
+
     // MinHash + LSH near-dup detection: 2-gram shingles → 6-component
     // md5-min signature → 3 bands of 2 → candidate pairs share a band →
     // verify exact Jaccard ≥ 0.5. Scale: the band join is ONE shuffle on
@@ -900,6 +923,61 @@ object Extensions {
              |  WHERE q.vec_id <= 50) t
              |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin)),
 
+    // Cross-corpus ANN JOIN — the embedding-decontamination shape: every
+    // held-out "eval" vector (vec_id < 100) against the disjoint "train"
+    // corpus (vec_id >= 100), reporting ALL train neighbors above a
+    // cosine threshold (threshold semantics, not top-k: contamination
+    // wants every hit, and a plain similarity join is what record
+    // linkage / semantic retrieval-vs-corpus audits run). Both sides go
+    // through the NARROW centroid-literal assignment; the corpus lives
+    // in its 1 nearest cluster while each query MULTI-PROBES its 3
+    // nearest (the recall dial at a cluster boundary — a corpus vector
+    // filed on the other side of the boundary is still found; nprobe=3
+    // over the untrained first-8 quantizer measures ~0.6 recall at
+    // sf0.01 vs 0.48 at nprobe=2, gated in QueriesSpec). The only
+    // wide exchange is the cluster-key co-partition join; in-cluster
+    // work is pairs-within-cluster, never |eval|×|train|. A (q, nn)
+    // pair can appear at most once — the corpus side owns exactly one
+    // cluster — so no distinct is needed.
+    GQuery(
+      "q_knn_join",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+        val corpus = Vectors.assignTopN(fanout(emb.filter(col("vec_id") >= 100)),
+            "vec_id", "embedding", cents, 1)
+          .select(col("cluster"), col("vec_id").as("nn_id"),
+            col("v").as("v2"), col("nrm").as("nrm2"))
+        val queries = Vectors.assignTopN(emb.filter(col("vec_id") < 100),
+            "vec_id", "embedding", cents, 3)
+          .select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
+        queries.join(corpus, Seq("cluster"))
+          .withColumn("cos", Vectors.cosine(col("v"), col("v2"), col("nrm"), col("nrm2")))
+          .filter(col("cos") > 0.3)
+          .select(col("vec_id"), col("nn_id"), round(col("cos"), 4).as("cos"))
+          .orderBy(col("vec_id"), col("nn_id"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |cent AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id < 8),
+             |corpus AS (
+             |  SELECT vec_id, e, c_id AS cluster FROM (
+             |    SELECT a.vec_id, a.e, c.c_id,
+             |      row_number() OVER (PARTITION BY a.vec_id
+             |        ORDER BY list_cosine_similarity(a.e, c.ce) DESC, c.c_id) AS rn
+             |    FROM v a CROSS JOIN cent c WHERE a.vec_id >= 100) z WHERE rn = 1),
+             |queries AS (
+             |  SELECT vec_id, e, c_id AS cluster FROM (
+             |    SELECT a.vec_id, a.e, c.c_id,
+             |      row_number() OVER (PARTITION BY a.vec_id
+             |        ORDER BY list_cosine_similarity(a.e, c.ce) DESC, c.c_id) AS rn
+             |    FROM v a CROSS JOIN cent c WHERE a.vec_id < 100) z WHERE rn <= 3)
+             |SELECT q.vec_id, x.vec_id AS nn_id,
+             |  round(list_cosine_similarity(q.e, x.e), 4) AS cos
+             |FROM queries q JOIN corpus x ON q.cluster = x.cluster
+             |WHERE list_cosine_similarity(q.e, x.e) > 0.3
+             |ORDER BY q.vec_id, nn_id""".stripMargin)),
+
     // ------------------------------------------------------ text analysis
     GQuery(
       "q_text_stats",
@@ -1109,6 +1187,42 @@ object Extensions {
              |      ORDER BY ('0x' || substr(md5(text), 1, 12))::BIGINT, doc_id) AS rn
              |  FROM documents) t
              |WHERE rn <= 8 ORDER BY doc_id""".stripMargin)),
+
+    // Data-MIXTURE rebalancing: downsample every over-represented
+    // language to the corpus mean share (keep_frac = min(1, mean/n_lang))
+    // — the fraction-based complement to q_sample_stratified's hard
+    // per-stratum cap, and the shape any target-mix reweighting takes
+    // (swap `mean` for target_share·total). The keep decision is EXACT
+    // INTEGER math — pmod(hash48, 1e6)·n_lang·n_langs < total·1e6 — so
+    // no float division can diverge between engines, and min(1,·) falls
+    // out for free (under-represented langs survive whole because the
+    // inequality is then always true). Plan: one tiny lang-count agg +
+    // its one-row rollup, both broadcast back onto a NARROW corpus scan
+    // — the corpus itself is never shuffled. Deterministic, stateless,
+    // coordination-free: exactly how a 100 TB mix is rebalanced.
+    GQuery(
+      "q_mix_rebalance",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val shares = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+        val tot = shares.agg(sum(col("n_lang")).as("total"),
+          count(lit(1)).as("n_langs"))
+        docs.join(broadcast(shares), Seq("lang"))
+          .crossJoin(broadcast(tot))
+          .filter(pmod(Text.hash48(col("text")), lit(1000000L)) * col("n_lang") * col("n_langs")
+            < col("total") * lit(1000000L))
+          .select(col("doc_id"), col("lang"), col("n_lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH shares AS (
+             |  SELECT lang, count(*)::BIGINT AS n_lang FROM documents GROUP BY lang),
+             |tot AS (SELECT sum(n_lang)::BIGINT AS total,
+             |               count(*)::BIGINT AS n_langs FROM shares)
+             |SELECT d.doc_id, d.lang, s.n_lang
+             |FROM documents d JOIN shares s ON d.lang = s.lang CROSS JOIN tot
+             |WHERE (('0x' || substr(md5(d.text), 1, 12))::BIGINT % 1000000)
+             |        * s.n_lang * tot.n_langs < tot.total * 1000000
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // TF-IDF top terms per document over the corpus inverted index.
     // The idf core is the pure-rational BM25 form

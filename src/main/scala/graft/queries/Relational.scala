@@ -481,6 +481,36 @@ object Relational {
       },
       None),
 
+    // MERGEABLE sketches — the 100 TB pre-aggregation pattern: build a
+    // DataSketches HLL sketch per group ONCE, then answer any coarser
+    // rollup by unioning the stored sketches — never re-touching the raw
+    // rows. (approx_count_distinct gives one estimate per query; a
+    // persisted sketch column gives every future rollup for free — the
+    // difference between re-scanning 100 TB per question and merging
+    // kilobytes.) Per-flag rows carry the exact distinct beside the
+    // estimate; the ALL row is computed purely by sketch union.
+    // DataSketches binary layout is engine-specific → rows-only check;
+    // the ε gate (estimate within 5% of exact, union(sketches) ==
+    // sketch(all)) is pinned in QueriesSpec.
+    GQuery(
+      "q_agg_hll_merge",
+      (s, dir) => {
+        val perFlag = Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(hll_sketch_agg(col("l_orderkey"), 14).as("sk"),
+            countDistinct(col("l_orderkey")).as("exact_d"))
+        val flags = perFlag.select(
+          col("l_returnflag").as("scope"),
+          hll_sketch_estimate(col("sk")).as("est_d"),
+          col("exact_d"))
+        val all = perFlag.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_d"))
+          .select(lit("ALL").as("scope"), col("est_d"),
+            lit(null).cast("long").as("exact_d"))
+        flags.unionByName(all).orderBy(col("scope"))
+      },
+      None),
+
     // ------------------------------------------------------------- windows
     // Partitioned by suppkey (high cardinality) — at 100 TB this is one
     // shuffle into ~|suppliers| balanced partitions, never a 3-partition
@@ -946,6 +976,36 @@ object Relational {
              |WHERE o_totalprice > 2 * (SELECT CAST(avg(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
              |                          FROM orders WHERE o_custkey = o.o_custkey)
              |ORDER BY o_orderkey""".stripMargin)),
+
+    // Correlated EXISTS / NOT EXISTS — the other half of subquery
+    // decorrelation (q_subquery_scalar covers scalar subqueries):
+    // Catalyst's RewritePredicateSubquery turns both predicates into
+    // left-semi / left-anti joins on o_custkey, so the physical plan is
+    // two hash joins — no per-row subquery execution anywhere. Customers
+    // with at least one finished order but no open high-value order.
+    GQuery(
+      "q_subquery_exists",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("gq_cust_ex")
+        Tables.orders(s, dir).createOrReplaceTempView("gq_orders_ex")
+        s.sql(
+          """SELECT c_custkey, c_mktsegment
+            |FROM gq_cust_ex c
+            |WHERE EXISTS (SELECT 1 FROM gq_orders_ex o
+            |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+            |  AND NOT EXISTS (SELECT 1 FROM gq_orders_ex o
+            |                  WHERE o.o_custkey = c.c_custkey
+            |                    AND o.o_orderstatus = 'O' AND o.o_totalprice > 300000)
+            |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_mktsegment
+             |FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+             |  AND NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey
+             |                    AND o.o_orderstatus = 'O' AND o.o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin)),
 
     // Pivot as conditional aggregation (the portable formulation — the
     // groupBy().pivot() API compiles to exactly this plan).

@@ -149,6 +149,30 @@ object Vectors {
       .select(col("vec_id"), col("rn"), col("nn_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Cross-corpus threshold ANN JOIN — every query vector against a
+    * (typically disjoint) corpus, returning ALL corpus neighbors with
+    * cosine above `threshold` (threshold semantics, not top-k: this is
+    * the embedding-decontamination / record-linkage shape, where every
+    * hit matters). The corpus lives in its single nearest cluster; each
+    * query multi-probes its `nprobe` nearest — at nprobe = |centroids|
+    * the join is exhaustive and exactly equals the brute-force result
+    * (OpsSpec pins this), in between it trades boundary-pair recall for
+    * a 1/k candidate cut. The only wide exchange is the cluster-key
+    * co-partition join; a (query, neighbor) pair appears at most once
+    * because the corpus side owns exactly one cluster. */
+  def annJoin(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              cents: DataFrame, nprobe: Int, threshold: Double): DataFrame = {
+    val c = assignTopN(corpus, idCol, vecCol, cents, 1)
+      .select(col("cluster"), col("vec_id").as("nn_id"),
+        col("v").as("v2"), col("nrm").as("nrm2"))
+    val q = assignTopN(queries, idCol, vecCol, cents, nprobe)
+      .select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
+    q.join(c, Seq("cluster"))
+      .withColumn("cos", cosine(col("v"), col("v2"), col("nrm"), col("nrm2")))
+      .filter(col("cos") > threshold)
+      .select(col("vec_id"), col("nn_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Distributed SPHERICAL Lloyd k-means over array<float> embeddings —
     * trains the IVF coarse quantizer (q_sim_ivf's first-k centroids are
     * the deterministic time-zero init; this is the refinement a real

@@ -945,17 +945,9 @@ object Extensions {
         val emb = Tables.embeddings(s, dir)
         val cents = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
-        val corpus = Vectors.assignTopN(fanout(emb.filter(col("vec_id") >= 100)),
-            "vec_id", "embedding", cents, 1)
-          .select(col("cluster"), col("vec_id").as("nn_id"),
-            col("v").as("v2"), col("nrm").as("nrm2"))
-        val queries = Vectors.assignTopN(emb.filter(col("vec_id") < 100),
-            "vec_id", "embedding", cents, 3)
-          .select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
-        queries.join(corpus, Seq("cluster"))
-          .withColumn("cos", Vectors.cosine(col("v"), col("v2"), col("nrm"), col("nrm2")))
-          .filter(col("cos") > 0.3)
-          .select(col("vec_id"), col("nn_id"), round(col("cos"), 4).as("cos"))
+        Vectors.annJoin(emb.filter(col("vec_id") < 100),
+            fanout(emb.filter(col("vec_id") >= 100)),
+            "vec_id", "embedding", cents, nprobe = 3, threshold = 0.3)
           .orderBy(col("vec_id"), col("nn_id"))
       },
       Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

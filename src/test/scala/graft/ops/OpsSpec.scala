@@ -241,6 +241,30 @@ class OpsSpec extends SparkSpec {
     assert(recall(4) == 1.0)
   }
 
+  test("annJoin: nprobe is monotone; full probe equals the brute-force threshold join exactly") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Vectors.kmeans(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val queries = emb.filter($"vec_id" < 100)
+    val corpus = emb.filter($"vec_id" >= 100)
+    def pairs(nprobe: Int): Set[(Long, Long)] =
+      Vectors.annJoin(queries, corpus, "vec_id", "embedding", cents, nprobe, 0.3)
+        .select($"vec_id", $"nn_id").as[(Long, Long)].collect().toSet
+    val Seq(p1, p2, p4) = Seq(1, 2, 4).map(pairs)
+    assert(p1.subsetOf(p2) && p2.subsetOf(p4),
+      "probing more clusters must only ADD pairs")
+    // exhaustive probe: every query sees every cluster — exactly brute force
+    val brute = {
+      val q = queries.select($"vec_id", $"embedding".as("v"))
+        .withColumn("nrm", Vectors.norm($"v"))
+      val c = broadcast(corpus.select($"vec_id".as("nn_id"),
+        $"embedding".as("v2")).withColumn("nrm2", Vectors.norm($"v2")))
+      q.join(c).filter(Vectors.cosine($"v", $"v2", $"nrm", $"nrm2") > 0.3)
+        .select($"vec_id", $"nn_id").as[(Long, Long)].collect().toSet
+    }
+    assert(p4 == brute, s"full-probe annJoin diverged: ${(p4 diff brute).size} extra, ${(brute diff p4).size} missing")
+    assert(brute.nonEmpty)
+  }
+
   test("persisted IVF index: serves the same answers as the in-memory path, partition-pruned") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = tmpDir("graft_ivfidx")

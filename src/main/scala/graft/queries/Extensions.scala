@@ -321,6 +321,55 @@ object Extensions {
           |WHERE s1.lsn IS NULL OR s2.lsn IS NULL OR s1.lsn <> s2.lsn
           |ORDER BY id""".stripMargin)),
 
+    // INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view use the
+    // change feed exists for: a downstream per-bucket (sum, count) is
+    // maintained by applying the feed's (after − before) deltas to the
+    // mid-state aggregate instead of re-reading the table — at 100 TB
+    // the difference between touching changed keys and re-scanning
+    // everything. The oracle RECOMPUTES the same aggregate from the
+    // final state, so the driver value-checks maintained == recomputed
+    // (sums ride DECIMAL(18,4) — order-independent, exact; count moves
+    // by inserts − deletes). Plan: two latest-wins windows + the feed's
+    // full-outer key join feed bucket-sized aggregates; the maintained
+    // side never re-aggregates the unchanged keys.
+    GQuery(
+      "q_cdc_incr_agg",
+      (s, dir) => {
+        val dec4 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,4)")
+        val zero = lit(0).cast("decimal(18,4)")
+        val log = cdcLog(s, dir)
+        val mid = Tables.events(s, dir).count() / 2
+        val s1 = CdcMerge.snapshot(log.filter(col("lsn") < mid), Seq("id"), Seq("lsn"))
+        val s2 = CdcMerge.snapshot(log, Seq("id"), Seq("lsn"))
+        val base = s1.groupBy(pmod(col("id"), lit(8L)).as("bucket"))
+          .agg(sum(dec4(col("value"))).as("total"), count(lit(1)).as("n"))
+        val deltas = graft.cdc.ChangeFeed.diff(s1, s2, Seq("id"), "lsn", Seq("value"))
+          .groupBy(pmod(col("id"), lit(8L)).as("bucket"))
+          .agg(
+            sum(coalesce(dec4(col("after_value")), zero)
+              - coalesce(dec4(col("before_value")), zero)).as("dt"),
+            sum(when(col("change_op") === "i", 1L)
+              .when(col("change_op") === "d", -1L).otherwise(0L)).as("dn"))
+        base.join(deltas, Seq("bucket"), "full")
+          .select(col("bucket"),
+            dround(coalesce(col("total"), zero) + coalesce(col("dt"), zero)).as("total"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"))
+          .orderBy(col("bucket"))
+      },
+      Some(
+        """WITH s2 AS (SELECT id, value FROM (
+          |  SELECT user_id AS id, event_id AS lsn,
+          |    CASE WHEN event_id % 11 = 0 THEN 'd'
+          |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+          |    value,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          |  FROM events) t
+          |  WHERE rn = 1 AND op <> 'd')
+          |SELECT id % 8 AS bucket,
+          |  round(CAST(sum(value::DECIMAL(18,4)) AS DOUBLE), 4) AS total,
+          |  count(*) AS n
+          |FROM s2 GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // File-group-level COW under the same latest-wins oracle: the log
     // replayed through hash-bucketed partial commits (only touched file
     // groups rewrite, clean buckets carry by manifest reference — the

@@ -286,6 +286,47 @@ object Relational {
              |    ON p.user_id = c.user_id AND c.ts <= p.ts) t
              |WHERE rn = 1 ORDER BY p_id""".stripMargin)),
 
+    // COMPOSITE star-schema analytical query — the TPC-H Q3 shape
+    // (segment-filtered customers × orders × lineitem → per-order
+    // revenue → top 20): the end-to-end plan every warehouse consumer
+    // runs, exercising join ORDER and STRATEGY choices together. The
+    // filtered customer dim broadcasts (map-side, the fact table never
+    // shuffles for it); lineitem⋈orders co-partition on the order key —
+    // the one real exchange; revenue sums ride exact decimals
+    // (price·(1−disc) multiplied IN DECIMAL, so both engines compute
+    // the identical product before the order-independent sum); the
+    // top-20 is selected on the exact revenue with key tie-breaks.
+    GQuery(
+      "q_tpch_q3",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val one = lit(1).cast("decimal(18,4)")
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderpriority"))
+          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("rev"))
+          .orderBy(col("rev").desc, col("l_orderkey"))
+          .limit(20)
+          .select(col("l_orderkey"), col("o_orderpriority"),
+            dround(col("rev")).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+      },
+      Some("""SELECT l_orderkey, o_orderpriority,
+             |  round(CAST(rev AS DOUBLE), 4) AS revenue FROM (
+             |  SELECT l_orderkey, o_orderpriority,
+             |    sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             |        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  WHERE c_mktsegment = 'BUILDING'
+             |  GROUP BY 1, 2
+             |  ORDER BY rev DESC, l_orderkey LIMIT 20) t
+             |ORDER BY revenue DESC, l_orderkey""".stripMargin)),
+
     // --------------------------------------------------------- aggregation
     // TPC-H Q1 shape: partial hash agg map-side → 6-group final agg.
     // Decimal sums keep Spark's and DuckDB's different add-orders from
@@ -468,6 +509,31 @@ object Relational {
              |  ${OD.format("sum(CAST(o_totalprice AS DECIMAL(18,4)))")} AS total
              |FROM orders GROUP BY o_custkey HAVING count(*) >= 3
              |ORDER BY o_custkey""".stripMargin)),
+
+    // FILTER-clause aggregation (SQL:2003) — per-aggregate predicates in
+    // one pass over the input, the standard form of q_pivot's CASE-WHEN
+    // conditional aggregation. Catalyst compiles each FILTER into the
+    // aggregate's filter child; still one partial+final hash agg.
+    GQuery(
+      "q_agg_filter",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("gq_orders_fil")
+        s.sql(
+          """SELECT o_orderpriority,
+            |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+            |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+            |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+            |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 4) AS total_open
+            |FROM gq_orders_fil
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority,
+             |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+             |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 4) AS total_open
+             |FROM orders
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     // t-digest percentile sketch — engine-specific, rows-only check;
     // the exact twin is q_agg_percentile.
@@ -793,6 +859,49 @@ object Relational {
              |EXCEPT
              |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus='F'
              |ORDER BY custkey""".stripMargin)),
+
+    // MULTISET set ops — INTERSECT ALL / EXCEPT ALL keep duplicate
+    // counts (min / left-minus-right multiplicities), which the distinct
+    // variants above erase. Catalyst plans both as a single
+    // count-aggregate + generate (no join): one shuffle on the full row.
+    // Ordering key includes a per-row sequence so the output is total.
+    GQuery(
+      "q_set_intersect_all",
+      (s, dir) => {
+        val a = Tables.orders(s, dir).filter(col("o_orderstatus") =!= "P")
+          .select(col("o_custkey").as("custkey"))
+        val b = Tables.orders(s, dir).filter(col("o_totalprice") > 100000)
+          .select(col("o_custkey").as("custkey"))
+        val w = Window.partitionBy(col("custkey")).orderBy(col("custkey"))
+        a.intersectAll(b)
+          .withColumn("seq", row_number().over(w))
+          .orderBy(col("custkey"), col("seq"))
+      },
+      Some("""SELECT custkey, CAST(row_number() OVER (PARTITION BY custkey ORDER BY custkey) AS INT) AS seq
+             |FROM (
+             |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus <> 'P'
+             |  INTERSECT ALL
+             |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000) t
+             |ORDER BY custkey, seq""".stripMargin)),
+
+    GQuery(
+      "q_set_except_all",
+      (s, dir) => {
+        val a = Tables.orders(s, dir).filter(col("o_orderstatus") =!= "P")
+          .select(col("o_custkey").as("custkey"))
+        val b = Tables.orders(s, dir).filter(col("o_totalprice") > 100000)
+          .select(col("o_custkey").as("custkey"))
+        val w = Window.partitionBy(col("custkey")).orderBy(col("custkey"))
+        a.exceptAll(b)
+          .withColumn("seq", row_number().over(w))
+          .orderBy(col("custkey"), col("seq"))
+      },
+      Some("""SELECT custkey, CAST(row_number() OVER (PARTITION BY custkey ORDER BY custkey) AS INT) AS seq
+             |FROM (
+             |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus <> 'P'
+             |  EXCEPT ALL
+             |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000) t
+             |ORDER BY custkey, seq""".stripMargin)),
 
     // ----------------------------------------------------------- functions
     GQuery(

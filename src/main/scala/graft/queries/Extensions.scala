@@ -370,6 +370,48 @@ object Extensions {
           |  count(*) AS n
           |FROM s2 GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // SCD Type-2 history materialization — the OTHER standard consumer
+    // of a CDC feed (reference README.md:300-307 materializes latest-
+    // wins; a warehouse dimension keeps every version): each non-delete
+    // event opens a version at its LSN, the key's next event (update OR
+    // delete) closes it, the open version is flagged current. ONE
+    // window shuffle on the record key — lead(lsn) over the per-key
+    // LSN order is the entire algorithm, so the plan is a single
+    // exchange + sort regardless of corpus size, and at 100 TB the key
+    // partitioning is the same one the upsert path already uses.
+    // Delete events participate in the lead() (they close the prior
+    // version) but emit no row themselves.
+    GQuery(
+      "q_cdc_scd2",
+      (s, dir) => {
+        val w = Window.partitionBy(col("id")).orderBy(col("lsn"))
+        cdcLog(s, dir)
+          .withColumn("valid_to_raw", lead(col("lsn"), 1).over(w))
+          .filter(col("op") =!= "d")
+          .select(col("id"), col("lsn").as("valid_from"),
+            coalesce(col("valid_to_raw"), lit(-1L)).as("valid_to"),
+            when(col("valid_to_raw").isNull, 1).otherwise(0).as("is_current"),
+            dround(col("value").cast("decimal(18,4)")).as("value"))
+          .orderBy(col("id"), col("valid_from"))
+      },
+      Some(
+        """WITH log AS (
+          |  SELECT user_id AS id, event_id AS lsn,
+          |    CASE WHEN event_id % 11 = 0 THEN 'd'
+          |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+          |    value
+          |  FROM events),
+          |v AS (
+          |  SELECT id, lsn AS valid_from,
+          |    lead(lsn) OVER (PARTITION BY id ORDER BY lsn) AS valid_to_raw,
+          |    op, value
+          |  FROM log)
+          |SELECT id, valid_from, coalesce(valid_to_raw, -1) AS valid_to,
+          |  CASE WHEN valid_to_raw IS NULL THEN 1 ELSE 0 END AS is_current,
+          |  round(CAST(value AS DECIMAL(18,4))::DOUBLE, 4) AS value
+          |FROM v WHERE op <> 'd'
+          |ORDER BY id, valid_from""".stripMargin)),
+
     // File-group-level COW under the same latest-wins oracle: the log
     // replayed through hash-bucketed partial commits (only touched file
     // groups rewrite, clean buckets carry by manifest reference — the
@@ -482,6 +524,86 @@ object Extensions {
              |UNION ALL SELECT doc_id, CAST(1 AS BIGINT) FROM s1
              |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) FROM s2
              |ORDER BY doc_id""".stripMargin)),
+
+    // STREAMING windowed-aggregation e2e — Streams.tumblingAgg run as a
+    // real checkpointed query with WATERMARK SEMANTICS ON THE ORACLE
+    // PATH: events arrive in two event-time-ordered files, except the
+    // first hour's rows, which are withheld and replayed in file 2 —
+    // by then the watermark (maxA − 10 min ≈ 15 days ahead) has long
+    // passed their window, so Structured Streaming drops them, and the
+    // DuckDB oracle drops exactly the same rows with a WHERE clause.
+    // Two sentinel rows 2 h past the corpus (filtered from the output
+    // by event_type) advance the watermark past every real window and
+    // trigger the final Append-mode emission; their own window never
+    // finalizes, so they can't leak. Values aggregate as DECIMAL(18,4)
+    // inside the streaming state so the sum is order-independent.
+    // State at 100 TB = open windows × keys, not rows; the fixture
+    // builds once per sf and the timed query is the landed-result read.
+    GQuery(
+      "stream_agg_e2e",
+      (s, dir) => {
+        val sfKey = new java.io.File(dir).getName
+        val root = cachedFixture(s"graft_sagg_cache_v2_$sfKey") { root =>
+          val ev = Tables.events(s, dir)
+            .select(col("ts"), col("event_type"),
+              col("value").cast("decimal(18,4)").as("value"))
+          val Array(mn, mx) = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
+            .toSeq.map(_.asInstanceOf[java.sql.Timestamp]).toArray
+          val hourOne = new java.sql.Timestamp(
+            (mn.getTime / 3600000L) * 3600000L + 3600000L)
+          val mid = new java.sql.Timestamp((mn.getTime + mx.getTime) / 2)
+          val src = root + "/src"
+          // file A: event-time order, first hour withheld
+          ev.filter(col("ts") >= lit(hourOne) && col("ts") < lit(mid))
+            .coalesce(1).write.mode("append").parquet(src)
+          val q = graft.streaming.Streams.tumblingAgg(
+              s.readStream.schema(ev.schema).parquet(src), "ts", "event_type")
+            .writeStream.format("parquet")
+            .option("path", root + "/out")
+            .option("checkpointLocation", root + "/ckpt")
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable()
+            // file B: the rest + the late first-hour replay (dropped)
+            ev.filter(col("ts") >= lit(mid) || col("ts") < lit(hourOne))
+              .coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            // two sentinel batches flush every real window
+            val sentinelTs = new java.sql.Timestamp(mx.getTime + 7200000L)
+            for (_ <- 1 to 2) {
+              s.range(1).select(
+                  lit(sentinelTs).as("ts"),
+                  lit("zz_sentinel").as("event_type"),
+                  lit(0).cast("decimal(18,4)").as("value"))
+                .coalesce(1).write.mode("append").parquet(src)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+          // The sink's _spark_metadata log records absolute part-file
+          // paths into the pre-rename build dir; the fixture is a
+          // plain read-only parquet dir once the stream stops, so drop
+          // the log and let the read list files directly.
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(new java.io.File(root + "/out", "_spark_metadata"))
+        }
+        s.read.parquet(root + "/out")
+          .filter(col("event_type") =!= "zz_sentinel")
+          .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+            col("event_type"), col("n"),
+            dround(col("total")).as("total"))
+          .orderBy(col("win_start"), col("event_type"))
+      },
+      Some(
+        """WITH bounds AS (SELECT min(ts) AS mn FROM events),
+          |kept AS (SELECT e.* FROM events e, bounds b
+          |         WHERE e.ts >= date_trunc('hour', b.mn) + INTERVAL 1 HOUR)
+          |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+          |  event_type, count(*) AS n,
+          |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
+          |FROM kept GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
 
     // ----------------------------------------------------- dedup family
     // Exact dedup: group by content hash, keep the smallest doc_id.
@@ -696,6 +818,40 @@ object Extensions {
              |    floor(inter::DOUBLE / least(na, nb) * 10000 + 0.5) / 10000 AS cont
              |  FROM paircounts) z
              |WHERE cont >= 0.8 ORDER BY id_a, id_b""".stripMargin)),
+
+    // FUZZY (edit-distance) near-dup pairs — the blocked record-linkage
+    // shape: block on the first 3 tokens (a deterministic cheap key),
+    // verify candidates with Levenshtein over a 120-char prefix. The
+    // O(m·n) distance only ever runs INSIDE a block (measured: max
+    // block size 4 at sf0.001), so total work is Σ block² · 120², not
+    // corpus² — the same blocked-verify contract as the LSH family,
+    // with an edit-distance verifier instead of Jaccard. One shuffle on
+    // the block key; prefix bound caps the verify cost per pair
+    // regardless of document length.
+    GQuery(
+      "q_dedup_fuzzy",
+      (s, dir) => {
+        val t = fanout(Tables.documents(s, dir))
+          .select(col("doc_id"), substring(col("text"), 1, 120).as("p"),
+            array_join(slice(split(col("text"), " "), 1, 3), " ").as("blk"))
+        val a = t.select(col("blk"), col("doc_id").as("id_a"), col("p").as("pa"))
+        val b = t.select(col("blk"), col("doc_id").as("id_b"), col("p").as("pb"))
+        a.join(b, Seq("blk"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
+          .filter(col("dist") <= 20)
+          .select(col("id_a"), col("id_b"), col("dist"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, substr(text, 1, 120) AS p,
+          |             array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS blk
+          |           FROM documents)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |       levenshtein(a.p, b.p) AS dist
+          |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+          |WHERE levenshtein(a.p, b.p) <= 20
+          |ORDER BY id_a, id_b""".stripMargin)),
 
     // Duplicate CLUSTERING: the stage a real dedup pipeline runs after
     // pair generation — connected components over the near-dup pair
@@ -1091,6 +1247,42 @@ object Extensions {
              |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::INT AS n_bpe,
              |  n_chars
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Document CHUNKING — the tokenize-and-window step that turns a
+    // curated corpus into training sequences: 32-token chunks on a
+    // 24-token stride (8-token overlap so no boundary context is lost),
+    // last partial chunk kept. Pure narrow plan: tokens materialize
+    // once per doc, chunk starts come from sequence() + explode, the
+    // slice/fingerprint runs per chunk — no shuffle at all until the
+    // final presentation sort, so at 100 TB this is scan-bound and
+    // embarrassingly parallel. Chunk identity is (doc_id, chunk_idx);
+    // the md5 fingerprint stands in for the chunk payload so the
+    // oracle compares content without hauling full text through the
+    // hash comparison.
+    GQuery(
+      "q_chunk_docs",
+      (s, dir) => {
+        fanout(Tables.documents(s, dir))
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(24)))
+              .as("start"))
+          .select(col("doc_id"),
+            (col("start") / 24).cast("long").as("chunk_idx"),
+            size(slice(col("toks"), col("start") + lit(1), lit(32))).as("n_tokens"),
+            md5(array_join(slice(col("toks"), col("start") + lit(1), lit(32)), " ")).as("fp"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |c AS (SELECT doc_id, toks,
+          |        unnest(range(0, greatest(len(toks), 1), 24)) AS start
+          |      FROM t)
+          |SELECT doc_id, CAST(start / 24 AS BIGINT) AS chunk_idx,
+          |  len(list_slice(toks, start + 1, start + 32))::INT AS n_tokens,
+          |  md5(array_to_string(list_slice(toks, start + 1, start + 32), ' ')) AS fp
+          |FROM c
+          |ORDER BY doc_id, chunk_idx""".stripMargin)),
 
     // Quality scoring: length saturation + stopword density − punctuation
     // noise, the standard cheap pre-filter for training corpora.

@@ -327,6 +327,45 @@ object Relational {
              |  ORDER BY rev DESC, l_orderkey LIMIT 20) t
              |ORDER BY revenue DESC, l_orderkey""".stripMargin)),
 
+    // COMPOSITE returned-item report — the TPC-H Q10 shape (customers
+    // who returned items, ranked by lost revenue): a 4-table plan with
+    // BOTH strategy classes in one query. The returnflag filter prunes
+    // lineitem at the scan; lineitem⋈orders share the order-key
+    // exchange with q_tpch_q3 (the only wide shuffle); the per-customer
+    // aggregate is small, so customer and nation both broadcast onto it
+    // rather than shuffling the fact side again. Revenue rides exact
+    // decimals; top-20 with key tie-breaks.
+    GQuery(
+      "q_tpch_q10",
+      (s, dir) => {
+        val one = lit(1).cast("decimal(18,4)")
+        Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("rev"))
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .orderBy(col("rev").desc, col("c_custkey"))
+          .limit(20)
+          .select(col("c_custkey"), col("c_name"), col("n_name"),
+            dround(col("rev")).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+             |  round(CAST(rev AS DOUBLE), 4) AS revenue FROM (
+             |  SELECT c_custkey, c_name, n_name,
+             |    sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             |        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  WHERE l_returnflag = 'R'
+             |  GROUP BY 1, 2, 3
+             |  ORDER BY rev DESC, c_custkey LIMIT 20) t
+             |ORDER BY revenue DESC, c_custkey""".stripMargin)),
+
     // --------------------------------------------------------- aggregation
     // TPC-H Q1 shape: partial hash agg map-side → 6-group final agg.
     // Decimal sums keep Spark's and DuckDB's different add-orders from

@@ -605,6 +605,85 @@ object Extensions {
           |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
           |FROM kept GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
 
+    // STREAMING sessionization e2e — Streams.sessionize (the
+    // flatMapGroupsWithState event-time state machine) run as a real
+    // checkpointed stream over the event log in two time-ordered
+    // files, value-checked against the SAME gaps-and-islands SQL that
+    // oracles q_win_session: every closed session's (user, n_events,
+    // start, end) must equal the batch computation row for row. Two
+    // sentinel batches (user_id −1, 2 h past the corpus) push the
+    // watermark beyond every open session's close point and give the
+    // event-time timeouts a batch to fire in — the Append-mode flush
+    // for arbitrary-stateful operators. Session numbering is
+    // reconstructed on read as row_number over session start, which is
+    // exactly the batch numbering because sessions of one user cannot
+    // overlap. State per user = open session + pending buffer, never
+    // stream history; the timed query is the landed-result read.
+    GQuery(
+      "stream_session_e2e",
+      (s, dir) => {
+        val sfKey = new java.io.File(dir).getName
+        val root = cachedFixture(s"graft_sess_cache_v1_$sfKey") { root =>
+          val ev = Tables.events(s, dir)
+            .select(col("user_id"), col("ts"), col("value"))
+          val Array(mn, mx) = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
+            .toSeq.map(_.asInstanceOf[java.sql.Timestamp]).toArray
+          val mid = new java.sql.Timestamp((mn.getTime + mx.getTime) / 2)
+          val src = root + "/src"
+          ev.filter(col("ts") < lit(mid)).coalesce(1).write.mode("append").parquet(src)
+          val q = graft.streaming.Streams.sessionize(
+              s.readStream.schema(ev.schema).parquet(src), gapMs = 1800000L)
+            .toDF()
+            .writeStream.format("parquet")
+            .option("path", root + "/out")
+            .option("checkpointLocation", root + "/ckpt")
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable()
+            ev.filter(col("ts") >= lit(mid)).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            val sentinelTs = new java.sql.Timestamp(mx.getTime + 7200000L)
+            for (_ <- 1 to 2) {
+              s.range(1).select(
+                  lit(-1L).as("user_id"),
+                  lit(sentinelTs).as("ts"),
+                  lit(0.0).as("value"))
+                .coalesce(1).write.mode("append").parquet(src)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(new java.io.File(root + "/out", "_spark_metadata"))
+        }
+        val w = Window.partitionBy(col("key")).orderBy(col("startUs"))
+        s.read.parquet(root + "/out")
+          .filter(col("key") >= 0)
+          .withColumn("session_id", row_number().over(w).cast("long"))
+          .select(col("key").as("user_id"), col("session_id"),
+            col("n").as("n_events"),
+            date_format(timestamp_micros(col("startUs")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"),
+            date_format(timestamp_micros(col("endUs")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_end"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), n AS (
+             |  SELECT *, CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+             |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_end
+             |FROM n GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
     // ----------------------------------------------------- dedup family
     // Exact dedup: group by content hash, keep the smallest doc_id.
     // Narrow map + one hash-shuffle groupBy — embarrassingly scalable.

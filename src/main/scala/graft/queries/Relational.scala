@@ -790,6 +790,91 @@ object Relational {
              |FROM n GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // FUNNEL analysis — the ordered-sequence composite every event
+    // warehouse runs: signup → click (within 48 h) → purchase (within
+    // 48 h of the click), each step's timestamp = earliest qualifying
+    // event strictly after the previous step. All three step aggregates
+    // and both enrichment joins key on user_id, so the plan reuses ONE
+    // hash partitioning end to end — per-user state never leaves its
+    // partition no matter how many steps the funnel grows. Window
+    // arithmetic in integer microseconds so both engines share the
+    // 48-hour boundary exactly.
+    GQuery(
+      "q_funnel",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val win48h = 172800000000L
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, Seq("user_id"))
+          .filter(unix_micros(col("ts")) > unix_micros(col("t1")) &&
+            unix_micros(col("ts")) - unix_micros(col("t1")) <= win48h)
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, Seq("user_id"))
+          .filter(unix_micros(col("ts")) > unix_micros(col("t2")) &&
+            unix_micros(col("ts")) - unix_micros(col("t2")) <= win48h)
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+              .otherwise(1).as("stage"),
+            fmtTs(col("t1")).as("t_signup"),
+            fmtTs(col("t2")).as("t_click"),
+            fmtTs(col("t3")).as("t_purchase"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             |            WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+             |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+             |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > epoch_us(s1.t1)
+             |         AND epoch_us(e.ts) - epoch_us(s1.t1) <= 172800000000 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+             |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+             |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > epoch_us(s2.t2)
+             |         AND epoch_us(e.ts) - epoch_us(s2.t2) <= 172800000000 GROUP BY 1)
+             |SELECT s1.user_id,
+             |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS stage,
+             |  strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS t_signup,
+             |  strftime(t2, '%Y-%m-%d %H:%M:%S.%f') AS t_click,
+             |  strftime(t3, '%Y-%m-%d %H:%M:%S.%f') AS t_purchase
+             |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+             |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+             |ORDER BY s1.user_id""".stripMargin)),
+
+    // COHORT RETENTION matrix — signup-week cohorts × week offsets of
+    // high-value purchase activity: the canonical triangle every
+    // growth dashboard draws. Week alignment via date_trunc (Monday
+    // start in both engines) and offsets as exact day/7 integers, so
+    // the bucketing can't drift. Plan: one user_id join + distinct,
+    // then a cohort-sized aggregate — shuffles carry (user, cohort,
+    // week) rows, and the output is weeks² regardless of corpus size.
+    GQuery(
+      "q_retention_cohort",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val f = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(date_trunc("week", min(col("ts"))).as("cw"))
+        ev.filter(col("event_type") === "purchase" && col("value") > 150)
+          .join(f, Seq("user_id"))
+          .select(col("user_id"), col("cw"),
+            (datediff(date_trunc("week", col("ts")), col("cw")) / 7).cast("long").as("wk"))
+          .distinct()
+          .groupBy(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"), col("wk"))
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy(col("cohort_week"), col("wk"))
+      },
+      Some("""WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+             |           FROM events WHERE event_type = 'signup' GROUP BY 1),
+             |a AS (SELECT DISTINCT e.user_id, f.cw,
+             |        CAST(date_diff('week', f.cw, date_trunc('week', e.ts)) AS BIGINT) AS wk
+             |      FROM events e JOIN f ON e.user_id = f.user_id
+             |      WHERE e.event_type = 'purchase' AND e.value > 150)
+             |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, wk, count(*) AS n_active
+             |FROM a GROUP BY 1, 2 ORDER BY cohort_week, wk""".stripMargin)),
+
     // Generator / lateral-view surface: posexplode with ordinal.
     GQuery(
       "q_posexplode",

@@ -428,6 +428,34 @@ object Extensions {
       },
       Some(latestWinsSql)),
 
+    // TIME TRAVEL through the same oracle gate: read the file-group
+    // table AS OF the retained prior version (commit 1 of the 3-commit
+    // lifecycle = log prefix lsn < 4n/5). The manifest makes the read
+    // exact — version 1's file list including clean buckets carried
+    // from commit 0 — so the value check pins that a historical read
+    // sees precisely the rows that version committed, not a re-merge.
+    // Same one-window plan as any snapshot read; the manifest resolve
+    // is driver-side metadata, independent of table bytes.
+    GQuery(
+      "q_cdc_timetravel",
+      (s, dir) => {
+        val t = fileGroupTable(s, dir)
+        val cur = graft.cdc.FileGroups.committedId(s, t).get
+        graft.cdc.FileGroups.readAt(s, t, cur - 1).get
+          .select(col("id"), col("lsn"), col("op"), col("value"))
+          .orderBy(col("id"))
+      },
+      Some(
+        """SELECT id, lsn, op, value FROM (
+          |  SELECT user_id AS id, event_id AS lsn,
+          |    CASE WHEN event_id % 11 = 0 THEN 'd'
+          |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+          |    value,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          |  FROM events
+          |  WHERE event_id < (SELECT count(*) * 4 // 5 FROM events)) t
+          |WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin)),
+
     // Batch replay of the emulated Kafka topic through the full ingest
     // path (S1-S9 + U1-U3): seeded envelope generation → JSON-lines topic
     // files → parse → latest-wins snapshot. Deterministic output (seeded

@@ -712,6 +712,62 @@ object Extensions {
              |FROM n GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // STREAM-STREAM interval join e2e — Streams.intervalJoin (purchase
+    // joined to the clicks in the preceding hour, both sides unbounded)
+    // as a real checkpointed query over two file-stream sources reading
+    // the same time-ordered event files. Inner joins emit a pair the
+    // moment the later side arrives, so completeness needs no sentinel
+    // flush; the watermarks exist purely to BOUND STATE — click state
+    // evicts at wm − 1 h, which the ordered arrival provably never
+    // needs again (any future purchase has p_ts ≥ wm). The DuckDB
+    // oracle is the batch interval join verbatim.
+    GQuery(
+      "stream_join_e2e",
+      (s, dir) => {
+        val sfKey = new java.io.File(dir).getName
+        val root = cachedFixture(s"graft_sjoin_cache_v1_$sfKey") { root =>
+          val ev = Tables.events(s, dir)
+            .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+          val Array(mn, mx) = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
+            .toSeq.map(_.asInstanceOf[java.sql.Timestamp]).toArray
+          val mid = new java.sql.Timestamp((mn.getTime + mx.getTime) / 2)
+          val src = root + "/src"
+          ev.filter(col("ts") < lit(mid)).coalesce(1).write.mode("append").parquet(src)
+          def side(t: String) =
+            s.readStream.schema(ev.schema).parquet(src).filter(col("event_type") === t)
+          val q = graft.streaming.Streams.intervalJoin(
+              side("purchase"), side("click"), windowMs = 3600000L)
+            .writeStream.format("parquet")
+            .option("path", root + "/out")
+            .option("checkpointLocation", root + "/ckpt")
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable()
+            ev.filter(col("ts") >= lit(mid)).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+          } finally q.stop()
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(new java.io.File(root + "/out", "_spark_metadata"))
+        }
+        s.read.parquet(root + "/out")
+          .select(col("user_id"), col("p_id"), col("c_id"),
+            date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("p_time"),
+            date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("c_time"))
+          .orderBy(col("p_id"), col("c_id"))
+      },
+      Some(
+        """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id,
+          |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_time,
+          |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS c_time
+          |FROM events p JOIN events c
+          |  ON p.user_id = c.user_id
+          | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+          |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+          |ORDER BY p_id, c_id""".stripMargin)),
+
     // ----------------------------------------------------- dedup family
     // Exact dedup: group by content hash, keep the smallest doc_id.
     // Narrow map + one hash-shuffle groupBy — embarrassingly scalable.

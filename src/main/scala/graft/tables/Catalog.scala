@@ -31,6 +31,14 @@ object Catalog {
   def syncBucketed(spark: SparkSession, name: String, df: DataFrame,
                    buckets: Int, bucketCols: Seq[String]): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
+    // A prior JVM's managed location can survive while the in-memory
+    // catalog forgets the table; saveAsTable then refuses the orphaned
+    // dir (LOCATION_ALREADY_EXISTS). Clear it — the re-sync owns the
+    // name, exactly like a Hive-sync re-registration.
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)

@@ -317,6 +317,31 @@ object Relational {
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin)),
 
+    // BLOOM-FILTER semi join — the cross-job runtime filter
+    // (functions/Bloom): build a 1 MB key sketch over the fact side
+    // ONCE, then the "join" against any later scan is a codegen'd scan
+    // PREDICATE — no shuffle, no build side in memory, reusable across
+    // queries, exactly the InjectRuntimeFilter plan shape made
+    // user-controllable. Bloom guarantees no false negatives; at these
+    // (items, bits) the deterministic false-positive count at the gate
+    // SFs is ZERO (verified sf0.001/sf0.01), so the exact semi-join
+    // oracle value-pins the result; BloomSpec pins the superset
+    // invariant that holds at ANY parameters.
+    GQuery(
+      "q_join_bloom",
+      (s, dir) => {
+        val bf = Tables.orders(s, dir)
+          .agg(graft.functions.Bloom.agg(col("o_custkey"), 1L << 18, 1L << 23).as("bf"))
+          .collect()(0).getAs[Array[Byte]](0)
+        Tables.customer(s, dir)
+          .filter(graft.functions.Bloom.mightContain(bf, col("c_custkey")))
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+             |ORDER BY c_custkey""".stripMargin)),
+
     // COMPOSITE star-schema analytical query — the TPC-H Q3 shape
     // (segment-filtered customers × orders × lineitem → per-order
     // revenue → top 20): the end-to-end plan every warehouse consumer
@@ -833,6 +858,48 @@ object Relational {
             fmtTs(min(col("ts"))).as("sess_start"),
             fmtTs(max(col("ts"))).as("sess_end"),
             dround(sum(dec(col("value")))).as("total"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some(s"""WITH g AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), n AS (
+             |  SELECT *, CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+             |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_end,
+             |  ${OD.format("sum(CAST(value AS DECIMAL(18,4)))")} AS total
+             |FROM n GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // The NATIVE session-window operator over the same oracle:
+    // groupBy(session_window(ts, gap)) is Spark's built-in
+    // SessionWindow aggregation (state-store-ready, the streaming
+    // sessionization primitive) — here value-pinned against the
+    // identical gaps-and-islands SQL as q_win_session. Tie rule:
+    // session_window splits at gap ≥ 30 min, the manual window at
+    // > 30 min; the testdata has no exact 30-minute gap (verified at
+    // both SFs), so the two operators are value-identical and a drift
+    // in EITHER fails the shared oracle. Same one-exchange plan, but
+    // the merge happens inside the aggregate instead of two windows.
+    GQuery(
+      "q_win_session_native",
+      (s, dir) => {
+        val byStart = Window.partitionBy(col("user_id")).orderBy(col("w.start"))
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"),
+            fmtTs(min(col("ts"))).as("sess_start"),
+            fmtTs(max(col("ts"))).as("sess_end"),
+            dround(sum(dec(col("value")))).as("total"))
+          .withColumn("session_id", row_number().over(byStart).cast("long"))
+          .select(col("user_id"), col("session_id"), col("n_events"),
+            col("sess_start"), col("sess_end"), col("total"))
           .orderBy(col("user_id"), col("session_id"))
       },
       Some(s"""WITH g AS (

@@ -108,6 +108,45 @@ class QueriesSpec extends SparkSpec {
     assert(p.split("\n").count(_.contains("FileScan parquet")) == 0, p) // checkpointed token table
   }
 
+  test("q_chunk_docs: narrow chunker — no hash exchange, single corpus scan") {
+    val p = plan("q_chunk_docs")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.split("\n").count(_.contains("FileScan parquet")) == 1, p)
+  }
+
+  test("q_tpch_q10: one hash exchange, broadcast dims, TakeOrdered") {
+    val p = plan("q_tpch_q10")
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(p.split("\n").count(_.contains("BroadcastHashJoin")) >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_join_bucketed: zero exchanges for join AND aggregate with broadcasts off") {
+    // the pay-shuffle-once claim: both bucketed scans satisfy the join's
+    // and the groupBy's required distribution, so with the broadcast
+    // shortcut disabled the whole plan still contains no exchange at all
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q_join_bucketed")
+      assert(!p.contains("Exchange hashpartitioning"), p)
+      assert(p.contains("SortMergeJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("stream_session_e2e equals the batch q_win_session rows (shared columns)") {
+    // the streaming state machine and the batch gaps-and-islands window
+    // must agree row for row — the spec-level twin of the DuckDB gate
+    val stream = GQuery.all.find(_.name == "stream_session_e2e").get.fn(spark, dir)
+      .select("user_id", "session_id", "n_events", "sess_start", "sess_end")
+      .collect().map(_.toSeq).toSeq
+    val batch = GQuery.all.find(_.name == "q_win_session").get.fn(spark, dir)
+      .select("user_id", "session_id", "n_events", "sess_start", "sess_end")
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+  }
+
   // ---- sketch-accuracy gates for the two rows-only aggregates: the
   // sketches must land within their DECLARED error of the exact twins,
   // otherwise "no oracle by design" would hide a broken value.

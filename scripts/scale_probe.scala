@@ -1,0 +1,66 @@
+// Scale-probe: time key pipeline queries at sf0.1 and at a 10x-scaled
+// corpus, print the wall-clock ratios. Evidence for SCALE.md's
+// linear-scaling claims. Run: spark-shell -I scripts/scale_probe.scala
+//
+// The 10x corpus is NOT 10 verbatim copies — that would multiply every
+// near-dup cluster by 10 and grow pair output ~100x (a different, dup-
+// heavy regime). Each copy i prefixes every token with "c<i>" so copies
+// share no shingles: dup structure per copy is preserved, totals scale
+// linearly, and the timing ratio measures the ALGORITHM's scaling.
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.queries.GQuery
+
+val base = "/root/testdata/sf0.1"
+val scaled = "/tmp/graft_scale10"
+val K = 10
+
+if (!Files.exists(Paths.get(scaled, "_DONE"))) {
+  val docs = spark.read.parquet(s"$base/documents.parquet")
+  val maxDoc = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1
+  val copies = (0 until K).map { i =>
+    docs.select(
+      (col("doc_id") + lit(i.toLong * maxDoc)).as("doc_id"),
+      concat_ws(" ", transform(split(col("text"), " "),
+        t => concat(lit(s"c$i"), t))).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+  }
+  copies.reduce(_.unionByName(_)).repartition(32)
+    .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
+  // raw-nanos read (events.ts is TIMESTAMP(NANOS) — see Tables.events):
+  // keep ts as BIGINT so the scaled file round-trips through the same
+  // Tables.events conversion
+  val ev = spark.read
+    .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    .parquet(s"$base/events.parquet")
+  val maxUser = ev.agg(max("user_id")).collect()(0).getLong(0) + 1
+  val maxEv = ev.agg(max("event_id")).collect()(0).getLong(0) + 1
+  val evCopies = (0 until K).map { i =>
+    ev.select((col("event_id") + lit(i.toLong * maxEv)).as("event_id"),
+      col("ts"), (col("user_id") + lit(i.toLong * maxUser)).as("user_id"),
+      col("event_type"), col("value"), col("props"))
+  }
+  evCopies.reduce(_.unionByName(_)).repartition(32)
+    .write.mode("overwrite").parquet(s"$scaled/events.parquet")
+  Files.createFile(Paths.get(scaled, "_DONE"))
+  println("scaled corpus written")
+}
+
+val queries = Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
+  "q_tfidf", "q_chunk_docs", "q_token_count", "q_win_session", "q_funnel")
+
+def time(name: String, dir: String): Double = {
+  val fn = GQuery.all.find(_.name == name).get.fn
+  // min of 2 to shed one-off JIT/GC stalls
+  (1 to 2).map { _ =>
+    val t0 = System.nanoTime(); fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9
+  }.min
+}
+
+println(f"${"query"}%-16s ${"sf0.1(s)"}%9s ${"10x(s)"}%9s ${"ratio"}%6s")
+for (q <- queries) {
+  val t1 = time(q, base)
+  val t10 = time(q, scaled)
+  println(f"$q%-16s $t1%9.2f $t10%9.2f ${t10 / t1}%6.1f")
+}
+System.exit(0)

@@ -768,6 +768,66 @@ object Extensions {
           |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
           |ORDER BY p_id, c_id""".stripMargin)),
 
+    // STREAM-STATIC enrich e2e — Streams.enrich as a real checkpointed
+    // query: the document stream left-joins a BATCH dimension (per-
+    // language mean n_chars over the full corpus) that is re-read per
+    // micro-batch; the dim derives from the corpus itself, so the
+    // DuckDB oracle replays both sides. Stateless: the static side
+    // broadcasts, no watermark, each row enriched exactly once — the
+    // standard CDC-dimension-enrichment shape (reference README.md
+    // syncs tables to Glue for exactly this kind of consumer). Docs
+    // stream in two files; flags compare against the GLOBAL mean both
+    // times because the dim is computed from the batch table, not the
+    // stream — the point of stream-static over stream-stream.
+    GQuery(
+      "stream_enrich_e2e",
+      (s, dir) => {
+        val sfKey = new java.io.File(dir).getName
+        val root = cachedFixture(s"graft_senrich_cache_v1_$sfKey") { root =>
+          val docs = Tables.documents(s, dir)
+          // integer sum → double division: both engines divide the same
+          // exact integers, so the mean is bitwise-identical (no decimal
+          // division/rounding rules in play)
+          val dim = docs.groupBy(col("lang"))
+            .agg((sum(col("n_chars")).cast("double") / count(lit(1))).as("lang_mean"))
+          val src = root + "/src"
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+            .coalesce(1).write.mode("append").parquet(src)
+          val q = graft.streaming.Streams.enrich(
+              s.readStream.schema(docs.schema).parquet(src), dim, "lang")
+            .select(col("doc_id"), col("lang"), col("n_chars"), col("lang_mean"),
+              (col("n_chars") > col("lang_mean")).as("above_mean"))
+            .writeStream.format("parquet")
+            .option("path", root + "/out")
+            .option("checkpointLocation", root + "/ckpt")
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable()
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+              .coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+          } finally q.stop()
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(new java.io.File(root + "/out", "_spark_metadata"))
+        }
+        s.read.parquet(root + "/out")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            dround(col("lang_mean")).as("lang_mean"), col("above_mean"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH dim AS (
+          |  SELECT lang, CAST(sum(n_chars) AS DOUBLE) / count(*) AS lang_mean
+          |  FROM documents GROUP BY 1)
+          |SELECT d.doc_id, d.lang, d.n_chars,
+          |  round(CAST(dim.lang_mean AS DOUBLE), 4) AS lang_mean,
+          |  d.n_chars > dim.lang_mean AS above_mean
+          |FROM documents d LEFT JOIN dim ON d.lang = dim.lang
+          |ORDER BY d.doc_id""".stripMargin)),
+
     // ----------------------------------------------------- dedup family
     // Exact dedup: group by content hash, keep the smallest doc_id.
     // Narrow map + one hash-shuffle groupBy — embarrassingly scalable.

@@ -316,6 +316,29 @@ object Ingest {
                         schema: StructType = Envelope.employeesEnvelope): DataFrame =
     CdcMerge.snapshot(parse(readTopicBatch(spark, inputDir), schema), Seq("id"), Seq("lsn"))
 
+  /** S-surface hardening: split a Kafka-shaped batch into (parseable,
+    * dead-letter) halves BEFORE the post-image projection. A value
+    * that is not JSON at all (from_json → null) or parses without a
+    * Debezium `payload.op` is quarantined with its raw bytes and full
+    * source coordinates (topic/partition/offset/timestamp — everything
+    * needed to replay it after a fix) instead of crashing the batch or
+    * silently projecting a null row. The split is ONE narrow pass; the
+    * good half feeds [[extractPostImage]]/merge unchanged, so wiring a
+    * DLQ sink into [[run]]'s foreachBatch is a two-line change.
+    * Production rule this encodes: a poison record must cost one
+    * quarantined row, never the pipeline. */
+  def withDeadLetters(kafkaShaped: DataFrame,
+                      schema: StructType = Envelope.employeesEnvelope): (DataFrame, DataFrame) = {
+    val tagged = kafkaShaped.withColumn("_parsed",
+      from_json(col("value").cast("string"), schema))
+    val ok = col("_parsed").isNotNull && col("_parsed.payload.op").isNotNull
+    val good = tagged.filter(ok).drop("_parsed")
+    val dlq = tagged.filter(!ok)
+      .select(col("topic"), col("partition"), col("offset"), col("timestamp"),
+        col("value").cast("string").as("raw"))
+    (good, dlq)
+  }
+
   /** S15 batch end-to-end over an Avro-valued topic: decode → the SAME
     * parse/merge path as the JSON wire format. */
   def snapshotFromAvroTopic(spark: SparkSession, inputDir: String, writerSchemaJson: String,

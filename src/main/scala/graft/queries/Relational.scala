@@ -522,6 +522,32 @@ object Relational {
              |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // MODE (most frequent value) with an EXPLICIT tie-break — highest
+    // count, then smallest value. Spark's built-in mode() leaves ties
+    // undefined, so cross-engine value-checking requires spelling the
+    // tie rule out: (group, value) count + one row_number window, the
+    // ordered-set-aggregate pattern that stays deterministic on any
+    // engine. Shuffle carries (group, value) pairs, not rows.
+    GQuery(
+      "q_agg_mode",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("n").desc, col("l_quantity"))
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, l_quantity AS mode_qty, n FROM (
+             |  SELECT l_returnflag, l_quantity, count(*) AS n,
+             |    row_number() OVER (PARTITION BY l_returnflag
+             |                       ORDER BY count(*) DESC, l_quantity) AS rn
+             |  FROM lineitem GROUP BY 1, 2) t
+             |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin)),
+
     GQuery(
       "q_agg_rollup",
       (s, dir) => {
@@ -972,6 +998,30 @@ object Relational {
              |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
              |        LEFT JOIN s3 ON s1.user_id = s3.user_id
              |ORDER BY s1.user_id""".stripMargin)),
+
+    // EVENT TRANSITION matrix — the per-user next-event Markov counts
+    // (the input to journey/flow diagrams and simple next-action
+    // models): lead() over each user's event-time order, then a
+    // (from, to)-pair count. One key exchange for the window + one
+    // 25-cell aggregate; the output is |event_types|² regardless of
+    // corpus size.
+    GQuery(
+      "q_event_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("event_type"), col("next_type"))
+      },
+      Some("""WITH o AS (SELECT user_id, event_type,
+             |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+             |           FROM events)
+             |SELECT event_type, next_type, count(*) AS n
+             |FROM o WHERE next_type IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin)),
 
     // COHORT RETENTION matrix — signup-week cohorts × week offsets of
     // high-value purchase activity: the canonical triangle every

@@ -46,6 +46,39 @@ class IngestStreamSpec extends SparkSpec {
     assert(Ingest.readSnapshot(spark, snapDir).get.count() == 86)
   }
 
+  test("DLQ: poison records are quarantined with source coordinates, never crash or vanish") {
+    val root = tmpDir("graft_dlq")
+    val topic = s"$root/topic"
+    CdcGen.writeTopicFiles(spark, n = 50, topic, nBatches = 1)
+    val cleanCount = Ingest.snapshotFromTopic(spark, topic).count()
+    // poison the topic: one non-JSON value, one JSON without payload.op,
+    // arriving as a NEW topic file (appending in place would invalidate
+    // the session's FileStatusCache — and new records arrive as new
+    // files in this emulation anyway)
+    val ts = "2024-01-01T00:00:00.000Z"
+    val poison = Seq(
+      s"""{"topic":"debezium1.public.employees","partition":0,"offset":90001,"timestamp":"$ts","value":"this is not json"}""",
+      s"""{"topic":"debezium1.public.employees","partition":0,"offset":90002,"timestamp":"$ts","value":"{\\"hello\\":1}"}""")
+    java.nio.file.Files.write(
+      new java.io.File(topic, "part-99999-poison.txt").toPath,
+      (poison.mkString("\n") + "\n").getBytes)
+
+    val raw = Ingest.readTopicBatch(spark, topic)
+    val total = raw.count()
+    val (good, dlq) = Ingest.withDeadLetters(raw)
+    // partition is exact: nothing dropped, nothing duplicated
+    assert(good.count() + dlq.count() == total)
+    assert(dlq.count() == 2)
+    // the quarantined rows keep replay coordinates + raw payload
+    val rows = dlq.select("offset", "raw").as[(Long, String)].collect().sortBy(_._1)
+    assert(rows(0) == (90001L, "this is not json"))
+    assert(rows(1)._2.contains("hello"))
+    // the good half still merges to exactly the clean-topic snapshot
+    val snapGood = CdcMerge.snapshot(
+      Ingest.extractPostImage(good), Seq("id"), Seq("lsn"))
+    assert(snapGood.count() == cleanCount)
+  }
+
   test("U5: snapshot written with hive-style key partitioning") {
     val root = tmpDir("graft_part")
     CdcGen.writeTopicFiles(spark, n = 50, s"$root/topic", nBatches = 1)

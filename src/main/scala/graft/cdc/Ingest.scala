@@ -207,7 +207,8 @@ object Ingest {
           snapshotDir: Option[String] = None,
           declared: Option[StructType] = Some(Envelope.employeesEnvelope),
           snapshotPartitionBy: Seq[String] = Nil,
-          showBatches: Int = 0): StreamingQuery = {
+          showBatches: Int = 0,
+          dlqDir: Option[String] = None): StreamingQuery = {
     // Infer once, not per batch (fixes the reference's 3-jobs-per-batch).
     @volatile var cachedSchema: Option[StructType] = declared
 
@@ -222,7 +223,21 @@ object Ingest {
           cachedSchema = Some(s)
           s
         }
-        val parsed = parse(batch, schema)
+        // DLQ wire: quarantine poison records before projection; the
+        // idempotent per-batch overwrite makes replays exactly-once,
+        // same protocol as the event log below.
+        val input = dlqDir match {
+          case Some(dq) =>
+            val (good, dlq) = withDeadLetters(batch, schema)
+            dlq.withColumn("_batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .partitionBy("_batch_id")
+              .option("partitionOverwriteMode", "dynamic")
+              .parquet(dq)
+            good
+          case None => batch
+        }
+        val parsed = parse(input, schema)
         // S10 — the reference's per-batch debug sink (README.md:187
         // `show(vertical=True, truncate=False)`), opt-in and bounded to
         // the first N batches: the unconditional form is a whole extra

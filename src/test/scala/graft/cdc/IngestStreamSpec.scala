@@ -77,6 +77,14 @@ class IngestStreamSpec extends SparkSpec {
     val snapGood = CdcMerge.snapshot(
       Ingest.extractPostImage(good), Seq("id"), Seq("lsn"))
     assert(snapGood.count() == cleanCount)
+
+    // and the REAL streaming path with dlqDir wired: poison lands in
+    // the DLQ parquet, the materialized snapshot matches the clean one
+    val q = Ingest.run(spark, topic, s"$root/log", s"$root/ckpt",
+      snapshotDir = Some(s"$root/snap"), dlqDir = Some(s"$root/dlq"))
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(s"$root/dlq").count() == 2)
+    assert(Ingest.readSnapshot(spark, s"$root/snap").get.count() == cleanCount)
   }
 
   test("U5: snapshot written with hive-style key partitioning") {

@@ -42,17 +42,34 @@ if (!Files.exists(Paths.get(scaled, "_DONE"))) {
   }
   evCopies.reduce(_.unionByName(_)).repartition(32)
     .write.mode("overwrite").parquet(s"$scaled/events.parquet")
+  // 10x facts with consistent join keys: order keys offset per copy,
+  // customer keys unchanged (same dim, 10x orders per customer)
+  val li = spark.read.parquet(s"$base/lineitem.parquet")
+  val ord = spark.read.parquet(s"$base/orders.parquet")
+  val maxOrd = ord.agg(max("o_orderkey")).collect()(0).getLong(0) + 1
+  (0 until K).map { i =>
+    li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * maxOrd))
+  }.reduce(_.unionByName(_)).repartition(32)
+    .write.mode("overwrite").parquet(s"$scaled/lineitem.parquet")
+  (0 until K).map { i =>
+    ord.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * maxOrd))
+  }.reduce(_.unionByName(_)).repartition(32)
+    .write.mode("overwrite").parquet(s"$scaled/orders.parquet")
+  // small dims copied as-is
+  for (t <- Seq("customer", "nation", "region", "supplier", "part"))
+    Files.copy(Paths.get(s"$base/$t.parquet"), Paths.get(s"$scaled/$t.parquet"))
   Files.createFile(Paths.get(scaled, "_DONE"))
   println("scaled corpus written")
 }
 
 val queries = Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
-  "q_tfidf", "q_chunk_docs", "q_token_count", "q_win_session", "q_funnel")
+  "q_tfidf", "q_chunk_docs", "q_token_count", "q_win_session", "q_funnel",
+  "q_agg_hash", "q_agg_mode", "q_tpch_q3", "q_tpch_q10", "q_win_analytic")
 
 def time(name: String, dir: String): Double = {
   val fn = GQuery.all.find(_.name == name).get.fn
-  // min of 2 to shed one-off JIT/GC stalls
-  (1 to 2).map { _ =>
+  // min of 3 to shed one-off JIT/GC stalls
+  (1 to 3).map { _ =>
     val t0 = System.nanoTime(); fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9
   }.min
 }

@@ -197,6 +197,19 @@ object Extensions {
     * temp dir — invisible garbage, never a half-cache. Losing the
     * rename race is benign: the fresh copy is used directly for this
     * invocation. */
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete()
+  }
+
+  /** The streaming sink's _spark_metadata log records absolute
+    * part-file paths into the pre-rename fixture build dir; a landed
+    * fixture is a plain read-only parquet dir once its stream stops,
+    * so every stream-fixture builder drops the log and lets reads
+    * list files directly. */
+  private def dropSinkLog(outDir: String): Unit =
+    rmTree(new java.io.File(outDir, "_spark_metadata"))
+
   private def cachedFixture(name: String)(build: String => Unit): String = {
     val cache = new java.io.File("/tmp", name)
     val marker = new java.io.File(cache, "_DONE")
@@ -205,13 +218,8 @@ object Extensions {
       val fresh = java.nio.file.Files.createTempDirectory("graft_fix").toFile
       build(fresh.getAbsolutePath)
       new java.io.File(fresh, "_DONE").createNewFile()
-      if (cache.exists() && !marker.exists()) { // repair a pre-protocol cache
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
-        rm(cache)
-      }
+      if (cache.exists() && !marker.exists()) // repair a pre-protocol cache
+        rmTree(cache)
       if (fresh.renameTo(cache)) cache.getAbsolutePath
       else fresh.getAbsolutePath // lost the race: use the fresh copy
     }
@@ -607,15 +615,7 @@ object Extensions {
               q.processAllAvailable()
             }
           } finally q.stop()
-          // The sink's _spark_metadata log records absolute part-file
-          // paths into the pre-rename build dir; the fixture is a
-          // plain read-only parquet dir once the stream stops, so drop
-          // the log and let the read list files directly.
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete()
-          }
-          rm(new java.io.File(root + "/out", "_spark_metadata"))
+          dropSinkLog(root + "/out")
         }
         s.read.parquet(root + "/out")
           .filter(col("event_type") =!= "zz_sentinel")
@@ -680,11 +680,7 @@ object Extensions {
               q.processAllAvailable()
             }
           } finally q.stop()
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete()
-          }
-          rm(new java.io.File(root + "/out", "_spark_metadata"))
+          dropSinkLog(root + "/out")
         }
         val w = Window.partitionBy(col("key")).orderBy(col("startUs"))
         s.read.parquet(root + "/out")
@@ -746,11 +742,7 @@ object Extensions {
             ev.filter(col("ts") >= lit(mid)).coalesce(1).write.mode("append").parquet(src)
             q.processAllAvailable()
           } finally q.stop()
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete()
-          }
-          rm(new java.io.File(root + "/out", "_spark_metadata"))
+          dropSinkLog(root + "/out")
         }
         s.read.parquet(root + "/out")
           .select(col("user_id"), col("p_id"), col("c_id"),
@@ -807,11 +799,7 @@ object Extensions {
               .coalesce(1).write.mode("append").parquet(src)
             q.processAllAvailable()
           } finally q.stop()
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete()
-          }
-          rm(new java.io.File(root + "/out", "_spark_metadata"))
+          dropSinkLog(root + "/out")
         }
         s.read.parquet(root + "/out")
           .select(col("doc_id"), col("lang"), col("n_chars"),

@@ -436,6 +436,45 @@ object Extensions {
       },
       Some(latestWinsSql)),
 
+    // SCHEMA DRIFT (U6) through the oracle gate: the second half of the
+    // log arrives with a NEW column (value2) the table never had;
+    // upsert's unionByName(allowMissingColumns) reconciliation (Hudi
+    // reconcile.schema, reference README.md:308) must land the widened
+    // schema with NULLs for pre-drift rows — keys whose surviving
+    // version predates the drift read NULL value2, keys updated after
+    // it read the derived value, and the oracle reproduces exactly that
+    // from the final per-key LSN. Same one-key-shuffle merge plan as
+    // q_cdc_incremental.
+    GQuery(
+      "q_cdc_schema_drift",
+      (s, dir) => {
+        val log = cdcLog(s, dir)
+        val mid = Tables.events(s, dir).count() / 2
+        val s1 = CdcMerge.snapshot(log.filter(col("lsn") < mid), Seq("id"), Seq("lsn"))
+        val batch2 = log.filter(col("lsn") >= mid)
+          .withColumn("value2", dround(col("value").cast("decimal(18,4)") * 2))
+        CdcMerge.upsert(s1, batch2, Seq("id"), Seq("lsn"))
+          .select(col("id"), col("lsn"), col("op"),
+            dround(col("value").cast("decimal(18,4)")).as("value"), col("value2"))
+          .orderBy(col("id"))
+      },
+      Some(
+        """WITH latest AS (SELECT id, lsn, op, value FROM (
+          |  SELECT user_id AS id, event_id AS lsn,
+          |    CASE WHEN event_id % 11 = 0 THEN 'd'
+          |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+          |    value,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          |  FROM events) t
+          |  WHERE rn = 1 AND op <> 'd'),
+          |mid AS (SELECT count(*) // 2 AS m FROM events)
+          |SELECT id, lsn, op,
+          |  round(CAST(value AS DECIMAL(18,4))::DOUBLE, 4) AS value,
+          |  CASE WHEN lsn >= mid.m
+          |       THEN round((CAST(value AS DECIMAL(18,4)) * 2)::DOUBLE, 4)
+          |       ELSE NULL END AS value2
+          |FROM latest, mid ORDER BY id""".stripMargin)),
+
     // TIME TRAVEL through the same oracle gate: read the file-group
     // table AS OF the retained prior version (commit 1 of the 3-commit
     // lifecycle = log prefix lsn < 4n/5). The manifest makes the read

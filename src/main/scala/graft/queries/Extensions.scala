@@ -1797,6 +1797,42 @@ object Extensions {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4000)::BIGINT AS shard
              |FROM d ORDER BY doc_id""".stripMargin)),
 
+    // BLOOM decontamination — the production direction: the benchmark/
+    // eval split is SMALL, the training corpus is the 100 TB side, so
+    // sketch the eval shingles once (kilobytes–MBs, functions/Bloom)
+    // and contamination becomes a codegen'd SCAN PREDICATE on the
+    // train side — no shuffle join at all; the one exchange is the
+    // final distinct. Complements q_decontaminate's exact inverted
+    // index (which flags the held-out docs): this flags the TRAIN docs
+    // to drop. No false negatives ever (no contaminated doc escapes);
+    // at these (items, bits) the deterministic FP count at the gate
+    // SFs is zero, so the exact-overlap oracle value-pins the result.
+    GQuery(
+      "q_decontaminate_bloom",
+      (s, dir) => {
+        val shingled = fanout(Tables.documents(s, dir))
+          .withColumn("toks", Text.tokens(col("text")))
+          .withColumn("sh", array_distinct(Text.shingles(col("toks"), 5)))
+        val bf = shingled.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select(explode(col("sh")).as("g"))
+          .agg(graft.functions.Bloom.agg(col("g"), 1L << 17, 1L << 24).as("bf"))
+          .collect()(0).getAs[Array[Byte]](0)
+        shingled.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("doc_id"), explode_outer(col("sh")).as("g"))
+          .filter(col("g").isNotNull &&
+            graft.functions.Bloom.mightContain(bf, col("g")))
+          .select(col("doc_id")).distinct()
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |posts AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+             |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))) AS g
+             |  FROM t WHERE len(toks) >= 5),
+             |ev AS (SELECT DISTINCT g FROM posts WHERE doc_id % 10 = 0)
+             |SELECT DISTINCT p.doc_id FROM posts p JOIN ev ON p.g = ev.g
+             |WHERE p.doc_id % 10 <> 0 ORDER BY doc_id""".stripMargin)),
+
     // Train/test decontamination: flag held-out docs sharing any 5-gram
     // with the training split — the standard n-gram-overlap contamination
     // check. Inverted-index semi-join: one shuffle on the shingle key,

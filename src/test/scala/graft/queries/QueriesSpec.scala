@@ -135,6 +135,30 @@ class QueriesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("pure-scalar queries stay inside whole-stage codegen") {
+    // the '*(n)' prefix marks operators fused into a codegen stage; a
+    // non-codegen expression slipping into these hot scalar paths would
+    // drop the marker. (The HOF-based text queries are EXPECTED to be
+    // interpreted — CodegenFallback, see README design notes — so only
+    // the pure-scalar paths are pinned.)
+    for (q <- Seq("q_case_when", "q_filter_pred", "q_scan_project", "q_math_funcs")) {
+      // AQE prints codegen markers only once the plan is final — drive
+      // THIS DataFrame's own execution (count() would plan a new one)
+      val df = GQuery.all.find(_.name == q).get.fn(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("*("), s"$q lost whole-stage codegen:\n$p")
+    }
+  }
+
+  test("bloom queries: the 'join' is a scan predicate — zero join operators") {
+    for (q <- Seq("q_join_bloom", "q_decontaminate_bloom")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      assert(p.split("\n").count(_.contains("FileScan parquet")) == 1, p)
+    }
+  }
+
   test("stream_session_e2e equals the batch q_win_session rows (shared columns)") {
     // the streaming state machine and the batch gaps-and-islands window
     // must agree row for row — the spec-level twin of the DuckDB gate

@@ -1797,6 +1797,55 @@ object Extensions {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4000)::BIGINT AS shard
              |FROM d ORDER BY doc_id""".stripMargin)),
 
+    // STREAMING decontamination e2e — Streams.decontaminatedIngest as a
+    // real checkpointed query: the eval-shingle bloom sketch is built
+    // once batch-side, then the training stream drops contaminated docs
+    // with a stateless scan predicate (no state, no shuffle, no
+    // sentinel needed). The landed corpus must equal the batch
+    // NOT-EXISTS answer — the oracle is the set complement of
+    // q_decontaminate_bloom's, so the stream gate and the batch gate
+    // are pinned to the same exact-overlap semantics.
+    GQuery(
+      "stream_decon_e2e",
+      (s, dir) => {
+        val sfKey = new java.io.File(dir).getName
+        val root = cachedFixture(s"graft_sdecon_cache_v1_$sfKey") { root =>
+          val docs = Tables.documents(s, dir)
+          val bf = fanout(docs).filter(pmod(col("doc_id"), lit(10)) === 0)
+            .select(explode(array_distinct(
+              Text.shingles(Text.tokens(col("text")), 5))).as("g"))
+            .agg(graft.functions.Bloom.agg(col("g"), 1L << 17, 1L << 24).as("bf"))
+            .collect()(0).getAs[Array[Byte]](0)
+          val src = root + "/src"
+          val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          train.filter(pmod(col("doc_id"), lit(2)) === 0)
+            .coalesce(1).write.mode("append").parquet(src)
+          val q = graft.streaming.Streams.decontaminatedIngest(
+            s.readStream.schema(docs.schema).parquet(src), bf,
+            root + "/out", root + "/ckpt")
+          try {
+            q.processAllAvailable()
+            train.filter(pmod(col("doc_id"), lit(2)) === 1)
+              .coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+          } finally q.stop()
+          dropSinkLog(root + "/out")
+        }
+        s.read.parquet(root + "/out")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |posts AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+             |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))) AS g
+             |  FROM t WHERE len(toks) >= 5),
+             |ev AS (SELECT DISTINCT g FROM posts WHERE doc_id % 10 = 0)
+             |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+             |WHERE d.doc_id % 10 <> 0 AND NOT EXISTS (
+             |  SELECT 1 FROM posts p JOIN ev ON p.g = ev.g WHERE p.doc_id = d.doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // BLOOM decontamination — the production direction: the benchmark/
     // eval split is SMALL, the training corpus is the 100 TB side, so
     // sketch the eval shingles once (kilobytes–MBs, functions/Bloom)

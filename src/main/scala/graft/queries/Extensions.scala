@@ -1103,6 +1103,33 @@ object Extensions {
           |WHERE levenshtein(a.p, b.p) <= 20
           |ORDER BY id_a, id_b""".stripMargin)),
 
+    // TRIANGLE enumeration over the near-dup graph — the classic graph
+    // analytic (clustering-coefficient numerator; here: triples of
+    // mutually-near-duplicate docs, the strongest dedup signal). The
+    // compact-forward shape: edges arrive ALREADY oriented id_a < id_b
+    // from ngramPairs, so the two-hop join + closing-edge check
+    // enumerates each triangle exactly once and join fan-out is bounded
+    // by oriented out-degree (≤ cluster size, never raw degree). The
+    // tiny pair set is localCheckpoint'd once for its three join roles
+    // instead of re-running the shingle pipeline per alias.
+    GQuery(
+      "q_graph_triangles",
+      (s, dir) => {
+        val p = ngramPairs(s, dir).select(col("id_a"), col("id_b")).localCheckpoint()
+        val e1 = p.select(col("id_a").as("a"), col("id_b").as("b"))
+        val e2 = p.select(col("id_a").as("b2"), col("id_b").as("c"))
+        val e3 = p.select(col("id_a").as("a3"), col("id_b").as("c3"))
+        e1.join(e2, col("b") === col("b2"))
+          .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+          .select(col("a").as("id_a"), col("b").as("id_b"), col("c").as("id_c"))
+          .orderBy(col("id_a"), col("id_b"), col("id_c"))
+      },
+      Some(s"""WITH $ngramPairSql
+             |SELECT e1.id_a AS id_a, e1.id_b AS id_b, e2.id_b AS id_c
+             |FROM pairs e1 JOIN pairs e2 ON e2.id_a = e1.id_b
+             |JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+             |ORDER BY e1.id_a, e1.id_b, e2.id_b""".stripMargin)),
+
     // Duplicate CLUSTERING: the stage a real dedup pipeline runs after
     // pair generation — connected components over the near-dup pair
     // graph, cluster id = min doc_id in the component (the canonical

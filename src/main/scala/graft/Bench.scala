@@ -64,9 +64,15 @@ object Bench {
       val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
       if (t.isEmpty) "0" else t
     }
-    val qs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + v.map(ts => f2(ts.min)).getOrElse("-1")
-    }.mkString("{", ",", "}")
+    // stdout `queries` is capped at the 5 slowest: the line must stay
+    // LENGTH-INVARIANT in the query count (the full map outgrew the
+    // driver's 2000-char stdout tail twice — at ~80 queries and again
+    // at 115). Full per-query timings live in bench_detail.json.
+    val qs = results
+      .collect { case (k, Right(ts)) => k -> ts.min }
+      .sortBy(-_._2).take(5)
+      .map { case (k, t) => s"\"" + k + "\":" + f2(t) }
+      .mkString("{", ",", "}")
     val spread = results.collect { case (k, Right(ts)) =>
       s"""\"$k\":{"min":${f(ts.min)},"max":${f(ts.max)},"n":${ts.size}}"""
     }.mkString("{", ",", "}")
@@ -89,7 +95,12 @@ object Bench {
     },"spread":$spread,"errors":$errors,"n_errors":$nErr,"timing":"min_of_$nRuns","sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
-    val errField = if (nErr == 0) "" else s""","errors":$errors"""
+    // errors on stdout: at most 3, messages truncated to 60 chars, so a
+    // mass failure can't blow the line either; the real count is n_errors
+    // and the full messages are in bench_detail.json.
+    val errsShort = results.collect { case (k, Left(e)) => s"\"${k}\":\"${esc(e.take(60))}\"" }
+      .take(3).mkString("{", ",", "}")
+    val errField = if (nErr == 0) "" else s""","errors":$errsShort"""
     println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$errField,"n_errors":$nErr,"sf":$sfNum}""")
     spark.stop()
   }

@@ -111,8 +111,13 @@ object Ingest {
       throw new IllegalArgumentException(
         s"envelope schema has neither after nor before struct: ${schema.catalogString}"))
 
-    val base = df.select(col("timestamp"), col("value").cast("string").as("value"))
-      .withColumn("json", from_json(col("value"), schema))
+    // a DLQ-split input arrives with the envelope ALREADY parsed
+    // ([[withDeadLetters]] keeps its `_parsed` struct on the good half)
+    // — reuse it instead of paying from_json a second time per batch
+    val base =
+      if (df.columns.contains("_parsed")) df.select(col("timestamp"), col("_parsed").as("json"))
+      else df.select(col("timestamp"), col("value").cast("string").as("value"))
+        .withColumn("json", from_json(col("value"), schema))
     val imageCol = if (afterOk) "after" else "before"
     // Delete events carry their key in `before` (after is null) — recover
     // EVERY merge-key column, not just the first, or a composite-key
@@ -338,8 +343,10 @@ object Ingest {
     * source coordinates (topic/partition/offset/timestamp — everything
     * needed to replay it after a fix) instead of crashing the batch or
     * silently projecting a null row. The split is ONE narrow pass; the
-    * good half feeds [[extractPostImage]]/merge unchanged, so wiring a
-    * DLQ sink into [[run]]'s foreachBatch is a two-line change.
+    * good half feeds [[extractPostImage]]/merge with its `_parsed`
+    * envelope struct attached (consumed there — the batch is parsed
+    * exactly once), so wiring a DLQ sink into [[run]]'s foreachBatch
+    * is a two-line change.
     * Production rule this encodes: a poison record must cost one
     * quarantined row, never the pipeline. */
   def withDeadLetters(kafkaShaped: DataFrame,
@@ -347,7 +354,9 @@ object Ingest {
     val tagged = kafkaShaped.withColumn("_parsed",
       from_json(col("value").cast("string"), schema))
     val ok = col("_parsed").isNotNull && col("_parsed.payload.op").isNotNull
-    val good = tagged.filter(ok).drop("_parsed")
+    // the good half KEEPS `_parsed`: [[parse]] projects from it directly,
+    // so the hot ingest path pays from_json once per batch, not twice
+    val good = tagged.filter(ok)
     val dlq = tagged.filter(!ok)
       .select(col("topic"), col("partition"), col("offset"), col("timestamp"),
         col("value").cast("string").as("raw"))

@@ -505,17 +505,21 @@ object Extensions {
 
     // Batch replay of the emulated Kafka topic through the full ingest
     // path (S1-S9 + U1-U3): seeded envelope generation → JSON-lines topic
-    // files → parse → latest-wins snapshot. Deterministic output (seeded
-    // generator), but the inputs are generated at runtime — not a
-    // testdata table — so no DuckDB oracle (driver rows-only check); the
-    // scalatest suite asserts the golden snapshot equality instead.
+    // files → parse → latest-wins snapshot. DuckDB-oracled since round
+    // 10: the oracle replays the SAME landed topic files (read_json over
+    // the fixture path — the engine builds the fixture before the
+    // oracle runs) — parse the envelope, latest-wins per id by lsn,
+    // apply deletes, project the post-image. An independent second
+    // implementation of the whole ingest+merge path over the identical
+    // wire bytes; the scalatest golden-snapshot equality stays too.
     GQuery(
       "stream_ingest_e2e",
       (s, dir) => {
         // the generator is fully seeded → the fixture is immutable; cache
         // it across invocations via [[cachedFixture]]. The version
         // component MUST be bumped whenever CdcGen's output changes, or
-        // the cache serves stale fixtures.
+        // the cache serves stale fixtures — and the oracle SQL below
+        // references the same versioned path, so bump BOTH together.
         val topicDir = cachedFixture("graft_e2e_cache_v1_200_3") { root =>
           CdcGen.writeTopicFiles(s, 200, root + "/topic", nBatches = 3)
         } + "/topic"
@@ -524,7 +528,29 @@ object Extensions {
             col("salary"), col("created_date"))
           .orderBy(col("id"))
       },
-      None),
+      Some("""WITH raw AS (
+             |  SELECT value FROM read_json('/tmp/graft_e2e_cache_v1_200_3/topic/*.txt',
+             |    format='newline_delimited', columns={'value': 'VARCHAR'})
+             |),
+             |ev AS (
+             |  SELECT
+             |    json_extract_string(value, '$.payload.op') AS op,
+             |    CAST(json_extract(value, '$.payload.source.lsn') AS BIGINT) AS lsn,
+             |    COALESCE(CAST(json_extract(value, '$.payload.after.id') AS INTEGER),
+             |             CAST(json_extract(value, '$.payload.before.id') AS INTEGER)) AS id,
+             |    json_extract_string(value, '$.payload.after.full_name') AS full_name,
+             |    json_extract_string(value, '$.payload.after.email') AS email,
+             |    json_extract_string(value, '$.payload.after.department') AS department,
+             |    CAST(json_extract(value, '$.payload.after.salary') AS INTEGER) AS salary,
+             |    CAST(json_extract(value, '$.payload.after.created_at') AS INTEGER) AS created_at
+             |  FROM raw
+             |),
+             |latest AS (
+             |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn FROM ev
+             |)
+             |SELECT id, full_name, email, department, salary,
+             |       DATE '1970-01-01' + created_at AS created_date
+             |FROM latest WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin)),
 
     // STREAMING near-dup ingest e2e: documents arrive in 3 micro-batches
     // (doc_id % 3 = arrival order); each batch dedups against the
@@ -622,10 +648,16 @@ object Extensions {
           val ev = Tables.events(s, dir)
             .select(col("ts"), col("event_type"),
               col("value").cast("decimal(18,4)").as("value"))
-          val Array(mn, mx) = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
-            .toSeq.map(_.asInstanceOf[java.sql.Timestamp]).toArray
-          val hourOne = new java.sql.Timestamp(
-            (mn.getTime / 3600000L) * 3600000L + 3600000L)
+          // the kept-row boundary is derived IN-ENGINE with the same
+          // date_trunc the DuckDB oracle uses (epoch-millis flooring
+          // would drift from date_trunc in any non-whole-hour session
+          // timezone); every harness pins the session tz to UTC, which
+          // also aligns window()'s epoch-based buckets with the
+          // oracle's date_trunc('hour') groups
+          val b0 = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"),
+            expr("date_trunc('hour', min(ts)) + INTERVAL 1 HOUR").as("h1")).collect()(0)
+          val (mn, mx, hourOne) =
+            (b0.getTimestamp(0), b0.getTimestamp(1), b0.getTimestamp(2))
           val mid = new java.sql.Timestamp((mn.getTime + mx.getTime) / 2)
           val src = root + "/src"
           // file A: event-time order, first hour withheld
@@ -1070,22 +1102,41 @@ object Extensions {
              |WHERE cont >= 0.8 ORDER BY id_a, id_b""".stripMargin)),
 
     // FUZZY (edit-distance) near-dup pairs — the blocked record-linkage
-    // shape: block on the first 3 tokens (a deterministic cheap key),
-    // verify candidates with Levenshtein over a 120-char prefix. The
-    // O(m·n) distance only ever runs INSIDE a block (measured: max
-    // block size 4 at sf0.001), so total work is Σ block² · 120², not
-    // corpus² — the same blocked-verify contract as the LSH family,
-    // with an edit-distance verifier instead of Jaccard. One shuffle on
-    // the block key; prefix bound caps the verify cost per pair
-    // regardless of document length.
+    // shape: block on a compound deterministic key, verify candidates
+    // with Levenshtein over a 120-char prefix. The O(m·n) distance only
+    // ever runs INSIDE a block, so total work is Σ block² · 120², not
+    // corpus². Two skew defenses make the quadratic term safe at corpus
+    // scale (a bare first-3-tokens key goes quadratic on one boilerplate
+    // prefix — millions of "terms of service for …" docs in one block):
+    //   1. SECOND BLOCKING COMPONENT: a token-count band (width 16)
+    //      joins the prefix in the key. Near-duplicate docs have
+    //      near-identical token counts, so true pairs stay co-blocked,
+    //      while same-boilerplate-different-body docs split across
+    //      bands. Band-boundary pairs are dropped — the standard
+    //      blocked-linkage recall trade, mirrored exactly in the oracle.
+    //   2. PER-BLOCK CAP with a deterministic survivor rule: rank by
+    //      doc_id inside each block, keep the first 64. A block larger
+    //      than the cap is boilerplate by construction; overflow docs
+    //      produce no pairs. Caps pair count at 64²/2 per block no
+    //      matter how hot the key gets (spec-proven on a 1000-doc
+    //      identical-prefix corpus). The rank window is one sort of the
+    //      block's MEMBERS (linear), never its pairs (quadratic).
+    // One shuffle on the block key; prefix bound caps the verify cost
+    // per pair regardless of document length.
     GQuery(
       "q_dedup_fuzzy",
       (s, dir) => {
         val t = fanout(Tables.documents(s, dir))
           .select(col("doc_id"), substring(col("text"), 1, 120).as("p"),
-            array_join(slice(split(col("text"), " "), 1, 3), " ").as("blk"))
-        val a = t.select(col("blk"), col("doc_id").as("id_a"), col("p").as("pa"))
-        val b = t.select(col("blk"), col("doc_id").as("id_b"), col("p").as("pb"))
+            concat_ws("|",
+              array_join(slice(split(col("text"), " "), 1, 3), " "),
+              floor(size(split(col("text"), " ")) / 16).cast("long").cast("string")).as("blk"))
+        val capped = t
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("blk")).orderBy(col("doc_id"))))
+          .filter(col("rn") <= 64).drop("rn")
+        val a = capped.select(col("blk"), col("doc_id").as("id_a"), col("p").as("pa"))
+        val b = capped.select(col("blk"), col("doc_id").as("id_b"), col("p").as("pb"))
         a.join(b, Seq("blk"))
           .filter(col("id_a") < col("id_b"))
           .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
@@ -1095,11 +1146,15 @@ object Extensions {
       },
       Some(
         """WITH t AS (SELECT doc_id, substr(text, 1, 120) AS p,
-          |             array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS blk
-          |           FROM documents)
+          |             array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
+          |               || '|' || CAST(len(string_split(text, ' ')) // 16 AS VARCHAR) AS blk
+          |           FROM documents),
+          |c AS (SELECT doc_id, p, blk FROM (
+          |        SELECT *, row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS rn FROM t) z
+          |      WHERE rn <= 64)
           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           |       levenshtein(a.p, b.p) AS dist
-          |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+          |FROM c a JOIN c b ON a.blk = b.blk AND a.doc_id < b.doc_id
           |WHERE levenshtein(a.p, b.p) <= 20
           |ORDER BY id_a, id_b""".stripMargin)),
 

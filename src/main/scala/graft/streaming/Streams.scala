@@ -70,6 +70,33 @@ object Streams {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming DECONTAMINATION gate: drop every incoming document that
+    * shares any 5-shingle with the benchmark/eval set, represented as a
+    * bloom sketch (graft.functions.Bloom) built ONCE batch-side. The
+    * gate is a pure scan predicate — stateless, no shuffle, no join;
+    * the sketch rides the plan as a literal, so each executor checks
+    * locally. Bloom has no false negatives: no contaminated doc can
+    * land, ever; false positives only over-drop at a rate set by the
+    * sketch size. A null/empty text yields no shingles and passes the
+    * gate (coalesce) — matching the batch twin q_decontaminate_bloom
+    * and its NOT-EXISTS oracle, which keep such docs. This is the
+    * ingest-time twin of q_decontaminate_bloom and composes with
+    * [[nearDupIngest]] (decontaminate, then dedup). */
+  def decontaminatedIngest(docs: DataFrame, evalBloom: Array[Byte], outDir: String,
+                           checkpointDir: String): StreamingQuery = {
+    import graft.ops.Text
+    docs
+      .withColumn("_sh", array_distinct(Text.shingles(Text.tokens(col("text")), 5)))
+      .filter(coalesce(!exists(col("_sh"),
+        x => graft.functions.Bloom.mightContain(evalBloom, x)), lit(true)))
+      .drop("_sh")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+  }
+
   /** Streaming near-duplicate gate over a persisted LSH index
     * ([[graft.ops.LshIndex]]) — the training-data ingest loop run as a
     * Structured Streaming pipeline: documents land in micro-batches,
@@ -97,31 +124,6 @@ object Streams {
     *
     * Bootstrap with [[graft.ops.LshIndex.buildEmpty]] so batch 0 goes
     * through the same path as every other batch. */
-  /** Streaming DECONTAMINATION gate: drop every incoming document that
-    * shares any 5-shingle with the benchmark/eval set, represented as a
-    * bloom sketch (graft.functions.Bloom) built ONCE batch-side. The
-    * gate is a pure scan predicate — stateless, no shuffle, no join;
-    * the sketch rides the plan as a literal, so each executor checks
-    * locally. Bloom has no false negatives: no contaminated doc can
-    * land, ever; false positives only over-drop at a rate set by the
-    * sketch size. This is the ingest-time twin of
-    * q_decontaminate_bloom and composes with [[nearDupIngest]]
-    * (decontaminate, then dedup). */
-  def decontaminatedIngest(docs: DataFrame, evalBloom: Array[Byte], outDir: String,
-                           checkpointDir: String): StreamingQuery = {
-    import graft.ops.Text
-    docs
-      .withColumn("_sh", array_distinct(Text.shingles(Text.tokens(col("text")), 5)))
-      .filter(!exists(col("_sh"),
-        x => graft.functions.Bloom.mightContain(evalBloom, x)))
-      .drop("_sh")
-      .writeStream.format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-      .start()
-  }
-
   def nearDupIngest(docs: DataFrame, idxDir: String, outDir: String,
                     checkpointDir: String, minJac: Double = 0.5): StreamingQuery =
     docs.writeStream

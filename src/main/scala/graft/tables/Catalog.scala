@@ -31,17 +31,26 @@ object Catalog {
   def syncBucketed(spark: SparkSession, name: String, df: DataFrame,
                    buckets: Int, bucketCols: Seq[String]): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    // A prior JVM's managed location can survive while the in-memory
-    // catalog forgets the table; saveAsTable then refuses the orphaned
-    // dir (LOCATION_ALREADY_EXISTS). Clear it — the re-sync owns the
-    // name, exactly like a Hive-sync re-registration.
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode("overwrite")
+    def write(): Unit = df.write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(name)
+    try write()
+    catch {
+      // A prior JVM's managed dir can survive while the catalog entry is
+      // gone; saveAsTable refuses the orphan (LOCATION_ALREADY_EXISTS).
+      // Recover ONLY on that failure — never pre-delete — so two JVMs
+      // sharing a warehouse can't wipe each other's live table data. The
+      // location is catalog-resolved (defaultTablePath handles db.tbl
+      // qualifiers; a hand-built warehouse/<name> guess does not).
+      case e: org.apache.spark.SparkThrowable
+          if Option(e.getCondition).exists(_.startsWith("LOCATION_ALREADY_EXISTS")) =>
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.defaultTablePath(ident))
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        write()
+    }
   }
 }

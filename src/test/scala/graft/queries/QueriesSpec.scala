@@ -177,64 +177,71 @@ class QueriesSpec extends SparkSpec {
   private def run(name: String) =
     GQuery.all.find(_.name == name).get.fn(spark, "/root/testdata/sf0.01")
 
-  test("q_agg_approx_distinct within HLL++ error of the exact twin") {
+  test("q_agg_approx_distinct: in-engine ε booleans all true; exact twin matches") {
     import spark.implicits._
-    val approx = run("q_agg_approx_distinct")
-      .select("l_returnflag", "approx_parts").as[(String, Long)].collect().toMap
+    val out = run("q_agg_approx_distinct")
+      .select("l_returnflag", "n_parts", "approx_ok").as[(String, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    // the ε claim (|est − exact| ≤ 0.15·exact, 3σ of relativeSD 0.05) is
+    // now IN the value-gated output — every row must carry true
+    for ((k, _, ok) <- out) assert(ok, s"$k: sketch drifted past 3σ of the exact count")
     val exact = run("q_agg_distinct")
       .select("l_returnflag", "n_parts").as[(String, Long)].collect().toMap
-    assert(approx.keySet == exact.keySet)
-    for ((k, e) <- exact) {
-      // default relativeSD = 0.05; allow 3 sigma
-      assert(math.abs(approx(k) - e) <= 0.15 * e, s"$k: approx ${approx(k)} vs exact $e")
-    }
+    assert(out.map(r => r._1 -> r._2).toMap == exact)
   }
 
-  test("q_agg_approx_percentile within declared rank error of the exact quantiles") {
+  test("q_agg_approx_percentile: in-engine rank-error booleans all true; exact twin matches") {
     import spark.implicits._
-    // accuracy=1000 guarantees rank error ≤ n/1000; the approx median
-    // must therefore lie between the exact 0.49 and 0.51 quantiles
-    // (wide margin over the guarantee).
-    val approx = run("q_agg_approx_percentile")
-      .select("l_returnflag", "approx_median").as[(String, Double)].collect().toMap
-    val bounds = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.01")
-      .groupBy($"l_returnflag")
-      .agg(org.apache.spark.sql.functions.expr(
-        "percentile(l_extendedprice, array(0.49, 0.51))").as("b"))
-      .select($"l_returnflag", $"b".getItem(0).as("lo"), $"b".getItem(1).as("hi"))
-      .as[(String, Double, Double)].collect()
-    assert(bounds.nonEmpty)
-    for ((k, lo, hi) <- bounds) {
-      val a = approx(k)
-      assert(a >= lo && a <= hi, s"$k: approx median $a outside exact [$lo, $hi]")
-    }
+    // accuracy=1000 guarantees rank error ≤ n/1000; approx_ok asserts the
+    // approx median lies between the exact 0.49 and 0.51 quantiles (wide
+    // margin over the guarantee), evaluated in the gated output itself.
+    val out = run("q_agg_approx_percentile")
+      .select("l_returnflag", "exact_median", "approx_ok").as[(String, Double, Boolean)].collect()
+    assert(out.nonEmpty)
+    for ((k, _, ok) <- out) assert(ok, s"$k: approx median outside exact [p49, p51]")
+    val twin = run("q_agg_percentile")
+      .select("l_returnflag", "median_price").as[(String, Double)].collect().toMap
+    assert(out.map(r => r._1 -> r._2).toMap == twin)
   }
 
-  test("q_agg_hll_merge: estimates within sketch error; union of group sketches == direct sketch") {
+  test("q_agg_hll_merge: in-engine ε booleans all true; union of group sketches == direct sketch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    // lgConfigK=14 → relative error ~0.8%; est_ok gates at 5% per scope,
+    // with the ALL row's estimate coming purely from the sketch union
     val out = run("q_agg_hll_merge")
-      .select($"scope", $"est_d", $"exact_d".cast("long")).collect()
-    val flags = out.filter(_.getString(0) != "ALL")
-    assert(flags.nonEmpty)
-    // lgConfigK=14 → relative error ~0.8%; allow 5%
-    for (r <- flags) {
-      val (est, exact) = (r.getLong(1), r.getLong(2))
-      assert(math.abs(est - exact) <= 0.05 * exact, s"${r.getString(0)}: $est vs $exact")
-    }
-    val allEst = out.find(_.getString(0) == "ALL").get.getLong(1)
+      .select($"scope", $"exact_d", $"est_ok").as[(String, Long, Boolean)].collect()
+    assert(out.map(_._1).contains("ALL") && out.length > 1)
+    for ((scope, _, ok) <- out) assert(ok, s"$scope: estimate drifted past 5% of exact")
     val li = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.01")
     val exactAll = li.select(countDistinct($"l_orderkey")).head.getLong(0)
-    assert(math.abs(allEst - exactAll) <= 0.05 * exactAll, s"ALL: $allEst vs $exactAll")
+    assert(out.find(_._1 == "ALL").get._2 == exactAll)
     // the mergeability contract: the union of per-group sketches answers
     // the global question without re-scanning rows. NOT register-equal to
     // a direct sketch — DataSketches unions accumulate in HLL_8 while a
     // direct sketch keeps HLL_4/sparse promotion history, so the two
     // estimates differ by well under the sketch's own error (measured
     // 14790 vs 14752 at sf0.01) — gate at 1%.
+    val allEst = li.groupBy($"l_returnflag")
+      .agg(hll_sketch_agg($"l_orderkey", 14).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("u")).head.getLong(0)
     val direct = li.agg(
       hll_sketch_estimate(hll_sketch_agg($"l_orderkey", 14)).as("d")).head.getLong(0)
     assert(math.abs(allEst - direct) <= 0.01 * direct, s"union-merged $allEst vs direct $direct")
+  }
+
+  test("q_dedup_fuzzy: a 1000-doc identical-prefix hot block stays capped") {
+    import spark.implicits._
+    // the skew defense: rank-by-doc_id cap (64) bounds the pair count of
+    // ANY block — a boilerplate prefix shared by a million docs produces
+    // at most 64·63/2 pairs, never a quadratic reducer. 1000 identical
+    // docs → one block (same prefix, same token-count band) → exactly
+    // the capped survivor pairs, all at distance 0.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fuzzy_skew").toString
+    (0 until 1000).map(i => (i.toLong, "terms of service for acme corp apply to all"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val n = GQuery.all.find(_.name == "q_dedup_fuzzy").get.fn(spark, tmp).count()
+    assert(n == 64L * 63 / 2, s"hot block produced $n pairs, expected capped 2016")
   }
 
   test("q_knn_join: exact subset of brute-force threshold pairs, with bounded recall loss") {

@@ -1072,21 +1072,28 @@ object Relational {
     // high-value purchase activity: the canonical triangle every
     // growth dashboard draws. Week alignment via date_trunc (Monday
     // start in both engines) and offsets as exact day/7 integers, so
-    // the bucketing can't drift. Plan: one user_id join + distinct,
-    // then a cohort-sized aggregate — shuffles carry (user, cohort,
-    // week) rows, and the output is weeks² regardless of corpus size.
+    // the bucketing can't drift. SINGLE-SCAN formulation (same shape as
+    // q_funnel): one pushdown-pruned events pass, ONE user_id shuffle
+    // collecting each user's cohort week + distinct active-week set
+    // (collect_set dedups in the aggregate — the explicit `distinct`
+    // shuffle of the join formulation disappears), explode, then a
+    // cohort-sized aggregate. Shuffles carry (user, week-set) rows and
+    // the output is weeks² regardless of corpus size.
     GQuery(
       "q_retention_cohort",
       (s, dir) => {
-        val ev = Tables.events(s, dir)
-        val f = ev.filter(col("event_type") === "signup")
-          .groupBy(col("user_id")).agg(date_trunc("week", min(col("ts"))).as("cw"))
-        ev.filter(col("event_type") === "purchase" && col("value") > 150)
-          .join(f, Seq("user_id"))
-          .select(col("user_id"), col("cw"),
-            (datediff(date_trunc("week", col("ts")), col("cw")) / 7).cast("long").as("wk"))
-          .distinct()
-          .groupBy(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"), col("wk"))
+        Tables.events(s, dir)
+          .filter(col("event_type") === "signup" ||
+            (col("event_type") === "purchase" && col("value") > 150))
+          .groupBy(col("user_id"))
+          .agg(
+            date_trunc("week", min(when(col("event_type") === "signup", col("ts")))).as("cw"),
+            collect_set(when(col("event_type") === "purchase",
+              date_trunc("week", col("ts")))).as("pws"))
+          .filter(col("cw").isNotNull)
+          .select(col("cw"), explode(col("pws")).as("pw"))
+          .groupBy(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+            (datediff(col("pw"), col("cw")) / 7).cast("long").as("wk"))
           .agg(count(lit(1)).as("n_active"))
           .orderBy(col("cohort_week"), col("wk"))
       },

@@ -1,6 +1,70 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    .replace("\n", " ").replace("\r", " ").replace("\t", " ")
+  private def f(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+  // stdout values are 2-decimal and trailing-zero-trimmed: the driver keeps
+  // only the LAST 2000 CHARS of stdout and parses the JSON line out of that
+  // window, so the line must stay short enough to survive the tail cut plus
+  // sbt's trailing "[success] ..." line. Full 4-decimal timings + per-query
+  // (min,max,n) spread + errors go to bench_detail.json instead.
+  private def f2(d: Double) = {
+    val s = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+    if (t.isEmpty) "0" else t
+  }
+
+  /** The ONE driver-facing stdout line. LENGTH-INVARIANT in the query
+    * count by construction — the full per-query map outgrew the
+    * driver's 2000-char stdout tail twice (at ~80 queries and again at
+    * 115), so `queries` carries only the 5 slowest and `errors` at most
+    * 3 entries with messages cut to 60 chars. BenchSpec pins the bound
+    * at 1000 queries / 1000 failures. Full data → [[detailJson]]. */
+  def stdoutLine(results: Seq[(String, Either[String, Seq[Double]])], sfDir: String): String = {
+    val qs = results
+      .collect { case (k, Right(ts)) => k -> ts.min }
+      .sortBy(-_._2).take(5)
+      .map { case (k, t) => s"\"" + k + "\":" + f2(t) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(ts)) => ts.min }.sum
+    val nErr = results.count(_._2.isLeft)
+    // numeric sf parsed from the dir name keeps the line short; falls back to
+    // the raw path if the suffix isn't numeric
+    // strict numeric shape: leading-zero integer parts ("007") are valid
+    // digit strings but invalid bare JSON number tokens (RFC 8259), so
+    // they take the quoted-string branch like any other non-number
+    val sfNum = sfDir.split("/").lastOption.map(_.stripPrefix("sf")) match {
+      case Some(s) if s.matches(raw"(0|[1-9]\d*)(\.\d+)?") => s
+      case _ => "\"" + esc(sfDir) + "\""
+    }
+    // errors on stdout: at most 3, messages truncated to 60 chars, so a
+    // mass failure can't blow the line either; the real count is n_errors
+    // and the full messages are in bench_detail.json.
+    val errsShort = results.collect { case (k, Left(e)) => s"\"${k}\":\"${esc(e.take(60))}\"" }
+      .take(3).mkString("{", ",", "}")
+    val errField = if (nErr == 0) "" else s""","errors":$errsShort"""
+    s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$errField,"n_errors":$nErr,"sf":$sfNum}"""
+  }
+
+  /** The full-fidelity record written to bench_detail.json: every query's
+    * min-of-N headline, the (min,max,n) spread, and complete error text. */
+  def detailJson(results: Seq[(String, Either[String, Seq[Double]])],
+                 sfDir: String, nRuns: Int): String = {
+    val spread = results.collect { case (k, Right(ts)) =>
+      s"""\"$k\":{"min":${f(ts.min)},"max":${f(ts.max)},"n":${ts.size}}"""
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, Left(e)) => s"\"${k}\":\"${esc(e)}\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(ts)) => ts.min }.sum
+    val nErr = results.count(_._2.isLeft)
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${
+      results.map { case (k, v) => s"\"$k\":" + v.map(ts => f(ts.min)).getOrElse("-1.0") }
+        .mkString("{", ",", "}")
+    },"spread":$spread,"errors":$errors,"n_errors":$nErr,"timing":"min_of_$nRuns","sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -51,57 +115,10 @@ object Bench {
         }
         name -> r
       }
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", " ").replace("\r", " ").replace("\t", " ")
-    def f(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    // stdout values are 2-decimal and trailing-zero-trimmed: the driver keeps
-    // only the LAST 2000 CHARS of stdout and parses the JSON line out of that
-    // window, so the line must stay short enough to survive the tail cut plus
-    // sbt's trailing "[success] ..." line. Full 4-decimal timings + per-query
-    // (min,max,n) spread + errors go to bench_detail.json instead.
-    def f2(d: Double) = {
-      val s = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-      val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
-      if (t.isEmpty) "0" else t
-    }
-    // stdout `queries` is capped at the 5 slowest: the line must stay
-    // LENGTH-INVARIANT in the query count (the full map outgrew the
-    // driver's 2000-char stdout tail twice — at ~80 queries and again
-    // at 115). Full per-query timings live in bench_detail.json.
-    val qs = results
-      .collect { case (k, Right(ts)) => k -> ts.min }
-      .sortBy(-_._2).take(5)
-      .map { case (k, t) => s"\"" + k + "\":" + f2(t) }
-      .mkString("{", ",", "}")
-    val spread = results.collect { case (k, Right(ts)) =>
-      s"""\"$k\":{"min":${f(ts.min)},"max":${f(ts.max)},"n":${ts.size}}"""
-    }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, Left(e)) => s"\"${k}\":\"${esc(e)}\"" }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(ts)) => ts.min }.sum
-    val nErr = results.count(_._2.isLeft)
-    // numeric sf parsed from the dir name keeps the line short; falls back to
-    // the raw path if the suffix isn't numeric
-    // strict numeric shape: leading-zero integer parts ("007") are valid
-    // digit strings but invalid bare JSON number tokens (RFC 8259), so
-    // they take the quoted-string branch like any other non-number
-    val sfNum = sfDir.split("/").lastOption.map(_.stripPrefix("sf")) match {
-      case Some(s) if s.matches(raw"(0|[1-9]\d*)(\.\d+)?") => s
-      case _ => "\"" + esc(sfDir) + "\""
-    }
-    val detail = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${
-      results.map { case (k, v) => s"\"$k\":" + v.map(ts => f(ts.min)).getOrElse("-1.0") }
-        .mkString("{", ",", "}")
-    },"spread":$spread,"errors":$errors,"n_errors":$nErr,"timing":"min_of_$nRuns","sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
-    java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
-    // errors on stdout: at most 3, messages truncated to 60 chars, so a
-    // mass failure can't blow the line either; the real count is n_errors
-    // and the full messages are in bench_detail.json.
-    val errsShort = results.collect { case (k, Left(e)) => s"\"${k}\":\"${esc(e.take(60))}\"" }
-      .take(3).mkString("{", ",", "}")
-    val errField = if (nErr == 0) "" else s""","errors":$errsShort"""
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$errField,"n_errors":$nErr,"sf":$sfNum}""")
+    java.nio.file.Files.write(detailPath,
+      (detailJson(results, sfDir, nRuns) + "\n").getBytes("UTF-8"))
+    println(stdoutLine(results, sfDir))
     spark.stop()
   }
 }

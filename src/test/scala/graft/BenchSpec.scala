@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench's driver-facing contract: the stdout line must stay
+  * parseable out of a 2000-char stdout tail AT ANY QUERY COUNT. The
+  * full map outgrew that window twice (~80 queries in round 6, 115 in
+  * round 9) — this spec makes the bound structural, not resized-to-fit.
+  * No SparkSession needed: both emitters are pure functions of the
+  * timing results.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private def results(nOk: Int, nErr: Int): Seq[(String, Either[String, Seq[Double]])] = {
+    val ok = (1 to nOk).map(i =>
+      s"q_generated_query_name_$i" -> Right(Seq(i * 0.013, i * 0.017, i * 0.011)))
+    val err = (1 to nErr).map(i =>
+      s"q_failing_query_$i" -> Left("SparkException: " + ("boom " * 40)))
+    ok ++ err
+  }
+
+  // conservative: well under the 2000-char tail even after sbt appends
+  // its own trailing lines
+  private val Bound = 800
+
+  test("stdout line stays under the bound at 1000 queries, 0 errors") {
+    val line = Bench.stdoutLine(results(1000, 0), "/root/testdata/sf0.1")
+    assert(line.length < Bound, s"${line.length} chars: $line")
+  }
+
+  test("stdout line stays under the bound when every one of 1000 queries fails") {
+    val line = Bench.stdoutLine(results(0, 1000), "/root/testdata/sf0.1")
+    assert(line.length < Bound, s"${line.length} chars: $line")
+    assert(line.contains("\"n_errors\":1000"))
+  }
+
+  test("stdout line carries the 5 slowest queries and a numeric sf") {
+    val line = Bench.stdoutLine(results(100, 0), "/root/testdata/sf0.1")
+    // slowest = highest index (time grows with i)
+    assert(line.contains("q_generated_query_name_100"))
+    assert(line.contains("q_generated_query_name_96"))
+    assert(!line.contains("q_generated_query_name_95\""))
+    assert(line.contains("\"sf\":0.1"))
+    assert(line.contains("\"n_errors\":0"))
+  }
+
+  test("totals agree between the stdout line and the detail record") {
+    val rs = results(10, 2)
+    val total = rs.collect { case (_, Right(ts)) => ts.min }.sum
+    val line = Bench.stdoutLine(rs, "/root/testdata/sf0.01")
+    val detail = Bench.detailJson(rs, "/root/testdata/sf0.01", 3)
+    val lineVal = """"value":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1).toDouble
+    val detVal = """"value":([0-9.]+)""".r.findFirstMatchIn(detail).get.group(1).toDouble
+    assert(math.abs(lineVal - total) <= 0.0051) // 2-decimal rounding (± half-ULP at the boundary)
+    assert(math.abs(detVal - total) < 0.00005) // 4-decimal rounding
+    assert(detail.contains("\"n_errors\":2"))
+    // detail keeps EVERY query; the stdout line must not
+    assert((1 to 10).forall(i => detail.contains(s"q_generated_query_name_$i")))
+  }
+
+  test("error messages are escaped and truncated on the stdout line") {
+    val rs = Seq("q_bad" -> Left("""Exception: "quoted"
+	tabbed and very very very very very very very very long message"""))
+    val line = Bench.stdoutLine(rs, "/tmp/x")
+    assert(line.contains("\\\"quoted\\\""))
+    assert(!line.contains("\n") && !line.contains("\t"))
+    assert(line.length < Bound)
+  }
+}

@@ -41,6 +41,43 @@ class CatalogSpec extends SparkSpec {
     assert(joined.count() == 86)
   }
 
+  test("bucketed sync recovers an orphaned warehouse dir, without pre-deleting") {
+    val emp = CdcGen.expectedSnapshot(spark, 30)
+    val name = s"emp_orphan_$run"
+    // fabricate the failure mode: a managed dir left by a dead JVM whose
+    // catalog entry is gone — saveAsTable refuses it with
+    // LOCATION_ALREADY_EXISTS unless the sync recovers
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        spark.sessionState.sqlParser.parseTableIdentifier(name)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc)
+    fs.create(new org.apache.hadoop.fs.Path(loc, "stale-part.parquet")).close()
+    Catalog.syncBucketed(spark, name, emp, 4, Seq("id"))
+    assert(spark.table(name).count() == emp.count())
+
+    // and a LIVE table is NOT wiped by a re-sync of a different name
+    // sharing the warehouse (the round-9 pre-delete hazard): re-syncing
+    // the same name replaces it, but its data was readable throughout
+    Catalog.syncBucketed(spark, name, emp.limit(5), 4, Seq("id"))
+    assert(spark.table(name).count() == 5)
+  }
+
+  test("bucketed sync resolves db-qualified names through the catalog") {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graftdb_$run")
+    val name = s"graftdb_$run.emp_q"
+    val emp = CdcGen.expectedSnapshot(spark, 20)
+    // orphan the qualified table's real location (under <warehouse>/<db>.db/),
+    // where the old warehouse/<name> guess never looked
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        spark.sessionState.sqlParser.parseTableIdentifier(name)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc)
+    Catalog.syncBucketed(spark, name, emp, 2, Seq("id"))
+    assert(spark.table(name).count() == emp.count())
+  }
+
   test("salted join spreads a hot key and preserves multiplicity") {
     import graft.ops.Skew
     // 1000 rows of one hot key + a small dim side

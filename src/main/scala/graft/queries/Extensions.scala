@@ -1109,11 +1109,14 @@ object Extensions {
     // scale (a bare first-3-tokens key goes quadratic on one boilerplate
     // prefix — millions of "terms of service for …" docs in one block):
     //   1. SECOND BLOCKING COMPONENT: a token-count band (width 16)
-    //      joins the prefix in the key. Near-duplicate docs have
-    //      near-identical token counts, so true pairs stay co-blocked,
-    //      while same-boilerplate-different-body docs split across
-    //      bands. Band-boundary pairs are dropped — the standard
-    //      blocked-linkage recall trade, mirrored exactly in the oracle.
+    //      joins the prefix in the key, splitting same-boilerplate-
+    //      different-body docs across bands. Each doc probes its OWN
+    //      band and the one above (sorted-neighborhood style), so two
+    //      docs within one band-width of each other ALWAYS meet in a
+    //      block: banding can only drop pairs whose token counts differ
+    //      by more than 16 — a guarantee, not a boundary accident.
+    //      Duplicate candidates from meeting in both bands collapse in
+    //      one distinct before the Levenshtein verify.
     //   2. PER-BLOCK CAP with a deterministic survivor rule: rank by
     //      doc_id inside each block, keep the first 64. A block larger
     //      than the cap is boilerplate by construction; overflow docs
@@ -1128,10 +1131,13 @@ object Extensions {
       (s, dir) => {
         val t = fanout(Tables.documents(s, dir))
           .select(col("doc_id"), substring(col("text"), 1, 120).as("p"),
-            concat_ws("|",
-              array_join(slice(split(col("text"), " "), 1, 3), " "),
-              floor(size(split(col("text"), " ")) / 16).cast("long").cast("string")).as("blk"))
-        val capped = t
+            array_join(slice(split(col("text"), " "), 1, 3), " ").as("pre"),
+            floor(size(split(col("text"), " ")) / 16).cast("long").as("band"))
+        val probed = t.select(col("doc_id"), col("p"),
+          explode(array(
+            concat_ws("|", col("pre"), col("band").cast("string")),
+            concat_ws("|", col("pre"), (col("band") + 1).cast("string")))).as("blk"))
+        val capped = probed
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("blk")).orderBy(col("doc_id"))))
           .filter(col("rn") <= 64).drop("rn")
@@ -1139,6 +1145,8 @@ object Extensions {
         val b = capped.select(col("blk"), col("doc_id").as("id_b"), col("p").as("pb"))
         a.join(b, Seq("blk"))
           .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("pa"), col("pb"))
+          .distinct() // a pair can meet in both its shared bands
           .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
           .filter(col("dist") <= 20)
           .select(col("id_a"), col("id_b"), col("dist"))
@@ -1146,16 +1154,19 @@ object Extensions {
       },
       Some(
         """WITH t AS (SELECT doc_id, substr(text, 1, 120) AS p,
-          |             array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
-          |               || '|' || CAST(len(string_split(text, ' ')) // 16 AS VARCHAR) AS blk
+          |             array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS pre,
+          |             len(string_split(text, ' ')) // 16 AS band
           |           FROM documents),
+          |x AS (SELECT doc_id, p, unnest([pre || '|' || CAST(band AS VARCHAR),
+          |                                pre || '|' || CAST(band + 1 AS VARCHAR)]) AS blk
+          |      FROM t),
           |c AS (SELECT doc_id, p, blk FROM (
-          |        SELECT *, row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS rn FROM t) z
-          |      WHERE rn <= 64)
-          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |       levenshtein(a.p, b.p) AS dist
-          |FROM c a JOIN c b ON a.blk = b.blk AND a.doc_id < b.doc_id
-          |WHERE levenshtein(a.p, b.p) <= 20
+          |        SELECT *, row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS rn FROM x) z
+          |      WHERE rn <= 64),
+          |pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, b.p AS pb
+          |       FROM c a JOIN c b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, levenshtein(pa, pb) AS dist FROM pr
+          |WHERE levenshtein(pa, pb) <= 20
           |ORDER BY id_a, id_b""".stripMargin)),
 
     // TRIANGLE enumeration over the near-dup graph — the classic graph

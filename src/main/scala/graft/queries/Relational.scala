@@ -713,10 +713,15 @@ object Relational {
       "q_agg_hll_merge",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
+        // the flags-sized sketch table is localCheckpoint'd: it feeds
+        // both the per-flag rows and the union row, and without the
+        // checkpoint each consumer would re-scan the corpus — the exact
+        // anti-pattern the persisted-sketch design exists to avoid
         val perFlag = li
           .groupBy(col("l_returnflag"))
           .agg(hll_sketch_agg(col("l_orderkey"), 14).as("sk"),
             countDistinct(col("l_orderkey")).as("exact_d"))
+          .localCheckpoint()
         def ok(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
           (abs(est - exact) <= exact.cast("double") * 0.05).as("est_ok")
         val flags = perFlag.select(
@@ -724,6 +729,9 @@ object Relational {
           ok(hll_sketch_estimate(col("sk")), col("exact_d")))
         // 1-row × 1-row crossJoin: the union-estimate scalar meets the
         // direct global exact scalar — broadcast, never a data shuffle.
+        // The global countDistinct scan is GATE-ONLY scaffolding (it
+        // judges the union); production answers ALL from the sketch
+        // union alone, which is the point of the pattern.
         val all = perFlag.agg(
           hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
           .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("exact_d")))

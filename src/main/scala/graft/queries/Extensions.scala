@@ -2181,6 +2181,136 @@ object Extensions {
            |      FROM documents) t ORDER BY doc_id""".stripMargin
       }),
 
+    // ------------------------------------------ substring-level dedup
+    // Cross-document duplicate SPAN detection — the exact-substring
+    // dedup family (suffix-array substring dedup à la "Deduplicating
+    // Training Data Makes Language Models Better", distributed here as
+    // stride-sampled fixed windows): hash a 32-char window every 8
+    // chars, mark a window duplicated when the identical window text
+    // occurs in ANY other document, report each doc's duplicated-window
+    // fraction. Catches partial overlap (a shared paragraph inside
+    // otherwise distinct docs) that whole-doc hashing misses entirely
+    // and shingle-Jaccard only surfaces once the shared fraction is
+    // large. Scale shape: stride sampling bounds the exploded stream at
+    // corpus_chars/8 rows; the cross-doc flag is min!=max over ONE
+    // window-hash shuffle (no count-distinct, no self-join, no posting
+    // lists collected), then one doc_id shuffle aggregates the
+    // fraction — linear in corpus bytes, the q_dedup_ngram inverted-
+    // posting discipline at character granularity. Sampling is CONTENT-
+    // DEFINED (keep a window iff its hash's first hex nibble is 0 or 8
+    // — 1/8 in expectation, the mod-p winnowing rule): a fixed-stride
+    // grid is phase-sensitive (the same paragraph at offsets differing
+    // by a non-multiple of the stride never collides — the planted-
+    // paragraph spec case), whereas hash-selected positions are chosen
+    // by the BYTES, so both copies of a shared span sample the same
+    // relative offsets no matter where the span sits. md5 keeps the
+    // selection oracle-portable; at 100 TB the per-position hash would
+    // be the O(1)-per-step polynomial roll (Text.rollingHashes) with
+    // the same nibble rule. explode_outer (not explode) so
+    // InferFiltersFromGenerate can't re-inline the window expression
+    // into the scan as a size()>0 filter; null rows (docs whose every
+    // window was sampled away) are dropped by the free isNotNull on the
+    // generated attribute.
+    GQuery(
+      "q_dedup_substring",
+      (s, dir) => {
+        val wHash = Window.partitionBy(col("wh"))
+        fanout(Tables.documents(s, dir))
+          .filter(length(col("text")) >= 32)
+          .select(col("doc_id"), explode_outer(expr(
+            """filter(transform(sequence(1, length(text) - 31), i -> md5(substring(text, i, 32))),
+              |       h -> substring(h, 1, 1) IN ('0', '8'))""".stripMargin))
+            .as("wh"))
+          .filter(col("wh").isNotNull)
+          .withColumn("shared",
+            (min(col("doc_id")).over(wHash) =!= max(col("doc_id")).over(wHash)).cast("int"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_windows"),
+            sum(col("shared")).cast("long").as("n_dup"))
+          .withColumn("dup_frac",
+            floor(col("n_dup").cast("double") / col("n_windows") * 10000 + 0.5) / 10000)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |           list_transform(range(1, length(text) - 30),
+             |             i -> md5(substr(text, i, 32))),
+             |           h -> substr(h, 1, 1) IN ('0', '8'))) AS wh
+             |  FROM documents WHERE length(text) >= 32),
+             |m AS (
+             |  SELECT doc_id,
+             |    CASE WHEN min(doc_id) OVER (PARTITION BY wh)
+             |           <> max(doc_id) OVER (PARTITION BY wh) THEN 1 ELSE 0 END AS shared
+             |  FROM w)
+             |SELECT doc_id, count(*) AS n_windows, sum(shared)::BIGINT AS n_dup,
+             |  floor(sum(shared)::DOUBLE / count(*) * 10000 + 0.5) / 10000 AS dup_frac
+             |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // --------------------------------------- quantized similarity (SQ8)
+    // Int8 scalar-quantized ANN — the memory-bandwidth scale path for
+    // similarity serving: embeddings are squashed to one byte per
+    // dimension and top-k runs on exact INTEGER dot products of the
+    // codes. At
+    // 100 TB the win is the working set: a 64-dim corpus drops from
+    // 256 B to 64 B per vector, so 4x more index fits in executor
+    // page cache and the brute scan is 4x less bandwidth-bound; the
+    // integer dot also sidesteps float-summation order entirely — the
+    // scores are bit-identical across engines and partitionings, which
+    // is why this variant carries a full value oracle where the float
+    // paths need round(…, 4). The grid is SYMMETRIC on the unit sphere:
+    // vectors are L2-normalized, then code = floor(vn * 127) in
+    // [-127, 127] -- centered on zero, so the integer code dot is a
+    // rank-faithful surrogate for cosine. (An offset grid like
+    // floor((x - min) * s) is NOT: the additive offset term dominates
+    // the ranking, which the QueriesSpec recall gate catches as
+    // overlap@5 = 0.) Normalization + quantization are a narrow
+    // per-row map with no corpus statistics at all (no collect, no
+    // extra pass); the norm is an explicit LEFT FOLD on both sides
+    // (aggregate with 0D seed / list_reduce) so both engines add in
+    // the same order -- bit-equal doubles in, bit-equal codes out.
+    // Top-k is the same broadcast-corpus + per-query window as
+    // q_sim_topk (at real scale: IVF cluster co-partition first, SQ8
+    // codes inside each cluster, byte-packed binary column).
+    // Quantized-vs-exact recall (overlap@5 vs q_sim_topk) is gated in
+    // QueriesSpec.
+    GQuery(
+      "q_sim_quantized",
+      (s, dir) => {
+        val q = Tables.embeddings(s, dir)
+          .withColumn("nrm", expr(
+            "sqrt(aggregate(transform(embedding, y -> cast(y as double) * y), 0D, (a, y) -> a + y))"))
+          .select(col("vec_id"), expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) / nrm * 127.0) as bigint))")
+            .as("q"))
+        val corpus = broadcast(q.select(col("vec_id").as("nn_id"), col("q").as("q2")))
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("nn_id"))
+        fanout(q.filter(col("vec_id") <= 20))
+          .join(corpus, col("vec_id") =!= col("nn_id"))
+          .withColumn("score", expr(
+            "aggregate(zip_with(q, q2, (x, y) -> x * y), 0L, (acc, p) -> acc + p)"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("vec_id"), col("rn"), col("nn_id"), col("score"))
+          .orderBy(col("vec_id"), col("rn"))
+      },
+      Some("""WITH qv AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(floor(CAST(x AS DOUBLE) / nrm * 127.0) AS BIGINT)) AS q
+             |  FROM (SELECT vec_id, embedding,
+             |          sqrt(list_reduce(list_transform(embedding, y -> CAST(y AS DOUBLE) * y),
+             |                           (a, y) -> a + y)) AS nrm
+             |        FROM embeddings) t),
+             |s AS (
+             |  SELECT a.vec_id, c.vec_id AS nn_id,
+             |    list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * c.q[i]))::BIGINT AS score
+             |  FROM qv a JOIN qv c ON a.vec_id <> c.vec_id
+             |  WHERE a.vec_id <= 20)
+             |SELECT vec_id, CAST(rn AS INT) AS rn, nn_id, score FROM (
+             |  SELECT vec_id, nn_id, score,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, nn_id) AS rn
+             |  FROM s) t
+             |WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin)),
+
     // ----------------------------------------------------- multimodal
     // Opaque binary payload + typed metadata struct riding beside the
     // text — the training-data-lake column shape. Content is a

@@ -713,15 +713,20 @@ object Relational {
       "q_agg_hll_merge",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
-        // the flags-sized sketch table is localCheckpoint'd: it feeds
-        // both the per-flag rows and the union row, and without the
-        // checkpoint each consumer would re-scan the corpus — the exact
-        // anti-pattern the persisted-sketch design exists to avoid
+        // the flags-sized sketch table is cache()'d: it feeds both the
+        // per-flag rows and the union row, and without sharing, each
+        // consumer would re-run the corpus aggregation — the exact
+        // anti-pattern the persisted-sketch design exists to avoid.
+        // cache, NOT localCheckpoint: the checkpoint's EAGER
+        // materialization job cost 2.4 s/run here vs 0.48 s for the
+        // lazy cache (measured sf0.1 min-of-3; both plans run the
+        // corpus aggregation once — the lazy form just lets the first
+        // consumer fill the 4-row cache as a side effect).
         val perFlag = li
           .groupBy(col("l_returnflag"))
           .agg(hll_sketch_agg(col("l_orderkey"), 14).as("sk"),
             countDistinct(col("l_orderkey")).as("exact_d"))
-          .localCheckpoint()
+          .cache()
         def ok(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
           (abs(est - exact) <= exact.cast("double") * 0.05).as("est_ok")
         val flags = perFlag.select(

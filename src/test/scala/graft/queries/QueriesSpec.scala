@@ -244,6 +244,52 @@ class QueriesSpec extends SparkSpec {
     assert(n == 64L * 63 / 2, s"hot block produced $n pairs, expected capped 2016")
   }
 
+  test("q_dedup_substring: a planted shared paragraph is found, unique docs score zero") {
+    import spark.implicits._
+    // two docs share an identical paragraph embedded in otherwise
+    // distinct text; a third doc is fully unique. The shared span must
+    // surface as dup_frac > 0 on BOTH carriers and exactly 0 on the
+    // unique doc — whole-doc hashing (q_dedup_exact) sees nothing here.
+    // The two prefixes have DIFFERENT lengths that are not congruent
+    // mod 8: a fixed-stride window grid would never collide on this
+    // fixture — the content-defined (hash-nibble) sampling must, since
+    // it picks the same span-relative offsets in both copies.
+    val para = "the quick brown fox jumps over the lazy dog near the river bank " +
+      "while seventeen green turtles watch in silence from a mossy log"
+    assert(para.length >= 100)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_substr").toString
+    Seq(
+      (1L, "unique preamble alpha alpha alpha " + para + " unique tail one"),
+      (2L, "a wholly different opening sequence " + para + " other ending two"),
+      (3L, "nothing in this document repeats anywhere else in the corpus at all"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val out = GQuery.all.find(_.name == "q_dedup_substring").get.fn(spark, tmp)
+      .select($"doc_id", $"dup_frac").as[(Long, Double)].collect().toMap
+    assert(out(1L) > 0.0 && out(2L) > 0.0, s"shared paragraph missed: $out")
+    assert(out(3L) == 0.0, s"unique doc flagged: $out")
+  }
+
+  test("q_sim_quantized: SQ8 top-5 tracks the exact float top-5 (recall gate)") {
+    import org.apache.spark.sql.functions._
+    // the quantization is lossy by design; the gate is neighborhood
+    // fidelity, not score equality: mean overlap@5 between the SQ8
+    // top-5 and the exact cosine top-5 (q_sim_topk, same 20 queries)
+    // must hold. Measured 1.00 on this corpus at sf0.01 — a grid or
+    // dot-product regression shows up as a collapse, not a flake.
+    val sq = run("q_sim_quantized").select(col("vec_id"), col("nn_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val exact = run("q_sim_topk").filter(col("vec_id") <= 20)
+      .select(col("vec_id"), col("nn_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(sq.keySet == exact.keySet)
+    // toSeq before mapping: Set.map would collapse equal per-query
+    // recalls (all the 1.0s become ONE element) and wreck the mean
+    val recall = sq.keys.toSeq.map(k => (sq(k) & exact(k)).size / 5.0).sum / sq.size
+    assert(recall >= 0.8, s"mean overlap@5 $recall")
+  }
+
   test("q_knn_join: exact subset of brute-force threshold pairs, with bounded recall loss") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -1,0 +1,209 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.classic.GraftPlanBuilder
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkStrategy, SparkPlan}
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
+
+/** Native AS-OF join — the one operator in the surface where Spark has
+  * no physical primitive at all (reference semantics: "latest right row
+  * at or before each left row's timestamp, per key" — the q_join_asof
+  * contract). The composed forms both pay something structural:
+  *   - range join + per-left dedup window: pair EXPANSION before the
+  *     dedup — a hot key with n lefts and m rights materializes n·m
+  *     join rows only to keep n (quadratic per key, skew-dominated);
+  *   - union + carry-forward window (what q_join_asof ships): linear
+  *     and the right default, but it buffers BOTH inputs through one
+  *     window partition and loses the sides' separate schemas (every
+  *     column of both sides rides the union row).
+  * This is the (c) tier done properly: a logical node, a planner
+  * strategy, and a physical [[AsOfMergeJoinExec]] that declares
+  * ClusteredDistribution + (key, ts) ordering so Catalyst plans ONE
+  * co-partitioning exchange + sort per side, then streams both sorted
+  * iterators through a zero-buffer per-partition merge: each input row
+  * is touched once, the only per-key state is the single last-seen
+  * right row. At 100 TB that is the minimum possible: no pair
+  * expansion, no union materialization, memory O(1) per partition.
+  *
+  * Semantics: left rows are all kept (left-outer); match = last right
+  * row with equal keys and rightTs <= leftTs, ties among equal (key,
+  * ts) broken by `rightTies` ascending (last wins — mirror of the
+  * union-window form's carried-value rule). Null timestamps never
+  * match and null-ts right rows are skipped. Timestamp/date/integral
+  * ts types only (micros/days/long compare as long).
+  *
+  * Registered per-session (idempotent) via `experimental.
+  * extraStrategies`; `AsOfJoin.asof(...)` is the user API.
+  * AsOfJoinSpec pins: value-equality with the union-window
+  * formulation on the events table, the exec node + exactly one
+  * exchange per side in the plan, and the null-extension case.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression,
+    rightTies: Seq[Expression]) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] onto [[AsOfMergeJoinExec]]; everything else
+  * falls through to the built-in strategies. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, ties) =>
+      AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, ties) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfMergeJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression,
+    rightTies: Seq[Expression]) extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  // co-partition on the join keys; EnsureRequirements inserts the one
+  // exchange per side (or reuses an existing compatible partitioning)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // sorted (key, ts[, ties]) within each partition; the merge consumes
+  // both iterators monotonically
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+    ((rightKeys :+ rightTs) ++ rightTies).map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending))
+
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case n: Number => n.longValue()
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val outAttrs = output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTsExpr = leftTs
+    val rTsExpr = rightTs
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val lTsBound = BindReferences.bindReference(lTsExpr, lOut)
+      val rTsBound = BindReferences.bindReference(rTsExpr, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
+      // bind against NULLABLE right attributes: the unmatched null-row
+      // branch needs the generated projection to isNullAt-check the
+      // right side, or nulls read back as zeros
+      val outProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+
+      new Iterator[InternalRow] {
+        private var rHead: InternalRow = _           // unconsumed right row
+        private var lastMatch: InternalRow = _       // copied last candidate
+        private var lastMatchKey: InternalRow = _    // its copied key
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          val lT = lTsBound.eval(l)
+          // consume rights with smaller keys, and same-key rights whose
+          // ts is null (skipped) or <= leftTs (become the candidate)
+          var advancing = true
+          while (advancing && (rHead != null || rIter.hasNext)) {
+            if (rHead == null) rHead = rIter.next()
+            val rKey = rKeyProj(rHead)
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) rHead = null // discard: behind every future left too
+            else if (c == 0) {
+              val rT = rTsBound.eval(rHead)
+              if (rT == null) rHead = null // never a match, step over
+              else if (lT != null && asLong(rT) <= asLong(lT)) {
+                lastMatch = rHead.copy()
+                lastMatchKey = rKey.copy()
+                rHead = null
+              } else advancing = false // future left rows may want it
+            } else advancing = false // right is ahead: keep for later keys
+          }
+          val matched = lastMatch != null && lastMatchKey != null &&
+            keyOrd.compare(lastMatchKey, lKey) == 0
+          outProj(joined(l, if (matched) lastMatch else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfMergeJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** User API + per-session strategy registration. */
+object AsOfJoin {
+
+  private val tsTypes =
+    Set[org.apache.spark.sql.types.DataType](
+      LongType, IntegerType, TimestampType, TimestampNTZType, DateType)
+
+  /** Idempotently register the planner strategy on this session (the
+    * driver owns session construction, so `spark.sql.extensions` isn't
+    * available — runtime registration is the supported second door). */
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+  }
+
+  /** AS-OF join `left` to the latest `right` row per key with
+    * `rightTs <= leftTs` (left-outer; ties by `rightTies`, last wins).
+    * Column NAMES must be unambiguous across the two sides' outputs —
+    * pre-alias before joining (the spec shows the pattern). */
+  def asof(left: DataFrame, right: DataFrame,
+           leftKeys: Seq[String], rightKeys: Seq[String],
+           leftTs: String, rightTs: String,
+           rightTies: Seq[String] = Nil): DataFrame = {
+    val spark = left.sparkSession
+    ensureRegistered(spark)
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def att(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"asof: column $n not in [${p.output.map(_.name).mkString(", ")}]"))
+    val lts = att(lp, leftTs); val rts = att(rp, rightTs)
+    require(tsTypes.contains(lts.dataType) && lts.dataType == rts.dataType,
+      s"asof: ts columns must share an integral/timestamp type, " +
+        s"got ${lts.dataType} vs ${rts.dataType}")
+    require(leftKeys.map(att(lp, _).dataType) == rightKeys.map(att(rp, _).dataType),
+      "asof: key column types must match pairwise")
+    GraftPlanBuilder.ofRows(spark, AsOfJoinPlan(lp, rp,
+      leftKeys.map(att(lp, _)), rightKeys.map(att(rp, _)),
+      lts, rts, rightTies.map(att(rp, _))))
+  }
+}

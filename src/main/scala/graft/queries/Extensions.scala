@@ -2181,6 +2181,97 @@ object Extensions {
            |      FROM documents) t ORDER BY doc_id""".stripMargin
       }),
 
+    // --------------------------------------------- LM quality scoring
+    // Unigram language-model quality score — the CCNet-family LM
+    // filter stage (docs bucketed head/middle/tail by LM perplexity
+    // before training). Log-free rational form for cross-engine
+    // exactness (the q_tfidf rule: log() differs by ulps between
+    // engines, ratios of exact integers do not): mean token corpus-
+    // probability in ppm (commonness — template/boilerplate scores
+    // high, gibberish low) + hapax ratio (fraction of tokens occurring
+    // exactly once corpus-wide — the OOV/rare proxy; both preserve the
+    // perplexity RANKING the bucketing needs). The exploded token
+    // stream is cache()'d once (lazy — the localCheckpoint lesson from
+    // q_agg_hll_merge) and feeds all three consumers: corpus counts,
+    // the corpus total, and the per-doc join. Vocabulary-sized count
+    // shuffle + one term-key join + one doc_id aggregation — linear in
+    // corpus tokens, no self-joins.
+    GQuery(
+      "q_lm_score",
+      (s, dir) => {
+        val toks = fanout(Tables.documents(s, dir))
+          .select(col("doc_id"), explode_outer(Text.tokens(col("text"))).as("term"))
+          .filter(col("term").isNotNull && col("term") =!= "")
+          .cache()
+        val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("ctf"))
+        val total = toks.agg(count(lit(1)).as("t_total"))
+        toks.join(counts, "term")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_toks"),
+            sum(col("ctf")).cast("long").as("sum_ctf"),
+            sum(when(col("ctf") === 1, 1L).otherwise(0L)).cast("long").as("n_hapax"))
+          .crossJoin(broadcast(total)) // 1-row scalar
+          .select(col("doc_id"), col("n_toks"),
+            (floor(col("sum_ctf").cast("double") / col("n_toks") / col("t_total")
+              * 1000000.0 * 10000 + 0.5) / 10000).as("mean_ptok_ppm"),
+            (floor(col("n_hapax").cast("double") / col("n_toks") * 10000 + 0.5) / 10000)
+              .as("hapax_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, t AS term FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+             |  WHERE t IS NOT NULL AND t <> ''),
+             |counts AS (SELECT term, count(*) AS ctf FROM toks GROUP BY term),
+             |total AS (SELECT count(*) AS t_total FROM toks)
+             |SELECT doc_id, count(*) AS n_toks,
+             |  floor(sum(ctf)::DOUBLE / count(*) / t_total
+             |    * 1000000.0 * 10000 + 0.5) / 10000 AS mean_ptok_ppm,
+             |  floor(sum(CASE WHEN ctf = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+             |    * 10000 + 0.5) / 10000 AS hapax_ratio
+             |FROM toks JOIN counts USING (term), total
+             |GROUP BY doc_id, t_total ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------- multi-format sources
+    // JSON-lines source round-trip: documents written as JSON once per
+    // (sf) fixture, read back through the DECLARED-schema reader
+    // (sources/FileFormats — no inference pass), gated against the
+    // parquet truth by round-trip identity. md5(text) carries byte
+    // fidelity through the gate without shipping the text itself.
+    GQuery(
+      "q_source_json",
+      (s, dir) => {
+        val sfKey = new java.io.File(dir).getName
+        val root = cachedFixture(s"graft_srcjson_cache_v1_$sfKey") { root =>
+          graft.sources.FileFormats.writeJson(Tables.documents(s, dir), root + "/docs_json")
+        }
+        graft.sources.FileFormats.readJson(s, root + "/docs_json")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            md5(col("text")).as("text_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // CSV source round-trip: same contract through the quoted/escaped
+    // CSV path (quoteAll + escape-doubling — commas and quotes in
+    // document text survive; newline-bearing text is the documented
+    // limit, see FileFormats).
+    GQuery(
+      "q_source_csv",
+      (s, dir) => {
+        val sfKey = new java.io.File(dir).getName
+        val root = cachedFixture(s"graft_srccsv_cache_v1_$sfKey") { root =>
+          graft.sources.FileFormats.writeCsv(Tables.documents(s, dir), root + "/docs_csv")
+        }
+        graft.sources.FileFormats.readCsv(s, root + "/docs_csv")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            md5(col("text")).as("text_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ------------------------------------------ substring-level dedup
     // Cross-document duplicate SPAN detection — the exact-substring
     // dedup family (suffix-array substring dedup à la "Deduplicating

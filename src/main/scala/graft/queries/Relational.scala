@@ -286,6 +286,45 @@ object Relational {
              |    ON p.user_id = c.user_id AND c.ts <= p.ts) t
              |WHERE rn = 1 ORDER BY p_id""".stripMargin)),
 
+    // NATIVE as-of join — the same contract as q_join_asof served by
+    // the plan-tier custom operator (graft.plans.AsOfJoin: logical
+    // node → planner strategy → AsOfMergeJoinExec). The exec declares
+    // ClusteredDistribution + (key, ts) ordering, so the plan is ONE
+    // co-partitioning exchange + sort per side and a zero-buffer
+    // streaming merge: no purchase×click pair expansion (the range-
+    // join form), no union materialization of both schemas through a
+    // window (the q_join_asof form — kept as the composed reference;
+    // both under the same DuckDB oracle). The two sides arrive as
+    // SEPARATE relations — the shape the union trick cannot take
+    // without first reconciling schemas. AsOfJoinSpec pins operator
+    // semantics (ties, null-extension, skew) directly.
+    GQuery(
+      "q_join_asof_native",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+        graft.plans.AsOfJoin.asof(purch, clicks,
+            Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("click_id"))
+          .select(col("p_id"), col("user_id"), fmtTs(col("p_ts")).as("p_time"),
+            col("click_id"), fmtTs(col("c_ts")).as("click_time"))
+          .orderBy(col("p_id"))
+      },
+      Some("""SELECT p_id, user_id, p_time, click_id, click_time FROM (
+             |  SELECT p.event_id AS p_id, p.user_id,
+             |         strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_time,
+             |         c.event_id AS click_id,
+             |         strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_time,
+             |         row_number() OVER (PARTITION BY p.event_id
+             |                            ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+             |  FROM (SELECT * FROM events WHERE event_type='purchase') p
+             |  LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+             |    ON p.user_id = c.user_id AND c.ts <= p.ts) t
+             |WHERE rn = 1 ORDER BY p_id""".stripMargin)),
+
     // BUCKETED catalog join — the pay-the-shuffle-once-at-ingest
     // pattern (U7 + Catalog.syncBucketed): both tables are registered
     // bucketed(8) on the customer key, so the join needs NO exchange

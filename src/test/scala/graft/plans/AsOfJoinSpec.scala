@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the plan-tier as-of operator: semantics (inclusive ties,
+  * last-wins tie-break, left-outer null extension, key isolation),
+  * value-equality with the composed union-window formulation on real
+  * events data, and the physical contract (AsOfMergeJoinExec present,
+  * exactly one exchange + one sort per side). */
+class AsOfJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("semantics: inclusive ts ties, last-wins tie-break, null extension, key isolation") {
+    import spark.implicits._
+    val purch = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 150L), (4L, 30L, 50L))
+      .toDF("p_id", "user_id", "p_ts")
+    val clicks = Seq(
+      (100L, 10L, 90L), (101L, 10L, 100L), // tie at ts=100: 101 wins (inclusive <=)
+      (102L, 10L, 150L),
+      (103L, 20L, 149L),
+      (105L, 20L, 149L),                   // equal (key, ts): higher tie column wins
+      (104L, 40L, 1L))                     // key with no left rows: never surfaces
+      .toDF("click_id", "c_user", "c_ts")
+    val out = AsOfJoin.asof(purch, clicks,
+        Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("click_id"))
+      .select($"p_id", $"click_id").as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(1L -> Some(101L), 2L -> Some(102L), 3L -> Some(105L), 4L -> None))
+  }
+
+  test("physical contract: merge exec + one exchange and one sort per side") {
+    import spark.implicits._
+    val l = (1 to 100).map(i => (i.toLong, (i % 7).toLong, i.toLong * 10)).toDF("id", "k", "ts")
+    val r = (1 to 300).map(i => (i.toLong + 1000, (i % 7).toLong, i.toLong * 3)).toDF("rid", "rk", "rts")
+    val out = AsOfJoin.asof(l, r, Seq("k"), Seq("rk"), "ts", "rts", Seq("rid"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMergeJoin"), plan)
+    assert(plan.split("\n").count(_.contains("Exchange hashpartitioning")) == 2, plan)
+    assert(plan.split("\n").count(_.contains("Sort ")) == 2, plan)
+  }
+
+  test("value-equality with the composed union-window form on events (sf0.01)") {
+    import spark.implicits._
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.01")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    // composed reference: the q_join_asof union-window formulation
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), when(col("event_type") === "click", 0).otherwise(1), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val composed = ev
+      .withColumn("click_id", last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("click_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val native = AsOfJoin.asof(purch, clicks,
+        Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("click_id"))
+      .select($"p_id", $"click_id").as[(Long, Option[Long])].collect().toMap
+    assert(native.nonEmpty)
+    assert(native == composed)
+  }
+
+  test("skew shape: one hot key streams in O(n+m), no pair expansion") {
+    import spark.implicits._
+    // 5k lefts and 5k rights on ONE key: the range-join form would
+    // materialize ~12.5M pairs before dedup; the merge emits exactly
+    // 5k rows and holds one buffered right row at a time
+    val l = (1 to 5000).map(i => (i.toLong, 1L, i.toLong * 2)).toDF("id", "k", "ts")
+    val r = (1 to 5000).map(i => (i.toLong + 10000, 1L, i.toLong * 2 + 1)).toDF("rid", "rk", "rts")
+    val out = AsOfJoin.asof(l, r, Seq("k"), Seq("rk"), "ts", "rts", Seq("rid"))
+    // left i sits at ts=2i; rights sit at odd rts=2j+1, so the latest
+    // right at-or-before left i is j = i-1 (rid = 10000 + i - 1), and
+    // left 1 precedes every right
+    val got = out.select($"id", $"rid").as[(Long, Option[Long])].collect().toMap
+    assert(got.size == 5000)
+    assert(got(1L).isEmpty)
+    assert(got(5000L).contains(10000L + 4999L))
+    assert(got(2500L).contains(10000L + 2499L))
+  }
+}

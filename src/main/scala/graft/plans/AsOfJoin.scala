@@ -50,7 +50,8 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
-    rightTies: Seq[Expression]) extends BinaryNode {
+    rightTies: Seq[Expression],
+    tolerance: Option[Long]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -62,8 +63,8 @@ case class AsOfJoinPlan(
   * falls through to the built-in strategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts, ties) =>
-      AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, ties) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, ties, tol) =>
+      AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, ties, tol) :: Nil
     case _ => Nil
   }
 }
@@ -75,7 +76,8 @@ case class AsOfMergeJoinExec(
     rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
-    rightTies: Seq[Expression]) extends SparkPlan with BinaryExecNode {
+    rightTies: Seq[Expression],
+    tolerance: Option[Long]) extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -124,10 +126,12 @@ case class AsOfMergeJoinExec(
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
 
+      val tol = tolerance
       new Iterator[InternalRow] {
         private var rHead: InternalRow = _           // unconsumed right row
         private var lastMatch: InternalRow = _       // copied last candidate
         private var lastMatchKey: InternalRow = _    // its copied key
+        private var lastMatchTs: Long = _            // its ts (for tolerance)
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
@@ -147,12 +151,17 @@ case class AsOfMergeJoinExec(
               else if (lT != null && asLong(rT) <= asLong(lT)) {
                 lastMatch = rHead.copy()
                 lastMatchKey = rKey.copy()
+                lastMatchTs = asLong(rT)
                 rHead = null
               } else advancing = false // future left rows may want it
             } else advancing = false // right is ahead: keep for later keys
           }
+          // tolerance bounds the lag: the LATEST candidate being too old
+          // means every earlier one is older still, so a single check on
+          // the carried candidate is complete
           val matched = lastMatch != null && lastMatchKey != null &&
-            keyOrd.compare(lastMatchKey, lKey) == 0
+            keyOrd.compare(lastMatchKey, lKey) == 0 &&
+            (tol.isEmpty || (lT != null && asLong(lT) - lastMatchTs <= tol.get))
           outProj(joined(l, if (matched) lastMatch else nullRight))
         }
       }
@@ -182,12 +191,17 @@ object AsOfJoin {
 
   /** AS-OF join `left` to the latest `right` row per key with
     * `rightTs <= leftTs` (left-outer; ties by `rightTies`, last wins).
-    * Column NAMES must be unambiguous across the two sides' outputs —
-    * pre-alias before joining (the spec shows the pattern). */
+    * `tolerance` (same unit as the ts columns — micros for timestamps)
+    * additionally requires `leftTs - rightTs <= tolerance`, the
+    * merge_asof bounded-lag contract: a stale quote/click older than
+    * the window is no match at all. Column NAMES must be unambiguous
+    * across the two sides' outputs — pre-alias before joining (the
+    * spec shows the pattern). */
   def asof(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
            leftTs: String, rightTs: String,
-           rightTies: Seq[String] = Nil): DataFrame = {
+           rightTies: Seq[String] = Nil,
+           tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lp = left.queryExecution.analyzed
@@ -202,8 +216,9 @@ object AsOfJoin {
         s"got ${lts.dataType} vs ${rts.dataType}")
     require(leftKeys.map(att(lp, _).dataType) == rightKeys.map(att(rp, _).dataType),
       "asof: key column types must match pairwise")
+    require(tolerance.forall(_ >= 0), "asof: tolerance must be >= 0")
     GraftPlanBuilder.ofRows(spark, AsOfJoinPlan(lp, rp,
       leftKeys.map(att(lp, _)), rightKeys.map(att(rp, _)),
-      lts, rts, rightTies.map(att(rp, _))))
+      lts, rts, rightTies.map(att(rp, _)), tolerance))
   }
 }

@@ -2181,6 +2181,123 @@ object Extensions {
            |      FROM documents) t ORDER BY doc_id""".stripMargin
       }),
 
+    // --------------------------------------------------- graph ranking
+    // PageRank over the near-dup graph (canonical-document selection
+    // signal: inside a duplicate cluster the highest-rank member is the
+    // best-connected "original"). INTEGER-EXACT formulation: ranks live
+    // on a 1e9 fixed-point grid, the damping step is floor(rank·17 /
+    // (20·deg)) (0.85 = 17/20) and the teleport is floor(0.15e9 / N) —
+    // every iteration is integer arithmetic, so five rounds produce
+    // bit-identical fixpoints on any engine and any partitioning (the
+    // float formulation would tie to summation order). Five fixed
+    // rounds, each ONE edge-key join + one dst aggregation over the
+    // localCheckpoint'd symmetric edge list; rank state is node-sized.
+    // The graph-node count is a driver aggregate scalar (bounded), the
+    // edge pipeline is the shared ngramPairs.
+    GQuery(
+      "q_graph_pagerank",
+      (s, dir) => {
+        val p = ngramPairs(s, dir).select(col("id_a"), col("id_b")).localCheckpoint()
+        val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+          .localCheckpoint()
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+        val n = deg.count() // bounded driver scalar: graph-node count
+        val (init, tele) = if (n == 0) (0L, 0L) else (1000000000L / n, 150000000L / n)
+        var ranks = deg.select(col("src").as("doc_id"), lit(init).as("rank"))
+        for (_ <- 1 to 5) {
+          val contrib = ranks.join(deg, ranks("doc_id") === deg("src"))
+            .select(col("doc_id").as("j"), expr("(rank * 17) div (20 * deg)").as("c"))
+          val inflow = edges.join(contrib, col("src") === col("j"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("in_c"))
+          ranks = deg.select(col("src").as("doc_id"))
+            .join(inflow, col("doc_id") === col("dst"), "left")
+            .select(col("doc_id"),
+              (lit(tele) + coalesce(col("in_c"), lit(0L))).as("rank"))
+            .localCheckpoint()
+        }
+        ranks.orderBy(col("rank").desc, col("doc_id"))
+      },
+      Some {
+        val iters = (1 to 5).map { i =>
+          s"""c$i AS (SELECT e.dst, sum((r.rank * 17) // (20 * d.deg))::BIGINT AS in_c
+             |       FROM edges e JOIN r${i - 1} r ON e.src = r.doc_id
+             |       JOIN deg d ON e.src = d.src GROUP BY e.dst),
+             |r$i AS (SELECT d.src AS doc_id,
+             |         ((150000000 // nn.n) + coalesce(c$i.in_c, 0))::BIGINT AS rank
+             |       FROM deg d CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = d.src)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH $ngramPairSql,
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |          UNION ALL SELECT id_b, id_a FROM pairs),
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           |nn AS (SELECT count(*) AS n FROM deg),
+           |r0 AS (SELECT src AS doc_id, (1000000000 // nn.n)::BIGINT AS rank
+           |       FROM deg CROSS JOIN nn),
+           |$iters
+           |SELECT doc_id, rank FROM r5 ORDER BY rank DESC, doc_id""".stripMargin
+      }),
+
+    // ------------------------------------------------- BM25 retrieval
+    // Full-text retrieval over the corpus: score every document against
+    // a query by BM25 (k1 = 1.2, b = 0.75) and return the top 10 — the
+    // search-engine shape (tf-idf ranks a doc's own terms; this ranks
+    // DOCS for a query). The query is data-derived deterministically
+    // (top-3 corpus terms by document frequency, ties by term) so the
+    // oracle can reproduce it. The idf core is the same log-free
+    // rational as q_tfidf; the per-term scores are summed through an
+    // explicit SORTED left fold (sort_array → aggregate /list_sort →
+    // list_reduce) so both engines add the ≤3 doubles in the same
+    // order — double addition is not associative and a bare SUM() would
+    // tie the hash gate to aggregation order. One token scan cache()'d
+    // for its four consumers; the query-term dim broadcasts.
+    GQuery(
+      "q_text_search",
+      (s, dir) => {
+        val toks = fanout(Tables.documents(s, dir))
+          .select(col("doc_id"), explode_outer(Text.tokens(col("text"))).as("term"))
+          .filter(col("term").isNotNull && col("term") =!= "")
+          .cache()
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val stats = toks.agg(count(lit(1)).as("t_total"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        val dft = toks.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val qterms = broadcast(dft.orderBy(col("df").desc, col("term")).limit(3))
+        val tf = toks.join(qterms, "term")
+          .groupBy(col("doc_id"), col("term"), col("df")).agg(count(lit(1)).as("tf"))
+        tf.join(dl, "doc_id").crossJoin(broadcast(stats)) // 1-row scalar
+          .withColumn("avgdl", col("t_total").cast("double") / col("n_docs"))
+          .withColumn("sc",
+            (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
+              * (col("tf") * 2.2)
+              / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .groupBy(col("doc_id"))
+          .agg((floor(expr("aggregate(sort_array(collect_list(sc)), 0D, (a, x) -> a + x)")
+            * 10000 + 0.5) / 10000).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, t AS term FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+             |  WHERE t IS NOT NULL AND t <> ''),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+             |stats AS (SELECT count(*) AS t_total, count(DISTINCT doc_id) AS n_docs FROM toks),
+             |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+             |qterms AS (SELECT term, df FROM dft ORDER BY df DESC, term LIMIT 3),
+             |tf AS (SELECT doc_id, term, df, count(*) AS tf FROM toks
+             |       JOIN qterms USING (term) GROUP BY doc_id, term, df),
+             |sc AS (SELECT t.doc_id,
+             |         (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)
+             |           * (tf * 2.2::DOUBLE)
+             |           / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * d.dl
+             |              / (t_total::DOUBLE / n_docs))) AS sc
+             |       FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats)
+             |SELECT doc_id,
+             |  floor(list_reduce(list_sort(list(sc)), (a, x) -> a + x) * 10000 + 0.5) / 10000 AS bm25
+             |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin)),
+
     // --------------------------------------------- LM quality scoring
     // Unigram language-model quality score — the CCNet-family LM
     // filter stage (docs bucketed head/middle/tail by LM perplexity

@@ -36,6 +36,19 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == Map(1L -> Some(101L), 2L -> Some(102L), 3L -> Some(105L), 4L -> None))
   }
 
+  test("tolerance: bounded lag drops stale candidates, keeps fresh ones") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 200L)).toDF("p_id", "user_id", "p_ts")
+    val r = Seq((100L, 10L, 95L), (101L, 10L, 150L)).toDF("click_id", "c_user", "c_ts")
+    val out = AsOfJoin.asof(l, r, Seq("user_id"), Seq("c_user"), "p_ts", "c_ts",
+        Seq("click_id"), tolerance = Some(10L))
+      .select($"p_id", $"click_id").as[(Long, Option[Long])].collect().toMap
+    // left@100: candidate click@95, lag 5 <= 10 → match; left@200:
+    // latest candidate click@150, lag 50 > 10 → no match (and the
+    // single-candidate check is complete: older rights are staler)
+    assert(out == Map(1L -> Some(100L), 2L -> None))
+  }
+
   test("physical contract: merge exec + one exchange and one sort per side") {
     import spark.implicits._
     val l = (1 to 100).map(i => (i.toLong, (i % 7).toLong, i.toLong * 10)).toDF("id", "k", "ts")

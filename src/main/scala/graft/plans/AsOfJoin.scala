@@ -59,12 +59,21 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsOfJoinPlan]] onto [[AsOfMergeJoinExec]]; everything else
-  * falls through to the built-in strategies. */
+/** Plans [[AsOfJoinPlan]] cost-based, the SMJ-vs-BHJ decision for
+  * as-of: a right side under the session's autoBroadcastJoinThreshold
+  * (by logical stats) goes to [[BroadcastAsOfJoinExec]] — the LEFT
+  * side is never shuffled at all, which at 100 TB is the difference
+  * between a narrow enrich pass and exchanging the fact table — and
+  * everything else takes the co-partitioned [[AsOfMergeJoinExec]].
+  * Other nodes fall through to the built-in strategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lts, rts, ties, tol) =>
-      AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, ties, tol) :: Nil
+      val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, ties, tol) :: Nil
+      else
+        AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, ties, tol) :: Nil
     case _ => Nil
   }
 }
@@ -170,6 +179,101 @@ case class AsOfMergeJoinExec(
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfMergeJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Broadcast as-of: the small right side is collected on the driver
+  * into a per-key TS-SORTED array map (sorted by the required (key,
+  * ts, ties) ordering semantics), broadcast once, and every left
+  * partition binary-searches it — the left takes NO exchange, NO sort,
+  * so the plan over a 100 TB fact table is one narrow pass. Chosen by
+  * [[AsOfJoinStrategy]] when right's stats fit under
+  * autoBroadcastJoinThreshold; semantics identical to
+  * [[AsOfMergeJoinExec]] (AsOfJoinSpec pins equality on both paths).
+  */
+case class BroadcastAsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression,
+    rightTies: Seq[Expression],
+    tolerance: Option[Long]) extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case n: Number => n.longValue()
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val outAttrs = output
+    val lKeyExprs = leftKeys
+    // driver-side build: right is threshold-bounded by the strategy
+    val rRows = right.executeCollect()
+    val rKeyProj = UnsafeProjection.create(rightKeys, rOut)
+    val rTsBound = BindReferences.bindReference(rightTs, rOut)
+    val tieOrds = rightTies.map(BindReferences.bindReference(_, rOut))
+    val tieOrder = RowOrdering.createNaturalAscendingOrdering(rightTies.map(_.dataType))
+    val tieProj = UnsafeProjection.create(rightTies, rOut)
+    val byKey: Map[InternalRow, Array[(Long, InternalRow)]] = rRows.toSeq
+      .flatMap { r =>
+        Option(rTsBound.eval(r)).map(t => (rKeyProj(r).copy(), asLong(t), r.copy()))
+      }
+      .groupBy(_._1)
+      .map { case (k, vs) =>
+        // sort by (ts, ties) ascending — last-wins at emit mirrors the
+        // merge exec's carried-candidate rule
+        val sorted = vs.sortWith { (a, b) =>
+          if (a._2 != b._2) a._2 < b._2
+          else tieOrder.compare(tieProj(a._3).copy(), tieProj(b._3).copy()) < 0
+        }.map(v => (v._2, v._3)).toArray
+        k -> sorted
+      }
+    val bc = sparkContext.broadcast(byKey)
+    val tol = tolerance
+    left.execute().mapPartitions { lIter =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val lTsBound = BindReferences.bindReference(leftTs, lOut)
+      val outProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+      val m = bc.value
+      lIter.map { l =>
+        val lT = lTsBound.eval(l)
+        val hit: InternalRow =
+          if (lT == null) null
+          else m.get(lKeyProj(l)) match {
+            case None => null
+            case Some(arr) =>
+              // binary search: last index with ts <= lT
+              val t = asLong(lT)
+              var lo = 0; var hi = arr.length - 1; var ans = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (arr(mid)._1 <= t) { ans = mid; lo = mid + 1 }
+                else hi = mid - 1
+              }
+              if (ans < 0) null
+              else if (tol.exists(w => t - arr(ans)._1 > w)) null
+              else arr(ans)._2
+          }
+        outProj(joined(l, if (hit != null) hit else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
 }
 

@@ -2378,7 +2378,8 @@ object Extensions {
       "q_source_csv",
       (s, dir) => {
         val sfKey = new java.io.File(dir).getName
-        val root = cachedFixture(s"graft_srccsv_cache_v1_$sfKey") { root =>
+        // v2: v1 caches predate the writer's ignore*WhiteSpace=false fix
+        val root = cachedFixture(s"graft_srccsv_cache_v2_$sfKey") { root =>
           graft.sources.FileFormats.writeCsv(Tables.documents(s, dir), root + "/docs_csv")
         }
         graft.sources.FileFormats.readCsv(s, root + "/docs_csv")

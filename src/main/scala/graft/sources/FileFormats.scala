@@ -34,6 +34,11 @@ object FileFormats {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")
       .option("header", "true").option("quoteAll", "true").option("escape", "\"")
+      // the CSV WRITER trims cell whitespace by default (ignore*WhiteSpace
+      // default true on write, false on read) — silent data corruption for
+      // text payloads; FileFormatsSpec pins the round-trip
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
 
   def readCsv(s: SparkSession, path: String): DataFrame =

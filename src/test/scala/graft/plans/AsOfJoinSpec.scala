@@ -5,11 +5,13 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins the plan-tier as-of operator: semantics (inclusive ties,
-  * last-wins tie-break, left-outer null extension, key isolation),
-  * value-equality with the composed union-window formulation on real
-  * events data, and the physical contract (AsOfMergeJoinExec present,
-  * exactly one exchange + one sort per side). */
+/** Pins the plan-tier as-of operator: semantics on BOTH physical paths
+  * (inclusive ties, last-wins tie-break, left-outer null extension,
+  * key isolation, bounded-lag tolerance), value-equality with the
+  * composed union-window formulation on real events data, and the
+  * cost-based physical contract — merge exec with exactly one exchange
+  * + one sort per side above the threshold, broadcast exec with NO
+  * exchange and NO sort under it. */
 class AsOfJoinSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSession.builder()
@@ -19,7 +21,16 @@ class AsOfJoinSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  test("semantics: inclusive ts ties, last-wins tie-break, null extension, key isolation") {
+  /** Pin the physical path: the strategy is cost-based (broadcast under
+    * the threshold), so merge-path assertions must disable broadcast. */
+  private def withThreshold[A](v: String)(body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, v)
+    try body finally spark.conf.set(key, old)
+  }
+
+  test("semantics on both paths: inclusive ties, last-wins, null extension, key isolation") {
     import spark.implicits._
     val purch = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 150L), (4L, 30L, 50L))
       .toDF("p_id", "user_id", "p_ts")
@@ -30,34 +41,48 @@ class AsOfJoinSpec extends AnyFunSuite {
       (105L, 20L, 149L),                   // equal (key, ts): higher tie column wins
       (104L, 40L, 1L))                     // key with no left rows: never surfaces
       .toDF("click_id", "c_user", "c_ts")
-    val out = AsOfJoin.asof(purch, clicks,
-        Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("click_id"))
-      .select($"p_id", $"click_id").as[(Long, Option[Long])].collect().toMap
-    assert(out == Map(1L -> Some(101L), 2L -> Some(102L), 3L -> Some(105L), 4L -> None))
+    for (thr <- Seq("-1", "10MB")) withThreshold(thr) { // merge, then broadcast
+      val out = AsOfJoin.asof(purch, clicks,
+          Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("click_id"))
+        .select($"p_id", $"click_id").as[(Long, Option[Long])].collect().toMap
+      assert(out == Map(1L -> Some(101L), 2L -> Some(102L), 3L -> Some(105L), 4L -> None),
+        s"threshold=$thr")
+    }
   }
 
   test("tolerance: bounded lag drops stale candidates, keeps fresh ones") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100L), (2L, 10L, 200L)).toDF("p_id", "user_id", "p_ts")
     val r = Seq((100L, 10L, 95L), (101L, 10L, 150L)).toDF("click_id", "c_user", "c_ts")
-    val out = AsOfJoin.asof(l, r, Seq("user_id"), Seq("c_user"), "p_ts", "c_ts",
-        Seq("click_id"), tolerance = Some(10L))
-      .select($"p_id", $"click_id").as[(Long, Option[Long])].collect().toMap
-    // left@100: candidate click@95, lag 5 <= 10 → match; left@200:
-    // latest candidate click@150, lag 50 > 10 → no match (and the
-    // single-candidate check is complete: older rights are staler)
-    assert(out == Map(1L -> Some(100L), 2L -> None))
+    for (thr <- Seq("-1", "10MB")) withThreshold(thr) { // merge, then broadcast
+      val out = AsOfJoin.asof(l, r, Seq("user_id"), Seq("c_user"), "p_ts", "c_ts",
+          Seq("click_id"), tolerance = Some(10L))
+        .select($"p_id", $"click_id").as[(Long, Option[Long])].collect().toMap
+      // left@100: candidate click@95, lag 5 <= 10 → match; left@200:
+      // latest candidate click@150, lag 50 > 10 → no match (and the
+      // single-candidate check is complete: older rights are staler)
+      assert(out == Map(1L -> Some(100L), 2L -> None), s"threshold=$thr")
+    }
   }
 
-  test("physical contract: merge exec + one exchange and one sort per side") {
+  test("physical contract: cost-based merge vs broadcast selection") {
     import spark.implicits._
     val l = (1 to 100).map(i => (i.toLong, (i % 7).toLong, i.toLong * 10)).toDF("id", "k", "ts")
     val r = (1 to 300).map(i => (i.toLong + 1000, (i % 7).toLong, i.toLong * 3)).toDF("rid", "rk", "rts")
-    val out = AsOfJoin.asof(l, r, Seq("k"), Seq("rk"), "ts", "rts", Seq("rid"))
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("AsOfMergeJoin"), plan)
-    assert(plan.split("\n").count(_.contains("Exchange hashpartitioning")) == 2, plan)
-    assert(plan.split("\n").count(_.contains("Sort ")) == 2, plan)
+    withThreshold("-1") { // broadcast disabled → co-partitioned merge
+      val plan = AsOfJoin.asof(l, r, Seq("k"), Seq("rk"), "ts", "rts", Seq("rid"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfMergeJoin"), plan)
+      assert(plan.split("\n").count(_.contains("Exchange hashpartitioning")) == 2, plan)
+      assert(plan.split("\n").count(_.contains("Sort ")) == 2, plan)
+    }
+    withThreshold("10MB") { // small right → broadcast: NO exchange, NO sort
+      val plan = AsOfJoin.asof(l, r, Seq("k"), Seq("rk"), "ts", "rts", Seq("rid"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastAsOfJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(!plan.contains("Sort "), plan)
+    }
   }
 
   test("value-equality with the composed union-window form on events (sf0.01)") {
@@ -78,11 +103,13 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
-    val native = AsOfJoin.asof(purch, clicks,
-        Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("click_id"))
-      .select($"p_id", $"click_id").as[(Long, Option[Long])].collect().toMap
-    assert(native.nonEmpty)
-    assert(native == composed)
+    for (thr <- Seq("-1", "10MB")) withThreshold(thr) { // merge, then broadcast
+      val native = AsOfJoin.asof(purch, clicks,
+          Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("click_id"))
+        .select($"p_id", $"click_id").as[(Long, Option[Long])].collect().toMap
+      assert(native.nonEmpty)
+      assert(native == composed, s"threshold=$thr")
+    }
   }
 
   test("skew shape: one hot key streams in O(n+m), no pair expansion") {

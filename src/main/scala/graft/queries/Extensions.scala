@@ -2520,6 +2520,82 @@ object Extensions {
              |  FROM s) t
              |WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin)),
 
+    // --------------------------------- IVF + SQ8 combined (the real
+    // serving plan): coarse IVF quantizer prunes the corpus to the
+    // query's own cluster, then the in-cluster candidates are scored on
+    // int8 codes — the two scale levers composed exactly as a
+    // production ANN index stores them (cluster-partitioned code
+    // lists): the cluster cut bounds CANDIDATES (corpus/k per probe),
+    // the codes bound BYTES per candidate (64 B vs 256 B) and make the
+    // in-cluster scores integer-exact. Assignment is the proven
+    // q_sim_ivf narrow centroid-literal argmax (no shuffle); codes are
+    // the proven q_sim_quantized unit-sphere grid; the only wide
+    // exchange is the cluster-key co-partition. Full value oracle:
+    // DuckDB replays the assignment AND the integer dots bit-exactly.
+    GQuery(
+      "q_sim_ivf_sq",
+      (s, dir) => {
+        val emb = fanout(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("embedding").as("v"))
+          .withColumn("nrm", Vectors.norm(col("v")))
+          .withColumn("qc", expr(
+            "transform(v, x -> cast(floor(cast(x as double) / nrm * 127.0) as bigint))"))
+        val cents = Tables.embeddings(s, dir).filter(col("vec_id") <= 8)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map { r =>
+            val cv = r.getSeq[Float](1)
+            val cnrm = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+            (r.getLong(0), cv, cnrm)
+          }.sortBy(_._1).toSeq
+        val scored = cents.map { case (cid, cv, cnrm) =>
+          struct(
+            (Vectors.dot(col("v"), typedLit(cv)) / (col("nrm") * lit(cnrm))).as("c"),
+            lit(-cid).as("nid"))
+        }
+        val assigned = emb
+          .withColumn("cluster", -greatest(scored: _*).getField("nid"))
+          .select(col("vec_id"), col("qc"), col("cluster"))
+        val queries = assigned.filter(col("vec_id") <= 50)
+        val corpus = assigned.select(col("vec_id").as("nn_id"),
+          col("qc").as("qc2"), col("cluster"))
+        val wTop = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("nn_id"))
+        queries.join(corpus, Seq("cluster"))
+          .filter(col("vec_id") =!= col("nn_id"))
+          .withColumn("score", expr(
+            "aggregate(zip_with(qc, qc2, (x, y) -> x * y), 0L, (acc, p) -> acc + p)"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 3)
+          .select(col("vec_id"), col("rn"), col("nn_id"), col("score"))
+          .orderBy(col("vec_id"), col("rn"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |qv AS (
+             |  SELECT vec_id, list_transform(e,
+             |    x -> CAST(floor(x / nrm * 127.0) AS BIGINT)) AS qc
+             |  FROM (SELECT vec_id, e,
+             |          sqrt(list_reduce(list_transform(e, y -> y * y), (a, y) -> a + y)) AS nrm
+             |        FROM v) t),
+             |cent AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id <= 8),
+             |assigned AS (
+             |  SELECT a.vec_id, q.qc, cluster FROM (
+             |    SELECT vec_id, c_id AS cluster FROM (
+             |      SELECT a.vec_id, c.c_id,
+             |        row_number() OVER (PARTITION BY a.vec_id
+             |          ORDER BY list_cosine_similarity(a.e, c.ce) DESC, c.c_id) AS rn
+             |      FROM v a CROSS JOIN cent c) z WHERE rn = 1) a
+             |  JOIN qv q ON q.vec_id = a.vec_id)
+             |SELECT vec_id, CAST(rn AS INT) AS rn, nn_id, score FROM (
+             |  SELECT q.vec_id, x.vec_id AS nn_id,
+             |    list_sum(list_transform(range(1, len(q.qc) + 1),
+             |      i -> q.qc[i] * x.qc[i]))::BIGINT AS score,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_sum(list_transform(range(1, len(q.qc) + 1),
+             |        i -> q.qc[i] * x.qc[i])) DESC, x.vec_id) AS rn
+             |  FROM assigned q JOIN assigned x
+             |    ON q.cluster = x.cluster AND q.vec_id <> x.vec_id
+             |  WHERE q.vec_id <= 50) t
+             |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin)),
+
     // ----------------------------------------------------- multimodal
     // Opaque binary payload + typed metadata struct riding beside the
     // text — the training-data-lake column shape. Content is a

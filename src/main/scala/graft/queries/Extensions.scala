@@ -2520,6 +2520,72 @@ object Extensions {
              |  FROM s) t
              |WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin)),
 
+    // ---------------------------------------------- streaming as-of
+    // The plan-tier as-of operator on the STREAMING ingest path: each
+    // purchase micro-batch is enriched with its latest at-or-before
+    // click per user via AsOfJoin inside foreachBatch (the batch DF is
+    // a plain DataFrame, so the custom strategy applies unchanged —
+    // and with the click dim under the broadcast threshold the batch
+    // plan is the no-shuffle BroadcastAsOfJoinExec: a narrow enrich
+    // pass per batch, the stream-side latest-state-join shape).
+    // Exactly-once by the Ingest discipline: output partitioned by
+    // _batch_id with dynamic partition overwrite, so a replayed batch
+    // rewrites its own partition instead of duplicating. Two
+    // micro-batches split the purchase log; the oracle is the SAME
+    // whole-log as-of SQL as q_join_asof — batching must not change a
+    // per-row enrich.
+    GQuery(
+      "stream_asof_e2e",
+      (s, dir) => {
+        val sfKey = new java.io.File(dir).getName
+        val root = cachedFixture(s"graft_sasof_cache_v1_$sfKey") { root =>
+          val ev = Tables.events(s, dir)
+          val purch = ev.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+          val clicks = ev.filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+              col("ts").as("c_ts"))
+          val src = root + "/src"
+          purch.filter(pmod(col("p_id"), lit(2)) === 0)
+            .coalesce(1).write.mode("append").parquet(src)
+          val q = s.readStream.schema(purch.schema).parquet(src)
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+              graft.plans.AsOfJoin.asof(batch, clicks,
+                  Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("click_id"))
+                .withColumn("_batch_id", lit(id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id").parquet(root + "/out")
+            }
+            .option("checkpointLocation", root + "/ckpt")
+            .start()
+          try {
+            q.processAllAvailable()
+            purch.filter(pmod(col("p_id"), lit(2)) === 1)
+              .coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+          } finally q.stop()
+        }
+        s.read.parquet(root + "/out")
+          .select(col("p_id"), col("user_id"),
+            date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("p_time"),
+            col("click_id"),
+            date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_time"))
+          .orderBy(col("p_id"))
+      },
+      Some("""SELECT p_id, user_id, p_time, click_id, click_time FROM (
+             |  SELECT p.event_id AS p_id, p.user_id,
+             |         strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_time,
+             |         c.event_id AS click_id,
+             |         strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_time,
+             |         row_number() OVER (PARTITION BY p.event_id
+             |                            ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+             |  FROM (SELECT * FROM events WHERE event_type='purchase') p
+             |  LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+             |    ON p.user_id = c.user_id AND c.ts <= p.ts) t
+             |WHERE rn = 1 ORDER BY p_id""".stripMargin)),
+
     // --------------------------------- IVF + SQ8 combined (the real
     // serving plan): coarse IVF quantizer prunes the corpus to the
     // query's own cluster, then the in-cluster candidates are scored on

@@ -112,6 +112,36 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized equivalence: both paths match a brute-force reference on seeded data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      // duplicate keys, duplicate timestamps, keys present on only one
+      // side — the degenerate shapes a merge implementation gets wrong
+      val l = Seq.fill(200)((rnd.nextInt(1000).toLong,
+        rnd.nextInt(12).toLong, rnd.nextInt(50).toLong))
+        .zipWithIndex.map { case ((_, k, t), i) => (i.toLong, k, t) }
+        .toDF("p_id", "user_id", "p_ts")
+      val r = Seq.fill(300)((rnd.nextInt(12).toLong, rnd.nextInt(50).toLong))
+        .zipWithIndex.map { case ((k, t), i) => (i.toLong + 10000, k, t) }
+        .toDF("click_id", "c_user", "c_ts")
+      // brute-force reference: per left row, max (ts, id) right with
+      // key match and ts <= leftTs
+      val rRows = r.as[(Long, Long, Long)].collect()
+      val expect = l.as[(Long, Long, Long)].collect().map { case (pid, k, t) =>
+        val cands = rRows.filter(c => c._2 == k && c._3 <= t)
+        pid -> (if (cands.isEmpty) None
+                else Some(cands.maxBy(c => (c._3, c._1))._1))
+      }.toMap
+      for (thr <- Seq("-1", "10MB")) withThreshold(thr) {
+        val got = AsOfJoin.asof(l, r, Seq("user_id"), Seq("c_user"),
+            "p_ts", "c_ts", Seq("click_id"))
+          .select($"p_id", $"click_id").as[(Long, Option[Long])].collect().toMap
+        assert(got == expect, s"trial=$trial threshold=$thr")
+      }
+    }
+  }
+
   test("skew shape: one hot key streams in O(n+m), no pair expansion") {
     import spark.implicits._
     // 5k lefts and 5k rights on ONE key: the range-join form would

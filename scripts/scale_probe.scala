@@ -63,7 +63,7 @@ if (!Files.exists(Paths.get(scaled, "_DONE"))) {
 }
 
 val queries = Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
-  "q_dedup_substring",
+  "q_dedup_substring", "q_lm_score", "q_text_search", "q_graph_pagerank",
   "q_tfidf", "q_chunk_docs", "q_token_count", "q_win_session", "q_funnel",
   "q_agg_hash", "q_agg_mode", "q_tpch_q3", "q_tpch_q10", "q_win_analytic")
 

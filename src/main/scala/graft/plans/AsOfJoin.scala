@@ -34,8 +34,12 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZ
   * row with equal keys and rightTs <= leftTs, ties among equal (key,
   * ts) broken by `rightTies` ascending (last wins — mirror of the
   * union-window form's carried-value rule). Null timestamps never
-  * match and null-ts right rows are skipped. Timestamp/date/integral
-  * ts types only (micros/days/long compare as long).
+  * match and null-ts right rows are skipped. NULL JOIN KEYS group
+  * together (window-PARTITION semantics, deliberately identical to
+  * the composed union-window form) rather than SQL equi-join's
+  * null-never-matches — callers needing equi-join null behavior
+  * filter null keys first. Timestamp/date/integral ts types only
+  * (micros/days/long compare as long).
   *
   * Registered per-session (idempotent) via `experimental.
   * extraStrategies`; `AsOfJoin.asof(...)` is the user API.

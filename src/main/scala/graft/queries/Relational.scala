@@ -356,6 +356,35 @@ object Relational {
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin)),
 
+    // NULL-SAFE equi-join (<=>): the CDC dimension-conformance shape —
+    // keys sentineled to NULL (here NULLIF on one nation id standing in
+    // for "unmapped") must GROUP with each other, where a plain
+    // equi-join silently drops every null-keyed row. Spark treats
+    // EqualNullSafe as a first-class equi-join key
+    // (ExtractEquiJoinKeys), so the plan is a normal broadcast/SMJ
+    // hash join — no coalesce-sentinel rewrite and no nested-loop
+    // fallback; the oracle is DuckDB's IS NOT DISTINCT FROM.
+    GQuery(
+      "q_join_nullsafe",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), expr("nullif(c_nationkey, 13)").as("ck"))
+        val su = Tables.supplier(s, dir)
+          .select(col("s_suppkey"), expr("nullif(s_nationkey, 13)").as("sk"))
+        c.join(su, col("ck") <=> col("sk"))
+          .groupBy(coalesce(col("ck"), lit(-1)).as("nation_grp"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("c_custkey")).as("n_cust"),
+            countDistinct(col("s_suppkey")).as("n_supp"))
+          .orderBy(col("nation_grp"))
+      },
+      Some("""SELECT coalesce(ck, -1) AS nation_grp, count(*) AS n_pairs,
+             |  count(DISTINCT c_custkey) AS n_cust, count(DISTINCT s_suppkey) AS n_supp
+             |FROM (SELECT c_custkey, nullif(c_nationkey, 13) AS ck FROM customer) c
+             |JOIN (SELECT s_suppkey, nullif(s_nationkey, 13) AS sk FROM supplier) s
+             |  ON c.ck IS NOT DISTINCT FROM s.sk
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // BLOOM-FILTER semi join — the cross-job runtime filter
     // (functions/Bloom): build a 1 MB key sketch over the fact side
     // ONCE, then the "join" against any later scan is a codegen'd scan

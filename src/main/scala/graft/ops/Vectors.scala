@@ -215,6 +215,62 @@ object Vectors {
     assignToCentroids(emb, idCol, vecCol, cents)
       .agg(avg(lit(1.0) - col("cos"))).head.getDouble(0)
 
+  /** In-cluster cosine near-dup pairs — the SemDeDup core (Abbas et al.
+    * 2023, arXiv:2303.09540): assign every vector to its nearest
+    * centroid (narrow centroid-literal argmax, zero shuffles), generate
+    * pairs ONLY within clusters (ONE shuffle on the cluster key).
+    * Candidate pairs ≈ Σ_c n_c²/2 ≈ n²/2k for balanced clusters — k is
+    * the dial that keeps semantic dedup feasible at corpus scale.
+    * Returns (id_a, id_b) with id_a < id_b and cosine > threshold. */
+  def semanticPairs(emb: DataFrame, idCol: String, vecCol: String,
+                    cents: DataFrame, threshold: Double): DataFrame = {
+    val assigned = assignToCentroids(emb, idCol, vecCol, cents)
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("va"), col("vb"), col("na"), col("nb")) > threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Total in-cluster CANDIDATE pairs Σ_c n_c·(n_c−1)/2 under a given
+    * quantizer — the pairwise-work bound semanticPairs actually pays
+    * (before the threshold filter). The spec gate for trained vs
+    * untrained centroids and the SCALE.md pair-count-vs-k rows both
+    * measure this. */
+  def semanticCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
+                             cents: DataFrame): Long =
+    assignToCentroids(emb, idCol, vecCol, cents)
+      .groupBy(col("cluster")).count()
+      .agg(sum((col("count") * (col("count") - 1) / 2).cast("long"))).head.getLong(0)
+
+  /** Full SemDeDup pipeline with a TRAINED coarse quantizer: spherical
+    * k-means ([[kmeans]], `iters` Lloyd rounds from the deterministic
+    * first-k init) → in-cluster pairs → connected components → every
+    * vector labeled with its semantic-group representative (component
+    * min). `iters = 0` degrades to the untrained first-k quantizer the
+    * oracled q_dedup_semantic replays. At corpus scale k must grow with
+    * n ([[semanticK]]) — training keeps clusters balanced so the n²/k
+    * bound holds with a real constant. Returns (vec_id, rep_id). */
+  def semanticGroups(emb: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, k: Int, iters: Int): DataFrame = {
+    val cents = kmeans(emb, idCol, vecCol, k, iters)
+    val pairs = semanticPairs(emb, idCol, vecCol, cents, threshold)
+    Components.connectedComponents(emb.select(col(idCol)), pairs)
+      .select(col("id").as("vec_id"), col("lab").as("rep_id"))
+  }
+
+  /** Corpus-scale rule for the quantizer size: k = ⌈n / target⌉ keeps
+    * the EXPECTED cluster population at `targetClusterSize`, so
+    * in-cluster pairwise work stays ≈ n·target/2 — LINEAR in n with the
+    * constant you chose, instead of n²/k with a fixed k. (SemDeDup used
+    * k = 11k clusters for 100M+ embeddings ≈ 10⁴ per cluster; 1024
+    * keeps per-cluster work trivially executor-sized.) */
+  def semanticK(n: Long, targetClusterSize: Int = 1024): Int =
+    math.max(1, ((n + targetClusterSize - 1) / targetClusterSize).toInt)
+
   /** Near-duplicate pairs by cosine threshold, candidate-limited to
     * random-hyperplane sign-LSH buckets: one shuffle on the bucket key,
     * pairwise work only within buckets. `dim` sizes the hyperplanes

@@ -1283,24 +1283,21 @@ object Extensions {
     // corpus scale; sf0.1 measured: in-cluster pairs ≈ corpus²/k), then
     // connected components → every vector labeled with its semantic
     // group representative (component min — the copy a curation pass
-    // keeps). Centroids are the deterministic first-8 init so the full
-    // pipeline is oracle-replayable; a k-means-trained quantizer only
-    // sharpens the clusters, the plan shape is identical.
+    // keeps). Centroids here are the deterministic first-8 init so the
+    // full pipeline is oracle-replayable bit-for-bit; the PRODUCTION
+    // path is Vectors.semanticGroups(emb, id, vec, thr, k =
+    // Vectors.semanticK(n), iters = 3) — same plan shape with a
+    // k-means-TRAINED quantizer and k scaled ∝ n, which is what keeps
+    // the in-cluster pair bound ≈ n·target/2 linear at corpus scale
+    // (OpsSpec gates that training reduces candidate pairs; SCALE.md
+    // tabulates pair count vs k).
     GQuery(
       "q_dedup_semantic",
       (s, dir) => {
         val cents = Tables.embeddings(s, dir).filter(col("vec_id") < 8)
           .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
-        val assigned = Vectors.assignTopN(fanout(Tables.embeddings(s, dir)),
-          "vec_id", "embedding", cents, 1)
-        val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
-          col("v").as("va"), col("nrm").as("na"))
-        val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
-          col("v").as("vb"), col("nrm").as("nb"))
-        val pairs = a.join(b, Seq("cluster"))
-          .filter(col("id_a") < col("id_b"))
-          .filter(Vectors.cosine(col("va"), col("vb"), col("na"), col("nb")) > 0.2)
-          .select(col("id_a"), col("id_b"))
+        val pairs = Vectors.semanticPairs(fanout(Tables.embeddings(s, dir)),
+          "vec_id", "embedding", cents, threshold = 0.2)
         graft.ops.Components.connectedComponents(
             Tables.embeddings(s, dir).select(col("vec_id")), pairs)
           .select(col("id").as("vec_id"), col("lab").as("rep_id"))

@@ -383,6 +383,55 @@ class OpsSpec extends SparkSpec {
     assert(t >= u, s"training LOWERED summed ivf recall: $u -> $t")
   }
 
+  test("semanticGroups: iters=0 replays the oracled query; training cuts candidate pairs; k rule is linear") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+    // (1) the production API at iters=0 IS the oracled q_dedup_semantic
+    // pipeline: kmeans' deterministic first-k init == the query's
+    // vec_id < 8 centroid set, so groups must agree exactly
+    val api = Vectors.semanticGroups(emb, "vec_id", "embedding",
+        threshold = 0.2, k = 8, iters = 0)
+      .as[(Long, Long)].collect().toSet
+    val cents0 = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("c_id"), $"embedding".as("cv"))
+    val queryPath = graft.ops.Components.connectedComponents(
+        emb.select($"vec_id"),
+        Vectors.semanticPairs(emb, "vec_id", "embedding", cents0, 0.2))
+      .as[(Long, Long)].collect().toSet
+    assert(api == queryPath, "semanticGroups(iters=0) diverged from the oracled pipeline")
+
+    // (2) the scale gate: with a TRAINED quantizer the in-cluster
+    // pairwise-work bound Σ n_c·(n_c−1)/2 must sit near the balanced
+    // n²/2k floor (this is the constant the 100 TB story rests on) and
+    // must not exceed the untrained init's bound by more than noise —
+    // on this fixture the first-8 init is already near-balanced
+    // (measured within 1% of the floor), so "reduce" is vacuous; the
+    // quality side training buys is lower inertia, gated below
+    val untrained = Vectors.kmeans(emb, "vec_id", "embedding", k = 8, iters = 0)
+    val trained = Vectors.kmeans(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val pu = Vectors.semanticCandidatePairs(emb, "vec_id", "embedding", untrained)
+    val pt = Vectors.semanticCandidatePairs(emb, "vec_id", "embedding", trained)
+    val n = emb.count()
+    val balanced = n.toDouble * n / (2 * 8)
+    assert(pt <= balanced * 1.25, s"trained pair bound $pt blew the n²/2k floor $balanced")
+    assert(pt <= pu * 1.10, s"training blew up candidate pairs: $pu -> $pt")
+    val iu = Vectors.inertia(emb, "vec_id", "embedding", untrained)
+    val it = Vectors.inertia(emb, "vec_id", "embedding", trained)
+    assert(it < iu, s"training did not sharpen clusters: inertia $iu -> $it")
+
+    // (3) raising k must cut candidate pairs (more, smaller clusters)
+    val trained32 = Vectors.kmeans(emb, "vec_id", "embedding", k = 32, iters = 3)
+    val pt32 = Vectors.semanticCandidatePairs(emb, "vec_id", "embedding", trained32)
+    assert(pt32 < pt, s"k=32 did not cut pairs vs k=8: $pt -> $pt32")
+
+    // (4) the corpus-scale k rule keeps expected cluster size at target:
+    // k = ceil(n/target) — linear in n, never 0
+    assert(Vectors.semanticK(500, 1024) == 1)
+    assert(Vectors.semanticK(1024 * 1024, 1024) == 1024)
+    assert(Vectors.semanticK(100_000_000L, 1024) == 97657)
+    assert(Vectors.semanticK(0, 1024) == 1)
+  }
+
   test("kmeans: Lloyd iterations never increase inertia; assignment is argmax") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val init = Vectors.kmeans(emb, "vec_id", "embedding", k = 4, iters = 0)

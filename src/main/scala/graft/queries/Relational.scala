@@ -781,19 +781,23 @@ object Relational {
       "q_agg_hll_merge",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
-        // the flags-sized sketch table is cache()'d: it feeds both the
-        // per-flag rows and the union row, and without sharing, each
-        // consumer would re-run the corpus aggregation — the exact
-        // anti-pattern the persisted-sketch design exists to avoid.
-        // cache, NOT localCheckpoint: the checkpoint's EAGER
-        // materialization job cost 2.4 s/run here vs 0.48 s for the
-        // lazy cache (measured sf0.1 min-of-3; both plans run the
-        // corpus aggregation once — the lazy form just lets the first
-        // consumer fill the 4-row cache as a side effect).
-        val perFlag = li
+        // ONE corpus scan (was two): reduce to DISTINCT (flag, orderkey)
+        // pairs first. HLL insertion is idempotent, so per-flag sketches
+        // over the pair set are bit-identical to sketches over the raw
+        // rows — and every exact twin the gate needs (per-flag AND the
+        // global one that judges the union) becomes a count over the
+        // pairs-sized cache, never a second trip over the corpus. The
+        // distinct is the same (flag, orderkey) exchange the old
+        // countDistinct rewrite paid inside its Expand plan; here it's
+        // paid once and shared. Both small tables are cache()'d, NOT
+        // localCheckpoint'd (the eager checkpoint job cost 2.4 s/run
+        // here vs 0.48 s lazy, measured sf0.1 min-of-3).
+        val pairs = li.select(col("l_returnflag"), col("l_orderkey"))
+          .distinct().cache()
+        val perFlag = pairs
           .groupBy(col("l_returnflag"))
           .agg(hll_sketch_agg(col("l_orderkey"), 14).as("sk"),
-            countDistinct(col("l_orderkey")).as("exact_d"))
+            count(lit(1)).as("exact_d"))
           .cache()
         def ok(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
           (abs(est - exact) <= exact.cast("double") * 0.05).as("est_ok")
@@ -801,13 +805,13 @@ object Relational {
           col("l_returnflag").as("scope"), col("exact_d"),
           ok(hll_sketch_estimate(col("sk")), col("exact_d")))
         // 1-row × 1-row crossJoin: the union-estimate scalar meets the
-        // direct global exact scalar — broadcast, never a data shuffle.
-        // The global countDistinct scan is GATE-ONLY scaffolding (it
-        // judges the union); production answers ALL from the sketch
-        // union alone, which is the point of the pattern.
+        // global exact scalar — broadcast, never a data shuffle. The
+        // global countDistinct is GATE-ONLY scaffolding (it judges the
+        // union) and runs over the cached pairs; production answers ALL
+        // from the sketch union alone, which is the point of the pattern.
         val all = perFlag.agg(
           hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-          .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("exact_d")))
+          .crossJoin(pairs.agg(countDistinct(col("l_orderkey")).as("exact_d")))
           .select(lit("ALL").as("scope"), col("exact_d"),
             ok(col("est"), col("exact_d")))
         flags.unionByName(all).orderBy(col("scope"))

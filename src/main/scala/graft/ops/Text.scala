@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for the LLM-data-pipeline surface: token
@@ -141,6 +141,58 @@ object Text {
       ((0 until w).map(j => ascii(text.substr(i + lit(j), lit(1))).cast("long") *
         lit(math.pow(31, w - 1 - j).toLong)).reduce(_ + _) % lit(2147483647L)))
     when(nWin >= 1, hashes).otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Exploded (doc_id, term) token stream — the one corpus scan every
+    * retrieval consumer (doc lengths, corpus stats, document
+    * frequencies, term matches) shares; callers cache() it. */
+  def tokenStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode_outer(tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull && col("term") =!= "")
+
+  /** Document frequency per term over a token stream (vocabulary-sized). */
+  def docFreq(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** BM25 top-k document ranking (k1 = 1.2, b = 0.75) of a token stream
+    * against a (term, df) query dim. The query dim BROADCASTS (a query
+    * has a handful of terms; the corpus never re-shuffles for it) and
+    * the per-term scores sum through an explicit SORTED left fold so
+    * the result is reproducible by any engine — double addition is not
+    * associative. Same log-free rational idf core as q_tfidf. */
+  def bm25TopK(toks: DataFrame, qterms: DataFrame, k: Int): DataFrame = {
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = toks.agg(count(lit(1)).as("t_total"),
+      countDistinct(col("doc_id")).as("n_docs"))
+    val tf = toks.join(broadcast(qterms), "term")
+      .groupBy(col("doc_id"), col("term"), col("df")).agg(count(lit(1)).as("tf"))
+    tf.join(dl, "doc_id").crossJoin(broadcast(stats)) // 1-row scalar
+      .withColumn("avgdl", col("t_total").cast("double") / col("n_docs"))
+      .withColumn("sc",
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
+          * (col("tf") * 2.2)
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg((floor(expr("aggregate(sort_array(collect_list(sc)), 0D, (a, x) -> a + x)")
+        * 10000 + 0.5) / 10000).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
+
+  /** The user-facing retrieval entry point: BM25 top-k documents for a
+    * free-text query string. The query tokenizes with the same rule as
+    * the corpus ([[tokens]]), looks its document frequencies up in the
+    * corpus index, and rides the plan as a broadcast literal dim —
+    * terms the corpus has never seen contribute nothing (their postings
+    * are empty) and drop out. One cached token scan feeds all four
+    * consumers, exactly the oracled q_text_search plan with the derived
+    * top-df query replaced by the user's. */
+  def search(docs: DataFrame, idCol: String, textCol: String,
+             query: String, k: Int): DataFrame = {
+    val toks = tokenStream(docs, idCol, textCol).cache()
+    val qtoks = query.split(" ").filter(_.nonEmpty).distinct.toSeq
+    val qdf = docs.sparkSession.createDataset(qtoks)(Encoders.STRING).toDF("term")
+    bm25TopK(toks, qdf.join(docFreq(toks), "term"), k)
   }
 
   /** Stopword profiles for the n-gram/stopword language-ID heuristic. */

@@ -2252,28 +2252,14 @@ object Extensions {
     GQuery(
       "q_text_search",
       (s, dir) => {
-        val toks = fanout(Tables.documents(s, dir))
-          .select(col("doc_id"), explode_outer(Text.tokens(col("text"))).as("term"))
-          .filter(col("term").isNotNull && col("term") =!= "")
-          .cache()
-        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-        val stats = toks.agg(count(lit(1)).as("t_total"),
-          countDistinct(col("doc_id")).as("n_docs"))
-        val dft = toks.select(col("doc_id"), col("term")).distinct()
-          .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val qterms = broadcast(dft.orderBy(col("df").desc, col("term")).limit(3))
-        val tf = toks.join(qterms, "term")
-          .groupBy(col("doc_id"), col("term"), col("df")).agg(count(lit(1)).as("tf"))
-        tf.join(dl, "doc_id").crossJoin(broadcast(stats)) // 1-row scalar
-          .withColumn("avgdl", col("t_total").cast("double") / col("n_docs"))
-          .withColumn("sc",
-            (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
-              * (col("tf") * 2.2)
-              / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-          .groupBy(col("doc_id"))
-          .agg((floor(expr("aggregate(sort_array(collect_list(sc)), 0D, (a, x) -> a + x)")
-            * 10000 + 0.5) / 10000).as("bm25"))
-          .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+        // Text.search is the user-query twin of this plan (same cached
+        // token scan, same broadcast query dim; OpsSpec pins equality
+        // when the user query equals the derived terms)
+        val toks = Text.tokenStream(fanout(Tables.documents(s, dir)),
+          "doc_id", "text").cache()
+        val dft = Text.docFreq(toks)
+        val qterms = dft.orderBy(col("df").desc, col("term")).limit(3)
+        Text.bm25TopK(toks, qterms, 10)
       },
       Some("""WITH toks AS (
              |  SELECT doc_id, t AS term FROM (

@@ -383,6 +383,31 @@ class OpsSpec extends SparkSpec {
     assert(t >= u, s"training LOWERED summed ivf recall: $u -> $t")
   }
 
+  test("Text.search: user query equal to the derived terms replays the oracled BM25 plan") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = Text.tokenStream(docs, "doc_id", "text").cache()
+    val dft = Text.docFreq(toks)
+    val derived = dft.orderBy($"df".desc, $"term").limit(3)
+      .select($"term").as[String].collect().toSeq
+    // q_text_search's exact pipeline, with its derived query as the dim
+    val want = Text.bm25TopK(toks, dft.orderBy($"df".desc, $"term").limit(3), 10)
+      .as[(Long, Double)].collect().toSeq
+    // the serving path, given the same terms as a user query string
+    val got = Text.search(docs, "doc_id", "text", derived.mkString(" "), 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want, "Text.search diverged from the oracled BM25 pipeline")
+    assert(got.size == 10)
+
+    // terms the corpus never saw have empty postings — no rows, no error
+    assert(Text.search(docs, "doc_id", "text", "zzz_no_such_token_zzz", 5).count() == 0)
+    // k caps the result; duplicate words in the query string are one term
+    val dup = Text.search(docs, "doc_id", "text",
+      s"${derived.head} ${derived.head}", 3).as[(Long, Double)].collect().toSeq
+    val single = Text.search(docs, "doc_id", "text", derived.head, 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(dup == single && dup.size == 3)
+  }
+
   test("semanticGroups: iters=0 replays the oracled query; training cuts candidate pairs; k rule is linear") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
 

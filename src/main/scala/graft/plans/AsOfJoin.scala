@@ -31,10 +31,12 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZ
   * expansion, no union materialization, memory O(1) per partition.
   *
   * Semantics: left rows are all kept (left-outer); match = last right
-  * row with equal keys and rightTs <= leftTs, ties among equal (key,
-  * ts) broken by `rightTies` ascending (last wins — mirror of the
-  * union-window form's carried-value rule). Null timestamps never
-  * match and null-ts right rows are skipped. NULL JOIN KEYS group
+  * row with equal keys and rightTs <= leftTs (or strictly < when
+  * `allowExactMatches = false` — the merge_asof strict-inequality
+  * mode), ties among equal (key, ts) broken by `rightTies` ascending
+  * (last wins — mirror of the union-window form's carried-value rule).
+  * Null timestamps never match and null-ts right rows are skipped.
+  * NULL JOIN KEYS group
   * together (window-PARTITION semantics, deliberately identical to
   * the composed union-window form) rather than SQL equi-join's
   * null-never-matches — callers needing equi-join null behavior
@@ -55,7 +57,8 @@ case class AsOfJoinPlan(
     leftTs: Expression,
     rightTs: Expression,
     rightTies: Seq[Expression],
-    tolerance: Option[Long]) extends BinaryNode {
+    tolerance: Option[Long],
+    allowExact: Boolean) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -72,12 +75,12 @@ case class AsOfJoinPlan(
   * Other nodes fall through to the built-in strategies. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts, ties, tol) =>
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, ties, tol, exact) =>
       val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
       if (threshold > 0 && r.stats.sizeInBytes <= threshold)
-        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, ties, tol) :: Nil
+        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, ties, tol, exact) :: Nil
       else
-        AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, ties, tol) :: Nil
+        AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, ties, tol, exact) :: Nil
     case _ => Nil
   }
 }
@@ -90,7 +93,8 @@ case class AsOfMergeJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     rightTies: Seq[Expression],
-    tolerance: Option[Long]) extends SparkPlan with BinaryExecNode {
+    tolerance: Option[Long],
+    allowExact: Boolean) extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -140,6 +144,7 @@ case class AsOfMergeJoinExec(
       val nullRight = new GenericInternalRow(rOut.size)
 
       val tol = tolerance
+      val exact = allowExact
       new Iterator[InternalRow] {
         private var rHead: InternalRow = _           // unconsumed right row
         private var lastMatch: InternalRow = _       // copied last candidate
@@ -151,7 +156,11 @@ case class AsOfMergeJoinExec(
           val lKey = lKeyProj(l)
           val lT = lTsBound.eval(l)
           // consume rights with smaller keys, and same-key rights whose
-          // ts is null (skipped) or <= leftTs (become the candidate)
+          // ts is null (skipped) or <= leftTs (strictly < in
+          // allowExact=false mode — an equal-ts right stays unconsumed:
+          // left rows arrive ts-ascending, so it can still match a
+          // LATER left with a strictly larger ts) — those become the
+          // carried candidate
           var advancing = true
           while (advancing && (rHead != null || rIter.hasNext)) {
             if (rHead == null) rHead = rIter.next()
@@ -161,7 +170,8 @@ case class AsOfMergeJoinExec(
             else if (c == 0) {
               val rT = rTsBound.eval(rHead)
               if (rT == null) rHead = null // never a match, step over
-              else if (lT != null && asLong(rT) <= asLong(lT)) {
+              else if (lT != null &&
+                  (if (exact) asLong(rT) <= asLong(lT) else asLong(rT) < asLong(lT))) {
                 lastMatch = rHead.copy()
                 lastMatchKey = rKey.copy()
                 lastMatchTs = asLong(rT)
@@ -203,7 +213,8 @@ case class BroadcastAsOfJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     rightTies: Seq[Expression],
-    tolerance: Option[Long]) extends SparkPlan with BinaryExecNode {
+    tolerance: Option[Long],
+    allowExact: Boolean) extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -221,14 +232,17 @@ case class BroadcastAsOfJoinExec(
     val rOut = right.output
     val outAttrs = output
     val lKeyExprs = leftKeys
-    // driver-side build: right is threshold-bounded by the strategy
+    // driver-side build: right is threshold-bounded by the strategy.
+    // executeCollect yields compact UnsafeRows; per key we keep two
+    // PARALLEL arrays (primitive long[] timestamps + row refs) rather
+    // than boxed (Long, row) tuples, so the broadcast payload is the
+    // rows plus one primitive array — no per-entry tuple/box overhead.
     val rRows = right.executeCollect()
     val rKeyProj = UnsafeProjection.create(rightKeys, rOut)
     val rTsBound = BindReferences.bindReference(rightTs, rOut)
-    val tieOrds = rightTies.map(BindReferences.bindReference(_, rOut))
     val tieOrder = RowOrdering.createNaturalAscendingOrdering(rightTies.map(_.dataType))
     val tieProj = UnsafeProjection.create(rightTies, rOut)
-    val byKey: Map[InternalRow, Array[(Long, InternalRow)]] = rRows.toSeq
+    val byKey: Map[InternalRow, (Array[Long], Array[InternalRow])] = rRows.toSeq
       .flatMap { r =>
         Option(rTsBound.eval(r)).map(t => (rKeyProj(r).copy(), asLong(t), r.copy()))
       }
@@ -239,11 +253,12 @@ case class BroadcastAsOfJoinExec(
         val sorted = vs.sortWith { (a, b) =>
           if (a._2 != b._2) a._2 < b._2
           else tieOrder.compare(tieProj(a._3).copy(), tieProj(b._3).copy()) < 0
-        }.map(v => (v._2, v._3)).toArray
-        k -> sorted
+        }
+        k -> (sorted.map(_._2).toArray, sorted.map(_._3).toArray)
       }
     val bc = sparkContext.broadcast(byKey)
     val tol = tolerance
+    val exact = allowExact
     left.execute().mapPartitions { lIter =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val lTsBound = BindReferences.bindReference(leftTs, lOut)
@@ -258,18 +273,19 @@ case class BroadcastAsOfJoinExec(
           if (lT == null) null
           else m.get(lKeyProj(l)) match {
             case None => null
-            case Some(arr) =>
-              // binary search: last index with ts <= lT
+            case Some((ts, rows)) =>
+              // binary search: last index with ts <= lT (< when exact
+              // matches are disallowed — the merge_asof strict mode)
               val t = asLong(lT)
-              var lo = 0; var hi = arr.length - 1; var ans = -1
+              var lo = 0; var hi = ts.length - 1; var ans = -1
               while (lo <= hi) {
                 val mid = (lo + hi) >>> 1
-                if (arr(mid)._1 <= t) { ans = mid; lo = mid + 1 }
+                if (if (exact) ts(mid) <= t else ts(mid) < t) { ans = mid; lo = mid + 1 }
                 else hi = mid - 1
               }
               if (ans < 0) null
-              else if (tol.exists(w => t - arr(ans)._1 > w)) null
-              else arr(ans)._2
+              else if (tol.exists(w => t - ts(ans) > w)) null
+              else rows(ans)
           }
         outProj(joined(l, if (hit != null) hit else nullRight))
       }
@@ -299,25 +315,39 @@ object AsOfJoin {
 
   /** AS-OF join `left` to the latest `right` row per key with
     * `rightTs <= leftTs` (left-outer; ties by `rightTies`, last wins).
-    * `tolerance` (same unit as the ts columns — micros for timestamps)
-    * additionally requires `leftTs - rightTs <= tolerance`, the
-    * merge_asof bounded-lag contract: a stale quote/click older than
-    * the window is no match at all. Column NAMES must be unambiguous
-    * across the two sides' outputs — pre-alias before joining (the
-    * spec shows the pattern). */
+    * `allowExactMatches = false` switches to the merge_asof strict
+    * mode: `rightTs < leftTs`, an equal-timestamp right row is never a
+    * match. `tolerance` (same unit as the ts columns — micros for
+    * timestamps) additionally requires `leftTs - rightTs <= tolerance`,
+    * the merge_asof bounded-lag contract: a stale quote/click older
+    * than the window is no match at all. Column names resolve against
+    * each side's output honoring `spark.sql.caseSensitive` (default
+    * case-insensitive, like the rest of the analyzer) and throw on
+    * ambiguity — pre-alias before joining (the spec shows the
+    * pattern). */
   def asof(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
            leftTs: String, rightTs: String,
            rightTies: Seq[String] = Nil,
-           tolerance: Option[Long] = None): DataFrame = {
+           tolerance: Option[Long] = None,
+           allowExactMatches: Boolean = true): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
-    def att(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"asof: column $n not in [${p.output.map(_.name).mkString(", ")}]"))
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def att(p: LogicalPlan, n: String): Attribute = {
+      val hits = p.output.filter(a =>
+        if (caseSensitive) a.name == n else a.name.equalsIgnoreCase(n))
+      hits match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"asof: column $n not in [${p.output.map(_.name).mkString(", ")}]")
+        case many => throw new IllegalArgumentException(
+          s"asof: column $n is ambiguous (${many.size} matches) — alias the side first")
+      }
+    }
     val lts = att(lp, leftTs); val rts = att(rp, rightTs)
     require(tsTypes.contains(lts.dataType) && lts.dataType == rts.dataType,
       s"asof: ts columns must share an integral/timestamp type, " +
@@ -327,6 +357,6 @@ object AsOfJoin {
     require(tolerance.forall(_ >= 0), "asof: tolerance must be >= 0")
     GraftPlanBuilder.ofRows(spark, AsOfJoinPlan(lp, rp,
       leftKeys.map(att(lp, _)), rightKeys.map(att(rp, _)),
-      lts, rts, rightTies.map(att(rp, _)), tolerance))
+      lts, rts, rightTies.map(att(rp, _)), tolerance, allowExactMatches))
   }
 }

@@ -2521,8 +2521,12 @@ object Extensions {
       "stream_asof_e2e",
       (s, dir) => {
         val sfKey = new java.io.File(dir).getName
-        val root = cachedFixture(s"graft_sasof_cache_v1_$sfKey") { root =>
-          val ev = Tables.events(s, dir)
+        // null user_id filtered up front: the native operator groups
+        // null keys (window semantics) while the equi-join oracle never
+        // matches them — filtering makes query and oracle agree by
+        // construction, not by fixture accident
+        val root = cachedFixture(s"graft_sasof_cache_v2_$sfKey") { root =>
+          val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
           val purch = ev.filter(col("event_type") === "purchase")
             .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
           val clicks = ev.filter(col("event_type") === "click")
@@ -2564,8 +2568,10 @@ object Extensions {
              |         strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_time,
              |         row_number() OVER (PARTITION BY p.event_id
              |                            ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
-             |  FROM (SELECT * FROM events WHERE event_type='purchase') p
-             |  LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+             |  FROM (SELECT * FROM events
+             |        WHERE event_type='purchase' AND user_id IS NOT NULL) p
+             |  LEFT JOIN (SELECT * FROM events
+             |        WHERE event_type='click' AND user_id IS NOT NULL) c
              |    ON p.user_id = c.user_id AND c.ts <= p.ts) t
              |WHERE rn = 1 ORDER BY p_id""".stripMargin)),
 

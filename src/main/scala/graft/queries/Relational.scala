@@ -301,7 +301,11 @@ object Relational {
     GQuery(
       "q_join_asof_native",
       (s, dir) => {
-        val ev = Tables.events(s, dir)
+        // null user_id filtered on both sides: the operator groups null
+        // keys (window semantics, documented at AsOfJoin.scala) while
+        // the equi-join oracle never matches them — the filter makes
+        // query and oracle agree by construction, not fixture accident
+        val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
         val purch = ev.filter(col("event_type") === "purchase")
           .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
         val clicks = ev.filter(col("event_type") === "click")
@@ -320,9 +324,54 @@ object Relational {
              |         strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_time,
              |         row_number() OVER (PARTITION BY p.event_id
              |                            ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
-             |  FROM (SELECT * FROM events WHERE event_type='purchase') p
-             |  LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+             |  FROM (SELECT * FROM events
+             |        WHERE event_type='purchase' AND user_id IS NOT NULL) p
+             |  LEFT JOIN (SELECT * FROM events
+             |        WHERE event_type='click' AND user_id IS NOT NULL) c
              |    ON p.user_id = c.user_id AND c.ts <= p.ts) t
+             |WHERE rn = 1 ORDER BY p_id""".stripMargin)),
+
+    // STRICT as-of (allowExactMatches = false): the merge_asof
+    // strict-inequality mode — only strictly-earlier clicks are
+    // attributable. Timestamps are truncated to the HOUR first: the
+    // coarse-resolution-feed shape where strictness actually matters
+    // (same-bucket events carry no causal order, so an equal-bucket
+    // click must NOT match — with raw micros, exact ties are measure-
+    // zero and the comparator would be untested by the value gate; the
+    // fixture has 39 equal-hour pairs at sf0.01, so the two modes
+    // genuinely diverge here). Same native operator, `rightTs < leftTs`
+    // in both physical paths; the oracle flips one comparator.
+    GQuery(
+      "q_join_asof_strict",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            date_trunc("hour", col("ts")).as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            date_trunc("hour", col("ts")).as("c_ts"))
+        graft.plans.AsOfJoin.asof(purch, clicks,
+            Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("click_id"),
+            allowExactMatches = false)
+          .select(col("p_id"), col("user_id"), fmtTs(col("p_ts")).as("p_time"),
+            col("click_id"), fmtTs(col("c_ts")).as("click_time"))
+          .orderBy(col("p_id"))
+      },
+      Some("""SELECT p_id, user_id, p_time, click_id, click_time FROM (
+             |  SELECT p.event_id AS p_id, p.user_id,
+             |         strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_time,
+             |         c.event_id AS click_id,
+             |         strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_time,
+             |         row_number() OVER (PARTITION BY p.event_id
+             |                            ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+             |  FROM (SELECT event_id, user_id, date_trunc('hour', ts) AS ts
+             |        FROM events
+             |        WHERE event_type='purchase' AND user_id IS NOT NULL) p
+             |  LEFT JOIN (SELECT event_id, user_id, date_trunc('hour', ts) AS ts
+             |        FROM events
+             |        WHERE event_type='click' AND user_id IS NOT NULL) c
+             |    ON p.user_id = c.user_id AND c.ts < p.ts) t
              |WHERE rn = 1 ORDER BY p_id""".stripMargin)),
 
     // BUCKETED catalog join — the pay-the-shuffle-once-at-ingest

@@ -50,6 +50,46 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("allowExactMatches=false: strict inequality on both paths; equal-ts rights stay live for later lefts") {
+    import spark.implicits._
+    val purch = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 150L))
+      .toDF("p_id", "user_id", "p_ts")
+    val clicks = Seq(
+      (100L, 10L, 90L), (101L, 10L, 100L), // ts=100 equals left 1: excluded strictly
+      (102L, 10L, 200L),                   // equals left 2: excluded, 101 matches
+      (103L, 20L, 150L))                   // equals left 3: no earlier click → null
+      .toDF("click_id", "c_user", "c_ts")
+    for (thr <- Seq("-1", "10MB")) withThreshold(thr) { // merge, then broadcast
+      val out = AsOfJoin.asof(purch, clicks,
+          Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("click_id"),
+          allowExactMatches = false)
+        .select($"p_id", $"click_id").as[(Long, Option[Long])].collect().toMap
+      assert(out == Map(1L -> Some(100L), 2L -> Some(101L), 3L -> None),
+        s"threshold=$thr")
+    }
+  }
+
+  test("column resolution: case-insensitive by default, honors spark.sql.caseSensitive, throws on ambiguity") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L)).toDF("p_id", "user_id", "p_ts")
+    val r = Seq((100L, 10L, 90L)).toDF("click_id", "c_user", "c_ts")
+    // default conf is case-insensitive: mixed-case names resolve
+    val out = AsOfJoin.asof(l, r, Seq("USER_ID"), Seq("C_User"), "P_TS", "c_ts")
+      .select($"p_id", $"click_id").as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(1L -> Some(100L)))
+    // with caseSensitive=true the same lookup must fail
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, r, Seq("USER_ID"), Seq("c_user"), "p_ts", "c_ts")
+    } finally spark.conf.set("spark.sql.caseSensitive", "false")
+    // duplicate names that differ only by case are ambiguous when insensitive
+    val dup = l.select(col("*"), lit(5L).as("P_TS"))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(dup, r, Seq("user_id"), Seq("c_user"), "p_ts", "c_ts")
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("tolerance: bounded lag drops stale candidates, keeps fresh ones") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100L), (2L, 10L, 200L)).toDF("p_id", "user_id", "p_ts")
@@ -126,18 +166,20 @@ class AsOfJoinSpec extends AnyFunSuite {
         .zipWithIndex.map { case ((k, t), i) => (i.toLong + 10000, k, t) }
         .toDF("click_id", "c_user", "c_ts")
       // brute-force reference: per left row, max (ts, id) right with
-      // key match and ts <= leftTs
+      // key match and ts <= leftTs (< in strict mode)
       val rRows = r.as[(Long, Long, Long)].collect()
-      val expect = l.as[(Long, Long, Long)].collect().map { case (pid, k, t) =>
-        val cands = rRows.filter(c => c._2 == k && c._3 <= t)
-        pid -> (if (cands.isEmpty) None
-                else Some(cands.maxBy(c => (c._3, c._1))._1))
-      }.toMap
-      for (thr <- Seq("-1", "10MB")) withThreshold(thr) {
-        val got = AsOfJoin.asof(l, r, Seq("user_id"), Seq("c_user"),
-            "p_ts", "c_ts", Seq("click_id"))
-          .select($"p_id", $"click_id").as[(Long, Option[Long])].collect().toMap
-        assert(got == expect, s"trial=$trial threshold=$thr")
+      for (exact <- Seq(true, false)) {
+        val expect = l.as[(Long, Long, Long)].collect().map { case (pid, k, t) =>
+          val cands = rRows.filter(c => c._2 == k && (if (exact) c._3 <= t else c._3 < t))
+          pid -> (if (cands.isEmpty) None
+                  else Some(cands.maxBy(c => (c._3, c._1))._1))
+        }.toMap
+        for (thr <- Seq("-1", "10MB")) withThreshold(thr) {
+          val got = AsOfJoin.asof(l, r, Seq("user_id"), Seq("c_user"),
+              "p_ts", "c_ts", Seq("click_id"), allowExactMatches = exact)
+            .select($"p_id", $"click_id").as[(Long, Option[Long])].collect().toMap
+          assert(got == expect, s"trial=$trial threshold=$thr exact=$exact")
+        }
       }
     }
   }

@@ -2355,17 +2355,36 @@ object Extensions {
 
     // CSV source round-trip: same contract through the quoted/escaped
     // CSV path (quoteAll + escape-doubling — commas and quotes in
-    // document text survive; newline-bearing text is the documented
-    // limit, see FileFormats).
+    // document text survive; nulls write as the unquoted \N sentinel so
+    // '' and NULL round-trip distinctly; newline-bearing text is
+    // REJECTED at write time, see FileFormats).
     GQuery(
       "q_source_csv",
       (s, dir) => {
         val sfKey = new java.io.File(dir).getName
-        // v2: v1 caches predate the writer's ignore*WhiteSpace=false fix
-        val root = cachedFixture(s"graft_srccsv_cache_v2_$sfKey") { root =>
+        // v3: v2 caches predate the \N null sentinel
+        val root = cachedFixture(s"graft_srccsv_cache_v3_$sfKey") { root =>
           graft.sources.FileFormats.writeCsv(Tables.documents(s, dir), root + "/docs_csv")
         }
         graft.sources.FileFormats.readCsv(s, root + "/docs_csv")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            md5(col("text")).as("text_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ORC source round-trip: the typed columnar alternate (splittable,
+    // predicate-pushdown) — text round-trips with no quoting caveats;
+    // same declared-schema contract and parquet-truth oracle.
+    GQuery(
+      "q_source_orc",
+      (s, dir) => {
+        val sfKey = new java.io.File(dir).getName
+        val root = cachedFixture(s"graft_srcorc_cache_v1_$sfKey") { root =>
+          graft.sources.FileFormats.writeOrc(Tables.documents(s, dir), root + "/docs_orc")
+        }
+        graft.sources.FileFormats.readOrc(s, root + "/docs_orc")
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
             md5(col("text")).as("text_md5"))
           .orderBy(col("doc_id"))

@@ -21,25 +21,56 @@ class FileFormatsSpec extends AnyFunSuite {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft_ff").toString
 
-  test("hostile text round-trips byte-exactly through JSON and CSV") {
+  test("hostile text round-trips byte-exactly through JSON, CSV and ORC — including NULL vs ''") {
     import spark.implicits._
     val rows = Seq(
       (1L, """comma, "quoted", more""", "en", "web", 21L),
       (2L, """back\slash and "dq" and 'sq' and tab\there""", "de", "book", 42L),
-      (3L, "", "fr", "web", 0L), // empty text
-      (4L, " leading and trailing ", "en", "web", 22L))
+      (3L, "", "fr", "web", 0L),   // empty text: must stay '', not NULL
+      (4L, " leading and trailing ", "en", "web", 22L),
+      (5L, null, "en", "web", 0L)) // NULL text: must stay NULL, not ''
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val base = tmp()
     FileFormats.writeJson(rows, base + "/j")
     FileFormats.writeCsv(rows, base + "/c")
-    val truth = rows.orderBy("doc_id").collect().toSeq
+    FileFormats.writeOrc(rows, base + "/o")
+    val truth = rows.orderBy("doc_id").collect().toSeq.map(_.toSeq)
     val j = FileFormats.readJson(spark, base + "/j").orderBy("doc_id").collect().toSeq
     val c = FileFormats.readCsv(spark, base + "/c").orderBy("doc_id").collect().toSeq
-    assert(j.map(_.toSeq) == truth.map(_.toSeq))
-    // CSV cannot distinguish empty string from null (documented
-    // format limit); normalize that one cell before comparing
-    val cNorm = c.map(_.toSeq.map(v => if (v == null) "" else v))
-    assert(cNorm == truth.map(_.toSeq))
+    val o = FileFormats.readOrc(spark, base + "/o").orderBy("doc_id").collect().toSeq
+    assert(j.map(_.toSeq) == truth)
+    assert(c.map(_.toSeq) == truth)
+    assert(o.map(_.toSeq) == truth)
+  }
+
+  test("CSV null sentinel is reserved: a literal \\N VALUE reads back as NULL (documented limit)") {
+    import spark.implicits._
+    // univocity matches nullValue AFTER unquoting, so even the quoted
+    // "\N" collapses to NULL — no sentinel escapes this; the format
+    // contract reserves the token (FileFormats scaladoc). Pin it so a
+    // behavior change surfaces here instead of in an oracle mismatch.
+    val rows = Seq((1L, "\\N", "en", "web", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmp() + "/sentinel"
+    FileFormats.writeCsv(rows, dir)
+    val back = FileFormats.readCsv(spark, dir).collect()
+    assert(back.length == 1 && back(0).isNullAt(1))
+  }
+
+  test("newline-bearing text is rejected at CSV write time, not corrupted") {
+    import spark.implicits._
+    val rows = Seq((1L, "line one\nline two", "en", "web", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = intercept[IllegalArgumentException] {
+      FileFormats.writeCsv(rows, tmp() + "/bad")
+    }
+    assert(e.getMessage.contains("newline"))
+    // carriage returns too
+    val rows2 = Seq((1L, "cr\rhere", "en", "web", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    intercept[IllegalArgumentException] {
+      FileFormats.writeCsv(rows2, tmp() + "/bad2")
+    }
   }
 
   test("corrupt JSON rows land in the corrupt-record column, valid rows parse") {

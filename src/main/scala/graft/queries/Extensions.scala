@@ -644,7 +644,9 @@ object Extensions {
       "stream_agg_e2e",
       (s, dir) => {
         val sfKey = new java.io.File(dir).getName
-        val root = cachedFixture(s"graft_sagg_cache_v2_$sfKey") { root =>
+        // v3: fixture now builds on the RocksDB state store (the
+        // production provider for unbounded-cardinality window state)
+        val root = cachedFixture(s"graft_sagg_cache_v3_$sfKey") { root =>
           val ev = Tables.events(s, dir)
             .select(col("ts"), col("event_type"),
               col("value").cast("decimal(18,4)").as("value"))
@@ -663,29 +665,31 @@ object Extensions {
           // file A: event-time order, first hour withheld
           ev.filter(col("ts") >= lit(hourOne) && col("ts") < lit(mid))
             .coalesce(1).write.mode("append").parquet(src)
-          val q = graft.streaming.Streams.tumblingAgg(
-              s.readStream.schema(ev.schema).parquet(src), "ts", "event_type")
-            .writeStream.format("parquet")
-            .option("path", root + "/out")
-            .option("checkpointLocation", root + "/ckpt")
-            .outputMode("append").start()
-          try {
-            q.processAllAvailable()
-            // file B: the rest + the late first-hour replay (dropped)
-            ev.filter(col("ts") >= lit(mid) || col("ts") < lit(hourOne))
-              .coalesce(1).write.mode("append").parquet(src)
-            q.processAllAvailable()
-            // two sentinel batches flush every real window
-            val sentinelTs = new java.sql.Timestamp(mx.getTime + 7200000L)
-            for (_ <- 1 to 2) {
-              s.range(1).select(
-                  lit(sentinelTs).as("ts"),
-                  lit("zz_sentinel").as("event_type"),
-                  lit(0).cast("decimal(18,4)").as("value"))
+          graft.streaming.Streams.withRocksDbState(s) {
+            val q = graft.streaming.Streams.tumblingAgg(
+                s.readStream.schema(ev.schema).parquet(src), "ts", "event_type")
+              .writeStream.format("parquet")
+              .option("path", root + "/out")
+              .option("checkpointLocation", root + "/ckpt")
+              .outputMode("append").start()
+            try {
+              q.processAllAvailable()
+              // file B: the rest + the late first-hour replay (dropped)
+              ev.filter(col("ts") >= lit(mid) || col("ts") < lit(hourOne))
                 .coalesce(1).write.mode("append").parquet(src)
               q.processAllAvailable()
-            }
-          } finally q.stop()
+              // two sentinel batches flush every real window
+              val sentinelTs = new java.sql.Timestamp(mx.getTime + 7200000L)
+              for (_ <- 1 to 2) {
+                s.range(1).select(
+                    lit(sentinelTs).as("ts"),
+                    lit("zz_sentinel").as("event_type"),
+                    lit(0).cast("decimal(18,4)").as("value"))
+                  .coalesce(1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+              }
+            } finally q.stop()
+          }
           dropSinkLog(root + "/out")
         }
         s.read.parquet(root + "/out")
@@ -722,7 +726,9 @@ object Extensions {
       "stream_session_e2e",
       (s, dir) => {
         val sfKey = new java.io.File(dir).getName
-        val root = cachedFixture(s"graft_sess_cache_v1_$sfKey") { root =>
+        // v2: fixture now builds on the RocksDB state store (per-user
+        // session state is the unbounded-cardinality case it exists for)
+        val root = cachedFixture(s"graft_sess_cache_v2_$sfKey") { root =>
           val ev = Tables.events(s, dir)
             .select(col("user_id"), col("ts"), col("value"))
           val Array(mn, mx) = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
@@ -730,27 +736,29 @@ object Extensions {
           val mid = new java.sql.Timestamp((mn.getTime + mx.getTime) / 2)
           val src = root + "/src"
           ev.filter(col("ts") < lit(mid)).coalesce(1).write.mode("append").parquet(src)
-          val q = graft.streaming.Streams.sessionize(
-              s.readStream.schema(ev.schema).parquet(src), gapMs = 1800000L)
-            .toDF()
-            .writeStream.format("parquet")
-            .option("path", root + "/out")
-            .option("checkpointLocation", root + "/ckpt")
-            .outputMode("append").start()
-          try {
-            q.processAllAvailable()
-            ev.filter(col("ts") >= lit(mid)).coalesce(1).write.mode("append").parquet(src)
-            q.processAllAvailable()
-            val sentinelTs = new java.sql.Timestamp(mx.getTime + 7200000L)
-            for (_ <- 1 to 2) {
-              s.range(1).select(
-                  lit(-1L).as("user_id"),
-                  lit(sentinelTs).as("ts"),
-                  lit(0.0).as("value"))
-                .coalesce(1).write.mode("append").parquet(src)
+          graft.streaming.Streams.withRocksDbState(s) {
+            val q = graft.streaming.Streams.sessionize(
+                s.readStream.schema(ev.schema).parquet(src), gapMs = 1800000L)
+              .toDF()
+              .writeStream.format("parquet")
+              .option("path", root + "/out")
+              .option("checkpointLocation", root + "/ckpt")
+              .outputMode("append").start()
+            try {
               q.processAllAvailable()
-            }
-          } finally q.stop()
+              ev.filter(col("ts") >= lit(mid)).coalesce(1).write.mode("append").parquet(src)
+              q.processAllAvailable()
+              val sentinelTs = new java.sql.Timestamp(mx.getTime + 7200000L)
+              for (_ <- 1 to 2) {
+                s.range(1).select(
+                    lit(-1L).as("user_id"),
+                    lit(sentinelTs).as("ts"),
+                    lit(0.0).as("value"))
+                  .coalesce(1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+              }
+            } finally q.stop()
+          }
           dropSinkLog(root + "/out")
         }
         val w = Window.partitionBy(col("key")).orderBy(col("startUs"))
@@ -792,7 +800,10 @@ object Extensions {
       "stream_join_e2e",
       (s, dir) => {
         val sfKey = new java.io.File(dir).getName
-        val root = cachedFixture(s"graft_sjoin_cache_v1_$sfKey") { root =>
+        // v2: fixture now builds on the RocksDB state store (click
+        // state across the join window is the cardinality that pressures
+        // executor heap at real scale)
+        val root = cachedFixture(s"graft_sjoin_cache_v2_$sfKey") { root =>
           val ev = Tables.events(s, dir)
             .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
           val Array(mn, mx) = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
@@ -802,17 +813,19 @@ object Extensions {
           ev.filter(col("ts") < lit(mid)).coalesce(1).write.mode("append").parquet(src)
           def side(t: String) =
             s.readStream.schema(ev.schema).parquet(src).filter(col("event_type") === t)
-          val q = graft.streaming.Streams.intervalJoin(
-              side("purchase"), side("click"), windowMs = 3600000L)
-            .writeStream.format("parquet")
-            .option("path", root + "/out")
-            .option("checkpointLocation", root + "/ckpt")
-            .outputMode("append").start()
-          try {
-            q.processAllAvailable()
-            ev.filter(col("ts") >= lit(mid)).coalesce(1).write.mode("append").parquet(src)
-            q.processAllAvailable()
-          } finally q.stop()
+          graft.streaming.Streams.withRocksDbState(s) {
+            val q = graft.streaming.Streams.intervalJoin(
+                side("purchase"), side("click"), windowMs = 3600000L)
+              .writeStream.format("parquet")
+              .option("path", root + "/out")
+              .option("checkpointLocation", root + "/ckpt")
+              .outputMode("append").start()
+            try {
+              q.processAllAvailable()
+              ev.filter(col("ts") >= lit(mid)).coalesce(1).write.mode("append").parquet(src)
+              q.processAllAvailable()
+            } finally q.stop()
+          }
           dropSinkLog(root + "/out")
         }
         s.read.parquet(root + "/out")

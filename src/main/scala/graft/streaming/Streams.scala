@@ -29,6 +29,29 @@ object Streams {
     * (window, key), late rows beyond `delay` dropped. State per open
     * window only — at 100 TB/day the state size is windows×keys, not
     * rows. */
+  /** Run `body` with the RocksDB state store provider active — the
+    * production choice for stateful streams whose key cardinality
+    * outgrows executor heap (sessionization over all users, stream-
+    * stream join click state): state lives off-heap in RocksDB with
+    * incremental checkpointing, instead of the default HDFS-backed
+    * provider's in-memory HashMap per partition. Spark bundles the
+    * provider + rocksdbjni; this flips the session conf for the
+    * duration of a fixture build and restores it after (the conf is
+    * read at streaming-query start, so it must wrap `start()`).
+    * SCALE.md carries the measured state-dir footprint at 1× and 10×
+    * key cardinality. */
+  def withRocksDbState[A](s: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   def tumblingAgg(events: DataFrame, tsCol: String, keyCol: String,
                   window_ : String = "1 hour", delay: String = "10 minutes"): DataFrame =
     events

@@ -2203,30 +2203,16 @@ object Extensions {
     // rounds, each ONE edge-key join + one dst aggregation over the
     // localCheckpoint'd symmetric edge list; rank state is node-sized.
     // The graph-node count is a driver aggregate scalar (bounded), the
-    // edge pipeline is the shared ngramPairs.
+    // edge pipeline is the shared ngramPairs. rounds=5 is the oracled
+    // fixed point of the `ops.Graph.pagerank` operator (rounds is the
+    // caller's accuracy dial there; SCALE.md carries the measured
+    // round-4→5 residual that backs this choice).
     GQuery(
       "q_graph_pagerank",
       (s, dir) => {
-        val p = ngramPairs(s, dir).select(col("id_a"), col("id_b")).localCheckpoint()
-        val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-          .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-          .localCheckpoint()
-        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
-        val n = deg.count() // bounded driver scalar: graph-node count
-        val (init, tele) = if (n == 0) (0L, 0L) else (1000000000L / n, 150000000L / n)
-        var ranks = deg.select(col("src").as("doc_id"), lit(init).as("rank"))
-        for (_ <- 1 to 5) {
-          val contrib = ranks.join(deg, ranks("doc_id") === deg("src"))
-            .select(col("doc_id").as("j"), expr("(rank * 17) div (20 * deg)").as("c"))
-          val inflow = edges.join(contrib, col("src") === col("j"))
-            .groupBy(col("dst")).agg(sum(col("c")).as("in_c"))
-          ranks = deg.select(col("src").as("doc_id"))
-            .join(inflow, col("doc_id") === col("dst"), "left")
-            .select(col("doc_id"),
-              (lit(tele) + coalesce(col("in_c"), lit(0L))).as("rank"))
-            .localCheckpoint()
-        }
-        ranks.orderBy(col("rank").desc, col("doc_id"))
+        graft.ops.Graph.pagerank(
+            ngramPairs(s, dir).select(col("id_a"), col("id_b")), rounds = 5)
+          .orderBy(col("rank").desc, col("doc_id"))
       },
       Some {
         val iters = (1 to 5).map { i =>

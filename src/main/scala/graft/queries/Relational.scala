@@ -539,6 +539,97 @@ object Relational {
              |  ORDER BY rev DESC, c_custkey LIMIT 20) t
              |ORDER BY revenue DESC, c_custkey""".stripMargin)),
 
+    // COMPOSITE regional-revenue query — the TPC-H Q5 shape (6-table
+    // snowflake: region→nation→{customer,supplier} dims around the
+    // orders⋈lineitem fact spine, with the local-supplier predicate
+    // c_nationkey = s_nationkey). The plan every star-schema engine is
+    // judged on: the year filter pushes into the orders SCAN, the
+    // fact⋈fact orderkey co-partition is the ONE wide exchange, and
+    // every dim — supplier, customer, and the pre-joined nation×region
+    // pair — broadcasts onto the fact side (the 100 TB rule: the fact
+    // table shuffles once, dims never shuffle it again). Revenue rides
+    // exact decimals; per-nation rows ordered by revenue.
+    GQuery(
+      "q_tpch_q5",
+      (s, dir) => {
+        val one = lit(1).cast("decimal(18,4)")
+        val asiaNations = Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.customer(s, dir)),
+            col("o_custkey") === col("c_custkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("rev"))
+          .select(col("n_name"), dround(col("rev")).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name, round(CAST(rev AS DOUBLE), 4) AS revenue FROM (
+             |  SELECT n_name,
+             |    sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             |        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  WHERE r_name = 'ASIA'
+             |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |    AND o_orderdate < TIMESTAMP '1997-01-01'
+             |  GROUP BY n_name) t
+             |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // COMPOSITE large-volume-customer report — the TPC-H Q18 shape
+    // (orders whose total quantity clears a threshold, with their
+    // customers). The classic HAVING-over-fact pattern: the per-order
+    // quantity aggregate is map-side-combined on the SAME key the
+    // orders join needs, so the exchange is paid once and AQE sees the
+    // post-HAVING side collapse to a sliver (top ~2% of orders at the
+    // 250 threshold — fixture p90 is ~182, p99 ~265 at every SF, so
+    // the gate is non-degenerate at sf0.001 through sf0.1); customer
+    // broadcasts onto the survivors. Quantity sums ride exact decimals;
+    // top-100 by order value with key tie-breaks.
+    GQuery(
+      "q_tpch_q18",
+      (s, dir) => {
+        val bigOrders = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(dec(col("l_quantity"))).as("oq"))
+          .filter(col("oq") > 250)
+        Tables.orders(s, dir)
+          .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            fmtD(col("o_orderdate")).as("o_date"),
+            col("o_totalprice").as("total_price"),
+            dround(col("oq")).as("total_qty"))
+          .orderBy(col("total_price").desc, col("o_orderkey"))
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_date, total_price, total_qty FROM (
+             |  SELECT c_name, c_custkey, o_orderkey,
+             |    strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+             |    o_totalprice AS total_price,
+             |    round(CAST(oq AS DOUBLE), 4) AS total_qty
+             |  FROM (SELECT l_orderkey AS bok,
+             |          sum(CAST(l_quantity AS DECIMAL(18,4))) AS oq
+             |        FROM lineitem GROUP BY 1
+             |        HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 250) b
+             |  JOIN orders ON o_orderkey = bok
+             |  JOIN customer ON o_custkey = c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 100) t
+             |ORDER BY total_price DESC, o_orderkey""".stripMargin)),
+
     // --------------------------------------------------------- aggregation
     // TPC-H Q1 shape: partial hash agg map-side → 6-group final agg.
     // Decimal sums keep Spark's and DuckDB's different add-orders from

@@ -290,4 +290,105 @@ object Vectors {
       .filter(col("cos") > threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
+
+  // ------------------------------------------------ product quantization
+  // PQ (Jégou et al., "Product Quantization for Nearest Neighbor
+  // Search", TPAMI 2011): split the SQ8 code into m subspaces, quantize
+  // each to one of ncw codewords, store m SMALL codes per vector (m
+  // bytes at ncw ≤ 256 — an 8× cut below SQ8's dim bytes, 16× below
+  // float32). Search is ADC: the exact query code dots against each
+  // candidate's RECONSTRUCTED codeword concat, then the top-R survivors
+  // re-rank on their exact SQ8 codes — the FAISS IVFPQ+refine serving
+  // shape. Everything is integer, so scores are bit-identical across
+  // engines and partitionings (full value oracle, no rounding).
+
+  /** SQ8 unit-sphere grid code (the q_sim_quantized grid): one bigint
+    * per dimension in [-127, 127]. `nrm` must be [[norm]] of `v` — the
+    * caller computes it once per row instead of per element. */
+  def sq8(v: Column, nrm: Column): Column =
+    transform(v, x => floor(x.cast("double") / nrm * 127.0).cast("long"))
+
+  /** Per-subspace PQ codebook sampled from the first `ncw` rows by id —
+    * deterministic, oracle-replayable init (the IVF centroid rule).
+    * Returns, per subspace, the (codewordId, subCode) list; driver-side
+    * ncw×dim longs — index metadata under the bounded-collect rule. */
+  def pqCodebook(codes: DataFrame, idCol: String, codeCol: String,
+                 m: Int, ncw: Int): Seq[Seq[(Long, Seq[Long])]] = {
+    val sample = codes.orderBy(col(idCol)).limit(ncw)
+      .select(col(codeCol)).collect()
+      .map(_.getSeq[Long](0))
+    val d = sample.head.length / m
+    (0 until m).map { mm =>
+      sample.toSeq.zipWithIndex.map { case (qc, j) =>
+        (j.toLong, qc.slice(mm * d, mm * d + d))
+      }
+    }
+  }
+
+  /** PQ code assignment: per subspace, argmin integer L2 distance to
+    * the codeword literals, ties to the LOWEST codeword id. One
+    * array_min over an encoded (dist·64 + cw) literal fold per
+    * subspace — a narrow, zero-shuffle, codegen'd map (requires
+    * ncw ≤ 64; 4-dim int8 subspaces bound dist·64 « 2^63). Returns the
+    * m assigned codeword ids as columns. */
+  def pqAssign(code: Column, cb: Seq[Seq[(Long, Seq[Long])]]): Seq[Column] = {
+    val m = cb.length
+    val d = cb.head.head._2.length
+    require(cb.head.length <= 64, "encoded argmin requires ncw <= 64")
+    (0 until m).map { mm =>
+      val sub = slice(code, mm * d + 1, d)
+      val encoded = cb(mm).map { case (cwId, cwSub) =>
+        val dist = aggregate(
+          zip_with(sub, typedLit(cwSub), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v)
+        dist * lit(64L) + lit(cwId)
+      }
+      pmod(least(encoded: _*), lit(64L)).as(s"pq_code_$mm")
+    }
+  }
+
+  /** Decode: concat of each assigned codeword's sub-code (map-literal
+    * lookups — the ADC scan never touches the original vectors). */
+  def pqRecon(codeCols: Seq[Column], cb: Seq[Seq[(Long, Seq[Long])]]): Column =
+    concat(codeCols.zip(cb).map { case (c, cwList) =>
+      element_at(typedLit(cwList.toMap), c)
+    }: _*)
+
+  /** PQ ANN search with exact re-rank: ADC top-`candR` candidate cut on
+    * the reconstructed codes, exact-SQ8 integer re-rank of the
+    * survivors, top-`k` out. The expensive exact dot only evaluates on
+    * the candR rows per query that survive the ADC window — the
+    * candidate-generation / refine cost split of a production PQ
+    * server. Returns (vec_id, rn, nn_id, score). */
+  def pqSearch(emb: DataFrame, idCol: String, vecCol: String,
+               m: Int, ncw: Int, queryPred: Column,
+               candR: Int, k: Int): DataFrame = {
+    // single-file fixtures arrive as ONE split — spread the rows before
+    // the interpreted HOF projections (assign/recon/ADC) or they run on
+    // one core; a no-op cost on a real many-split corpus
+    val coded = emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("qc", sq8(col("v"), col("nrm")))
+      .select(col("vec_id"), col("qc"))
+    val cb = pqCodebook(coded, "vec_id", "qc", m, ncw)
+    val codeCols = pqAssign(col("qc"), cb)
+    val corpus = broadcast(coded
+      .withColumn("recon", pqRecon(codeCols, cb))
+      .select(col("vec_id").as("nn_id"), col("recon"), col("qc").as("qc2")))
+    val intDot = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val wAdc = Window.partitionBy(col("vec_id")).orderBy(col("adc").desc, col("nn_id"))
+    val wTop = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("nn_id"))
+    coded.filter(queryPred)
+      .join(corpus, col("vec_id") =!= col("nn_id"))
+      .withColumn("adc", intDot(col("qc"), col("recon")))
+      .withColumn("rn_c", row_number().over(wAdc))
+      .filter(col("rn_c") <= candR)
+      .withColumn("score", intDot(col("qc"), col("qc2")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("rn"), col("nn_id"), col("score"))
+  }
 }

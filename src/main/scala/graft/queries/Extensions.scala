@@ -2669,6 +2669,63 @@ object Extensions {
              |  WHERE q.vec_id <= 50) t
              |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin)),
 
+    // ------------------------------------- product-quantized ANN (PQ)
+    // The third compression rung of the ANN family (float32 256 B →
+    // SQ8 64 B → PQ 16 codes ≈ 16 B/vector): split the SQ8 code into
+    // 16 four-dim subspaces, quantize each to one of 32 sampled
+    // codewords (first-32-by-id init — the deterministic IVF centroid
+    // rule), and search in the FAISS refine shape: ADC (exact query
+    // code · reconstructed codeword concat) prunes the corpus to the
+    // top-50 candidates per query, and only those 50 rows evaluate the
+    // exact-SQ8 re-rank dot. All-integer end to end, so the oracle
+    // replays assignment, ADC, and re-rank bit-exactly; codeword count
+    // and re-rank depth R are the recall dials (measured on this
+    // fixture: overlap@5 vs exact = 0.61 at R=10, 0.895 at R=50 —
+    // gated ≥ 0.8 in QueriesSpec beside the SQ8 gate). At 100 TB the
+    // ADC scan touches 16 B/vector of code-list pages and the refine
+    // fetches 64 B for 50·queries rows — the candidate-generation /
+    // refine cost split every production PQ server runs.
+    GQuery(
+      "q_sim_pq",
+      (s, dir) => {
+        Vectors.pqSearch(Tables.embeddings(s, dir), "vec_id", "embedding",
+            m = 16, ncw = 32, queryPred = col("vec_id") <= 20, candR = 50, k = 5)
+          .orderBy(col("vec_id"), col("rn"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |qv AS (SELECT vec_id, list_transform(e, x -> CAST(floor(x / nrm * 127.0) AS BIGINT)) AS qc
+             |       FROM (SELECT vec_id, e,
+             |               sqrt(list_reduce(list_transform(e, y -> y * y), (a, y) -> a + y)) AS nrm
+             |             FROM v) t),
+             |cw AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw_id, qc AS cqc
+             |       FROM qv ORDER BY vec_id LIMIT 32),
+             |sub AS (SELECT q.vec_id, r.m, c.cw_id,
+             |          list_sum(list_transform(range(1, 5),
+             |            i -> (q.qc[r.m*4+i] - c.cqc[r.m*4+i]) * (q.qc[r.m*4+i] - c.cqc[r.m*4+i])))::BIGINT AS dist
+             |        FROM qv q CROSS JOIN range(0, 16) r(m) CROSS JOIN cw c),
+             |best AS (SELECT vec_id, m, cw_id FROM (
+             |           SELECT vec_id, m, cw_id,
+             |             row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cw_id) AS rn
+             |           FROM sub) z WHERE rn = 1),
+             |recon AS (SELECT b.vec_id, b.m, c.cqc FROM best b JOIN cw c ON b.cw_id = c.cw_id),
+             |adc AS (SELECT a.vec_id, r.vec_id AS nn_id,
+             |          sum(list_sum(list_transform(range(1, 5),
+             |            i -> a.qc[r.m*4+i] * r.cqc[r.m*4+i])))::BIGINT AS adc
+             |        FROM qv a JOIN recon r ON a.vec_id <> r.vec_id
+             |        WHERE a.vec_id <= 20 GROUP BY 1, 2),
+             |cand AS (SELECT vec_id, nn_id FROM (
+             |           SELECT vec_id, nn_id,
+             |             row_number() OVER (PARTITION BY vec_id ORDER BY adc DESC, nn_id) AS rn_c
+             |           FROM adc) z WHERE rn_c <= 50),
+             |rr AS (SELECT c.vec_id, c.nn_id,
+             |         list_sum(list_transform(range(1, len(a.qc) + 1), i -> a.qc[i] * x.qc[i]))::BIGINT AS score
+             |       FROM cand c JOIN qv a ON a.vec_id = c.vec_id JOIN qv x ON x.vec_id = c.nn_id)
+             |SELECT vec_id, CAST(rn AS INT) AS rn, nn_id, score FROM (
+             |  SELECT vec_id, nn_id, score,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, nn_id) AS rn
+             |  FROM rr) t
+             |WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin)),
+
     // ----------------------------------------------------- multimodal
     // Opaque binary payload + typed metadata struct riding beside the
     // text — the training-data-lake column shape. Content is a

@@ -114,6 +114,7 @@ object FloatDot {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotEntry)
+    ext.injectFunction(GraftExtensions.ldotEntry)
   }
 }
 
@@ -123,8 +124,15 @@ object GraftExtensions {
     new ExpressionInfo(classOf[FloatDot].getName, "graft_dot"),
     (children: Seq[Expression]) => FloatDot(children(0), children(1)): Expression)
 
+  private val ldotEntry = (
+    new FunctionIdentifier("graft_ldot"),
+    new ExpressionInfo(classOf[LongDot].getName, "graft_ldot"),
+    (children: Seq[Expression]) => LongDot(children(0), children(1)): Expression)
+
   /** Register into an already-running session (tests, REPL, the
     * driver's session) — `withExtensions` only applies at build time. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Bridge.registerFunction(spark, dotEntry._1, dotEntry._2, dotEntry._3)
+    Bridge.registerFunction(spark, ldotEntry._1, ldotEntry._2, ldotEntry._3)
+  }
 }

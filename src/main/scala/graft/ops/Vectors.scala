@@ -34,6 +34,15 @@ object Vectors {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Σ a_i·b_i over two `array<bigint>` CODE columns (SQ8 codes, PQ
+    * reconstructions) — exact integer, order-independent, backed by the
+    * codegen'd [[graft.functions.LongDot]]; [[longDotComposed]] is the
+    * interpreted semantic reference the OpsSpec equivalence test pins. */
+  def longDot(a: Column, b: Column): Column = graft.functions.LongDot(a, b)
+
+  def longDotComposed(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
@@ -325,12 +334,13 @@ object Vectors {
     }
   }
 
-  /** PQ code assignment: per subspace, argmin integer L2 distance to
-    * the codeword literals, ties to the LOWEST codeword id. One
-    * array_min over an encoded (dist·64 + cw) literal fold per
-    * subspace — a narrow, zero-shuffle, codegen'd map (requires
-    * ncw ≤ 64; 4-dim int8 subspaces bound dist·64 « 2^63). Returns the
-    * m assigned codeword ids as columns. */
+  /** PQ code assignment, COMPOSED reference form: per subspace, argmin
+    * integer L2 distance to the codeword literals via an encoded
+    * (dist·64 + cw) `least` fold (requires ncw ≤ 64), ties to the
+    * LOWEST codeword id. At m·ncw ≥ ~512 the inlined fold blows the
+    * JVM method limit and the projection silently interprets — the hot
+    * path is [[graft.functions.PqEncode]] (constant generated-code
+    * size; the OpsSpec equivalence test pins the two together). */
   def pqAssign(code: Column, cb: Seq[Seq[(Long, Seq[Long])]]): Seq[Column] = {
     val m = cb.length
     val d = cb.head.head._2.length
@@ -338,10 +348,7 @@ object Vectors {
     (0 until m).map { mm =>
       val sub = slice(code, mm * d + 1, d)
       val encoded = cb(mm).map { case (cwId, cwSub) =>
-        val dist = aggregate(
-          zip_with(sub, typedLit(cwSub), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v)
-        dist * lit(64L) + lit(cwId)
+        graft.functions.LongL2(sub, typedLit(cwSub)) * lit(64L) + lit(cwId)
       }
       pmod(least(encoded: _*), lit(64L)).as(s"pq_code_$mm")
     }
@@ -373,12 +380,11 @@ object Vectors {
       .withColumn("qc", sq8(col("v"), col("nrm")))
       .select(col("vec_id"), col("qc"))
     val cb = pqCodebook(coded, "vec_id", "qc", m, ncw)
-    val codeCols = pqAssign(col("qc"), cb)
     val corpus = broadcast(coded
-      .withColumn("recon", pqRecon(codeCols, cb))
+      .withColumn("recon",
+        graft.functions.PqEncode.recon(col("qc"), cb.map(_.map(_._2))))
       .select(col("vec_id").as("nn_id"), col("recon"), col("qc").as("qc2")))
-    val intDot = (a: Column, b: Column) => aggregate(
-      zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val intDot = (a: Column, b: Column) => longDot(a, b)
     val wAdc = Window.partitionBy(col("vec_id")).orderBy(col("adc").desc, col("nn_id"))
     val wTop = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("nn_id"))
     coded.filter(queryPred)

@@ -2486,18 +2486,18 @@ object Extensions {
     GQuery(
       "q_sim_quantized",
       (s, dir) => {
+        // Vectors.norm (codegen'd FloatDot) folds the same left-to-right
+        // float→double products as the composed aggregate — bit-equal
+        // norms, so the grid codes and the oracle are unchanged
         val q = Tables.embeddings(s, dir)
-          .withColumn("nrm", expr(
-            "sqrt(aggregate(transform(embedding, y -> cast(y as double) * y), 0D, (a, y) -> a + y))"))
-          .select(col("vec_id"), expr(
-            "transform(embedding, x -> cast(floor(cast(x as double) / nrm * 127.0) as bigint))")
-            .as("q"))
+          .withColumn("nrm", Vectors.norm(col("embedding")))
+          .select(col("vec_id"),
+            Vectors.sq8(col("embedding"), col("nrm")).as("q"))
         val corpus = broadcast(q.select(col("vec_id").as("nn_id"), col("q").as("q2")))
         val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("nn_id"))
         fanout(q.filter(col("vec_id") <= 20))
           .join(corpus, col("vec_id") =!= col("nn_id"))
-          .withColumn("score", expr(
-            "aggregate(zip_with(q, q2, (x, y) -> x * y), 0L, (acc, p) -> acc + p)"))
+          .withColumn("score", Vectors.longDot(col("q"), col("q2")))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("vec_id"), col("rn"), col("nn_id"), col("score"))
@@ -2611,8 +2611,7 @@ object Extensions {
         val emb = fanout(Tables.embeddings(s, dir))
           .select(col("vec_id"), col("embedding").as("v"))
           .withColumn("nrm", Vectors.norm(col("v")))
-          .withColumn("qc", expr(
-            "transform(v, x -> cast(floor(cast(x as double) / nrm * 127.0) as bigint))"))
+          .withColumn("qc", Vectors.sq8(col("v"), col("nrm")))
         val cents = Tables.embeddings(s, dir).filter(col("vec_id") <= 8)
           .select(col("vec_id"), col("embedding")).collect()
           .map { r =>
@@ -2634,8 +2633,7 @@ object Extensions {
         val wTop = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("nn_id"))
         queries.join(corpus, Seq("cluster"))
           .filter(col("vec_id") =!= col("nn_id"))
-          .withColumn("score", expr(
-            "aggregate(zip_with(qc, qc2, (x, y) -> x * y), 0L, (acc, p) -> acc + p)"))
+          .withColumn("score", Vectors.longDot(col("qc"), col("qc2")))
           .withColumn("rn", row_number().over(wTop))
           .filter(col("rn") <= 3)
           .select(col("vec_id"), col("rn"), col("nn_id"), col("score"))

@@ -76,6 +76,65 @@ class OpsSpec extends SparkSpec {
     assert(n.forall(r => r.isNullAt(0) && r.isNullAt(1)))
   }
 
+  test("LongDot codegen expression == composed higher-order form, exact") {
+    val df = (1 to 200).map { i =>
+      (Seq.tabulate(64)(d => ((i * 64 + d) % 255 - 127).toLong),
+       Seq.tabulate(64)(d => ((i * 31 + d * 7) % 255 - 127).toLong))
+    }.toDF("a", "b")
+    val rows = df.select(
+      Vectors.longDot($"a", $"b").as("fast"),
+      Vectors.longDotComposed($"a", $"b").as("slow")).as[(Long, Long)].collect()
+    assert(rows.forall { case (f, sl) => f == sl })
+    // null propagation + ragged-length null (matches zip_with padding)
+    val n = Seq(
+      (Seq(1L), null.asInstanceOf[Seq[Long]]),
+      (Seq(1L, 2L), Seq(3L))).toDF("a", "b")
+      .select(Vectors.longDot($"a", $"b").as("fast"),
+        Vectors.longDotComposed($"a", $"b").as("slow"))
+      .collect()
+    assert(n.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+    // null ELEMENTS (containsNull=true): null the product, both forms;
+    // repartition defeats ConvertToLocalRelation so codegen runs
+    val e = Seq(
+      (Seq(Option(1L), None), Seq(Option(3L), Option(4L))),
+      (Seq(Option(1L), Option(2L)), Seq(Option(3L), Option(4L)))).toDF("a", "b")
+      .repartition(1)
+      .select(Vectors.longDot($"a", $"b").as("fast"),
+        Vectors.longDotComposed($"a", $"b").as("slow"))
+      .collect()
+    assert(e.forall(r => r.isNullAt(0) == r.isNullAt(1)))
+    assert(e.count(_.isNullAt(0)) == 1)
+    assert(e.filterNot(_.isNullAt(0)).head.getLong(0) == 11L)
+  }
+
+  test("PqEncode kernel == composed pqAssign/pqRecon forms, on real codes") {
+    import org.apache.spark.sql.functions._
+    // the codegen'd kernel and the least-fold reference must agree on
+    // every code and every reconstructed element — argmin value AND
+    // tie direction (lowest codeword id)
+    val coded = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+      .select(col("vec_id"), Vectors.sq8(col("v"), col("nrm")).as("qc"))
+    val cb = Vectors.pqCodebook(coded, "vec_id", "qc", m = 16, ncw = 32)
+    val cbVecs = cb.map(_.map(_._2))
+    val slowCodes = Vectors.pqAssign(col("qc"), cb)
+    val rows = coded
+      .withColumn("fast_codes", graft.functions.PqEncode.codes(col("qc"), cbVecs))
+      .withColumn("slow_codes", array(slowCodes: _*))
+      .withColumn("fast_recon", graft.functions.PqEncode.recon(col("qc"), cbVecs))
+      .withColumn("slow_recon", Vectors.pqRecon(slowCodes, cb))
+      .filter(col("fast_codes") =!= col("slow_codes") ||
+        col("fast_recon") =!= col("slow_recon"))
+      .count()
+    assert(rows == 0L)
+    // null in -> null out; wrong length -> null (surfaced, not truncated)
+    val n = Seq(Seq(1L, 2L), null.asInstanceOf[Seq[Long]]).toDF("qc")
+      .select(graft.functions.PqEncode.codes(col("qc"), cbVecs).as("c"))
+      .collect()
+    assert(n.forall(_.isNullAt(0)))
+  }
+
   test("FloatDot/NgramShingles: null ELEMENTS match the composed forms (codegen + eval)") {
     // containsNull=true inputs: a null element must null the dot product
     // (acc + null nulls the composed fold) and be SKIPPED by shingling

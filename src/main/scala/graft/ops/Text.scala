@@ -160,12 +160,19 @@ object Text {
     * has a handful of terms; the corpus never re-shuffles for it) and
     * the per-term scores sum through an explicit SORTED left fold so
     * the result is reproducible by any engine — double addition is not
-    * associative. Same log-free rational idf core as q_tfidf. */
+    * associative. Same log-free rational idf core as q_tfidf.
+    *
+    * `qterms` rows are deduplicated on `term` here: a duplicate term
+    * row would double-count tf through the toks⋈qterms join and emit
+    * duplicate per-term scores into the fold. `df` must be functionally
+    * determined by `term` (it is a document frequency — one value per
+    * term by construction); which duplicate's df survives is otherwise
+    * unspecified. */
   def bm25TopK(toks: DataFrame, qterms: DataFrame, k: Int): DataFrame = {
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = toks.agg(count(lit(1)).as("t_total"),
       countDistinct(col("doc_id")).as("n_docs"))
-    val tf = toks.join(broadcast(qterms), "term")
+    val tf = toks.join(broadcast(qterms.dropDuplicates("term")), "term")
       .groupBy(col("doc_id"), col("term"), col("df")).agg(count(lit(1)).as("tf"))
     tf.join(dl, "doc_id").crossJoin(broadcast(stats)) // 1-row scalar
       .withColumn("avgdl", col("t_total").cast("double") / col("n_docs"))

@@ -250,10 +250,14 @@ object Vectors {
     * untrained centroids and the SCALE.md pair-count-vs-k rows both
     * measure this. */
   def semanticCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
-                             cents: DataFrame): Long =
-    assignToCentroids(emb, idCol, vecCol, cents)
+                             cents: DataFrame): Long = {
+    val r = assignToCentroids(emb, idCol, vecCol, cents)
       .groupBy(col("cluster")).count()
-      .agg(sum((col("count") * (col("count") - 1) / 2).cast("long"))).head.getLong(0)
+      .agg(sum((col("count") * (col("count") - 1) / 2).cast("long"))).head
+    // sum() over zero groups is NULL, not 0 — an empty corpus has zero
+    // candidate pairs (mirrors pagerank's own n==0 handling)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
 
   /** Full SemDeDup pipeline with a TRAINED coarse quantizer: spherical
     * k-means ([[kmeans]], `iters` Lloyd rounds from the deterministic
@@ -326,6 +330,9 @@ object Vectors {
     val sample = codes.orderBy(col(idCol)).limit(ncw)
       .select(col(codeCol)).collect()
       .map(_.getSeq[Long](0))
+    require(sample.nonEmpty,
+      "pqCodebook: empty codes input — a PQ codebook needs at least one " +
+        "sampled vector (mirrors assignTopN's centroid guard)")
     val d = sample.head.length / m
     (0 until m).map { mm =>
       sample.toSeq.zipWithIndex.map { case (qc, j) =>
@@ -393,6 +400,61 @@ object Vectors {
       .withColumn("rn_c", row_number().over(wAdc))
       .filter(col("rn_c") <= candR)
       .withColumn("score", intDot(col("qc"), col("qc2")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("rn"), col("nn_id"), col("score"))
+  }
+
+  /** The COMPOSED production ANN serving plan — IVF∘PQ with exact
+    * re-rank (the FAISS `IVFPQ,Refine` shape): the coarse quantizer
+    * cuts candidates to the query's `nprobe` nearest clusters BEFORE
+    * any per-candidate work, then ADC (query SQ8 code · reconstructed
+    * PQ codeword concat) ranks the in-cluster code list down to `candR`
+    * survivors, and only those rows evaluate the exact-SQ8 re-rank dot.
+    * This replaces [[pqSearch]]'s whole-corpus broadcast + per-query
+    * GLOBAL window — the two structures that cannot survive a corpus
+    * that outgrows one executor — with the cluster-key co-partition
+    * join, the ONE wide exchange ([[ivfTopK]]'s). Per 100 TB query the
+    * touched bytes are nprobe·(corpus/k)·~m code bytes for ADC plus
+    * candR·dim bytes for refine; the corpus never re-shuffles per
+    * query. All-integer after the coarse assign, so ADC, re-rank, and
+    * tie-breaks replay bit-exactly on any engine (full value oracle).
+    *
+    * Windows partition by vec_id across the query's probed clusters, so
+    * with nprobe > 1 the ADC cut is global over all probed candidates —
+    * identical semantics to a per-cluster cut ∪ merge at the same candR.
+    * `cents` is (c_id, cv) index metadata (the [[assignTopN]] rule). */
+  def ivfPqSearch(emb: DataFrame, idCol: String, vecCol: String,
+                  cents: DataFrame, m: Int, ncw: Int, queryPred: Column,
+                  nprobe: Int, candR: Int, k: Int): DataFrame = {
+    // single-file fixtures arrive as ONE split — spread before the
+    // interpreted HOF projections (sq8/recon); no-op on a real corpus
+    val base = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    // corpus side: every vector in its ONE nearest cluster, carrying
+    // only its codes (the cluster-partitioned code list an IVFPQ index
+    // stores — the float vector is dropped after encoding)
+    val corpusCoded = assignToCentroids(base, idCol, vecCol, cents)
+      .withColumn("qc", sq8(col("v"), col("nrm")))
+      .select(col("vec_id"), col("qc"), col("cluster"))
+    val cb = pqCodebook(corpusCoded, "vec_id", "qc", m, ncw)
+    val corpus = corpusCoded
+      .withColumn("recon",
+        graft.functions.PqEncode.recon(col("qc"), cb.map(_.map(_._2))))
+      .select(col("cluster"), col("vec_id").as("nn_id"),
+        col("recon"), col("qc").as("qc2"))
+    // query side: nprobe nearest clusters each (the recall dial that
+    // recovers boundary neighbors filed on the other side)
+    val queries = assignTopN(base.filter(queryPred), idCol, vecCol, cents, nprobe)
+      .withColumn("qc", sq8(col("v"), col("nrm")))
+      .select(col("cluster"), col("vec_id"), col("qc"))
+    val wAdc = Window.partitionBy(col("vec_id")).orderBy(col("adc").desc, col("nn_id"))
+    val wTop = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("nn_id"))
+    queries.join(corpus, Seq("cluster"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("adc", longDot(col("qc"), col("recon")))
+      .withColumn("rn_c", row_number().over(wAdc))
+      .filter(col("rn_c") <= candR)
+      .withColumn("score", longDot(col("qc"), col("qc2")))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)
       .select(col("vec_id"), col("rn"), col("nn_id"), col("score"))

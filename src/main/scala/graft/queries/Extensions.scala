@@ -2724,6 +2724,78 @@ object Extensions {
              |  FROM rr) t
              |WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin)),
 
+    // ------------------------------- IVF ∘ PQ composed serving (ANN)
+    // The production serving plan, fully composed — the FAISS
+    // `IVFPQ,Refine` shape that q_sim_ivf_sq and q_sim_pq each built
+    // half of: the coarse quantizer (q_sim_ivf's narrow centroid-
+    // literal argmax, first-8-by-id centroids) files every vector in
+    // ONE cluster and cuts each query's candidates to its own cluster
+    // BEFORE any per-candidate work; ADC (query SQ8 code · PQ-
+    // reconstructed codeword concat, 16×32 codebook) ranks the
+    // in-cluster code list to 50 survivors; only those evaluate the
+    // exact-SQ8 re-rank dot. What this composition retires vs q_sim_pq:
+    // the whole-corpus BROADCAST (the build side outgrows executors at
+    // scale) and the per-query GLOBAL window over all corpus rows —
+    // replaced by the cluster-key co-partition join, the plan's ONLY
+    // wide exchange. Per-query touched bytes at 100 TB: (corpus/k)·16
+    // code bytes for ADC + 50·64 B for refine; the corpus shuffles
+    // once at index build, never per query. All-integer after the
+    // coarse assign → full value oracle, bit-exact tie-breaks. nprobe
+    // and candR are the two recall dials (gated in QueriesSpec vs the
+    // float ground truth beside the SQ8/PQ gates).
+    GQuery(
+      "q_sim_ivf_pq",
+      (s, dir) => {
+        val cents = Tables.embeddings(s, dir).filter(col("vec_id") <= 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+        Vectors.ivfPqSearch(Tables.embeddings(s, dir), "vec_id", "embedding",
+            cents, m = 16, ncw = 32, queryPred = col("vec_id") <= 20,
+            nprobe = 1, candR = 50, k = 5)
+          .orderBy(col("vec_id"), col("rn"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |qv AS (SELECT vec_id, list_transform(e, x -> CAST(floor(x / nrm * 127.0) AS BIGINT)) AS qc
+             |       FROM (SELECT vec_id, e,
+             |               sqrt(list_reduce(list_transform(e, y -> y * y), (a, y) -> a + y)) AS nrm
+             |             FROM v) t),
+             |cent AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id <= 8),
+             |asg AS (SELECT vec_id, c_id AS cluster FROM (
+             |          SELECT a.vec_id, c.c_id,
+             |            row_number() OVER (PARTITION BY a.vec_id
+             |              ORDER BY list_cosine_similarity(a.e, c.ce) DESC, c.c_id) AS rn
+             |          FROM v a CROSS JOIN cent c) z WHERE rn = 1),
+             |cw AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw_id, qc AS cqc
+             |       FROM qv ORDER BY vec_id LIMIT 32),
+             |sub AS (SELECT q.vec_id, r.m, c.cw_id,
+             |          list_sum(list_transform(range(1, 5),
+             |            i -> (q.qc[r.m*4+i] - c.cqc[r.m*4+i]) * (q.qc[r.m*4+i] - c.cqc[r.m*4+i])))::BIGINT AS dist
+             |        FROM qv q CROSS JOIN range(0, 16) r(m) CROSS JOIN cw c),
+             |best AS (SELECT vec_id, m, cw_id FROM (
+             |           SELECT vec_id, m, cw_id,
+             |             row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cw_id) AS rn
+             |           FROM sub) z WHERE rn = 1),
+             |recon AS (SELECT b.vec_id, b.m, c.cqc FROM best b JOIN cw c ON b.cw_id = c.cw_id),
+             |adc AS (SELECT a.vec_id, r.vec_id AS nn_id,
+             |          sum(list_sum(list_transform(range(1, 5),
+             |            i -> a.qc[r.m*4+i] * r.cqc[r.m*4+i])))::BIGINT AS adc
+             |        FROM qv a
+             |        JOIN asg qa ON qa.vec_id = a.vec_id
+             |        JOIN asg ra ON ra.cluster = qa.cluster
+             |        JOIN recon r ON r.vec_id = ra.vec_id AND a.vec_id <> r.vec_id
+             |        WHERE a.vec_id <= 20 GROUP BY 1, 2),
+             |cand AS (SELECT vec_id, nn_id FROM (
+             |           SELECT vec_id, nn_id,
+             |             row_number() OVER (PARTITION BY vec_id ORDER BY adc DESC, nn_id) AS rn_c
+             |           FROM adc) z WHERE rn_c <= 50),
+             |rr AS (SELECT c.vec_id, c.nn_id,
+             |         list_sum(list_transform(range(1, len(a.qc) + 1), i -> a.qc[i] * x.qc[i]))::BIGINT AS score
+             |       FROM cand c JOIN qv a ON a.vec_id = c.vec_id JOIN qv x ON x.vec_id = c.nn_id)
+             |SELECT vec_id, CAST(rn AS INT) AS rn, nn_id, score FROM (
+             |  SELECT vec_id, nn_id, score,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, nn_id) AS rn
+             |  FROM rr) t
+             |WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin)),
+
     // ----------------------------------------------------- multimodal
     // Opaque binary payload + typed metadata struct riding beside the
     // text — the training-data-lake column shape. Content is a

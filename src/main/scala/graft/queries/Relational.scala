@@ -157,9 +157,14 @@ object Relational {
              |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus='O')
              |ORDER BY c_custkey""".stripMargin)),
 
-    // Dimension tables (region/nation/supplier) are tiny at any SF — the
-    // explicit broadcast() turns a 3-way shuffle into a single map-side
-    // stage over lineitem: the canonical star-schema plan at 100 TB.
+    // The broadcast HINT is the operator under test here: explicit
+    // broadcast() turns a 3-way shuffle into a single map-side stage
+    // over lineitem — the canonical star-schema plan. Region/nation are
+    // fixed-size (5/25 rows at every SF) so their hints are always
+    // safe; supplier is SF-scaled but pruned to 2 integer columns
+    // before the hint, and the production-discipline twin — dims
+    // WITHOUT forced hints, strategy left to the size-based planner —
+    // is the TPC-H composite family below (q_tpch_q3/q5/q10/q18).
     GQuery(
       "q_join_broadcast",
       (s, dir) => {
@@ -462,13 +467,21 @@ object Relational {
     // COMPOSITE star-schema analytical query — the TPC-H Q3 shape
     // (segment-filtered customers × orders × lineitem → per-order
     // revenue → top 20): the end-to-end plan every warehouse consumer
-    // runs, exercising join ORDER and STRATEGY choices together. The
-    // filtered customer dim broadcasts (map-side, the fact table never
-    // shuffles for it); lineitem⋈orders co-partition on the order key —
-    // the one real exchange; revenue sums ride exact decimals
-    // (price·(1−disc) multiplied IN DECIMAL, so both engines compute
-    // the identical product before the order-independent sum); the
-    // top-20 is selected on the exact revenue with key tie-breaks.
+    // runs, exercising join ORDER and STRATEGY choices together.
+    // Customer is SF-SCALED (150k rows/SF), so it carries NO forced
+    // broadcast() hint: a forced hint overrides the planner's size
+    // check and at the 100 TB design point would ship a multi-GB build
+    // side to every executor. Size-based auto-broadcast (AQE +
+    // autoBroadcastJoinThreshold) picks the broadcast strategy at gate
+    // SFs where the filtered dim is KB-scale — same plan, no scale
+    // cliff — and falls back to a custkey co-partition when the dim
+    // outgrows the threshold (the cost-based discipline
+    // AsOfJoinStrategy implements natively). lineitem⋈orders
+    // co-partition on the order key — the one unavoidable exchange;
+    // revenue sums ride exact decimals (price·(1−disc) multiplied IN
+    // DECIMAL, so both engines compute the identical product before
+    // the order-independent sum); the top-20 is selected on the exact
+    // revenue with key tie-breaks.
     GQuery(
       "q_tpch_q3",
       (s, dir) => {
@@ -478,7 +491,7 @@ object Relational {
         val one = lit(1).cast("decimal(18,4)")
         Tables.lineitem(s, dir)
           .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderpriority"))
           .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("rev"))
           .orderBy(col("rev").desc, col("l_orderkey"))
@@ -505,9 +518,13 @@ object Relational {
     // BOTH strategy classes in one query. The returnflag filter prunes
     // lineitem at the scan; lineitem⋈orders share the order-key
     // exchange with q_tpch_q3 (the only wide shuffle); the per-customer
-    // aggregate is small, so customer and nation both broadcast onto it
-    // rather than shuffling the fact side again. Revenue rides exact
-    // decimals; top-20 with key tie-breaks.
+    // aggregate is small. Nation (fixed 25 rows at EVERY SF) keeps its
+    // broadcast hint; customer is SF-scaled (150k rows/SF) so its
+    // strategy is left to size-based auto-broadcast — broadcast at
+    // gate SFs, custkey co-partition once the dim outgrows
+    // autoBroadcastJoinThreshold (a forced hint here would OOM the
+    // driver at the 100 TB point). Revenue rides exact decimals;
+    // top-20 with key tie-breaks.
     GQuery(
       "q_tpch_q10",
       (s, dir) => {
@@ -517,7 +534,7 @@ object Relational {
           .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_custkey"))
           .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("rev"))
-          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
           .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
           .orderBy(col("rev").desc, col("c_custkey"))
           .limit(20)
@@ -543,12 +560,18 @@ object Relational {
     // snowflake: region→nation→{customer,supplier} dims around the
     // orders⋈lineitem fact spine, with the local-supplier predicate
     // c_nationkey = s_nationkey). The plan every star-schema engine is
-    // judged on: the year filter pushes into the orders SCAN, the
-    // fact⋈fact orderkey co-partition is the ONE wide exchange, and
-    // every dim — supplier, customer, and the pre-joined nation×region
-    // pair — broadcasts onto the fact side (the 100 TB rule: the fact
-    // table shuffles once, dims never shuffle it again). Revenue rides
-    // exact decimals; per-nation rows ordered by revenue.
+    // judged on: the year filter pushes into the orders SCAN and the
+    // fact⋈fact orderkey co-partition is the ONE unavoidable wide
+    // exchange. Broadcast hints are size-disciplined: only the
+    // FIXED-size dims carry one (region = 5 rows, nation×region = 25
+    // rows at every SF). Supplier (10k rows/SF) and customer (150k
+    // rows/SF) are SF-scaled, so their join strategy is left to
+    // size-based auto-broadcast: at gate SFs the planner still
+    // broadcasts them (MB-scale < autoBroadcastJoinThreshold — plan
+    // shape unchanged), while at the 100 TB point it degrades to a
+    // key co-partition instead of force-shipping a multi-GB build
+    // side through the driver. Revenue rides exact decimals;
+    // per-nation rows ordered by revenue.
     GQuery(
       "q_tpch_q5",
       (s, dir) => {
@@ -562,8 +585,8 @@ object Relational {
             .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
               col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(Tables.customer(s, dir)),
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.customer(s, dir),
             col("o_custkey") === col("c_custkey") &&
               col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
@@ -595,9 +618,13 @@ object Relational {
     // orders join needs, so the exchange is paid once and AQE sees the
     // post-HAVING side collapse to a sliver (top ~2% of orders at the
     // 250 threshold — fixture p90 is ~182, p99 ~265 at every SF, so
-    // the gate is non-degenerate at sf0.001 through sf0.1); customer
-    // broadcasts onto the survivors. Quantity sums ride exact decimals;
-    // top-100 by order value with key tie-breaks.
+    // the gate is non-degenerate at sf0.001 through sf0.1). Customer
+    // is SF-scaled (150k rows/SF) so it carries NO forced broadcast
+    // hint — size-based auto-broadcast still picks the broadcast plan
+    // at gate SFs, and at the 100 TB point AQE sees the post-HAVING
+    // survivors shrink and can broadcast THAT side instead, which a
+    // forced customer hint would preempt. Quantity sums ride exact
+    // decimals; top-100 by order value with key tie-breaks.
     GQuery(
       "q_tpch_q18",
       (s, dir) => {
@@ -607,7 +634,7 @@ object Relational {
           .filter(col("oq") > 250)
         Tables.orders(s, dir)
           .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
-          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
           .limit(100)
           .select(col("c_name"), col("c_custkey"), col("o_orderkey"),

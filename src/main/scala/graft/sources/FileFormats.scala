@@ -45,6 +45,13 @@ object FileFormats {
   def readJson(s: SparkSession, path: String): DataFrame =
     s.read.schema(docSchema).json(path)
 
+  /** CSV write with the newline-rejection precheck. COST NOTE: the
+    * precheck is a SECOND evaluation of the input plan (LocalLimit
+    * stops at the first offender, but a clean input pays a full extra
+    * pass) and check-then-write is not atomic for non-deterministic
+    * sources. Acceptable for the fixture-scale inputs this path
+    * serves; a production-sized export should materialize once
+    * (cache/checkpoint or write-then-validate) before routing here. */
   def writeCsv(df: DataFrame, path: String): Unit = {
     // fail fast on the documented format limit instead of writing rows
     // that read back split in two: one early-out scan over the string

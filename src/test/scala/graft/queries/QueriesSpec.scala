@@ -319,6 +319,45 @@ class QueriesSpec extends SparkSpec {
     assert(recallAt(10) <= r50, "deeper re-rank cut lost recall")
   }
 
+  test("q_sim_ivf_pq: composed IVF∘PQ recall dials are monotone; served floor holds") {
+    import org.apache.spark.sql.functions._
+    // The composed serving plan adds the coarse-cut loss on top of
+    // PQ's: with the untrained first-8-by-id centroids a boundary
+    // query's true neighbors can be filed in a cluster it doesn't
+    // probe, and nprobe is the dial that buys them back. Measured
+    // overlap@5 vs the float top-5 at sf0.01 (all-integer plan, so
+    // deterministic — a drop is a regression, never a flake):
+    // nprobe=1 0.552, nprobe=2 0.657, nprobe=4 0.743 at candR=50;
+    // candR=10 at nprobe=4 is 0.533. Gates: the oracled config's
+    // floor, both dial monotonicities, and the dialed-up floor.
+    val exact = run("q_sim_topk").filter(col("vec_id") <= 20)
+      .select(col("vec_id"), col("nn_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val cents = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .filter(col("vec_id") <= 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    def recallAt(nprobe: Int, candR: Int): Double = {
+      val r = graft.ops.Vectors.ivfPqSearch(
+          graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.01"),
+          "vec_id", "embedding", cents, m = 16, ncw = 32,
+          queryPred = col("vec_id") <= 20, nprobe = nprobe, candR = candR, k = 5)
+        .select(col("vec_id"), col("nn_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      exact.keys.toSeq
+        .map(k => (r.getOrElse(k, Set.empty[Long]) & exact(k)).size / 5.0)
+        .sum / exact.size
+    }
+    val r1 = recallAt(1, 50)
+    val r2 = recallAt(2, 50)
+    val r4 = recallAt(4, 50)
+    assert(r1 >= 0.5, s"oracled config (nprobe=1, candR=50) overlap@5: $r1")
+    assert(r1 <= r2 && r2 <= r4, s"nprobe dial not monotone: $r1 / $r2 / $r4")
+    assert(r4 >= 0.7, s"dialed-up (nprobe=4, candR=50) overlap@5: $r4")
+    assert(recallAt(4, 10) <= r4, "deeper ADC cut lost recall")
+  }
+
   test("q_knn_join: exact subset of brute-force threshold pairs, with bounded recall loss") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -749,8 +749,15 @@ object Relational {
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     // Exact percentiles (sort-based within group; interpolating —
-    // matches quantile_cont). At scale prefer approx_percentile
-    // (t-digest, mergeable partial agg) — exact is the oracle form.
+    // matches quantile_cont). SCALE NOTE: exact percentile() buffers
+    // O(group size) values per group in the aggregation buffer — fine
+    // while the largest group fits one executor's memory (here: 3 flag
+    // groups over lineitem), a spill-then-OOM hazard beyond. The scale
+    // path is the approx twin q_agg_approx_percentile (KLL-family
+    // sketch: mergeable partial agg, bounded memory per group at any
+    // group size); switch when per-group cardinality approaches 10^7
+    // values (~100 MB of doubles buffered per group) — see SCALE.md
+    // "Aggregation and windows". Exact is the oracle form.
     GQuery(
       "q_agg_percentile",
       (s, dir) => {

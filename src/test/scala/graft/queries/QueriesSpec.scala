@@ -30,6 +30,25 @@ class QueriesSpec extends SparkSpec {
     assert(GQuery.all.map(_.name).toSet == golden.keySet)
   }
 
+  test("PLANS.md covers the full query registry (regen tripwire)") {
+    // The plan-evidence discipline only works if the table covers every
+    // declared query — it went stale twice when queries landed without
+    // a regen (128 rows vs 131 in round 11). Regen:
+    //   spark-shell --driver-class-path target/scala-2.13/classes \
+    //     -I scripts/gen_plans.scala
+    val plansFile = new java.io.File("PLANS.md")
+    assert(plansFile.exists, "PLANS.md missing — run scripts/gen_plans.scala")
+    val src = scala.io.Source.fromFile(plansFile, "UTF-8")
+    val rows = try src.getLines()
+      .filter(_.startsWith("| "))
+      .map(_.split("\\|")(1).trim).toSet
+    finally src.close()
+    val missing = GQuery.all.map(_.name).toSet -- rows
+    assert(missing.isEmpty,
+      s"PLANS.md is stale — missing ${missing.toSeq.sorted.mkString(", ")}; " +
+        "regen with scripts/gen_plans.scala")
+  }
+
   // ---- physical-plan regression pins (the perf claims in SCALE.md) ----
   private def plan(name: String): String =
     GQuery.all.find(_.name == name).get.fn(spark, dir)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.cdc.{CdcGen, CdcMerge, Ingest}
-import graft.ops.{IvfIndex, LshIndex, Text, Vectors}
+import graft.ops.{IvfIndex, IvfPqIndex, LshIndex, Text, Vectors}
 import graft.tables.Tables
 
 /** The extension query surface: the reference's core CDC-merge semantics
@@ -2759,6 +2759,76 @@ object Extensions {
              |               sqrt(list_reduce(list_transform(e, y -> y * y), (a, y) -> a + y)) AS nrm
              |             FROM v) t),
              |cent AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id <= 8),
+             |asg AS (SELECT vec_id, c_id AS cluster FROM (
+             |          SELECT a.vec_id, c.c_id,
+             |            row_number() OVER (PARTITION BY a.vec_id
+             |              ORDER BY list_cosine_similarity(a.e, c.ce) DESC, c.c_id) AS rn
+             |          FROM v a CROSS JOIN cent c) z WHERE rn = 1),
+             |cw AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw_id, qc AS cqc
+             |       FROM qv ORDER BY vec_id LIMIT 32),
+             |sub AS (SELECT q.vec_id, r.m, c.cw_id,
+             |          list_sum(list_transform(range(1, 5),
+             |            i -> (q.qc[r.m*4+i] - c.cqc[r.m*4+i]) * (q.qc[r.m*4+i] - c.cqc[r.m*4+i])))::BIGINT AS dist
+             |        FROM qv q CROSS JOIN range(0, 16) r(m) CROSS JOIN cw c),
+             |best AS (SELECT vec_id, m, cw_id FROM (
+             |           SELECT vec_id, m, cw_id,
+             |             row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cw_id) AS rn
+             |           FROM sub) z WHERE rn = 1),
+             |recon AS (SELECT b.vec_id, b.m, c.cqc FROM best b JOIN cw c ON b.cw_id = c.cw_id),
+             |adc AS (SELECT a.vec_id, r.vec_id AS nn_id,
+             |          sum(list_sum(list_transform(range(1, 5),
+             |            i -> a.qc[r.m*4+i] * r.cqc[r.m*4+i])))::BIGINT AS adc
+             |        FROM qv a
+             |        JOIN asg qa ON qa.vec_id = a.vec_id
+             |        JOIN asg ra ON ra.cluster = qa.cluster
+             |        JOIN recon r ON r.vec_id = ra.vec_id AND a.vec_id <> r.vec_id
+             |        WHERE a.vec_id <= 20 GROUP BY 1, 2),
+             |cand AS (SELECT vec_id, nn_id FROM (
+             |           SELECT vec_id, nn_id,
+             |             row_number() OVER (PARTITION BY vec_id ORDER BY adc DESC, nn_id) AS rn_c
+             |           FROM adc) z WHERE rn_c <= 50),
+             |rr AS (SELECT c.vec_id, c.nn_id,
+             |         list_sum(list_transform(range(1, len(a.qc) + 1), i -> a.qc[i] * x.qc[i]))::BIGINT AS score
+             |       FROM cand c JOIN qv a ON a.vec_id = c.vec_id JOIN qv x ON x.vec_id = c.nn_id)
+             |SELECT vec_id, CAST(rn AS INT) AS rn, nn_id, score FROM (
+             |  SELECT vec_id, nn_id, score,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, nn_id) AS rn
+             |  FROM rr) t
+             |WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin)),
+
+    // The SAME composed IVF∘PQ search served from the PERSISTED index
+    // (ops/IvfPqIndex): built once per sf (cached fixture — k=8
+    // centroids at iters=0 = the deterministic first-8-BY-ID init, so
+    // the oracle replays them as vec_id < 8; 16×32 codebook from the
+    // first-32-by-id SQ8 codes, same rule as q_sim_pq), then every
+    // invocation reads centroids + codebook metadata and ONLY the
+    // probed cluster partitions of the two stored tiers: the m-byte
+    // PQ code lists for the ADC cut (reconstructed at serve time from
+    // codes + codebook literals — the index ships codes, never
+    // reconstructions) and the exact-SQ8 refine tier for the candR
+    // survivors. What verify value-checks beyond q_sim_ivf_pq: the
+    // full build/serve lifecycle — parquet round-trip of centroids/
+    // codebook/codes, two-tier partition pruning, delta-union read
+    // path — against the identical all-integer DuckDB semantics.
+    GQuery(
+      "q_sim_ivf_pq_served",
+      (s, dir) => {
+        val sfKey = new java.io.File(dir).getName
+        val idxDir = cachedFixture(s"graft_ivfpq_cache_v1_$sfKey") { root =>
+          IvfPqIndex.build(s, root + "/idx", fanout(Tables.embeddings(s, dir)),
+            "vec_id", "embedding", k = 8, iters = 0, m = 16, ncw = 32)
+        } + "/idx"
+        IvfPqIndex.topK(s, idxDir,
+            Tables.embeddings(s, dir).filter(col("vec_id") <= 20),
+            "vec_id", "embedding", k = 5, nprobe = 1, candR = 50)
+          .orderBy(col("vec_id"), col("rn"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |qv AS (SELECT vec_id, list_transform(e, x -> CAST(floor(x / nrm * 127.0) AS BIGINT)) AS qc
+             |       FROM (SELECT vec_id, e,
+             |               sqrt(list_reduce(list_transform(e, y -> y * y), (a, y) -> a + y)) AS nrm
+             |             FROM v) t),
+             |cent AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id < 8),
              |asg AS (SELECT vec_id, c_id AS cluster FROM (
              |          SELECT a.vec_id, c.c_id,
              |            row_number() OVER (PARTITION BY a.vec_id

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
-import graft.ops.LshIndex
+import graft.ops.{IvfPqIndex, LshIndex}
 
 /** Streaming transforms beyond the reference's executed surface
   * (README.md never windows or watermarks — its only state is source
@@ -179,6 +179,59 @@ object Streams {
         .option("partitionOverwriteMode", "dynamic").parquet(outDir)
       LshIndex.append(s, idxDir,
         s.read.parquet(outDir).filter(col("_batch_id") === batchId), batchId)
+      true
+    }
+  }
+
+  /** Streaming ANN-index maintenance over a persisted IVF∘PQ index
+    * ([[graft.ops.IvfPqIndex]]) — the embedding half of the ingest
+    * loop: vector batches arrive continuously, and each one is encoded
+    * under the index's FIXED centroids + codebook and appended as a
+    * delta, so similarity serving stays fresh without ever re-encoding
+    * the landed corpus. Per batch, under the delta protocol:
+    *
+    *  1. land the batch in `outDir` partitioned by `_batch_id`
+    *     (dynamic partition overwrite — a replayed batch overwrites
+    *     its own partition);
+    *  2. append the batch-as-landed (read back from `outDir`) as index
+    *     delta `batchId`: narrow assign + PQ encode of the batch only.
+    *
+    * Exactly-once by the delta marker (the [[nearDupIngest]] rule): a
+    * replayed batch whose delta is committed is a full no-op; a crash
+    * between steps replays into an unchanged index and rewrites an
+    * identical partition. Bootstrap with [[graft.ops.IvfPqIndex.build]]
+    * over the base corpus — the artifacts are immutable between
+    * rebuilds, so every batch encodes against the same geometry the
+    * serving path reads. */
+  def annIngest(vecs: DataFrame, idxDir: String, outDir: String,
+                checkpointDir: String, idCol: String = "vec_id",
+                vecCol: String = "embedding"): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        annBatch(batch, batchId, idxDir, outDir, idCol, vecCol)
+        ()
+      }
+      .start()
+
+  /** One [[annIngest]] transaction, callable directly (batch-mode
+    * backfill, crash-protocol tests). Returns whether this call
+    * committed the batch. */
+  def annBatch(batch: DataFrame, batchId: Long, idxDir: String,
+               outDir: String, idCol: String = "vec_id",
+               vecCol: String = "embedding"): Boolean = {
+    val s = batch.sparkSession
+    require(IvfPqIndex.exists(s, idxDir),
+      s"no committed IVF-PQ index at $idxDir — IvfPqIndex.build first")
+    if (IvfPqIndex.deltaIds(s, idxDir).contains(batchId)) false
+    else {
+      batch.withColumn("_batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("_batch_id")
+        .option("partitionOverwriteMode", "dynamic").parquet(outDir)
+      IvfPqIndex.append(s, idxDir,
+        s.read.parquet(outDir).filter(col("_batch_id") === batchId)
+          .drop("_batch_id"),
+        idCol, vecCol, batchId)
       true
     }
   }

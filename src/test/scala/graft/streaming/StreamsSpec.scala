@@ -124,6 +124,50 @@ class StreamsSpec extends SparkSpec {
     assert(LshIndex.deltaIds(spark, idx) == Seq(0L, 1L))
   }
 
+  test("annBatch crash protocol: replay converges; served results include delta vectors") {
+    import graft.ops.IvfPqIndex
+    val root = tmpDir("graft_sann_crash")
+    val (idx, out) = (root + "/idx", root + "/out")
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(pmod($"vec_id", lit(3)) === 0)
+    val b1 = emb.filter(pmod($"vec_id", lit(3)) === 1)
+
+    IvfPqIndex.build(spark, idx, base, "vec_id", "embedding",
+      k = 4, iters = 0, m = 16, ncw = 16)
+    assert(Streams.annBatch(b1, 1L, idx, out))
+    // committed batch replayed → full no-op
+    assert(!Streams.annBatch(b1, 1L, idx, out))
+    assert(IvfPqIndex.deltaIds(spark, idx) == Seq(1L))
+
+    val committed = IvfPqIndex.topK(spark, idx, emb.filter($"vec_id" <= 20),
+        "vec_id", "embedding", k = 3, nprobe = 2, candR = 30)
+      .select($"vec_id", $"rn", $"nn_id", $"score")
+      .as[(Long, Int, Long, Long)].collect().toSet
+
+    // the delta actually serves: some appended vector appears as a
+    // neighbor (bit-exact served ≡ in-memory equality is OpsSpec's
+    // job, where build and search share one corpus and codebook; here
+    // the invariant is end-to-end delta VISIBILITY through the
+    // streaming transaction)
+    val deltaIds1 = b1.select($"vec_id").as[Long].collect().toSet
+    assert(committed.exists(r => deltaIds1.contains(r._3)),
+      "no delta vector ever served as a neighbor")
+
+    // crash between the landed write and the marker: delta dirs + marker
+    // gone, out partition left behind — replay must re-commit
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_DELTA_1"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/codes_d1"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/refine_d1"), true)
+    assert(IvfPqIndex.deltaIds(spark, idx).isEmpty)
+    assert(Streams.annBatch(b1, 1L, idx, out), "replay must re-commit the crashed batch")
+    val replayed = IvfPqIndex.topK(spark, idx, emb.filter($"vec_id" <= 20),
+        "vec_id", "embedding", k = 3, nprobe = 2, candR = 30)
+      .select($"vec_id", $"rn", $"nn_id", $"score")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(replayed == committed, "crash replay diverged from the committed state")
+  }
+
   test("stream-static enrich: broadcast dimension join, no watermark state") {
     implicit val sc = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")

@@ -17,7 +17,7 @@
 //        -I scripts/serve_probe.scala
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
-import graft.ops.{IvfIndex, LshIndex}
+import graft.ops.{IvfIndex, IvfPqIndex, LshIndex}
 
 val base = "/root/testdata/sf0.1"
 val scaled = "/tmp/graft_scale10"
@@ -41,8 +41,10 @@ if (!Files.exists(Paths.get(scaled, "_DONE_EMB"))) {
 }
 
 def docsOf(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
-def embOf(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
-  .select(col("vec_id"), col("embedding"))
+// NOTE: single line — in `-I` line mode a trailing .select continuation
+// detaches from the def (the def completes at EOL) and lands on the
+// previous statement's Unit, so the projection silently never applied
+def embOf(dir: String) = { spark.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"), col("embedding")) }
 
 def ensure(marker: String)(build: => Unit): Unit =
   if (!Files.exists(Paths.get(marker))) { build; Files.createFile(Paths.get(marker)) }
@@ -65,6 +67,14 @@ ensure("/tmp/graft_serve_ivf_x10/_DONE") {
   IvfIndex.build(spark, "/tmp/graft_serve_ivf_x10/idx", embOf(scaled),
     "vec_id", "embedding", k = 8, iters = 0)
 }
+ensure("/tmp/graft_serve_ivfpq_base/_DONE") {
+  IvfPqIndex.build(spark, "/tmp/graft_serve_ivfpq_base/idx", embOf(base),
+    "vec_id", "embedding", k = 8, iters = 0, m = 16, ncw = 32)
+}
+ensure("/tmp/graft_serve_ivfpq_x10/_DONE") {
+  IvfPqIndex.build(spark, "/tmp/graft_serve_ivfpq_x10/idx", embOf(scaled),
+    "vec_id", "embedding", k = 8, iters = 0, m = 16, ncw = 32)
+}
 
 // the FIXED probe workloads — identical against both corpus sizes
 val lshBatch = docsOf(base).filter(pmod(col("doc_id"), lit(5)) === 0)
@@ -82,7 +92,12 @@ val ivfB = time(IvfIndex.topK(spark, "/tmp/graft_serve_ivf_base/idx", ivfQueries
   "vec_id", "embedding", k = 3, nprobe = 1).count())
 val ivfX = time(IvfIndex.topK(spark, "/tmp/graft_serve_ivf_x10/idx", ivfQueries,
   "vec_id", "embedding", k = 3, nprobe = 1).count())
+val pqB = time(IvfPqIndex.topK(spark, "/tmp/graft_serve_ivfpq_base/idx", ivfQueries,
+  "vec_id", "embedding", k = 3, nprobe = 1, candR = 50).count())
+val pqX = time(IvfPqIndex.topK(spark, "/tmp/graft_serve_ivfpq_x10/idx", ivfQueries,
+  "vec_id", "embedding", k = 3, nprobe = 1, candR = 50).count())
 
 println(f"${"serve path"}%-24s ${"1x idx(s)"}%9s ${"10x idx(s)"}%10s ${"ratio"}%6s")
 println(f"${"lsh probe (fixed batch)"}%-24s $lshB%9.2f $lshX%10.2f ${lshX / lshB}%6.1f")
 println(f"${"ivf topk (fixed 50q)"}%-24s $ivfB%9.2f $ivfX%10.2f ${ivfX / ivfB}%6.1f")
+println(f"${"ivfpq topk (fixed 50q)"}%-24s $pqB%9.2f $pqX%10.2f ${pqX / pqB}%6.1f")

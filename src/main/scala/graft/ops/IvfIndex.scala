@@ -27,14 +27,10 @@ import org.apache.spark.sql.functions._
   * bit-exactly).
   */
 object IvfIndex {
-
-  private def fsOf(spark: SparkSession) =
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  import DeltaProtocol.{fsOf, path}
 
   def exists(spark: SparkSession, dir: String): Boolean =
-    fsOf(spark).exists(new org.apache.hadoop.fs.Path(s"$dir/_INDEX"))
-
-  private def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    DeltaProtocol.markerExists(spark, dir)
 
   /** Train (spherical k-means) and persist the index: centroids first,
     * then the cluster-partitioned corpus assignment, marker last (the
@@ -45,33 +41,21 @@ object IvfIndex {
     * rebuild rule, applied to its sibling). */
   def build(sess: SparkSession, dir: String, emb: DataFrame,
             idCol: String, vecCol: String, k: Int, iters: Int): Unit = {
-    val fs = fsOf(sess)
     // a rebuild drops the marker FIRST: a crash mid-rewrite must leave
     // an uncommitted index, never a readable centroids/corpus mismatch
-    fs.delete(path(s"$dir/_INDEX"), false)
-    if (fs.exists(path(dir))) {
-      fs.listStatus(path(dir)).map(_.getPath.getName)
-        .filter(_.startsWith("_DELTA_")).foreach(n => fs.delete(path(s"$dir/$n"), false))
-      fs.listStatus(path(dir)).map(_.getPath.getName)
-        .filter(_.startsWith("corpus_d")).foreach(n => fs.delete(path(s"$dir/$n"), true))
-    }
+    DeltaProtocol.clearPriorIndex(sess, dir, Seq("corpus_d"))
     Vectors.kmeans(emb, idCol, vecCol, k, iters)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     val cents = sess.read.parquet(s"$dir/centroids")
     Vectors.assignToCentroids(emb, idCol, vecCol, cents)
       .select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/corpus")
-    fs.createNewFile(path(s"$dir/_INDEX"))
+    fsOf(sess).createNewFile(path(s"$dir/_INDEX"))
   }
 
   /** Committed delta ids, sorted. */
-  def deltaIds(sess: SparkSession, dir: String): Seq[Long] = {
-    val fs = fsOf(sess)
-    if (!fs.exists(path(dir))) Seq.empty
-    else fs.listStatus(path(dir)).map(_.getPath.getName)
-      .collect { case n if n.startsWith("_DELTA_") => n.stripPrefix("_DELTA_").toLong }
-      .toSeq.sorted
-  }
+  def deltaIds(sess: SparkSession, dir: String): Seq[Long] =
+    DeltaProtocol.deltaIds(sess, dir)
 
   /** Append a vector batch as delta `id` — the daily-ingest path: new
     * vectors are assigned to the FIXED trained centroids (an IVF
@@ -87,11 +71,15 @@ object IvfIndex {
     require(exists(sess, dir), s"no committed IVF index at $dir")
     if (deltaIds(sess, dir).contains(id)) false
     else {
-      val cents = sess.read.parquet(s"$dir/centroids")
-      Vectors.assignToCentroids(emb, idCol, vecCol, cents)
-        .select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
-        .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/corpus_d$id")
-      fsOf(sess).createNewFile(path(s"$dir/_DELTA_$id"))
+      // empty batch: marker only — an empty partitioned write leaves a
+      // schema-less dir that poisons every later serve read
+      if (!DeltaProtocol.batchIsEmpty(emb)) {
+        val cents = sess.read.parquet(s"$dir/centroids")
+        Vectors.assignToCentroids(emb, idCol, vecCol, cents)
+          .select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
+          .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/corpus_d$id")
+      }
+      DeltaProtocol.commitDeltaMarker(sess, dir, id)
       true
     }
   }
@@ -110,8 +98,10 @@ object IvfIndex {
     // metadata, not data
     val probed = q.select(col("cluster")).distinct()
       .collect().map(_.getLong(0))
-    // base plus every committed delta, each a partition-pruned scan
-    val dirs = s"$dir/corpus" +: deltaIds(sess, dir).map(id => s"$dir/corpus_d$id")
+    // base plus every committed delta that holds data (an empty-batch
+    // delta has a marker but no dir), each a partition-pruned scan
+    val dirs = DeltaProtocol.existingDirs(sess,
+      s"$dir/corpus" +: deltaIds(sess, dir).map(id => s"$dir/corpus_d$id"))
     val corpus = dirs
       .map(d => sess.read.parquet(d).filter(col("cluster").isin(probed: _*)))
       .reduce(_.unionByName(_))

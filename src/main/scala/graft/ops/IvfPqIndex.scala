@@ -41,14 +41,10 @@ import org.apache.spark.sql.functions._
   * same DuckDB oracle shape as q_sim_ivf_pq.
   */
 object IvfPqIndex {
-
-  private def fsOf(spark: SparkSession) =
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-
-  private def path(s: String) = new org.apache.hadoop.fs.Path(s)
+  import DeltaProtocol.{fsOf, path}
 
   def exists(spark: SparkSession, dir: String): Boolean =
-    fsOf(spark).exists(path(s"$dir/_INDEX"))
+    DeltaProtocol.markerExists(spark, dir)
 
   /** Corpus rows → (vec_id, cluster, qc) under the given centroids:
     * narrow centroid-literal assign + unit-sphere SQ8 encode. */
@@ -81,15 +77,7 @@ object IvfPqIndex {
   def build(sess: SparkSession, dir: String, emb: DataFrame,
             idCol: String, vecCol: String, k: Int, iters: Int,
             m: Int, ncw: Int): Unit = {
-    val fs = fsOf(sess)
-    fs.delete(path(s"$dir/_INDEX"), false)
-    if (fs.exists(path(dir))) {
-      fs.listStatus(path(dir)).map(_.getPath.getName)
-        .filter(_.startsWith("_DELTA_")).foreach(n => fs.delete(path(s"$dir/$n"), false))
-      fs.listStatus(path(dir)).map(_.getPath.getName)
-        .filter(n => n.startsWith("codes_d") || n.startsWith("refine_d"))
-        .foreach(n => fs.delete(path(s"$dir/$n"), true))
-    }
+    DeltaProtocol.clearPriorIndex(sess, dir, Seq("codes_d", "refine_d"))
     Vectors.kmeans(emb, idCol, vecCol, k, iters)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     val cents = sess.read.parquet(s"$dir/centroids")
@@ -102,7 +90,7 @@ object IvfPqIndex {
     cbRows.toDF("mm", "cw_id", "sub")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/codebook")
     writeTier(c, cb, s"$dir/codes", s"$dir/refine")
-    fs.createNewFile(path(s"$dir/_INDEX"))
+    fsOf(sess).createNewFile(path(s"$dir/_INDEX"))
   }
 
   /** Write one (codes, refine) pair from coded rows: codes carry the m
@@ -119,37 +107,38 @@ object IvfPqIndex {
   }
 
   /** Committed delta ids, sorted. */
-  def deltaIds(sess: SparkSession, dir: String): Seq[Long] = {
-    val fs = fsOf(sess)
-    if (!fs.exists(path(dir))) Seq.empty
-    else fs.listStatus(path(dir)).map(_.getPath.getName)
-      .collect { case n if n.startsWith("_DELTA_") => n.stripPrefix("_DELTA_").toLong }
-      .toSeq.sorted
-  }
+  def deltaIds(sess: SparkSession, dir: String): Seq[Long] =
+    DeltaProtocol.deltaIds(sess, dir)
 
   /** Append a batch as delta `id`: assign + encode under the FIXED
     * persisted centroids and codebook (immutable between rebuilds),
     * write BOTH tier dirs, marker last — a crash between the writes
     * leaves an uncommitted, invisible delta. Replaying a committed id
-    * is a no-op (streaming replay safety). Per-batch cost is the
-    * narrow encode of the batch itself. */
+    * is a no-op (streaming replay safety). An EMPTY batch commits its
+    * marker without data dirs (an empty partitioned write leaves a
+    * schema-less dir that would fail every later serve read); readers
+    * skip the missing dirs. Per-batch cost is the narrow encode of
+    * the batch itself. */
   def append(sess: SparkSession, dir: String, emb: DataFrame,
              idCol: String, vecCol: String, id: Long): Boolean = {
     require(exists(sess, dir), s"no committed IVF-PQ index at $dir")
     if (deltaIds(sess, dir).contains(id)) false
     else {
-      val cents = sess.read.parquet(s"$dir/centroids")
-      val cb = readCodebook(sess, dir)
-      writeTier(coded(emb, idCol, vecCol, cents), cb,
-        s"$dir/codes_d$id", s"$dir/refine_d$id")
-      fsOf(sess).createNewFile(path(s"$dir/_DELTA_$id"))
+      if (!DeltaProtocol.batchIsEmpty(emb)) {
+        val cents = sess.read.parquet(s"$dir/centroids")
+        val cb = readCodebook(sess, dir)
+        writeTier(coded(emb, idCol, vecCol, cents), cb,
+          s"$dir/codes_d$id", s"$dir/refine_d$id")
+      }
+      DeltaProtocol.commitDeltaMarker(sess, dir, id)
       true
     }
   }
 
   private def unionPruned(sess: SparkSession, dirs: Seq[String],
                           probed: Seq[Long]): DataFrame =
-    dirs.map(d => sess.read.parquet(d).filter(col("cluster").isin(probed: _*)))
+    DeltaProtocol.existingDirs(sess, dirs)
+      .map(d => sess.read.parquet(d).filter(col("cluster").isin(probed: _*)))
       .reduce(_.unionByName(_))
 
   /** Serve: ADC over the probed clusters' stored code lists, exact
@@ -164,9 +153,16 @@ object IvfPqIndex {
     val cents = sess.read.parquet(s"$dir/centroids")
     val cb = readCodebook(sess, dir)
     val m = cb.length
+    // materialized ONCE (localCheckpoint): the probed-cluster collect
+    // below and the codes join both consume the assigned+encoded query
+    // side — without the checkpoint the narrow argmax + SQ8 encode (and
+    // the query scan) run twice per serve call. Encoded queries are
+    // small (cluster + id + dim longs per probe), so the eager
+    // materialization is batch-sized, never corpus-sized.
     val q = Vectors.assignTopN(queries, idCol, vecCol, cents, nprobe)
       .withColumn("qc", Vectors.sq8(col("v"), col("nrm")))
       .select(col("cluster"), col("vec_id"), col("qc"))
+      .localCheckpoint()
     // ≤ k·nprobe distinct cluster ids whatever the query count —
     // metadata, not data; drives directory pruning on BOTH tiers
     val probed = q.select(col("cluster")).distinct().collect().map(_.getLong(0)).toSeq

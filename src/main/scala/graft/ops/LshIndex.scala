@@ -98,18 +98,10 @@ object LshIndex {
     commitMarker(sess, dir, nBuckets)
   }
 
-  private def clearPriorIndex(sess: SparkSession, dir: String): Unit = {
-    val fs = fsOf(sess)
-    fs.delete(path(s"$dir/_INDEX"), false)
-    if (fs.exists(path(dir))) {
-      // every delta, committed or crash-orphaned: markers first so no
-      // reader resolves a delta whose dir is mid-delete
-      fs.listStatus(path(dir)).map(_.getPath.getName)
-        .filter(_.startsWith("_DELTA_")).foreach(n => fs.delete(path(s"$dir/$n"), false))
-      fs.listStatus(path(dir)).map(_.getPath.getName)
-        .filter(_.startsWith("bands_d")).foreach(n => fs.delete(path(s"$dir/$n"), true))
-    }
-  }
+  // markers first so no reader resolves a delta whose dir is
+  // mid-delete — the shared DeltaProtocol rule
+  private def clearPriorIndex(sess: SparkSession, dir: String): Unit =
+    DeltaProtocol.clearPriorIndex(sess, dir, Seq("bands_d"))
 
   private def commitMarker(sess: SparkSession, dir: String, nBuckets: Int): Unit = {
     val fs = fsOf(sess)
@@ -119,13 +111,8 @@ object LshIndex {
   }
 
   /** Committed delta ids, sorted. */
-  def deltaIds(spark: SparkSession, dir: String): Seq[Long] = {
-    val fs = fsOf(spark)
-    if (!fs.exists(path(dir))) Seq.empty
-    else fs.listStatus(path(dir)).map(_.getPath.getName)
-      .collect { case n if n.startsWith("_DELTA_") => n.stripPrefix("_DELTA_").toLong }
-      .toSeq.sorted
-  }
+  def deltaIds(spark: SparkSession, dir: String): Seq[Long] =
+    DeltaProtocol.deltaIds(spark, dir)
 
   /** Append a batch's band rows as delta `id` — dir first, marker last;
     * an already-committed id is a no-op (replay idempotence). Returns
@@ -134,10 +121,14 @@ object LshIndex {
     require(exists(sess, dir), s"no committed LSH index at $dir")
     if (deltaIds(sess, dir).contains(id)) false
     else {
-      val nb = nBucketsOf(sess, dir)
-      bands(docs).withColumn("bucket", bucketCol(nb))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands_d$id")
-      fsOf(sess).createNewFile(path(s"$dir/_DELTA_$id"))
+      // empty batch: marker only — an empty partitioned write leaves a
+      // schema-less dir that poisons every later probe read
+      if (!DeltaProtocol.batchIsEmpty(docs)) {
+        val nb = nBucketsOf(sess, dir)
+        bands(docs).withColumn("bucket", bucketCol(nb))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands_d$id")
+      }
+      DeltaProtocol.commitDeltaMarker(sess, dir, id)
       true
     }
   }
@@ -146,8 +137,10 @@ object LshIndex {
     * exists; a [[buildEmpty]] index has none) plus every committed
     * delta, each a partition-pruned scan. */
   private def readBands(sess: SparkSession, dir: String, buckets: Seq[Long]): DataFrame = {
-    val base = if (fsOf(sess).exists(path(s"$dir/bands"))) Seq(s"$dir/bands") else Nil
-    val dirs = base ++ deltaIds(sess, dir).map(id => s"$dir/bands_d$id")
+    // only dirs that hold data: buildEmpty has no base; an empty-batch
+    // delta has a marker but no dir
+    val dirs = DeltaProtocol.existingDirs(sess,
+      s"$dir/bands" +: deltaIds(sess, dir).map(id => s"$dir/bands_d$id"))
     if (dirs.isEmpty)
       sess.createDataFrame(sess.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(

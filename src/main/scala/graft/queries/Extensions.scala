@@ -2728,7 +2728,9 @@ object Extensions {
     // The production serving plan, fully composed — the FAISS
     // `IVFPQ,Refine` shape that q_sim_ivf_sq and q_sim_pq each built
     // half of: the coarse quantizer (q_sim_ivf's narrow centroid-
-    // literal argmax, first-8-by-id centroids) files every vector in
+    // literal argmax over the 9 seed centroids vec_id ≤ 8 — the
+    // q_sim_ivf/q_sim_ivf_sq convention; the SERVED twin below uses
+    // kmeans' first-8 init, vec_id < 8) files every vector in
     // ONE cluster and cuts each query's candidates to its own cluster
     // BEFORE any per-candidate work; ADC (query SQ8 code · PQ-
     // reconstructed codeword concat, 16×32 codebook) ranks the

@@ -341,7 +341,7 @@ class QueriesSpec extends SparkSpec {
   test("q_sim_ivf_pq: composed IVF∘PQ recall dials are monotone; served floor holds") {
     import org.apache.spark.sql.functions._
     // The composed serving plan adds the coarse-cut loss on top of
-    // PQ's: with the untrained first-8-by-id centroids a boundary
+    // PQ's: with the untrained 9-seed quantizer (vec_id <= 8) a boundary
     // query's true neighbors can be filed in a cluster it doesn't
     // probe, and nprobe is the dial that buys them back. Measured
     // overlap@5 vs the float top-5 at sf0.01 (all-integer plan, so

@@ -40,14 +40,11 @@ object MergeOnRead {
 
   private def path(s: String) = new org.apache.hadoop.fs.Path(s)
 
-  /** Batch ids of committed (marker present) pending log deltas. */
-  def deltaIds(spark: SparkSession, dir: String): Seq[Long] = {
-    val fs = fsOf(spark)
-    if (!fs.exists(path(dir))) Seq.empty
-    else fs.listStatus(path(dir)).map(_.getPath.getName)
-      .collect { case n if n.startsWith("_DELTA_") => n.stripPrefix("_DELTA_").toLong }
-      .sorted.toSeq
-  }
+  /** Batch ids of committed (marker present) pending log deltas — the
+    * same `_DELTA_<id>` marker scan as the persisted ops indexes, ONE
+    * implementation ([[graft.ops.DeltaProtocol]]). */
+  def deltaIds(spark: SparkSession, dir: String): Seq[Long] =
+    graft.ops.DeltaProtocol.deltaIds(spark, dir)
 
   /** Append one parsed batch as a log delta (idempotent by marker;
     * a batch already folded into the base is skipped). */

@@ -12,10 +12,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - a rebuild drops the commit marker FIRST, then every delta marker,
   *    then the delta data — a crash mid-rebuild must leave an
   *    uncommitted index, never a readable mismatch;
-  *  - an EMPTY batch commits its marker but writes no data dirs (an
-  *    empty partitioned parquet write produces a schema-less dir that
-  *    poisons every later read), so delta readers take only the dirs
-  *    that exist.
+  *  - an EMPTY batch commits its marker WITH THE CONTENT `empty` and
+  *    writes no data dirs (an empty partitioned parquet write produces
+  *    a schema-less dir that poisons every later read); readers skip
+  *    exactly the deltas whose marker says so and FAIL LOUDLY when a
+  *    live delta's data dir is missing — a silent skip would turn an
+  *    incomplete restore (marker copied, data lost) into quiet result
+  *    loss.
   */
 private[graft] object DeltaProtocol {
 
@@ -52,16 +55,35 @@ private[graft] object DeltaProtocol {
     }
   }
 
-  def commitDeltaMarker(spark: SparkSession, dir: String, id: Long): Unit =
-    fsOf(spark).createNewFile(path(s"$dir/_DELTA_$id"))
+  /** Marker content `empty` records a data-less delta — the signal that
+    * lets readers distinguish "legitimately nothing to read" from
+    * "data dir lost". */
+  def commitDeltaMarker(spark: SparkSession, dir: String, id: Long,
+                        empty: Boolean = false): Unit = {
+    val out = fsOf(spark).create(path(s"$dir/_DELTA_$id"), true)
+    try { if (empty) out.write("empty".getBytes("UTF-8")) } finally out.close()
+  }
 
-  /** The candidate dirs that actually hold data. An empty-batch append
-    * commits its marker without data dirs; a buildEmpty index has no
-    * base dir — both read as "contributes nothing", never as a
-    * schema-inference failure. */
-  def existingDirs(spark: SparkSession, dirs: Seq[String]): Seq[String] = {
+  def deltaIsEmpty(spark: SparkSession, dir: String, id: Long): Boolean = {
+    val in = fsOf(spark).open(path(s"$dir/_DELTA_$id"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    text.trim == "empty"
+  }
+
+  /** Committed delta ids that carry data (marker not `empty`), sorted.
+    * Pre-protocol markers (zero-length files) read as live. */
+  def liveDeltaIds(spark: SparkSession, dir: String): Seq[Long] =
+    deltaIds(spark, dir).filterNot(id => deltaIsEmpty(spark, dir, id))
+
+  /** Fail-loud guard for the read path: every dir a live delta (or the
+    * base) is supposed to have MUST exist — a missing one means the
+    * layout was corrupted or restored incompletely, and serving partial
+    * results silently would be worse than failing. */
+  def requireDirs(spark: SparkSession, dirs: Seq[String], what: String): Unit = {
     val fs = fsOf(spark)
-    dirs.filter(d => fs.exists(path(d)))
+    dirs.foreach(d => require(fs.exists(path(d)),
+      s"$what data dir missing: $d — index layout corrupted or restored " +
+        "incompletely; rebuild the index"))
   }
 
   /** True when the batch has no rows — one LocalLimit(1) job, paid

@@ -71,15 +71,16 @@ object IvfIndex {
     require(exists(sess, dir), s"no committed IVF index at $dir")
     if (deltaIds(sess, dir).contains(id)) false
     else {
-      // empty batch: marker only — an empty partitioned write leaves a
-      // schema-less dir that poisons every later serve read
-      if (!DeltaProtocol.batchIsEmpty(emb)) {
+      // empty batch: `empty` marker only — an empty partitioned write
+      // leaves a schema-less dir that poisons every later serve read
+      val empty = DeltaProtocol.batchIsEmpty(emb)
+      if (!empty) {
         val cents = sess.read.parquet(s"$dir/centroids")
         Vectors.assignToCentroids(emb, idCol, vecCol, cents)
           .select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
           .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/corpus_d$id")
       }
-      DeltaProtocol.commitDeltaMarker(sess, dir, id)
+      DeltaProtocol.commitDeltaMarker(sess, dir, id, empty)
       true
     }
   }
@@ -98,10 +99,13 @@ object IvfIndex {
     // metadata, not data
     val probed = q.select(col("cluster")).distinct()
       .collect().map(_.getLong(0))
-    // base plus every committed delta that holds data (an empty-batch
-    // delta has a marker but no dir), each a partition-pruned scan
-    val dirs = DeltaProtocol.existingDirs(sess,
-      s"$dir/corpus" +: deltaIds(sess, dir).map(id => s"$dir/corpus_d$id"))
+    // base plus every LIVE delta (an empty-batch delta's marker says
+    // `empty` and is skipped; a live delta with a lost dir fails
+    // loudly), each a partition-pruned scan
+    val ids = DeltaProtocol.liveDeltaIds(sess, dir)
+    DeltaProtocol.requireDirs(sess, Seq(s"$dir/corpus"), "base")
+    ids.foreach(i => DeltaProtocol.requireDirs(sess, Seq(s"$dir/corpus_d$i"), s"delta $i"))
+    val dirs = s"$dir/corpus" +: ids.map(id => s"$dir/corpus_d$id")
     val corpus = dirs
       .map(d => sess.read.parquet(d).filter(col("cluster").isin(probed: _*)))
       .reduce(_.unionByName(_))

@@ -115,30 +115,31 @@ object IvfPqIndex {
     * write BOTH tier dirs, marker last — a crash between the writes
     * leaves an uncommitted, invisible delta. Replaying a committed id
     * is a no-op (streaming replay safety). An EMPTY batch commits its
-    * marker without data dirs (an empty partitioned write leaves a
-    * schema-less dir that would fail every later serve read); readers
-    * skip the missing dirs. Per-batch cost is the narrow encode of
-    * the batch itself. */
+    * marker with the `empty` content and no data dirs (an empty
+    * partitioned write leaves a schema-less dir that would fail every
+    * later serve read); readers skip exactly those deltas and fail
+    * loudly if a LIVE delta's dirs are lost. Per-batch cost is the
+    * narrow encode of the batch itself. */
   def append(sess: SparkSession, dir: String, emb: DataFrame,
              idCol: String, vecCol: String, id: Long): Boolean = {
     require(exists(sess, dir), s"no committed IVF-PQ index at $dir")
     if (deltaIds(sess, dir).contains(id)) false
     else {
-      if (!DeltaProtocol.batchIsEmpty(emb)) {
+      val empty = DeltaProtocol.batchIsEmpty(emb)
+      if (!empty) {
         val cents = sess.read.parquet(s"$dir/centroids")
         val cb = readCodebook(sess, dir)
         writeTier(coded(emb, idCol, vecCol, cents), cb,
           s"$dir/codes_d$id", s"$dir/refine_d$id")
       }
-      DeltaProtocol.commitDeltaMarker(sess, dir, id)
+      DeltaProtocol.commitDeltaMarker(sess, dir, id, empty)
       true
     }
   }
 
   private def unionPruned(sess: SparkSession, dirs: Seq[String],
                           probed: Seq[Long]): DataFrame =
-    DeltaProtocol.existingDirs(sess, dirs)
-      .map(d => sess.read.parquet(d).filter(col("cluster").isin(probed: _*)))
+    dirs.map(d => sess.read.parquet(d).filter(col("cluster").isin(probed: _*)))
       .reduce(_.unionByName(_))
 
   /** Serve: ADC over the probed clusters' stored code lists, exact
@@ -166,7 +167,13 @@ object IvfPqIndex {
     // ≤ k·nprobe distinct cluster ids whatever the query count —
     // metadata, not data; drives directory pruning on BOTH tiers
     val probed = q.select(col("cluster")).distinct().collect().map(_.getLong(0)).toSeq
-    val ids = deltaIds(sess, dir)
+    // only deltas that carry data; a LIVE delta (or the base) with a
+    // lost dir fails loudly — both tiers must be present together, or
+    // ADC candidates would vanish at the refine join
+    val ids = DeltaProtocol.liveDeltaIds(sess, dir)
+    DeltaProtocol.requireDirs(sess, Seq(s"$dir/codes", s"$dir/refine"), "base")
+    ids.foreach(i => DeltaProtocol.requireDirs(sess,
+      Seq(s"$dir/codes_d$i", s"$dir/refine_d$i"), s"delta $i"))
     val codes = unionPruned(sess,
         s"$dir/codes" +: ids.map(i => s"$dir/codes_d$i"), probed)
       .select(col("cluster").cast("long").as("cluster"),

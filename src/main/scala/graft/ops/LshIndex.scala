@@ -38,13 +38,10 @@ import org.apache.spark.sql.functions._
   */
 object LshIndex {
 
-  private def fsOf(spark: SparkSession) =
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-
-  private def path(s: String) = new org.apache.hadoop.fs.Path(s)
+  import DeltaProtocol.{fsOf, path}
 
   def exists(spark: SparkSession, dir: String): Boolean =
-    fsOf(spark).exists(path(s"$dir/_INDEX"))
+    DeltaProtocol.markerExists(spark, dir)
 
   /** (doc_id, sh, band): distinct 2-gram shingle set + one row per LSH
     * band of the 6-slot MinHash signature. Shared by the index writer,
@@ -81,8 +78,14 @@ object LshIndex {
     * drops, i.e. missed duplicates. */
   def build(sess: SparkSession, dir: String, docs: DataFrame, nBuckets: Int = 16): Unit = {
     clearPriorIndex(sess, dir)
-    bands(docs).withColumn("bucket", bucketCol(nBuckets))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands")
+    // the guard is on the BAND rows, not the input docs: bands() drops
+    // sub-2-token documents, so a non-empty corpus of short docs still
+    // yields zero rows, and an empty partitioned write would leave a
+    // schema-less bands/ that poisons every later probe. A band-less
+    // base commits with no bands/ dir (the buildEmpty state).
+    val b = bands(docs).withColumn("bucket", bucketCol(nBuckets))
+    if (DeltaProtocol.batchIsEmpty(b)) fsOf(sess).delete(path(s"$dir/bands"), true)
+    else b.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands")
     commitMarker(sess, dir, nBuckets)
   }
 
@@ -121,14 +124,16 @@ object LshIndex {
     require(exists(sess, dir), s"no committed LSH index at $dir")
     if (deltaIds(sess, dir).contains(id)) false
     else {
-      // empty batch: marker only — an empty partitioned write leaves a
-      // schema-less dir that poisons every later probe read
-      if (!DeltaProtocol.batchIsEmpty(docs)) {
-        val nb = nBucketsOf(sess, dir)
-        bands(docs).withColumn("bucket", bucketCol(nb))
-          .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands_d$id")
-      }
-      DeltaProtocol.commitDeltaMarker(sess, dir, id)
+      // the emptiness guard is on the BAND rows, not the input batch:
+      // bands() drops sub-2-token docs, so a non-empty batch can still
+      // produce zero band rows, and the empty partitioned write would
+      // leave a schema-less dir that poisons every later probe read.
+      // A band-less batch commits an `empty` marker only.
+      val b = bands(docs).withColumn("bucket", bucketCol(nBucketsOf(sess, dir)))
+      val empty = DeltaProtocol.batchIsEmpty(b)
+      if (!empty)
+        b.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands_d$id")
+      DeltaProtocol.commitDeltaMarker(sess, dir, id, empty)
       true
     }
   }
@@ -137,10 +142,13 @@ object LshIndex {
     * exists; a [[buildEmpty]] index has none) plus every committed
     * delta, each a partition-pruned scan. */
   private def readBands(sess: SparkSession, dir: String, buckets: Seq[Long]): DataFrame = {
-    // only dirs that hold data: buildEmpty has no base; an empty-batch
-    // delta has a marker but no dir
-    val dirs = DeltaProtocol.existingDirs(sess,
-      s"$dir/bands" +: deltaIds(sess, dir).map(id => s"$dir/bands_d$id"))
+    // base is OPTIONAL (buildEmpty and band-less builds commit without
+    // one); deltas are skipped only when their marker says `empty`, and
+    // a live delta with a lost dir fails loudly
+    val ids = DeltaProtocol.liveDeltaIds(sess, dir)
+    ids.foreach(i => DeltaProtocol.requireDirs(sess, Seq(s"$dir/bands_d$i"), s"delta $i"))
+    val base = if (fsOf(sess).exists(path(s"$dir/bands"))) Seq(s"$dir/bands") else Nil
+    val dirs = base ++ ids.map(id => s"$dir/bands_d$id")
     if (dirs.isEmpty)
       sess.createDataFrame(sess.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(

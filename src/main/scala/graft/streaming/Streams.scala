@@ -173,12 +173,22 @@ object Streams {
     else {
       val dups = LshIndex.matches(s, idxDir, batch, minJac)
         .select(col("new_id").as("doc_id")).distinct()
-      batch.join(dups, Seq("doc_id"), "left_anti")
-        .withColumn("_batch_id", lit(batchId))
-        .write.mode("overwrite").partitionBy("_batch_id")
-        .option("partitionOverwriteMode", "dynamic").parquet(outDir)
-      LshIndex.append(s, idxDir,
-        s.read.parquet(outDir).filter(col("_batch_id") === batchId), batchId)
+      val survivors = batch.join(dups, Seq("doc_id"), "left_anti")
+      // a survivor-less batch (empty micro-batch, or every doc a dup)
+      // must NOT write: the empty partitioned write to a fresh outDir
+      // leaves a schema-less dir the read-back (and every later read)
+      // fails on, wedging the ingest loop on replay. The index append
+      // still runs so the `empty`-marker delta makes the replay a
+      // no-op.
+      if (graft.ops.DeltaProtocol.batchIsEmpty(survivors))
+        LshIndex.append(s, idxDir, survivors, batchId)
+      else {
+        survivors.withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("_batch_id")
+          .option("partitionOverwriteMode", "dynamic").parquet(outDir)
+        LshIndex.append(s, idxDir,
+          s.read.parquet(outDir).filter(col("_batch_id") === batchId), batchId)
+      }
       true
     }
   }
@@ -225,13 +235,21 @@ object Streams {
       s"no committed IVF-PQ index at $idxDir — IvfPqIndex.build first")
     if (IvfPqIndex.deltaIds(s, idxDir).contains(batchId)) false
     else {
-      batch.withColumn("_batch_id", lit(batchId))
-        .write.mode("overwrite").partitionBy("_batch_id")
-        .option("partitionOverwriteMode", "dynamic").parquet(outDir)
-      IvfPqIndex.append(s, idxDir,
-        s.read.parquet(outDir).filter(col("_batch_id") === batchId)
-          .drop("_batch_id"),
-        idCol, vecCol, batchId)
+      // an empty micro-batch must NOT write: the empty partitioned
+      // write to a fresh outDir leaves a schema-less dir the read-back
+      // fails on, wedging the loop on replay; the append still commits
+      // the `empty`-marker delta so the replay is a no-op
+      if (graft.ops.DeltaProtocol.batchIsEmpty(batch))
+        IvfPqIndex.append(s, idxDir, batch, idCol, vecCol, batchId)
+      else {
+        batch.withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("_batch_id")
+          .option("partitionOverwriteMode", "dynamic").parquet(outDir)
+        IvfPqIndex.append(s, idxDir,
+          s.read.parquet(outDir).filter(col("_batch_id") === batchId)
+            .drop("_batch_id"),
+          idCol, vecCol, batchId)
+      }
       true
     }
   }

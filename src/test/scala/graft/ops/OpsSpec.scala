@@ -521,10 +521,33 @@ class OpsSpec extends SparkSpec {
 
     val lshDir = tmpDir("graft_lsh_empty")
     LshIndex.build(spark, lshDir, docs, nBuckets = 16)
+    // probe with the whole (sf0.001-sized) corpus: the fixture's known
+    // near-dup pairs guarantee non-empty matches
+    val probe = docs
+    val before = LshIndex.matches(spark, lshDir, probe)
+      .select($"corpus_id", $"new_id").as[(Long, Long)].collect().toSet
+    assert(before.nonEmpty, "probe fixture must produce matches for this test to bite")
     assert(LshIndex.append(spark, lshDir, docs.filter($"doc_id" < 0), 0L))
-    assert(LshIndex.deltaIds(spark, lshDir) == Seq(0L))
-    // probing still works against base + the data-less delta
-    assert(LshIndex.matches(spark, lshDir, docs.limit(20)).count() >= 0)
+    // a NON-empty batch of band-less docs (all sub-2-token) must also
+    // go marker-only: the guard is on bands(docs), not docs
+    val short = Seq((900001L, "one"), (900002L, "")).toDF("doc_id", "text")
+    assert(LshIndex.append(spark, lshDir, short, 1L))
+    assert(LshIndex.deltaIds(spark, lshDir) == Seq(0L, 1L))
+    // probing still works and returns the SAME matches as before the
+    // data-less deltas
+    val after = LshIndex.matches(spark, lshDir, probe)
+      .select($"corpus_id", $"new_id").as[(Long, Long)].collect().toSet
+    assert(after == before, "data-less deltas changed probe results")
+
+    // fail-loud: a LIVE delta whose data dir is lost must error, not
+    // silently serve partial results
+    assert(LshIndex.append(spark, lshDir, docs.filter($"doc_id" < 40), 2L))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$lshDir/bands_d2"), true)
+    val ex = intercept[IllegalArgumentException] {
+      LshIndex.matches(spark, lshDir, probe).count()
+    }
+    assert(ex.getMessage.contains("data dir missing"))
   }
 
   test("multimodal bytes → decoded features → persisted ANN index, end to end") {

@@ -234,11 +234,17 @@ object Ingest {
         val input = dlqDir match {
           case Some(dq) =>
             val (good, dlq) = withDeadLetters(batch, schema)
-            dlq.withColumn("_batch_id", lit(batchId))
-              .write.mode("overwrite")
-              .partitionBy("_batch_id")
-              .option("partitionOverwriteMode", "dynamic")
-              .parquet(dq)
+            // skip the write when the batch has no dead letters: a
+            // zero-row partitioned write to a not-yet-existing DLQ dir
+            // leaves a schema-less dir (only _SUCCESS) that fails every
+            // later read of the quarantine — the delta-protocol
+            // empty-write rule, applied to the DLQ sink
+            if (!dlq.isEmpty)
+              dlq.withColumn("_batch_id", lit(batchId))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(dq)
             good
           case None => batch
         }
@@ -248,11 +254,15 @@ object Ingest {
         // the first N batches: the unconditional form is a whole extra
         // job per trigger, the reference's 3-jobs-per-batch trap.
         if (batchId < showBatches) parsed.show(20, 0, vertical = true)
-        parsed.withColumn("_batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .partitionBy("_batch_id")
-          .option("partitionOverwriteMode", "dynamic")
-          .parquet(logDir)
+        // empty-write rule: a batch whose rows all went to the DLQ (or
+        // an empty trigger) must not poison a fresh logDir with a
+        // schema-less zero-row write
+        if (!parsed.isEmpty)
+          parsed.withColumn("_batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(logDir)
         snapshotDir.foreach { dir =>
           commitMerge(batch.sparkSession, dir, parsed, batchId,
             Seq("id"), Seq("lsn"), snapshotPartitionBy)
@@ -268,6 +278,13 @@ object Ingest {
   private def commitMerge(sess: SparkSession, dir: String, parsed: DataFrame, batchId: Long,
                           keys: Seq[String], ord: Seq[String],
                           partitionCols: Seq[String]): Unit = {
+    // a row-less batch advances NO version: merging nothing into the
+    // previous snapshot would rewrite identical content (pure churn +
+    // GC), and as the FIRST version it would write a zero-row v dir —
+    // schema-less parquet that crashes the next batch's upsert read
+    // (the empty-write rule). Replay-safe: no marker moves, so the
+    // replayed empty batch skips again.
+    if (parsed.isEmpty) return
     val fs = fsOf(sess)
     val committed = committedBatch(sess, dir)
     if (!committed.exists(_ >= batchId)) { // exactly-once replay guard
@@ -320,10 +337,16 @@ object Ingest {
         try routes.foreach { case (table, r) =>
           val sub = cached.filter(col("topic").endsWith("." + table))
           val parsed = parse(sub, r.schema, r.keys)
-          parsed.withColumn("_batch_id", lit(batchId))
-            .write.mode("overwrite").partitionBy("_batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(s"$baseDir/$table/log")
+          // a batch routinely carries rows for only SOME tables; a
+          // zero-row write would poison the quiet table's fresh log
+          // dir with a schema-less dir (empty-write rule). The quiet
+          // table's snapshot version likewise only advances when data
+          // arrives (commitMerge's own row-less guard).
+          if (!parsed.isEmpty)
+            parsed.withColumn("_batch_id", lit(batchId))
+              .write.mode("overwrite").partitionBy("_batch_id")
+              .option("partitionOverwriteMode", "dynamic")
+              .parquet(s"$baseDir/$table/log")
           commitMerge(batch.sparkSession, s"$baseDir/$table/snapshot", parsed,
             batchId, r.keys, r.ord, r.partitionBy)
         } finally cached.unpersist()

@@ -133,6 +133,39 @@ class IngestStreamSpec extends SparkSpec {
       Set((1, "Engineering"))) // dept 2 deleted, dept 1 renamed
   }
 
+  test("routed quiet table: no rows in the first batches never poisons its log or snapshot") {
+    import org.apache.spark.sql.types._
+    val root = tmpDir("graft_quiet")
+    // batch 0 carries ONLY employee events; the declared departments
+    // route stays quiet — a zero-row write would leave schema-less
+    // log/snapshot dirs that crash the stream the moment departments
+    // data finally arrives (the empty-write rule, routed-table form)
+    CdcGen.writeTopicFiles(spark, n = 20, s"$root/in", nBatches = 1)
+    val depRow = StructType(Seq(StructField("dept_id", IntegerType), StructField("name", StringType)))
+    val routes = Map(
+      "employees" -> Ingest.TableRoute(Envelope.employeesEnvelope),
+      "departments" -> Ingest.TableRoute(Envelope.envelope(depRow), keys = Seq("dept_id")))
+    val q = Ingest.runRouted(spark, s"$root/in", s"$root/out", s"$root/ckpt", routes)
+    q.processAllAvailable()
+    // quiet table: no snapshot yet (no version advanced), no poison
+    assert(Ingest.readSnapshot(spark, s"$root/out/departments/snapshot").isEmpty)
+    assert(Ingest.readSnapshot(spark, s"$root/out/employees/snapshot").get.count() > 0)
+    // departments data arrives in a later batch — the stream must
+    // ingest it cleanly (this is the step a poisoned dir would crash)
+    def dep(op: String, id: Int, lsn: Long, name: String): String = {
+      val row = s"""{"dept_id":$id,"name":"$name"}"""
+      val value = s"""{"payload":{"before":null,"after":$row,"source":{"lsn":$lsn,"table":"departments"},"op":"$op","ts_ms":$lsn}}"""
+      val esc = value.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"value":"$esc","topic":"debezium1.public.departments","partition":0,"offset":$lsn,"timestamp":"2023-05-25T00:00:0${lsn % 10}.000Z"}"""
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/in/departments.jsonl"),
+      Seq(dep("c", 1, 1, "Eng"), dep("c", 2, 2, "Ops")).mkString("\n"))
+    q.processAllAvailable(); q.stop()
+    val deps = Ingest.readSnapshot(spark, s"$root/out/departments/snapshot").get
+    assert(deps.select("dept_id", "name").as[(Int, String)].collect().toSet ==
+      Set((1, "Eng"), (2, "Ops")))
+  }
+
   test("routed COMPOSITE-key delete recovers every key column from before") {
     import org.apache.spark.sql.types._
     val root = tmpDir("graft_ck")

@@ -234,17 +234,9 @@ object Ingest {
         val input = dlqDir match {
           case Some(dq) =>
             val (good, dlq) = withDeadLetters(batch, schema)
-            // skip the write when the batch has no dead letters: a
-            // zero-row partitioned write to a not-yet-existing DLQ dir
-            // leaves a schema-less dir (only _SUCCESS) that fails every
-            // later read of the quarantine — the delta-protocol
-            // empty-write rule, applied to the DLQ sink
-            if (!dlq.isEmpty)
-              dlq.withColumn("_batch_id", lit(batchId))
-                .write.mode("overwrite")
-                .partitionBy("_batch_id")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(dq)
+            // a batch with no dead letters skips the quarantine write —
+            // the shared empty-write rule (DeltaProtocol)
+            graft.ops.DeltaProtocol.writeBatchPartition(dlq, batchId, dq)
             good
           case None => batch
         }
@@ -254,18 +246,15 @@ object Ingest {
         // the first N batches: the unconditional form is a whole extra
         // job per trigger, the reference's 3-jobs-per-batch trap.
         if (batchId < showBatches) parsed.show(20, 0, vertical = true)
-        // empty-write rule: a batch whose rows all went to the DLQ (or
-        // an empty trigger) must not poison a fresh logDir with a
-        // schema-less zero-row write
-        if (!parsed.isEmpty)
-          parsed.withColumn("_batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .partitionBy("_batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(logDir)
+        // empty-write rule (shared, DeltaProtocol): a batch whose rows
+        // all went to the DLQ (or an empty trigger) must not poison a
+        // fresh logDir with a schema-less zero-row write. The returned
+        // non-emptiness feeds commitMerge so the same uncached parse
+        // plan isn't re-evaluated for a second isEmpty job per trigger.
+        val wrote = graft.ops.DeltaProtocol.writeBatchPartition(parsed, batchId, logDir)
         snapshotDir.foreach { dir =>
-          commitMerge(batch.sparkSession, dir, parsed, batchId,
-            Seq("id"), Seq("lsn"), snapshotPartitionBy)
+          commitMerge(batch.sparkSession, dir, parsed, parsedIsEmpty = !wrote,
+            batchId, Seq("id"), Seq("lsn"), snapshotPartitionBy)
         }
       }
       .start()
@@ -275,7 +264,8 @@ object Ingest {
     * (exactly-once by batch id; see the commit-protocol comment above).
     * U5: hive-style key partitioning of the materialized table, as
     * Hudi's hive_style_partitioning lays out COW (README.md:307). */
-  private def commitMerge(sess: SparkSession, dir: String, parsed: DataFrame, batchId: Long,
+  private def commitMerge(sess: SparkSession, dir: String, parsed: DataFrame,
+                          parsedIsEmpty: Boolean, batchId: Long,
                           keys: Seq[String], ord: Seq[String],
                           partitionCols: Seq[String]): Unit = {
     // a row-less batch advances NO version: merging nothing into the
@@ -283,8 +273,10 @@ object Ingest {
     // GC), and as the FIRST version it would write a zero-row v dir —
     // schema-less parquet that crashes the next batch's upsert read
     // (the empty-write rule). Replay-safe: no marker moves, so the
-    // replayed empty batch skips again.
-    if (parsed.isEmpty) return
+    // replayed empty batch skips again. Emptiness arrives from the
+    // caller, which already paid the isEmpty job on this plan for its
+    // own log write — not re-derived here.
+    if (parsedIsEmpty) return
     val fs = fsOf(sess)
     val committed = committedBatch(sess, dir)
     if (!committed.exists(_ >= batchId)) { // exactly-once replay guard
@@ -339,16 +331,14 @@ object Ingest {
           val parsed = parse(sub, r.schema, r.keys)
           // a batch routinely carries rows for only SOME tables; a
           // zero-row write would poison the quiet table's fresh log
-          // dir with a schema-less dir (empty-write rule). The quiet
-          // table's snapshot version likewise only advances when data
-          // arrives (commitMerge's own row-less guard).
-          if (!parsed.isEmpty)
-            parsed.withColumn("_batch_id", lit(batchId))
-              .write.mode("overwrite").partitionBy("_batch_id")
-              .option("partitionOverwriteMode", "dynamic")
-              .parquet(s"$baseDir/$table/log")
+          // dir with a schema-less dir — the shared empty-write rule
+          // (DeltaProtocol). The quiet table's snapshot version
+          // likewise only advances when data arrives: the returned
+          // non-emptiness feeds commitMerge's row-less guard directly.
+          val wrote = graft.ops.DeltaProtocol.writeBatchPartition(
+            parsed, batchId, s"$baseDir/$table/log")
           commitMerge(batch.sparkSession, s"$baseDir/$table/snapshot", parsed,
-            batchId, r.keys, r.ord, r.partitionBy)
+            parsedIsEmpty = !wrote, batchId, r.keys, r.ord, r.partitionBy)
         } finally cached.unpersist()
       }
       .start()

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 
 /** The shared delta-append bookkeeping all three persisted indexes
   * ([[LshIndex]], [[IvfIndex]], [[IvfPqIndex]]) run — ONE copy of the
@@ -19,6 +20,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    live delta's data dir is missing — a silent skip would turn an
   *    incomplete restore (marker copied, data lost) into quiet result
   *    loss.
+  *
+  * Marker content is protocol-owned: a live delta's marker is ZERO
+  * bytes (plain `createNewFile`), an empty delta's carries the 5-byte
+  * `empty` token — so liveness reads off the marker LENGTH already in
+  * the directory listing, and the serve path never opens marker files
+  * (on an object store, per-delta opens would be sequential API
+  * round-trips of pure latency).
   */
 private[graft] object DeltaProtocol {
 
@@ -30,14 +38,31 @@ private[graft] object DeltaProtocol {
   def markerExists(spark: SparkSession, dir: String, marker: String = "_INDEX"): Boolean =
     fsOf(spark).exists(path(s"$dir/$marker"))
 
-  /** Committed delta ids, sorted. */
-  def deltaIds(spark: SparkSession, dir: String): Seq[Long] = {
+  /** (id, marker byte length) per committed delta, sorted by id — ONE
+    * listing pass. A `_DELTA_`-prefixed name that doesn't parse as an
+    * id is corruption (an incomplete restore's `_DELTA_3 (1)` copy, a
+    * stray `.bak`): fail with the protocol's actionable error, not a
+    * bare NumberFormatException — this scan is the single shared
+    * implementation, so one stray name would otherwise wedge every
+    * delta consumer at once with an opaque parse error. */
+  private def deltaEntries(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
     val fs = fsOf(spark)
     if (!fs.exists(path(dir))) Seq.empty
-    else fs.listStatus(path(dir)).map(_.getPath.getName)
-      .collect { case n if n.startsWith("_DELTA_") => n.stripPrefix("_DELTA_").toLong }
-      .toSeq.sorted
+    else fs.listStatus(path(dir))
+      .filter(_.getPath.getName.startsWith("_DELTA_"))
+      .map { st =>
+        val n = st.getPath.getName
+        val id = n.stripPrefix("_DELTA_").toLongOption.getOrElse(
+          throw new IllegalStateException(
+            s"unparseable delta marker $dir/$n — not a protocol-written " +
+              "name; remove the stray file or rebuild the index"))
+        (id, st.getLen)
+      }.toSeq.sortBy(_._1)
   }
+
+  /** Committed delta ids, sorted. */
+  def deltaIds(spark: SparkSession, dir: String): Seq[Long] =
+    deltaEntries(spark, dir).map(_._1)
 
   /** Rebuild-time purge: commit marker first, then every delta marker
     * (committed or orphaned), then every delta data dir matching
@@ -64,29 +89,49 @@ private[graft] object DeltaProtocol {
     try { if (empty) out.write("empty".getBytes("UTF-8")) } finally out.close()
   }
 
-  def deltaIsEmpty(spark: SparkSession, dir: String, id: Long): Boolean = {
-    val in = fsOf(spark).open(path(s"$dir/_DELTA_$id"))
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    text.trim == "empty"
-  }
-
-  /** Committed delta ids that carry data (marker not `empty`), sorted.
-    * Pre-protocol markers (zero-length files) read as live. */
+  /** Committed delta ids that carry data, sorted. Liveness is the
+    * marker length from the listing (0 bytes ⇔ live — which also reads
+    * pre-protocol zero-length markers as live; any content ⇔ the
+    * `empty` token, the only thing [[commitDeltaMarker]] ever writes):
+    * no per-marker file opens on the serve path. */
   def liveDeltaIds(spark: SparkSession, dir: String): Seq[Long] =
-    deltaIds(spark, dir).filterNot(id => deltaIsEmpty(spark, dir, id))
+    deltaEntries(spark, dir).collect { case (id, len) if len == 0L => id }
 
-  /** Fail-loud guard for the read path: every dir a live delta (or the
-    * base) is supposed to have MUST exist — a missing one means the
-    * layout was corrupted or restored incompletely, and serving partial
-    * results silently would be worse than failing. */
-  def requireDirs(spark: SparkSession, dirs: Seq[String], what: String): Unit = {
-    val fs = fsOf(spark)
-    dirs.foreach(d => require(fs.exists(path(d)),
-      s"$what data dir missing: $d — index layout corrupted or restored " +
+  /** Fail-loud guard for the read path: every child dir of `dir` named
+    * in `names` — what the base and each live delta are supposed to
+    * have — MUST exist; a missing one means the layout was corrupted or
+    * restored incompletely, and serving partial results silently would
+    * be worse than failing. ONE listing pass for the whole set, not an
+    * exists() round-trip per delta. */
+  def requireDirs(spark: SparkSession, dir: String, names: Seq[String],
+                  what: String): Unit = {
+    val present = fsOf(spark).listStatus(path(dir)).map(_.getPath.getName).toSet
+    names.foreach(n => require(present.contains(n),
+      s"$what data dir missing: $dir/$n — index layout corrupted or restored " +
         "incompletely; rebuild the index"))
   }
 
   /** True when the batch has no rows — one LocalLimit(1) job, paid
     * once per append to keep the empty-write poison out of the layout. */
   def batchIsEmpty(batch: DataFrame): Boolean = batch.isEmpty
+
+  /** The empty-write rule for `_batch_id`-partitioned landing sinks,
+    * ONE copy: a zero-row dynamic-partition-overwrite write to a
+    * not-yet-existing dir leaves a schema-less dir (only `_SUCCESS`)
+    * that fails every later read — so a row-less batch skips the write
+    * entirely. A replayed non-empty batch overwrites exactly its own
+    * partition (idempotent). Returns whether rows were written, which
+    * is also the batch's non-emptiness — callers reuse it instead of
+    * paying a second isEmpty job on the same uncached plan. */
+  def writeBatchPartition(batch: DataFrame, batchId: Long, dir: String): Boolean = {
+    if (batchIsEmpty(batch)) false
+    else {
+      batch.withColumn("_batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .partitionBy("_batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(dir)
+      true
+    }
+  }
 }

@@ -103,8 +103,8 @@ object IvfIndex {
     // `empty` and is skipped; a live delta with a lost dir fails
     // loudly), each a partition-pruned scan
     val ids = DeltaProtocol.liveDeltaIds(sess, dir)
-    DeltaProtocol.requireDirs(sess, Seq(s"$dir/corpus"), "base")
-    ids.foreach(i => DeltaProtocol.requireDirs(sess, Seq(s"$dir/corpus_d$i"), s"delta $i"))
+    DeltaProtocol.requireDirs(sess, dir,
+      "corpus" +: ids.map(i => s"corpus_d$i"), "IVF index")
     val dirs = s"$dir/corpus" +: ids.map(id => s"$dir/corpus_d$id")
     val corpus = dirs
       .map(d => sess.read.parquet(d).filter(col("cluster").isin(probed: _*)))

@@ -81,7 +81,13 @@ object IvfPqIndex {
     Vectors.kmeans(emb, idCol, vecCol, k, iters)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     val cents = sess.read.parquet(s"$dir/centroids")
-    val c = coded(emb, idCol, vecCol, cents)
+    // materialized ONCE (localCheckpoint, disk-backed): the codebook
+    // sample and BOTH tier writes consume the assigned+encoded corpus —
+    // without it the assign+SQ8 pipeline runs three times, and a
+    // non-deterministic input could hand the codes and refine tiers
+    // DIFFERENT row sets, whose mismatch the serve-path inner join
+    // would turn into silently vanished ADC survivors
+    val c = coded(emb, idCol, vecCol, cents).localCheckpoint()
     val cb = Vectors.pqCodebook(c, "vec_id", "qc", m, ncw)
     val cbRows = cb.zipWithIndex.flatMap { case (sub, mm) =>
       sub.map { case (cwId, s) => (mm, cwId, s) }
@@ -95,7 +101,10 @@ object IvfPqIndex {
 
   /** Write one (codes, refine) pair from coded rows: codes carry the m
     * small PQ ids ([[graft.functions.PqEncode.codes]] — the constant-
-    * size codegen kernel), refine carries the exact SQ8 code. */
+    * size codegen kernel), refine carries the exact SQ8 code. Callers
+    * pass a MATERIALIZED (localCheckpoint'd) frame: the two writes must
+    * see the same rows — tier coherence — and must not re-run the
+    * encode. */
   private def writeTier(c: DataFrame, cb: Seq[Seq[(Long, Seq[Long])]],
                         codesDir: String, refineDir: String): Unit = {
     val cbSubs = cb.map(_.map(_._2))
@@ -129,7 +138,8 @@ object IvfPqIndex {
       if (!empty) {
         val cents = sess.read.parquet(s"$dir/centroids")
         val cb = readCodebook(sess, dir)
-        writeTier(coded(emb, idCol, vecCol, cents), cb,
+        // batch-sized materialization (the writeTier coherence rule)
+        writeTier(coded(emb, idCol, vecCol, cents).localCheckpoint(), cb,
           s"$dir/codes_d$id", s"$dir/refine_d$id")
       }
       DeltaProtocol.commitDeltaMarker(sess, dir, id, empty)
@@ -171,9 +181,9 @@ object IvfPqIndex {
     // lost dir fails loudly — both tiers must be present together, or
     // ADC candidates would vanish at the refine join
     val ids = DeltaProtocol.liveDeltaIds(sess, dir)
-    DeltaProtocol.requireDirs(sess, Seq(s"$dir/codes", s"$dir/refine"), "base")
-    ids.foreach(i => DeltaProtocol.requireDirs(sess,
-      Seq(s"$dir/codes_d$i", s"$dir/refine_d$i"), s"delta $i"))
+    DeltaProtocol.requireDirs(sess, dir,
+      Seq("codes", "refine") ++ ids.flatMap(i => Seq(s"codes_d$i", s"refine_d$i")),
+      "IVF-PQ index")
     val codes = unionPruned(sess,
         s"$dir/codes" +: ids.map(i => s"$dir/codes_d$i"), probed)
       .select(col("cluster").cast("long").as("cluster"),

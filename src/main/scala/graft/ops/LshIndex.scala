@@ -146,7 +146,7 @@ object LshIndex {
     // one); deltas are skipped only when their marker says `empty`, and
     // a live delta with a lost dir fails loudly
     val ids = DeltaProtocol.liveDeltaIds(sess, dir)
-    ids.foreach(i => DeltaProtocol.requireDirs(sess, Seq(s"$dir/bands_d$i"), s"delta $i"))
+    DeltaProtocol.requireDirs(sess, dir, ids.map(i => s"bands_d$i"), "LSH index")
     val base = if (fsOf(sess).exists(path(s"$dir/bands"))) Seq(s"$dir/bands") else Nil
     val dirs = base ++ ids.map(id => s"$dir/bands_d$id")
     if (dirs.isEmpty)

@@ -173,24 +173,29 @@ object Streams {
     else {
       val dups = LshIndex.matches(s, idxDir, batch, minJac)
         .select(col("new_id").as("doc_id")).distinct()
-      val survivors = batch.join(dups, Seq("doc_id"), "left_anti")
-      // a survivor-less batch (empty micro-batch, or every doc a dup)
-      // must NOT write: the empty partitioned write to a fresh outDir
-      // leaves a schema-less dir the read-back (and every later read)
-      // fails on, wedging the ingest loop on replay. The index append
-      // still runs so the `empty`-marker delta makes the replay a
-      // no-op.
-      if (graft.ops.DeltaProtocol.batchIsEmpty(survivors))
-        LshIndex.append(s, idxDir, survivors, batchId)
-      else {
-        survivors.withColumn("_batch_id", lit(batchId))
-          .write.mode("overwrite").partitionBy("_batch_id")
-          .option("partitionOverwriteMode", "dynamic").parquet(outDir)
-        LshIndex.append(s, idxDir,
-          s.read.parquet(outDir).filter(col("_batch_id") === batchId), batchId)
-      }
+      landAndAppend(batch.join(dups, Seq("doc_id"), "left_anti"),
+        batchId, outDir, df => LshIndex.append(s, idxDir, df, batchId))
       true
     }
+  }
+
+  /** The one land-then-append step both ingest transactions share:
+    * write the batch's surviving rows into their `_batch_id` partition
+    * (skipping the write entirely when there are none — the shared
+    * empty-write rule, [[graft.ops.DeltaProtocol.writeBatchPartition]]:
+    * a zero-row write to a fresh landing dir would wedge every later
+    * read-back and replay), then append WHAT ACTUALLY LANDED (read
+    * back from the sink) as the index delta so corpus and index stay
+    * in lockstep. A row-less batch appends its empty frame, which the
+    * index protocol records as an `empty`-marker delta — the replay
+    * no-op. ONE copy of this skeleton: a protocol fix here reaches
+    * both [[dedupBatch]] and [[annBatch]]. */
+  private def landAndAppend(survivors: DataFrame, batchId: Long, outDir: String,
+                            appendDelta: DataFrame => Unit): Unit = {
+    val s = survivors.sparkSession
+    if (graft.ops.DeltaProtocol.writeBatchPartition(survivors, batchId, outDir))
+      appendDelta(s.read.parquet(outDir).filter(col("_batch_id") === batchId))
+    else appendDelta(survivors)
   }
 
   /** Streaming ANN-index maintenance over a persisted IVF∘PQ index
@@ -235,21 +240,11 @@ object Streams {
       s"no committed IVF-PQ index at $idxDir — IvfPqIndex.build first")
     if (IvfPqIndex.deltaIds(s, idxDir).contains(batchId)) false
     else {
-      // an empty micro-batch must NOT write: the empty partitioned
-      // write to a fresh outDir leaves a schema-less dir the read-back
-      // fails on, wedging the loop on replay; the append still commits
-      // the `empty`-marker delta so the replay is a no-op
-      if (graft.ops.DeltaProtocol.batchIsEmpty(batch))
-        IvfPqIndex.append(s, idxDir, batch, idCol, vecCol, batchId)
-      else {
-        batch.withColumn("_batch_id", lit(batchId))
-          .write.mode("overwrite").partitionBy("_batch_id")
-          .option("partitionOverwriteMode", "dynamic").parquet(outDir)
-        IvfPqIndex.append(s, idxDir,
-          s.read.parquet(outDir).filter(col("_batch_id") === batchId)
-            .drop("_batch_id"),
-          idCol, vecCol, batchId)
-      }
+      // drop("_batch_id") is a no-op on the empty-batch path (the
+      // landing column is only added by the write)
+      landAndAppend(batch, batchId, outDir,
+        df => IvfPqIndex.append(s, idxDir, df.drop("_batch_id"),
+          idCol, vecCol, batchId))
       true
     }
   }

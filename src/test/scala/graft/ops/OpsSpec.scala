@@ -548,6 +548,18 @@ class OpsSpec extends SparkSpec {
       LshIndex.matches(spark, lshDir, probe).count()
     }
     assert(ex.getMessage.contains("data dir missing"))
+
+    // corruption: a _DELTA_-prefixed name that isn't a protocol-written
+    // marker (an incomplete restore's stray copy) fails with the
+    // protocol's actionable message, not a bare NumberFormatException —
+    // deltaIds is the one shared scan, so a stray name would otherwise
+    // wedge every delta consumer at once with an opaque parse error
+    fs.create(new org.apache.hadoop.fs.Path(s"$lshDir/_DELTA_1 (1)"), true).close()
+    val stray = intercept[IllegalStateException] {
+      LshIndex.deltaIds(spark, lshDir)
+    }
+    assert(stray.getMessage.contains("unparseable delta marker"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$lshDir/_DELTA_1 (1)"), false)
   }
 
   test("multimodal bytes → decoded features → persisted ANN index, end to end") {

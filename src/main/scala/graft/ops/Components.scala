@@ -35,7 +35,7 @@ object Components {
       .union(pairs.select(col(eb), col(ea)))
       .toDF("src", "dst").localCheckpoint()
     var labels = nodes.select(col(na).as("id"), col(na).as("lab")).localCheckpoint()
-    var prevSum = labels.agg(sum(col("lab"))).head.getLong(0)
+    var prevSum = labels.agg(sum(col("lab"))).head().getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -44,7 +44,7 @@ object Components {
       labels = labels.union(prop)
         .groupBy(col("id")).agg(min(col("lab")).as("lab"))
         .localCheckpoint()
-      val cur = labels.agg(sum(col("lab"))).head.getLong(0)
+      val cur = labels.agg(sum(col("lab"))).head().getLong(0)
       converged = cur == prevSum
       prevSum = cur
       rounds += 1

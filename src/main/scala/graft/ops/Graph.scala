@@ -58,7 +58,7 @@ object Graph {
     val a = pagerank(pairs, round - 1).withColumnRenamed("rank", "ra")
     val b = pagerank(pairs, round).withColumnRenamed("rank", "rb")
     val r = a.join(b, "doc_id")
-      .agg(sum(abs(col("rb") - col("ra")))).head
+      .agg(sum(abs(col("rb") - col("ra")))).head()
     // sum() over an empty graph is NULL — residual of nothing is 0
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }

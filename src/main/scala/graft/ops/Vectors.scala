@@ -222,7 +222,7 @@ object Vectors {
   def inertia(emb: DataFrame, idCol: String, vecCol: String,
               cents: DataFrame): Double =
     assignToCentroids(emb, idCol, vecCol, cents)
-      .agg(avg(lit(1.0) - col("cos"))).head.getDouble(0)
+      .agg(avg(lit(1.0) - col("cos"))).head().getDouble(0)
 
   /** In-cluster cosine near-dup pairs — the SemDeDup core (Abbas et al.
     * 2023, arXiv:2303.09540): assign every vector to its nearest
@@ -253,7 +253,7 @@ object Vectors {
                              cents: DataFrame): Long = {
     val r = assignToCentroids(emb, idCol, vecCol, cents)
       .groupBy(col("cluster")).count()
-      .agg(sum((col("count") * (col("count") - 1) / 2).cast("long"))).head
+      .agg(sum((col("count") * (col("count") - 1) / 2).cast("long"))).head()
     // sum() over zero groups is NULL, not 0 — an empty corpus has zero
     // candidate pairs (mirrors pagerank's own n==0 handling)
     if (r.isNullAt(0)) 0L else r.getLong(0)

@@ -93,8 +93,14 @@ object IvfIndex {
            idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     require(exists(sess, dir), s"no committed IVF index at $dir")
     val cents = sess.read.parquet(s"$dir/centroids")
+    // materialized ONCE (localCheckpoint): the probed-cluster collect
+    // and the corpus join both consume the assigned query side —
+    // without it the narrow argmax (and the query scan) run twice per
+    // serve call. Batch-sized, never corpus-sized (the IvfPqIndex.topK
+    // rule).
     val q = Vectors.assignTopN(queries, idCol, vecCol, cents, nprobe)
       .select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
+      .localCheckpoint()
     // ≤ k distinct cluster ids whatever the query count — index
     // metadata, not data
     val probed = q.select(col("cluster")).distinct()

@@ -162,6 +162,35 @@ object CdcGen {
   def writeTopicFiles(spark: SparkSession, n: Long, dir: String, nBatches: Int = 3, seed: Long = 42L): Unit =
     writeLines(toKafkaJsonLines(changeLog(spark, n, seed)), dir, nBatches)
 
+  /** SECOND-table topic segment for the multi-table `debezium1.*`
+    * subscription (reference README.md:193 subscribes the prefix, so a
+    * real deployment's stream carries every table of the schema): a
+    * deterministic departments change log — creates of ids 1-12,
+    * updates of ids 1-8, deletes of 3/6/9, lsn 1-23 — as ONE
+    * JSON-lines file on topic `debezium1.public.departments`, in the
+    * same wrapped-Kafka line shape as [[writeTopicFiles]]. 23 fixed
+    * lines, written plainly (no Spark job); any engine re-derives the
+    * expected snapshot from the landed bytes (stream_route_e2e's
+    * oracle does exactly that). */
+  def writeDeptTopicFile(path: String): Unit = {
+    def line(op: String, id: Int, lsn: Long, name: String): String = {
+      val row = s"""{"dept_id":$id,"name":"$name"}"""
+      val before = if (op == "d") row else "null"
+      val after = if (op == "d") "null" else row
+      val value = s"""{"payload":{"before":$before,"after":$after,""" +
+        s""""source":{"lsn":$lsn,"table":"departments"},"op":"$op","ts_ms":$lsn}}"""
+      val esc = value.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"value":"$esc","topic":"debezium1.public.departments",""" +
+        s""""partition":0,"offset":$lsn,"timestamp":"2023-05-25T00:00:0${lsn % 10}.000Z"}"""
+    }
+    val events =
+      (1 to 12).map(i => line("c", i, i.toLong, s"dept_${i}_v1")) ++
+      (1 to 8).map(i => line("u", i, (12 + i).toLong, s"dept_${i}_v2")) ++
+      Seq(3, 6, 9).zipWithIndex.map { case (i, j) => line("d", i, (21 + j).toLong, s"dept_${i}_v1") }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), events.mkString("\n"))
+    ()
+  }
+
   /** Avro-valued twin of [[writeTopicFiles]] (S15 fixture); `schemaId`
     * adds the Confluent 5-byte frame to every value. */
   def writeTopicAvroFiles(spark: SparkSession, n: Long, dir: String, nBatches: Int = 3, seed: Long = 42L,

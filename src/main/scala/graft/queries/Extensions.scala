@@ -552,6 +552,75 @@ object Extensions {
              |       DATE '1970-01-01' + created_at AS created_date
              |FROM latest WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin)),
 
+    // MULTI-TABLE ROUTED ingest e2e (the reference's actual shape:
+    // README.md:193 subscribes the `debezium1.*` PREFIX, so one stream
+    // carries every table of the schema): Ingest.runRouted fans one
+    // checkpointed stream into per-table logs + versioned snapshots by
+    // topic suffix. The emulated source is one-file-per-micro-batch,
+    // so each route sees QUIET batches (files carrying only the other
+    // table) — the empty-write rule's routed form runs for real: a
+    // quiet table advances no snapshot version and writes no
+    // schema-less poison dir. The oracle replays BOTH tables' landed
+    // wire bytes independently (read_json over the same fixture files,
+    // branch on the topic field, latest-wins per key by lsn, deletes
+    // applied) and compares the union of the two normalized snapshots
+    // — a second full implementation of the routed ingest+merge path.
+    GQuery(
+      "stream_route_e2e",
+      (s, dir) => {
+        import org.apache.spark.sql.types.StructType
+        // sf-independent seeded fixture (the stream_ingest_e2e rule):
+        // bump the version component together with the oracle's path
+        // whenever CdcGen's output changes.
+        val root = cachedFixture("graft_route_cache_v1_200_23") { root =>
+          CdcGen.writeTopicFiles(s, 200, root + "/topic", nBatches = 3)
+          CdcGen.writeDeptTopicFile(root + "/topic/departments.jsonl")
+          val q = Ingest.runRouted(s, root + "/topic", root + "/out", root + "/ckpt", Map(
+            "employees" -> Ingest.TableRoute(graft.cdc.Envelope.employeesEnvelope),
+            "departments" -> Ingest.TableRoute(
+              graft.cdc.Envelope.envelope(StructType.fromDDL("dept_id INT, name STRING")),
+              keys = Seq("dept_id"))))
+          try q.processAllAvailable() finally q.stop()
+        }
+        val emp = Ingest.readSnapshot(s, root + "/out/employees/snapshot").get
+          .select(lit("employees").as("tbl"), col("id").cast("long").as("id"),
+            col("full_name").as("name"))
+        val dep = Ingest.readSnapshot(s, root + "/out/departments/snapshot").get
+          .select(lit("departments").as("tbl"), col("dept_id").cast("long").as("id"),
+            col("name"))
+        dep.unionByName(emp).orderBy(col("tbl"), col("id"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT value, topic FROM read_json(
+             |    ['/tmp/graft_route_cache_v1_200_23/topic/*.txt',
+             |     '/tmp/graft_route_cache_v1_200_23/topic/*.jsonl'],
+             |    format='newline_delimited', columns={'value': 'VARCHAR', 'topic': 'VARCHAR'})
+             |),
+             |eev AS (
+             |  SELECT
+             |    json_extract_string(value, '$.payload.op') AS op,
+             |    CAST(json_extract(value, '$.payload.source.lsn') AS BIGINT) AS lsn,
+             |    COALESCE(CAST(json_extract(value, '$.payload.after.id') AS BIGINT),
+             |             CAST(json_extract(value, '$.payload.before.id') AS BIGINT)) AS id,
+             |    json_extract_string(value, '$.payload.after.full_name') AS name
+             |  FROM raw WHERE topic = 'debezium1.public.employees'
+             |),
+             |el AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn FROM eev),
+             |emp AS (SELECT 'employees' AS tbl, id, name FROM el WHERE rn = 1 AND op <> 'd'),
+             |dev AS (
+             |  SELECT
+             |    json_extract_string(value, '$.payload.op') AS op,
+             |    CAST(json_extract(value, '$.payload.source.lsn') AS BIGINT) AS lsn,
+             |    COALESCE(CAST(json_extract(value, '$.payload.after.dept_id') AS BIGINT),
+             |             CAST(json_extract(value, '$.payload.before.dept_id') AS BIGINT)) AS id,
+             |    json_extract_string(value, '$.payload.after.name') AS name
+             |  FROM raw WHERE topic = 'debezium1.public.departments'
+             |),
+             |dl AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn FROM dev),
+             |dep AS (SELECT 'departments' AS tbl, id, name FROM dl WHERE rn = 1 AND op <> 'd')
+             |SELECT tbl, id, name FROM (SELECT * FROM dep UNION ALL SELECT * FROM emp) u
+             |ORDER BY tbl, id""".stripMargin)),
+
     // STREAMING near-dup ingest e2e: documents arrive in 3 micro-batches
     // (doc_id % 3 = arrival order); each batch dedups against the
     // survivors landed so far via the persisted LSH index and appends

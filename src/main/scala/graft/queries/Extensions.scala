@@ -159,6 +159,38 @@ object Extensions {
     } + "/table"
   }
 
+  /** Savepoint/restore lifecycle fixture (q_cdc_savepoint_restore):
+    * the change log's first batch compacted to a base, SAVEPOINTED,
+    * two more append+compact cycles run over it (each one a GC pass
+    * that would reap the pinned base without the savepoint), then
+    * [[graft.cdc.Savepoints.rollback]] restores TO the pinned version
+    * — rollback refuses only pins ABOVE the target, so restoring to
+    * the savepoint itself needs no release. Built once per sf (the
+    * [[morTable]] cache protocol and versioning rule). */
+  private def savepointTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val sfKey = new java.io.File(dir).getName
+    cachedFixture(s"graft_sp_cache_v1_$sfKey") { root =>
+      val log = cdcLog(s, dir)
+      val Seq(c1, c2) = {
+        val n = Tables.events(s, dir).count()
+        Seq(n * 2 / 5, n * 4 / 5)
+      }
+      val t = root + "/table"
+      graft.cdc.MergeOnRead.logAppend(s, t, log.filter(col("lsn") < c1), 0L)
+      graft.cdc.MergeOnRead.compact(s, t, Seq("id"), Seq("lsn"))
+      require(graft.cdc.Savepoints.savepoint(s, t, 0L),
+        "savepoint of the freshly compacted base must pin")
+      graft.cdc.MergeOnRead.logAppend(s, t,
+        log.filter(col("lsn") >= c1 && col("lsn") < c2), 1L)
+      graft.cdc.MergeOnRead.compact(s, t, Seq("id"), Seq("lsn"))
+      graft.cdc.MergeOnRead.logAppend(s, t, log.filter(col("lsn") >= c2), 2L)
+      graft.cdc.MergeOnRead.compact(s, t, Seq("id"), Seq("lsn"))
+      val removed = graft.cdc.Savepoints.rollback(s, t, 0L)
+      require(removed == Seq(1L, 2L),
+        s"rollback must remove exactly the two later commits, got $removed")
+    } + "/table"
+  }
+
   /** File-group COW fixture: the derived change log replayed in three
     * batches through [[graft.cdc.FileGroups.commit]] — each commit
     * rewrites only the hash buckets its batch touches; the rest carry
@@ -501,6 +533,38 @@ object Extensions {
           |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
           |  FROM events
           |  WHERE event_id < (SELECT count(*) * 4 // 5 FROM events)) t
+          |WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin)),
+
+    // SAVEPOINT + RESTORE through the value gate (Hudi's `savepoint
+    // create` / `savepoint rollback` CLI pair, the last table service
+    // next to compaction/clustering/cleaning): the fixture drives a
+    // full MOR lifecycle — commit 1 compacted to base v-early,
+    // SAVEPOINTED, then two more append+compact cycles whose GC would
+    // normally reap that base (the pin is what keeps it restorable),
+    // then a markers-first rollback TO the savepointed version that
+    // destroys everything above it including pending log deltas. What
+    // verify value-checks: the restored table IS the log-prefix state —
+    // byte-equal rows to replaying only lsn < 2n/5 — i.e. the pin
+    // survived two GC passes and the rollback removed exactly the
+    // later commits. Driver-side metadata ops only (markers +
+    // listings); the timed read is one base scan.
+    GQuery(
+      "q_cdc_savepoint_restore",
+      (s, dir) => {
+        val t = savepointTable(s, dir)
+        graft.cdc.MergeOnRead.readMerged(s, t, Seq("id"), Seq("lsn")).get
+          .select(col("id"), col("lsn"), col("op"), col("value"))
+          .orderBy(col("id"))
+      },
+      Some(
+        """SELECT id, lsn, op, value FROM (
+          |  SELECT user_id AS id, event_id AS lsn,
+          |    CASE WHEN event_id % 11 = 0 THEN 'd'
+          |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+          |    value,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          |  FROM events
+          |  WHERE event_id < (SELECT count(*) * 2 // 5 FROM events)) t
           |WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin)),
 
     // Batch replay of the emulated Kafka topic through the full ingest

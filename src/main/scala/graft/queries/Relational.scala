@@ -657,6 +657,240 @@ object Relational {
              |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 100) t
              |ORDER BY total_price DESC, o_orderkey""".stripMargin)),
 
+    // COMPOSITE order-priority check — the TPC-H Q4 shape: an EXISTS
+    // semi-join from a date-sliced orders quarter into lineitem. The
+    // fixture schema carries no commit/receipt dates (TESTDATA.md), so
+    // "late" is l_shipdate > o_orderdate + 90 days — the PLAN is the
+    // same: LEFT SEMI on the order key with a residual cross-table date
+    // predicate. Semi-join short-circuits at the first matching lineitem
+    // (no row multiplication), both sides exchange once on the order
+    // key, and at 100 TB the quarter filter prunes the orders scan
+    // before the exchange — the probe side is a slice, not the table.
+    GQuery(
+      "q_tpch_q4",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+          .join(Tables.lineitem(s, dir),
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+             |  AND o_orderdate < TIMESTAMP '1996-10-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // COMPOSITE volume shipping — the TPC-H Q7 shape: revenue shipped
+    // between two named nations, by supplier nation × customer nation ×
+    // ship year. The nation-pair restriction is applied as SARGable
+    // per-dim prefilters (s_nationkey/c_nationkey IN (3,19) — pushed to
+    // the dim scans, shrinking both to 2/25 of a dim so size-based
+    // auto-broadcast picks them up at any SF) plus the residual
+    // disjunctive pair predicate after the joins. The only wide move is
+    // the lineitem⋈orders order-key exchange; nation-name lookups are
+    // fixed-25-row broadcasts.
+    GQuery(
+      "q_tpch_q7",
+      (s, dir) => {
+        val one = lit(1).cast("decimal(18,4)")
+        val n1 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(Tables.supplier(s, dir).filter(col("s_nationkey").isin(3, 19)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir).filter(col("c_nationkey").isin(3, 19)),
+            col("o_custkey") === col("c_custkey"))
+          .filter((col("s_nationkey") === 3 && col("c_nationkey") === 19) ||
+            (col("s_nationkey") === 19 && col("c_nationkey") === 3))
+          .join(broadcast(n1), col("s_nationkey") === col("sk"))
+          .join(broadcast(n2), col("c_nationkey") === col("ck"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("rev"))
+          .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+            dround(col("rev")).as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+             |  round(CAST(rev AS DOUBLE), 4) AS revenue FROM (
+             |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |    CAST(year(l_shipdate) AS INT) AS l_year,
+             |    sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             |        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+             |  FROM lineitem
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |  WHERE ((s_nationkey = 3 AND c_nationkey = 19)
+             |      OR (s_nationkey = 19 AND c_nationkey = 3))
+             |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  GROUP BY 1, 2, 3) t
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // COMPOSITE shipping-priority split — the TPC-H Q12 shape: one
+    // fact-fact order-key join feeding conditional CASE sums into a
+    // 2-group aggregate (the fixture has no l_shipmode, so the group key
+    // is l_linestatus — same cardinality class, same plan). The year
+    // filter is pushed to the lineitem scan; map-side partial agg
+    // collapses each partition to ≤2 rows before the single exchange, so
+    // the reduce side is O(groups), not O(rows), at any scale.
+    GQuery(
+      "q_tpch_q12",
+      (s, dir) => {
+        val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_linestatus"))
+          .agg(
+            sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""SELECT l_linestatus,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |GROUP BY l_linestatus
+             |ORDER BY l_linestatus""".stripMargin)),
+
+    // COMPOSITE promo-revenue share — the TPC-H Q14 shape: a one-month
+    // lineitem slice joined to part, reduced to a single conditional
+    // ratio. Both sums ride exact decimals so the final double division
+    // is bit-identical across engines. part is SF-scaled (no forced
+    // broadcast hint — auto-broadcast at gate SFs, partkey co-partition
+    // past the threshold); the month filter prunes the fact scan to
+    // ~1/36 of rows before the join.
+    GQuery(
+      "q_tpch_q14",
+      (s, dir) => {
+        val one = lit(1).cast("decimal(18,4)")
+        val rev = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+          .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast("decimal(18,4)"))).as("promo"),
+            sum(rev).as("total"))
+          .select(round(lit(100) * col("promo").cast("double")
+            / col("total").cast("double"), 4).as("promo_revenue"))
+      },
+      Some("""SELECT round(100 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 4)
+             |  AS promo_revenue FROM (
+             |  SELECT sum(CASE WHEN p_type = 'PROMO'
+             |               THEN CAST(l_extendedprice AS DECIMAL(18,4))
+             |                    * (1 - CAST(l_discount AS DECIMAL(18,4)))
+             |               ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo,
+             |         sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             |             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+             |    AND l_shipdate < TIMESTAMP '1997-04-01') t""".stripMargin)),
+
+    // COMPOSITE discounted-revenue brackets — the TPC-H Q19 shape: an
+    // OR-of-ANDs predicate spanning both join sides. The classic Q19
+    // rewrite is applied by hand: the disjunction's per-side hulls
+    // (l_quantity ∈ [1,30]; p_brand ∈ the 3 brands, p_size ∈ [1,50])
+    // are added as redundant conjuncts so each reaches its own parquet
+    // scan as a pushed filter — the 3-brand part slice is tiny at any
+    // SF (auto-broadcast), and the full bracket disjunction stays as
+    // the residual post-join filter. Without the hulls the scan reads
+    // every part row just to throw 88% away above the join.
+    GQuery(
+      "q_tpch_q19",
+      (s, dir) => {
+        val one = lit(1).cast("decimal(18,4)")
+        val brackets =
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 30))
+        Tables.lineitem(s, dir)
+          .filter(col("l_quantity").between(1, 30))
+          .join(Tables.part(s, dir)
+            .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+              col("p_size").between(1, 50)),
+            col("l_partkey") === col("p_partkey"))
+          .filter(brackets)
+          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("rev"))
+          .select(dround(col("rev")).as("revenue"))
+      },
+      Some("""SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             |    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             |       AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+             |       AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+             |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // COMPOSITE dormant-rich-customer report — the TPC-H Q22 shape: a
+    // global scalar aggregate (avg positive balance) broadcast as a
+    // 1-row crossJoin, filtering customers ABOVE it, anti-joined against
+    // recent orders (the fixture has every customer ordering at least
+    // once, so "dormant" = no order since 2000-01-01 — same anti-join
+    // plan as Q22's "no orders at all"). The avg rides an exact decimal
+    // sum / exact count so the comparison threshold is bit-identical
+    // across engines. Anti-join exchanges on custkey once; the date
+    // filter prunes the orders build side at the scan.
+    GQuery(
+      "q_tpch_q22",
+      (s, dir) => {
+        val avgBal = Tables.customer(s, dir)
+          .filter(col("c_acctbal") > 0)
+          .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("abal"))
+        Tables.customer(s, dir)
+          .crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("abal"))
+          .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"),
+            dround(sum(dec(col("c_acctbal")))).as("totacctbal"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""SELECT c_nationkey, count(*) AS numcust,
+             |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4)
+             |    AS totacctbal
+             |FROM customer
+             |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4)))
+             |                               AS DOUBLE) / count(*)
+             |                   FROM customer WHERE c_acctbal > 0)
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+             |GROUP BY c_nationkey
+             |ORDER BY c_nationkey""".stripMargin)),
+
     // --------------------------------------------------------- aggregation
     // TPC-H Q1 shape: partial hash agg map-side → 6-group final agg.
     // Decimal sums keep Spark's and DuckDB's different add-orders from

@@ -141,6 +141,34 @@ class QueriesSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_tpch_q4: the EXISTS rewrite is a semi hash join, not a nested loop") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_tpch_q19: the disjunction's per-side hulls reach both parquet scans") {
+    // the hand-applied Q19 rewrite: without the redundant hull conjuncts
+    // the OR-of-ANDs is only evaluable above the join and both scans
+    // read everything. PushedFilters must show the quantity bound on
+    // lineitem and the brand IN-list on part.
+    val q = GQuery.all.find(_.name == "q_tpch_q19").get.fn(spark, dir)
+    val scans = q.queryExecution.executedPlan.toString.split("\n")
+      .filter(_.contains("PushedFilters"))
+    assert(scans.exists(s => s.contains("l_quantity") && s.contains("GreaterThanOrEqual")), scans.mkString("\n"))
+    assert(scans.exists(s => s.contains("p_brand") && s.contains("In(")), scans.mkString("\n"))
+  }
+
+  test("q_tpch_q22: scalar threshold broadcasts; anti join is hash, not loop") {
+    val p = plan("q_tpch_q22")
+    assert(p.contains("LeftAnti"), p)
+    // the ONLY nested-loop is the 1-row scalar-threshold broadcast; the
+    // anti join itself must be a hash/merge join on custkey
+    assert(p.split("\n").count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.split("\n").exists(l => l.contains("LeftAnti") && !l.contains("NestedLoop")), p)
+  }
+
   test("q_join_bucketed: zero exchanges for join AND aggregate with broadcasts off") {
     // the pay-shuffle-once claim: both bucketed scans satisfy the join's
     // and the groupBy's required distribution, so with the broadcast

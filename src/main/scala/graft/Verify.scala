@@ -21,7 +21,13 @@ object Verify {
     // 4-way concurrency roughly quarters the wall-clock. Results are
     // per-query-deterministic regardless of completion order.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration filter (the driver never sets it): run only the
+    // named queries, e.g. SPARK_GRAFT_VERIFY_ONLY=q_tpch_q1,q_tpch_q6.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val tasks = selected.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -27,6 +27,16 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[verify] WARNING: SPARK_GRAFT_VERIFY_ONLY names match no query: ${unknown.toSeq.sorted.mkString(", ")}")
+      // stale-output hazard: other queries' parquet dirs from a previous
+      // full run remain in outDir and compare.py would re-validate them —
+      // filtered runs should use a fresh outDir (or pass the same names
+      // to compare.py)
+      System.err.println(s"[verify] NOTE: filtered run (${selected.size}/${SparkEntry.queries.size} queries); unselected query dirs in $outDir may be stale")
+    }
     val tasks = selected.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =

@@ -368,12 +368,26 @@ object Vectors {
       element_at(typedLit(cwList.toMap), c)
     }: _*)
 
-  /** PQ ANN search with exact re-rank: ADC top-`candR` candidate cut on
-    * the reconstructed codes, exact-SQ8 integer re-rank of the
-    * survivors, top-`k` out. The expensive exact dot only evaluates on
-    * the candR rows per query that survive the ADC window — the
-    * candidate-generation / refine cost split of a production PQ
-    * server. Returns (vec_id, rn, nn_id, score). */
+  /** FLAT-PQ ANN search with exact re-rank: ADC top-`candR` candidate
+    * cut on the reconstructed codes, exact-SQ8 integer re-rank of the
+    * survivors, top-`k` out. Flat PQ (no coarse quantizer — FAISS's
+    * `PQm` index) is inherently a linear scan of the code list per
+    * query; what this plan guarantees is that the scan SCALES: the
+    * QUERIES broadcast (a handful of rows) while the corpus code list
+    * never moves — ADC evaluates map-side over each corpus split — and
+    * the candidate cut is two-stage: a partition-local top-candR bounds
+    * any one task's state to its own split, then a global merge ranks
+    * the ≤ splits·candR survivors (exact by the union bound: a row in
+    * the global top-candR under the (adc DESC, nn_id) total order is
+    * necessarily in its own partition's top-candR, so the local cut
+    * never drops a global survivor — same scores, same rows as a
+    * single global window). Only survivors fetch their exact SQ8 codes
+    * for the re-rank, so the wide 64 B code column never rides the
+    * candidate shuffle — candidate rows are (query, nn_id, adc) thin.
+    * There is NO whole-corpus broadcast and NO corpus-sized window
+    * partition anywhere; for the sub-linear candidate-generation
+    * alternative see [[ivfPqSearch]] (the `IVFPQ,Refine` production
+    * path). Returns (vec_id, rn, nn_id, score). */
   def pqSearch(emb: DataFrame, idCol: String, vecCol: String,
                m: Int, ncw: Int, queryPred: Column,
                candR: Int, k: Int): DataFrame = {
@@ -387,19 +401,29 @@ object Vectors {
       .withColumn("qc", sq8(col("v"), col("nrm")))
       .select(col("vec_id"), col("qc"))
     val cb = pqCodebook(coded, "vec_id", "qc", m, ncw)
-    val corpus = broadcast(coded
+    val queries = coded.filter(queryPred).select(col("vec_id"), col("qc").as("q_qc"))
+    // map-side ADC: corpus splits stay put, queries come to them
+    val scored = coded
       .withColumn("recon",
         graft.functions.PqEncode.recon(col("qc"), cb.map(_.map(_._2))))
-      .select(col("vec_id").as("nn_id"), col("recon"), col("qc").as("qc2")))
-    val intDot = (a: Column, b: Column) => longDot(a, b)
+      .select(col("vec_id").as("nn_id"), col("recon"))
+      .join(broadcast(queries), col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"),
+        longDot(col("q_qc"), col("recon")).as("adc"),
+        spark_partition_id().as("p"))
+    val wLoc = Window.partitionBy(col("vec_id"), col("p"))
+      .orderBy(col("adc").desc, col("nn_id"))
     val wAdc = Window.partitionBy(col("vec_id")).orderBy(col("adc").desc, col("nn_id"))
+    val cand = scored
+      .withColumn("rn_l", row_number().over(wLoc)).filter(col("rn_l") <= candR)
+      .withColumn("rn_c", row_number().over(wAdc)).filter(col("rn_c") <= candR)
+      .select(col("vec_id"), col("nn_id"))
+    // refine: exact SQ8 codes fetched ONLY for the candR survivors per
+    // query — the tiny survivor set broadcasts back against the corpus
     val wTop = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("nn_id"))
-    coded.filter(queryPred)
-      .join(corpus, col("vec_id") =!= col("nn_id"))
-      .withColumn("adc", intDot(col("qc"), col("recon")))
-      .withColumn("rn_c", row_number().over(wAdc))
-      .filter(col("rn_c") <= candR)
-      .withColumn("score", intDot(col("qc"), col("qc2")))
+    coded.select(col("vec_id").as("nn_id"), col("qc").as("qc2"))
+      .join(broadcast(cand.join(queries, "vec_id")), "nn_id")
+      .withColumn("score", longDot(col("q_qc"), col("qc2")))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)
       .select(col("vec_id"), col("rn"), col("nn_id"), col("score"))

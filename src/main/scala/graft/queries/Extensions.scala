@@ -142,7 +142,7 @@ object Extensions {
     * serves stale fixtures. */
   private def morTable(s: org.apache.spark.sql.SparkSession, dir: String,
                        cluster: Boolean): String = {
-    val sfKey = new java.io.File(dir).getName // testdata sf dirs have unique basenames
+    val sfKey = sfFingerprint(dir) // basename + content fingerprint
     val variant = if (cluster) "clustered" else "plain"
     cachedFixture(s"graft_mor_cache_v1_${sfKey}_$variant") { root =>
       val log = cdcLog(s, dir)
@@ -168,7 +168,7 @@ object Extensions {
     * the savepoint itself needs no release. Built once per sf (the
     * [[morTable]] cache protocol and versioning rule). */
   private def savepointTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val sfKey = new java.io.File(dir).getName
+    val sfKey = sfFingerprint(dir)
     cachedFixture(s"graft_sp_cache_v1_$sfKey") { root =>
       val log = cdcLog(s, dir)
       val Seq(c1, c2) = {
@@ -197,7 +197,7 @@ object Extensions {
     * forward by manifest reference. Built once per sf (same cache
     * protocol and versioning rule as [[morTable]]). */
   private def fileGroupTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val sfKey = new java.io.File(dir).getName
+    val sfKey = sfFingerprint(dir)
     cachedFixture(s"graft_fg_cache_v1_$sfKey") { root =>
       val log = cdcLog(s, dir)
       val Seq(c1, c2) = {
@@ -241,6 +241,20 @@ object Extensions {
     * list files directly. */
   private def dropSinkLog(outDir: String): Unit =
     rmTree(new java.io.File(outDir, "_spark_metadata"))
+
+  /** Cache-key component for testdata-derived fixtures: the sf dir's
+    * basename plus a fingerprint of its parquet files' (name, size,
+    * mtime). A driver-side fixture regeneration changes the fingerprint
+    * and so invalidates every cached fixture built from the old data —
+    * without this, r12's testdata regen left /tmp caches built from the
+    * previous encoding serving stale streaming-e2e results. */
+  private def sfFingerprint(dir: String): String = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    val h = java.security.MessageDigest.getInstance("MD5").digest(sig.getBytes("UTF-8"))
+    new java.io.File(dir).getName + "-" + h.take(5).map("%02x".format(_)).mkString
+  }
 
   private def cachedFixture(name: String)(build: String => Unit): String = {
     val cache = new java.io.File("/tmp", name)
@@ -698,7 +712,7 @@ object Extensions {
     GQuery(
       "stream_dedup_e2e",
       (s, dir) => {
-        val sfKey = new java.io.File(dir).getName
+        val sfKey = sfFingerprint(dir)
         val root = cachedFixture(s"graft_sdedup_cache_v1_$sfKey") { root =>
           val docs = Tables.documents(s, dir)
           LshIndex.buildEmpty(s, root + "/idx", nBuckets = 16)
@@ -776,7 +790,7 @@ object Extensions {
     GQuery(
       "stream_agg_e2e",
       (s, dir) => {
-        val sfKey = new java.io.File(dir).getName
+        val sfKey = sfFingerprint(dir)
         // v3: fixture now builds on the RocksDB state store (the
         // production provider for unbounded-cardinality window state)
         val root = cachedFixture(s"graft_sagg_cache_v3_$sfKey") { root =>
@@ -858,7 +872,7 @@ object Extensions {
     GQuery(
       "stream_session_e2e",
       (s, dir) => {
-        val sfKey = new java.io.File(dir).getName
+        val sfKey = sfFingerprint(dir)
         // v2: fixture now builds on the RocksDB state store (per-user
         // session state is the unbounded-cardinality case it exists for)
         val root = cachedFixture(s"graft_sess_cache_v2_$sfKey") { root =>
@@ -932,7 +946,7 @@ object Extensions {
     GQuery(
       "stream_join_e2e",
       (s, dir) => {
-        val sfKey = new java.io.File(dir).getName
+        val sfKey = sfFingerprint(dir)
         // v2: fixture now builds on the RocksDB state store (click
         // state across the join window is the cardinality that pressures
         // executor heap at real scale)
@@ -991,7 +1005,7 @@ object Extensions {
     GQuery(
       "stream_enrich_e2e",
       (s, dir) => {
-        val sfKey = new java.io.File(dir).getName
+        val sfKey = sfFingerprint(dir)
         val root = cachedFixture(s"graft_senrich_cache_v1_$sfKey") { root =>
           val docs = Tables.documents(s, dir)
           // integer sum → double division: both engines divide the same
@@ -1151,7 +1165,7 @@ object Extensions {
     GQuery(
       "q_dedup_incremental",
       (s, dir) => {
-        val sfKey = new java.io.File(dir).getName
+        val sfKey = sfFingerprint(dir)
         val docs = Tables.documents(s, dir)
         val idxDir = cachedFixture(s"graft_lsh_cache_v1_$sfKey") { root =>
           LshIndex.build(s, root + "/idx",
@@ -1587,7 +1601,7 @@ object Extensions {
     GQuery(
       "q_sim_ivf_served",
       (s, dir) => {
-        val sfKey = new java.io.File(dir).getName
+        val sfKey = sfFingerprint(dir)
         val idxDir = cachedFixture(s"graft_ivfq_cache_v1_$sfKey") { root =>
           IvfIndex.build(s, root + "/idx", fanout(Tables.embeddings(s, dir)),
             "vec_id", "embedding", k = 8, iters = 0)
@@ -2044,7 +2058,7 @@ object Extensions {
     GQuery(
       "stream_decon_e2e",
       (s, dir) => {
-        val sfKey = new java.io.File(dir).getName
+        val sfKey = sfFingerprint(dir)
         val root = cachedFixture(s"graft_sdecon_cache_v1_$sfKey") { root =>
           val docs = Tables.documents(s, dir)
           val bf = fanout(docs).filter(pmod(col("doc_id"), lit(10)) === 0)
@@ -2473,7 +2487,7 @@ object Extensions {
     GQuery(
       "q_source_json",
       (s, dir) => {
-        val sfKey = new java.io.File(dir).getName
+        val sfKey = sfFingerprint(dir)
         val root = cachedFixture(s"graft_srcjson_cache_v1_$sfKey") { root =>
           graft.sources.FileFormats.writeJson(Tables.documents(s, dir), root + "/docs_json")
         }
@@ -2493,7 +2507,7 @@ object Extensions {
     GQuery(
       "q_source_csv",
       (s, dir) => {
-        val sfKey = new java.io.File(dir).getName
+        val sfKey = sfFingerprint(dir)
         // v3: v2 caches predate the \N null sentinel
         val root = cachedFixture(s"graft_srccsv_cache_v3_$sfKey") { root =>
           graft.sources.FileFormats.writeCsv(Tables.documents(s, dir), root + "/docs_csv")
@@ -2512,7 +2526,7 @@ object Extensions {
     GQuery(
       "q_source_orc",
       (s, dir) => {
-        val sfKey = new java.io.File(dir).getName
+        val sfKey = sfFingerprint(dir)
         val root = cachedFixture(s"graft_srcorc_cache_v1_$sfKey") { root =>
           graft.sources.FileFormats.writeOrc(Tables.documents(s, dir), root + "/docs_orc")
         }
@@ -2671,7 +2685,7 @@ object Extensions {
     GQuery(
       "stream_asof_e2e",
       (s, dir) => {
-        val sfKey = new java.io.File(dir).getName
+        val sfKey = sfFingerprint(dir)
         // null user_id filtered up front: the native operator groups
         // null keys (window semantics) while the equi-join oracle never
         // matches them — filtering makes query and oracle agree by
@@ -2948,7 +2962,7 @@ object Extensions {
     GQuery(
       "q_sim_ivf_pq_served",
       (s, dir) => {
-        val sfKey = new java.io.File(dir).getName
+        val sfKey = sfFingerprint(dir)
         val idxDir = cachedFixture(s"graft_ivfpq_cache_v1_$sfKey") { root =>
           IvfPqIndex.build(s, root + "/idx", fanout(Tables.embeddings(s, dir)),
             "vec_id", "embedding", k = 8, iters = 0, m = 16, ncw = 32)
@@ -3017,7 +3031,7 @@ object Extensions {
     GQuery(
       "stream_ann_e2e",
       (s, dir) => {
-        val sfKey = new java.io.File(dir).getName
+        val sfKey = sfFingerprint(dir)
         val root = cachedFixture(s"graft_sann_cache_v1_$sfKey") { root =>
           val emb = Tables.embeddings(s, dir)
           IvfPqIndex.build(s, root + "/idx",

@@ -26,15 +26,42 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "documents"))
   def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "embeddings"))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Declaring the column BIGINT
-    * in the read schema makes the reader hand over the raw epoch-nanos
-    * int64 (scoped to this read — no session-wide `nanosAsLong`
-    * mutation); truncating to microseconds matches DuckDB's ns→µs
-    * truncation exactly, so oracle comparisons line up. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .parquet(p(dir, "events"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** `events.ts` encoding has changed across fixture generations (see
+    * FIXTURES.md): currently parquet TIMESTAMP(MICROS, isAdjustedToUTC
+    * =false), which Spark infers as TIMESTAMP_NTZ; earlier fixtures used
+    * TIMESTAMP(NANOS), which Spark's reader rejects outright
+    * ([PARQUET_TYPE_ILLEGAL]). This loader reads whatever is there and
+    * normalizes `ts` to TimestampType (session tz is UTC everywhere, so
+    * the NTZ cast is wall-clock- and epoch-identical to DuckDB's naive
+    * read of the same file):
+    *   - TIMESTAMP/TIMESTAMP_NTZ: read natively, cast NTZ → TIMESTAMP.
+    *   - TIMESTAMP(NANOS): the schema-conversion error is caught and the
+    *     column re-read as BIGINT (scoped to this read — no session-wide
+    *     `nanosAsLong` mutation), then truncated ns → µs, matching
+    *     DuckDB's truncation exactly.
+    * SourcesSpec carries a tripwire asserting the decoded time span is
+    * days-scale so a future encoding flip can't silently compress event
+    * time again (the r12 failure mode). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val path = p(dir, "events")
+    try {
+      val df = spark.read.parquet(path)
+      df.schema("ts").dataType match {
+        case TimestampType    => df
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case other =>
+          throw new IllegalStateException(s"events.ts has unsupported type $other — extend Tables.events")
+      }
+    } catch {
+      // Legacy TIMESTAMP(NANOS) fixtures: schema conversion throws before any
+      // data is read; re-read with ts declared BIGINT to get raw epoch-nanos.
+      case e: org.apache.spark.sql.AnalysisException if e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
+        spark.read
+          .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+          .parquet(path)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    }
+  }
 }

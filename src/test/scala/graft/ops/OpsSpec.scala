@@ -629,6 +629,14 @@ class OpsSpec extends SparkSpec {
     val single = Text.search(docs, "doc_id", "text", derived.head, 3)
       .as[(Long, Double)].collect().toSeq
     assert(dup == single && dup.size == 3)
+
+    // duplicate (term, df) ROWS in the query dim itself must not
+    // double-count tf or emit duplicate fold entries (bm25TopK dedups
+    // on term internally)
+    val qdim = dft.orderBy($"df".desc, $"term").limit(3)
+    val dupRows = Text.bm25TopK(toks, qdim.union(qdim), 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(dupRows == want, "duplicate qterm rows changed bm25TopK scores")
   }
 
   test("semanticGroups: iters=0 replays the oracled query; training cuts candidate pairs; k rule is linear") {

@@ -891,6 +891,264 @@ object Relational {
              |GROUP BY c_nationkey
              |ORDER BY c_nationkey""".stripMargin)),
 
+    // COMPOSITE minimum-cost supplier — the TPC-H Q2 shape: a
+    // correlated scalar min subquery over the part/supplier snowflake
+    // ("the supplier in EUROPE offering this part at the lowest cost").
+    // The fixture carries no partsupp table (TESTDATA.md), so the
+    // part↔supplier bridge is derived from lineitem: per-(part,
+    // supplier) cost = min extendedprice, computed ONCE and shared by
+    // both the outer query and the subquery — exactly what partsupp
+    // stores. The decorrelation showcase: the oracle keeps the
+    // correlated `= (SELECT min(...) WHERE ps2.partkey = p_partkey)`
+    // form; the Spark plan is the decorrelated equivalent Catalyst
+    // would rewrite to — a per-part min WINDOW over the region-filtered
+    // cost rows and an equality filter, ONE exchange on the part key
+    // instead of agg+self-join. Costs compare as DECIMAL (exact);
+    // doubles appear only in the final display columns. At 100 TB the
+    // region filter prunes suppliers before the bridge join, the
+    // fixed-size nation/region dims broadcast, and nothing is
+    // per-query corpus-wide: bridge agg, supplier join, and window all
+    // partition on their keys.
+    GQuery(
+      "q_tpch_q2",
+      (s, dir) => {
+        val ps = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(dec(col("l_extendedprice"))).as("ps_cost"))
+        val eu = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+        val w = Window.partitionBy(col("l_partkey"))
+        ps.join(eu, col("l_suppkey") === col("s_suppkey"))
+          .withColumn("min_cost", min(col("ps_cost")).over(w))
+          .filter(col("ps_cost") === col("min_cost"))
+          .join(Tables.part(s, dir).filter(col("p_type") === "PROMO"),
+            col("p_partkey") === col("l_partkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+            dround(col("s_acctbal")).as("acctbal"),
+            dround(col("ps_cost")).as("cost"))
+          .orderBy(col("acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    min(CAST(l_extendedprice AS DECIMAL(18,4))) AS ps_cost
+             |  FROM lineitem GROUP BY 1, 2),
+             |eu AS (
+             |  SELECT s_suppkey, s_name, s_acctbal, n_name
+             |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  WHERE r_name = 'EUROPE')
+             |SELECT p_partkey, p_name, s_name, n_name,
+             |  round(CAST(s_acctbal AS DOUBLE), 4) AS acctbal,
+             |  round(CAST(ps_cost AS DOUBLE), 4) AS cost
+             |FROM part JOIN ps ON p_partkey = l_partkey
+             |JOIN eu ON l_suppkey = s_suppkey
+             |WHERE p_type = 'PROMO'
+             |  AND ps_cost = (SELECT min(ps2.ps_cost)
+             |                 FROM ps ps2 JOIN eu e2 ON ps2.l_suppkey = e2.s_suppkey
+             |                 WHERE ps2.l_partkey = p_partkey)
+             |ORDER BY acctbal DESC, n_name, s_name, p_partkey""".stripMargin)),
+
+    // COMPOSITE suppliers-who-kept-waiting — the TPC-H Q21 shape:
+    // EXISTS and NOT EXISTS against the SAME fact at once ("the sole
+    // supplier with a returned line in a multi-supplier order"). The
+    // fixture has no commit/receipt dates, so "late" is l_returnflag
+    // = 'R' — the PLAN is the original's: the flagged fact slice
+    // semi-joins lineitem on the order key with a supplier-inequality
+    // residual (EXISTS: some OTHER supplier in the order), then
+    // anti-joins the flagged slice the same way (NOT EXISTS: no OTHER
+    // supplier also flagged). Both are equi hash joins on l_orderkey
+    // with the inequality as a residual — never a nested loop — and
+    // all three fact legs exchange on the same order key, so the
+    // multi-semi/anti composition is co-partitioned end to end; the
+    // supplier name lookup joins after the fact collapses to
+    // per-supplier counts.
+    GQuery(
+      "q_tpch_q21",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val flagged = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        flagged
+          .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+              .select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .join(li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")),
+            col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+            "left_semi")
+          .join(flagged.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3")),
+            col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
+            "left_anti")
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+             |FROM supplier, lineitem l1, orders
+             |WHERE s_suppkey = l1.l_suppkey
+             |  AND o_orderkey = l1.l_orderkey
+             |  AND o_orderstatus = 'F'
+             |  AND l1.l_returnflag = 'R'
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_returnflag = 'R')
+             |GROUP BY s_name
+             |ORDER BY numwait DESC, s_name""".stripMargin)),
+
+    // COMPOSITE customer order-count distribution — the TPC-H Q13
+    // shape: a LEFT OUTER join that must KEEP zero-order customers
+    // (the filter rides the join condition, not a WHERE — a WHERE
+    // would silently turn the outer join inner and drop the zero
+    // bucket), a per-customer count, then a histogram over the counts.
+    // The fixture has no o_comment, so the original's comment-pattern
+    // exclusion becomes an order-priority exclusion — same plan: the
+    // predicate prunes the orders scan, the outer join exchanges both
+    // sides on the customer key once, and the second aggregate's input
+    // is already one row per customer, so the histogram shuffle
+    // carries |distinct counts| rows.
+    GQuery(
+      "q_tpch_q13",
+      (s, dir) => {
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir).filter(col("o_orderpriority") =!= "3-MEDIUM"),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT OUTER JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '3-MEDIUM'
+             |  GROUP BY c_custkey) co
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // COMPOSITE top supplier — the TPC-H Q15 shape: an aggregate view
+    // (per-supplier quarterly revenue) consumed twice, once as the
+    // rows and once as its own max, with equality selecting the
+    // top supplier(s). Revenue aggregates as exact DECIMAL so the max
+    // equality is bit-identical across engines (a double revenue could
+    // tie-break differently under reordered addition). The max is a
+    // 1-row scalar crossJoin broadcast (the q_tpch_q22 rule) — NEVER a
+    // global window over the supplier-sized aggregate. The view is
+    // evaluated twice (rows + max) — a deliberate tradeoff: both
+    // evaluations scan the ~36×-date-pruned slice with the filter
+    // pushed, and the plan stays cache-lifecycle-free; at 100 TB
+    // materialize the supplier-sized view once (localCheckpoint) if
+    // the quarter slice is still large.
+    GQuery(
+      "q_tpch_q15",
+      (s, dir) => {
+        val revenue = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .as("total_revenue"))
+        revenue
+          .crossJoin(broadcast(revenue.agg(max(col("total_revenue")).as("max_rev"))))
+          .filter(col("total_revenue") === col("max_rev"))
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            dround(col("total_revenue")).as("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH revenue AS (
+             |  SELECT l_suppkey AS supplier_no,
+             |    sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             |        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01'
+             |  GROUP BY 1)
+             |SELECT s_suppkey, s_name,
+             |  round(CAST(total_revenue AS DOUBLE), 4) AS total_revenue
+             |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+             |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // COMPOSITE parts/supplier relationship count — the TPC-H Q16
+    // shape: a NOT IN exclusion subquery (suppliers with complaints;
+    // the fixture has no s_comment, so "complaint" = negative account
+    // balance) over a distinct-count aggregate. NOT IN compiles to a
+    // LEFT ANTI hash join (s_suppkey is non-null, so the NULL-poisoning
+    // NOT IN edge case cannot arise); count(DISTINCT) expands to the
+    // two-phase distinct-agg plan. Brand/size filters push to the part
+    // scan; the part↔lineitem bridge join exchanges on the part key;
+    // the anti join's build side is the filtered supplier sliver.
+    GQuery(
+      "q_tpch_q16",
+      (s, dir) => {
+        Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#13" &&
+            col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+          .join(Tables.lineitem(s, dir), col("p_partkey") === col("l_partkey"))
+          .join(Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+              .select(col("s_suppkey")),
+            col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |  count(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM part JOIN lineitem ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#13'
+             |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+             |                        WHERE s_acctbal < 0)
+             |GROUP BY 1, 2, 3
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // COMPOSITE small-quantity revenue brake — the TPC-H Q17 shape: a
+    // correlated AVG subquery against the SAME fact ("lines under 20%
+    // of their part's average quantity"). Decorrelated Spark-side as a
+    // per-part (sum, count) WINDOW over the brand slice; the threshold
+    // l_quantity < 0.2·avg rides as the cross-multiplied
+    // 5·qty·cnt < sum in exact DECIMALs — a double avg threshold could
+    // flip a boundary row between engines under reordered addition,
+    // the cross-multiplication cannot. The brand filter prunes the
+    // part scan and, via the join, bounds the window input to the
+    // brand's lineitems — the window partitions on the part key, never
+    // corpus-wide. Note the correlated subquery in the oracle scans
+    // ALL lineitems of the part (not just the brand slice) — matching
+    // that, the Spark window input joins part AFTER restricting parts
+    // to the brand, which is the same set because the subquery's parts
+    // are exactly the outer query's brand parts.
+    GQuery(
+      "q_tpch_q17",
+      (s, dir) => {
+        val w = Window.partitionBy(col("p_partkey"))
+        Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir).filter(col("p_brand") === "Brand#21")
+              .select(col("p_partkey")),
+            col("l_partkey") === col("p_partkey"))
+          .withColumn("sum_qty", sum(dec(col("l_quantity"))).over(w))
+          .withColumn("cnt_qty", count(lit(1)).over(w))
+          .filter(dec(col("l_quantity")) * lit(5) * col("cnt_qty") < col("sum_qty"))
+          .agg(round(sum(dec(col("l_extendedprice"))).cast("double") / 7.0, 4)
+            .as("avg_yearly"))
+      },
+      Some("""SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+             |        AS DOUBLE) / 7.0, 4) AS avg_yearly
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand = 'Brand#21'
+             |  AND CAST(l_quantity AS DECIMAL(18,4)) * 5
+             |      * (SELECT count(*) FROM lineitem l2
+             |         WHERE l2.l_partkey = p_partkey)
+             |    < (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,4)))
+             |       FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)),
+
     // --------------------------------------------------------- aggregation
     // TPC-H Q1 shape: partial hash agg map-side → 6-group final agg.
     // Decimal sums keep Spark's and DuckDB's different add-orders from

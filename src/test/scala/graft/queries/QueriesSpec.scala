@@ -169,6 +169,63 @@ class QueriesSpec extends SparkSpec {
     assert(p.split("\n").exists(l => l.contains("LeftAnti") && !l.contains("NestedLoop")), p)
   }
 
+  test("q_tpch_q2: decorrelated min is one part-key window; dim filters reach the scans") {
+    val p = plan("q_tpch_q2")
+    // the correlated scalar subquery is served by a per-part min window,
+    // not an agg + self-join — exactly one window, no loop joins anywhere
+    assert(p.split("\n").count(_.contains("Window")) == 1, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    val scans = p.split("\n").filter(_.contains("PushedFilters"))
+    assert(scans.exists(_.contains("EqualTo(r_name,EUROPE)")), scans.mkString("\n"))
+    assert(scans.exists(_.contains("EqualTo(p_type,PROMO)")), scans.mkString("\n"))
+  }
+
+  test("q_tpch_q21: EXISTS and NOT EXISTS are hash semi/anti joins with residuals, not loops") {
+    val p = plan("q_tpch_q21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the flagged slice's returnflag filter is pushed into the fact scans
+    val scans = p.split("\n").filter(_.contains("PushedFilters"))
+    assert(scans.exists(_.contains("EqualTo(l_returnflag,R)")), scans.mkString("\n"))
+    assert(scans.exists(_.contains("EqualTo(o_orderstatus,F)")), scans.mkString("\n"))
+  }
+
+  test("q_tpch_q13: outer join keeps the zero bucket; priority filter pushed; no loops") {
+    val p = plan("q_tpch_q13")
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    val scans = p.split("\n").filter(_.contains("PushedFilters"))
+    assert(scans.exists(_.contains("Not(EqualTo(o_orderpriority,3-MEDIUM))")), scans.mkString("\n"))
+  }
+
+  test("q_tpch_q15: the max is a 1-row scalar broadcast, not a global window") {
+    val p = plan("q_tpch_q15")
+    assert(!p.contains("Window"), p)
+    // the only cross join is the 1-row scalar max (the q_tpch_q22 rule)
+    assert(p.split("\n").count(l => l.contains("Cross") || l.contains("NestedLoop")) <= 1, p)
+    val scans = p.split("\n").filter(_.contains("PushedFilters"))
+    assert(scans.count(_.contains("GreaterThanOrEqual(l_shipdate")) == 2,
+      "both view evaluations must scan the date-pruned slice:\n" + scans.mkString("\n"))
+  }
+
+  test("q_tpch_q16: NOT IN is a hash anti join; brand/size filters reach the part scan") {
+    val p = plan("q_tpch_q16")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    val scans = p.split("\n").filter(_.contains("PushedFilters"))
+    assert(scans.exists(s => s.contains("Not(EqualTo(p_brand,Brand#13))") && s.contains("In(p_size")), scans.mkString("\n"))
+    assert(scans.exists(_.contains("LessThan(s_acctbal,0.0)")), scans.mkString("\n"))
+  }
+
+  test("q_tpch_q17: the correlated avg is one part-key window; brand filter pushed") {
+    val p = plan("q_tpch_q17")
+    assert(p.split("\n").count(_.contains("Window")) == 1, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    val scans = p.split("\n").filter(_.contains("PushedFilters"))
+    assert(scans.exists(_.contains("EqualTo(p_brand,Brand#21)")), scans.mkString("\n"))
+  }
+
   test("q_join_bucketed: zero exchanges for join AND aggregate with broadcasts off") {
     // the pay-shuffle-once claim: both bucketed scans satisfy the join's
     // and the groupBy's required distribution, so with the broadcast

@@ -991,6 +991,82 @@ object Extensions {
           |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
           |ORDER BY p_id, c_id""".stripMargin)),
 
+    // STREAM-STREAM LEFT OUTER interval join e2e — Streams.
+    // intervalJoinOuter as a real checkpointed query over the same
+    // two-file event replay as stream_join_e2e. What the outer variant
+    // adds over the inner: the NULL-PAD PATH IS WATERMARK-DRIVEN — a
+    // purchase with no click in its preceding hour can only emit
+    // (null-padded) once the click watermark has passed its whole
+    // band, so unmatched rows surface a trigger later than inner
+    // pairs, and the tail of the corpus needs the watermark pushed
+    // past it to flush at all. Two sentinel batches (user_id −1, one
+    // purchase + one click each, 2 h past the corpus) do that push and
+    // give the flush a batch to land in; they join only each other and
+    // are filtered from the output by key sign. The DuckDB oracle is
+    // the batch LEFT JOIN verbatim — every purchase appears exactly
+    // once per matching click or once null-padded, which also pins
+    // that the stream emits NO spurious null-pads for matched rows.
+    GQuery(
+      "stream_join_outer_e2e",
+      (s, dir) => {
+        val sfKey = sfFingerprint(dir)
+        val root = cachedFixture(s"graft_sjoinout_cache_v1_$sfKey") { root =>
+          val ev = Tables.events(s, dir)
+            .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+          val Array(mn, mx) = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
+            .toSeq.map(_.asInstanceOf[java.sql.Timestamp]).toArray
+          val mid = new java.sql.Timestamp((mn.getTime + mx.getTime) / 2)
+          val src = root + "/src"
+          ev.filter(col("ts") < lit(mid)).coalesce(1).write.mode("append").parquet(src)
+          def side(t: String) =
+            s.readStream.schema(ev.schema).parquet(src).filter(col("event_type") === t)
+          graft.streaming.Streams.withRocksDbState(s) {
+            val q = graft.streaming.Streams.intervalJoinOuter(
+                side("purchase"), side("click"), windowMs = 3600000L)
+              .writeStream.format("parquet")
+              .option("path", root + "/out")
+              .option("checkpointLocation", root + "/ckpt")
+              .outputMode("append").start()
+            try {
+              q.processAllAvailable()
+              ev.filter(col("ts") >= lit(mid)).coalesce(1).write.mode("append").parquet(src)
+              q.processAllAvailable()
+              val sentinelTs = new java.sql.Timestamp(mx.getTime + 7200000L)
+              for (i <- 1 to 2) {
+                s.range(1).select(
+                    lit(-i.toLong).as("event_id"),
+                    lit(-1L).as("user_id"),
+                    lit(sentinelTs).as("ts"),
+                    lit("purchase").as("event_type"))
+                  .union(s.range(1).select(
+                    lit(-100L - i).as("event_id"),
+                    lit(-1L).as("user_id"),
+                    lit(sentinelTs).as("ts"),
+                    lit("click").as("event_type")))
+                  .coalesce(1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+              }
+            } finally q.stop()
+          }
+          dropSinkLog(root + "/out")
+        }
+        s.read.parquet(root + "/out")
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), col("p_id"), col("c_id"),
+            date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("p_time"),
+            date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("c_time"))
+          .orderBy(col("p_id"), col("c_id"))
+      },
+      Some(
+        """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id,
+          |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_time,
+          |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS c_time
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |  ON p.user_id = c.user_id
+          | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+          |ORDER BY p_id, c_id""".stripMargin)),
+
     // STREAM-STATIC enrich e2e — Streams.enrich as a real checkpointed
     // query: the document stream left-joins a BATCH dimension (per-
     // language mean n_chars over the full corpus) that is re-read per

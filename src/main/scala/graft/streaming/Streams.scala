@@ -273,6 +273,32 @@ object Streams {
         col("p_ts"), col("c_ts"))
   }
 
+  /** LEFT OUTER variant of [[intervalJoin]]: same time-bounded
+    * condition, but a purchase with NO click in its attribution window
+    * emits once, null-padded. The outer result is WATERMARK-DRIVEN in
+    * a way the inner one is not: an inner pair emits the moment the
+    * later side arrives, but a null-pad can only emit once the click
+    * watermark has passed the purchase's whole band (no matching click
+    * can arrive anymore) — so outer rows surface one trigger later
+    * than their inner siblings, and a tail purchase needs the
+    * watermark pushed past its band (e.g. by later traffic or a
+    * sentinel) before its null-pad appears. State bounds are identical
+    * to the inner join's: both sides evict at their watermark minus
+    * the band — O(horizon), never O(stream). */
+  def intervalJoinOuter(purchases: DataFrame, clicks: DataFrame,
+                        windowMs: Long, delay: String = "10 minutes"): DataFrame = {
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+      col("event_id").as("p_id")).withWatermark("p_ts", delay)
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+      col("event_id").as("c_id")).withWatermark("c_ts", delay)
+    p.join(c, col("p_user") === col("c_user") &&
+      col("c_ts") <= col("p_ts") &&
+      col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMs MILLISECONDS"),
+      "leftOuter")
+      .select(col("p_user").as("user_id"), col("p_id"), col("c_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** Closed session: count, sum, event-time bounds in epoch micros. */
   case class SessionAgg(key: Long, n: Long, total: Double, startUs: Long, endUs: Long)
 

@@ -341,6 +341,61 @@ object Vectors {
     }
   }
 
+  /** Per-subspace Lloyd-TRAINED PQ codebook: k-means in each of the m
+    * subspaces over the SQ8 sub-codes, initialized from the sampled
+    * [[pqCodebook]] — `iters = 0` degrades to it exactly (the
+    * trained-vs-untrained convention of [[kmeans]], so oracled queries
+    * stay on the replayable sampled init and training is a spec-gated
+    * quality dial). Assignment is the codegen'd
+    * [[graft.functions.PqEncode]] kernel (integer L2, ties to lowest
+    * id); the update step averages each codeword's members per
+    * dimension with an EXACT long sum (order-independent) and rounds
+    * back to the long grid, so training is deterministic on any
+    * partitioning. Per iteration: one corpus encode pass + an
+    * (m·ncw·d)-row aggregate — codebook metadata under the
+    * bounded-collect rule. Codewords that lose all members keep their
+    * previous value (the kmeans empty-cluster rule). */
+  def pqCodebookTrained(codes: DataFrame, idCol: String, codeCol: String,
+                        m: Int, ncw: Int, iters: Int): Seq[Seq[(Long, Seq[Long])]] = {
+    var cb = pqCodebook(codes, idCol, codeCol, m, ncw)
+    val d = cb.head.head._2.length
+    for (_ <- 0 until iters) {
+      val cbVals = cb.map(_.map(_._2))
+      val sums = codes
+        .select(graft.functions.PqEncode.codes(col(codeCol), cbVals).as("cw"),
+          col(codeCol).as("qc"))
+        .select(posexplode(col("cw")).as(Seq("mm", "cwid")), col("qc"))
+        .select(col("mm"), col("cwid"),
+          posexplode(slice(col("qc"), col("mm") * lit(d) + lit(1), lit(d)))
+            .as(Seq("dd", "x")))
+        .groupBy(col("mm"), col("cwid"), col("dd"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1).toInt, r.getInt(2)),
+          math.round(r.getLong(3).toDouble / r.getLong(4))))
+        .toMap
+      cb = (0 until m).map { mm =>
+        (0 until ncw).map { j =>
+          val old = cb(mm)(j)._2
+          (j.toLong, (0 until d).map(dd => sums.getOrElse((mm, j, dd), old(dd))))
+        }
+      }
+    }
+    cb
+  }
+
+  /** Total integer squared-L2 reconstruction error of a codebook over
+    * a code corpus — the PQ training objective; Lloyd iterations must
+    * not increase it. Exact long arithmetic end to end, so the value
+    * is deterministic on any partitioning (the spec gates compare
+    * exact equals-or-decreases, never approximate). */
+  def pqDistortion(codes: DataFrame, codeCol: String,
+                   cb: Seq[Seq[(Long, Seq[Long])]]): Long = {
+    val r = codes.agg(sum(graft.functions.LongL2(col(codeCol),
+      graft.functions.PqEncode.recon(col(codeCol), cb.map(_.map(_._2)))))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** PQ code assignment, COMPOSED reference form: per subspace, argmin
     * integer L2 distance to the codeword literals via an encoded
     * (dist·64 + cw) `least` fold (requires ncw ≤ 64), ties to the
@@ -390,7 +445,7 @@ object Vectors {
     * path). Returns (vec_id, rn, nn_id, score). */
   def pqSearch(emb: DataFrame, idCol: String, vecCol: String,
                m: Int, ncw: Int, queryPred: Column,
-               candR: Int, k: Int): DataFrame = {
+               candR: Int, k: Int, trainIters: Int = 0): DataFrame = {
     // single-file fixtures arrive as ONE split — spread the rows before
     // the interpreted HOF projections (assign/recon/ADC) or they run on
     // one core; a no-op cost on a real many-split corpus
@@ -400,7 +455,7 @@ object Vectors {
       .withColumn("nrm", norm(col("v")))
       .withColumn("qc", sq8(col("v"), col("nrm")))
       .select(col("vec_id"), col("qc"))
-    val cb = pqCodebook(coded, "vec_id", "qc", m, ncw)
+    val cb = pqCodebookTrained(coded, "vec_id", "qc", m, ncw, trainIters)
     val queries = coded.filter(queryPred).select(col("vec_id"), col("qc").as("q_qc"))
     // map-side ADC: corpus splits stay put, queries come to them
     val scored = coded
@@ -450,7 +505,7 @@ object Vectors {
     * `cents` is (c_id, cv) index metadata (the [[assignTopN]] rule). */
   def ivfPqSearch(emb: DataFrame, idCol: String, vecCol: String,
                   cents: DataFrame, m: Int, ncw: Int, queryPred: Column,
-                  nprobe: Int, candR: Int, k: Int): DataFrame = {
+                  nprobe: Int, candR: Int, k: Int, trainIters: Int = 0): DataFrame = {
     // single-file fixtures arrive as ONE split — spread before the
     // interpreted HOF projections (sq8/recon); no-op on a real corpus
     val base = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
@@ -460,7 +515,7 @@ object Vectors {
     val corpusCoded = assignToCentroids(base, idCol, vecCol, cents)
       .withColumn("qc", sq8(col("v"), col("nrm")))
       .select(col("vec_id"), col("qc"), col("cluster"))
-    val cb = pqCodebook(corpusCoded, "vec_id", "qc", m, ncw)
+    val cb = pqCodebookTrained(corpusCoded, "vec_id", "qc", m, ncw, trainIters)
     val corpus = corpusCoded
       .withColumn("recon",
         graft.functions.PqEncode.recon(col("qc"), cb.map(_.map(_._2))))

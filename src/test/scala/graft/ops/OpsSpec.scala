@@ -639,6 +639,28 @@ class OpsSpec extends SparkSpec {
     assert(dupRows == want, "duplicate qterm rows changed bm25TopK scores")
   }
 
+  test("pqCodebookTrained: iters=0 is the sampled init; Lloyd cuts distortion monotonically") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val coded = emb.repartition(8)
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("nrm", Vectors.norm($"v"))
+      .withColumn("qc", Vectors.sq8($"v", $"nrm"))
+      .select($"vec_id", $"qc").cache()
+    try {
+      // iters=0 degrades to pqCodebook exactly (the oracled-query rung)
+      assert(Vectors.pqCodebookTrained(coded, "vec_id", "qc", 16, 32, 0) ==
+        Vectors.pqCodebook(coded, "vec_id", "qc", 16, 32))
+      // the training objective: exact-integer distortion, so the
+      // monotone non-increase is a hard gate, not a tolerance
+      // (measured 2493176 -> 2003966 -> 1869493 on this corpus)
+      val d = (0 to 2).map(it => Vectors.pqDistortion(coded, "qc",
+        Vectors.pqCodebookTrained(coded, "vec_id", "qc", 16, 32, it)))
+      assert(d(1) < d(0), s"first Lloyd iteration did not cut distortion: $d")
+      assert(d(2) <= d(1), s"distortion increased on iteration 2: $d")
+    } finally coded.unpersist()
+  }
+
   test("semanticGroups: iters=0 replays the oracled query; training cuts candidate pairs; k rule is linear") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
 

@@ -1110,6 +1110,78 @@ object Relational {
              |GROUP BY 1, 2, 3
              |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
 
+    // COMPOSITE forecast revenue change — the TPC-H Q6 shape: the
+    // pure scan-aggregate member of the family — three SARGable
+    // predicates (date year, discount band, quantity cap) all pushed
+    // into ONE fact scan, one decimal product sum, zero joins and zero
+    // group keys. The plan IS the pushdown showcase: at 100 TB this
+    // query's cost is exactly the pruned scan bytes; everything after
+    // is a map-side partial sum collapsing to one row.
+    GQuery(
+      "q_tpch_q6",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+          .agg(dround(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))))
+            .as("revenue"))
+      },
+      Some("""SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             |    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount >= 0.05 AND l_discount <= 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // COMPOSITE important stock — the TPC-H Q11 shape: a group
+    // aggregate filtered (HAVING) against a FRACTION of the same
+    // aggregate computed globally — the shape where the threshold is
+    // itself a scalar subquery over the query's own input. The
+    // partsupp bridge derives from lineitem as in q_tpch_q2 (value =
+    // min-cost × line count per (part, supplier)); "Germany" is
+    // nationkey 3. The fraction compare is cross-multiplied
+    // (sum·500 > total) so it stays in EXACT decimals — the original's
+    // `> total · 0.0001` would put a double on one side and invite
+    // boundary-row drift between engines. The nation's bridge slice is
+    // evaluated twice (groups + total) — the Q15 tradeoff: the
+    // supplier filter prunes it to 1/25 first, and the total side
+    // collapses to a 1-row broadcast.
+    GQuery(
+      "q_tpch_q11",
+      (s, dir) => {
+        val ps = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(dec(col("l_extendedprice"))).as("ps_cost"),
+            count(lit(1)).as("ps_qty"))
+        def natps = ps
+          .join(Tables.supplier(s, dir).filter(col("s_nationkey") === 3)
+              .select(col("s_suppkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_partkey"), (col("ps_cost") * col("ps_qty")).as("value"))
+        natps.groupBy(col("l_partkey"))
+          .agg(sum(col("value")).as("sv"))
+          .crossJoin(broadcast(natps.agg(sum(col("value")).as("tot"))))
+          .filter(col("sv") * 500 > col("tot"))
+          .select(col("l_partkey"), dround(col("sv")).as("value"))
+          .orderBy(col("value").desc, col("l_partkey"))
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    min(CAST(l_extendedprice AS DECIMAL(18,4))) AS ps_cost,
+             |    count(*) AS ps_qty
+             |  FROM lineitem GROUP BY 1, 2),
+             |natps AS (
+             |  SELECT l_partkey, ps_cost * ps_qty AS value
+             |  FROM ps JOIN supplier ON l_suppkey = s_suppkey
+             |  WHERE s_nationkey = 3)
+             |SELECT l_partkey, round(CAST(sum(value) AS DOUBLE), 4) AS value
+             |FROM natps GROUP BY 1
+             |HAVING sum(value) * 500 > (SELECT sum(value) FROM natps)
+             |ORDER BY value DESC, l_partkey""".stripMargin)),
+
     // COMPOSITE small-quantity revenue brake — the TPC-H Q17 shape: a
     // correlated AVG subquery against the SAME fact ("lines under 20%
     // of their part's average quantity"). Decorrelated Spark-side as a

@@ -191,6 +191,36 @@ class QueriesSpec extends SparkSpec {
     assert(scans.exists(_.contains("EqualTo(o_orderstatus,F)")), scans.mkString("\n"))
   }
 
+  test("q_tpch_q6: all three predicates pushed into one scan; no joins, no exchange but the 1-row agg") {
+    val q = GQuery.all.find(_.name == "q_tpch_q6").get.fn(spark, dir)
+    val p = q.queryExecution.executedPlan
+    assert(!p.treeString.contains("Join"), p.treeString)
+    // treeString truncates long filter lists — read the scan's own
+    // metadata for the full PushedFilters string (descending through
+    // the AQE wrapper, which hides its inner plan from collect)
+    def scansOf(pl: org.apache.spark.sql.execution.SparkPlan): Seq[String] = pl match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansOf(s.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s.metadata("PushedFilters"))
+      case other => other.children.flatMap(scansOf)
+    }
+    val pushed = scansOf(p)
+    assert(pushed.length == 1, p.treeString)
+    for (want <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)"))
+      assert(pushed.head.contains(want), s"missing pushed filter $want in ${pushed.head}")
+  }
+
+  test("q_tpch_q11: the fraction threshold is a 1-row scalar broadcast; nation filter pushed") {
+    val p = plan("q_tpch_q11")
+    // the only loop join is the 1-row scalar total (the q_tpch_q22 rule)
+    assert(p.split("\n").count(l => l.contains("NestedLoop") || l.contains("Cross")) <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    val scans = p.split("\n").filter(_.contains("PushedFilters"))
+    assert(scans.exists(_.contains("EqualTo(s_nationkey,3)")), scans.mkString("\n"))
+  }
+
   test("q_tpch_q13: outer join keeps the zero bucket; priority filter pushed; no loops") {
     val p = plan("q_tpch_q13")
     assert(p.contains("LeftOuter"), p)

@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
 import graft.queries.GQuery
 
 val base = "/root/testdata/sf0.1"
-val scaled = "/tmp/graft_scale10"
+// v2: rebuilt after the round-13 events-decode fix — v1 dirs carry a
+// BIGINT ts column the canonical loader would mis-scale
+val scaled = "/tmp/graft_scale10_v2"
 val K = 10
 
 if (!Files.exists(Paths.get(scaled, "_DONE"))) {
@@ -27,12 +29,13 @@ if (!Files.exists(Paths.get(scaled, "_DONE"))) {
   }
   copies.reduce(_.unionByName(_)).repartition(32)
     .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
-  // raw-nanos read (events.ts is TIMESTAMP(NANOS) — see Tables.events):
-  // keep ts as BIGINT so the scaled file round-trips through the same
-  // Tables.events conversion
-  val ev = spark.read
-    .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-    .parquet(s"$base/events.parquet")
+  // read events through the canonical loader (it normalizes whatever
+  // encoding the driver generated — TIMESTAMP since round 12, raw
+  // nanos before; see FIXTURES.md "events.ts encoding history"): the
+  // scaled copy then stores plain TIMESTAMP, which Tables.events reads
+  // natively. Round 13: the previous raw-BIGINT re-read here silently
+  // re-introduced the 1000x unit bug against micros fixtures.
+  val ev = graft.tables.Tables.events(spark, base)
   val maxUser = ev.agg(max("user_id")).collect()(0).getLong(0) + 1
   val maxEv = ev.agg(max("event_id")).collect()(0).getLong(0) + 1
   val evCopies = (0 until K).map { i =>
@@ -55,6 +58,18 @@ if (!Files.exists(Paths.get(scaled, "_DONE"))) {
     ord.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * maxOrd))
   }.reduce(_.unionByName(_)).repartition(32)
     .write.mode("overwrite").parquet(s"$scaled/orders.parquet")
+  // 10x embeddings for the ANN probes: id-offset copies with a small
+  // per-copy perturbation on every dimension so copies are not exact
+  // duplicates (timing measures the scan/cut machinery either way,
+  // but degenerate all-equal neighbors would distort the window cuts)
+  val emb = spark.read.parquet(s"$base/embeddings.parquet")
+  val maxVec = emb.agg(max("vec_id")).collect()(0).getLong(0) + 1
+  (0 until K).map { i =>
+    emb.select((col("vec_id") + lit(i.toLong * maxVec)).as("vec_id"),
+      transform(col("embedding"), x => (x + lit(i * 0.013f)).cast("float")).as("embedding"),
+      col("label"))
+  }.reduce(_.unionByName(_)).repartition(32)
+    .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
   // small dims copied as-is
   for (t <- Seq("customer", "nation", "region", "supplier", "part"))
     Files.copy(Paths.get(s"$base/$t.parquet"), Paths.get(s"$scaled/$t.parquet"))
@@ -65,7 +80,9 @@ if (!Files.exists(Paths.get(scaled, "_DONE"))) {
 val queries = Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
   "q_dedup_substring", "q_lm_score", "q_text_search", "q_graph_pagerank",
   "q_tfidf", "q_chunk_docs", "q_token_count", "q_win_session", "q_funnel",
-  "q_agg_hash", "q_agg_mode", "q_tpch_q3", "q_tpch_q10", "q_win_analytic")
+  "q_agg_hash", "q_agg_mode", "q_tpch_q3", "q_tpch_q10", "q_win_analytic",
+  // round 13: the new TPC-H shapes with fact-side work + both PQ plans
+  "q_tpch_q2", "q_tpch_q16", "q_tpch_q21", "q_sim_pq", "q_sim_ivf_pq")
 
 def time(name: String, dir: String): Double = {
   val fn = GQuery.all.find(_.name == name).get.fn

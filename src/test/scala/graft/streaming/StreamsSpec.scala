@@ -336,6 +336,61 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinOuter == batch LEFT range join; no spurious null-pads") {
+    implicit val sc = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val winMs = 3600000L
+
+    val ev = graft.tables.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val bp = ev.filter(col("event_type") === "purchase")
+    val bc = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+    val batch = bp.join(bc, col("user_id") === col("cu") &&
+        col("c_ts") <= col("ts") &&
+        col("c_ts") >= col("ts") - expr(s"INTERVAL $winMs MILLISECONDS"), "left")
+      .select(col("event_id").as("p_id"), col("c_id"))
+      .as[(Long, Option[Long])].collect().sorted.toList
+    assert(batch.exists(_._2.isEmpty), "fixture should have unmatched purchases")
+    assert(batch.exists(_._2.nonEmpty), "fixture should have matched purchases")
+
+    // event-time-ordered feed on both sides (cross-side skew stays
+    // inside one slice-pair), watermark delay sized to cover it; a
+    // final sentinel far past the corpus flushes the tail null-pads
+    def slices(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, Timestamp, Long)].collect().sortBy(_._2.getTime)
+      .grouped(200).toList
+    val maxTs = ev.agg(max(col("ts"))).as[Timestamp].head()
+    val pIn = MemoryStream[(Long, Timestamp, Long)]
+    val cIn = MemoryStream[(Long, Timestamp, Long)]
+    val joined = Streams.intervalJoinOuter(
+      pIn.toDF().toDF("user_id", "ts", "event_id"),
+      cIn.toDF().toDF("user_id", "ts", "event_id"),
+      windowMs = winMs, delay = "2 days")
+    val q = joined.writeStream.format("memory").queryName("ivjo")
+      .outputMode("append").start()
+    try {
+      val (ps, cs) = (slices("purchase"), slices("click"))
+      for (i <- 0 until math.max(ps.length, cs.length)) {
+        if (i < cs.length) cIn.addData(cs(i).toSeq)
+        if (i < ps.length) pIn.addData(ps(i).toSeq)
+        q.processAllAvailable()
+      }
+      val sentinel = new Timestamp(maxTs.getTime + 5L * 86400000L)
+      for (_ <- 1 to 2) {
+        pIn.addData((-1L, sentinel, -1L))
+        cIn.addData((-1L, sentinel, -2L))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("ivjo").filter(col("user_id") >= 0)
+        .select(col("p_id"), col("c_id"))
+        .as[(Long, Option[Long])].collect().sorted.toList
+      assert(streamed == batch,
+        s"left-join rows differ: streamed ${streamed.length} vs batch ${batch.length}")
+    } finally q.stop()
+  }
+
   test("sessionize: out-of-order arrival across batches still splits on the gap") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Double)]

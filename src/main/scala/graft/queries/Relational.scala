@@ -2245,6 +2245,38 @@ object Relational {
              |  CAST(json_extract_string(props, '$.k') AS INT) AS k3
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Spark 4 VARIANT — the engine-native semi-structured type (open
+    // binary encoding, type-preserving, no schema declared up front):
+    // props parses ONCE into a variant, then typed path extraction
+    // (`variant_get`) feeds ordinary aggregates, and a missing path is
+    // NULL (counted per group to pin that rule). At 100 TB this is the
+    // schema-on-read contract for heterogeneous event payloads — the
+    // variant parse is a narrow codegen'd projection; the aggregate is
+    // the same 5-group hash agg as any other. The DuckDB oracle
+    // replays through its own JSON path functions — two engines, two
+    // semi-structured stacks, one answer.
+    GQuery(
+      "q_json_variant",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .withColumn("v", parse_json(col("props")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("variant_get(v, '$.k', 'bigint')")).as("sum_k"),
+            min(expr("variant_get(v, '$.k', 'bigint')")).as("min_k"),
+            max(expr("variant_get(v, '$.k', 'bigint')")).as("max_k"),
+            sum(when(expr("variant_get(v, '$.missing', 'string')").isNull, 1)
+              .otherwise(0)).as("n_missing"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+             |  CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // Correlated scalar subquery — Catalyst decorrelates it into an
     // aggregate + join (no per-row re-execution at any scale).
     GQuery(

@@ -934,6 +934,79 @@ object Extensions {
              |FROM n GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // STREAMING sessionization on Spark 4's transformWithState — the
+    // SAME event replay, gap rule, sentinel flush, and gaps-and-islands
+    // oracle as stream_session_e2e, but the stateful operator is the
+    // successor API (typed ValueState + explicit event-time timers,
+    // Streams.SessionProcessor) instead of flatMapGroupsWithState.
+    // Both drive the one foldSessions fold, so this entry pins at
+    // ORACLE level that the API migration path changes nothing — a
+    // consumer can move operator by operator. Requires the RocksDB
+    // store (multi-column-family); the fixture builds under it like
+    // its sibling.
+    GQuery(
+      "stream_session_tws_e2e",
+      (s, dir) => {
+        val sfKey = sfFingerprint(dir)
+        val root = cachedFixture(s"graft_sesstws_cache_v1_$sfKey") { root =>
+          val ev = Tables.events(s, dir)
+            .select(col("user_id"), col("ts"), col("value"))
+          val Array(mn, mx) = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
+            .toSeq.map(_.asInstanceOf[java.sql.Timestamp]).toArray
+          val mid = new java.sql.Timestamp((mn.getTime + mx.getTime) / 2)
+          val src = root + "/src"
+          ev.filter(col("ts") < lit(mid)).coalesce(1).write.mode("append").parquet(src)
+          graft.streaming.Streams.withRocksDbState(s) {
+            val q = graft.streaming.Streams.sessionizeTws(
+                s.readStream.schema(ev.schema).parquet(src), gapMs = 1800000L)
+              .toDF()
+              .writeStream.format("parquet")
+              .option("path", root + "/out")
+              .option("checkpointLocation", root + "/ckpt")
+              .outputMode("append").start()
+            try {
+              q.processAllAvailable()
+              ev.filter(col("ts") >= lit(mid)).coalesce(1).write.mode("append").parquet(src)
+              q.processAllAvailable()
+              val sentinelTs = new java.sql.Timestamp(mx.getTime + 7200000L)
+              for (_ <- 1 to 2) {
+                s.range(1).select(
+                    lit(-1L).as("user_id"),
+                    lit(sentinelTs).as("ts"),
+                    lit(0.0).as("value"))
+                  .coalesce(1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+              }
+            } finally q.stop()
+          }
+          dropSinkLog(root + "/out")
+        }
+        val w = Window.partitionBy(col("key")).orderBy(col("startUs"))
+        s.read.parquet(root + "/out")
+          .filter(col("key") >= 0)
+          .withColumn("session_id", row_number().over(w).cast("long"))
+          .select(col("key").as("user_id"), col("session_id"),
+            col("n").as("n_events"),
+            date_format(timestamp_micros(col("startUs")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"),
+            date_format(timestamp_micros(col("endUs")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_end"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), n AS (
+             |  SELECT *, CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+             |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_end
+             |FROM n GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
     // STREAM-STREAM interval join e2e — Streams.intervalJoin (purchase
     // joined to the clicks in the preceding hour, both sides unbounded)
     // as a real checkpointed query over two file-stream sources reading

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.ops.{IvfPqIndex, LshIndex}
 
@@ -334,9 +334,48 @@ object Streams {
     * needs no per-key traffic.
     *
     * Input needs columns (user_id long, ts timestamp, value double). */
+  /** The one session fold BOTH stateful APIs run ([[sessionize]] on
+    * flatMapGroupsWithState, [[sessionizeTws]] on transformWithState)
+    * — a single implementation so the two operators cannot drift:
+    * in-watermark events join the pending buffer, everything at/below
+    * the watermark folds in event-time order with the strict-> gap
+    * rule, the open session closes once no in-watermark event can
+    * extend it. Returns (closed sessions, next state or None when the
+    * key is drained, wake-up time in ms for the event-time timer). */
+  private[streaming] def foldSessions(key: Long, prev: SessBufState,
+      incoming: Seq[(Long, Double)], wmUs: Long, gapMs: Long)
+    : (Seq[SessionAgg], Option[SessBufState], Option[Long]) = {
+    val gapUs = gapMs * 1000L
+    // ts == wm is NOT late (the wm was derived from that event's own
+    // batch); ts < wm is
+    val inWm = incoming.filter(_._1 >= wmUs)
+    val (ready, still) = (prev.pending ++ inWm).partition(_._1 <= wmUs)
+    val closed = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+    var cur = prev.open.orNull
+    for ((u, v) <- ready.sortBy(_._1)) {
+      if (cur == null) cur = SessState(u, u, 1L, v)
+      else if (u - cur.lastUs > gapUs) { // strict >, like the batch query
+        closed += SessionAgg(key, cur.n, cur.total, cur.startUs, cur.lastUs)
+        cur = SessState(u, u, 1L, v)
+      } else cur = SessState(cur.startUs, math.max(cur.lastUs, u),
+        cur.n + 1, cur.total + v)
+    }
+    // the open session closes once no in-watermark event can extend it
+    // (future events have ts >= wm > lastUs + gap)
+    if (cur != null && cur.lastUs + gapUs < wmUs) {
+      closed += SessionAgg(key, cur.n, cur.total, cur.startUs, cur.lastUs)
+      cur = null
+    }
+    if (still.isEmpty && cur == null) (closed.toSeq, None, None)
+    else {
+      val wake = (Option(cur).map(c => c.lastUs / 1000L + gapMs) ++
+        still.map(_._1 / 1000L).minOption).min
+      (closed.toSeq, Some(SessBufState(still, Option(cur))), Some(wake))
+    }
+  }
+
   def sessionize(events: DataFrame, gapMs: Long, delay: String = "10 minutes"): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
-    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", delay)
       // the watermarked ts column must reach the stateful operator
@@ -347,38 +386,71 @@ object Streams {
       .flatMapGroupsWithState[SessBufState, SessionAgg](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (key, rows, state: GroupState[SessBufState]) =>
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val wmMs = state.getCurrentWatermarkMs()
           val prev = state.getOption.getOrElse(SessBufState(Nil, None))
-          // ts == wm is NOT late (the wm was derived from that event's
-          // own batch); ts < wm is
-          val incoming = rows.map { case (_, t, v) => (toUs(t), v) }
-            .filter(_._1 >= wmUs).toSeq
-          val (ready, still) = (prev.pending ++ incoming).partition(_._1 <= wmUs)
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
-          var cur = prev.open.orNull
-          for ((u, v) <- ready.sortBy(_._1)) {
-            if (cur == null) cur = SessState(u, u, 1L, v)
-            else if (u - cur.lastUs > gapUs) { // strict >, like the batch query
-              closed += SessionAgg(key, cur.n, cur.total, cur.startUs, cur.lastUs)
-              cur = SessState(u, u, 1L, v)
-            } else cur = SessState(cur.startUs, math.max(cur.lastUs, u),
-              cur.n + 1, cur.total + v)
-          }
-          // the open session closes once no in-watermark event can
-          // extend it (future events have ts >= wm > lastUs + gap)
-          if (cur != null && cur.lastUs + gapUs < wmUs) {
-            closed += SessionAgg(key, cur.n, cur.total, cur.startUs, cur.lastUs)
-            cur = null
-          }
-          if (still.isEmpty && cur == null) state.remove()
-          else {
-            state.update(SessBufState(still, Option(cur)))
-            val wake = (Option(cur).map(c => c.lastUs / 1000L + gapMs) ++
-              still.map(_._1 / 1000L).minOption).min
-            state.setTimeoutTimestamp(
-              math.max(wake, state.getCurrentWatermarkMs() + 1L))
+          val incoming = rows.map { case (_, t, v) => (toUs(t), v) }.toSeq
+          val (closed, next, wake) = foldSessions(key, prev, incoming, wmMs * 1000L, gapMs)
+          next match {
+            case Some(st) =>
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(wake.get, wmMs + 1L))
+            case None => state.remove()
           }
           closed.iterator
       }
+  }
+
+  /** [[sessionize]]'s exact semantics on Spark 4's `transformWithState`
+    * — the successor arbitrary-state API (SPARK-40434): typed
+    * per-key `ValueState` from the handle instead of one opaque
+    * `GroupState` blob, explicit event-time timers (register/delete,
+    * many per key) instead of the single timeout slot, and a separate
+    * `handleExpiredTimer` path instead of `hasTimedOut` branching.
+    * Both operators drive the SAME [[foldSessions]] fold, and the
+    * StreamsSpec equivalence gate runs the same corpus through both —
+    * the two APIs must return identical session rows. State layout
+    * per key is identical (pending buffer + open session), so the
+    * RocksDB sizing story in SCALE.md carries over unchanged. NOTE:
+    * transformWithState requires a multi-column-family state store —
+    * run under [[withRocksDbState]] (the default HDFS-backed provider
+    * rejects it with STATE_STORE_MULTIPLE_COLUMN_FAMILIES). */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Double), SessionAgg] {
+    @transient private var buf: ValueState[SessBufState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getValueState[SessBufState]("sess_buf",
+        org.apache.spark.sql.Encoders.product[SessBufState], TTLConfig.NONE)
+    private def run(key: Long, incoming: Seq[(Long, Double)], wmMs: Long): Iterator[SessionAgg] = {
+      val prev = if (buf.exists()) buf.get() else SessBufState(Nil, None)
+      val (closed, next, wake) = foldSessions(key, prev, incoming, wmMs * 1000L, gapMs)
+      // one live timer per key: drop stale wake-ups before re-arming
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      next match {
+        case Some(st) =>
+          buf.update(st)
+          getHandle.registerTimer(math.max(wake.get, wmMs + 1L))
+        case None => buf.clear()
+      }
+      closed.iterator
+    }
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Double)],
+        tv: TimerValues): Iterator[SessionAgg] =
+      run(key, rows.map { case (_, t, v) => (toUs(t), v) }.toSeq,
+        tv.getCurrentWatermarkInMs())
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionAgg] =
+      run(key, Nil, tv.getCurrentWatermarkInMs())
+  }
+
+  def sessionizeTws(events: DataFrame, gapMs: Long, delay: String = "10 minutes"): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

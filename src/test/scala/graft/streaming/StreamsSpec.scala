@@ -391,6 +391,49 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeTws == sessionize: both stateful APIs return identical sessions") {
+    // the transformWithState port must be bit-identical to the
+    // flatMapGroupsWithState original on the same feed — both drive
+    // foldSessions, so totals (folded in the same order) compare with
+    // ==, not a tolerance
+    implicit val sc = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val gapMs = 1800000L
+
+    val fixture = graft.tables.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, Timestamp, Double)].collect().sortBy(_._2.getTime)
+    val slices = fixture.grouped(math.max(1, fixture.length / 3 + 1)).toList
+    val lastMs = fixture.last._2.getTime
+
+    def runThrough(name: String,
+        mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[Streams.SessionAgg]) = {
+      val in = MemoryStream[(Long, Timestamp, Double)]
+      val q = mk(in.toDF().toDF("user_id", "ts", "value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        slices.foreach { s => in.addData(s.toSeq); q.processAllAvailable() }
+        in.addData((-1L, new Timestamp(lastMs + gapMs + 60000L), 0.0))
+        q.processAllAvailable()
+        in.addData((-1L, new Timestamp(lastMs + 2 * gapMs + 120000L), 0.0))
+        q.processAllAvailable()
+        spark.table(name).as[Streams.SessionAgg].collect()
+          .filter(_.key >= 0).sortBy(r => (r.key, r.startUs)).toList
+      } finally q.stop()
+    }
+
+    val viaFmgws = runThrough("sess_api_a",
+      df => Streams.sessionize(df, gapMs = gapMs, delay = "0 seconds"))
+    // transformWithState needs a multi-column-family store → RocksDB
+    val viaTws = Streams.withRocksDbState(spark) {
+      runThrough("sess_api_b",
+        df => Streams.sessionizeTws(df, gapMs = gapMs, delay = "0 seconds"))
+    }
+    assert(viaTws.nonEmpty && viaTws == viaFmgws,
+      s"APIs diverged: tws ${viaTws.length} rows vs fmgws ${viaFmgws.length}")
+  }
+
   test("sessionize: out-of-order arrival across batches still splits on the gap") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Double)]

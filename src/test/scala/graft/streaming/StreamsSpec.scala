@@ -434,6 +434,69 @@ class StreamsSpec extends SparkSpec {
       s"APIs diverged: tws ${viaTws.length} rows vs fmgws ${viaFmgws.length}")
   }
 
+  test("sessionizeTws: checkpoint restart mid-stream loses nothing, duplicates nothing") {
+    // the production recovery claim: kill the query between micro-batches,
+    // start a NEW query on the same checkpoint (RocksDB state snapshot +
+    // registered timers restored), and the landed sessions must equal the
+    // batch answer exactly — no lost open session, no double emission
+    implicit val sc = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val gapMs = 1800000L
+    Streams.withRocksDbState(spark) {
+      val ev = graft.tables.Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+      val Array(mn, mx) = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
+        .toSeq.map(_.asInstanceOf[Timestamp]).toArray
+      val mid = new Timestamp((mn.getTime + mx.getTime) / 2)
+      val root = tmpDir("graft_tws_restart")
+      val src = root + "/src"
+      def start() = Streams.sessionizeTws(
+          spark.readStream.schema(ev.schema).parquet(src), gapMs = gapMs)
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", root + "/out")
+        .option("checkpointLocation", root + "/ckpt")
+        .outputMode("append").start()
+
+      ev.filter(col("ts") < lit(mid)).coalesce(1).write.mode("append").parquet(src)
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop() // planned "crash"
+
+      ev.filter(col("ts") >= lit(mid)).coalesce(1).write.mode("append").parquet(src)
+      val q2 = start() // recovery: state + timers from the checkpoint
+      try {
+        q2.processAllAvailable()
+        val sentinelTs = new Timestamp(mx.getTime + 7200000L)
+        for (_ <- 1 to 2) {
+          spark.range(1).select(lit(-1L).as("user_id"),
+              lit(sentinelTs).as("ts"), lit(0.0).as("value"))
+            .coalesce(1).write.mode("append").parquet(src)
+          q2.processAllAvailable()
+        }
+      } finally q2.stop()
+
+      val got = spark.read.parquet(root + "/out").filter(col("key") >= 0)
+        .select(col("key"), col("startUs"), col("endUs"), col("n"))
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val batch = graft.tables.Tables.events(spark, dir)
+        .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_sess", when(col("gap_us").isNull || col("gap_us") > gapMs * 1000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(unix_micros(col("ts"))).as("s"), max(unix_micros(col("ts"))).as("e"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), col("s"), col("e"), col("n"))
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+      assert(got == batch,
+        s"restart diverged from batch: got ${got.length} sessions vs ${batch.length}")
+    }
+  }
+
   test("sessionize: out-of-order arrival across batches still splits on the gap") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Double)]

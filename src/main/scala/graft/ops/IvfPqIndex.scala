@@ -69,14 +69,20 @@ object IvfPqIndex {
 
   /** Train and persist: coarse centroids (spherical k-means), PQ
     * codebook (first-`ncw`-by-id sample — the deterministic, oracle-
-    * replayable init), then the two cluster-partitioned tables; commit
-    * marker last. A rebuild drops the marker FIRST and clears every
-    * prior delta, committed or orphaned — a delta encoded under the
-    * OLD centroids/codebook would silently corrupt serving (the
-    * [[IvfIndex.build]] rule, extended to the codebook). */
+    * replayable init — or, with `cbIters > 0`, the per-subspace
+    * Lloyd-trained refinement of it, [[Vectors.pqCodebookTrained]]:
+    * the recall dial measured +0.02 overlap@5 on the fixture, paid
+    * once per index BUILD, never at serve time), then the two
+    * cluster-partitioned tables; commit marker last. A rebuild drops
+    * the marker FIRST and clears every prior delta, committed or
+    * orphaned — a delta encoded under the OLD centroids/codebook would
+    * silently corrupt serving (the [[IvfIndex.build]] rule, extended
+    * to the codebook). Streaming deltas ([[appendDelta]]) encode under
+    * the PERSISTED codebook whichever way it was trained — the read
+    * path is identical. */
   def build(sess: SparkSession, dir: String, emb: DataFrame,
             idCol: String, vecCol: String, k: Int, iters: Int,
-            m: Int, ncw: Int): Unit = {
+            m: Int, ncw: Int, cbIters: Int = 0): Unit = {
     DeltaProtocol.clearPriorIndex(sess, dir, Seq("codes_d", "refine_d"))
     Vectors.kmeans(emb, idCol, vecCol, k, iters)
       .write.mode("overwrite").parquet(s"$dir/centroids")
@@ -88,7 +94,7 @@ object IvfPqIndex {
     // DIFFERENT row sets, whose mismatch the serve-path inner join
     // would turn into silently vanished ADC survivors
     val c = coded(emb, idCol, vecCol, cents).localCheckpoint()
-    val cb = Vectors.pqCodebook(c, "vec_id", "qc", m, ncw)
+    val cb = Vectors.pqCodebookTrained(c, "vec_id", "qc", m, ncw, cbIters)
     val cbRows = cb.zipWithIndex.flatMap { case (sub, mm) =>
       sub.map { case (cwId, s) => (mm, cwId, s) }
     }

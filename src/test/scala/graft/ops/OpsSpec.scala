@@ -446,6 +446,33 @@ class OpsSpec extends SparkSpec {
       pqStats._3 < 16L && pqStats._4 >= 0L, s"stored codes malformed: $pqStats")
   }
 
+  test("IvfPqIndex build with trained codebook: serve still bit-identical to the composed path") {
+    // the cbIters dial trains the persisted codebook once at BUILD
+    // time; serving must stay bit-identical to ivfPqSearch with the
+    // same trainIters over the same persisted centroids
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = tmpDir("graft_ivfpqidx_tr")
+    IvfPqIndex.build(spark, dir, emb, "vec_id", "embedding",
+      k = 4, iters = 2, m = 16, ncw = 16, cbIters = 2)
+    val cents = spark.read.parquet(s"$dir/centroids").select($"c_id", $"cv")
+    val fresh = Vectors.ivfPqSearch(emb, "vec_id", "embedding", cents,
+        m = 16, ncw = 16, queryPred = $"vec_id" <= 20, nprobe = 2, candR = 30, k = 3,
+        trainIters = 2)
+      .select($"vec_id", $"rn", $"nn_id", $"score").collect().toSet
+    val served = IvfPqIndex.topK(spark, dir, emb.filter($"vec_id" <= 20),
+        "vec_id", "embedding", k = 3, nprobe = 2, candR = 30)
+      .select($"vec_id", $"rn", $"nn_id", $"score").collect().toSet
+    assert(served == fresh, "trained-codebook index diverged from the composed path")
+    // and the trained codebook actually differs from the sampled init
+    // (otherwise the dial is a no-op on this corpus)
+    val sampledDir = tmpDir("graft_ivfpqidx_tr0")
+    IvfPqIndex.build(spark, sampledDir, emb, "vec_id", "embedding",
+      k = 4, iters = 2, m = 16, ncw = 16)
+    val cbA = spark.read.parquet(s"$dir/codebook").collect().toSet
+    val cbB = spark.read.parquet(s"$sampledDir/codebook").collect().toSet
+    assert(cbA != cbB, "cbIters=2 produced the same codebook as the sampled init")
+  }
+
   test("IvfPqIndex append: delta serve is VALUE-exact vs in-memory, replay no-op, rebuild clears") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = tmpDir("graft_ivfpqd")

@@ -1221,6 +1221,179 @@ object Relational {
              |    < (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,4)))
              |       FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)),
 
+    // COMPOSITE national market share — the TPC-H Q8 shape: the widest
+    // join tree in the family (fact × part × orders × customer ×
+    // nation×2 × region × supplier — nation joined TWICE under
+    // different roles, customer-side for the region cut and
+    // supplier-side for the share dimension) feeding a conditional
+    // aggregate ratio per year. Plan: the p_type filter prunes part to
+    // a sliver that BROADCASTS and cuts the fact first (most selective
+    // edge first); orders carries the 2-year date cut pushed to its
+    // scan; the fixed-size nation/region dims broadcast under both
+    // roles; customer and orders are the only shuffle-sized joins. The
+    // market-share ratio aggregates BOTH legs (nation-cased numerator,
+    // all-volume denominator) in ONE pass over the joined slice —
+    // never two scans — as exact decimal sums; doubles appear only in
+    // the final divide, identical on both engines because the operands
+    // are bit-identical exact sums. At 100 TB: one fact exchange on
+    // orderkey, one on custkey, everything else broadcast.
+    GQuery(
+      "q_tpch_q8",
+      (s, dir) => {
+        val amer = Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "AMERICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("c_nkey"))
+        val supNat = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("s_nkey"), col("n_name").as("nation"))
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+            .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, dir)
+              .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(amer), col("c_nationkey") === col("c_nkey"), "left_semi")
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(supNat), col("s_nationkey") === col("s_nkey"))
+          .withColumn("volume", dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(round(
+            sum(when(col("nation") === "NATION_3", col("volume")).otherwise(lit(0))).cast("double") /
+              sum(col("volume")).cast("double"), 4).as("mkt_share"))
+          .orderBy(col("o_year"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             |  round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3' THEN volume
+             |                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             |        / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
+             |FROM (SELECT o_orderdate, l_suppkey,
+             |        CAST(l_extendedprice AS DECIMAL(18,4))
+             |          * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume
+             |      FROM lineitem
+             |      JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+             |      JOIN orders ON l_orderkey = o_orderkey
+             |      JOIN customer ON o_custkey = c_custkey
+             |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |      JOIN region ON n1.n_regionkey = r_regionkey
+             |      WHERE r_name = 'AMERICA'
+             |        AND o_orderdate >= TIMESTAMP '1995-01-01'
+             |        AND o_orderdate < TIMESTAMP '1997-01-01') v
+             |JOIN supplier ON v.l_suppkey = s_suppkey
+             |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // COMPOSITE product-type profit — the TPC-H Q9 shape: a
+    // name-pattern part cut over a 5-way join, profit per (nation,
+    // year). The fixture has no partsupp/ps_supplycost (TESTDATA.md),
+    // so unit cost is p_retailprice — the same role (a per-part cost
+    // the profit subtracts), kept on the part row the join already
+    // carries, so the PLAN is the original's: LIKE-filtered part
+    // broadcasts and prunes the fact first, supplier→nation broadcasts
+    // for the group dimension, orders joins on the order key for the
+    // year. Profit stays an exact decimal expression end to end —
+    // amount = extprice·(1−disc) − retail·qty — so the per-group sums
+    // are order-independent and the oracle is bit-exact. At 100 TB:
+    // two fact-sized exchanges (orderkey + the final group-by), all
+    // dims broadcast; the LIKE prunes at the part scan.
+    GQuery(
+      "q_tpch_q9",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir).filter(col("p_name").like("%widget%"))
+            .select(col("p_partkey"), col("p_retailprice"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .withColumn("amount",
+            dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) -
+              dec(col("p_retailprice")) * dec(col("l_quantity")))
+          .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+          .agg(dround(sum(col("amount"))).as("sum_profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some("""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             |      * (1 - CAST(l_discount AS DECIMAL(18,4)))
+             |      - CAST(p_retailprice AS DECIMAL(18,4))
+             |      * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_profit
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |WHERE p_name LIKE '%widget%'
+             |GROUP BY 1, 2
+             |ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // COMPOSITE excess-demand suppliers — the TPC-H Q20 shape: a
+    // DOUBLY nested IN (supplier ← bridge rows ← name-pattern parts)
+    // where the inner rows must ALSO beat a correlated date-filtered
+    // aggregate of the same fact. The partsupp bridge derives from
+    // lineitem (q_tpch_q2 rule): avail = all-time shipped quantity per
+    // (part, supplier); the original's `availqty > ½·year-shipments`
+    // threshold is flipped to `2·year-shipments > avail` ("more than
+    // half their volume in 1996") because derived avail ⊇ the year's
+    // shipments makes the original direction vacuous — the SHAPE (a
+    // correlated per-(part,supp) sum compared against a fraction of
+    // the bridge quantity, cross-multiplied so it stays in exact
+    // decimals) is unchanged. Spark side computes avail and the 1996
+    // slice in ONE pass (conditional sum) — one bridge shuffle, no
+    // second fact scan; both IN levels are semi joins (part sliver
+    // broadcast; supplier probe side is already bridge-sized). The
+    // region cut on the supplier nation broadcasts fixed-size dims.
+    // NULL note: a (part,supp) with no 1996 shipments sums to 0 here
+    // and NULL in the oracle's correlated form — both fail the `>`,
+    // so the two formulations agree row-for-row.
+    GQuery(
+      "q_tpch_q20",
+      (s, dir) => {
+        val y0 = lit("1996-01-01").cast("timestamp")
+        val y1 = lit("1997-01-01").cast("timestamp")
+        val bridge = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir).filter(col("p_name").like("cold%"))
+            .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(dec(col("l_quantity"))).as("avail"),
+            sum(when(col("l_shipdate") >= y0 && col("l_shipdate") < y1,
+              dec(col("l_quantity"))).otherwise(lit(0))).as("shipped"))
+          .filter(col("shipped") * 2 > col("avail"))
+          .select(col("l_suppkey"))
+        val asia = Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))
+        Tables.supplier(s, dir)
+          .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"), "left_semi")
+          .join(bridge, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+          .orderBy(col("s_name"))
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS avail
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT s_suppkey, s_name
+             |FROM supplier
+             |WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+             |                      WHERE n_regionkey IN (SELECT r_regionkey FROM region
+             |                                            WHERE r_name = 'ASIA'))
+             |  AND s_suppkey IN (
+             |    SELECT l_suppkey FROM ps
+             |    WHERE l_partkey IN (SELECT p_partkey FROM part
+             |                        WHERE p_name LIKE 'cold%')
+             |      AND 2 * (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,4)))
+             |               FROM lineitem l2
+             |               WHERE l2.l_partkey = ps.l_partkey
+             |                 AND l2.l_suppkey = ps.l_suppkey
+             |                 AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+             |                 AND l2.l_shipdate < TIMESTAMP '1997-01-01')
+             |          > avail)
+             |ORDER BY s_name""".stripMargin)),
+
     // --------------------------------------------------------- aggregation
     // TPC-H Q1 shape: partial hash agg map-side → 6-group final agg.
     // Decimal sums keep Spark's and DuckDB's different add-orders from

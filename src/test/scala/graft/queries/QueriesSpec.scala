@@ -256,6 +256,41 @@ class QueriesSpec extends SparkSpec {
     assert(scans.exists(_.contains("EqualTo(p_brand,Brand#21)")), scans.mkString("\n"))
   }
 
+  test("q_tpch_q8: both share legs aggregate in one pass; type/date/region filters pushed") {
+    val p = plan("q_tpch_q8")
+    // numerator (nation-cased) and denominator (all-volume) ride ONE
+    // aggregate over the joined slice — a second scan/join tree here is
+    // the regression this pin catches (8 = the 7 tables + nation's
+    // second role; a doubled tree would show 14+)
+    assert(p.split("\n").count(_.contains("FileScan parquet")) == 8, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    val scans = p.split("\n").filter(_.contains("PushedFilters"))
+    assert(scans.exists(_.contains("EqualTo(p_type,ECONOMY)")), scans.mkString("\n"))
+    assert(scans.exists(_.contains("EqualTo(r_name,AMERICA)")), scans.mkString("\n"))
+    assert(scans.exists(_.contains("GreaterThanOrEqual(o_orderdate")), scans.mkString("\n"))
+  }
+
+  test("q_tpch_q9: LIKE prunes the part scan; all dims broadcast; no loops") {
+    val p = plan("q_tpch_q9")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.split("\n").count(_.contains("BroadcastHashJoin")) >= 2, p)
+    val scans = p.split("\n").filter(_.contains("PushedFilters"))
+    assert(scans.exists(_.contains("StringContains(p_name,widget)")), scans.mkString("\n"))
+  }
+
+  test("q_tpch_q20: one bridge pass (no second fact scan); both IN levels are semi hash joins") {
+    val p = plan("q_tpch_q20")
+    // avail + the 1996 slice come from ONE conditional-sum aggregate:
+    // exactly two lineitem/fact scans would mean the correlated sum
+    // re-scanned the fact — pin the single-scan shape
+    assert(p.split("\n").count(_.contains("FileScan parquet")) == 5, p)
+    assert(p.split("\n").count(_.contains("LeftSemi")) >= 3, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    val scans = p.split("\n").filter(_.contains("PushedFilters"))
+    assert(scans.exists(_.contains("StringStartsWith(p_name,cold)")), scans.mkString("\n"))
+    assert(scans.exists(_.contains("EqualTo(r_name,ASIA)")), scans.mkString("\n"))
+  }
+
   test("q_join_bucketed: zero exchanges for join AND aggregate with broadcasts off") {
     // the pay-shuffle-once claim: both bucketed scans satisfy the join's
     // and the groupBy's required distribution, so with the broadcast

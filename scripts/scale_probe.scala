@@ -82,7 +82,10 @@ val queries = Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
   "q_tfidf", "q_chunk_docs", "q_token_count", "q_win_session", "q_funnel",
   "q_agg_hash", "q_agg_mode", "q_tpch_q3", "q_tpch_q10", "q_win_analytic",
   // round 13: the new TPC-H shapes with fact-side work + both PQ plans
-  "q_tpch_q2", "q_tpch_q16", "q_tpch_q21", "q_sim_pq", "q_sim_ivf_pq")
+  "q_tpch_q2", "q_tpch_q16", "q_tpch_q21", "q_sim_pq", "q_sim_ivf_pq",
+  // round 13 family completion: Q8 (widest join tree), Q9 (LIKE-pruned
+  // 5-way profit), Q20 (doubly nested IN over the one-pass bridge)
+  "q_tpch_q8", "q_tpch_q9", "q_tpch_q20")
 
 def time(name: String, dir: String): Double = {
   val fn = GQuery.all.find(_.name == name).get.fn

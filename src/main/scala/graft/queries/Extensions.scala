@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.cdc.{CdcGen, CdcMerge, Ingest}
-import graft.ops.{IvfIndex, IvfPqIndex, LshIndex, Text, Vectors}
+import graft.ops.{Bpe, IvfIndex, IvfPqIndex, LshIndex, Text, Vectors}
 import graft.tables.Tables
 
 /** The extension query surface: the reference's core CDC-merge semantics
@@ -3276,6 +3276,165 @@ object Extensions {
              |  16000 AS sample_rate,
              |  16 AS content_bytes,
              |  substr(md5(text), 1, 8) AS magic
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // -------------------------------------------- mergeable sketches II
+    // Count-min sketch heavy-hitter estimation — the mergeable
+    // FREQUENCY sketch beside q_agg_hll_merge's cardinality sketch.
+    // Per-language sketches (d=4 hash rows × w=512 buckets of exact
+    // integer counts, md5-derived row hashes so any engine replays
+    // them) are UNIONED by plain cell addition into the corpus sketch —
+    // the persisted-sketch rollup: per-group sketches answer the global
+    // question without re-scanning raw tokens. Estimates (min over the
+    // 4 rows) are probed for the exact top-10 terms; `overcount` is the
+    // one-sided CMS error (est ≥ exact ALWAYS — QueriesSpec gates it).
+    // Scale: the sketch shuffle carries ≤ langs·4·512 cells after
+    // map-side partial agg, never corpus tokens; the probe side is 10
+    // rows × 4 hashes joined against the 2048-cell union — both
+    // broadcast-sized at any corpus size. The token scan is cache()'d
+    // for its two consumers (sketch build + exact twin), same
+    // discipline as q_text_search.
+    GQuery(
+      "q_heavy_hitters_cms",
+      (s, dir) => {
+        val toks = fanout(Tables.documents(s, dir))
+          .select(col("lang"), explode(Text.tokens(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+          .cache()
+        def bucket(r: org.apache.spark.sql.Column, term: org.apache.spark.sql.Column) =
+          pmod(Text.hash48(concat(r.cast("string"), lit(":"), term)), lit(512L))
+        val cells = toks
+          .select(col("lang"), col("term"), explode(sequence(lit(0), lit(3))).as("r"))
+          .withColumn("b", bucket(col("r"), col("term")))
+          .groupBy(col("lang"), col("r"), col("b")).agg(count(lit(1)).as("n"))
+        // sketch UNION: per-language sketches merge by cell addition
+        val merged = cells.groupBy(col("r"), col("b")).agg(sum(col("n")).as("cell"))
+        val top10 = toks.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("term")).limit(10)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("n_exact").desc, col("term"))))
+        val probes = top10
+          .select(col("rk"), col("term"), col("n_exact"),
+            explode(sequence(lit(0), lit(3))).as("r"))
+          .withColumn("b", bucket(col("r"), col("term")))
+        probes.join(merged, Seq("r", "b"))
+          .groupBy(col("rk"), col("term"), col("n_exact"))
+          .agg(min(col("cell")).as("est"))
+          .select(col("rk"), col("term"), col("n_exact"), col("est"),
+            (col("est") - col("n_exact")).as("overcount"))
+          .orderBy(col("rk"))
+      },
+      Some("""WITH t AS (
+             |  SELECT lang, term FROM (
+             |    SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents) z
+             |  WHERE term <> ''),
+             |cells AS (
+             |  SELECT lang, r,
+             |    ('0x' || substr(md5(r::VARCHAR || ':' || term), 1, 12))::BIGINT % 512 AS b,
+             |    count(*)::BIGINT AS n
+             |  FROM t CROSS JOIN range(0, 4) rr(r) GROUP BY 1, 2, 3),
+             |merged AS (SELECT r, b, sum(n)::BIGINT AS cell FROM cells GROUP BY 1, 2),
+             |top10 AS (
+             |  SELECT term, n_exact, rk FROM (
+             |    SELECT term, count(*)::BIGINT AS n_exact,
+             |      row_number() OVER (ORDER BY count(*) DESC, term) AS rk
+             |    FROM t GROUP BY term) z WHERE rk <= 10),
+             |probes AS (
+             |  SELECT rk, term, n_exact, r,
+             |    ('0x' || substr(md5(r::VARCHAR || ':' || term), 1, 12))::BIGINT % 512 AS b
+             |  FROM top10 CROSS JOIN range(0, 4) rr(r))
+             |SELECT rk::INT AS rk, term, n_exact, min(cell)::BIGINT AS est,
+             |  (min(cell) - n_exact)::BIGINT AS overcount
+             |FROM probes JOIN merged USING (r, b)
+             |GROUP BY rk, term, n_exact ORDER BY rk""".stripMargin)),
+
+    // ------------------------------------------------- tokenizer training
+    // BPE vocabulary learning over the corpus (graft.ops.Bpe — scaladoc
+    // there carries the full scale argument): ONE corpus pass builds the
+    // word-frequency vocabulary, then each of 3 merge iterations is
+    // vocabulary-sized (pair-count agg + 1-row argmax + one word-window
+    // merge pass). Output: the 3 learned merges in order (each depends
+    // on all previous — 3 rows pin the whole training trajectory) + the
+    // top-5 surviving symbols of the final vocabulary by weighted count.
+    // All integer counts + character ops with lexicographic tie-breaks,
+    // so the oracle replays training exactly (3 unrolled iterations).
+    GQuery(
+      "q_bpe_train",
+      (s, dir) => {
+        val (vocab, merges) = Bpe.train(Tables.documents(s, dir), col("text"), iters = 3)
+        import s.implicits._
+        val mergeRows = merges
+          .map(m => (m.step, "merge", m.a, Option(m.b), m.n))
+          .toDF("step", "kind", "sym_a", "sym_b", "cnt")
+        val top = vocab
+          .select(col("cnt"), explode(col("syms")).as("sym"))
+          .groupBy(col("sym")).agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("sym")).limit(5)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("n").desc, col("sym"))))
+          .select((col("rk") + 3).cast("int").as("step"), lit("top").as("kind"),
+            col("sym").as("sym_a"), lit(null).cast("string").as("sym_b"),
+            col("n").as("cnt"))
+        mergeRows.unionByName(top).orderBy(col("step"))
+      },
+      Some {
+        // 3 unrolled BPE iterations: vK-1 --(pair stats pK, argmax mK,
+        // greedy merge)--> vK. The greedy rule mirrors ops/Bpe.mergeOnce:
+        // islands of consecutive match positions, keep even offsets,
+        // drop the consumed right symbol.
+        def iter(k: Int): String = {
+          val p = s"v${k - 1}"
+          s"""p$k AS (
+             |  SELECT a, b, sum(cnt)::BIGINT AS n FROM (
+             |    SELECT cnt,
+             |      unnest(syms[1:len(syms) - 1]) AS a,
+             |      unnest(syms[2:len(syms)]) AS b
+             |    FROM $p WHERE len(syms) >= 2) z
+             |  GROUP BY a, b),
+             |m$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+             |pos$k AS (
+             |  SELECT word, cnt,
+             |    unnest(range(1, len(syms) + 1)) AS i, unnest(syms) AS sym
+             |  FROM $p),
+             |x$k AS (
+             |  SELECT word, cnt, i, sym, a, b,
+             |    coalesce(sym = a AND nxt = b, false) AS ism,
+             |    sum(CASE WHEN coalesce(sym = a AND nxt = b, false) THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY word ORDER BY i) AS mrn
+             |  FROM (SELECT p.*, m.a, m.b,
+             |          lead(p.sym) OVER (PARTITION BY p.word ORDER BY p.i) AS nxt
+             |        FROM pos$k p CROSS JOIN m$k m) w),
+             |z$k AS (
+             |  SELECT *, i - min(CASE WHEN ism THEN i END)
+             |    OVER (PARTITION BY word, island) AS off
+             |  FROM (SELECT *, CASE WHEN ism THEN i - mrn END AS island FROM x$k) y),
+             |r$k AS (
+             |  SELECT *, coalesce(lag(kept) OVER (PARTITION BY word ORDER BY i), false) AS gone
+             |  FROM (SELECT *, ism AND off % 2 = 0 AS kept FROM z$k) q),
+             |v$k AS (
+             |  SELECT word, cnt,
+             |    list(CASE WHEN kept THEN a || b ELSE sym END ORDER BY i) AS syms
+             |  FROM r$k WHERE NOT gone GROUP BY word, cnt)""".stripMargin
+        }
+        s"""WITH v0 AS (
+           |  SELECT word, count(*)::BIGINT AS cnt,
+           |    list_transform(range(1, length(word) + 1), j -> substring(word, j, 1)) AS syms
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+           |  WHERE word <> '' GROUP BY word),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)}
+           |SELECT step, kind, sym_a, sym_b, cnt FROM (
+           |  SELECT 1::INT AS step, 'merge' AS kind, a AS sym_a, b AS sym_b, n AS cnt FROM m1
+           |  UNION ALL SELECT 2::INT, 'merge', a, b, n FROM m2
+           |  UNION ALL SELECT 3::INT, 'merge', a, b, n FROM m3
+           |  UNION ALL
+           |  SELECT (3 + rk)::INT, 'top', sym, NULL::VARCHAR, n FROM (
+           |    SELECT sym, n, row_number() OVER (ORDER BY n DESC, sym) AS rk FROM (
+           |      SELECT sym, sum(cnt)::BIGINT AS n FROM (
+           |        SELECT cnt, unnest(syms) AS sym FROM v3) u GROUP BY sym) g) t
+           |  WHERE rk <= 5) f
+           |ORDER BY step""".stripMargin
+      })
   )
 }

@@ -607,6 +607,20 @@ class QueriesSpec extends SparkSpec {
     for ((_, c) <- lab if lab.contains(c)) assert(lab(c) == c)
   }
 
+  test("q_heavy_hitters_cms: CMS error is one-sided and the top term is exact-rank-consistent") {
+    val rows = run("q_heavy_hitters_cms").collect()
+    assert(rows.length == 10)
+    for (r <- rows) {
+      val (nExact, est, over) = (r.getAs[Long]("n_exact"), r.getAs[Long]("est"),
+        r.getAs[Long]("overcount"))
+      assert(est >= nExact, s"CMS underestimated: est $est < exact $nExact (${r.mkString(",")})")
+      assert(over == est - nExact)
+    }
+    // ranks are by EXACT counts, descending with term tie-break
+    val exacts = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("n_exact"))
+    assert(exacts.zip(exacts.tail).forall { case (a, b) => a >= b })
+  }
+
   for ((name, want) <- golden.toSeq.sortBy(_._1)) {
     test(s"$name returns $want rows at sf0.001") {
       assert(GQuery.all.find(_.name == name).get.fn(spark, dir).count() == want)

@@ -22,6 +22,58 @@ object Extensions {
 
   private val dround = (c: org.apache.spark.sql.Column) => round(c.cast("double"), 4)
 
+  /** Shared DuckDB replay of ops/Bpe.train(iters = 3): word-frequency
+    * vocabulary v0, then 3 unrolled merge iterations vK-1 --(pair stats
+    * pK, lexicographic argmax mK, greedy leftmost merge)--> vK. The
+    * greedy rule mirrors Bpe.mergeOnce exactly: islands of consecutive
+    * match positions, keep even offsets, drop the consumed right symbol.
+    * Used by both q_bpe_train (trajectory + final symbols) and
+    * q_bpe_encode (v3 as the segmentation table). */
+  private lazy val bpeTrainCtes: String = {
+    def iter(k: Int): String = {
+      val p = s"v${k - 1}"
+      s"""p$k AS (
+         |  SELECT a, b, sum(cnt)::BIGINT AS n FROM (
+         |    SELECT cnt,
+         |      unnest(syms[1:len(syms) - 1]) AS a,
+         |      unnest(syms[2:len(syms)]) AS b
+         |    FROM $p WHERE len(syms) >= 2) z
+         |  GROUP BY a, b),
+         |m$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+         |pos$k AS (
+         |  SELECT word, cnt,
+         |    unnest(range(1, len(syms) + 1)) AS i, unnest(syms) AS sym
+         |  FROM $p),
+         |x$k AS (
+         |  SELECT word, cnt, i, sym, a, b,
+         |    coalesce(sym = a AND nxt = b, false) AS ism,
+         |    sum(CASE WHEN coalesce(sym = a AND nxt = b, false) THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY word ORDER BY i) AS mrn
+         |  FROM (SELECT p.*, m.a, m.b,
+         |          lead(p.sym) OVER (PARTITION BY p.word ORDER BY p.i) AS nxt
+         |        FROM pos$k p CROSS JOIN m$k m) w),
+         |z$k AS (
+         |  SELECT *, i - min(CASE WHEN ism THEN i END)
+         |    OVER (PARTITION BY word, island) AS off
+         |  FROM (SELECT *, CASE WHEN ism THEN i - mrn END AS island FROM x$k) y),
+         |r$k AS (
+         |  SELECT *, coalesce(lag(kept) OVER (PARTITION BY word ORDER BY i), false) AS gone
+         |  FROM (SELECT *, ism AND off % 2 = 0 AS kept FROM z$k) q),
+         |v$k AS (
+         |  SELECT word, cnt,
+         |    list(CASE WHEN kept THEN a || b ELSE sym END ORDER BY i) AS syms
+         |  FROM r$k WHERE NOT gone GROUP BY word, cnt)""".stripMargin
+    }
+    s"""v0 AS (
+       |  SELECT word, count(*)::BIGINT AS cnt,
+       |    list_transform(range(1, length(word) + 1), j -> substring(word, j, 1)) AS syms
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+       |  WHERE word <> '' GROUP BY word),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}""".stripMargin
+  }
+
   /** The testdata tables are single parquet files → ONE input split, so
     * every interpreted higher-order expression (shingles, minhash, dot
     * products — all CodegenFallback) would run on one core. A cheap
@@ -3378,52 +3430,7 @@ object Extensions {
         mergeRows.unionByName(top).orderBy(col("step"))
       },
       Some {
-        // 3 unrolled BPE iterations: vK-1 --(pair stats pK, argmax mK,
-        // greedy merge)--> vK. The greedy rule mirrors ops/Bpe.mergeOnce:
-        // islands of consecutive match positions, keep even offsets,
-        // drop the consumed right symbol.
-        def iter(k: Int): String = {
-          val p = s"v${k - 1}"
-          s"""p$k AS (
-             |  SELECT a, b, sum(cnt)::BIGINT AS n FROM (
-             |    SELECT cnt,
-             |      unnest(syms[1:len(syms) - 1]) AS a,
-             |      unnest(syms[2:len(syms)]) AS b
-             |    FROM $p WHERE len(syms) >= 2) z
-             |  GROUP BY a, b),
-             |m$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1),
-             |pos$k AS (
-             |  SELECT word, cnt,
-             |    unnest(range(1, len(syms) + 1)) AS i, unnest(syms) AS sym
-             |  FROM $p),
-             |x$k AS (
-             |  SELECT word, cnt, i, sym, a, b,
-             |    coalesce(sym = a AND nxt = b, false) AS ism,
-             |    sum(CASE WHEN coalesce(sym = a AND nxt = b, false) THEN 1 ELSE 0 END)
-             |      OVER (PARTITION BY word ORDER BY i) AS mrn
-             |  FROM (SELECT p.*, m.a, m.b,
-             |          lead(p.sym) OVER (PARTITION BY p.word ORDER BY p.i) AS nxt
-             |        FROM pos$k p CROSS JOIN m$k m) w),
-             |z$k AS (
-             |  SELECT *, i - min(CASE WHEN ism THEN i END)
-             |    OVER (PARTITION BY word, island) AS off
-             |  FROM (SELECT *, CASE WHEN ism THEN i - mrn END AS island FROM x$k) y),
-             |r$k AS (
-             |  SELECT *, coalesce(lag(kept) OVER (PARTITION BY word ORDER BY i), false) AS gone
-             |  FROM (SELECT *, ism AND off % 2 = 0 AS kept FROM z$k) q),
-             |v$k AS (
-             |  SELECT word, cnt,
-             |    list(CASE WHEN kept THEN a || b ELSE sym END ORDER BY i) AS syms
-             |  FROM r$k WHERE NOT gone GROUP BY word, cnt)""".stripMargin
-        }
-        s"""WITH v0 AS (
-           |  SELECT word, count(*)::BIGINT AS cnt,
-           |    list_transform(range(1, length(word) + 1), j -> substring(word, j, 1)) AS syms
-           |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
-           |  WHERE word <> '' GROUP BY word),
-           |${iter(1)},
-           |${iter(2)},
-           |${iter(3)}
+        s"""WITH ${bpeTrainCtes}
            |SELECT step, kind, sym_a, sym_b, cnt FROM (
            |  SELECT 1::INT AS step, 'merge' AS kind, a AS sym_a, b AS sym_b, n AS cnt FROM m1
            |  UNION ALL SELECT 2::INT, 'merge', a, b, n FROM m2
@@ -3435,6 +3442,45 @@ object Extensions {
            |        SELECT cnt, unnest(syms) AS sym FROM v3) u GROUP BY sym) g) t
            |  WHERE rk <= 5) f
            |ORDER BY step""".stripMargin
+      })
+,
+    // The ENCODE half of the tokenizer: the trained vocabulary IS the
+    // segmentation table — every corpus word maps to its final symbol
+    // split, so encoding is one corpus token pass joined against the
+    // vocabulary on `word` (broadcast when the vocab fits, word-key
+    // co-partition past the threshold) + a per-doc aggregate. Per doc:
+    // word count, character mass, and BPE token count — the compression
+    // the 3 learned merges actually buy (n_chars ≥ n_tokens ≥ n_words,
+    // QueriesSpec-gated). This is the budget pass every training-data
+    // pipeline runs before shard packing (q_pack_shards consumes
+    // exactly this kind of token count).
+    GQuery(
+      "q_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val (vocab, _) = Bpe.train(docs, col("text"), iters = 3)
+        val words = docs
+          .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+          .filter(col("word") =!= "")
+        words
+          .join(vocab.select(col("word"), size(col("syms")).cast("long").as("n_sub"),
+            length(col("word")).cast("long").as("n_chr")), Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"), sum(col("n_chr")).as("n_chars"),
+            sum(col("n_sub")).as("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        s"""WITH ${bpeTrainCtes},
+           |words AS (
+           |  SELECT doc_id, word FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) z
+           |  WHERE word <> '')
+           |SELECT w.doc_id, count(*)::BIGINT AS n_words,
+           |  sum(length(w.word))::BIGINT AS n_chars,
+           |  sum(len(v.syms))::BIGINT AS n_tokens
+           |FROM words w JOIN v3 v ON w.word = v.word
+           |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
       })
   )
 }

@@ -621,6 +621,18 @@ class QueriesSpec extends SparkSpec {
     assert(exacts.zip(exacts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q_bpe_encode: per-doc compression brackets hold and merges save strictly overall") {
+    val rows = run("q_bpe_encode").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (w, c, t) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_tokens"))
+      assert(c >= t && t >= w, s"bracket violated: chars $c, tokens $t, words $w")
+    }
+    // the 3 learned merges must compress the corpus strictly vs chars
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum < rows.map(_.getAs[Long]("n_chars")).sum)
+  }
+
   for ((name, want) <- golden.toSeq.sortBy(_._1)) {
     test(s"$name returns $want rows at sf0.001") {
       assert(GQuery.all.find(_.name == name).get.fn(spark, dir).count() == want)

@@ -825,6 +825,76 @@ object Extensions {
              |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) FROM s2
              |ORDER BY doc_id""".stripMargin)),
 
+    // STREAMING sketch maintenance e2e: documents arrive in 3
+    // micro-batches (doc_id % 3 = arrival order); each batch lands and
+    // appends its OWN partial count-min sketch as a delta
+    // (Streams.cmsIngest over the persisted graft.ops.CmsSketch store).
+    // CMS union is cell-wise addition, so the delta-summed serve equals
+    // the one-shot sketch of everything landed — which is exactly what
+    // the oracle computes (the batching must be invisible in the
+    // values; exactly-once by the delta marker is what makes it so).
+    // Serve: exact top-10 corpus terms probed against the summed cells,
+    // one-sided error surfaced as `overcount` (q_heavy_hitters_cms's
+    // contract through the streaming loop).
+    GQuery(
+      "stream_cms_e2e",
+      (s, dir) => {
+        val sfKey = sfFingerprint(dir)
+        val root = cachedFixture(s"graft_scms_cache_v1_$sfKey") { root =>
+          val docs = Tables.documents(s, dir)
+          graft.ops.CmsSketch.buildEmpty(s, root + "/idx", d = 4, w = 512)
+          val src = root + "/src"
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+            .coalesce(1).write.mode("append").parquet(src)
+          val q = graft.streaming.Streams.cmsIngest(
+            s.readStream.schema(docs.schema).parquet(src),
+            root + "/idx", root + "/out", root + "/ckpt")
+          try {
+            q.processAllAvailable()
+            for (i <- 1 to 2) {
+              docs.filter(pmod(col("doc_id"), lit(3)) === i)
+                .coalesce(1).write.mode("append").parquet(src)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
+        val toks = s.read.parquet(root + "/out")
+          .select(explode(Text.tokens(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+        val top10 = toks.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("term")).limit(10)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("n_exact").desc, col("term"))))
+        top10
+          .join(graft.ops.CmsSketch.estimate(s, root + "/idx",
+            top10.select(col("term"))), Seq("term"))
+          .select(col("rk"), col("term"), col("n_exact"), col("est"),
+            (col("est") - col("n_exact")).as("overcount"))
+          .orderBy(col("rk"))
+      },
+      Some("""WITH t AS (
+             |  SELECT term FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS term FROM documents) z
+             |  WHERE term <> ''),
+             |merged AS (
+             |  SELECT r,
+             |    ('0x' || substr(md5(r::VARCHAR || ':' || term), 1, 12))::BIGINT % 512 AS b,
+             |    count(*)::BIGINT AS cell
+             |  FROM t CROSS JOIN range(0, 4) rr(r) GROUP BY 1, 2),
+             |top10 AS (
+             |  SELECT term, n_exact, rk FROM (
+             |    SELECT term, count(*)::BIGINT AS n_exact,
+             |      row_number() OVER (ORDER BY count(*) DESC, term) AS rk
+             |    FROM t GROUP BY term) z WHERE rk <= 10),
+             |probes AS (
+             |  SELECT rk, term, n_exact, r,
+             |    ('0x' || substr(md5(r::VARCHAR || ':' || term), 1, 12))::BIGINT % 512 AS b
+             |  FROM top10 CROSS JOIN range(0, 4) rr(r))
+             |SELECT rk::INT AS rk, term, n_exact, min(cell)::BIGINT AS est,
+             |  (min(cell) - n_exact)::BIGINT AS overcount
+             |FROM probes JOIN merged USING (r, b)
+             |GROUP BY rk, term, n_exact ORDER BY rk""".stripMargin)),
+
     // STREAMING windowed-aggregation e2e — Streams.tumblingAgg run as a
     // real checkpointed query with WATERMARK SEMANTICS ON THE ORACLE
     // PATH: events arrive in two event-time-ordered files, except the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 
-import graft.ops.{IvfPqIndex, LshIndex}
+import graft.ops.{CmsSketch, IvfPqIndex, LshIndex, Text}
 
 /** Streaming transforms beyond the reference's executed surface
   * (README.md never windows or watermarks — its only state is source
@@ -245,6 +245,47 @@ object Streams {
       landAndAppend(batch, batchId, outDir,
         df => IvfPqIndex.append(s, idxDir, df.drop("_batch_id"),
           idCol, vecCol, batchId))
+      true
+    }
+  }
+
+  /** Streaming maintenance of the persisted count-min sketch
+    * ([[graft.ops.CmsSketch]]) — the frequency-statistics half of the
+    * ingest loop: document batches land continuously, and each one
+    * appends its OWN partial sketch (≤ d·w integer cells, one
+    * map-side-combined aggregation over the batch's tokens) as a
+    * delta. Because CMS union is cell-wise addition, the served sketch
+    * over base+deltas equals the sketch of everything landed — corpus
+    * statistics stay fresh without ever re-tokenizing landed data.
+    * Exactly-once by the delta marker, same rules as [[nearDupIngest]]
+    * and [[annIngest]]: a committed batch is a replay no-op, a crash
+    * between the landing write and the marker replays into an
+    * unchanged sketch and rewrites an identical `_batch_id` partition. */
+  def cmsIngest(docs: DataFrame, idxDir: String, outDir: String,
+                checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cmsBatch(batch, batchId, idxDir, outDir)
+        ()
+      }
+      .start()
+
+  /** One [[cmsIngest]] transaction, callable directly (batch-mode
+    * backfill, crash-protocol tests). Returns whether this call
+    * committed the batch. */
+  def cmsBatch(batch: DataFrame, batchId: Long, idxDir: String,
+               outDir: String): Boolean = {
+    val s = batch.sparkSession
+    require(CmsSketch.exists(s, idxDir),
+      s"no committed CMS sketch at $idxDir — CmsSketch.buildEmpty first")
+    if (CmsSketch.deltaIds(s, idxDir).contains(batchId)) false
+    else {
+      landAndAppend(batch, batchId, outDir, df =>
+        CmsSketch.append(s, idxDir,
+          df.select(explode(Text.tokens(col("text"))).as("term"))
+            .filter(col("term") =!= ""),
+          batchId))
       true
     }
   }

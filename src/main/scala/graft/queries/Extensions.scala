@@ -3423,8 +3423,10 @@ object Extensions {
           .select(col("lang"), explode(Text.tokens(col("text"))).as("term"))
           .filter(col("term") =!= "")
           .cache()
+        // same bucket rule as the persisted store (ops/CmsSketch) so the
+        // one-query and streaming (stream_cms_e2e) forms share semantics
         def bucket(r: org.apache.spark.sql.Column, term: org.apache.spark.sql.Column) =
-          pmod(Text.hash48(concat(r.cast("string"), lit(":"), term)), lit(512L))
+          graft.ops.CmsSketch.bucket(r, term, 512)
         val cells = toks
           .select(col("lang"), col("term"), explode(sequence(lit(0), lit(3))).as("r"))
           .withColumn("b", bucket(col("r"), col("term")))

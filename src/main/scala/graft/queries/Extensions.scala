@@ -534,6 +534,33 @@ object Extensions {
       },
       Some(latestWinsSql)),
 
+    // POINT LOOKUP through the oracle gate: the record-key-index read
+    // path (Hudi metadata-table / bloom-index serve shape) — each
+    // probed key resolves to its hash bucket, [min,max] stats drop
+    // buckets that can't hold it, and ONLY the surviving file groups
+    // are scanned: at 100 TB the read is ~1 file group per probed key,
+    // never the table (FileGroupsSpec pins the pruning itself; this
+    // entry pins the VALUES — the pruned read must equal the full
+    // latest-wins collapse restricted to the probes, including absent
+    // and deleted keys returning nothing).
+    GQuery(
+      "q_cdc_point_lookup",
+      (s, dir) => {
+        graft.cdc.FileGroups.pointLookup(s, fileGroupTable(s, dir), Seq("id"),
+            probes = (1L to 10L)).get
+          .select(col("id"), col("lsn"), col("op"), col("value"))
+          .orderBy(col("id"))
+      },
+      Some(
+        """SELECT id, lsn, op, value FROM (
+          |  SELECT user_id AS id, event_id AS lsn,
+          |    CASE WHEN event_id % 11 = 0 THEN 'd'
+          |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+          |    value,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          |  FROM events) t
+          |WHERE rn = 1 AND op <> 'd' AND id BETWEEN 1 AND 10 ORDER BY id""".stripMargin)),
+
     // SCHEMA DRIFT (U6) through the oracle gate: the second half of the
     // log arrives with a NEW column (value2) the table never had;
     // upsert's unionByName(allowMissingColumns) reconciliation (Hudi
@@ -3471,6 +3498,48 @@ object Extensions {
              |  (min(cell) - n_exact)::BIGINT AS overcount
              |FROM probes JOIN merged USING (r, b)
              |GROUP BY rk, term, n_exact ORDER BY rk""".stripMargin)),
+
+    // Robust corpus-QC outlier detection: per-language median + MAD
+    // (median absolute deviation) of document length, flagging docs
+    // with |len − median| > 2·MAD — the quality-control pass that
+    // catches truncated/concatenated documents where mean±σ would be
+    // dragged by the very outliers it hunts. Medians of INTEGER lengths
+    // are ints or exact .5 halves (binary-exact), so the 2·MAD
+    // threshold comparison is deterministic across engines — no ε, no
+    // rounding. Plan: two tiny per-lang stat aggregates (the second
+    // needs the first's median) broadcast back onto ONE cached narrow
+    // projection of the corpus — the corpus is never shuffled, the
+    // q_mix_rebalance discipline.
+    GQuery(
+      "q_quality_outliers",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars")).cache()
+        val med = d.groupBy(col("lang"))
+          .agg(expr("percentile(n_chars, 0.5)").as("med"))
+        val withDev = d.join(broadcast(med), Seq("lang"))
+          .withColumn("dev", abs(col("n_chars") - col("med")))
+        val mad = withDev.groupBy(col("lang"))
+          .agg(expr("percentile(dev, 0.5)").as("mad"))
+        withDev.join(broadcast(mad), Seq("lang"))
+          .filter(col("dev") > lit(2) * col("mad"))
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            col("med"), col("mad"), col("dev"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH med AS (
+             |  SELECT lang, quantile_cont(n_chars, 0.5) AS med
+             |  FROM documents GROUP BY lang),
+             |dev AS (
+             |  SELECT d.doc_id, d.lang, d.n_chars, m.med,
+             |    abs(d.n_chars - m.med) AS dev
+             |  FROM documents d JOIN med m ON d.lang = m.lang),
+             |mad AS (
+             |  SELECT lang, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY lang)
+             |SELECT v.doc_id, v.lang, v.n_chars, v.med, a.mad, v.dev
+             |FROM dev v JOIN mad a ON v.lang = a.lang
+             |WHERE v.dev > 2 * a.mad
+             |ORDER BY v.doc_id""".stripMargin)),
 
     // ------------------------------------------------- tokenizer training
     // BPE vocabulary learning over the corpus (graft.ops.Bpe — scaladoc

@@ -85,7 +85,10 @@ val queries = Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
   "q_tpch_q2", "q_tpch_q16", "q_tpch_q21", "q_sim_pq", "q_sim_ivf_pq",
   // round 13 family completion: Q8 (widest join tree), Q9 (LIKE-pruned
   // 5-way profit), Q20 (doubly nested IN over the one-pass bridge)
-  "q_tpch_q8", "q_tpch_q9", "q_tpch_q20")
+  "q_tpch_q8", "q_tpch_q9", "q_tpch_q20",
+  // round 13 additions: tokenizer training (corpus pass + vocab-sized
+  // iterations), CMS sketch build, robust outlier stats
+  "q_bpe_train", "q_heavy_hitters_cms", "q_quality_outliers")
 
 def time(name: String, dir: String): Double = {
   val fn = GQuery.all.find(_.name == name).get.fn

@@ -484,6 +484,69 @@ object Vectors {
       .select(col("vec_id"), col("rn"), col("nn_id"), col("score"))
   }
 
+  /** One 32-bit word of the sign-bit binary code: bit j-of-word set
+    * when dimension `off + j` is positive. Sign is invariant under the
+    * positive L2 normalization, so packing reads the RAW floats — no
+    * corpus statistics, no normalization pass, bit-identical on any
+    * engine (float > 0 is exact). Two words cover the 64-dim fixture
+    * without ever shifting into the sign bit of a signed 64-bit int
+    * (DuckDB has no unsigned BIGINT shift-safe literal path). */
+  def binaryWord(v: Column, off: Int): Column =
+    (0 until 32).map { j =>
+      when(element_at(v, off + j + 1) > lit(0f), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** BINARY (1-bit) quantized ANN with exact re-rank — the last rung of
+    * the compression ladder (float32 256 B → SQ8 64 B → PQ ~16 B →
+    * binary 8 B/vector): sign-bit codes ranked by HAMMING distance
+    * (`bit_count(xor)` over two 32-bit words — integer-exact, ties to
+    * the lowest id), top-`candR` survivors re-ranked by the exact-SQ8
+    * integer dot. Same scale guarantees as [[pqSearch]]'s round-13
+    * shape: QUERIES broadcast while the corpus code list never moves
+    * (hamming evaluates map-side over each corpus split), the candidate
+    * cut is two-stage partition-local ∪ global (exact by the union
+    * bound under the (ham ASC, nn_id) total order), and survivors fetch
+    * their exact codes by join so the wide code column never rides the
+    * candidate shuffle. At 100 TB the hamming scan touches 8 B/vector —
+    * the memory-bandwidth floor of the ANN family — which is precisely
+    * why binary codes are the standard first-pass filter for
+    * billion-vector serving. Returns (vec_id, rn, nn_id, score). */
+  def binarySearch(emb: DataFrame, idCol: String, vecCol: String,
+                   queryPred: Column, candR: Int, k: Int): DataFrame = {
+    val coded = emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("qc", sq8(col("v"), col("nrm")))
+      .withColumn("w0", binaryWord(col("v"), 0))
+      .withColumn("w1", binaryWord(col("v"), 32))
+      .select(col("vec_id"), col("qc"), col("w0"), col("w1"))
+    val queries = coded.filter(queryPred)
+      .select(col("vec_id"), col("qc").as("q_qc"),
+        col("w0").as("q_w0"), col("w1").as("q_w1"))
+    val scored = coded
+      .select(col("vec_id").as("nn_id"), col("w0"), col("w1"))
+      .join(broadcast(queries), col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"),
+        (bit_count(col("w0").bitwiseXOR(col("q_w0"))) +
+          bit_count(col("w1").bitwiseXOR(col("q_w1")))).cast("long").as("ham"),
+        spark_partition_id().as("p"))
+    val wLoc = Window.partitionBy(col("vec_id"), col("p"))
+      .orderBy(col("ham"), col("nn_id"))
+    val wHam = Window.partitionBy(col("vec_id")).orderBy(col("ham"), col("nn_id"))
+    val cand = scored
+      .withColumn("rn_l", row_number().over(wLoc)).filter(col("rn_l") <= candR)
+      .withColumn("rn_c", row_number().over(wHam)).filter(col("rn_c") <= candR)
+      .select(col("vec_id"), col("nn_id"))
+    val wTop = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("nn_id"))
+    coded.select(col("vec_id").as("nn_id"), col("qc").as("qc2"))
+      .join(broadcast(cand.join(queries.select(col("vec_id"), col("q_qc")), "vec_id")), "nn_id")
+      .withColumn("score", longDot(col("q_qc"), col("qc2")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("rn"), col("nn_id"), col("score"))
+  }
+
   /** The COMPOSED production ANN serving plan — IVF∘PQ with exact
     * re-rank (the FAISS `IVFPQ,Refine` shape): the coarse quantizer
     * cuts candidates to the query's `nprobe` nearest clusters BEFORE

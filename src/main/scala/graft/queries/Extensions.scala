@@ -3169,6 +3169,53 @@ object Extensions {
              |  FROM rr) t
              |WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin)),
 
+    // ----------------------------------------- binary (1-bit) ANN (BQ)
+    // The LAST rung of the compression ladder (float32 256 B → SQ8
+    // 64 B → PQ ~16 B → binary 8 B/vector): sign-bit codes packed into
+    // two 32-bit words, HAMMING-ranked (bit_count ∘ xor — all integer,
+    // ties to the lowest id) to candR candidates, exact-SQ8 re-rank on
+    // the survivors. The standard billion-vector first-pass filter —
+    // the hamming scan touches 8 B/vector, the memory-bandwidth floor.
+    // Same scale-safe shape as q_sim_pq (queries broadcast, map-side
+    // scoring over unmoved corpus splits, two-stage union-bound
+    // candidate cut, survivor-only code fetch); recall vs the exact
+    // float top-5 is measured and gated in QueriesSpec next to the
+    // SQ8/PQ gates. Fully integer after packing → full value oracle.
+    GQuery(
+      "q_sim_binary",
+      (s, dir) => {
+        Vectors.binarySearch(Tables.embeddings(s, dir), "vec_id", "embedding",
+            queryPred = col("vec_id") <= 20, candR = 50, k = 5)
+          .orderBy(col("vec_id"), col("rn"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |qv AS (SELECT vec_id, list_transform(e, x -> CAST(floor(x / nrm * 127.0) AS BIGINT)) AS qc
+             |       FROM (SELECT vec_id, e,
+             |               sqrt(list_reduce(list_transform(e, y -> y * y), (a, y) -> a + y)) AS nrm
+             |             FROM v) t),
+             |bits AS (SELECT vec_id,
+             |    list_sum(list_transform(range(1, 33),
+             |      j -> CASE WHEN e[j] > 0 THEN 1::BIGINT << (j - 1) ELSE 0 END))::BIGINT AS w0,
+             |    list_sum(list_transform(range(33, 65),
+             |      j -> CASE WHEN e[j] > 0 THEN 1::BIGINT << (j - 33) ELSE 0 END))::BIGINT AS w1
+             |  FROM v),
+             |ham AS (SELECT q.vec_id, c.vec_id AS nn_id,
+             |    (bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)))::BIGINT AS ham
+             |  FROM bits q JOIN bits c ON q.vec_id <> c.vec_id
+             |  WHERE q.vec_id <= 20),
+             |cand AS (SELECT vec_id, nn_id FROM (
+             |    SELECT vec_id, nn_id,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY ham, nn_id) AS rn_c
+             |    FROM ham) z WHERE rn_c <= 50),
+             |rr AS (SELECT c.vec_id, c.nn_id,
+             |         list_sum(list_transform(range(1, len(a.qc) + 1), i -> a.qc[i] * x.qc[i]))::BIGINT AS score
+             |       FROM cand c JOIN qv a ON a.vec_id = c.vec_id JOIN qv x ON x.vec_id = c.nn_id)
+             |SELECT vec_id, CAST(rn AS INT) AS rn, nn_id, score FROM (
+             |  SELECT vec_id, nn_id, score,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, nn_id) AS rn
+             |  FROM rr) t
+             |WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin)),
+
     // ------------------------------- IVF ∘ PQ composed serving (ANN)
     // The production serving plan, fully composed — the FAISS
     // `IVFPQ,Refine` shape that q_sim_ivf_sq and q_sim_pq each built

@@ -501,6 +501,33 @@ class QueriesSpec extends SparkSpec {
     assert(rTrained >= r50, s"trained codebook recall $rTrained below sampled $r50")
   }
 
+  test("q_sim_binary: hamming+refine tracks the exact top-5; candR is a monotone dial") {
+    import org.apache.spark.sql.functions._
+    // 1-bit codes keep only direction octants, so the hamming cut is
+    // the lossiest first pass in the family; the refine re-rank buys
+    // fidelity back. Measured overlap@5 vs the float top-5 at sf0.01
+    // (the run() fixture): 0.724 at candR=50 (0.686 at sf0.001) —
+    // integer-deterministic, so a drop is a regression, never a flake.
+    val exact = run("q_sim_topk").filter(col("vec_id") <= 20)
+      .select(col("vec_id"), col("nn_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def recallAt(candR: Int): Double = {
+      val b = graft.ops.Vectors.binarySearch(
+          graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.01"),
+          "vec_id", "embedding",
+          queryPred = col("vec_id") <= 20, candR = candR, k = 5)
+        .select(col("vec_id"), col("nn_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      assert(b.keySet == exact.keySet)
+      b.keys.toSeq.map(k => (b(k) & exact(k)).size / 5.0).sum / b.size
+    }
+    val r50 = recallAt(50)
+    assert(r50 >= 0.6, s"mean overlap@5 at candR=50: $r50")
+    assert(recallAt(10) <= r50, "wider hamming cut lost recall")
+  }
+
   test("q_sim_ivf_pq: composed IVF∘PQ recall dials are monotone; served floor holds") {
     import org.apache.spark.sql.functions._
     // The composed serving plan adds the coarse-cut loss on top of

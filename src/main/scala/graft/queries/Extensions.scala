@@ -3546,6 +3546,55 @@ object Extensions {
              |FROM probes JOIN merged USING (r, b)
              |GROUP BY rk, term, n_exact ORDER BY rk""".stripMargin)),
 
+    // C4-style GLOBAL boilerplate removal (Raffel et al.'s "discard any
+    // line occurring 3+ times in the corpus", the MassiveText repeated-
+    // line rule): documents are segmented into fixed 8-token "lines"
+    // (the fixture carries no newlines — the segment grid is the line
+    // analog), every segment counted GLOBALLY, segments with count ≥ 3
+    // dropped, and each document REASSEMBLED from its surviving
+    // segments in order (fp = md5 of the cleaned text carries byte
+    // fidelity through the gate). Unlike the dedup family this op
+    // rewrites documents rather than dropping them — the within-corpus
+    // complement of q_dedup_substring's span detection. Scale: one
+    // segment-key shuffle (corpus_tokens/8 rows) for the frequency
+    // pass + the doc-key rebuild aggregate; no self-joins, no pair
+    // lists — linear in corpus bytes.
+    GQuery(
+      "q_boilerplate",
+      (s, dir) => {
+        val segs = fanout(Tables.documents(s, dir))
+          .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, (size(toks) - 1) div 8), i -> concat_ws(' ', slice(toks, i * 8 + 1, 8)))"))
+            .as(Seq("i", "seg")))
+        val freq = segs.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+        segs.join(freq, Seq("seg"))
+          .withColumn("dropped", col("n") >= 3)
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_segs"),
+            sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+            md5(concat_ws(" ",
+              expr("transform(array_sort(collect_list(CASE WHEN NOT dropped THEN struct(i, seg) END)), x -> x.seg)")))
+              .as("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+             |          WHERE len(string_split(text, ' ')) > 0),
+             |segs AS (
+             |  SELECT doc_id,
+             |    unnest(range(0, (len(toks) - 1) // 8 + 1)) AS i,
+             |    unnest(list_transform(range(0, (len(toks) - 1) // 8 + 1),
+             |      i -> array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' '))) AS seg
+             |  FROM t),
+             |freq AS (SELECT seg, count(*)::BIGINT AS n FROM segs GROUP BY seg)
+             |SELECT s.doc_id, count(*)::BIGINT AS n_segs,
+             |  sum(CASE WHEN f.n >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+             |  md5(coalesce(string_agg(CASE WHEN f.n < 3 THEN s.seg END, ' ' ORDER BY s.i), '')) AS fp
+             |FROM segs s JOIN freq f USING (seg)
+             |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
+
     // Robust corpus-QC outlier detection: per-language median + MAD
     // (median absolute deviation) of document length, flagging docs
     // with |len − median| > 2·MAD — the quality-control pass that

@@ -1886,6 +1886,115 @@ object Extensions {
              |  WHERE q.vec_id <= 50) t
              |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin)),
 
+    // RETRIEVAL EVALUATION as a first-class op — the measurement pass
+    // every ANN deployment runs (and what QueriesSpec's recall gates do
+    // in test code, promoted to the oracled surface): the 1-probe IVF
+    // serve evaluated per query against the exact brute-force top-5.
+    // Output is ALL-INTEGER (n_served, hits = |served ∩ exact@5|,
+    // first_rank = the served rank of the exact NEAREST neighbor, 0 if
+    // the cluster cut lost it), so recall@5 / MRR aggregate downstream
+    // without any float leaving the engine. Both sides reuse the exact
+    // cosine machinery the hash gate already pins (q_sim_topk /
+    // q_sim_ivf), so the eval itself replays bit-exactly. Scale: the
+    // exact side is the expensive leg (corpus broadcast per query — the
+    // eval set is small by design, this is an OFFLINE measurement op);
+    // the serve side is the one-cluster-key exchange.
+    GQuery(
+      "q_ann_eval",
+      (s, dir) => {
+        val emb = fanout(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("embedding").as("v"))
+          .withColumn("nrm", Vectors.norm(col("v")))
+        val cents = Tables.embeddings(s, dir).filter(col("vec_id") <= 8)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map { r =>
+            val cv = r.getSeq[Float](1)
+            val cnrm = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+            (r.getLong(0), cv, cnrm)
+          }.sortBy(_._1).toSeq
+        val scored = cents.map { case (cid, cv, cnrm) =>
+          struct(
+            (Vectors.dot(col("v"), typedLit(cv)) / (col("nrm") * lit(cnrm))).as("c"),
+            lit(-cid).as("nid"))
+        }
+        // cache: one assignment pass feeds the serve leg, the exact leg,
+        // and the query slice (the q_text_search multi-consumer rule)
+        val assigned = emb
+          .withColumn("cluster", -greatest(scored: _*).getField("nid"))
+          .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
+          .cache()
+        val queries = assigned.filter(col("vec_id") <= 50)
+        val wTop = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nn_id"))
+        // served: 1-probe IVF top-5 (the q_sim_ivf plan at k=5)
+        val served = queries
+          .join(assigned.select(col("vec_id").as("nn_id"), col("v").as("v2"),
+            col("nrm").as("nrm2"), col("cluster")), Seq("cluster"))
+          .filter(col("vec_id") =!= col("nn_id"))
+          .withColumn("cos", Vectors.cosine(col("v"), col("v2"), col("nrm"), col("nrm2")))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5)
+          .select(col("vec_id"), col("rn"), col("nn_id"))
+        // exact: brute-force top-5 over the full corpus (q_sim_topk plan)
+        val exact = queries
+          .join(broadcast(emb.select(col("vec_id").as("nn_id"), col("v").as("v2"),
+            col("nrm").as("nrm2"))), col("vec_id") =!= col("nn_id"))
+          .withColumn("cos", Vectors.cosine(col("v"), col("v2"), col("nrm"), col("nrm2")))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5)
+          .select(col("vec_id"), col("rn"), col("nn_id"))
+        val base = served.groupBy(col("vec_id")).agg(count(lit(1)).as("n_served"))
+        val hits = served
+          .join(exact.select(col("vec_id"), col("nn_id")), Seq("vec_id", "nn_id"))
+          .groupBy(col("vec_id")).agg(count(lit(1)).as("hits"))
+        val fr = served
+          .join(exact.filter(col("rn") === 1).select(col("vec_id"), col("nn_id")),
+            Seq("vec_id", "nn_id"))
+          .groupBy(col("vec_id")).agg(min(col("rn")).as("first_rank"))
+        base
+          .join(hits, Seq("vec_id"), "left")
+          .join(fr, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("n_served").cast("long").as("n_served"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            coalesce(col("first_rank"), lit(0)).cast("int").as("first_rank"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |cent AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id <= 8),
+             |assigned AS (
+             |  SELECT vec_id, e, c_id AS cluster FROM (
+             |    SELECT a.vec_id, a.e, c.c_id,
+             |      row_number() OVER (PARTITION BY a.vec_id
+             |        ORDER BY list_cosine_similarity(a.e, c.ce) DESC, c.c_id) AS rn
+             |    FROM v a CROSS JOIN cent c) z WHERE rn = 1),
+             |served AS (
+             |  SELECT vec_id, rn, nn_id FROM (
+             |    SELECT q.vec_id, x.vec_id AS nn_id,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY list_cosine_similarity(q.e, x.e) DESC, x.vec_id) AS rn
+             |    FROM assigned q JOIN assigned x
+             |      ON q.cluster = x.cluster AND q.vec_id <> x.vec_id
+             |    WHERE q.vec_id <= 50) t WHERE rn <= 5),
+             |exact AS (
+             |  SELECT vec_id, rn, nn_id FROM (
+             |    SELECT q.vec_id, x.vec_id AS nn_id,
+             |      row_number() OVER (PARTITION BY q.vec_id
+             |        ORDER BY list_cosine_similarity(q.e, x.e) DESC, x.vec_id) AS rn
+             |    FROM assigned q JOIN v x ON q.vec_id <> x.vec_id
+             |    WHERE q.vec_id <= 50) t WHERE rn <= 5),
+             |base AS (SELECT vec_id, count(*)::BIGINT AS n_served FROM served GROUP BY vec_id),
+             |hits AS (SELECT s.vec_id, count(*)::BIGINT AS hits
+             |         FROM served s JOIN exact e ON s.vec_id = e.vec_id AND s.nn_id = e.nn_id
+             |         GROUP BY s.vec_id),
+             |fr AS (SELECT s.vec_id, min(s.rn) AS first_rank
+             |       FROM served s JOIN exact e ON s.vec_id = e.vec_id AND s.nn_id = e.nn_id
+             |       WHERE e.rn = 1 GROUP BY s.vec_id)
+             |SELECT b.vec_id, b.n_served,
+             |  coalesce(h.hits, 0)::BIGINT AS hits,
+             |  coalesce(f.first_rank, 0)::INT AS first_rank
+             |FROM base b LEFT JOIN hits h ON b.vec_id = h.vec_id
+             |LEFT JOIN fr f ON b.vec_id = f.vec_id
+             |ORDER BY b.vec_id""".stripMargin)),
+
     // The SAME ANN search served from the PERSISTED IVF index
     // (ops/IvfIndex): built once per sf (cached fixture — train at
     // iters=0 so the centroids are the deterministic first-8 init and

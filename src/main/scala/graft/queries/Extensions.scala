@@ -3583,6 +3583,39 @@ object Extensions {
              |  substr(md5(text), 1, 8) AS magic
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // The multimodal DECODE stage through the VALUE gate: the real
+    // production plumbing (opaque binary payload → partition-preserving
+    // mapPartitions decode → typed feature column; graft.ops.Multimodal
+    // scaladoc carries the mapInPandas analogy) run end to end. The
+    // decoder body is the documented deterministic stub (no codecs in
+    // this container), chosen so the oracle can replay it EXACTLY: the
+    // 16 payload bytes are md5(text), each feature is a 4-byte window
+    // mean, and sum-of-4-bytes / 4 is a power-of-two division — exact
+    // in float on any engine. What the gate pins is the pipeline shape:
+    // bytes in, Array[Float] out, row identity preserved through the
+    // typed mapPartitions (encoder round-trip), no driver involvement.
+    GQuery(
+      "q_multimodal_decode",
+      (s, dir) => {
+        val df = graft.ops.Multimodal.attach(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        graft.ops.Multimodal.decodeFeatures(df)
+          .select(col("doc_id") +: (0 until 4).map(d =>
+            element_at(col("features"), d + 1).as(s"f$d")): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val feats = (0 until 4).map { d =>
+          val terms = (0 until 4)
+            .map(b => s"('0x' || substr(md5(text), ${(d * 4 + b) * 2 + 1}, 2))::INT")
+            .mkString(" + ")
+          s"(($terms) / 4.0)::FLOAT AS f$d"
+        }.mkString(",\n             |  ")
+        s"""SELECT doc_id,
+           |  $feats
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
     // -------------------------------------------- mergeable sketches II
     // Count-min sketch heavy-hitter estimation — the mergeable
     // FREQUENCY sketch beside q_agg_hll_merge's cardinality sketch.

@@ -58,6 +58,10 @@ object CmsSketch {
     * the append path, so the delta replay rules apply uniformly. */
   def buildEmpty(spark: SparkSession, dir: String, d: Int = 4, w: Int = 512): Unit = {
     DeltaProtocol.clearPriorIndex(spark, dir, Seq("cells_d"))
+    commitIndexMarker(spark, dir, d, w)
+  }
+
+  private def commitIndexMarker(spark: SparkSession, dir: String, d: Int, w: Int): Unit = {
     val fs = fsOf(spark)
     fs.mkdirs(path(dir))
     val out = fs.create(path(s"$dir/_INDEX"), true)
@@ -124,28 +128,40 @@ object CmsSketch {
   }
 
   /** Collapse all live deltas into one (the smallest committed id keeps
-    * the compacted cells; later markers flip to `empty`) — bounds the
-    * serve-path union for a long-running stream. Crash-safe in the
-    * same markers-last spirit: the compacted dir is written under a
-    * temp name and moved over the winner only after it is complete. */
+    * the compacted cells; later markers flip to `empty` so their batch
+    * ids STAY replay-protected) — bounds the serve-path union for a
+    * long-running stream. Crash-safe under the DeltaProtocol REBUILD
+    * rule, not the flip-in-place one: because the serve SUMS deltas,
+    * any intermediate layout where the merged cells and a source delta
+    * are both visible double-counts SILENTLY — worse than failing. So
+    * the sketch is UNCOMMITTED first (`_INDEX` dropped — every reader
+    * and appender fails loudly from that point), the merged cells are
+    * moved into place, and the markers (kept delta, empty twins, then
+    * `_INDEX` LAST) re-commit the sketch only once the layout is fully
+    * consistent. A crash at any point leaves either the old committed
+    * sketch or an uncommitted one — recoverable by re-running compact
+    * (the tmp dir is re-written) or rebuilding from the landed corpus
+    * — never a readable wrong sum. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val live = DeltaProtocol.liveDeltaIds(spark, dir)
     if (live.length > 1) {
+      val (d, w) = geometry(spark, dir)
+      val all = DeltaProtocol.deltaIds(spark, dir)
       val merged = cells(spark, dir)
         .select(col("r"), col("b"), col("cell").as("n"))
       val keep = live.min
       val fs = fsOf(spark)
       merged.write.mode("overwrite").parquet(s"$dir/cells_compact_tmp")
-      // readers between these renames see either the old layout or the
-      // new one per delta; the sum is only correct once all flips are
-      // done, so compact() must not run concurrently with serving —
-      // the same single-writer rule every table service here has.
-      fs.delete(path(s"$dir/cells_d$keep"), true)
+      // point of no return: uncommit, swap the data, re-commit markers
+      // last. clearPriorIndex drops _INDEX first, then every delta
+      // marker, then the cells_d dirs (the tmp dir's name doesn't match
+      // the prefix, so the merged copy survives the sweep).
+      DeltaProtocol.clearPriorIndex(spark, dir, Seq("cells_d"))
       fs.rename(path(s"$dir/cells_compact_tmp"), path(s"$dir/cells_d$keep"))
-      live.filter(_ != keep).foreach { id =>
-        DeltaProtocol.commitDeltaMarker(spark, dir, id, empty = true)
-        fs.delete(path(s"$dir/cells_d$id"), true)
-      }
+      DeltaProtocol.commitDeltaMarker(spark, dir, keep)
+      all.filter(_ != keep).foreach(id =>
+        DeltaProtocol.commitDeltaMarker(spark, dir, id, empty = true))
+      commitIndexMarker(spark, dir, d, w)
     }
   }
 }

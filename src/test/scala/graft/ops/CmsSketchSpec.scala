@@ -72,6 +72,10 @@ class CmsSketchSpec extends SparkSpec {
     val before = cellMap(dir)
     CmsSketch.compact(spark, dir)
     assert(graft.ops.DeltaProtocol.liveDeltaIds(spark, dir) == Seq(0L))
+    // every previously committed id keeps its (now empty) marker —
+    // replay protection survives the compaction
+    assert(CmsSketch.deltaIds(spark, dir) == Seq(0L, 1L, 2L))
+    assert(CmsSketch.geometry(spark, dir) == ((2, 64)))
     assert(cellMap(dir) == before)
     // appends keep working after a compaction
     CmsSketch.append(spark, dir, terms("c"), 3L)

@@ -80,6 +80,32 @@ object Demo {
     println(s"[demo] 7. savepointed snapshot v$head; change feed vs itself: " +
       graft.cdc.ChangeFeed.betweenVersions(spark, s"$work/snapshot", head, head,
         Seq("id"), "lsn", Seq("salary")).get.count() + " changes (none, as expected)")
+
+    // 8. the LLM-pipeline half over the corpus testdata (when present):
+    //    tokenizer training, sketch-backed term stats, ANN retrieval —
+    //    the same public APIs the oracled queries run.
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(s"$sf/documents.parquet").exists()) {
+      import spark.implicits._
+      val docs = graft.tables.Tables.documents(spark, sf)
+      val (_, merges) = graft.ops.Bpe.train(docs, col("text"), iters = 3)
+      println(s"[demo] 8. BPE tokenizer trained on ${docs.count()} docs; merges: " +
+        merges.map(m => s"'${m.a}'+'${m.b}'(${m.n})").mkString(", "))
+      val cmsDir = s"$work/cms"
+      graft.ops.CmsSketch.buildEmpty(spark, cmsDir)
+      graft.ops.CmsSketch.append(spark, cmsDir,
+        docs.select(explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= ""), 0L)
+      val est = graft.ops.CmsSketch
+        .estimate(spark, cmsDir, Seq("data", "spark").toDF("term"))
+        .collect().map(r => s"${r.getString(0)}≈${r.getLong(1)}").mkString(", ")
+      println(s"[demo]    CMS term-frequency sketch (persisted, mergeable): $est")
+      val emb = graft.tables.Tables.embeddings(spark, sf)
+      val nn = graft.ops.Vectors.binarySearch(emb, "vec_id", "embedding",
+          queryPred = col("vec_id") === 1, candR = 50, k = 3)
+        .select(col("nn_id")).collect().map(_.getLong(0)).mkString(", ")
+      println(s"[demo]    binary-ANN top-3 neighbors of vec 1: $nn")
+    } else println(s"[demo] 8. corpus testdata not found at $sf — skipping the LLM-pipeline demo")
     spark.stop()
   }
 }

@@ -3616,6 +3616,28 @@ object Extensions {
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
+    // Frame sampling through the value gate (the video/audio chunking
+    // stage): the opaque payload explodes into fixed-size indexed
+    // frames as pure codegen'd expressions — at 100 TB this is a
+    // narrow per-row generate, no shuffle before the presentation
+    // sort. The md5-derived payload makes every frame's bytes
+    // hex-replayable in the oracle.
+    GQuery(
+      "q_multimodal_frames",
+      (s, dir) => {
+        val df = graft.ops.Multimodal.attach(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        graft.ops.Multimodal.frameSample(df, frameBytes = 4)
+          // frame_idx is LONG (SQL `div` widens); the oracle column is INT
+          .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+            lower(hex(col("frame"))).as("frame_hex"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""SELECT doc_id, i::INT AS frame_idx,
+             |  substr(md5(text), i * 8 + 1, 8) AS frame_hex
+             |FROM documents CROSS JOIN range(0, 4) r(i)
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // -------------------------------------------- mergeable sketches II
     // Count-min sketch heavy-hitter estimation — the mergeable
     // FREQUENCY sketch beside q_agg_hll_merge's cardinality sketch.

@@ -3616,6 +3616,29 @@ object Extensions {
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
+    // Spark 4 SQL UDF (CREATE FUNCTION ... RETURN expr) — the
+    // user-extension surface that PRESERVES codegen: unlike a JVM/
+    // Python UDF, a SQL UDF's body is INLINED into the plan by the
+    // analyzer, so the call site optimizes, pushes down, and
+    // whole-stage-compiles exactly like the hand-written expression
+    // (the engine's no-UDFs rule, made available to end users). The
+    // token-density body is all-integer (`div`), so the oracle replays
+    // the inlined expression bit-exactly.
+    GQuery(
+      "q_sql_udf",
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("docs_sql_udf")
+        s.sql(
+          """CREATE OR REPLACE TEMPORARY FUNCTION graft_density(text STRING)
+            |RETURNS BIGINT RETURN (size(split(text, ' ')) * 100L) div length(text)""".stripMargin)
+        s.sql(
+          """SELECT doc_id, lang, graft_density(text) AS density
+            |FROM docs_sql_udf ORDER BY doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id, lang,
+             |  (len(string_split(text, ' ')) * 100) // length(text) AS density
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Frame sampling through the value gate (the video/audio chunking
     // stage): the opaque payload explodes into fixed-size indexed
     // frames as pure codegen'd expressions — at 100 TB this is a

@@ -501,6 +501,14 @@ class QueriesSpec extends SparkSpec {
     assert(rTrained >= r50, s"trained codebook recall $rTrained below sampled $r50")
   }
 
+  test("q_sql_udf: the SQL UDF body is inlined — no UDF node survives into the plan") {
+    val p = plan("q_sql_udf")
+    // a JVM/Python UDF would appear as ScalaUDF / BatchEvalPython and
+    // break codegen; the SQL UDF must analyze away into expressions
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(p.contains("split"), p) // the inlined body's expression is visible
+  }
+
   test("q_sim_binary: hamming+refine tracks the exact top-5; candR is a monotone dial") {
     import org.apache.spark.sql.functions._
     // 1-bit codes keep only direction octants, so the hamming cut is

@@ -250,7 +250,9 @@ object Extensions {
     * protocol and versioning rule as [[morTable]]). */
   private def fileGroupTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val sfKey = sfFingerprint(dir)
-    cachedFixture(s"graft_fg_cache_v1_$sfKey") { root =>
+    // v2: commit() writes per-bucket key blooms into the manifest (the
+    // bloom-index tagging path needs them; v1 caches predate the field)
+    cachedFixture(s"graft_fg_cache_v2_$sfKey") { root =>
       val log = cdcLog(s, dir)
       val Seq(c1, c2) = {
         val n = Tables.events(s, dir).count()
@@ -560,6 +562,37 @@ object Extensions {
           |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
           |  FROM events) t
           |WHERE rn = 1 AND op <> 'd' AND id BETWEEN 1 AND 10 ORDER BY id""".stripMargin)),
+
+    // BLOOM-INDEX TAGGING through the oracle gate: the Hudi BLOOM-index
+    // step (the reference DeltaStreamer's default hoodie.index.type)
+    // every upsert batch pays — classify each incoming key update-vs-
+    // insert BEFORE routing records to file groups. Per-file-group key
+    // blooms + [min,max] stats in the manifest answer the negative
+    // probes from index metadata alone (the five absent keys below cost
+    // zero data-file reads — FileGroupsSpec pins that); only candidate
+    // keys' groups are scanned to squeeze out bloom false positives, so
+    // the tags are EXACT and the oracle is plain existence in the
+    // latest-wins collapse. At 100 TB: a batch probing k keys touches
+    // ≤ k file groups, never the table.
+    GQuery(
+      "q_cdc_bloom_index",
+      (s, dir) => {
+        val probes = (1L to 30L) ++ (1000001L to 1000005L)
+        graft.cdc.FileGroups.tagKeys(s, fileGroupTable(s, dir), Seq("id"), probes).get
+          .orderBy(col("id"))
+      },
+      Some(
+        """WITH probes AS (
+          |  SELECT range AS id FROM range(1, 31)
+          |  UNION ALL SELECT range FROM range(1000001, 1000006)),
+          |latest AS (SELECT id FROM (
+          |  SELECT user_id AS id,
+          |    CASE WHEN event_id % 11 = 0 THEN 'd'
+          |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          |  FROM events) t WHERE rn = 1 AND op <> 'd')
+          |SELECT p.id, CASE WHEN l.id IS NOT NULL THEN 'update' ELSE 'insert' END AS tag
+          |FROM probes p LEFT JOIN latest l USING (id) ORDER BY id""".stripMargin)),
 
     // SCHEMA DRIFT (U6) through the oracle gate: the second half of the
     // log arrives with a NEW column (value2) the table never had;

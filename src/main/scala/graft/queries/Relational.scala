@@ -1734,6 +1734,67 @@ object Relational {
              |SELECT 'ALL', count(DISTINCT l_orderkey), TRUE FROM lineitem
              |ORDER BY scope""".stripMargin)),
 
+    // Column profiling — the data-quality sweep any ingest pipeline runs
+    // over a freshly-materialized table (per column: rows, nulls, exact
+    // distinct, min, max), emitted as one uniform (col_name, stats) table.
+    // Plan: ONE aggregate over one scan; the five countDistincts share a
+    // single Expand(×5)+shuffle (Spark's multi-distinct rewrite), then a
+    // stack() unpivots the 1-row result — no per-column re-scans. At
+    // 100 TB swap countDistinct→approx_count_distinct and min/max→parquet
+    // footer stats (zero-scan); exact distinct here because the oracle
+    // demands exactness. All values normalize to strings via a fixed
+    // rendering (ints verbatim, doubles through DECIMAL(18,4), timestamps
+    // through a pinned format) so Spark and DuckDB cannot diverge on
+    // float/timestamp formatting.
+    GQuery(
+      "q_profile_stats",
+      (s, dir) => {
+        val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",
+          "l_quantity", "l_shipdate")
+        def asStr(c: String): Column => Column = c match {
+          case "l_quantity" => x => dec(x).cast("string")
+          case "l_shipdate" => x => date_format(x, "yyyy-MM-dd HH:mm:ss")
+          case _            => x => x.cast("string")
+        }
+        val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+          Seq(count(col(c)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            asStr(c)(min(col(c))).as(s"min_$c"),
+            asStr(c)(max(col(c))).as(s"max_$c"))
+        }
+        val stackArgs = cols.map(c =>
+          s"'$c', nn_$c, nd_$c, min_$c, max_$c").mkString(", ")
+        Tables.lineitem(s, dir)
+          .agg(aggs.head, aggs.tail: _*)
+          .selectExpr("n_rows",
+            s"stack(${cols.size}, $stackArgs) AS (col_name, n_nonnull, n_distinct, min_val, max_val)")
+          .select(col("col_name"), col("n_rows"),
+            (col("n_rows") - col("n_nonnull")).as("n_null"),
+            col("n_distinct"), col("min_val"), col("max_val"))
+          .orderBy(col("col_name"))
+      },
+      Some("""SELECT col_name, n_rows, n_rows - n_nonnull AS n_null, n_distinct, min_val, max_val
+             |FROM (
+             |  SELECT 'l_orderkey' AS col_name, count(*) AS n_rows, count(l_orderkey) AS n_nonnull,
+             |         count(DISTINCT l_orderkey) AS n_distinct,
+             |         min(l_orderkey)::VARCHAR AS min_val, max(l_orderkey)::VARCHAR AS max_val
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_linenumber', count(*), count(l_linenumber), count(DISTINCT l_linenumber),
+             |         min(l_linenumber)::VARCHAR, max(l_linenumber)::VARCHAR FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_returnflag', count(*), count(l_returnflag), count(DISTINCT l_returnflag),
+             |         min(l_returnflag), max(l_returnflag) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_quantity', count(*), count(l_quantity), count(DISTINCT l_quantity),
+             |         min(CAST(l_quantity AS DECIMAL(18,4)))::VARCHAR,
+             |         max(CAST(l_quantity AS DECIMAL(18,4)))::VARCHAR FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_shipdate', count(*), count(l_shipdate), count(DISTINCT l_shipdate),
+             |         strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+             |         strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') FROM lineitem) u
+             |ORDER BY col_name""".stripMargin)),
+
     // ------------------------------------------------------------- windows
     // Partitioned by suppkey (high cardinality) — at 100 TB this is one
     // shuffle into ~|suppliers| balanced partitions, never a 3-partition

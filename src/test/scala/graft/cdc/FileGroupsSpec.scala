@@ -204,4 +204,31 @@ class FileGroupsSpec extends SparkSpec {
     assert(got == Seq(1L))
     assert(FileGroups.pointLookup(spark, dir, Seq("id"), Seq(2L)).get.count() == 0)
   }
+
+  test("bloom index: absent keys are rejected from metadata alone; tagging is exact") {
+    val dir = tmpDir("graft_fg5") + "/t"
+    val l = log()
+    FileGroups.commit(spark, dir, l.filter($"lsn" < 500), 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    FileGroups.commit(spark, dir, l.filter($"lsn" >= 500), 1L, Seq("id"), Seq("lsn"))
+    val existing = CdcMerge.snapshot(l, Seq("id"), Seq("lsn"))
+      .select($"id").as[Long].collect().toSet
+    // far-away absent keys: stats alone can't always reject them (they
+    // exceed max so they can) — use keys INSIDE the live id range that
+    // don't exist, which only the bloom can reject. With 4096-bit / 3-hash
+    // blooms at fixture density the FP odds per probe are <1e-3; these
+    // fixed probes are deterministic, so a pass is a pass forever.
+    val absentInRange = (1L to 2000L).filterNot(existing.contains).take(8)
+    val cand = FileGroups.bloomCandidates(spark, dir, Seq("id"),
+      absentInRange ++ existing.take(5).toSeq).get
+    absentInRange.foreach(p => assert(!cand(p), s"bloom failed to reject absent key $p"))
+    existing.take(5).foreach(p => assert(cand(p), s"bloom rejected live key $p"))
+    // tagging end-to-end: exact vs direct existence, including FP-squeeze
+    val probes = (absentInRange ++ existing.take(10).toSeq).sorted
+    val tags = FileGroups.tagKeys(spark, dir, Seq("id"), probes).get
+      .select($"id".as[Long], $"tag".as[String]).collect().toMap
+    probes.foreach { p =>
+      val want = if (existing.contains(p)) "update" else "insert"
+      assert(tags(p) == want, s"key $p tagged ${tags(p)}, want $want")
+    }
+  }
 }

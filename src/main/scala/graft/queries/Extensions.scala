@@ -386,6 +386,49 @@ object Extensions {
       (s, dir) => morRead(s, dir, cluster = true),
       Some(latestWinsSql)),
 
+    // Z-ORDER LAYOUT through the oracle gate: the Morton-interleave
+    // clustering key (Clustering.zvalue — the multi-dimension variant
+    // of Hudi's clustering REPLACE sort) materialized as the per-file
+    // min/max stats a z-sorted rewrite of lineitem would produce, plus
+    // each file's overlap verdict for a 2-D probe rectangle. The DuckDB
+    // twin recomputes the interleave with its own bit arithmetic, so
+    // the bit-level math (bit i of partkey → position 2i+1, suppkey →
+    // 2i), the 64-way file split, and the min/max pruning all get
+    // value-checked — ClusteringSpec holds the comparative claim
+    // (2-D probes prune under z-order where a 1-D sort scans all).
+    // Scale: file assignment here is ntile over one global sort for
+    // oracle determinism; the production write path is
+    // Clustering.cluster's sample-based range partitioner on the SAME
+    // z-value — no global sort bottleneck, identical file key-ranges.
+    GQuery(
+      "q_layout_zorder",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val z = graft.cdc.Clustering.zvalue(col("l_partkey"), col("l_suppkey"), 16)
+        Tables.lineitem(s, dir)
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"), z.as("z"))
+          .withColumn("file_id",
+            ntile(64).over(Window.orderBy(col("z"), col("p"), col("sk"))).cast("long"))
+          .groupBy(col("file_id"))
+          .agg(count(lit(1)).as("n"),
+            min(col("p")).as("p_lo"), max(col("p")).as("p_hi"),
+            min(col("sk")).as("s_lo"), max(col("sk")).as("s_hi"))
+          .withColumn("hit",
+            col("p_lo") <= 200 && col("p_hi") >= 100 &&
+              col("s_lo") <= 60 && col("s_hi") >= 10)
+          .orderBy(col("file_id"))
+      },
+      Some("""WITH z AS (
+             |  SELECT l_partkey AS p, l_suppkey AS sk,
+             |    list_sum(list_transform(range(0, 16), i ->
+             |      (((l_partkey >> i) & 1) << (2*i + 1)) + (((l_suppkey >> i) & 1) << (2*i)))) AS z
+             |  FROM lineitem),
+             |f AS (SELECT p, sk, ntile(64) OVER (ORDER BY z, p, sk) AS file_id FROM z)
+             |SELECT file_id, count(*) AS n,
+             |  min(p) AS p_lo, max(p) AS p_hi, min(sk) AS s_lo, max(sk) AS s_hi,
+             |  (min(p) <= 200 AND max(p) >= 100 AND min(sk) <= 60 AND max(sk) >= 10) AS hit
+             |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin)),
+
     // Incremental change feed (the consumer side of Hudi's incremental
     // query): key-level diff of the snapshot as of lsn<5000 against the
     // final snapshot — inserts, updates (precombine moved), deletes,

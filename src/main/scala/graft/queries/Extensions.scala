@@ -3737,6 +3737,29 @@ object Extensions {
              |FROM documents CROSS JOIN range(0, 4) r(i)
              |ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // RESIZE through the value gate — the third multimodal pipeline
+    // stage next to decode and frame-sample: metadata struct rewritten
+    // in place to the target dimensions, payload column replaced by the
+    // deterministic stand-in resample (truncate toward the implied
+    // size; a real decoder would resample pixels — Multimodal.resizeStub
+    // scaladoc). 256×128 implies an 8-byte payload, so the oracle is
+    // the md5 prefix. Narrow map, no shuffle, stays in codegen.
+    GQuery(
+      "q_multimodal_resize",
+      (s, dir) => {
+        val df = graft.ops.Multimodal.attach(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        graft.ops.Multimodal.resizeStub(df, 256, 128)
+          .select(col("doc_id"), col("meta.kind").as("kind"),
+            col("meta.width").as("width"), col("meta.height").as("height"),
+            lower(hex(col("content"))).as("content_hex"),
+            expr("octet_length(content)").as("n_bytes"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 'image' AS kind, 256 AS width, 128 AS height,
+             |  substr(md5(text), 1, 16) AS content_hex, 8 AS n_bytes
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // -------------------------------------------- mergeable sketches II
     // Count-min sketch heavy-hitter estimation — the mergeable
     // FREQUENCY sketch beside q_agg_hll_merge's cardinality sketch.

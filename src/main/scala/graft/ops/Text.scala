@@ -174,7 +174,17 @@ object Text {
       countDistinct(col("doc_id")).as("n_docs"))
     val tf = toks.join(broadcast(qterms.dropDuplicates("term")), "term")
       .groupBy(col("doc_id"), col("term"), col("df")).agg(count(lit(1)).as("tf"))
-    tf.join(dl, "doc_id").crossJoin(broadcast(stats)) // 1-row scalar
+    bm25Rank(tf.join(dl, "doc_id"), stats, k)
+  }
+
+  /** The single copy of the BM25 scoring math (k1 = 1.2, b = 0.75,
+    * log-free rational idf, sorted-fold sum, fixed 1e-4 rounding) over a
+    * prepared (doc_id, term, df, tf, dl) frame and a 1-row
+    * (t_total, n_docs) stats frame — shared by the token-stream path
+    * ([[bm25TopK]]) and the persisted-index serve path
+    * ([[TextIndex.topK]]) so the two can never drift. */
+  def bm25Rank(tf: DataFrame, stats: DataFrame, k: Int): DataFrame =
+    tf.crossJoin(broadcast(stats)) // 1-row scalar
       .withColumn("avgdl", col("t_total").cast("double") / col("n_docs"))
       .withColumn("sc",
         (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
@@ -184,7 +194,6 @@ object Text {
       .agg((floor(expr("aggregate(sort_array(collect_list(sc)), 0D, (a, x) -> a + x)")
         * 10000 + 0.5) / 10000).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
-  }
 
   /** The user-facing retrieval entry point: BM25 top-k documents for a
     * free-text query string. The query tokenizes with the same rule as

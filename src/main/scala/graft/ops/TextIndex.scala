@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted text index — the BM25 serving stack beside the
+  * similarity-serving indexes ([[LshIndex]], [[IvfIndex]],
+  * [[IvfPqIndex]]), under the same [[DeltaProtocol]] crash/replay
+  * rules. [[graft.ops.Text.search]] recomputes the corpus token stream
+  * per query (right for one-off analytics, wrong for a serving path —
+  * at 100 TB every query would re-scan the corpus); this index pays
+  * the tokenize + aggregate ONCE at build/append time and serves each
+  * query from term-bucket-pruned postings reads.
+  *
+  * Layout under `dir`:
+  * {{{
+  *   postings/_tb=<b>/        (term, doc_id, tf, dl) for terms hashing to bucket b
+  *   stats/                   1 row (t_total, n_docs) for the base segment
+  *   postings_d<id>/_tb=<b>/  delta segment postings
+  *   stats_d<id>/             delta segment stats (1 row)
+  *   _INDEX, _DELTA_<id>      commit markers (DeltaProtocol)
+  * }}}
+  *
+  * Design for the 100 TB shape:
+  *
+  *  - Postings are HASH-BUCKETED BY TERM into [[Buckets]] hive
+  *    partitions, so a query's handful of terms prunes the read to
+  *    ≤ |terms| directories per segment — the inverted-index seek,
+  *    expressed as parquet partition pruning (the [[IvfPqIndex]]
+  *    cluster-cut move, applied to text).
+  *  - Each posting row DENORMALIZES the document length `dl` (the
+  *    BM25 norm), the impact-ordered-postings trick: serving needs no
+  *    join against a corpus-sized doc-length table — everything the
+  *    score needs rides the pruned postings rows.
+  *  - Corpus stats (t_total, n_docs) are 1-row per segment and SUM
+  *    across segments, so the serve path reads segment-count rows of
+  *    metadata, never re-aggregating the corpus.
+  *  - df per query term is derived from the fetched postings by a
+  *    window count — exact because (term, doc_id) is unique within a
+  *    segment and doc_ids are APPEND-ONLY across segments (the corpus
+  *    contract all the persisted indexes share; re-ingesting a doc_id
+  *    means rebuild).
+  *
+  * The scoring math itself is [[Text.bm25Rank]] — the one shared copy —
+  * so the served ranking is bit-identical to the token-stream path
+  * (TextIndexSpec pins it; the q_text_search_served oracle replays the
+  * full-corpus computation in DuckDB).
+  */
+object TextIndex {
+
+  /** Term-hash partition count. At 100 TB scale with the bucket count
+    * ∝ vocabulary so each bucket's postings stay file-sized; 64 keeps
+    * fixture partitions non-trivial. Pinned at build time by the
+    * layout — changing it means rebuild (same rule as
+    * [[graft.cdc.FileGroups]] nBuckets). */
+  val Buckets = 64
+
+  /** The SAME codegen'd hash on writer and prober ([[graft.cdc.FileGroups]]
+    * bucketCol rule: a driver-side reimplementation could drift). */
+  private def termBucket(t: Column): Column =
+    pmod(xxhash64(t), lit(Buckets.toLong))
+
+  def exists(spark: SparkSession, dir: String): Boolean =
+    DeltaProtocol.markerExists(spark, dir)
+
+  def deltaIds(spark: SparkSession, dir: String): Seq[Long] =
+    DeltaProtocol.deltaIds(spark, dir)
+
+  /** One segment's build: tokenize once (cached for its three
+    * consumers), write term-bucketed postings with dl denormalized in,
+    * and the segment's 1-row stats. The tf⋈dl join is co-keyed on
+    * doc_id — one hash exchange of vocabulary-sized aggregates, linear
+    * in segment tokens. */
+  private def writeSegment(docs: DataFrame, idCol: String, textCol: String,
+                           postDir: String, statDir: String): Unit = {
+    val toks = Text.tokenStream(docs, idCol, textCol).cache()
+    try {
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      tf.join(dl, "doc_id")
+        .withColumn("_tb", termBucket(col("term")))
+        .write.mode("overwrite").partitionBy("_tb").parquet(postDir)
+      toks.agg(count(lit(1)).as("t_total"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .coalesce(1).write.mode("overwrite").parquet(statDir)
+    } finally { toks.unpersist(); () }
+  }
+
+  /** (Re)build the base index over a corpus. Rebuild-safe per the
+    * delta protocol: commit marker dropped first, so a crash leaves an
+    * uncommitted index, never a readable mismatch. */
+  def build(spark: SparkSession, dir: String, docs: DataFrame,
+            idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    DeltaProtocol.clearPriorIndex(spark, dir, Seq("postings", "stats"))
+    writeSegment(docs, idCol, textCol, s"$dir/postings", s"$dir/stats")
+    val out = DeltaProtocol.fsOf(spark).create(DeltaProtocol.path(s"$dir/_INDEX"), true)
+    out.close()
+  }
+
+  /** Append a document batch as delta `deltaId` — tokenize and
+    * aggregate the BATCH only, never re-reading the landed corpus.
+    * Exactly-once by the delta marker: a committed id is a no-op
+    * (returns false); an empty batch commits a data-less marker.
+    * Cost per batch ∝ batch tokens. */
+  def append(spark: SparkSession, dir: String, docs: DataFrame, deltaId: Long,
+             idCol: String = "doc_id", textCol: String = "text"): Boolean = {
+    require(exists(spark, dir), s"no committed text index at $dir — build first")
+    if (deltaIds(spark, dir).contains(deltaId)) false
+    else {
+      if (DeltaProtocol.batchIsEmpty(docs))
+        DeltaProtocol.commitDeltaMarker(spark, dir, deltaId, empty = true)
+      else {
+        writeSegment(docs, idCol, textCol,
+          s"$dir/postings_d$deltaId", s"$dir/stats_d$deltaId")
+        DeltaProtocol.commitDeltaMarker(spark, dir, deltaId)
+      }
+      true
+    }
+  }
+
+  /** BM25 top-k serve from the persisted index: the query tokenizes
+    * with the corpus rule, its term buckets are resolved by the
+    * writer's hash, and each segment's postings read is partition-
+    * pruned to exactly those buckets (`_tb` pushes into the scan as a
+    * partition filter — the seek). df rides a term-window count over
+    * the fetched postings; stats sum segment metadata rows. Work per
+    * query ∝ the query terms' postings, never corpus size. */
+  def topK(spark: SparkSession, dir: String, query: String, k: Int): DataFrame = {
+    require(exists(spark, dir), s"no committed text index at $dir — build first")
+    val ids = DeltaProtocol.liveDeltaIds(spark, dir)
+    DeltaProtocol.requireDirs(spark, dir,
+      Seq("postings", "stats") ++ ids.flatMap(i => Seq(s"postings_d$i", s"stats_d$i")),
+      "text index")
+    val qtoks = query.split(" ").filter(_.nonEmpty).distinct.toSeq
+    import spark.implicits._
+    val buckets = qtoks.toDF("term").select(termBucket(col("term")))
+      .as[Long].collect().distinct.toSeq
+    def seg(name: String): DataFrame =
+      spark.read.option("basePath", s"$dir/$name").parquet(s"$dir/$name")
+        .filter(col("_tb").isin(buckets: _*))
+        .filter(col("term").isin(qtoks: _*))
+    val posts = (Seq("postings") ++ ids.map(i => s"postings_d$i"))
+      .map(seg).reduce(_ unionByName _)
+    val stats = (Seq("stats") ++ ids.map(i => s"stats_d$i"))
+      .map(sd => spark.read.parquet(s"$dir/$sd")).reduce(_ unionByName _)
+      .agg(sum(col("t_total")).cast("long").as("t_total"),
+        sum(col("n_docs")).cast("long").as("n_docs"))
+    val tf = posts
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .select(col("doc_id"), col("term"), col("df"), col("tf"), col("dl"))
+    Text.bm25Rank(tf, stats, k)
+  }
+}

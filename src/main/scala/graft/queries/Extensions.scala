@@ -175,6 +175,32 @@ object Extensions {
       |  FROM events) t
       |WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin
 
+  /** DuckDB twin shared by q_text_search_served and stream_text_e2e:
+    * full-corpus BM25 with the FIXED query terms — however the engine
+    * serves it (persisted base+delta index, streaming-maintained
+    * index), the answer is the from-scratch computation. Same math as
+    * the q_text_search oracle, query pinned to 'data batch scan'. */
+  private val textSearchServedSql =
+    """WITH toks AS (
+      |  SELECT doc_id, t AS term FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+      |  WHERE t IS NOT NULL AND t <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS t_total, count(DISTINCT doc_id) AS n_docs FROM toks),
+      |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+      |qterms AS (SELECT term, df FROM dft WHERE term IN ('data', 'batch', 'scan')),
+      |tf AS (SELECT doc_id, term, df, count(*) AS tf FROM toks
+      |       JOIN qterms USING (term) GROUP BY doc_id, term, df),
+      |sc AS (SELECT t.doc_id,
+      |         (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)
+      |           * (tf * 2.2::DOUBLE)
+      |           / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * d.dl
+      |              / (t_total::DOUBLE / n_docs))) AS sc
+      |       FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats)
+      |SELECT doc_id,
+      |  floor(list_reduce(list_sort(list(sc)), (a, x) -> a + x) * 10000 + 0.5) / 10000 AS bm25
+      |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
   /** The MOR lifecycle shared by q_cdc_mor_read and
     * q_cdc_clustered_read: two log appends, a compaction folding them
     * into a base (optionally followed by a clustering REPLACE commit),
@@ -2909,6 +2935,66 @@ object Extensions {
              |SELECT doc_id,
              |  floor(list_reduce(list_sort(list(sc)), (a, x) -> a + x) * 10000 + 0.5) / 10000 AS bm25
              |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // SERVED text search through the oracle gate: the same BM25 answer
+    // as q_text_search, produced from the PERSISTED inverted index
+    // (ops/TextIndex — term-bucketed postings with dl denormalized in,
+    // per-segment 1-row stats, delta protocol) instead of a corpus
+    // re-scan. The fixture builds the base over half the corpus and
+    // appends the other half as a delta, so the serve path exercises
+    // the base+delta union; the oracle replays the FULL-corpus BM25
+    // with the fixed query terms — served-from-index must equal
+    // computed-from-scratch, the whole point of the index. Per-query
+    // work ∝ the three terms' postings (partition-pruned reads), never
+    // corpus size.
+    GQuery(
+      "q_text_search_served",
+      (s, dir) => {
+        val sfKey = sfFingerprint(dir)
+        val root = cachedFixture(s"graft_tix_cache_v1_$sfKey") { root =>
+          val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          graft.ops.TextIndex.build(s, root + "/idx",
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+          graft.ops.TextIndex.append(s, root + "/idx",
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1), 0L)
+          ()
+        }
+        graft.ops.TextIndex.topK(s, root + "/idx", "data batch scan", 10)
+      },
+      Some(textSearchServedSql)),
+
+    // STREAMING text-index ingest e2e: documents arrive in 3
+    // micro-batches (doc_id % 3 = arrival order); the inverted index
+    // is built on batch 0 and batches 1-2 append as postings deltas
+    // through the checkpointed streaming loop (Streams.textIngest),
+    // never re-tokenizing what already landed. What verify
+    // value-checks is the END-STATE SERVE: BM25 top-10 over the
+    // base+delta union equals the full-corpus computation — freshness
+    // without re-scan.
+    GQuery(
+      "stream_text_e2e",
+      (s, dir) => {
+        val sfKey = sfFingerprint(dir)
+        val root = cachedFixture(s"graft_stext_cache_v1_$sfKey") { root =>
+          val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          graft.ops.TextIndex.build(s, root + "/idx",
+            docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+          val src = root + "/src"
+          docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+            .coalesce(1).write.mode("append").parquet(src)
+          val q = graft.streaming.Streams.textIngest(
+            s.readStream.schema(docs.schema).parquet(src),
+            root + "/idx", root + "/out", root + "/ckpt")
+          try {
+            q.processAllAvailable()
+            docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+              .coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+          } finally q.stop()
+        }
+        graft.ops.TextIndex.topK(s, root + "/idx", "data batch scan", 10)
+      },
+      Some(textSearchServedSql)),
 
     // --------------------------------------------- LM quality scoring
     // Unigram language-model quality score — the CCNet-family LM

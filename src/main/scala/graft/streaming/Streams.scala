@@ -290,6 +290,46 @@ object Streams {
     }
   }
 
+  /** Streaming maintenance of the persisted inverted text index
+    * ([[graft.ops.TextIndex]]) — the retrieval half of the ingest
+    * loop: document batches land continuously, and each one is
+    * tokenized and aggregated ONCE into its own term-bucketed postings
+    * segment, so BM25 serving stays fresh without ever re-tokenizing
+    * the landed corpus. Exactly-once by the delta marker, same rules
+    * as [[annIngest]]: a committed batch is a replay no-op, a crash
+    * between the landing write and the marker replays into an
+    * unchanged index and rewrites an identical `_batch_id` partition.
+    * Bootstrap with [[graft.ops.TextIndex.build]] over the base
+    * corpus. */
+  def textIngest(docs: DataFrame, idxDir: String, outDir: String,
+                 checkpointDir: String, idCol: String = "doc_id",
+                 textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        textBatch(batch, batchId, idxDir, outDir, idCol, textCol)
+        ()
+      }
+      .start()
+
+  /** One [[textIngest]] transaction, callable directly (batch-mode
+    * backfill, crash-protocol tests). Returns whether this call
+    * committed the batch. */
+  def textBatch(batch: DataFrame, batchId: Long, idxDir: String,
+                outDir: String, idCol: String = "doc_id",
+                textCol: String = "text"): Boolean = {
+    val s = batch.sparkSession
+    require(graft.ops.TextIndex.exists(s, idxDir),
+      s"no committed text index at $idxDir — TextIndex.build first")
+    if (graft.ops.TextIndex.deltaIds(s, idxDir).contains(batchId)) false
+    else {
+      landAndAppend(batch, batchId, outDir, df =>
+        graft.ops.TextIndex.append(s, idxDir, df.drop("_batch_id"),
+          batchId, idCol, textCol))
+      true
+    }
+  }
+
   /** Watermarked stream-stream INTERVAL join: each purchase matched to
     * every click by the same user with `c_ts` in
     * `[p_ts - window, p_ts]` (attribution-window semantics). Both

@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted text index: serving must equal the token-stream
+  * BM25 computation bit-for-bit, the query read must prune to the
+  * query terms' hash buckets, and appends must follow the
+  * delta+marker replay rules. */
+class TextIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private val query = "data batch scan"
+
+  private def docs() = Tables.documents(spark, sf).select($"doc_id", $"text")
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.select($"doc_id", $"bm25").as[(Long, Double)].collect().toSeq
+
+  test("base+delta serve equals Text.search over the full corpus bit-for-bit") {
+    val dir = tmpDir("graft_tix") + "/idx"
+    TextIndex.build(spark, dir, docs().filter(pmod($"doc_id", lit(2)) === 0))
+    TextIndex.append(spark, dir, docs().filter(pmod($"doc_id", lit(2)) === 1), 0L)
+    val served = canon(TextIndex.topK(spark, dir, query, 10))
+    val direct = canon(Text.search(docs(), "doc_id", "text", query, 10))
+    assert(served.nonEmpty)
+    assert(served == direct)
+  }
+
+  test("the serve read partition-prunes to the query terms' buckets") {
+    val dir = tmpDir("graft_tix2") + "/idx"
+    TextIndex.build(spark, dir, docs())
+    val plan = TextIndex.topK(spark, dir, query, 10)
+      .queryExecution.executedPlan.toString
+    // the _tb partition filter must reach the scan (directory pruning —
+    // the inverted-index seek); a full-postings scan means the filter
+    // was lost above the read
+    assert(plan.contains("_tb"), s"no _tb partition filter in plan:\n$plan")
+    // and the three terms hash to at most 3 of the 64 bucket dirs
+    val buckets = Seq("data", "batch", "scan").toDF("term")
+      .select(pmod(xxhash64($"term"), lit(TextIndex.Buckets.toLong)))
+      .as[Long].collect().distinct
+    assert(buckets.length <= 3)
+  }
+
+  test("replayed delta id is a no-op; empty batch commits a data-less marker") {
+    val dir = tmpDir("graft_tix3") + "/idx"
+    val half = docs().filter(pmod($"doc_id", lit(2)) === 0)
+    TextIndex.build(spark, dir, half)
+    assert(TextIndex.append(spark, dir, docs().filter(pmod($"doc_id", lit(2)) === 1), 0L))
+    val before = canon(TextIndex.topK(spark, dir, query, 10))
+    // replay: same id, different (garbage) content — must not commit
+    assert(!TextIndex.append(spark, dir, half.limit(3), 0L))
+    assert(canon(TextIndex.topK(spark, dir, query, 10)) == before)
+    // empty batch: marker committed, serve unchanged
+    assert(TextIndex.append(spark, dir, docs().limit(0), 1L))
+    assert(TextIndex.deltaIds(spark, dir) == Seq(0L, 1L))
+    assert(canon(TextIndex.topK(spark, dir, query, 10)) == before)
+  }
+
+  test("streaming ingest twin: end-state serve equals full-corpus search; crash-replay safe") {
+    val root = tmpDir("graft_tix4")
+    val dir = root + "/idx"
+    TextIndex.build(spark, dir, docs().filter(pmod($"doc_id", lit(3)) === 0))
+    // batch-mode transactions (the foreachBatch body, driven directly)
+    val b1 = docs().filter(pmod($"doc_id", lit(3)) === 1)
+    val b2 = docs().filter(pmod($"doc_id", lit(3)) === 2)
+    assert(graft.streaming.Streams.textBatch(b1, 0L, dir, root + "/out"))
+    // crash between landing and marker is modeled by replay: committed id no-ops
+    assert(!graft.streaming.Streams.textBatch(b1, 0L, dir, root + "/out"))
+    assert(graft.streaming.Streams.textBatch(b2, 1L, dir, root + "/out"))
+    val served = canon(TextIndex.topK(spark, dir, query, 10))
+    val direct = canon(Text.search(docs(), "doc_id", "text", query, 10))
+    assert(served == direct)
+  }
+}

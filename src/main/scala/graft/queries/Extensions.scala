@@ -547,6 +547,55 @@ object Extensions {
           |  count(*) AS n
           |FROM s2 GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // INCREMENTAL JOIN-VIEW MAINTENANCE — the enriched-view twin of
+    // q_cdc_incr_agg: a materialized view V = snapshot ⋈ customer-dim
+    // is maintained under a CDC batch by touching ONLY the batch's
+    // keys: (1) the view's raw state columns ride along precisely so
+    // the prior state of affected keys reads from V, never the base
+    // table; (2) merged-affected rows re-join the dim; (3) unchanged
+    // view rows carry via an anti-join. At 100 TB maintenance cost is
+    // ∝ batch keys (an id-keyed semi/anti exchange over the view + a
+    // dim join of batch-sized rows), never view size — the oracle
+    // recomputes from scratch, so the driver checks maintained ==
+    // recomputed. The dim join is NOT hint-forced: customer is
+    // SF-scaled, so the planner picks broadcast at gate SF and a
+    // co-partitioned hash join beyond (the q_tpch_q5 rule).
+    GQuery(
+      "q_cdc_incr_join",
+      (s, dir) => {
+        val log = cdcLog(s, dir)
+        val mid = Tables.events(s, dir).count() / 2
+        val dim = Tables.customer(s, dir)
+          .select(col("c_custkey").as("id"), col("c_name"), col("c_nationkey"))
+        val s1 = CdcMerge.snapshot(log.filter(col("lsn") < mid), Seq("id"), Seq("lsn"))
+        val v0 = s1.join(dim, Seq("id"), "left") // the materialized view state
+        val delta = log.filter(col("lsn") >= mid)
+        val affected = delta.select(col("id")).distinct()
+        val prior = v0.join(affected, Seq("id"), "left_semi")
+          .select(col("id"), col("lsn"), col("op"), col("value"))
+        val merged = CdcMerge.upsert(prior, delta, Seq("id"), Seq("lsn"))
+        v0.join(affected, Seq("id"), "left_anti")
+          .unionByName(merged.join(dim, Seq("id"), "left"))
+          .select(col("id"), col("lsn"),
+            dround(col("value").cast("decimal(18,4)")).as("value"),
+            col("c_name"), col("c_nationkey"))
+          .orderBy(col("id"))
+      },
+      Some(
+        """WITH s2 AS (SELECT id, lsn, value FROM (
+          |  SELECT user_id AS id, event_id AS lsn,
+          |    CASE WHEN event_id % 11 = 0 THEN 'd'
+          |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+          |    value,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          |  FROM events) t
+          |  WHERE rn = 1 AND op <> 'd')
+          |SELECT s2.id, s2.lsn,
+          |  round(CAST(s2.value::DECIMAL(18,4) AS DOUBLE), 4) AS value,
+          |  c.c_name, c.c_nationkey
+          |FROM s2 LEFT JOIN customer c ON c.c_custkey = s2.id
+          |ORDER BY id""".stripMargin)),
+
     // SCD Type-2 history materialization — the OTHER standard consumer
     // of a CDC feed (reference README.md:300-307 materializes latest-
     // wins; a warehouse dimension keeps every version): each non-delete

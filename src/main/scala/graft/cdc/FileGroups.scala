@@ -354,6 +354,95 @@ object FileGroups {
       }.toMap
     }
 
+  /** Hard purge — the right-to-be-forgotten operation: remove `purge`d
+    * keys from the CURRENT state AND from every retained historical
+    * version, savepoints included. A plain delete commit is not enough
+    * (time travel and savepoint restore would resurrect the rows); a
+    * purge must leave NO retained version containing the keys.
+    *
+    * Protocol, in order:
+    *  1. resolve the buckets that can possibly hold a purged key via
+    *     the manifest index (stats + bloom) — buckets whose metadata
+    *     excludes every purged key are NOT rewritten (their files
+    *     provably never contained the keys);
+    *  2. rewrite exactly those buckets minus the purged keys as
+    *     version `batchId` (stats + blooms rebuilt, so the new
+    *     manifest's own index no longer admits the keys), commit the
+    *     new manifest + marker — up to here this is an ordinary
+    *     commit, crash-safe the same way;
+    *  3. FORGET history: drop every older manifest, commit marker and
+    *     savepoint, then delete every per-version bucket data dir the
+    *     new manifest does not reference — data dirs are deleted LAST
+    *     so at no point is a referenced file missing.
+    *
+    * At 100 TB the rewrite cost is ∝ buckets actually holding purged
+    * keys (bloom-pruned, usually |keys| file groups), and the history
+    * drop is pure metadata plus unreferenced-dir deletes. A crash
+    * inside step 3 is completed by re-running the purge under a FRESH
+    * batch id (ids are monotone; the rewrite is then a cheap no-match
+    * pass). Single-long-key tables (the stats/bloom scope). Returns
+    * the rewritten bucket set. */
+  def purgeKeys(sess: SparkSession, dir: String, keys: Seq[String],
+                purge: Seq[Long], batchId: Long): Set[Long] = {
+    require(keys.size == 1, "purgeKeys supports single-key tables (the index scope)")
+    val fs = fsOf(sess)
+    val id = committedId(sess, dir).getOrElse(
+      throw new IllegalStateException(s"no committed table at $dir"))
+    require(batchId > id, s"purge batchId $batchId must exceed committed id $id")
+    val (nb, schema, entries) = readManifest(sess, dir, id)
+    val keyType = schema.flatMap(st => st.fields.find(_.name == keys.head).map(_.dataType))
+      .getOrElse(org.apache.spark.sql.types.LongType)
+    val probes = probeIndex(sess, keys, purge, keyType, nb)
+    val dirtyBuckets = entries.filter { e =>
+      probes.exists { case (p, b, pos) =>
+        b == e.bucket && e.lo.forall(p >= _) && e.hi.forall(p <= _) &&
+          e.bloom.forall(bloomMightContain(_, pos))
+      }
+    }
+    val newEntries: Seq[Entry] =
+      if (dirtyBuckets.isEmpty) entries
+      else {
+        val kept = sess.read.option("mergeSchema", "true")
+          .parquet(dirtyBuckets.map(e => s"$dir/${e.relPath}"): _*)
+          .filter(!col(keys.head).isin(purge: _*))
+          .withColumn("_bucket", bucketCol(keys, nb)).persist()
+        kept.write.mode("overwrite").partitionBy("_bucket").parquet(s"$dir/files/v$batchId")
+        val blooms = buildBlooms(kept, keys.head)
+        val stats = kept.groupBy(col("_bucket"))
+          .agg(min(col(keys.head).cast("long")).as("lo"),
+            max(col(keys.head).cast("long")).as("hi"), count(lit(1)).as("n"))
+          .collect().map { r =>
+            Entry(r.getLong(0), s"files/v$batchId/_bucket=${r.getLong(0)}",
+              Some(r.getLong(1)), Some(r.getLong(2)), r.getLong(3),
+              blooms.get(r.getLong(0)))
+          }.toSeq
+        kept.unpersist()
+        val dirtySet = dirtyBuckets.map(_.bucket).toSet
+        entries.filterNot(e => dirtySet.contains(e.bucket)) ++ stats
+      }
+    writeManifest(sess, dir, batchId, nb,
+      schema.getOrElse(read(sess, dir).get.schema), newEntries)
+    fs.createNewFile(path(s"$dir/_COMMIT_$batchId"))
+    // step 3 — forget: metadata first, unreferenced data dirs last
+    Ingest.snapshotVersions(sess, dir).filter(_ < batchId).foreach { v =>
+      fs.delete(path(manifestPath(dir, v)), false)
+      fs.delete(path(s"$dir/_COMMIT_$v"), false)
+    }
+    Savepoints.savepoints(sess, dir).foreach(spId =>
+      fs.delete(path(s"$dir/_SAVEPOINT_$spId"), false))
+    val referenced = newEntries.map(_.relPath).toSet
+    if (fs.exists(path(s"$dir/files")))
+      fs.listStatus(path(s"$dir/files")).foreach { vdir =>
+        fs.listStatus(vdir.getPath).foreach { bdir =>
+          val rel = s"files/${vdir.getPath.getName}/${bdir.getPath.getName}"
+          if (bdir.getPath.getName.startsWith("_bucket=") && !referenced.contains(rel))
+            fs.delete(bdir.getPath, true)
+        }
+        if (fs.listStatus(vdir.getPath).isEmpty) fs.delete(vdir.getPath, true)
+      }
+    dirtyBuckets.map(_.bucket).toSet
+  }
+
   /** Hudi-style index tagging: classify each incoming key as `update`
     * (already in the table) or `insert` (new) — the step every upsert
     * batch pays before routing records to file groups. Bloom+stats

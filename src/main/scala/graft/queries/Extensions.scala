@@ -681,6 +681,47 @@ object Extensions {
           |  FROM events) t
           |WHERE rn = 1 AND op <> 'd' AND id BETWEEN 1 AND 10 ORDER BY id""".stripMargin)),
 
+    // HARD PURGE through the oracle gate — right-to-be-forgotten on the
+    // file-group table: purged keys must vanish from the CURRENT state
+    // AND from every retained version (manifests, savepoints and
+    // unreferenced data dirs dropped — a plain delete commit would let
+    // time travel resurrect the rows). The rewrite touches only the
+    // buckets whose stats+bloom admit a purged key; FileGroupsSpec pins
+    // the history-is-gone half, this entry pins the surviving VALUES:
+    // the post-purge snapshot equals the latest-wins collapse minus the
+    // purged ids.
+    GQuery(
+      "q_cdc_purge",
+      (s, dir) => {
+        val sfKey = sfFingerprint(dir)
+        val root = cachedFixture(s"graft_fgpurge_cache_v1_$sfKey") { root =>
+          val log = cdcLog(s, dir)
+          val Seq(c1, c2) = {
+            val n = Tables.events(s, dir).count()
+            Seq(n * 2 / 5, n * 4 / 5)
+          }
+          val t = root + "/table"
+          graft.cdc.FileGroups.commit(s, t, log.filter(col("lsn") < c1), 0L, Seq("id"), Seq("lsn"), nBuckets = 16)
+          graft.cdc.FileGroups.commit(s, t, log.filter(col("lsn") >= c1 && col("lsn") < c2), 1L, Seq("id"), Seq("lsn"))
+          graft.cdc.FileGroups.commit(s, t, log.filter(col("lsn") >= c2), 2L, Seq("id"), Seq("lsn"))
+          graft.cdc.FileGroups.purgeKeys(s, t, Seq("id"), (1L to 5L), 3L)
+          ()
+        }
+        graft.cdc.FileGroups.read(s, root + "/table").get
+          .select(col("id"), col("lsn"), col("op"), col("value"))
+          .orderBy(col("id"))
+      },
+      Some(
+        """SELECT id, lsn, op, value FROM (
+          |  SELECT user_id AS id, event_id AS lsn,
+          |    CASE WHEN event_id % 11 = 0 THEN 'd'
+          |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+          |    value,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          |  FROM events) t
+          |WHERE rn = 1 AND op <> 'd' AND id NOT BETWEEN 1 AND 5
+          |ORDER BY id""".stripMargin)),
+
     // BLOOM-INDEX TAGGING through the oracle gate: the Hudi BLOOM-index
     // step (the reference DeltaStreamer's default hoodie.index.type)
     // every upsert batch pays — classify each incoming key update-vs-

@@ -205,6 +205,33 @@ class FileGroupsSpec extends SparkSpec {
     assert(FileGroups.pointLookup(spark, dir, Seq("id"), Seq(2L)).get.count() == 0)
   }
 
+  test("hard purge: keys vanish from current state, history, savepoints and disk") {
+    val dir = tmpDir("graft_fg_purge") + "/t"
+    val l = log()
+    FileGroups.commit(spark, dir, l.filter($"lsn" < 500), 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    FileGroups.commit(spark, dir, l.filter($"lsn" >= 500), 1L, Seq("id"), Seq("lsn"))
+    Savepoints.savepoint(spark, dir, 1L)
+    val before = FileGroups.read(spark, dir).get.select($"id").as[Long].collect().toSet
+    val purge = before.toSeq.sorted.take(3)
+    assert(purge.nonEmpty)
+    FileGroups.purgeKeys(spark, dir, Seq("id"), purge, 2L)
+    // current state: purged keys gone, everything else intact
+    val after = FileGroups.read(spark, dir).get.select($"id").as[Long].collect().toSet
+    assert(after == before -- purge)
+    // history: only the purge version remains; time travel cannot resurrect
+    assert(Ingest.snapshotVersions(spark, dir) == Seq(2L))
+    assert(FileGroups.readAt(spark, dir, 1L).isEmpty)
+    assert(Savepoints.savepoints(spark, dir).isEmpty)
+    // index: the rebuilt manifest no longer admits the keys
+    val tags = FileGroups.tagKeys(spark, dir, Seq("id"), purge).get
+      .select($"tag".as[String]).collect()
+    assert(tags.forall(_ == "insert"))
+    // disk: NO remaining parquet file anywhere under the table contains them
+    val allOnDisk = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/files/*/_bucket=*").select($"id").as[Long].collect().toSet
+    assert(purge.forall(p => !allOnDisk.contains(p)))
+  }
+
   test("bloom index: absent keys are rejected from metadata alone; tagging is exact") {
     val dir = tmpDir("graft_fg5") + "/t"
     val l = log()

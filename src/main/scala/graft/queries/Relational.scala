@@ -1734,6 +1734,64 @@ object Relational {
              |SELECT 'ALL', count(DISTINCT l_orderkey), TRUE FROM lineitem
              |ORDER BY scope""".stripMargin)),
 
+    // MERGEABLE QUANTILE SKETCH — the rank-statistics member of the
+    // sketch family (HLL: q_agg_hll_merge cardinality, CMS:
+    // q_heavy_hitters_cms frequency): a per-group bottom-k-by-hash-rank
+    // sample (k = 4096) whose union-then-rebottom-k IS the sketch of the
+    // union — the mergeability law, exercised twice IN the plan: (1) the
+    // sample is built partial-first (bottom-k per input partition, then
+    // bottom-k of the ≤ k·partitions survivors — never a skewed
+    // 3-partition global sort of the corpus); (2) the ALL row's sketch
+    // is the re-bottom-k of the per-group sketches, ≤ k·groups rows.
+    // Hash rank is xxhash64 (engine-specific), so like the HLL gate the
+    // estimate itself can't be oracled — the driver checks the EXACT
+    // median (DuckDB-replayable) plus est_ok: the sketch median within
+    // 5% of the value range of the true one (k = 4096 puts the typical
+    // sampling error near 0.8% of range — an order of magnitude inside
+    // the gate, so a pass is robust, not lucky). At 100 TB the sketch
+    // shuffle carries ≤ k rows per partition after the partial cut.
+    GQuery(
+      "q_quantile_sketch",
+      (s, dir) => {
+        val k = 4096
+        val li = Tables.lineitem(s, dir).select(col("l_returnflag").as("scope"),
+          col("l_quantity").as("v"),
+          xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice")).as("h"))
+        val wPart = Window.partitionBy(col("scope"), spark_partition_id())
+          .orderBy(col("h"), col("v"))
+        val wGroup = Window.partitionBy(col("scope")).orderBy(col("h"), col("v"))
+        // partial bottom-k per partition, then bottom-k of survivors —
+        // the merge law applied to the build itself
+        val sketch = li
+          .withColumn("rp", row_number().over(wPart)).filter(col("rp") <= k)
+          .withColumn("rg", row_number().over(wGroup)).filter(col("rg") <= k)
+          .select(col("scope"), col("v"), col("h")).cache()
+        val exact = li.groupBy(col("scope"))
+          .agg(expr("percentile(v, 0.5)").as("med"), (max(col("v")) - min(col("v"))).as("rng"))
+        val estG = sketch.groupBy(col("scope")).agg(expr("percentile(v, 0.5)").as("est"))
+        val flags = exact.join(estG, "scope")
+          .select(col("scope"), dround(col("med")).as("exact_med"),
+            (abs(col("est") - col("med")) <= col("rng") * 0.05).as("est_ok"))
+        // ALL: merge the group sketches (re-bottom-k of their union),
+        // estimate from the merged sketch, judge vs the global exact
+        val merged = sketch
+          .withColumn("rm", row_number().over(Window.orderBy(col("h"), col("v"))))
+          .filter(col("rm") <= k)
+        val all = merged.agg(expr("percentile(v, 0.5)").as("est"))
+          .crossJoin(li.agg(expr("percentile(v, 0.5)").as("med"),
+            (max(col("v")) - min(col("v"))).as("rng")))
+          .select(lit("ALL").as("scope"), dround(col("med")).as("exact_med"),
+            (abs(col("est") - col("med")) <= col("rng") * 0.05).as("est_ok"))
+        flags.unionByName(all).orderBy(col("scope"))
+      },
+      Some("""SELECT l_returnflag AS scope,
+             |  round(CAST(median(l_quantity) AS DOUBLE), 4) AS exact_med, TRUE AS est_ok
+             |FROM lineitem GROUP BY l_returnflag
+             |UNION ALL
+             |SELECT 'ALL', round(CAST(median(l_quantity) AS DOUBLE), 4), TRUE FROM lineitem
+             |ORDER BY scope""".stripMargin)),
+
     // Column profiling — the data-quality sweep any ingest pipeline runs
     // over a freshly-materialized table (per column: rows, nulls, exact
     // distinct, min, max), emitted as one uniform (col_name, stats) table.

@@ -76,6 +76,15 @@ ensure("/tmp/graft_serve_ivfpq_x10/_DONE") {
     "vec_id", "embedding", k = 8, iters = 0, m = 16, ncw = 32)
 }
 
+ensure("/tmp/graft_serve_tix_base/_DONE") {
+  graft.ops.TextIndex.build(spark, "/tmp/graft_serve_tix_base/idx",
+    docsOf(base).select(col("doc_id"), col("text")))
+}
+ensure("/tmp/graft_serve_tix_x10/_DONE") {
+  graft.ops.TextIndex.build(spark, "/tmp/graft_serve_tix_x10/idx",
+    docsOf(scaled).select(col("doc_id"), col("text")))
+}
+
 // the FIXED probe workloads — identical against both corpus sizes
 val lshBatch = docsOf(base).filter(pmod(col("doc_id"), lit(5)) === 0)
   .repartition(32).localCheckpoint()
@@ -96,8 +105,11 @@ val pqB = time(IvfPqIndex.topK(spark, "/tmp/graft_serve_ivfpq_base/idx", ivfQuer
   "vec_id", "embedding", k = 3, nprobe = 1, candR = 50).count())
 val pqX = time(IvfPqIndex.topK(spark, "/tmp/graft_serve_ivfpq_x10/idx", ivfQueries,
   "vec_id", "embedding", k = 3, nprobe = 1, candR = 50).count())
+val tixB = time(graft.ops.TextIndex.topK(spark, "/tmp/graft_serve_tix_base/idx", "data batch scan", 10).count())
+val tixX = time(graft.ops.TextIndex.topK(spark, "/tmp/graft_serve_tix_x10/idx", "data batch scan", 10).count())
 
 println(f"${"serve path"}%-24s ${"1x idx(s)"}%9s ${"10x idx(s)"}%10s ${"ratio"}%6s")
 println(f"${"lsh probe (fixed batch)"}%-24s $lshB%9.2f $lshX%10.2f ${lshX / lshB}%6.1f")
 println(f"${"ivf topk (fixed 50q)"}%-24s $ivfB%9.2f $ivfX%10.2f ${ivfX / ivfB}%6.1f")
 println(f"${"ivfpq topk (fixed 50q)"}%-24s $pqB%9.2f $pqX%10.2f ${pqX / pqB}%6.1f")
+println(f"${"bm25 topk (fixed query)"}%-24s $tixB%9.2f $tixX%10.2f ${tixX / tixB}%6.1f")

@@ -601,4 +601,30 @@ object Vectors {
       .filter(col("rn") <= k)
       .select(col("vec_id"), col("rn"), col("nn_id"), col("score"))
   }
+
+  /** Exact-integer power iteration on a collected Gram matrix — the
+    * driver half of the distributed PCA (q_embed_pca): the Gram of the
+    * SQ8-quantized corpus is dims² longs of METADATA (the centroid-
+    * collect rule), and the dominant-eigenvector iterate stays in
+    * integers so any engine replays it bit-for-bit. Each round:
+    * w = G·v (exact — |G| ≤ n·127², |v| ≤ 10⁶ keeps w < 2⁶³), then an
+    * integer rescale v ← sign(w)·(|w| div d) with d = max|w| div 10⁶ + 1
+    * — division by a PRECOMPUTED positive scalar with explicit sign
+    * split, because trunc-vs-floor on negatives differs between
+    * engines. No normalization sqrt ever happens: only the DIRECTION
+    * survives, which is all a projection needs. */
+  def powerIterate(g: Map[(Int, Int), Long], dims: Int, iters: Int): Array[Long] = {
+    var v = Array.fill(dims)(1L)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dims) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < dims) { acc += g.getOrElse((i, j), 0L) * v(j); j += 1 }
+        acc
+      }
+      val d = w.map(math.abs).max / 1000000L + 1L
+      v = w.map(x => if (x >= 0) x / d else -((-x) / d))
+    }
+    v
+  }
 }

@@ -3577,6 +3577,60 @@ object Extensions {
              |  FROM rr) t
              |WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin)),
 
+    // DISTRIBUTED PCA (power iteration) — the embedding-compression /
+    // whitening stage of a training pipeline, decomposed the way 100 TB
+    // forces: (1) ONE narrow pass materializes the corpus Gram matrix
+    // over SQ8-quantized codes — a double per-row generate into dims²
+    // cells with map-side partial aggregation, so only dims² longs per
+    // partition ever cross the wire and the collected matrix is
+    // METADATA (4096 longs), never data; (2) the dominant eigenvector
+    // comes from Vectors.powerIterate — 3 rounds of exact-INTEGER
+    // w = G·v with an integer rescale (sign-split div by a precomputed
+    // scalar; trunc-vs-floor on negatives differs between engines), so
+    // no float ever enters and the oracle replays training bit-for-bit
+    // (the q_bpe_train rule applied to linear algebra); (3) the corpus
+    // projects onto the eigen-direction through the codegen'd LongDot
+    // against the 64-int literal — narrow, exact. Output: top-10 docs
+    // by principal-component score.
+    GQuery(
+      "q_embed_pca",
+      (s, dir) => {
+        val q = Tables.embeddings(s, dir)
+          .withColumn("nrm", Vectors.norm(col("embedding")))
+          .select(col("vec_id"), Vectors.sq8(col("embedding"), col("nrm")).as("qc"))
+          .cache() // feeds the Gram pass and the projection
+        val g = q
+          .select(col("qc"), posexplode(col("qc")).as(Seq("i", "qi")))
+          .select(col("i"), col("qi"), posexplode(col("qc")).as(Seq("j", "qj")))
+          .groupBy(col("i"), col("j")).agg(sum(col("qi") * col("qj")).as("g"))
+          .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+        val dims = g.keys.map(_._1).max + 1
+        val v = Vectors.powerIterate(g, dims, iters = 3)
+        q.select(col("vec_id"),
+            graft.functions.LongDot(col("qc"), typedLit(v.toSeq)).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(10)
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |qv AS (SELECT vec_id, list_transform(e, x -> CAST(floor(x / nrm * 127.0) AS BIGINT)) AS qc
+             |       FROM (SELECT vec_id, e,
+             |               sqrt(list_reduce(list_transform(e, y -> y * y), (a, y) -> a + y)) AS nrm
+             |             FROM v) t),
+             |idx AS (SELECT i FROM range(1, 65) r(i)),
+             |g AS (SELECT a.i AS i, b.i AS j, sum(q.qc[a.i] * q.qc[b.i])::BIGINT AS g
+             |      FROM qv q CROSS JOIN idx a CROSS JOIN idx b GROUP BY 1, 2),
+             |w1 AS (SELECT i, sum(g)::BIGINT AS w FROM g GROUP BY i),
+             |d1 AS (SELECT max(abs(w)) // 1000000 + 1 AS d FROM w1),
+             |v1 AS (SELECT i, CASE WHEN w >= 0 THEN w // d ELSE -((-w) // d) END AS v FROM w1, d1),
+             |w2 AS (SELECT g.i, sum(g.g * v1.v)::BIGINT AS w FROM g JOIN v1 ON v1.i = g.j GROUP BY 1),
+             |d2 AS (SELECT max(abs(w)) // 1000000 + 1 AS d FROM w2),
+             |v2 AS (SELECT i, CASE WHEN w >= 0 THEN w // d ELSE -((-w) // d) END AS v FROM w2, d2),
+             |w3 AS (SELECT g.i, sum(g.g * v2.v)::BIGINT AS w FROM g JOIN v2 ON v2.i = g.j GROUP BY 1),
+             |d3 AS (SELECT max(abs(w)) // 1000000 + 1 AS d FROM w3),
+             |v3 AS (SELECT i, CASE WHEN w >= 0 THEN w // d ELSE -((-w) // d) END AS v FROM w3, d3),
+             |sc AS (SELECT q.vec_id, sum(q.qc[v3.i] * v3.v)::BIGINT AS score
+             |       FROM qv q CROSS JOIN v3 GROUP BY 1)
+             |SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
+
     // ------------------------------- IVF ∘ PQ composed serving (ANN)
     // The production serving plan, fully composed — the FAISS
     // `IVFPQ,Refine` shape that q_sim_ivf_sq and q_sim_pq each built

@@ -627,4 +627,21 @@ object Vectors {
     }
     v
   }
+
+  /** Deterministic ±1 Johnson–Lindenstrauss projection matrix
+    * (q_sim_rp): s(i,j) = +1 iff (i·2654435761 + j·40503) mod 97 < 48
+    * — pure integer arithmetic any engine reproduces exactly (no
+    * hashing dependency between engines), balanced to ~49.5/50.5 by
+    * the odd modulus. outDims rows of `dims` entries; a driver-side
+    * constant (outDims·dims longs — metadata, never data). */
+  def rpMatrix(outDims: Int, dims: Int): Seq[Seq[Long]] =
+    Seq.tabulate(outDims, dims)((i, j) =>
+      if ((i.toLong * 2654435761L + j.toLong * 40503L) % 97 < 48) 1L else -1L)
+
+  /** RP-reduce an SQ8 code column to `outDims` exact-integer
+    * coordinates: one codegen'd [[longDot]] against each matrix-row
+    * literal — a narrow map, no shuffle; output bandwidth is
+    * outDims/dims of the input's. */
+  def rpProject(qc: Column, mat: Seq[Seq[Long]]): Column =
+    array(mat.map(row => longDot(qc, typedLit(row))): _*)
 }

@@ -3327,6 +3327,81 @@ object Extensions {
              |  FROM s) t
              |WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin)),
 
+    // RANDOM-PROJECTION ANN (Johnson–Lindenstrauss) — the remaining
+    // member of the embedding-compression family (SQ8 grid, PQ
+    // codebooks, 1-bit hamming, PCA): a deterministic ±1 projection
+    // folds the 64-dim SQ8 codes to 16 exact-integer coordinates
+    // (Vectors.rpMatrix — pure integer arithmetic both engines
+    // reproduce, no cross-engine hash dependency; Vectors.rpProject —
+    // one codegen'd LongDot per output dim, narrow, no shuffle).
+    // Candidate generation streams the REDUCED corpus (16 longs/vec —
+    // 4× less bandwidth than the SQ8 scan, the JL memory-bandwidth
+    // dividend) against the BROADCAST query batch — the corpus is
+    // never broadcast (the q_sim_pq lesson), and the per-query top-50
+    // cut is WindowGroupLimit-partial: each partition forwards ≤
+    // 50·|queries| rows, so the one exchange is survivor-sized, not
+    // corpus-sized. Survivors alone (broadcast as keys) fetch full
+    // codes for the exact integer re-rank. Fully deterministic
+    // pipeline → full value oracle, approximation and all.
+    GQuery(
+      "q_sim_rp",
+      (s, dir) => {
+        val mat = Vectors.rpMatrix(16, 64)
+        val q = Tables.embeddings(s, dir)
+          .withColumn("nrm", Vectors.norm(col("embedding")))
+          .select(col("vec_id"), Vectors.sq8(col("embedding"), col("nrm")).as("qc"))
+        val rp = q.select(col("vec_id"), Vectors.rpProject(col("qc"), mat).as("p"))
+        val rpQueries = broadcast(rp.filter(col("vec_id") <= 20))
+        val wRp = Window.partitionBy(col("vec_id")).orderBy(col("rp_score").desc, col("nn_id"))
+        val surv = fanout(rp.select(col("vec_id").as("nn_id"), col("p").as("p2")))
+          .join(rpQueries, col("vec_id") =!= col("nn_id"))
+          .withColumn("rp_score", Vectors.longDot(col("p"), col("p2")))
+          .withColumn("rn_c", row_number().over(wRp))
+          .filter(col("rn_c") <= 50)
+          .select(col("vec_id"), col("nn_id"))
+        val wTop = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("nn_id"))
+        broadcast(surv)
+          .join(q.select(col("vec_id").as("nn_id"), col("qc").as("qc2")), "nn_id")
+          .join(broadcast(q.filter(col("vec_id") <= 20)), "vec_id")
+          .withColumn("score", Vectors.longDot(col("qc"), col("qc2")))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5)
+          .select(col("vec_id"), col("rn"), col("nn_id"), col("score"))
+          .orderBy(col("vec_id"), col("rn"))
+      },
+      Some("""WITH qv AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(floor(CAST(x AS DOUBLE) / nrm * 127.0) AS BIGINT)) AS qc
+             |  FROM (SELECT vec_id, embedding,
+             |          sqrt(list_reduce(list_transform(embedding, y -> CAST(y AS DOUBLE) * y),
+             |                           (a, y) -> a + y)) AS nrm
+             |        FROM embeddings) t),
+             |mat AS (
+             |  SELECT i.i AS i, j.j AS j,
+             |    CASE WHEN (i.i * 2654435761 + j.j * 40503) % 97 < 48 THEN 1 ELSE -1 END AS s
+             |  FROM range(0, 16) i(i) CROSS JOIN range(0, 64) j(j)),
+             |rp AS (
+             |  SELECT q.vec_id, m.i, sum(q.qc[m.j + 1] * m.s)::BIGINT AS p
+             |  FROM qv q CROSS JOIN mat m GROUP BY 1, 2),
+             |rps AS (
+             |  SELECT a.vec_id, b.vec_id AS nn_id, sum(a.p * b.p)::BIGINT AS rp_score
+             |  FROM rp a JOIN rp b ON a.i = b.i AND a.vec_id <> b.vec_id
+             |  WHERE a.vec_id <= 20 GROUP BY 1, 2),
+             |surv AS (
+             |  SELECT vec_id, nn_id FROM (
+             |    SELECT vec_id, nn_id,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY rp_score DESC, nn_id) AS rn_c
+             |    FROM rps) t WHERE rn_c <= 50),
+             |ex AS (
+             |  SELECT c.vec_id, c.nn_id,
+             |    list_sum(list_transform(range(1, 65), k -> a.qc[k] * b.qc[k]))::BIGINT AS score
+             |  FROM surv c JOIN qv a ON a.vec_id = c.vec_id JOIN qv b ON b.vec_id = c.nn_id)
+             |SELECT vec_id, CAST(rn AS INT) AS rn, nn_id, score FROM (
+             |  SELECT vec_id, nn_id, score,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, nn_id) AS rn
+             |  FROM ex) t
+             |WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin)),
+
     // ---------------------------------------------- streaming as-of
     // The plan-tier as-of operator on the STREAMING ingest path: each
     // purchase micro-batch is enriched with its latest at-or-before

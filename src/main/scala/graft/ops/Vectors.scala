@@ -629,14 +629,28 @@ object Vectors {
   }
 
   /** Deterministic ±1 Johnson–Lindenstrauss projection matrix
-    * (q_sim_rp): s(i,j) = +1 iff (i·2654435761 + j·40503) mod 97 < 48
-    * — pure integer arithmetic any engine reproduces exactly (no
-    * hashing dependency between engines), balanced to ~49.5/50.5 by
-    * the odd modulus. outDims rows of `dims` entries; a driver-side
-    * constant (outDims·dims longs — metadata, never data). */
-  def rpMatrix(outDims: Int, dims: Int): Seq[Seq[Long]] =
-    Seq.tabulate(outDims, dims)((i, j) =>
-      if ((i.toLong * 2654435761L + j.toLong * 40503L) % 97 < 48) 1L else -1L)
+    * (q_sim_rp): s(i,j) = +1 iff the first hex digit of
+    * md5("rp:i:j") has even ASCII code — md5 is the codebase's
+    * established cross-engine deterministic hash (q_fingerprint,
+    * multimodal stand-ins), and per-cell hashing is what makes the
+    * rows independent: cheap arithmetic rules (an affine-mod-97
+    * threshold, chained LCGs over sequential seeds) produce rows that
+    * are translates/correlates of one sequence and measured recall@50
+    * of only 0.15-0.23 on the sf0.01 corpus — barely above the
+    * 50/499 random floor — where this matrix measures 0.70, matching
+    * a true-random draw (0.57). outDims rows of `dims` entries; a
+    * driver-side constant (outDims·dims longs — metadata, never
+    * data). */
+  def rpMatrix(outDims: Int, dims: Int): Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(outDims, dims) { (i, j) =>
+      md.reset()
+      val h = md.digest(s"rp:$i:$j".getBytes("UTF-8"))
+      // first hex digit = high nibble of byte 0, rendered as a hex char
+      val c = "0123456789abcdef".charAt((h(0) >> 4) & 0xf)
+      if (c.toInt % 2 == 0) 1L else -1L
+    }
+  }
 
   /** RP-reduce an SQ8 code column to `outDims` exact-integer
     * coordinates: one codegen'd [[longDot]] against each matrix-row

@@ -3329,24 +3329,27 @@ object Extensions {
 
     // RANDOM-PROJECTION ANN (Johnson–Lindenstrauss) — the remaining
     // member of the embedding-compression family (SQ8 grid, PQ
-    // codebooks, 1-bit hamming, PCA): a deterministic ±1 projection
-    // folds the 64-dim SQ8 codes to 16 exact-integer coordinates
-    // (Vectors.rpMatrix — pure integer arithmetic both engines
-    // reproduce, no cross-engine hash dependency; Vectors.rpProject —
-    // one codegen'd LongDot per output dim, narrow, no shuffle).
-    // Candidate generation streams the REDUCED corpus (16 longs/vec —
-    // 4× less bandwidth than the SQ8 scan, the JL memory-bandwidth
-    // dividend) against the BROADCAST query batch — the corpus is
-    // never broadcast (the q_sim_pq lesson), and the per-query top-50
-    // cut is WindowGroupLimit-partial: each partition forwards ≤
-    // 50·|queries| rows, so the one exchange is survivor-sized, not
+    // codebooks, 1-bit hamming, PCA): a deterministic md5-derived ±1
+    // projection (Vectors.rpMatrix — per-cell hashing keeps the rows
+    // independent, which IS the JL guarantee; see the matrix scaladoc
+    // for the measured failure of cheap arithmetic rules) folds the
+    // 64-dim SQ8 codes to 32 exact-integer coordinates via one
+    // codegen'd LongDot per output dim (narrow, no shuffle).
+    // Candidate generation streams the REDUCED corpus (32 longs/vec —
+    // half the SQ8 scan bandwidth, the JL memory-bandwidth dividend)
+    // against the BROADCAST query batch — the corpus is never
+    // broadcast (the q_sim_pq lesson), and the per-query top-100 cut
+    // is WindowGroupLimit-partial: each partition forwards ≤
+    // 100·|queries| rows, so the one exchange is survivor-sized, not
     // corpus-sized. Survivors alone (broadcast as keys) fetch full
     // codes for the exact integer re-rank. Fully deterministic
-    // pipeline → full value oracle, approximation and all.
+    // pipeline → full value oracle, approximation and all; the
+    // recall dial (dims 16→0.72, 32→0.85 overlap@5 at cut 100,
+    // sf0.01) is gated in QueriesSpec.
     GQuery(
       "q_sim_rp",
       (s, dir) => {
-        val mat = Vectors.rpMatrix(16, 64)
+        val mat = Vectors.rpMatrix(32, 64)
         val q = Tables.embeddings(s, dir)
           .withColumn("nrm", Vectors.norm(col("embedding")))
           .select(col("vec_id"), Vectors.sq8(col("embedding"), col("nrm")).as("qc"))
@@ -3357,7 +3360,7 @@ object Extensions {
           .join(rpQueries, col("vec_id") =!= col("nn_id"))
           .withColumn("rp_score", Vectors.longDot(col("p"), col("p2")))
           .withColumn("rn_c", row_number().over(wRp))
-          .filter(col("rn_c") <= 50)
+          .filter(col("rn_c") <= 100)
           .select(col("vec_id"), col("nn_id"))
         val wTop = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("nn_id"))
         broadcast(surv)
@@ -3378,8 +3381,9 @@ object Extensions {
              |        FROM embeddings) t),
              |mat AS (
              |  SELECT i.i AS i, j.j AS j,
-             |    CASE WHEN (i.i * 2654435761 + j.j * 40503) % 97 < 48 THEN 1 ELSE -1 END AS s
-             |  FROM range(0, 16) i(i) CROSS JOIN range(0, 64) j(j)),
+             |    CASE WHEN ascii(substr(md5('rp:' || i.i || ':' || j.j), 1, 1)) % 2 = 0
+             |         THEN 1 ELSE -1 END AS s
+             |  FROM range(0, 32) i(i) CROSS JOIN range(0, 64) j(j)),
              |rp AS (
              |  SELECT q.vec_id, m.i, sum(q.qc[m.j + 1] * m.s)::BIGINT AS p
              |  FROM qv q CROSS JOIN mat m GROUP BY 1, 2),
@@ -3391,7 +3395,7 @@ object Extensions {
              |  SELECT vec_id, nn_id FROM (
              |    SELECT vec_id, nn_id,
              |      row_number() OVER (PARTITION BY vec_id ORDER BY rp_score DESC, nn_id) AS rn_c
-             |    FROM rps) t WHERE rn_c <= 50),
+             |    FROM rps) t WHERE rn_c <= 100),
              |ex AS (
              |  SELECT c.vec_id, c.nn_id,
              |    list_sum(list_transform(range(1, 65), k -> a.qc[k] * b.qc[k]))::BIGINT AS score

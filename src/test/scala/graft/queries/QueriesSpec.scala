@@ -459,6 +459,29 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.8, s"mean overlap@5 $recall")
   }
 
+  test("q_sim_rp: RP-candidate recall vs the exact-SQ8 top-5") {
+    import org.apache.spark.sql.functions._
+    // q_sim_rp re-ranks its RP-100 candidates with the SAME exact SQ8
+    // dot q_sim_quantized ranks the whole corpus by, so overlap@5
+    // against q_sim_quantized isolates exactly ONE thing: how much of
+    // the true neighborhood the 32-dim ±1 projection's top-100 cut
+    // retains. Measured 0.848 at sf0.01 (500-vector corpus, 21
+    // queries; the dims dial: 16→0.72, 24→0.83 at the same cut). A
+    // projection-matrix or reduced-dot regression shows up as a
+    // collapse toward the ~100/499 random floor, not a flake — the
+    // first matrix draft (an affine-mod-97 threshold whose rows are
+    // translates of one sequence) measured 0.15 and died here.
+    def top5(name: String) = run(name).filter(col("vec_id") <= 20)
+      .select(col("vec_id"), col("nn_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val rp = top5("q_sim_rp")
+    val exact = top5("q_sim_quantized")
+    assert(rp.keySet == exact.keySet)
+    val recall = rp.keys.toSeq.map(k => (rp(k) & exact(k)).size / 5.0).sum / rp.size
+    assert(recall >= 0.7, s"mean overlap@5 $recall")
+  }
+
   test("q_sim_pq: PQ+refine tracks the exact top-5; re-rank depth R is a monotone dial") {
     import org.apache.spark.sql.functions._
     // PQ is doubly lossy (SQ8 grid, then 32-codeword subspace

@@ -1114,6 +1114,70 @@ object Extensions {
              |FROM probes JOIN merged USING (r, b)
              |GROUP BY rk, term, n_exact ORDER BY rk""".stripMargin)),
 
+    // STREAMING quantile-sketch maintenance e2e — the rank-statistics
+    // member of the maintained-sketch loop (stream_cms_e2e is the
+    // frequency member): events arrive in 3 micro-batches (event_id %
+    // 3 = arrival order); each batch lands and appends its OWN
+    // per-event-type bottom-k sample as a delta
+    // (Streams.quantileIngest over graft.ops.QuantileSketch). The
+    // bottom-k merge law makes the delta-merged serve multiset-EQUAL
+    // to the one-shot sketch of everything landed (batching invisible
+    // by construction, pinned in QuantileSketchSpec); this query
+    // surfaces the q_quantile_sketch contract through the streaming
+    // loop: per-scope exact median (DuckDB-replayable) + est_ok, the
+    // sketch-median-within-5%-of-range claim as an in-engine boolean,
+    // plus the ALL row estimated from the merged cross-scope sketch.
+    GQuery(
+      "stream_quantile_e2e",
+      (s, dir) => {
+        val sfKey = sfFingerprint(dir)
+        val root = cachedFixture(s"graft_sqnt_cache_v1_$sfKey") { root =>
+          val ev = Tables.events(s, dir)
+          graft.ops.QuantileSketch.buildEmpty(s, root + "/idx", k = 4096)
+          val src = root + "/src"
+          ev.filter(pmod(col("event_id"), lit(3)) === 0)
+            .coalesce(1).write.mode("append").parquet(src)
+          val q = graft.streaming.Streams.quantileIngest(
+            s.readStream.schema(ev.schema).parquet(src),
+            root + "/idx", root + "/out", root + "/ckpt")
+          try {
+            q.processAllAvailable()
+            for (i <- 1 to 2) {
+              ev.filter(pmod(col("event_id"), lit(3)) === i)
+                .coalesce(1).write.mode("append").parquet(src)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
+        val landed = s.read.parquet(root + "/out")
+          .select(col("event_type").as("scope"), col("value").as("v"))
+        val exact = landed.groupBy(col("scope"))
+          .agg(expr("percentile(v, 0.5)").as("med"),
+            (max(col("v")) - min(col("v"))).as("rng"))
+        val flags = exact
+          .join(graft.ops.QuantileSketch.quantile(s, root + "/idx", 0.5), "scope")
+          .select(col("scope"), dround(col("med")).as("exact_med"),
+            (abs(col("est") - col("med")) <= col("rng") * 0.05).as("est_ok"))
+        // ALL: re-bottom-k of the merged sketch across scopes (the
+        // merge law once more), judged against the global exact median
+        val k = graft.ops.QuantileSketch.sampleSize(s, root + "/idx")
+        val all = graft.ops.QuantileSketch.sketchRows(s, root + "/idx")
+          .withColumn("rm", row_number().over(Window.orderBy(col("h"), col("v"))))
+          .filter(col("rm") <= k)
+          .agg(expr("percentile(v, 0.5)").as("est"))
+          .crossJoin(landed.agg(expr("percentile(v, 0.5)").as("med"),
+            (max(col("v")) - min(col("v"))).as("rng")))
+          .select(lit("ALL").as("scope"), dround(col("med")).as("exact_med"),
+            (abs(col("est") - col("med")) <= col("rng") * 0.05).as("est_ok"))
+        flags.unionByName(all).orderBy(col("scope"))
+      },
+      Some("""SELECT event_type AS scope,
+             |  round(CAST(median(value) AS DOUBLE), 4) AS exact_med, TRUE AS est_ok
+             |FROM events GROUP BY event_type
+             |UNION ALL
+             |SELECT 'ALL', round(CAST(median(value) AS DOUBLE), 4), TRUE FROM events
+             |ORDER BY scope""".stripMargin)),
+
     // STREAMING windowed-aggregation e2e — Streams.tumblingAgg run as a
     // real checkpointed query with WATERMARK SEMANTICS ON THE ORACLE
     // PATH: events arrive in two event-time-ordered files, except the

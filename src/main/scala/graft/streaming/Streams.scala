@@ -290,6 +290,53 @@ object Streams {
     }
   }
 
+  /** Streaming maintenance of the persisted quantile sketch
+    * ([[graft.ops.QuantileSketch]]) — the rank-statistics member of
+    * the maintained-sketch loop beside [[cmsIngest]]: each event batch
+    * lands and appends its own per-event-type bottom-k sample as a
+    * delta, so per-scope quantile serving stays fresh without ever
+    * re-scanning landed events. The hash rank is xxhash64 of the full
+    * row content, so batching is invisible: the delta-merged sketch is
+    * multiset-EQUAL to the one-shot sketch of everything landed
+    * (QuantileSketchSpec). Exactly-once by the delta marker, same
+    * rules as [[cmsIngest]]. Bootstrap with
+    * [[graft.ops.QuantileSketch.buildEmpty]]. */
+  def quantileIngest(events: DataFrame, idxDir: String, outDir: String,
+                     checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        quantileBatch(batch, batchId, idxDir, outDir)
+        ()
+      }
+      .start()
+
+  /** One [[quantileIngest]] transaction, callable directly (batch-mode
+    * backfill, crash-protocol tests). Returns whether this call
+    * committed the batch. */
+  def quantileBatch(batch: DataFrame, batchId: Long, idxDir: String,
+                    outDir: String): Boolean = {
+    val s = batch.sparkSession
+    require(graft.ops.QuantileSketch.exists(s, idxDir),
+      s"no committed quantile sketch at $idxDir — QuantileSketch.buildEmpty first")
+    if (graft.ops.QuantileSketch.deltaIds(s, idxDir).contains(batchId)) false
+    else {
+      landAndAppend(batch, batchId, outDir, df =>
+        graft.ops.QuantileSketch.append(s, idxDir, sketchRowsOf(df), batchId))
+      true
+    }
+  }
+
+  /** The (scope, v, h) frame a quantile-sketch append consumes, from
+    * an events frame: scope = event_type, v = value, h = xxhash64 of
+    * the full row content — ONE definition shared by the ingest path
+    * and any one-shot comparison so the rank is batching-independent. */
+  def sketchRowsOf(events: DataFrame): DataFrame =
+    events.select(col("event_type").as("scope"),
+      col("value").as("v"),
+      xxhash64(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as("h"))
+
   /** Streaming maintenance of the persisted inverted text index
     * ([[graft.ops.TextIndex]]) — the retrieval half of the ingest
     * loop: document batches land continuously, and each one is

@@ -115,7 +115,16 @@ object Bench {
     val reverseOrder = sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse")
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      val r = try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      // noop sink, NOT .count(): count() lets Catalyst prune any
+      // aggregate expression the final projection doesn't force and
+      // eliminate top-level sorts, under-timing exactly that work (a
+      // bare multi-distinct agg measures 0.2 s under count() vs 6.3 s
+      // executed — the scale-probe lesson, round 14). The noop write
+      // runs the full physical plan and discards rows.
+      val r = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      }
       catch { case e: Throwable =>
         Left(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
       }

@@ -767,4 +767,37 @@ class OpsSpec extends SparkSpec {
       assert(math.abs(cos - maxc) < 1e-12, s"vec $id assigned $cos but max is $maxc")
     }
   }
+
+  test("powerIterate: converges to the dominant eigen-direction, exactly replayable") {
+    // G = diag-dominant 2x2 with known dominant eigenvector ~ (2, 1):
+    // [[8, 4], [4, 5]] has eigenvector (2, 1) for eigenvalue 10 exactly
+    // (8*2+4*1=20=10*2; 4*2+5*1=13... not exact — use a true eigenpair:
+    // [[7, 6], [3, 4]] · (2,1) = (20, 10) = 10·(2,1)).
+    val g = Map((0, 0) -> 7L, (0, 1) -> 6L, (1, 0) -> 3L, (1, 1) -> 4L)
+    val v = Vectors.powerIterate(g, 2, iters = 6)
+    // only the DIRECTION is promised: ratio within integer-rescale error
+    val ratio = v(0).toDouble / v(1).toDouble
+    assert(math.abs(ratio - 2.0) < 1e-3, s"direction off: ${v.toSeq} ratio $ratio")
+    // bit-exact replay: same inputs, same iterate
+    assert(Vectors.powerIterate(g, 2, iters = 6).toSeq == v.toSeq)
+  }
+
+  test("rpMatrix: md5-pinned entries, balanced rows, deterministic") {
+    val m = Vectors.rpMatrix(32, 64)
+    assert(m.length == 32 && m.forall(_.length == 64))
+    assert(m.flatten.forall(x => x == 1L || x == -1L))
+    // pin two cells to the md5 definition so a silent generator change
+    // (the round-14 recall-collapse failure mode) breaks loudly:
+    // md5("rp:0:0") = 63... ('6' even → +1), md5("rp:15:63") = 59...
+    // ('5' odd → -1)
+    assert(m(0)(0) == 1L)
+    assert(m(15)(63) == -1L)
+    // rows are hash-balanced, not degenerate (a correlated/constant row
+    // was the 0.15-recall bug): every row mixes both signs substantially
+    m.foreach { row =>
+      val pos = row.count(_ == 1L)
+      assert(pos >= 16 && pos <= 48, s"unbalanced row: $pos of 64 positive")
+    }
+    assert(Vectors.rpMatrix(32, 64) == m)
+  }
 }

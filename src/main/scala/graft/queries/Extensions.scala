@@ -1178,6 +1178,63 @@ object Extensions {
              |SELECT 'ALL', round(CAST(median(value) AS DOUBLE), 4), TRUE FROM events
              |ORDER BY scope""".stripMargin)),
 
+    // STREAMING HLL-store maintenance e2e — the cardinality member
+    // closing the maintained-sketch loop (stream_cms_e2e frequency,
+    // stream_quantile_e2e rank statistics): events arrive in 3
+    // micro-batches; each batch lands and appends its OWN
+    // per-event-type HLL of the user ids as a delta
+    // (Streams.hllIngest over graft.ops.HllStore). HLL union is
+    // register-wise max — insertion is order-independent and
+    // duplicate-insensitive — so the delta-unioned serve is BIT-EQUAL
+    // to the one-shot sketch of everything landed (HllStoreSpec pins
+    // estimate equality); this query surfaces the q_agg_hll_merge
+    // contract through the streaming loop: per-scope exact distinct
+    // users (DuckDB-replayable) + est_ok (estimate within 5% — 3σ of
+    // lgK=12), plus the ALL row estimated from the cross-scope union.
+    GQuery(
+      "stream_hll_e2e",
+      (s, dir) => {
+        val sfKey = sfFingerprint(dir)
+        val root = cachedFixture(s"graft_shll_cache_v1_$sfKey") { root =>
+          val ev = Tables.events(s, dir)
+          graft.ops.HllStore.buildEmpty(s, root + "/idx", lgK = 12)
+          val src = root + "/src"
+          ev.filter(pmod(col("event_id"), lit(3)) === 0)
+            .coalesce(1).write.mode("append").parquet(src)
+          val q = graft.streaming.Streams.hllIngest(
+            s.readStream.schema(ev.schema).parquet(src),
+            root + "/idx", root + "/out", root + "/ckpt")
+          try {
+            q.processAllAvailable()
+            for (i <- 1 to 2) {
+              ev.filter(pmod(col("event_id"), lit(3)) === i)
+                .coalesce(1).write.mode("append").parquet(src)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
+        val landed = s.read.parquet(root + "/out")
+          .select(col("event_type").as("scope"), col("user_id").as("key"))
+        def ok(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+          (abs(est - exact) <= exact.cast("double") * 0.05).as("est_ok")
+        val exact = landed.groupBy(col("scope"))
+          .agg(countDistinct(col("key")).as("exact_d"))
+        val flags = exact
+          .join(graft.ops.HllStore.estimate(s, root + "/idx"), "scope")
+          .select(col("scope"), col("exact_d"), ok(col("est"), col("exact_d")))
+        val all = graft.ops.HllStore.sketches(s, root + "/idx")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+          .crossJoin(landed.agg(countDistinct(col("key")).as("exact_d")))
+          .select(lit("ALL").as("scope"), col("exact_d"), ok(col("est"), col("exact_d")))
+        flags.unionByName(all).orderBy(col("scope"))
+      },
+      Some("""SELECT event_type AS scope,
+             |  count(DISTINCT user_id) AS exact_d, TRUE AS est_ok
+             |FROM events GROUP BY event_type
+             |UNION ALL
+             |SELECT 'ALL', count(DISTINCT user_id), TRUE FROM events
+             |ORDER BY scope""".stripMargin)),
+
     // STREAMING windowed-aggregation e2e — Streams.tumblingAgg run as a
     // real checkpointed query with WATERMARK SEMANTICS ON THE ORACLE
     // PATH: events arrive in two event-time-ordered files, except the

@@ -337,6 +337,48 @@ object Streams {
       xxhash64(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value")).as("h"))
 
+  /** Streaming maintenance of the persisted HLL store
+    * ([[graft.ops.HllStore]]) — the cardinality member of the
+    * maintained-sketch loop beside [[cmsIngest]] and
+    * [[quantileIngest]]: each event batch lands and appends its own
+    * per-event-type HLL of the user ids as a delta. HLL union is
+    * register-wise max, so the delta-unioned serve is BIT-EQUAL to the
+    * one-shot sketch of everything landed — batching and duplicates
+    * are invisible by the sketch algebra itself (HllStoreSpec).
+    * Exactly-once by the delta marker, same rules as [[cmsIngest]].
+    * Bootstrap with [[graft.ops.HllStore.buildEmpty]]. */
+  def hllIngest(events: DataFrame, idxDir: String, outDir: String,
+                checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        hllBatch(batch, batchId, idxDir, outDir)
+        ()
+      }
+      .start()
+
+  /** One [[hllIngest]] transaction, callable directly (batch-mode
+    * backfill, crash-protocol tests). Returns whether this call
+    * committed the batch. */
+  def hllBatch(batch: DataFrame, batchId: Long, idxDir: String,
+               outDir: String): Boolean = {
+    val s = batch.sparkSession
+    require(graft.ops.HllStore.exists(s, idxDir),
+      s"no committed HLL store at $idxDir — HllStore.buildEmpty first")
+    if (graft.ops.HllStore.deltaIds(s, idxDir).contains(batchId)) false
+    else {
+      landAndAppend(batch, batchId, outDir, df =>
+        graft.ops.HllStore.append(s, idxDir, hllRowsOf(df), batchId))
+      true
+    }
+  }
+
+  /** The (scope, key) frame an HLL append consumes, from an events
+    * frame: scope = event_type, key = user_id — ONE definition shared
+    * by the ingest path and any one-shot comparison. */
+  def hllRowsOf(events: DataFrame): DataFrame =
+    events.select(col("event_type").as("scope"), col("user_id").as("key"))
+
   /** Streaming maintenance of the persisted inverted text index
     * ([[graft.ops.TextIndex]]) — the retrieval half of the ingest
     * loop: document batches land continuously, and each one is

@@ -596,6 +596,64 @@ object Extensions {
           |FROM s2 LEFT JOIN customer c ON c.c_custkey = s2.id
           |ORDER BY id""".stripMargin)),
 
+    // INCREMENTAL TOP-K VIEW MAINTENANCE — the RANK member completing
+    // the view-maintenance trio (q_cdc_incr_agg aggregates by deltas,
+    // q_cdc_incr_join enriches by keys, this one re-ranks by groups):
+    // a materialized per-bucket top-3-by-value leaderboard absorbs a
+    // CDC batch by touching ONLY the buckets the batch's keys land in.
+    // Rank views are NOT self-maintainable — an update can demote a
+    // ranked row and promote one the view never stored — so the
+    // correct (and standard) maintenance bound is GROUP-scoped
+    // recompute: affected buckets re-rank from their full base-state
+    // slice (semi-join on the broadcast affected-bucket set), while
+    // every unaffected bucket's view rows carry via anti-join without
+    // being read, let alone re-sorted. At 100 TB maintenance cost is
+    // ∝ touched groups × group size, never view or table size; the
+    // oracle recomputes the leaderboard from the final state, so the
+    // driver checks maintained == recomputed.
+    GQuery(
+      "q_cdc_incr_topk",
+      (s, dir) => {
+        val log = cdcLog(s, dir)
+        val mid = Tables.events(s, dir).count() / 2
+        val bucket = pmod(col("id"), lit(8L)).as("bucket")
+        val wRank = Window.partitionBy(col("bucket"))
+          .orderBy(col("value").desc, col("id"))
+        def top3(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("bucket", pmod(col("id"), lit(8L)))
+          .withColumn("rk", row_number().over(wRank))
+          .filter(col("rk") <= 3)
+        val s1 = CdcMerge.snapshot(log.filter(col("lsn") < mid), Seq("id"), Seq("lsn"))
+        val v0 = top3(s1) // the materialized leaderboard state
+        val delta = log.filter(col("lsn") >= mid)
+        val affected = delta.select(bucket).distinct()
+        val priorFull = s1.withColumn("bucket", pmod(col("id"), lit(8L)))
+          .join(affected, Seq("bucket"), "left_semi")
+          .select(col("id"), col("lsn"), col("op"), col("value"))
+        val merged = CdcMerge.upsert(priorFull, delta, Seq("id"), Seq("lsn"))
+        v0.join(affected, Seq("bucket"), "left_anti")
+          .unionByName(top3(merged))
+          .select(col("bucket"), col("rk"), col("id"), col("lsn"),
+            dround(col("value").cast("decimal(18,4)")).as("value"))
+          .orderBy(col("bucket"), col("rk"))
+      },
+      Some(
+        """WITH s2 AS (SELECT id, lsn, value FROM (
+          |  SELECT user_id AS id, event_id AS lsn,
+          |    CASE WHEN event_id % 11 = 0 THEN 'd'
+          |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+          |    value,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          |  FROM events) t
+          |  WHERE rn = 1 AND op <> 'd'),
+          |r AS (SELECT id % 8 AS bucket, id, lsn, value,
+          |        row_number() OVER (PARTITION BY id % 8
+          |                           ORDER BY value DESC, id) AS rk
+          |      FROM s2)
+          |SELECT bucket, CAST(rk AS INT) AS rk, id, lsn,
+          |  round(CAST(value::DECIMAL(18,4) AS DOUBLE), 4) AS value
+          |FROM r WHERE rk <= 3 ORDER BY bucket, rk""".stripMargin)),
+
     // SCD Type-2 history materialization — the OTHER standard consumer
     // of a CDC feed (reference README.md:300-307 materializes latest-
     // wins; a warehouse dimension keeps every version): each non-delete

@@ -4369,6 +4369,69 @@ object Extensions {
              |FROM segs s JOIN freq f USING (seg)
              |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
 
+    // DATA-QUALITY CONSTRAINT VALIDATION — the Deequ/dbt-test companion
+    // to q_profile_stats (profiling describes; constraints JUDGE): a
+    // declared suite of table checks evaluated in one pass each,
+    // emitting (constraint, violations, ok). The plan discipline:
+    // same-table ROW-LOCAL predicates FUSE into one conditional
+    // aggregate over one column-pruned scan (three lineitem rules =
+    // one pass — fusing is free because conditional counts are plain
+    // aggs), while rules needing different data shapes get their own
+    // minimal pass (key uniqueness = one single-distinct agg;
+    // referential integrity = one anti-join whose build side is the
+    // pruned key column). Two rules FAIL by design (quantity ≤ 40,
+    // acctbal ≥ 0) so the verdict path is exercised, not just the
+    // happy path. At 100 TB each pass is a narrow scan-agg and the FK
+    // anti-join shuffles only the two key columns; nothing is
+    // per-constraint rescanned when rules share a shape.
+    GQuery(
+      "q_quality_constraints",
+      (s, dir) => {
+        def row(name: String, viol: org.apache.spark.sql.Column) =
+          struct(lit(name).as("constraint"), viol.cast("long").as("violations"))
+        val liRules = Tables.lineitem(s, dir).agg(explode(array(
+          row("lineitem_quantity_in_1_50",
+            count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1))),
+          row("lineitem_quantity_le_40", count(when(col("l_quantity") > 40, 1))),
+          row("lineitem_returnflag_domain",
+            count(when(!col("l_returnflag").isin("A", "N", "R"), 1))))).as("r"))
+        val ordRules = Tables.orders(s, dir).agg(explode(array(
+          row("orders_pk_unique", count(lit(1)) - countDistinct(col("o_orderkey"))),
+          row("orders_custkey_not_null", count(lit(1)) - count(col("o_custkey"))))).as("r"))
+        val custRules = Tables.customer(s, dir).agg(explode(array(
+          row("customer_acctbal_nonneg", count(when(col("c_acctbal") < 0, 1))))).as("r"))
+        val fk = Tables.lineitem(s, dir).select(col("l_orderkey"))
+          .join(Tables.orders(s, dir).select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(row("lineitem_orders_fk", count(lit(1))).as("r"))
+        liRules.unionByName(ordRules).unionByName(custRules).unionByName(fk)
+          .select(col("r.constraint").as("constraint"),
+            col("r.violations").as("violations"),
+            (col("r.violations") === 0).as("ok"))
+          .orderBy(col("constraint"))
+      },
+      Some("""SELECT "constraint", violations, violations = 0 AS ok FROM (
+             |  SELECT 'lineitem_quantity_in_1_50' AS "constraint",
+             |    count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS violations
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'lineitem_quantity_le_40',
+             |    count(CASE WHEN l_quantity > 40 THEN 1 END) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'lineitem_returnflag_domain',
+             |    count(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 END) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'orders_pk_unique', count(*) - count(DISTINCT o_orderkey) FROM orders
+             |  UNION ALL
+             |  SELECT 'orders_custkey_not_null', count(*) - count(o_custkey) FROM orders
+             |  UNION ALL
+             |  SELECT 'customer_acctbal_nonneg',
+             |    count(CASE WHEN c_acctbal < 0 THEN 1 END) FROM customer
+             |  UNION ALL
+             |  SELECT 'lineitem_orders_fk', count(*) FROM lineitem l
+             |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+             |) t ORDER BY "constraint" """.stripMargin)),
+
     // Robust corpus-QC outlier detection: per-language median + MAD
     // (median absolute deviation) of document length, flagging docs
     // with |len − median| > 2·MAD — the quality-control pass that

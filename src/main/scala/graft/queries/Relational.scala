@@ -2223,6 +2223,57 @@ object Relational {
              |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, wk, count(*) AS n_active
              |FROM a GROUP BY 1, 2 ORDER BY cohort_week, wk""".stripMargin)),
 
+    // TIME-SERIES GAP FILL + LOCF — dimension densification (the
+    // GAP_FILL/densify operator warehouses ship): the sparse per-type
+    // hourly average is projected onto the COMPLETE hour grid (a
+    // generated sequence over the corpus time span crossed with the
+    // type dimension — both sides derived, nothing scanned twice), and
+    // missing hours carry the last observed value forward via
+    // last(v, ignoreNulls) over the per-type hour order. Grid size is
+    // span × |types| — independent of event count, so at 100 TB the
+    // grid build is a rounding error next to the one events scan-agg;
+    // the LOCF window partitions on the type key (grid-sized input,
+    // never raw events). Hours before a type's first observation stay
+    // null — LOCF, not interpolation; the oracle replays the identical
+    // IGNORE NULLS window.
+    GQuery(
+      "q_ts_fill",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val hourly = ev.groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("h"))
+          .agg(dround(avg(col("value"))).as("v"))
+        val span = ev.agg(date_trunc("hour", min(col("ts"))).as("h_lo"),
+          date_trunc("hour", max(col("ts"))).as("h_hi"))
+        val grid = span
+          .select(explode(expr("sequence(h_lo, h_hi, interval 1 hour)")).as("h"))
+          .crossJoin(ev.select(col("event_type")).distinct())
+        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h"), col("v").isNull.as("is_gap"),
+            last(col("v"), ignoreNulls = true).over(w).as("filled"))
+          .orderBy(col("event_type"), col("h"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS h,
+             |    round(CAST(avg(value) AS DOUBLE), 4) AS v
+             |  FROM events GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT t.event_type, g.h
+             |  FROM (SELECT DISTINCT event_type FROM events) t
+             |  CROSS JOIN (SELECT unnest(generate_series(
+             |      (SELECT date_trunc('hour', min(ts)) FROM events),
+             |      (SELECT date_trunc('hour', max(ts)) FROM events),
+             |      INTERVAL 1 HOUR)) AS h) g)
+             |SELECT grid.event_type, grid.h, hourly.v IS NULL AS is_gap,
+             |  last_value(hourly.v IGNORE NULLS) OVER (
+             |    PARTITION BY grid.event_type ORDER BY grid.h
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+             |FROM grid LEFT JOIN hourly
+             |  ON hourly.event_type = grid.event_type AND hourly.h = grid.h
+             |ORDER BY grid.event_type, grid.h""".stripMargin)),
+
     // Generator / lateral-view surface: posexplode with ordinal.
     GQuery(
       "q_posexplode",

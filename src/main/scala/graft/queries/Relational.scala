@@ -250,6 +250,55 @@ object Relational {
              |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
              |ORDER BY s_suppkey, c_custkey""".stripMargin)),
 
+    // 2-D SPATIAL BOX JOIN as a grid-cell equi-join — the
+    // spatial-range twin of q_join_theta_range's 1-D banding: 25 query
+    // boxes (derived from the nation dim) count their covered
+    // (partkey, suppkey) points. Each box decomposes into the coarse
+    // grid cells it overlaps (double sequence-explode on the
+    // per-dimension high bits — ≤ ~20 cells/box here), each point maps
+    // to exactly ONE cell (two shiftrights, narrow), and the join is a
+    // broadcast EQUI-join on the cell key with the exact box predicate
+    // as a residual filter — never a nested loop over boxes × points.
+    // At 100 TB the fact side stays a single narrow scan; cells/box is
+    // bounded by box-size/cell-size (the grid-file rule), and the only
+    // exchange is the 25-key count aggregate with map-side partials.
+    // A point lies in exactly one cell, so a (box, point) pair can
+    // match at most once — no post-join dedup.
+    GQuery(
+      "q_join_spatial_grid",
+      (s, dir) => {
+        val boxes = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("long").as("box_id"),
+          (col("n_nationkey") * 300 + 1).cast("long").as("plo"),
+          (col("n_nationkey") * 300 + 800).cast("long").as("phi"),
+          (col("n_nationkey") * 3 + 1).cast("long").as("slo"),
+          (col("n_nationkey") * 3 + 30).cast("long").as("shi"))
+        val cellBoxes = boxes
+          .withColumn("cp", explode(sequence(shiftright(col("plo"), 8), shiftright(col("phi"), 8))))
+          .withColumn("cs", explode(sequence(shiftright(col("slo"), 3), shiftright(col("shi"), 3))))
+        val pts = Tables.lineitem(s, dir)
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+          .withColumn("cp", shiftright(col("p"), 8))
+          .withColumn("cs", shiftright(col("sk"), 3))
+        val hits = pts.join(broadcast(cellBoxes), Seq("cp", "cs"))
+          .filter(col("p").between(col("plo"), col("phi")) &&
+            col("sk").between(col("slo"), col("shi")))
+          .groupBy(col("box_id")).agg(count(lit(1)).as("n_points"))
+        boxes.select(col("box_id")).join(hits, Seq("box_id"), "left")
+          .select(col("box_id"), coalesce(col("n_points"), lit(0L)).as("n_points"))
+          .orderBy(col("box_id"))
+      },
+      Some("""WITH boxes AS (
+             |  SELECT n_nationkey::BIGINT AS box_id,
+             |    (n_nationkey * 300 + 1)::BIGINT AS plo, (n_nationkey * 300 + 800)::BIGINT AS phi,
+             |    (n_nationkey * 3 + 1)::BIGINT AS slo, (n_nationkey * 3 + 30)::BIGINT AS shi
+             |  FROM nation)
+             |SELECT b.box_id, count(l.l_partkey) AS n_points
+             |FROM boxes b LEFT JOIN lineitem l
+             |  ON l.l_partkey BETWEEN b.plo AND b.phi
+             | AND l.l_suppkey BETWEEN b.slo AND b.shi
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // As-of join: latest 'click' at or before each 'purchase', per user.
     // Spark has no native asof — implemented as the LINEAR union-sort-
     // carry-forward form: tag both event kinds, one window over user_id

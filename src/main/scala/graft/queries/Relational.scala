@@ -2288,15 +2288,17 @@ object Relational {
     GQuery(
       "q_ts_fill",
       (s, dir) => {
-        val ev = Tables.events(s, dir)
-        val hourly = ev.groupBy(col("event_type"),
-            date_trunc("hour", col("ts")).as("h"))
+        // ONE corpus scan: the hourly aggregate is cached (grid-sized)
+        // and the span and type dimension both DERIVE from it — min/max
+        // of the aggregated hours equals min/max of the raw timestamps
+        // at hour grain, so events is never re-read for metadata.
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
           .agg(dround(avg(col("value"))).as("v"))
-        val span = ev.agg(date_trunc("hour", min(col("ts"))).as("h_lo"),
-          date_trunc("hour", max(col("ts"))).as("h_hi"))
-        val grid = span
+          .cache()
+        val grid = hourly.agg(min(col("h")).as("h_lo"), max(col("h")).as("h_hi"))
           .select(explode(expr("sequence(h_lo, h_hi, interval 1 hour)")).as("h"))
-          .crossJoin(ev.select(col("event_type")).distinct())
+          .crossJoin(hourly.select(col("event_type")).distinct())
         val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         grid.join(hourly, Seq("event_type", "h"), "left")
@@ -2322,6 +2324,67 @@ object Relational {
              |FROM grid LEFT JOIN hourly
              |  ON hourly.event_type = grid.event_type AND hourly.h = grid.h
              |ORDER BY grid.event_type, grid.h""".stripMargin)),
+
+    // TIME-SERIES ANOMALY DETECTION — robust monitoring over the
+    // densified hourly series (the q_ts_fill grid feeding the
+    // q_quality_outliers statistic): per-type hourly event counts are
+    // ZERO-FILLED onto the complete hour grid first — a silent outage
+    // hour is an anomaly precisely because it has no rows, so
+    // detection over only-observed hours would miss the most important
+    // case — then flagged where |n − median| > 2·MAD. Medians/MADs of
+    // integer counts are ints or exact .5 halves (binary-exact across
+    // engines — no ε). Plan: one events scan-agg, the generated grid
+    // join, two grid-sized per-type stat aggregates broadcast back;
+    // the corpus is scanned once, everything after is grid-sized.
+    GQuery(
+      "q_ts_anomaly",
+      (s, dir) => {
+        // ONE corpus scan (the q_ts_fill rule): hourly counts cached,
+        // span/types/grid/filled all derive from that grid-sized cache
+        // — the med and mad stat passes and the final flag pass re-read
+        // the CACHE, never events.
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n_raw"))
+          .cache()
+        val grid = hourly.agg(min(col("h")).as("h_lo"), max(col("h")).as("h_hi"))
+          .select(explode(expr("sequence(h_lo, h_hi, interval 1 hour)")).as("h"))
+          .crossJoin(hourly.select(col("event_type")).distinct())
+        val filled = grid.join(hourly, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h"),
+            coalesce(col("n_raw"), lit(0L)).as("n"))
+          .cache()
+        val med = filled.groupBy(col("event_type"))
+          .agg(expr("percentile(n, 0.5)").as("med"))
+        val mad = filled.join(broadcast(med), "event_type")
+          .groupBy(col("event_type"), col("med"))
+          .agg(expr("percentile(abs(n - med), 0.5)").as("mad"))
+        filled.join(broadcast(mad), "event_type")
+          .filter(abs(col("n") - col("med")) > lit(2) * col("mad"))
+          .select(col("event_type"), col("h"), col("n"), col("med"), col("mad"))
+          .orderBy(col("event_type"), col("h"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS h, count(*)::BIGINT AS n_raw
+             |  FROM events GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT t.event_type, g.h
+             |  FROM (SELECT DISTINCT event_type FROM events) t
+             |  CROSS JOIN (SELECT unnest(generate_series(
+             |      (SELECT date_trunc('hour', min(ts)) FROM events),
+             |      (SELECT date_trunc('hour', max(ts)) FROM events),
+             |      INTERVAL 1 HOUR)) AS h) g),
+             |filled AS (
+             |  SELECT grid.event_type, grid.h, coalesce(hourly.n_raw, 0)::BIGINT AS n
+             |  FROM grid LEFT JOIN hourly
+             |    ON hourly.event_type = grid.event_type AND hourly.h = grid.h),
+             |med AS (SELECT event_type, median(n) AS med FROM filled GROUP BY 1),
+             |mad AS (SELECT f.event_type, m.med, median(abs(f.n - m.med)) AS mad
+             |        FROM filled f JOIN med m USING (event_type) GROUP BY 1, 2)
+             |SELECT f.event_type, f.h, f.n, mad.med, mad.mad
+             |FROM filled f JOIN mad USING (event_type)
+             |WHERE abs(f.n - mad.med) > 2 * mad.mad
+             |ORDER BY f.event_type, f.h""".stripMargin)),
 
     // Generator / lateral-view surface: posexplode with ordinal.
     GQuery(

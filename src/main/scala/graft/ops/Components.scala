@@ -35,7 +35,9 @@ object Components {
       .union(pairs.select(col(eb), col(ea)))
       .toDF("src", "dst").localCheckpoint()
     var labels = nodes.select(col(na).as("id"), col(na).as("lab")).localCheckpoint()
-    var prevSum = labels.agg(sum(col("lab"))).head().getLong(0)
+    // coalesce: sum over an EMPTY node set is null — 0 keeps the
+    // fixpoint test well-defined (empty in, empty out, one round)
+    var prevSum = labels.agg(coalesce(sum(col("lab")), lit(0L))).head().getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -44,7 +46,7 @@ object Components {
       labels = labels.union(prop)
         .groupBy(col("id")).agg(min(col("lab")).as("lab"))
         .localCheckpoint()
-      val cur = labels.agg(sum(col("lab"))).head().getLong(0)
+      val cur = labels.agg(coalesce(sum(col("lab")), lit(0L))).head().getLong(0)
       converged = cur == prevSum
       prevSum = cur
       rounds += 1
@@ -135,5 +137,67 @@ object Components {
     nodes.select(col(na).as("id"))
       .join(edges.select(col("u").as("id"), col("v").as("star")), Seq("id"), "left")
       .select(col("id"), coalesce(col("star"), col("id")).as("lab"))
+  }
+
+  /** Incrementally merge one ingest batch (new nodes + new edges) into
+    * an existing min-label assignment — the 100 TB maintenance path for
+    * duplicate clustering: a full recompute rescans the corpus graph
+    * every batch, while this touches only batch-sized state.
+    *
+    * The trick is the CONDENSED graph: because every label is its
+    * component's MINIMUM id, an entire existing component can stand in
+    * as the single node `lab` — min(labels ∪ new ids) over a merged
+    * group equals min(all member ids ∪ new ids), so connected
+    * components over {touched labels + new ids} with each new edge
+    * lifted to its endpoints' labels yields exactly the labels a full
+    * recompute would. Work per batch: one label lookup join for the
+    * edge endpoints (point lookups — pruned, not a corpus scan, when
+    * the state table is bucketed by id), CC over the batch-sized
+    * condensed graph, and one NARROW relabel pass of the state against
+    * the broadcast rename map (no shuffle of the state; at 100 TB,
+    * rewrite only the buckets holding renamed labels).
+    *
+    * @param state    (id, lab) assignment with lab = component min id
+    * @param newNodes single-column DF of new node ids (may be empty)
+    * @param newEdges two-column DF of new undirected edges; endpoints
+    *                 may be old ids, new ids, or ids never seen (which
+    *                 label themselves)
+    * @return updated (id, lab) assignment, bit-equal to a full
+    *         recompute over the union graph
+    */
+  def mergeBatch(state: DataFrame, newNodes: DataFrame,
+                 newEdges: DataFrame): DataFrame = {
+    val st = state.select(col(state.columns(0)).as("id"),
+      col(state.columns(1)).as("lab"))
+    val nn = newNodes.select(col(newNodes.columns(0)).as("id")).distinct()
+    val Seq(ea, eb) = newEdges.columns.toSeq.take(2)
+    val e = newEdges.select(col(ea).as("u"), col(eb).as("v"))
+    // batch edge endpoints resolved to their current labels (unseen
+    // ids label themselves)
+    val ends = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .distinct()
+    val endLabs = ends.join(st, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lab"), col("id")).as("lab"))
+      .localCheckpoint()
+    // condensed graph: touched labels + all new ids as nodes, batch
+    // edges lifted to label space
+    val lifted = e
+      .join(endLabs.select(col("id").as("u"), col("lab").as("lu")), "u")
+      .join(endLabs.select(col("id").as("v"), col("lab").as("lv")), "v")
+      .select(col("lu"), col("lv"))
+    val condNodes = endLabs.select(col("lab").as("id"))
+      .union(nn).distinct()
+    val cond = connectedComponents(condNodes, lifted).localCheckpoint()
+    // rename map: only labels that actually change ride the broadcast
+    val ren = cond.filter(col("id") =!= col("lab"))
+      .select(col("id").as("lab"), col("lab").as("nl"))
+    val updated = st.join(broadcast(ren), Seq("lab"), "left")
+      .select(col("id"), coalesce(col("nl"), col("lab")).as("lab"))
+    // assignments for genuinely new ids (cond also carries old labels,
+    // but those can never collide with ids absent from the state)
+    val newAssign = nn.join(st.select(col("id")), Seq("id"), "left_anti")
+      .join(broadcast(cond.withColumnRenamed("lab", "nl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("nl"), col("id")).as("lab"))
+    updated.union(newAssign)
   }
 }

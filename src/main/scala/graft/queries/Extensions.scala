@@ -2074,6 +2074,45 @@ object Extensions {
              |SELECT id AS doc_id, min(lab) AS cluster_id
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    // INCREMENTAL duplicate-cluster maintenance — the view-maintenance
+    // member of the CC family (the dedup twin of q_cdc_incr_agg/_join/
+    // _topk): a third of the corpus arrives as a later ingest batch,
+    // and instead of recomputing components over everything, the
+    // existing assignment absorbs the batch through the CONDENSED
+    // graph (touched labels + new ids only — batch-sized, never
+    // corpus-sized; Components.mergeBatch scaladoc has the min-label
+    // invariance argument). The oracle is q_dedup_cluster's full
+    // recompute verbatim: incremental maintenance must be
+    // indistinguishable from recomputation, including when a batch
+    // edge bridges two existing components and when a new doc id
+    // becomes its merged component's new minimum. Per batch at 100 TB:
+    // endpoint label lookups + tiny CC + one narrow broadcast relabel.
+    GQuery(
+      "q_dedup_cluster_incr",
+      (s, dir) => {
+        val pairs = ngramPairs(s, dir).select(col("id_a"), col("id_b")).cache()
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+        val baseNodes = docs.filter(col("doc_id") % 3 =!= 0)
+        val batchNodes = docs.filter(col("doc_id") % 3 === 0)
+        val basePairs = pairs
+          .filter(col("id_a") % 3 =!= 0 && col("id_b") % 3 =!= 0)
+        val batchPairs = pairs
+          .filter(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
+        val state0 = graft.ops.Components
+          .connectedComponents(baseNodes, basePairs)
+        graft.ops.Components.mergeBatch(state0, batchNodes, batchPairs)
+          .select(col("id").as("doc_id"), col("lab").as("cluster_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $ngramPairSql,
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+             |reach AS (SELECT doc_id AS id, doc_id AS lab FROM documents
+             |          UNION
+             |          SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+             |SELECT id AS doc_id, min(lab) AS cluster_id
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     // Embedding-cosine near-dup pairs, candidate-limited to
     // random-hyperplane sign-LSH buckets (Charikar SimHash — bit i =
     // sign(v·h_i)): ONE shuffle on the bucket key, pairwise cosine only

@@ -2386,6 +2386,76 @@ object Relational {
              |WHERE abs(f.n - mad.med) > 2 * mad.mad
              |ORDER BY f.event_type, f.h""".stripMargin)),
 
+    // Spark 4 SQL PIPE syntax (SPARK-49555, `|>`): the linear query
+    // dialect — each |> stage consumes the previous relation, so a
+    // join→filter→aggregate→having→topk pipeline reads top-to-bottom
+    // in execution order. The parser lowers pipes to the SAME logical
+    // plan as the nested ANSI form (the oracle below IS that form), so
+    // every Catalyst optimization — pushdown through the join, the
+    // broadcast pick, partial aggregation — applies unchanged; the
+    // post-AGGREGATE |> WHERE lands as HAVING. Surface twin of
+    // q_sql_udf/q_json_variant's Spark 4 coverage.
+    GQuery(
+      "q_sql_pipe",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("gq_pipe_orders")
+        Tables.customer(s, dir).createOrReplaceTempView("gq_pipe_customer")
+        s.sql(
+          """FROM gq_pipe_orders
+            ||> JOIN gq_pipe_customer ON o_custkey = c_custkey
+            ||> WHERE o_orderdate >= DATE '1997-01-01'
+            ||> AGGREGATE count(*) AS n_orders,
+            |     round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+            |   GROUP BY c_mktsegment
+            ||> WHERE n_orders > 10
+            ||> ORDER BY revenue DESC, c_mktsegment
+            ||> LIMIT 3""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderdate >= DATE '1997-01-01'
+             |GROUP BY c_mktsegment
+             |HAVING count(*) > 10
+             |ORDER BY revenue DESC, c_mktsegment
+             |LIMIT 3""".stripMargin)),
+
+    // Spark 4 string COLLATION (SPARK-46830): case-insensitive
+    // semantics declared IN THE TYPE, not smeared over the query as
+    // lower() calls — the collated GROUP BY and the collated predicate
+    // both run on the original bytes (one pass, no derived column),
+    // and `variants` counts the distinct BINARY forms inside each
+    // case-insensitive group (= 2 here, the proof that collation
+    // merged keys lower() would have had to rewrite). min(pri) is the
+    // binary-least representative (uppercase sorts first in ASCII) —
+    // deterministic output from a case-mixed key. The oracle plays the
+    // same query the pre-collation way: lower() everywhere.
+    GQuery(
+      "q_str_collation",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("gq_coll_orders")
+        s.sql(
+          """SELECT min(pri) AS priority, count(*) AS n,
+            |  count(DISTINCT pri) AS variants,
+            |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
+            |FROM (SELECT CASE WHEN o_orderkey % 2 = 0 THEN lower(o_orderpriority)
+            |             ELSE o_orderpriority END AS pri, o_totalprice
+            |      FROM gq_coll_orders)
+            |WHERE NOT pri COLLATE UTF8_LCASE = '5-LOW'
+            |GROUP BY pri COLLATE UTF8_LCASE
+            |ORDER BY priority""".stripMargin)
+      },
+      Some("""WITH m AS (
+             |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN lower(o_orderpriority)
+             |         ELSE o_orderpriority END AS pri, o_totalprice
+             |  FROM orders)
+             |SELECT min(pri) AS priority, count(*) AS n,
+             |  count(DISTINCT pri) AS variants,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
+             |FROM m WHERE lower(pri) <> '5-low'
+             |GROUP BY lower(pri)
+             |ORDER BY priority""".stripMargin)),
+
     // Generator / lateral-view surface: posexplode with ordinal.
     GQuery(
       "q_posexplode",

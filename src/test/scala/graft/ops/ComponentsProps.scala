@@ -95,4 +95,27 @@ object ComponentsProps extends Properties("Components") {
         .as[(Long, Long)].collect().forall(_._2 == 0L)
       threw && fine
     }
+
+  // mergeBatch must be indistinguishable from a full recompute on every
+  // topology: the random graphs cover batch edges bridging two existing
+  // components, a new id (0 ≡ 0 mod 3) becoming its merged component's
+  // new minimum, isolated new nodes, and an empty base (n = 1).
+  property("mergeBatch on a mod-3 split equals full recompute") = forAll(genGraph) {
+    case (n, edges) =>
+      import spark.implicits._
+      val all = 0L until n.toLong
+      def ndf(xs: Seq[Long]) = xs match {
+        case Nil => Seq.empty[Long].toDF("id"); case s => s.toDF("id")
+      }
+      def edf(es: List[(Long, Long)]) = es match {
+        case Nil => Seq.empty[(Long, Long)].toDF("a", "b"); case s => s.toDF("a", "b")
+      }
+      val baseEdges = edges.filter { case (a, b) => a % 3 != 0 && b % 3 != 0 }
+      val state0 = Components.connectedComponents(
+        ndf(all.filter(_ % 3 != 0)), edf(baseEdges))
+      val got = Components.mergeBatch(state0,
+          ndf(all.filter(_ % 3 == 0)), edf(edges.diff(baseEdges)))
+        .as[(Long, Long)].collect()
+      got.length == n && got.toMap == unionFind(n, edges)
+  }
 }

@@ -91,7 +91,13 @@ val queries = Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
   "q_bpe_train", "q_heavy_hitters_cms", "q_quality_outliers",
   // round 14 additions: the JL-projection ANN serving plan, the
   // Gram-pass PCA, per-column profiling, the mergeable quantile sketch
-  "q_sim_rp", "q_embed_pca", "q_profile_stats", "q_quantile_sketch")
+  "q_sim_rp", "q_embed_pca", "q_profile_stats", "q_quantile_sketch",
+  // round 14 late additions: incremental CC vs its full-recompute
+  // sibling (the maintenance-vs-recompute gap is the claim), the
+  // one-exchange pattern matcher, the one-pass pairwise statistic,
+  // and the grid-sized anomaly pass
+  "q_dedup_cluster", "q_dedup_cluster_incr", "q_event_pattern",
+  "q_stats_corr", "q_ts_anomaly")
 
 def time(name: String, dir: String): Double = {
   val fn = GQuery.all.find(_.name == name).get.fn

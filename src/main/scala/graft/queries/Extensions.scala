@@ -2113,6 +2113,54 @@ object Extensions {
              |SELECT id AS doc_id, min(lab) AS cluster_id
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    // STREAMING duplicate-cluster maintenance — q_dedup_cluster_incr's
+    // streaming twin and stream_dedup_e2e's clustering companion: docs
+    // land in three micro-batches, and each batch absorbs into the
+    // PERSISTED assignment (ops/ClusterStore) through the condensed
+    // label graph — batch-sized merge work, versioned-snapshot commit,
+    // exactly-once by the delta marker, crash-replay pinned in
+    // StreamsSpec. An edge fires exactly once: on the batch where its
+    // later endpoint lands. The pair table stands in for the online
+    // LSH-probe feed (stream_dedup_e2e demonstrates that half). The
+    // oracle is the full-recompute recursive CTE — maintained state
+    // after the last batch must be indistinguishable from batch CC.
+    GQuery(
+      "stream_cluster_e2e",
+      (s, dir) => {
+        val sfKey = sfFingerprint(dir)
+        val root = cachedFixture(s"graft_scluster_cache_v1_$sfKey") { root =>
+          val docs = Tables.documents(s, dir)
+          ngramPairs(s, dir).select(col("id_a"), col("id_b"))
+            .write.parquet(root + "/pairs")
+          graft.ops.ClusterStore.buildEmpty(s, root + "/store")
+          val src = root + "/src"
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+            .coalesce(1).write.mode("append").parquet(src)
+          val q = graft.streaming.Streams.clusterIngest(
+            s.readStream.schema(docs.schema).parquet(src),
+            root + "/pairs", root + "/store", root + "/ckpt")
+          try {
+            q.processAllAvailable()
+            for (i <- 1 to 2) {
+              docs.filter(pmod(col("doc_id"), lit(3)) === i)
+                .coalesce(1).write.mode("append").parquet(src)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
+        graft.ops.ClusterStore.read(s, root + "/store")
+          .select(col("id").as("doc_id"), col("lab").as("cluster_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $ngramPairSql,
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+             |reach AS (SELECT doc_id AS id, doc_id AS lab FROM documents
+             |          UNION
+             |          SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+             |SELECT id AS doc_id, min(lab) AS cluster_id
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     // Embedding-cosine near-dup pairs, candidate-limited to
     // random-hyperplane sign-LSH buckets (Charikar SimHash — bit i =
     // sign(v·h_i)): ONE shuffle on the bucket key, pairwise cosine only

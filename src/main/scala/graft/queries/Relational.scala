@@ -2456,6 +2456,124 @@ object Relational {
              |GROUP BY lower(pri)
              |ORDER BY priority""".stripMargin)),
 
+    // CORRELATION / REGRESSION profiling (the Deequ Correlation
+    // analyzer + the SQL regr_slope/regr_intercept surface) — per-group
+    // Pearson r and the least-squares line from ONE aggregate pass of
+    // exact decimal sums (n, Σx, Σy, Σxy, Σx², Σy²). The engine's
+    // built-in corr() streams doubles whose accumulation ORDER differs
+    // between engines (and between runs at different parallelism) —
+    // here every sum is order-independent DECIMAL arithmetic, cast to
+    // double once, and the closed-form double math is written
+    // IDENTICALLY on both sides: same exact inputs, same IEEE ops,
+    // same bits — no ε gate needed. One scan, one shuffle, partial
+    // aggregation map-side; at 100 TB this is the cheapest possible
+    // shape for a pairwise statistic.
+    GQuery(
+      "q_stats_corr",
+      (s, dir) => {
+        val x = dec(col("l_quantity"))
+        val y = dec(col("l_extendedprice"))
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+            sum(x * y).cast("double").as("sxy"),
+            sum(x * x).cast("double").as("sxx"),
+            sum(y * y).cast("double").as("syy"))
+          .withColumn("n", col("n_rows").cast("double"))
+          .withColumn("cov_n", col("n") * col("sxy") - col("sx") * col("sy"))
+          .withColumn("varx_n", col("n") * col("sxx") - col("sx") * col("sx"))
+          .withColumn("vary_n", col("n") * col("syy") - col("sy") * col("sy"))
+          .withColumn("slope", col("cov_n") / col("varx_n"))
+          .select(col("l_returnflag"), col("n_rows"),
+            round(col("cov_n") / sqrt(col("varx_n") * col("vary_n")), 6).as("corr_qp"),
+            round(col("slope"), 6).as("slope"),
+            round((col("sy") - col("slope") * col("sx")) / col("n"), 6).as("intercept"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH g AS (
+             |  SELECT l_returnflag, count(*) AS n_rows,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy
+             |  FROM lineitem GROUP BY 1),
+             |d AS (
+             |  SELECT l_returnflag, n_rows, CAST(n_rows AS DOUBLE) AS n,
+             |    sx, sy, sxy, sxx, syy,
+             |    CAST(n_rows AS DOUBLE) * sxy - sx * sy AS cov_n,
+             |    CAST(n_rows AS DOUBLE) * sxx - sx * sx AS varx_n,
+             |    CAST(n_rows AS DOUBLE) * syy - sy * sy AS vary_n
+             |  FROM g)
+             |SELECT l_returnflag, n_rows,
+             |  round(cov_n / sqrt(varx_n * vary_n), 6) AS corr_qp,
+             |  round(cov_n / varx_n, 6) AS slope,
+             |  round((sy - (cov_n / varx_n) * sx) / n, 6) AS intercept
+             |FROM d ORDER BY l_returnflag""".stripMargin)),
+
+    // SEQUENCE PATTERN MATCHING (MATCH_RECOGNIZE / Flink CEP's core):
+    // per-user pattern `CLICK+ PURCHASE` over the event-time order —
+    // each match reports the maximal run of consecutive clicks
+    // immediately preceding a purchase. Expressed as gaps-and-islands:
+    // islands of consecutive same-type rows come from the classic
+    // rn − rn_by_type difference, a purchase row matches when its
+    // PREVIOUS row is a click, and the matched island's (size, start)
+    // are the CLICK+ greedy-quantifier stats. Every window shares the
+    // ONE user_id partition exchange; the island aggregate and the
+    // match join both run on that same key — at 100 TB this is one
+    // shuffle of the events, then narrow per-user work. (event_id
+    // breaks ts ties for a total order — the lineitem sort lesson.)
+    GQuery(
+      "q_event_pattern",
+      (s, dir) => {
+        val wU = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wUT = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        // cache: marked feeds BOTH the island aggregate and the match
+        // filter — without it the corpus is scanned and windowed twice
+        // (the q_ts_fill one-scan rule; PLANS.md pins scans=1)
+        val marked = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("isl", row_number().over(wU) - row_number().over(wUT))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(wU))
+          .withColumn("prev_isl", lag(col("isl"), 1).over(wU))
+          .cache()
+        val islands = marked.filter(col("event_type") === "click")
+          .groupBy(col("user_id").as("i_user"), col("isl").as("i_isl"))
+          .agg(count(lit(1)).as("n_clicks"), min(col("ts")).as("start_ts"))
+        marked.filter(col("event_type") === "purchase" &&
+            col("prev_type") === "click")
+          .join(islands, col("user_id") === col("i_user") &&
+            col("prev_isl") === col("i_isl"))
+          .select(col("user_id"), fmtTs(col("start_ts")).as("match_start"),
+            fmtTs(col("ts")).as("purchase_ts"), col("n_clicks"))
+          .orderBy(col("user_id"), col("match_start"), col("purchase_ts"))
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS isl
+             |  FROM events),
+             |o AS (
+             |  SELECT user_id, ts, event_id, event_type, isl,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             |    lag(isl) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_isl
+             |  FROM r),
+             |islands AS (
+             |  SELECT user_id AS i_user, isl AS i_isl, count(*) AS n_clicks,
+             |    min(ts) AS start_ts
+             |  FROM o WHERE event_type = 'click' GROUP BY 1, 2)
+             |SELECT o.user_id,
+             |  strftime(islands.start_ts, '%Y-%m-%d %H:%M:%S.%f') AS match_start,
+             |  strftime(o.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+             |  n_clicks
+             |FROM o JOIN islands
+             |  ON o.user_id = i_user AND o.prev_isl = i_isl
+             |WHERE o.event_type = 'purchase' AND o.prev_type = 'click'
+             |ORDER BY o.user_id, match_start, purchase_ts""".stripMargin)),
+
     // Generator / lateral-view surface: posexplode with ordinal.
     GQuery(
       "q_posexplode",

@@ -249,6 +249,62 @@ object Streams {
     }
   }
 
+  /** Streaming maintenance of the persisted duplicate-cluster
+    * assignment ([[graft.ops.ClusterStore]]) — the clustering half of
+    * the dedup ingest loop: documents land continuously, and each
+    * micro-batch absorbs into the assignment through the condensed
+    * label graph ([[graft.ops.Components.mergeBatch]] — batch-sized
+    * merge work, bit-equal to a full recompute), then commits the
+    * updated state as a versioned snapshot. An edge FIRES exactly once:
+    * on the batch where its later-arriving endpoint lands (both
+    * endpoints known, at least one in the batch) — earlier batches
+    * can't see it, later batches would double-apply it harmlessly but
+    * never get it. `pairsDir` stands in for the near-dup pair feed the
+    * LSH probe produces online ([[nearDupIngest]] demonstrates that
+    * half); at 100 TB the probe output IS this feed and the pair table
+    * never materializes. Exactly-once by the version marker: a
+    * committed batch is a replay no-op, a crash between the snapshot
+    * write and the marker replays into an identical snapshot off the
+    * unchanged previous version. */
+  def clusterIngest(docs: DataFrame, pairsDir: String, storeDir: String,
+                    checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        clusterBatch(batch, batchId, pairsDir, storeDir)
+        ()
+      }
+      .start()
+
+  /** One [[clusterIngest]] transaction, callable directly (batch-mode
+    * backfill, crash-protocol tests). Returns whether this call
+    * committed the batch. */
+  def clusterBatch(batch: DataFrame, batchId: Long, pairsDir: String,
+                   storeDir: String): Boolean = {
+    val s = batch.sparkSession
+    require(graft.ops.ClusterStore.exists(s, storeDir),
+      s"no committed cluster store at $storeDir — ClusterStore.buildEmpty first")
+    if (graft.ops.ClusterStore.deltaIds(s, storeDir).contains(batchId)) false
+    else {
+      val b = batch.select(col("doc_id").as("id")).distinct().localCheckpoint()
+      val known = graft.ops.ClusterStore.read(s, storeDir)
+        .select(col("id")).union(b)
+      val pairs = s.read.parquet(pairsDir)
+      // both endpoints known (the later endpoint just arrived or is
+      // already landed) AND at least one endpoint in this batch
+      val bothKnown = pairs
+        .join(known.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+        .join(known.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+      val fired = bothKnown
+        .join(b.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+        .union(bothKnown
+          .join(b.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi"))
+        .distinct()
+      graft.ops.ClusterStore.append(s, storeDir, b, fired, batchId)
+      true
+    }
+  }
+
   /** Streaming maintenance of the persisted count-min sketch
     * ([[graft.ops.CmsSketch]]) — the frequency-statistics half of the
     * ingest loop: document batches land continuously, and each one

@@ -91,6 +91,43 @@ class StreamsSpec extends SparkSpec {
     assert(LshIndex.deltaIds(spark, idx) == Seq(0L, 1L, 2L))
   }
 
+  test("clusterBatch: incremental assignment equals full recompute; crash replay converges") {
+    import graft.ops.{ClusterStore, Components}
+    val root = tmpDir("graft_scluster_crash")
+    val (pairsDir, store) = (root + "/pairs", root + "/store")
+    // 9 nodes arriving by id % 3; edges chosen so batch 1 bridges two
+    // batch-0-era components and batch 2's node 2 becomes its merged
+    // component's NEW minimum (the relabel-everything case)
+    val edges = Seq((3L, 6L), (3L, 4L), (1L, 7L), (2L, 4L), (0L, 8L), (5L, 8L))
+    edges.toDF("id_a", "id_b").write.parquet(pairsDir)
+    val nodes = (0L until 9L).toDF("doc_id")
+
+    ClusterStore.buildEmpty(spark, store)
+    for (k <- 0 to 2)
+      assert(Streams.clusterBatch(nodes.filter(pmod($"doc_id", lit(3)) === k), k.toLong, pairsDir, store))
+    val got = ClusterStore.read(spark, store).as[(Long, Long)].collect().toSet
+    val full = Components.connectedComponents(
+        nodes.select($"doc_id".as("id")), edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == full, "incremental maintenance diverged from full recompute")
+    assert(got.find(_._1 == 3L).get._2 == 2L,
+      "batch-2 node 2 must have become component {2,3,4,6}'s new minimum")
+
+    // committed batch replayed → full no-op
+    assert(!Streams.clusterBatch(nodes.filter(pmod($"doc_id", lit(3)) === 2), 2L, pairsDir, store))
+
+    // crash between the snapshot write and the marker: version 2 never
+    // committed; the replay recomputes an IDENTICAL snapshot off the
+    // unchanged version 1
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/_DELTA_2"), false)
+    assert(ClusterStore.deltaIds(spark, store) == Seq(0L, 1L))
+    assert(Streams.clusterBatch(nodes.filter(pmod($"doc_id", lit(3)) === 2), 2L, pairsDir, store),
+      "replay must re-commit the crashed batch")
+    assert(ClusterStore.read(spark, store).as[(Long, Long)].collect().toSet == got,
+      "crash replay diverged from the committed state")
+  }
+
   test("dedupBatch crash protocol: replay after any partial state converges to the committed state") {
     import graft.ops.LshIndex
     val root = tmpDir("graft_sdedup_crash")

@@ -66,4 +66,34 @@ object CdcMerge {
     val touched = table.join(broadcast(batchKeys), keys, "left_semi")
     untouched.unionByName(upsert(touched, batch, keys, ord, opCol), allowMissingColumns = true)
   }
+
+  /** Collapse a PARTIAL-update CDC log — Hudi's partial-payload
+    * semantics (PartialUpdateAvroPayload /
+    * OverwriteNonDefaultsWithLatestAvroPayload): an update row carries
+    * ONLY the columns it sets, and a NULL value column means "keep the
+    * existing value", never "set to null". Per key, the row exists iff
+    * any op follows the last delete — a delete RESETS history, columns
+    * set before it must not leak through — and each value column
+    * independently takes its latest non-null setting among the
+    * post-delete ops.
+    *
+    * Scale design: ONE hash shuffle on the record key — the last-delete
+    * watermark is a window max over the same key partitioning the final
+    * aggregate groups on, and each column's pick is argmax-by-`ord` via
+    * struct max (exact, codegen'd, no UDF). Same single-exchange shape
+    * as [[snapshot]] at 100 TB.
+    */
+  def snapshotPartial(log: DataFrame, keys: Seq[String], ord: String,
+                      valueCols: Seq[String], opCol: String = "op"): DataFrame = {
+    val wK = Window.partitionBy(keys.map(col): _*)
+    val live = log
+      .withColumn("_dl",
+        max(when(col(opCol) <=> Envelope.OpDelete, col(ord))).over(wK))
+      .filter(col("_dl").isNull || col(ord) > col("_dl"))
+    val picks = valueCols.map(c =>
+      max(when(col(c).isNotNull, struct(col(ord), col(c))))
+        .getField(c).as(c))
+    live.groupBy(keys.map(col): _*)
+      .agg(max(col(ord)).as(s"last_$ord"), picks: _*)
+  }
 }

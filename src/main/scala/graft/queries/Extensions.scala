@@ -850,6 +850,56 @@ object Extensions {
           |       ELSE NULL END AS value2
           |FROM latest, mid ORDER BY id""".stripMargin)),
 
+    // PARTIAL-COLUMN UPDATE merge (U-family; Hudi's
+    // PartialUpdateAvroPayload, the DeltaStreamer payload for sources
+    // that emit changed-columns-only patches): update ops carry ONE of
+    // the two value columns (by lsn parity), NULL meaning "keep
+    // existing" — the merge picks each column's latest non-null
+    // setting independently, and a delete RESETS history (a later
+    // patch rebuilds from nothing; pre-delete columns must not leak —
+    // the case a naive latest-wins collapse gets wrong). One record-key
+    // exchange end to end: the last-delete watermark is a window max
+    // on the same key, the per-column picks are struct-max argmaxes.
+    GQuery(
+      "q_cdc_partial_update",
+      (s, dir) => {
+        val log = Tables.events(s, dir).select(
+          col("user_id").as("id"),
+          col("event_id").as("lsn"),
+          when(pmod(col("event_id"), lit(11)) === 0, "d")
+            .when(pmod(col("event_id"), lit(3)) === 0, "u")
+            .otherwise("c").as("op"),
+          when(pmod(col("event_id"), lit(11)) =!= 0 &&
+               pmod(col("event_id"), lit(3)) === 0 &&
+               pmod(col("event_id"), lit(2)) =!= 0, lit(null))
+            .otherwise(col("value")).as("value"),
+          when(pmod(col("event_id"), lit(11)) =!= 0 &&
+               pmod(col("event_id"), lit(3)) === 0 &&
+               pmod(col("event_id"), lit(2)) === 0, lit(null))
+            .otherwise(col("event_type")).as("etype"))
+        graft.cdc.CdcMerge.snapshotPartial(log, Seq("id"), "lsn",
+            Seq("value", "etype"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH log AS (
+             |  SELECT user_id AS id, event_id AS lsn,
+             |    CASE WHEN event_id % 11 = 0 THEN 'd'
+             |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+             |    CASE WHEN event_id % 11 <> 0 AND event_id % 3 = 0
+             |              AND event_id % 2 <> 0
+             |         THEN NULL ELSE value END AS value,
+             |    CASE WHEN event_id % 11 <> 0 AND event_id % 3 = 0
+             |              AND event_id % 2 = 0
+             |         THEN NULL ELSE event_type END AS etype
+             |  FROM events),
+             |ld AS (SELECT id, max(lsn) AS dl FROM log WHERE op = 'd' GROUP BY id),
+             |live AS (SELECT l.* FROM log l LEFT JOIN ld USING (id)
+             |         WHERE dl IS NULL OR l.lsn > dl)
+             |SELECT id, max(lsn) AS last_lsn,
+             |  arg_max(value, lsn) FILTER (WHERE value IS NOT NULL) AS value,
+             |  arg_max(etype, lsn) FILTER (WHERE etype IS NOT NULL) AS etype
+             |FROM live GROUP BY id ORDER BY id""".stripMargin)),
+
     // TIME TRAVEL through the same oracle gate: read the file-group
     // table AS OF the retained prior version (commit 1 of the 3-commit
     // lifecycle = log prefix lsn < 4n/5). The manifest makes the read
@@ -2160,6 +2210,84 @@ object Extensions {
              |          SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id)
              |SELECT id AS doc_id, min(lab) AS cluster_id
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    // STREAMING sequence-pattern matching — q_event_pattern's streaming
+    // twin (the Flink-CEP role next to stream_session_e2e's
+    // sessionization): per-user CLICK+ PURCHASE detection where an
+    // event folds into the automaton only once the watermark passes it
+    // (adjacency is an order property — same pending-buffer discipline
+    // as sessionize), matches append-only and final. Two event-time
+    // halves + the sentinel flush; the oracle is the BATCH islands SQL
+    // verbatim — the stream must be indistinguishable from batch
+    // MATCH_RECOGNIZE over the same corpus.
+    GQuery(
+      "stream_pattern_e2e",
+      (s, dir) => {
+        val sfKey = sfFingerprint(dir)
+        val root = cachedFixture(s"graft_spat_cache_v1_$sfKey") { root =>
+          val ev = Tables.events(s, dir)
+            .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          val Array(mn, mx) = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
+            .toSeq.map(_.asInstanceOf[java.sql.Timestamp]).toArray
+          val mid = new java.sql.Timestamp((mn.getTime + mx.getTime) / 2)
+          val src = root + "/src"
+          ev.filter(col("ts") < lit(mid)).coalesce(1).write.mode("append").parquet(src)
+          val q = graft.streaming.Streams.patternMatch(
+              s.readStream.schema(ev.schema).parquet(src))
+            .toDF()
+            .writeStream.format("parquet")
+            .option("path", root + "/out")
+            .option("checkpointLocation", root + "/ckpt")
+            .outputMode("append").start()
+          try {
+            q.processAllAvailable()
+            ev.filter(col("ts") >= lit(mid)).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            val sentinelTs = new java.sql.Timestamp(mx.getTime + 7200000L)
+            for (_ <- 1 to 2) {
+              s.range(1).select(
+                  lit(-1L).as("user_id"),
+                  lit(sentinelTs).as("ts"),
+                  lit(-1L).as("event_id"),
+                  lit("noop").as("event_type"))
+                .coalesce(1).write.mode("append").parquet(src)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+          dropSinkLog(root + "/out")
+        }
+        s.read.parquet(root + "/out")
+          .filter(col("key") >= 0)
+          .select(col("key").as("user_id"),
+            date_format(timestamp_micros(col("startUs")),
+              "yyyy-MM-dd HH:mm:ss.SSSSSS").as("match_start"),
+            date_format(timestamp_micros(col("purchaseUs")),
+              "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+            col("nClicks").as("n_clicks"))
+          .orderBy(col("user_id"), col("match_start"), col("purchase_ts"))
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS isl
+             |  FROM events),
+             |o AS (
+             |  SELECT user_id, ts, event_id, event_type, isl,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             |    lag(isl) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_isl
+             |  FROM r),
+             |islands AS (
+             |  SELECT user_id AS i_user, isl AS i_isl, count(*) AS n_clicks,
+             |    min(ts) AS start_ts
+             |  FROM o WHERE event_type = 'click' GROUP BY 1, 2)
+             |SELECT o.user_id,
+             |  strftime(islands.start_ts, '%Y-%m-%d %H:%M:%S.%f') AS match_start,
+             |  strftime(o.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+             |  n_clicks
+             |FROM o JOIN islands
+             |  ON o.user_id = i_user AND o.prev_isl = i_isl
+             |WHERE o.event_type = 'purchase' AND o.prev_type = 'click'
+             |ORDER BY o.user_id, match_start, purchase_ts""".stripMargin)),
 
     // Embedding-cosine near-dup pairs, candidate-limited to
     // random-hyperplane sign-LSH buckets (Charikar SimHash — bit i =

@@ -2456,6 +2456,73 @@ object Relational {
              |GROUP BY lower(pri)
              |ORDER BY priority""".stripMargin)),
 
+    // Spark 4 RECURSIVE CTE (SPARK-24497, landed in 4.0) — iterative
+    // computation declared IN SQL: a hierarchy walk over the implicit
+    // customer forest (parent = key div 10), descending from the root
+    // and aggregating per depth. The engine executes the recursion as
+    // repeated joins of the frontier against the base relation — each
+    // level is ONE distributed join whose frontier is level-sized, and
+    // the DEPTH (≈ log10 of keys) is independent of corpus size: at
+    // 100 TB the recursion is ~8 rounds of narrow joins, not a deep
+    // sequential chain. The oracle runs the same WITH RECURSIVE in
+    // DuckDB (`div` ↔ `//` is the only dialect delta).
+    GQuery(
+      "q_recursive_cte",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("gq_rec_customer")
+        s.sql(
+          """WITH RECURSIVE walk(k, depth) AS (
+            |  SELECT CAST(0 AS BIGINT), 0
+            |  UNION ALL
+            |  SELECT c.c_custkey, w.depth + 1
+            |  FROM gq_rec_customer c JOIN walk w ON c.c_custkey div 10 = w.k
+            |  WHERE c.c_custkey > 0)
+            |SELECT w.depth, count(*) AS n,
+            |  round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS bal
+            |FROM walk w JOIN gq_rec_customer c ON c.c_custkey = w.k
+            |GROUP BY w.depth ORDER BY w.depth""".stripMargin)
+      },
+      Some("""WITH RECURSIVE walk(k, depth) AS (
+             |  SELECT CAST(0 AS BIGINT), 0
+             |  UNION ALL
+             |  SELECT c.c_custkey, w.depth + 1
+             |  FROM customer c JOIN walk w ON c.c_custkey // 10 = w.k
+             |  WHERE c.c_custkey > 0)
+             |SELECT w.depth, count(*) AS n,
+             |  round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(19,4))) AS DOUBLE), 4) AS bal
+             |FROM walk w JOIN customer c ON c.c_custkey = w.k
+             |GROUP BY w.depth ORDER BY w.depth""".stripMargin)),
+
+    // Correlated LATERAL join (Spark 4 `JOIN LATERAL`) — the top-N-per-
+    // group pattern written the declarative way: for each customer, the
+    // lateral subquery picks their 2 highest-value orders. Catalyst
+    // DECORRELATES the per-row LIMIT into WindowGroupLimit (map-side
+    // top-k partials BEFORE the exchange, then the rank filter) + one
+    // hash join — never a nested loop over customers × orders, which is
+    // what a naive lateral executor would do and what the plan pin in
+    // QueriesSpec rules out. At 100 TB: one orders exchange carrying
+    // ≤ 2 rows per customer out of the group limit, one broadcast of
+    // the customer keys.
+    GQuery(
+      "q_join_lateral",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("gq_lat_customer")
+        Tables.orders(s, dir).createOrReplaceTempView("gq_lat_orders")
+        s.sql(
+          """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+            |FROM gq_lat_customer c JOIN LATERAL (
+            |  SELECT o_orderkey, o_totalprice FROM gq_lat_orders
+            |  WHERE o_custkey = c.c_custkey
+            |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+            |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+             |FROM customer c CROSS JOIN LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM orders
+             |  WHERE o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+             |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)),
+
     // CORRELATION / REGRESSION profiling (the Deequ Correlation
     // analyzer + the SQL regr_slope/regr_intercept surface) — per-group
     // Pearson r and the least-squares line from ONE aggregate pass of

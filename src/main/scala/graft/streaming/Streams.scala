@@ -679,4 +679,81 @@ object Streams {
       .transformWithState(new SessionProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** One emitted CEP match: the maximal consecutive-click run (size +
+    * start) immediately preceding a purchase — q_event_pattern's match
+    * row, streaming-side. */
+  case class PatternMatch(key: Long, startUs: Long, purchaseUs: Long, nClicks: Long)
+
+  /** Per-key CEP state: the pending buffer (events the watermark has
+    * not passed yet, so earlier events may still arrive) plus the
+    * pattern automaton — the previous event's type and the current
+    * click-run (start, length). Pending is bounded by the watermark
+    * delay; the automaton is O(1) and persists for the key's lifetime
+    * (adjacency spans arbitrary quiet gaps, unlike a session's
+    * inactivity horizon). */
+  case class PatBufState(pending: Seq[(Long, Long, String)],
+                         prevType: String, runStartUs: Long, runN: Long)
+
+  /** The one CEP fold (shared with the spec): in-watermark events join
+    * the pending buffer, everything at/below the watermark folds in
+    * event-time order (event_id breaks ts ties — the batch query's
+    * total order) through the CLICK+ PURCHASE automaton; a purchase
+    * whose previous folded event was a click emits a match. Returns
+    * (matches, next state, wake-up ms for the event-time timer — None
+    * when nothing is pending). */
+  private[streaming] def foldPattern(key: Long, prev: PatBufState,
+      incoming: Seq[(Long, Long, String)], wmUs: Long)
+    : (Seq[PatternMatch], PatBufState, Option[Long]) = {
+    // ts == wm is NOT late (the wm was derived from that event's own
+    // batch); ts < wm is
+    val inWm = incoming.filter(_._1 >= wmUs)
+    val (ready, still) = (prev.pending ++ inWm).partition(_._1 <= wmUs)
+    val out = scala.collection.mutable.ArrayBuffer.empty[PatternMatch]
+    var (pt, rs, rn) = (prev.prevType, prev.runStartUs, prev.runN)
+    for ((u, _, t) <- ready.sortBy(e => (e._1, e._2))) {
+      if (t == "click") {
+        if (pt == "click") rn += 1L else { rs = u; rn = 1L }
+      } else if (t == "purchase" && pt == "click")
+        out += PatternMatch(key, rs, u, rn)
+      pt = t
+    }
+    (out.toSeq, PatBufState(still, pt, rs, rn), still.map(_._1 / 1000L).minOption)
+  }
+
+  /** Streaming sequence-pattern matching (the Flink-CEP / warehouse
+    * MATCH_RECOGNIZE role) via flatMapGroupsWithState, EXACTLY matching
+    * batch q_event_pattern for any arrival order within the watermark:
+    * adjacency is an event-time-order property, so an event folds into
+    * the automaton only once the watermark passes it — until then it
+    * waits in the per-key pending buffer (same discipline as
+    * [[sessionize]]). Matches are final on emission (append mode, no
+    * retraction). The automaton is O(1) per key and persists — a
+    * pattern can straddle any quiet gap — while the pending buffer is
+    * bounded by the watermark delay; state size is keys × O(1), the
+    * floor for adjacency-sensitive CEP.
+    *
+    * Input needs columns (user_id long, ts timestamp, event_id long,
+    * event_type string). */
+  def patternMatch(events: DataFrame, delay: String = "10 minutes"): Dataset[PatternMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      // the watermarked ts column must reach the stateful operator
+      // unchanged — projecting it away disables event-time timeouts
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PatBufState, PatternMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[PatBufState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(PatBufState(Nil, "", 0L, 0L))
+          val incoming = rows.map { case (_, t, eid, tp) => (toUs(t), eid, tp) }.toSeq
+          val (matches, next, wake) = foldPattern(key, prev, incoming, wmMs * 1000L)
+          state.update(next)
+          wake.foreach(w => state.setTimeoutTimestamp(math.max(w, wmMs + 1L)))
+          matches.iterator
+      }
+  }
 }

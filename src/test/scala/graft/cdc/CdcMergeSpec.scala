@@ -178,4 +178,27 @@ class CdcMergeSpec extends SparkSpec {
     val s = CdcMerge.snapshot(log, Seq("id"), Seq("lsn"))
     assert(s.select("salary").as[Int].collect().toSeq == Seq(7))
   }
+
+  test("snapshotPartial: per-column latest non-null; delete resets history") {
+    val log = Seq(
+      // key 1: insert both, patch value only, patch etype only
+      (1L, 10L, "c", Some(1.0), Some("a")),
+      (1L, 20L, "u", Some(2.0), None),
+      (1L, 30L, "u", None, Some("b")),
+      // key 2: insert, DELETE, then a value-only patch — the etype set
+      // before the delete must NOT leak into the revived row
+      (2L, 10L, "c", Some(9.0), Some("x")),
+      (2L, 20L, "d", None, None),
+      (2L, 30L, "u", Some(7.0), None),
+      // key 3: insert then delete — gone entirely
+      (3L, 10L, "c", Some(5.0), Some("z")),
+      (3L, 20L, "d", None, None)
+    ).toDF("id", "lsn", "op", "value", "etype")
+    val got = CdcMerge.snapshotPartial(log, Seq("id"), "lsn", Seq("value", "etype"))
+      .orderBy($"id")
+      .as[(Long, Long, Option[Double], Option[String])].collect().toSeq
+    assert(got == Seq(
+      (1L, 30L, Some(2.0), Some("b")),
+      (2L, 30L, Some(7.0), None)))
+  }
 }

@@ -66,6 +66,12 @@ class QueriesSpec extends SparkSpec {
     assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 1, p)
   }
 
+  test("q_join_lateral: decorrelated to WindowGroupLimit + hash join, no nested loop") {
+    val p = plan("q_join_lateral")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q_sort_limit: TakeOrderedAndProject, zero exchanges") {
     val p = plan("q_sort_limit")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -269,6 +269,52 @@ class StreamsSpec extends SparkSpec {
     * MemoryStream in three time-ordered micro-batches, so sessions
     * split both WITHIN a batch (the sort+fold path) and ACROSS batches
     * (the state-timeout path). */
+  test("patternMatch == one-pass CLICK+ PURCHASE fold on the events table") {
+    implicit val sc = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    def us(t: Timestamp): Long = (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    val fixture = graft.tables.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, Timestamp, Long, String)].collect()
+    // reference: per user in total (µs, event_id) order, one clean pass
+    // of the automaton — the streaming op must match it regardless of
+    // how arrival is sliced across micro-batches
+    val expected = fixture.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var (pt, rs, rn) = ("", 0L, 0L)
+      for ((_, t, eid, tp) <- rows.sortBy(r => (us(r._2), r._3))) {
+        val tu = us(t)
+        if (tp == "click") { if (pt == "click") rn += 1L else { rs = tu; rn = 1L } }
+        else if (tp == "purchase" && pt == "click") out += ((u, rs, tu, rn))
+        pt = tp
+      }
+      out
+    }.sortBy(r => (r._1, r._2, r._3)).toList
+
+    val sorted = fixture.sortBy(r => us(r._2))
+    val slices = sorted.grouped(math.max(1, sorted.length / 3 + 1)).toList
+    val lastMs = sorted.last._2.getTime
+
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val pat = Streams.patternMatch(
+      in.toDF().toDF("user_id", "ts", "event_id", "event_type"), delay = "0 seconds")
+    val q = pat.writeStream.format("memory").queryName("pat_eq")
+      .outputMode("append").start()
+    try {
+      slices.foreach { s => in.addData(s.toSeq); q.processAllAvailable() }
+      // sentinel rounds flush the pending buffer past the last event
+      in.addData((-1L, new Timestamp(lastMs + 3600000L), -1L, "noop"))
+      q.processAllAvailable()
+      in.addData((-1L, new Timestamp(lastMs + 7200000L), -1L, "noop"))
+      q.processAllAvailable()
+      val streamed = spark.table("pat_eq").as[Streams.PatternMatch].collect()
+        .filter(_.key >= 0).map(r => (r.key, r.startUs, r.purchaseUs, r.nClicks))
+        .sortBy(r => (r._1, r._2, r._3)).toList
+      assert(streamed == expected,
+        s"streamed ${streamed.length} matches vs expected ${expected.length}")
+    } finally q.stop()
+  }
+
   test("sessionize == batch q_win_session sessions on the events table") {
     import org.apache.spark.sql.expressions.Window
     implicit val sc = spark.sqlContext

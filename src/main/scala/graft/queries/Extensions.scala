@@ -3381,6 +3381,45 @@ object Extensions {
     // search-engine shape (tf-idf ranks a doc's own terms; this ranks
     // DOCS for a query). The query is data-derived deterministically
     // (top-3 corpus terms by document frequency, ties by term) so the
+    // EXACT PHRASE SEARCH — the retrieval mode BM25's bag-of-words
+    // scoring can't express (term adjacency): a document matches a
+    // k-word phrase iff the phrase appears among its k-gram shingles,
+    // so phrase stats reduce to the SAME codegen'd shingle machinery
+    // the dedup family runs — no positional index needed while phrase
+    // length is known at plan time. Both lengths' shingles come from
+    // ONE corpus pass (2- and 3-grams concatenated per doc before the
+    // generate); explode_outer + filter keeps the generator predicate
+    // OUT of the scan (the ngramPairCounts pushdown-recompute lesson);
+    // the phrase-set filter drops everything but matching n-grams
+    // BEFORE the one tiny phrase-key shuffle. n_occ counts occurrences
+    // (non-distinct shingles), n_docs distinct documents.
+    GQuery(
+      "q_text_phrase",
+      (s, dir) => {
+        val phrases = Seq("table hash", "part filter", "data batch scan")
+        fanout(Tables.documents(s, dir))
+          .withColumn("toks", Text.tokens(col("text")))
+          .withColumn("sh", concat(Text.shingles(col("toks"), 2),
+            Text.shingles(col("toks"), 3)))
+          .select(col("doc_id"), explode_outer(col("sh")).as("p"))
+          .filter(col("p").isin(phrases: _*))
+          .groupBy(col("p").as("phrase"))
+          .agg(count(lit(1)).as("n_occ"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("phrase"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |g AS (SELECT doc_id, unnest(list_concat(
+             |    list_transform(range(1, len(toks)),
+             |      i -> concat_ws(' ', toks[i], toks[i+1])),
+             |    list_transform(range(1, len(toks) - 1),
+             |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS p
+             |  FROM t)
+             |SELECT p AS phrase, count(*) AS n_occ,
+             |  count(DISTINCT doc_id) AS n_docs
+             |FROM g WHERE p IN ('table hash', 'part filter', 'data batch scan')
+             |GROUP BY p ORDER BY phrase""".stripMargin)),
+
     // oracle can reproduce it. The idf core is the same log-free
     // rational as q_tfidf; the per-term scores are summed through an
     // explicit SORTED left fold (sort_array → aggregate /list_sort →

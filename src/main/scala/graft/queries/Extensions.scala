@@ -3381,6 +3381,98 @@ object Extensions {
     // search-engine shape (tf-idf ranks a doc's own terms; this ranks
     // DOCS for a query). The query is data-derived deterministically
     // (top-3 corpus terms by document frequency, ties by term) so the
+    // THE CURATION FUNNEL AS ONE QUERY — the LLM-data pipeline's
+    // stages (quality gate → exact dedup → near-dup dedup → token
+    // budget) COMPOSED end-to-end, per language: every stage is an
+    // operator the suite already oracles in isolation (q_quality_score,
+    // q_dedup_exact, q_dedup_ngram, q_token_count, q_shard_pack), and
+    // this query pins that they compose — the near-dup pair predicate
+    // is evaluated over the exact-dedup SURVIVORS (a pairwise property,
+    // so the full-corpus pair set filters down by membership), the drop
+    // rule is the deterministic keep-lowest-id, and the shard count is
+    // the packed token budget of what remains. Two corpus passes total
+    // (the score pass, cached for its four per-stage aggregates, and
+    // the shingle pass the pair pipeline owns); everything downstream
+    // is survivor- or language-sized.
+    GQuery(
+      "q_pipeline_curate",
+      (s, dir) => {
+        val enStops = Text.langProfiles.toMap.apply("en")
+        val toks = Text.tokens(col("text"))
+        def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+        val base = Tables.documents(s, dir)
+          .withColumn("n_tokens", size(toks))
+          .withColumn("n_stop", Text.langScore(toks, enStops))
+          .withColumn("n_punct", size(expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)")))
+          .withColumn("quality", r4(
+            least(lit(1.0), col("n_chars").cast("double") / 400) * 0.4
+              + (col("n_stop").cast("double") / col("n_tokens")) * 0.4
+              + (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.2))
+          .withColumn("fp", md5(col("text")))
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"), col("fp"))
+          .cache()
+        val qual = base.filter(col("quality") >= 0.5)
+        val exact = qual
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+          .filter(col("rk") === 1).drop("rk")
+        val exIds = exact.select(col("doc_id"))
+        val survPairs = ngramPairs(s, dir).select(col("id_a"), col("id_b"))
+          .join(exIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+          .join(exIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+        val fin = exact.join(survPairs.select(col("id_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        val a0 = base.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
+        val a1 = qual.groupBy(col("lang")).agg(count(lit(1)).as("n_quality"))
+        val a2 = exact.groupBy(col("lang")).agg(count(lit(1)).as("n_exact"))
+        val a3 = fin.groupBy(col("lang")).agg(count(lit(1)).as("n_final"),
+          sum(col("n_tokens")).as("tokens_final"))
+        a0.join(a1, Seq("lang"), "left").join(a2, Seq("lang"), "left")
+          .join(a3, Seq("lang"), "left")
+          .select(col("lang"), col("n_in"),
+            coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            coalesce(col("n_final"), lit(0L)).as("n_final"),
+            coalesce(col("tokens_final"), lit(0L)).as("tokens_final"),
+            expr("(coalesce(tokens_final, 0L) + 4095) div 4096").as("n_shards"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH $ngramPairSql,
+             |base AS (
+             |  SELECT doc_id, lang, n_tokens,
+             |    floor((least(1.0, n_chars::DOUBLE / 400) * 0.4
+             |          + (n_stop::DOUBLE / n_tokens) * 0.4
+             |          + (1.0 - n_punct::DOUBLE / n_chars) * 0.2) * 10000 + 0.5) / 10000 AS quality,
+             |    md5(text) AS fp
+             |  FROM (SELECT doc_id, lang, text, n_chars,
+             |          len(string_split(text, ' ')) AS n_tokens,
+             |          len(list_filter(string_split(text, ' '),
+             |                t -> list_contains(['the','a','of','and','is'], t))) AS n_stop,
+             |          len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct
+             |        FROM documents) z),
+             |qual AS (SELECT * FROM base WHERE quality >= 0.5),
+             |ex AS (SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+             |    FROM qual) y WHERE rk = 1),
+             |sp AS (SELECT id_a, id_b FROM pairs
+             |       WHERE id_a IN (SELECT doc_id FROM ex)
+             |         AND id_b IN (SELECT doc_id FROM ex)),
+             |fin AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT id_b FROM sp)),
+             |a0 AS (SELECT lang, count(*) AS n_in FROM base GROUP BY 1),
+             |a1 AS (SELECT lang, count(*) AS n_quality FROM qual GROUP BY 1),
+             |a2 AS (SELECT lang, count(*) AS n_exact FROM ex GROUP BY 1),
+             |a3 AS (SELECT lang, count(*) AS n_final, sum(n_tokens)::BIGINT AS tokens_final
+             |       FROM fin GROUP BY 1)
+             |SELECT a0.lang, n_in,
+             |  coalesce(n_quality, 0)::BIGINT AS n_quality,
+             |  coalesce(n_exact, 0)::BIGINT AS n_exact,
+             |  coalesce(n_final, 0)::BIGINT AS n_final,
+             |  coalesce(tokens_final, 0)::BIGINT AS tokens_final,
+             |  ((coalesce(tokens_final, 0) + 4095) // 4096)::BIGINT AS n_shards
+             |FROM a0 LEFT JOIN a1 USING (lang) LEFT JOIN a2 USING (lang)
+             |  LEFT JOIN a3 USING (lang)
+             |ORDER BY a0.lang""".stripMargin)),
+
     // EXACT PHRASE SEARCH — the retrieval mode BM25's bag-of-words
     // scoring can't express (term adjacency): a document matches a
     // k-word phrase iff the phrase appears among its k-gram shingles,

@@ -2523,6 +2523,103 @@ object Relational {
              |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
              |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)),
 
+    // Spark 4 SQL SCRIPTING (SPARK-48338): procedural control flow —
+    // DECLARE / WHILE / SET compound statements — executed ENGINE-side
+    // with each iteration's statement planned by Catalyst as usual (the
+    // script is orchestration, the work stays distributed; the loop
+    // count here is a fixed stratum constant, never data-sized). The
+    // script accumulates residue-weighted counts over five strata; the
+    // oracle computes the same total in one declarative pass — scripted
+    // iteration must agree with the set-based form.
+    GQuery(
+      "q_sql_script",
+      (s, dir) => {
+        s.conf.set("spark.sql.scripting.enabled", "true")
+        Tables.events(s, dir).createOrReplaceTempView("gq_script_events")
+        s.sql(
+          """BEGIN
+            |  DECLARE k INT DEFAULT 0;
+            |  DECLARE acc BIGINT DEFAULT 0;
+            |  WHILE k < 5 DO
+            |    SET acc = acc + (k + 1) * (SELECT count(*)
+            |      FROM gq_script_events WHERE user_id % 5 = k);
+            |    SET k = k + 1;
+            |  END WHILE;
+            |  SELECT 5 AS n_strata, acc AS weighted_total;
+            |END""".stripMargin)
+      },
+      Some("""SELECT 5 AS n_strata,
+             |  sum(user_id % 5 + 1)::BIGINT AS weighted_total
+             |FROM events""".stripMargin)),
+
+    // Time-INTERVAL range frame — the window surface q_win_range_frame
+    // (numeric RANGE) doesn't cover: a trailing 3-hour frame over the
+    // hourly series, where frame membership is event-TIME distance, not
+    // row adjacency (a gap hour shrinks the frame; ROWS BETWEEN 3
+    // PRECEDING would silently bridge it — the monitoring-window bug).
+    // Runs on the hourly AGGREGATE (grid-sized), so the corpus is
+    // scanned once into the group-by and the interval frame never sees
+    // raw events; one event_type×hour exchange shared by the agg and
+    // the window.
+    GQuery(
+      "q_win_range_interval",
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("gq_rint_events")
+        s.sql(
+          """SELECT event_type, date_format(h, 'yyyy-MM-dd HH:mm:ss') AS hour,
+            |  n, n3h,
+            |  round(CAST(v3h AS DOUBLE), 4) AS v3h
+            |FROM (
+            |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
+            |    sum(count(*)) OVER w AS n3h,
+            |    sum(sum(CAST(value AS DECIMAL(18,4)))) OVER w AS v3h
+            |  FROM gq_rint_events
+            |  GROUP BY 1, 2
+            |  WINDOW w AS (PARTITION BY event_type ORDER BY date_trunc('hour', ts)
+            |    RANGE BETWEEN INTERVAL 3 HOURS PRECEDING AND CURRENT ROW))
+            |ORDER BY event_type, hour""".stripMargin)
+      },
+      Some("""SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+             |  n, n3h::BIGINT AS n3h,
+             |  round(CAST(v3h AS DOUBLE), 4) AS v3h
+             |FROM (
+             |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
+             |    sum(count(*)) OVER w AS n3h,
+             |    sum(sum(CAST(value AS DECIMAL(18,4)))) OVER w AS v3h
+             |  FROM events
+             |  GROUP BY 1, 2
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY date_trunc('hour', ts)
+             |    RANGE BETWEEN INTERVAL 3 HOURS PRECEDING AND CURRENT ROW)) z
+             |ORDER BY event_type, hour""".stripMargin)),
+
+    // EQUI-WIDTH HISTOGRAM (the Deequ Histogram analyzer / the
+    // optimizer-statistics building block): o_totalprice bucketed into
+    // 20 fixed-width bins over a declared [0, 600000) domain, with the
+    // overflow clamp into the last bin (the rule every histogram build
+    // needs pinned — silently dropping out-of-domain rows corrupts
+    // selectivity estimates). Bucketing is integer floor arithmetic on
+    // the DECIMAL view (portable bit-for-bit; width_bucket's edge rules
+    // differ across engines, so the explicit floor IS the spec), and
+    // the whole histogram is one scan + one 20-key aggregate with
+    // map-side partials — the cheapest possible shape at any scale.
+    GQuery(
+      "q_agg_histogram",
+      (s, dir) => {
+        val w = 30000
+        val bkt = least(floor(dec(col("o_totalprice")) / w), lit(19)).cast("int")
+        Tables.orders(s, dir)
+          .groupBy(bkt.as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            dround(min(dec(col("o_totalprice")))).as("lo"),
+            dround(max(dec(col("o_totalprice")))).as("hi"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT CAST(least(floor(CAST(o_totalprice AS DECIMAL(18,4)) / 30000), 19) AS INT) AS bucket,
+             |  count(*) AS n,
+             |  round(CAST(min(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS lo,
+             |  round(CAST(max(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS hi
+             |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // CORRELATION / REGRESSION profiling (the Deequ Correlation
     // analyzer + the SQL regr_slope/regr_intercept surface) — per-group
     // Pearson r and the least-squares line from ONE aggregate pass of

@@ -4571,6 +4571,36 @@ object Extensions {
              |FROM documents CROSS JOIN range(0, 4) r(i)
              |ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // PER-FRAME ENERGY through the value gate — the fourth multimodal
+    // pipeline stage (decode → resize → frame-sample → now a per-frame
+    // REDUCE): each 4-byte frame folds to the sum of its byte values,
+    // the audio-energy / brightness-mean shape every media pipeline
+    // runs after chunking. All-integer, pure codegen'd expressions
+    // (hex-pair parse + 4 unrolled adds — no UDF, no shuffle before
+    // the presentation sort); the md5-derived payload makes every
+    // frame's bytes — and therefore the fold — exactly replayable in
+    // the oracle.
+    GQuery(
+      "q_multimodal_energy",
+      (s, dir) => {
+        val df = graft.ops.Multimodal.attach(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        val hexCol = lower(hex(col("frame")))
+        val energy = (0 until 4).map(k =>
+          conv(substring(hexCol, k * 2 + 1, 2), 16, 10).cast("int")).reduce(_ + _)
+        graft.ops.Multimodal.frameSample(df, frameBytes = 4)
+          .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+            energy.as("energy"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""SELECT doc_id, i::INT AS frame_idx,
+             |  (('0x' || substr(md5(text), i * 8 + 1, 2))::INT
+             |   + ('0x' || substr(md5(text), i * 8 + 3, 2))::INT
+             |   + ('0x' || substr(md5(text), i * 8 + 5, 2))::INT
+             |   + ('0x' || substr(md5(text), i * 8 + 7, 2))::INT) AS energy
+             |FROM documents CROSS JOIN range(0, 4) r(i)
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // RESIZE through the value gate — the third multimodal pipeline
     // stage next to decode and frame-sample: metadata struct rewritten
     // in place to the target dimensions, payload column replaced by the

@@ -2592,6 +2592,29 @@ object Relational {
              |    RANGE BETWEEN INTERVAL 3 HOURS PRECEDING AND CURRENT ROW)) z
              |ORDER BY event_type, hour""".stripMargin)),
 
+    // Boolean-aggregate surface (count_if / bool_and / bool_or — the
+    // assertion aggregates data-quality rules compile to): conditional
+    // count without a CASE scaffold, universal and existential column
+    // claims per group. All three are plain partial-aggregable
+    // functions — one scan, one exchange, map-side combine; the oracle
+    // spells count_if as the CASE sum (engine-neutral) and keeps the
+    // bool aggregates verbatim.
+    GQuery(
+      "q_agg_bool",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(expr("count_if(l_quantity > 45)").as("n_heavy"),
+            expr("bool_and(l_quantity > 0)").as("all_pos"),
+            expr("bool_or(l_discount > 0.09)").as("any_deep_disc"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)::BIGINT AS n_heavy,
+             |  bool_and(l_quantity > 0) AS all_pos,
+             |  bool_or(l_discount > 0.09) AS any_deep_disc
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
     // EQUI-WIDTH HISTOGRAM (the Deequ Histogram analyzer / the
     // optimizer-statistics building block): o_totalprice bucketed into
     // 20 fixed-width bins over a declared [0, 600000) domain, with the

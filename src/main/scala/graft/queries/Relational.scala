@@ -2592,6 +2592,53 @@ object Relational {
              |    RANGE BETWEEN INTERVAL 3 HOURS PRECEDING AND CURRENT ROW)) z
              |ORDER BY event_type, hour""".stripMargin)),
 
+    // IGNORE NULLS navigation (lag / last_value / first_value /
+    // nth_value with null skipping — SQL:2016 <null treatment>): the
+    // carry-forward-last-SIGNIFICANT-reading shape. A CASE gate nulls
+    // out small orders, then per customer in (date, orderkey) order:
+    // the most recent big order so far (last_value IGNORE NULLS — the
+    // LOCF primitive q_ts_fill builds on, here as declared SQL
+    // surface), the PREVIOUS big order excluding self (lag IGNORE
+    // NULLS — respects-nulls lag would return NULL whenever the
+    // physically-previous row is small), and the first/second big
+    // orders in history (first_value / nth_value 2). One narrow
+    // window over a high-cardinality customer partition — no
+    // degenerate partition at any scale; the pushed o_custkey
+    // predicate bounds the output.
+    GQuery(
+      "q_win_ignore_nulls",
+      (s, dir) => {
+        val big = when(dec(col("o_totalprice")) > 150000, dec(col("o_totalprice")))
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, dir)
+          .filter(col("o_custkey") <= 500)
+          .withColumn("big", big)
+          .select(col("o_custkey"), col("o_orderkey"),
+            dround(last(col("big"), ignoreNulls = true).over(cum)).as("last_big"),
+            dround(lag(col("big"), 1, null, ignoreNulls = true).over(w)).as("prev_big"),
+            dround(first(col("big"), ignoreNulls = true).over(cum)).as("first_big"),
+            dround(nth_value(col("big"), 2, ignoreNulls = true).over(cum)).as("second_big"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""WITH g AS (
+             |  SELECT o_custkey, o_orderkey, o_orderdate,
+             |    CASE WHEN o_totalprice > 150000 THEN o_totalprice::DECIMAL(18,4) END AS big
+             |  FROM orders WHERE o_custkey <= 500)
+             |SELECT o_custkey, o_orderkey,
+             |  round(CAST(last_value(big IGNORE NULLS) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS last_big,
+             |  round(CAST(lag(big, 1 IGNORE NULLS) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey) AS DOUBLE), 4) AS prev_big,
+             |  round(CAST(first_value(big IGNORE NULLS) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS first_big,
+             |  round(CAST(nth_value(big, 2 IGNORE NULLS) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS second_big
+             |FROM g ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // Boolean-aggregate surface (count_if / bool_and / bool_or — the
     // assertion aggregates data-quality rules compile to): conditional
     // count without a CASE scaffold, universal and existential column
@@ -2614,6 +2661,139 @@ object Relational {
              |  bool_and(l_quantity > 0) AS all_pos,
              |  bool_or(l_discount > 0.09) AS any_deep_disc
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // ARGMAX surface (max_by / min_by — SQL:2023 "greatest row by"):
+    // the who-not-how-much aggregate every leaderboard and
+    // latest-record query compiles to, without the self-join or window
+    // detour. Determinism is the spec here: max_by on a tied ordering
+    // key is engine-arbitrary, so the ordering key PACKS the tiebreak
+    // into one exact integer — balance cents × 1e8 + custkey (both
+    // engines compute it bit-identically from the DECIMAL view). Plain
+    // partial-aggregable pair-carrying aggregates: one scan, one
+    // exchange, map-side combine, one 25-row result.
+    GQuery(
+      "q_agg_argmax",
+      (s, dir) => {
+        val ordKey = (dec(col("c_acctbal")) * 100).cast("long") * lit(100000000L) + col("c_custkey")
+        Tables.customer(s, dir)
+          .groupBy(col("c_nationkey"))
+          .agg(
+            max_by(col("c_name"), ordKey).as("richest"),
+            min_by(col("c_name"), ordKey).as("poorest"),
+            dround(max(dec(col("c_acctbal")))).as("max_bal"),
+            dround(min(dec(col("c_acctbal")))).as("min_bal"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""SELECT c_nationkey,
+             |  arg_max(c_name, (c_acctbal::DECIMAL(18,4) * 100)::BIGINT * 100000000 + c_custkey) AS richest,
+             |  arg_min(c_name, (c_acctbal::DECIMAL(18,4) * 100)::BIGINT * 100000000 + c_custkey) AS poorest,
+             |  round(CAST(max(c_acctbal::DECIMAL(18,4)) AS DOUBLE), 4) AS max_bal,
+             |  round(CAST(min(c_acctbal::DECIMAL(18,4)) AS DOUBLE), 4) AS min_bal
+             |FROM customer GROUP BY 1 ORDER BY c_nationkey""".stripMargin)),
+
+    // BITWISE aggregates (bit_and / bit_or / bit_xor + a bit_count
+    // fold) — the flag-mask collapse: "which permission bits hold
+    // across the whole group" (bit_and), "which capabilities appear
+    // anywhere" (bit_or), and the xor parity/checksum fold that
+    // incremental-maintenance schemes use (xor is its own inverse, so
+    // a retracted row xors back out). All four are commutative,
+    // associative single-word partials — each partition collapses to
+    // one 32-byte row per group before the exchange.
+    GQuery(
+      "q_agg_bitwise",
+      (s, dir) => {
+        val key = col("l_orderkey").cast("long")
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_linestatus"))
+          .agg(
+            bit_and(key).as("key_and"),
+            bit_or(key).as("key_or"),
+            bit_xor(key).as("key_xor"),
+            sum(bit_count(key).cast("long")).as("popcount"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""SELECT l_linestatus,
+             |  bit_and(l_orderkey::BIGINT) AS key_and,
+             |  bit_or(l_orderkey::BIGINT) AS key_or,
+             |  bit_xor(l_orderkey::BIGINT) AS key_xor,
+             |  sum(bit_count(l_orderkey::BIGINT))::BIGINT AS popcount
+             |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin)),
+
+    // TYPED-AGGREGATOR top-k (functions/TopKAgg.scala — the
+    // Dataset-typed custom-aggregation surface, registered through
+    // functions.udaf): exact per-group top-3 lineitems by price. The
+    // point vs the rank-window formulation (q_topk): a window must
+    // shuffle EVERY row to its group's partition before ranking;
+    // WindowGroupLimit recovers map-side partials only for the exact
+    // row_number-filter shape. As an Aggregator the cut is partial by
+    // construction — each partition folds to a ≤3-entry sorted buffer
+    // per group (ObjectHashAggregate partial → merge), so the exchange
+    // carries groups × k entries per partition whatever the row count.
+    // Determinism: the ordering key packs price cents × 1e8 + orderkey
+    // (exact integers both engines reproduce); duplicate rows tie to
+    // identical output either side of the cut.
+    GQuery(
+      "q_agg_topk_typed",
+      (s, dir) => {
+        val topk = udaf(new graft.functions.TopKAgg(3),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.TopKEntry]())
+        val cents = (dec(col("l_extendedprice")) * 100).cast("long")
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"),
+            (cents * lit(100000000L) + col("l_orderkey")).as("ord"),
+            col("l_orderkey").cast("long").as("id"))
+          .groupBy(col("l_returnflag"))
+          .agg(topk(col("ord"), col("id")).as("top"))
+          .select(col("l_returnflag"), posexplode(col("top")))
+          .select(col("l_returnflag"), (col("pos") + 1).cast("int").as("rk"),
+            col("col.id").as("l_orderkey"),
+            ((col("col.ord") - col("col.id")) / lit(100000000L)).cast("long").as("price_cents"))
+          .orderBy(col("l_returnflag"), col("rk"))
+      },
+      Some("""SELECT l_returnflag, rk::INT AS rk, l_orderkey, price_cents FROM (
+             |  SELECT l_returnflag, l_orderkey::BIGINT AS l_orderkey,
+             |    (l_extendedprice::DECIMAL(18,4) * 100)::BIGINT AS price_cents,
+             |    row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY (l_extendedprice::DECIMAL(18,4) * 100)::BIGINT * 100000000 + l_orderkey DESC) AS rk
+             |  FROM lineitem) z
+             |WHERE rk <= 3 ORDER BY l_returnflag, rk""".stripMargin)),
+
+    // OBSERVED METRICS (Dataset.observe / the CollectMetrics logical
+    // node + the batch Observation handle): data-quality metrics
+    // collected as a SIDE-EFFECT of the pass the pipeline was already
+    // running — an AggregatingAccumulator rides each task, so row
+    // counts, violation counts and exact control totals cost ZERO
+    // extra scans, shuffles, or actions (the Deequ/audit-log
+    // alternative re-reads the table once per metric set; at 100 TB
+    // that is the whole difference). The query gates lineitem through
+    // a discount filter — the metrics describe the UNGATED input while
+    // the action that drives them is the gated pipeline's own count;
+    // the one-row result carries both, and the oracle recomputes all
+    // four declaratively from the table.
+    GQuery(
+      "q_observe_metrics",
+      (s, dir) => {
+        import s.implicits._
+        val obs = org.apache.spark.sql.Observation()
+        val gated = Tables.lineitem(s, dir)
+          .observe(obs,
+            count(lit(1)).as("rows_in"),
+            expr("count_if(l_quantity > 45)").as("heavy_in"),
+            sum(dec(col("l_extendedprice"))).as("rev_in"))
+          .filter(col("l_discount") > 0.02)
+        val kept = gated.count() // the pipeline's own action drives the metrics
+        val m = obs.get
+        val revIn = java.math.BigDecimal
+          .valueOf(m("rev_in").asInstanceOf[java.math.BigDecimal].doubleValue)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+        Seq((m("rows_in").asInstanceOf[Long], m("heavy_in").asInstanceOf[Long], revIn, kept))
+          .toDF("rows_in", "heavy_in", "rev_in", "rows_kept")
+      },
+      Some("""SELECT count(*)::BIGINT AS rows_in,
+             |  sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)::BIGINT AS heavy_in,
+             |  round(CAST(sum(l_extendedprice::DECIMAL(18,4)) AS DOUBLE), 4) AS rev_in,
+             |  sum(CASE WHEN l_discount > 0.02 THEN 1 ELSE 0 END)::BIGINT AS rows_kept
+             |FROM lineitem""".stripMargin)),
 
     // EQUI-WIDTH HISTOGRAM (the Deequ Histogram analyzer / the
     // optimizer-statistics building block): o_totalprice bucketed into

@@ -2100,6 +2100,56 @@ object Extensions {
              |SELECT id AS doc_id, min(lab) AS cluster_id
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    // BFS SHORTEST-HOP LAYERS over the co-purchase graph (parts sharing
+    // an order) — the graph family's traversal member next to PageRank
+    // (influence), triangles (density) and connected components
+    // (equivalence): min-hop distance from a deterministic source (the
+    // smallest partkey) out to 3 hops. The scale shape is FRONTIER
+    // iteration: each level is frontier ⋈ edges (shuffle bounded by
+    // frontier × degree), dedup'd, then anti-joined against the visited
+    // set so a node is expanded exactly once — work is O(edges touched),
+    // never O(paths) (the recursive-CTE oracle DOES enumerate paths and
+    // collapses them with min(d): fine at oracle scale, quadratic
+    // suicide at 100 TB — the whole reason the engine side is
+    // frontier-based). Lineage truncated per level (localCheckpoint,
+    // the q_dedup_cluster discipline); edges built once from one
+    // orderkey self-join and reused across all levels.
+    GQuery(
+      "q_graph_bfs",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val edges = li.select(col("ok"), col("pk").as("src"))
+          .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst")).distinct().localCheckpoint()
+        var visited = li.agg(min(col("pk")).as("pk"))
+          .withColumn("depth", lit(0)).localCheckpoint()
+        var frontier = visited.select(col("pk"))
+        for (d <- 1 to 3) {
+          val next = frontier.join(edges, frontier("pk") === edges("src"))
+            .select(col("dst").as("pk")).distinct()
+            .join(visited.select(col("pk")), Seq("pk"), "left_anti")
+            .withColumn("depth", lit(d)).localCheckpoint()
+          visited = visited.union(next).localCheckpoint()
+          frontier = next.select(col("pk"))
+        }
+        visited.groupBy(col("depth"))
+          .agg(count(lit(1)).as("n"), min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"))
+          .orderBy(col("depth"))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+             |walk(pk, d) AS (
+             |  SELECT min(l_partkey), 0 FROM lineitem
+             |  UNION ALL
+             |  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.pk WHERE w.d < 3),
+             |md AS (SELECT pk, min(d)::INT AS depth FROM walk GROUP BY pk)
+             |SELECT depth, count(*)::BIGINT AS n, min(pk) AS min_pk, max(pk) AS max_pk
+             |FROM md GROUP BY depth ORDER BY depth""".stripMargin)),
+
     // The SAME clustering through the round-halving algorithm
     // (large-star/small-star, Kiveris et al. 2014) under the SAME
     // recursive-CTE oracle: rounds ∝ log(diameter) instead of diameter
@@ -2162,6 +2212,73 @@ object Extensions {
              |          SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id)
              |SELECT id AS doc_id, min(lab) AS cluster_id
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    // STATE-STORE INTROSPECTION (the Spark 4 `statestore` data source,
+    // SPARK-45511): a running-aggregation stream's OPERATOR STATE read
+    // back as a queryable DataFrame — the debugging/audit surface every
+    // production streaming deployment needs (what does the state hold
+    // RIGHT NOW, without stopping the query or trusting its sink). The
+    // fixture runs an update-mode per-type running count+sum over two
+    // micro-batches (no watermark → no eviction, state IS the full
+    // aggregate); the reader then loads checkpoint state directly —
+    // key/value structs of the aggregation buffer (count, sum, isEmpty)
+    // per shuffle partition. The oracle is the whole point: state after
+    // the last commit must equal the one-shot batch aggregate, proving
+    // exactly-once maintenance through restarts and batch boundaries.
+    // At scale the source reads state files partition-parallel — no
+    // driver collect, no stream interruption.
+    GQuery(
+      "stream_state_read_e2e",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("ts"), col("event_type"), col("value").cast("decimal(18,4)").as("value"))
+        def runStream(root: String): Unit = {
+          val q = s.readStream.schema(ev.schema).parquet(root + "/src")
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+            .writeStream.format("noop").outputMode("update")
+            .option("checkpointLocation", root + "/ckpt").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        // Built IN PLACE (not via cachedFixture's temp-dir + rename): the
+        // checkpoint's file-source log records source files by ABSOLUTE
+        // path, so a post-build rename would break every later resume
+        // with "Wrong basePath".
+        val sfKey = sfFingerprint(dir)
+        val rootDir = new java.io.File("/tmp", s"graft_sstate_cache_v2_$sfKey")
+        val marker = new java.io.File(rootDir, "_DONE")
+        val root = rootDir.getAbsolutePath
+        if (!marker.exists()) {
+          if (rootDir.exists()) rmTree(rootDir) // stale partial build
+          rootDir.mkdirs()
+          val b = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
+          val mid = new java.sql.Timestamp(
+            (b.getTimestamp(0).getTime + b.getTimestamp(1).getTime) / 2)
+          val src = root + "/src"
+          ev.filter(col("ts") < lit(mid)).coalesce(1).write.mode("append").parquet(src)
+          runStream(root)
+          ev.filter(col("ts") >= lit(mid)).coalesce(1).write.mode("append").parquet(src)
+          runStream(root)
+          marker.createNewFile()
+        }
+        // Resume the checkpointed query as a NO-OP (no new source files →
+        // no batch): state is untouched, but the restart instantiates the
+        // session's StateStoreCoordinator RPC endpoint, which the
+        // statestore reader requires and which only streaming queries
+        // create — a fresh session reading a warm cached fixture would
+        // otherwise fail with RpcEndpointNotFoundException. Also a free
+        // restart-recovery exercise: the reader below must see state
+        // identical through the stop/resume cycle.
+        runStream(root)
+        s.read.format("statestore").option("path", root + "/ckpt").load()
+          .select(col("key.event_type").as("event_type"),
+            col("value.count").as("n"),
+            round(col("value.sum").cast("double"), 4).as("sv"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*)::BIGINT AS n,
+             |  round(CAST(sum(value::DECIMAL(18,4)) AS DOUBLE), 4) AS sv
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
     // STREAMING duplicate-cluster maintenance — q_dedup_cluster_incr's
     // streaming twin and stream_dedup_e2e's clustering companion: docs
@@ -3550,6 +3667,77 @@ object Extensions {
              |SELECT doc_id,
              |  floor(list_reduce(list_sort(list(sc)), (a, x) -> a + x) * 10000 + 0.5) / 10000 AS bm25
              |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // HYBRID RETRIEVAL by RECIPROCAL RANK FUSION (Cormack et al.
+    // SIGIR'09 — the standard fusion rule production search runs over
+    // its lexical and vector legs): the BM25 top-50 (q_text_search's
+    // exact pipeline) and the cosine top-50 for a query vector fuse by
+    // rrf = Σ 1/(60 + rank), a rank-only formula deliberately immune to
+    // the two legs' incomparable score scales. Both legs keep their own
+    // scale discipline (corpus never broadcast on the vector leg —
+    // query rides as the broadcast literal; global top-50 cuts are
+    // map-side TakeOrdered partials); the fusion join then touches 50+50
+    // ROWS, not the corpus — fusion cost is rank-list-sized at any
+    // corpus scale. Ranks are ints, 1/(60+r) is one IEEE division each,
+    // the two-term sum is fixed-order, floor-scaled at 1e-6 — exact
+    // across engines; a doc missing from a leg contributes 0 (the
+    // standard RRF convention), exercised through the full-outer join.
+    GQuery(
+      "q_hybrid_rrf",
+      (s, dir) => {
+        val toks = Text.tokenStream(fanout(Tables.documents(s, dir)), "doc_id", "text").cache()
+        val qterms = Text.docFreq(toks).orderBy(col("df").desc, col("term")).limit(3)
+        val wT = Window.orderBy(col("bm25").desc, col("doc_id"))
+        val text50 = Text.bm25TopK(toks, qterms, 50)
+          .withColumn("r_t", row_number().over(wT).cast("int"))
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding").as("v"))
+          .withColumn("nrm", Vectors.norm(col("v")))
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("nrm").as("qn"))
+        val wV = Window.orderBy(col("cos").desc, col("vec_id"))
+        val vec50 = emb.crossJoin(broadcast(qv))
+          .withColumn("cos", Vectors.cosine(col("v"), col("qv"), col("nrm"), col("qn")))
+          .select(col("vec_id"), col("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(50)
+          .withColumn("r_v", row_number().over(wV).cast("int"))
+        text50.select(col("doc_id"), col("r_t"))
+          .join(vec50.select(col("vec_id").as("doc_id"), col("r_v")), Seq("doc_id"), "full_outer")
+          .withColumn("rrf",
+            floor((coalesce(lit(1.0) / (col("r_t") + 60), lit(0.0))
+              + coalesce(lit(1.0) / (col("r_v") + 60), lit(0.0))) * 1000000 + 0.5) / 1000000)
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+          .select(col("doc_id"), col("r_t"), col("r_v"), col("rrf"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, t AS term FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+             |  WHERE t IS NOT NULL AND t <> ''),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+             |stats AS (SELECT count(*) AS t_total, count(DISTINCT doc_id) AS n_docs FROM toks),
+             |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+             |qterms AS (SELECT term, df FROM dft ORDER BY df DESC, term LIMIT 3),
+             |tf AS (SELECT doc_id, term, df, count(*) AS tf FROM toks
+             |       JOIN qterms USING (term) GROUP BY doc_id, term, df),
+             |sc AS (SELECT t.doc_id,
+             |         (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)
+             |           * (tf * 2.2::DOUBLE)
+             |           / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * d.dl
+             |              / (t_total::DOUBLE / n_docs))) AS sc
+             |       FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats),
+             |bm AS (SELECT doc_id,
+             |         floor(list_reduce(list_sort(list(sc)), (a, x) -> a + x) * 10000 + 0.5) / 10000 AS bm25
+             |       FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+             |tr AS (SELECT doc_id, (row_number() OVER (ORDER BY bm25 DESC, doc_id))::INT AS r_t FROM bm),
+             |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+             |vs AS (SELECT vec_id, list_cosine_similarity(v.e, q.qe) AS c
+             |       FROM v CROSS JOIN q ORDER BY c DESC, vec_id LIMIT 50),
+             |vr AS (SELECT vec_id AS doc_id, (row_number() OVER (ORDER BY c DESC, vec_id))::INT AS r_v FROM vs)
+             |SELECT doc_id, r_t, r_v,
+             |  floor((coalesce(1::DOUBLE / (r_t + 60), 0) + coalesce(1::DOUBLE / (r_v + 60), 0))
+             |        * 1000000 + 0.5) / 1000000 AS rrf
+             |FROM tr FULL OUTER JOIN vr USING (doc_id)
+             |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
 
     // SERVED text search through the oracle gate: the same BM25 answer
     // as q_text_search, produced from the PERSISTED inverted index

@@ -2325,6 +2325,52 @@ object Relational {
              |  ON hourly.event_type = grid.event_type AND hourly.h = grid.h
              |ORDER BY grid.event_type, grid.h""".stripMargin)),
 
+    // EWMA smoothing — the monitoring-dashboard smoother next to
+    // q_ts_fill (gaps) and q_ts_anomaly (outliers): a 5-point
+    // exponentially-weighted moving average (α = 1/2 → weights
+    // 16/8/4/2/1) over the per-type hourly totals, with the warm-up
+    // edge handled by RENORMALIZING over the weights actually present
+    // (the standard adjusted-EWMA rule — zero-padding would bias the
+    // first hours toward 0). All-exact arithmetic: decimal hourly sums,
+    // integer weights, one double division at the end — both engines
+    // reproduce it bit-for-bit, no ε. Plan: one events scan-agg to the
+    // grid-sized hourly table, one event_type exchange shared by the
+    // agg and the lag window; the window is 5 physical lags, O(1) state
+    // per row however long the series grows.
+    GQuery(
+      "q_ts_ewma",
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(sum(dec(col("value"))).as("v"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        val lags = (1 to 4).map(k => lag(col("v"), k).over(w))
+        val wts = Seq(8, 4, 2, 1)
+        val num = col("v") * 16 +
+          lags.zip(wts).map { case (l, k) => coalesce(l * k, lit(0)) }.reduce(_ + _)
+        val den = lit(16) +
+          lags.zip(wts).map { case (l, k) => when(l.isNull, 0).otherwise(k) }.reduce(_ + _)
+        hourly.select(col("event_type"), col("h"), dround(col("v")).as("v"),
+            round(num.cast("double") / den, 4).as("ewma"))
+          .orderBy(col("event_type"), col("h"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS h,
+             |    sum(value::DECIMAL(18,4)) AS v
+             |  FROM events GROUP BY 1, 2),
+             |l AS (SELECT event_type, h, v,
+             |    lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+             |    lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4
+             |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h))
+             |SELECT event_type, h, round(CAST(v AS DOUBLE), 4) AS v,
+             |  round(CAST(v * 16 + coalesce(l1 * 8, 0) + coalesce(l2 * 4, 0)
+             |             + coalesce(l3 * 2, 0) + coalesce(l4 * 1, 0) AS DOUBLE)
+             |    / (16 + CASE WHEN l1 IS NULL THEN 0 ELSE 8 END
+             |        + CASE WHEN l2 IS NULL THEN 0 ELSE 4 END
+             |        + CASE WHEN l3 IS NULL THEN 0 ELSE 2 END
+             |        + CASE WHEN l4 IS NULL THEN 0 ELSE 1 END), 4) AS ewma
+             |FROM l ORDER BY event_type, h""".stripMargin)),
+
     // TIME-SERIES ANOMALY DETECTION — robust monitoring over the
     // densified hourly series (the q_ts_fill grid feeding the
     // q_quality_outliers statistic): per-type hourly event counts are
@@ -2718,6 +2764,36 @@ object Relational {
              |  bit_xor(l_orderkey::BIGINT) AS key_xor,
              |  sum(bit_count(l_orderkey::BIGINT))::BIGINT AS popcount
              |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin)),
+
+    // MULTI-DISTINCT aggregation (several COUNT(DISTINCT x) over
+    // DIFFERENT columns in one pass): Catalyst plans this via EXPAND —
+    // each input row fans to one row per distinct dimension (plus one
+    // for the plain aggregates), the first aggregate dedups on
+    // (group, gid, value) map-side, the second folds the counts. The
+    // scale contract to know: the exchange carries ~k× the row count
+    // (dedup'd per partition first), but it is still ONE scan and two
+    // exchanges however many distinct dimensions ride along — vs k
+    // separate passes; when k× hurts at 100 TB, the HLL rows
+    // (q_agg_approx_distinct / q_agg_hll_merge) are the documented
+    // cheap exit.
+    GQuery(
+      "q_agg_multi_distinct",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_orderkey")).as("d_ord"),
+            countDistinct(col("l_suppkey")).as("d_supp"),
+            countDistinct(col("l_shipdate")).as("d_ship"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_orderkey) AS d_ord,
+             |  count(DISTINCT l_suppkey) AS d_supp,
+             |  count(DISTINCT l_shipdate) AS d_ship,
+             |  count(*)::BIGINT AS n
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
     // TYPED-AGGREGATOR top-k (functions/TopKAgg.scala — the
     // Dataset-typed custom-aggregation surface, registered through
@@ -3149,6 +3225,43 @@ object Relational {
              |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
              |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // TRY_ functions (try_divide / try_cast / try_add / try_element_at
+    // — the error-SAFE expression surface under ANSI mode): at 100 TB
+    // one poisoned row must not kill a 10-hour job, and pre-filtering
+    // every possible failure is both unwritable and a second pass; the
+    // try_ family turns the row-local failure into NULL inside the same
+    // codegen'd projection (zero plan change, zero extra scan). Covers
+    // the four failure classes: integer division by zero, unparseable
+    // string cast, bigint overflow, and out-of-bounds collection
+    // access. The oracle replays each with explicit guards (CASE /
+    // TRY_CAST / HUGEINT intermediate / native NULL indexing) — the
+    // NULL-on-failure semantics, not the error, is the spec.
+    GQuery(
+      "q_func_try",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .filter(col("o_orderkey") <= 200)
+          .select(col("o_orderkey"),
+            round(expr("try_divide(cast(cast(o_totalprice as decimal(18,4)) * 100 as bigint), o_orderkey % 4)").cast("double"), 4).as("ratio"),
+            expr("try_cast(o_orderpriority AS INT)").as("pri_full"),
+            expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("pri_code"),
+            expr("try_add(9223372036854775800L, o_orderkey)").as("near_max"),
+            expr("try_element_at(split(o_orderpriority, '-'), 2)").as("seg2"),
+            expr("try_element_at(split(o_orderpriority, '-'), 3)").as("seg3"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderkey % 4 = 0 THEN NULL
+             |       ELSE round(CAST((o_totalprice::DECIMAL(18,4) * 100)::BIGINT AS DOUBLE)
+             |                  / (o_orderkey % 4), 4) END AS ratio,
+             |  TRY_CAST(o_orderpriority AS INTEGER) AS pri_full,
+             |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS pri_code,
+             |  CASE WHEN o_orderkey <= 7
+             |       THEN (9223372036854775800::HUGEINT + o_orderkey)::BIGINT END AS near_max,
+             |  string_split(o_orderpriority, '-')[2] AS seg2,
+             |  string_split(o_orderpriority, '-')[3] AS seg3
+             |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin)),
 
     GQuery(
       "q_math_funcs",

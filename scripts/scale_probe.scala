@@ -97,7 +97,18 @@ val queries = Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
   // one-exchange pattern matcher, the one-pass pairwise statistic,
   // and the grid-sized anomaly pass
   "q_dedup_cluster", "q_dedup_cluster_incr", "q_event_pattern",
-  "q_stats_corr", "q_ts_anomaly")
+  "q_stats_corr", "q_ts_anomaly",
+  // round 14 third-session wide shapes: both hybrid-retrieval legs +
+  // fusion, frontier BFS (iterative joins), the typed top-k aggregate
+  // vs its window sibling, the Expand multi-distinct, the grid EWMA
+  "q_hybrid_rrf", "q_graph_bfs", "q_agg_topk_typed",
+  "q_agg_multi_distinct", "q_ts_ewma")
+
+// Optional filter for targeted runs (same convention as
+// SPARK_GRAFT_VERIFY_ONLY): probe only the named queries.
+val probeOnly = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+  .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+val probeList = queries.filter(q => probeOnly.forall(_.contains(q)))
 
 def time(name: String, dir: String): Double = {
   val fn = GQuery.all.find(_.name == name).get.fn
@@ -115,7 +126,7 @@ def time(name: String, dir: String): Double = {
 }
 
 println(f"${"query"}%-16s ${"sf0.1(s)"}%9s ${"10x(s)"}%9s ${"ratio"}%6s")
-for (q <- queries) {
+for (q <- probeList) {
   val t1 = time(q, base)
   val t10 = time(q, scaled)
   println(f"$q%-16s $t1%9.2f $t10%9.2f ${t10 / t1}%6.1f")

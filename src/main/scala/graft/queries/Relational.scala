@@ -1561,6 +1561,37 @@ object Relational {
              |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // WEIGHTED percentile (percentile's 3-arg frequency form) — the
+    // importance-weighted quantile a training-data pipeline needs when
+    // rows carry multiplicities (sampling weights, repetition counts,
+    // upweighted domains): each value counts `frequency` times in the
+    // sorted multiset, interpolation unchanged. The whole point vs
+    // physically expanding rows (what the ORACLE does with unnest —
+    // correct but Σweights-sized): the aggregate consumes weights
+    // IN-PLACE, so the engine's cost stays row-count-sized no matter
+    // how large the weights are — at 100 TB with repetition weights in
+    // the thousands, expansion is a non-starter. Buffering caveat
+    // shared with q_agg_percentile (exact percentile buffers per-group
+    // values); the approx sketch twin remains the giant-group exit.
+    GQuery(
+      "q_agg_weighted_percentile",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_quantity, 0.5D, l_linenumber)"), 4).as("p50_w"),
+            round(expr("percentile(l_quantity, 0.9D, l_linenumber)"), 4).as("p90_w"),
+            sum(col("l_linenumber")).cast("long").as("w_total"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH x AS (SELECT l_returnflag, l_quantity,
+             |             unnest(range(l_linenumber)) AS i FROM lineitem)
+             |SELECT l_returnflag,
+             |  round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS p50_w,
+             |  round(CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE), 4) AS p90_w,
+             |  count(*)::BIGINT AS w_total
+             |FROM x GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
     // MODE (most frequent value) with an EXPLICIT tie-break — highest
     // count, then smallest value. Spark's built-in mode() leaves ties
     // undefined, so cross-engine value-checking requires spelling the
@@ -1781,6 +1812,58 @@ object Relational {
              |FROM lineitem GROUP BY l_returnflag
              |UNION ALL
              |SELECT 'ALL', count(DISTINCT l_orderkey), TRUE FROM lineitem
+             |ORDER BY scope""".stripMargin)),
+
+    // SKETCH INTERSECTION by inclusion–exclusion — the audience-overlap
+    // query (how many customers sit in BOTH the urgent and the high
+    // segment), answered from the segments' PERSISTED HLL sketches:
+    // |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union estimate
+    // comes purely from the sketch union (the mergeability contract —
+    // HLLs union losslessly but do NOT intersect, so inclusion–
+    // exclusion IS the production recipe, with error compounding from
+    // all three terms; usable when the overlap isn't tiny relative to
+    // the segments, exactly this shape). One distinct-pairs scan feeds
+    // every sketch AND every exact twin (the q_agg_hll_merge one-scan
+    // discipline); per-segment, union, and intersect rows each carry
+    // the exact count beside the in-engine 5% est_ok boolean the
+    // oracle emits as TRUE — a sketch or union regression flips a
+    // boolean and fails the hash gate. At 100 TB the segments' raw
+    // rows are never re-read: every row here after the pairs cache is
+    // sketch-sized.
+    GQuery(
+      "q_agg_hll_intersect",
+      (s, dir) => {
+        val po = Tables.orders(s, dir)
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .select(col("o_orderpriority").as("p"), col("o_custkey")).distinct().cache()
+        val perSeg = po.groupBy(col("p"))
+          .agg(hll_sketch_agg(col("o_custkey"), 14).as("sk"), count(lit(1)).as("exact_d"))
+          .cache()
+        def ok(est: Column, exact: Column) =
+          (abs(est - exact) <= exact.cast("double") * 0.05).as("est_ok")
+        val segs = perSeg.select(col("p").as("scope"), col("exact_d"),
+          ok(hll_sketch_estimate(col("sk")), col("exact_d")))
+        val est2 = perSeg.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_u"),
+          sum(hll_sketch_estimate(col("sk"))).as("est_sum"))
+        val exU = po.agg(countDistinct(col("o_custkey")).as("ex_u"))
+        val exI = po.groupBy(col("o_custkey")).agg(count(lit(1)).as("k"))
+          .filter(col("k") === 2).agg(count(lit(1)).as("ex_i"))
+        val unionRow = est2.crossJoin(exU).select(
+          lit("UNION").as("scope"), col("ex_u").as("exact_d"), ok(col("est_u"), col("ex_u")))
+        val interRow = est2.crossJoin(exI).select(
+          lit("INTERSECT").as("scope"), col("ex_i").as("exact_d"),
+          ok(col("est_sum") - col("est_u"), col("ex_i")))
+        segs.unionByName(unionRow).unionByName(interRow).orderBy(col("scope"))
+      },
+      Some("""WITH po AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c
+             |           FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             |SELECT p AS scope, count(*)::BIGINT AS exact_d, TRUE AS est_ok FROM po GROUP BY p
+             |UNION ALL
+             |SELECT 'UNION', count(DISTINCT c), TRUE FROM po
+             |UNION ALL
+             |SELECT 'INTERSECT', count(*), TRUE FROM (
+             |  SELECT c FROM po GROUP BY c HAVING count(*) = 2) z
              |ORDER BY scope""".stripMargin)),
 
     // MERGEABLE QUANTILE SKETCH — the rank-statistics member of the
@@ -2568,6 +2651,32 @@ object Relational {
              |  WHERE o_custkey = c.c_custkey
              |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
              |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)),
+
+    // EXECUTE IMMEDIATE (SPARK-44776) + session VARIABLES (SPARK-46908)
+    // — parameterized dynamic SQL, engine-side: the query text carries
+    // a `?` placeholder and the value binds through USING from a
+    // declared session variable, so dynamic construction never string-
+    // concatenates values into SQL (the injection-unsafe alternative)
+    // and the parameterized text stays plan-cacheable by shape. The
+    // executed statement plans through Catalyst exactly as its static
+    // form — pushdown, partial agg, everything — which is what the
+    // oracle pins: dynamic-with-binding ≡ the resolved static query.
+    GQuery(
+      "q_sql_exec_immediate",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("gq_ei_orders")
+        s.sql("DECLARE OR REPLACE VARIABLE gq_ei_cut DOUBLE")
+        s.sql("SET VAR gq_ei_cut = 150000.0")
+        s.sql("""EXECUTE IMMEDIATE
+                |  'SELECT o_orderpriority, count(*) AS n,
+                |     round(cast(sum(cast(o_totalprice AS decimal(18,4))) AS double), 4) AS tot
+                |   FROM gq_ei_orders WHERE o_totalprice > ? GROUP BY 1 ORDER BY 1'
+                |  USING gq_ei_cut""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, count(*)::BIGINT AS n,
+             |  round(CAST(sum(o_totalprice::DECIMAL(18,4)) AS DOUBLE), 4) AS tot
+             |FROM orders WHERE o_totalprice > 150000.0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Spark 4 SQL SCRIPTING (SPARK-48338): procedural control flow —
     // DECLARE / WHILE / SET compound statements — executed ENGINE-side

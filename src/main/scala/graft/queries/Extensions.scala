@@ -2452,6 +2452,92 @@ object Extensions {
     // the in-cluster pair bound ≈ n·target/2 linear at corpus scale
     // (OpsSpec gates that training reduces candidate pairs; SCALE.md
     // tabulates pair count vs k).
+    // MATRYOSHKA two-stage ANN (MRL, Kusupati et al. NeurIPS'22 — the
+    // prefix-dimension serving pattern modern embedding models train
+    // for): stage 1 ranks on the FIRST 8 of 64 dims (an 8× cheaper
+    // scan — with MRL training the prefix is itself a valid coarse
+    // embedding), stage 2 re-ranks only the top-100 survivors on the
+    // full vector. Same scale discipline as the PQ/RP rerank family:
+    // the query batch broadcasts, the corpus streams its PREFIX slices
+    // once (the full 64-dim column never rides the candidate shuffle),
+    // the per-query top-100 cut is the row_number-filter shape Spark
+    // executes as WindowGroupLimit (map-side partials before the one
+    // exchange), and only survivors fetch full vectors by join.
+    GQuery(
+      "q_sim_mrl",
+      (s, dir) => {
+        val emb = fanout(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("embedding").as("v"))
+        val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), slice(col("embedding"), 1, 8).as("qp"),
+            col("embedding").as("qv"))
+        val pref = emb.select(col("vec_id"), slice(col("v"), 1, 8).as("p"))
+          .withColumn("pn", Vectors.norm(col("p")))
+        val wC = Window.partitionBy(col("q_id")).orderBy(col("ps").desc, col("vec_id"))
+        val cand = pref
+          .join(broadcast(queries.select(col("q_id"), col("qp"))
+            .withColumn("qpn", Vectors.norm(col("qp")))), col("vec_id") =!= col("q_id"))
+          .withColumn("ps", Vectors.cosine(col("p"), col("qp"), col("pn"), col("qpn")))
+          .withColumn("rn", row_number().over(wC)).filter(col("rn") <= 100)
+          .select(col("q_id"), col("vec_id"))
+        val wF = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+        cand.join(emb.withColumn("nrm", Vectors.norm(col("v"))), "vec_id")
+          .join(broadcast(queries.select(col("q_id"), col("qv"))
+            .withColumn("qn", Vectors.norm(col("qv")))), "q_id")
+          .withColumn("cos", Vectors.cosine(col("v"), col("qv"), col("nrm"), col("qn")))
+          .withColumn("rk", row_number().over(wF)).filter(col("rk") <= 5)
+          .select(col("q_id"), col("rk").cast("int").as("rk"),
+            col("vec_id").as("nn_id"), round(col("cos"), 4).as("cos"))
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |p AS (SELECT vec_id, e[1:8] AS pe FROM v),
+             |q AS (SELECT vec_id AS q_id, pe AS qp FROM p WHERE vec_id < 8),
+             |qf AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 8),
+             |cand AS (SELECT q_id, vec_id FROM (
+             |  SELECT q.q_id, p.vec_id,
+             |    row_number() OVER (PARTITION BY q.q_id
+             |      ORDER BY list_cosine_similarity(p.pe, q.qp) DESC, p.vec_id) AS rn
+             |  FROM p JOIN q ON p.vec_id <> q.q_id) z WHERE rn <= 100)
+             |SELECT q_id, rk::INT AS rk, vec_id AS nn_id, round(c, 4) AS cos FROM (
+             |  SELECT c2.q_id, c2.vec_id, list_cosine_similarity(v.e, qf.qv) AS c,
+             |    row_number() OVER (PARTITION BY c2.q_id
+             |      ORDER BY list_cosine_similarity(v.e, qf.qv) DESC, c2.vec_id) AS rk
+             |  FROM cand c2 JOIN v USING (vec_id) JOIN qf USING (q_id)) w
+             |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin)),
+
+    // VECTOR-MATH function surface — the declarative (functions-not-
+    // UDFs) vector ops every embedding pipeline composes: dot, L2/L1/
+    // L∞ norms, dimensionality, and a normalized component — all
+    // higher-order-function expressions (zip_with/aggregate/transform/
+    // array_max) plus the FloatDot codegen kernel, no UDF anywhere;
+    // narrow per-row work, one scan, nothing shuffled before the
+    // presentation sort. L∞ via array_max is deliberately
+    // order-independent; the sequential-fold sums match DuckDB's
+    // list kernels (the q_sim_topk-proven pairing).
+    GQuery(
+      "q_vector_funcs",
+      (s, dir) => {
+        val v = col("embedding")
+        Tables.embeddings(s, dir).filter(col("vec_id") < 100)
+          .select(col("vec_id"),
+            size(v).as("dim"),
+            round(Vectors.dot(v, v), 4).as("dot_self"),
+            round(Vectors.norm(v), 4).as("l2"),
+            round(expr("aggregate(embedding, 0D, (a, x) -> a + abs(CAST(x AS DOUBLE)))"), 4).as("l1"),
+            round(expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"), 4).as("linf"),
+            round(v.getItem(0).cast("double") / Vectors.norm(v), 4).as("u0"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 100)
+             |SELECT vec_id, len(e)::INT AS dim,
+             |  round(list_dot_product(e, e), 4) AS dot_self,
+             |  round(sqrt(list_dot_product(e, e)), 4) AS l2,
+             |  round(list_reduce(list_transform(e, x -> abs(x)), (a, x) -> a + x), 4) AS l1,
+             |  round(list_max(list_transform(e, x -> abs(x))), 4) AS linf,
+             |  round(e[1] / sqrt(list_dot_product(e, e)), 4) AS u0
+             |FROM v ORDER BY vec_id""".stripMargin)),
+
     GQuery(
       "q_dedup_semantic",
       (s, dir) => {
@@ -3395,6 +3481,46 @@ object Extensions {
              |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
              |      WHERE len(toks) >= 3) s
              |ORDER BY doc_id""".stripMargin)),
+
+    // K-ANONYMITY release — the data-governance companion to
+    // q_redact_pii (content scrub) and q_cdc_purge (erasure): a
+    // release of customer rows where every QUASI-IDENTIFIER class
+    // (nation × segment × coarse balance band) must contain ≥ k = 5
+    // individuals, classes below k released with their QI columns
+    // SUPPRESSED to '*' (the suppression-only k-anonymity model —
+    // generalization hierarchies are policy, suppression is the
+    // mechanism). The `released` flag makes the suppression decision
+    // itself part of the checked value. Plan: ONE exchange on the QI
+    // key (a count window), masking is row-local codegen — a 100 TB
+    // release costs one shuffle; the balance band uses exact
+    // cents-integer floor division so the class key is bit-identical
+    // on any engine.
+    GQuery(
+      "q_privacy_kanon",
+      (s, dir) => {
+        val cents = (col("c_acctbal").cast("decimal(18,4)") * 100).cast("long")
+        val w = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+        Tables.customer(s, dir)
+          .withColumn("band", floor(cents / lit(100000.0)).cast("long"))
+          .withColumn("csize", count(lit(1)).over(w))
+          .select(col("c_custkey"),
+            when(col("csize") >= 5, col("c_nationkey").cast("string")).otherwise("*").as("nation_qi"),
+            when(col("csize") >= 5, col("c_mktsegment")).otherwise("*").as("seg_qi"),
+            when(col("csize") >= 5, col("band").cast("string")).otherwise("*").as("band_qi"),
+            (col("csize") >= 5).as("released"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH b AS (
+             |  SELECT c_custkey, c_nationkey, c_mktsegment,
+             |    CAST(floor((c_acctbal::DECIMAL(18,4) * 100)::BIGINT / 100000.0) AS BIGINT) AS band
+             |  FROM customer),
+             |sz AS (SELECT *, count(*) OVER (PARTITION BY c_nationkey, c_mktsegment, band) AS csize FROM b)
+             |SELECT c_custkey,
+             |  CASE WHEN csize >= 5 THEN c_nationkey::VARCHAR ELSE '*' END AS nation_qi,
+             |  CASE WHEN csize >= 5 THEN c_mktsegment ELSE '*' END AS seg_qi,
+             |  CASE WHEN csize >= 5 THEN band::VARCHAR ELSE '*' END AS band_qi,
+             |  csize >= 5 AS released
+             |FROM sz ORDER BY c_custkey""".stripMargin)),
 
     // PII redaction: scrub email/phone/long-digit-run patterns — the
     // standard pre-training scrub pass. Pure codegen'd regexp_replace

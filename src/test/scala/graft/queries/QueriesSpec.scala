@@ -72,6 +72,30 @@ class QueriesSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_sim_mrl: WindowGroupLimit candidate cut, no cartesian corpus pairing") {
+    val p = plan("q_sim_mrl")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_agg_topk_typed: ObjectHashAggregate partial→final, no window exchange of raw rows") {
+    val p = plan("q_agg_topk_typed")
+    // partial + final instances of the typed aggregate
+    assert(p.split("\n").count(_.contains("ObjectHashAggregate")) >= 2, p)
+    assert(!p.contains("Window"), p) // the rank-window alternative must be absent
+  }
+
+  test("q_agg_multi_distinct: one Expand plan, not k separate passes") {
+    val p = plan("q_agg_multi_distinct")
+    assert(p.contains("Expand"), p)
+    assert(p.split("\n").count(_.contains("FileScan parquet")) == 1, p)
+  }
+
+  test("q_privacy_kanon: one QI-key hash exchange") {
+    val p = plan("q_privacy_kanon")
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
   test("q_sort_limit: TakeOrderedAndProject, zero exchanges") {
     val p = plan("q_sort_limit")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -102,7 +102,11 @@ val queries = Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
   // fusion, frontier BFS (iterative joins), the typed top-k aggregate
   // vs its window sibling, the Expand multi-distinct, the grid EWMA
   "q_hybrid_rrf", "q_graph_bfs", "q_agg_topk_typed",
-  "q_agg_multi_distinct", "q_ts_ewma")
+  "q_agg_multi_distinct", "q_ts_ewma",
+  // round 14 batch-4/5 wide shapes: matryoshka two-stage ANN, sketch
+  // inclusion-exclusion, the QI-window release, weighted percentile
+  "q_sim_mrl", "q_agg_hll_intersect", "q_privacy_kanon",
+  "q_agg_weighted_percentile")
 
 // Optional filter for targeted runs (same convention as
 // SPARK_GRAFT_VERIFY_ONLY): probe only the named queries.

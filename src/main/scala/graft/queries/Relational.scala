@@ -2408,6 +2408,43 @@ object Relational {
              |  ON hourly.event_type = grid.event_type AND hourly.h = grid.h
              |ORDER BY grid.event_type, grid.h""".stripMargin)),
 
+    // RUNNING DISTINCT (cumulative distinct users per hour — the DAU/
+    // "users to date" growth curve): Spark does not support DISTINCT
+    // aggregates inside windows, so this row IS the standard rewrite —
+    // per (type, user) FIRST-hour aggregate, new-user counts per hour,
+    // and an O(1)-state running sum over the hourly grid; the oracle
+    // cross-validates against DuckDB's NATIVE count(DISTINCT) OVER
+    // (engines that support the direct form must agree with the
+    // rewrite). Scale: the only corpus-sized exchange is the
+    // (type, user) aggregate; the window runs on grid-sized rows with
+    // constant state — the direct distinct-window form, where
+    // supported, holds per-partition distinct SETS instead (memory ∝
+    // users seen), which is exactly why the rewrite is the 100 TB
+    // form.
+    GQuery(
+      "q_win_running_distinct",
+      (s, dir) => {
+        val f = Tables.events(s, dir)
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"), col("user_id"))
+        val hourly = f.groupBy(col("event_type"), col("h"))
+          .agg(countDistinct(col("user_id")).as("active"))
+        val firstHour = f.groupBy(col("event_type"), col("user_id")).agg(min(col("h")).as("h"))
+        val newu = firstHour.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("nu"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        hourly.join(newu, Seq("event_type", "h"), "left")
+          .withColumn("cum", sum(coalesce(col("nu"), lit(0L))).over(w))
+          .select(col("event_type"), col("h"), col("active"), col("cum"))
+          .orderBy(col("event_type"), col("h"))
+      },
+      Some("""WITH raw AS (SELECT event_type, date_trunc('hour', ts) AS h, user_id FROM events),
+             |w AS (SELECT event_type, h,
+             |        count(DISTINCT user_id) OVER (PARTITION BY event_type, h) AS active,
+             |        count(DISTINCT user_id) OVER (PARTITION BY event_type ORDER BY h
+             |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |      FROM raw)
+             |SELECT DISTINCT event_type, h, active, cum FROM w
+             |ORDER BY event_type, h""".stripMargin)),
+
     // EWMA smoothing — the monitoring-dashboard smoother next to
     // q_ts_fill (gaps) and q_ts_anomaly (outliers): a 5-point
     // exponentially-weighted moving average (α = 1/2 → weights

@@ -106,7 +106,10 @@ val queries = Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
   // round 14 batch-4/5 wide shapes: matryoshka two-stage ANN, sketch
   // inclusion-exclusion, the QI-window release, weighted percentile
   "q_sim_mrl", "q_agg_hll_intersect", "q_privacy_kanon",
-  "q_agg_weighted_percentile")
+  "q_agg_weighted_percentile",
+  // round 14 batch-6/7 corpus-pass shapes: the distinct-window
+  // rewrite, array-adjacent bigram statistics, vocabulary-graph rank
+  "q_win_running_distinct", "q_text_collocations", "q_text_keywords")
 
 // Optional filter for targeted runs (same convention as
 // SPARK_GRAFT_VERIFY_ONLY): probe only the named queries.

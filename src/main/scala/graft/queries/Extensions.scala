@@ -3067,6 +3067,35 @@ object Extensions {
              |  FROM documents) t
              |WHERE bucket < 20 ORDER BY doc_id""".stripMargin)),
 
+    // WEIGHTED deterministic sampling — the importance-sampling member
+    // of the sampling family (q_sample_hash: uniform p%, q_sample_
+    // stratified: per-stratum quotas, this: probability ∝ weight):
+    // each doc keeps with chance w/w_max using its content hash as the
+    // uniform draw — zero RNG state, zero coordination, bit-reproducible
+    // on any engine and any retry (the reservoir alternatives A-Res/
+    // A-Chao need global or per-partition state and a merge pass; the
+    // hash-threshold form is embarrassingly scan-parallel, the property
+    // that matters at 100 TB). The comparison u32·w_max < w·2^32 is
+    // all-integer (no float probability), with w_max one broadcast
+    // 1-row scalar; u32 uses 8 md5 hex chars so the product stays
+    // within int64 for any w_max < 2^31.
+    GQuery(
+      "q_sample_weighted",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val wMax = docs.agg(max(col("n_chars")).as("w_max"))
+        docs.crossJoin(broadcast(wMax))
+          .withColumn("u32", conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+          .filter(col("u32") * col("w_max") < col("n_chars") * lit(4294967296L))
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, n_chars, lang
+             |FROM documents CROSS JOIN (SELECT max(n_chars) AS w_max FROM documents) m
+             |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT * w_max
+             |      < n_chars * 4294967296
+             |ORDER BY doc_id""".stripMargin)),
+
     // Exact heavy hitters: top-10 terms per language — the vocabulary
     // profile pass (stopword discovery, boilerplate detection) every
     // corpus audit runs. Two-level shape: the (lang, term) hash agg
@@ -3666,6 +3695,63 @@ object Extensions {
            |       FROM deg CROSS JOIN nn),
            |$iters
            |SELECT doc_id, rank FROM r5 ORDER BY rank DESC, doc_id""".stripMargin
+      }),
+
+    // TEXTRANK keyword extraction (Mihalcea & Tarau EMNLP'04): PageRank
+    // over the token CO-OCCURRENCE graph — the unsupervised
+    // keyword/keyphrase pass (the graph-centrality complement to
+    // tf-idf's frequency contrast and q_text_collocations' pairwise
+    // association). Nodes are tokens THEMSELVES (ops/Graph.pagerank
+    // joins on the endpoint values — no id-assignment pass needed),
+    // edges are distinct adjacent pairs with min co-occurrence 3
+    // (hapax-edge pruning), and the rank iteration is the suite's
+    // integer-exact fixed-point formulation — the same 1e9-grid
+    // floor arithmetic q_graph_pagerank oracles, so five rounds are
+    // bit-identical on any engine/partitioning. Scale: the graph is
+    // VOCABULARY-sized (edges ≤ distinct bigrams), so after the one
+    // corpus bigram pass every iteration touches vocab rows only.
+    GQuery(
+      "q_text_keywords",
+      (s, dir) => {
+        val toks = fanout(Tables.documents(s, dir)).select(split(col("text"), " ").as("t"))
+        val bp = toks.select(explode(expr(
+            "transform(slice(t, 1, size(t) - 1), (x, i) -> struct(x AS a, t[i + 1] AS b))")).as("bg"))
+          .select(col("bg.a").as("a"), col("bg.b").as("b"))
+          .filter(col("a") =!= col("b") && col("a") =!= "" && col("b") =!= "")
+        val pairs = bp
+          .select(least(col("a"), col("b")).as("id_a"), greatest(col("a"), col("b")).as("id_b"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 3)
+          .select(col("id_a"), col("id_b"))
+        graft.ops.Graph.pagerank(pairs, rounds = 5)
+          .select(col("doc_id").as("token"), col("rank"))
+          .orderBy(col("rank").desc, col("token")).limit(20)
+      },
+      Some {
+        val iters = (1 to 5).map { i =>
+          s"""c$i AS (SELECT e.dst, sum((r.rank * 17) // (20 * d.deg))::BIGINT AS in_c
+             |       FROM edges e JOIN r${i - 1} r ON e.src = r.token
+             |       JOIN deg d ON e.src = d.src GROUP BY e.dst),
+             |r$i AS (SELECT d.src AS token,
+             |         ((150000000 // nn.n) + coalesce(c$i.in_c, 0))::BIGINT AS rank
+             |       FROM deg d CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = d.src)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+           |bp AS (SELECT l AS a, r AS b FROM (
+           |         SELECT t[i] AS l, t[i + 1] AS r FROM (
+           |           SELECT t, unnest(range(1, len(t))) AS i FROM toks) z) w
+           |       WHERE l <> r AND l <> '' AND r <> ''),
+           |pairs AS (SELECT least(a, b) AS id_a, greatest(a, b) AS id_b
+           |          FROM bp GROUP BY 1, 2 HAVING count(*) >= 3),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |          UNION ALL SELECT id_b, id_a FROM pairs),
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           |nn AS (SELECT count(*) AS n FROM deg),
+           |r0 AS (SELECT src AS token, (1000000000 // nn.n)::BIGINT AS rank
+           |       FROM deg CROSS JOIN nn),
+           |$iters
+           |SELECT token, rank FROM r5 ORDER BY rank DESC, token LIMIT 20""".stripMargin
       }),
 
     // ------------------------------------------------- BM25 retrieval

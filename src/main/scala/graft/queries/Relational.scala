@@ -2445,6 +2445,59 @@ object Relational {
              |SELECT DISTINCT event_type, h, active, cum FROM w
              |ORDER BY event_type, h""".stripMargin)),
 
+    // SWEEP-LINE interval concurrency (peak concurrent sessions — the
+    // capacity-planning question): each event occupies [ts, ts+1h);
+    // the classic answer is the sweep — +1/−1 boundary deltas, NETTED
+    // per instant (same-instant end-before-start convention becomes a
+    // group-by, making the timeline total-ordered and the running sum
+    // deterministic), then a cumulative sum whose maximum IS peak
+    // concurrency. NO self-join — the naive interval-overlap join is
+    // O(n²) per type; the sweep is one union + one keyed agg + a
+    // running sum. The running sum itself is TWO-LEVEL (the
+    // q_pack_shards discipline): per-day partial sums inside
+    // (type, day) partitions, day offsets cumulated on the tiny
+    // (type × day) table and broadcast back — no per-type partition
+    // ever holds more than a day of boundaries, so a 100 TB year of
+    // events never funnels one type's full timeline through one task.
+    GQuery(
+      "q_ts_sweepline",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"), col("ts"))
+        val deltas = ev.select(col("event_type"), col("ts").as("t"), lit(1L).as("dl"))
+          .unionByName(ev.select(col("event_type"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("t"), lit(-1L).as("dl")))
+        // net and conc are each consumed twice (the in-day window + the
+        // day-offset agg; the max agg + the argmax filter) — cache both
+        // so the corpus is scanned once for the union, not once per
+        // consumer (8 scans → 2 in PLANS.md before this)
+        val net = deltas.groupBy(col("event_type"), col("t")).agg(sum(col("dl")).as("net"))
+          .withColumn("day", date_trunc("day", col("t"))).cache()
+        val wDay = Window.partitionBy(col("event_type"), col("day")).orderBy(col("t"))
+        val inDay = net.withColumn("run_in", sum(col("net")).over(wDay))
+        val wOff = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = net.groupBy(col("event_type"), col("day")).agg(sum(col("net")).as("dtot"))
+          .withColumn("off", coalesce(sum(col("dtot")).over(wOff), lit(0L)))
+          .select(col("event_type"), col("day"), col("off"))
+        val conc = inDay.join(broadcast(offs), Seq("event_type", "day"))
+          .withColumn("conc", col("off") + col("run_in")).cache()
+        val mx = conc.groupBy(col("event_type")).agg(max(col("conc")).as("max_conc"))
+        conc.join(mx, "event_type").filter(col("conc") === col("max_conc"))
+          .groupBy(col("event_type"), col("max_conc")).agg(min(col("t")).as("at_t"))
+          .select(col("event_type"), col("max_conc"), col("at_t"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH d AS (SELECT event_type, ts AS t, 1::BIGINT AS dl FROM events
+             |           UNION ALL
+             |           SELECT event_type, ts + INTERVAL 1 HOUR, -1 FROM events),
+             |net AS (SELECT event_type, t, sum(dl)::BIGINT AS net FROM d GROUP BY 1, 2),
+             |r AS (SELECT event_type, t,
+             |        (sum(net) OVER (PARTITION BY event_type ORDER BY t))::BIGINT AS conc FROM net),
+             |m AS (SELECT event_type, max(conc)::BIGINT AS max_conc FROM r GROUP BY 1)
+             |SELECT r.event_type, m.max_conc, min(r.t) AS at_t
+             |FROM r JOIN m ON r.event_type = m.event_type AND r.conc = m.max_conc
+             |GROUP BY 1, 2 ORDER BY r.event_type""".stripMargin)),
+
     // EWMA smoothing — the monitoring-dashboard smoother next to
     // q_ts_fill (gaps) and q_ts_anomaly (outliers): a 5-point
     // exponentially-weighted moving average (α = 1/2 → weights

@@ -3601,6 +3601,51 @@ object Extensions {
              |FROM big JOIN uni a ON a.tok = lt JOIN uni b ON b.tok = rt
              |ORDER BY dice_bp DESC, bigram LIMIT 20""".stripMargin)),
 
+    // L-DIVERSITY release (k-anonymity's attribute-disclosure
+    // extension — Machanavajjhala et al. ICDE'06): a k-anonymous class
+    // whose members all share ONE sensitive value still leaks that
+    // value for everyone in it, so each released class must also
+    // carry ≥ l DISTINCT sensitive values (here: market segment as the
+    // sensitive attribute, nation × balance band as the QI; k=5, l=3).
+    // Spark has no DISTINCT-in-window, so the diversity count is
+    // size(collect_set) over the same ONE QI exchange the class-size
+    // count rides — still a single shuffle; the oracle replays with
+    // DuckDB's native count(DISTINCT) OVER (the q_win_running_distinct
+    // cross-validation pattern). collect_set is bounded by the
+    // sensitive domain (segments), not class size — constant-ish
+    // per-row state at any scale.
+    GQuery(
+      "q_privacy_ldiv",
+      (s, dir) => {
+        val cents = (col("c_acctbal").cast("decimal(18,4)") * 100).cast("long")
+        val w = Window.partitionBy(col("c_nationkey"), col("band"))
+        val ok = col("csize") >= 5 && col("ldiv") >= 3
+        Tables.customer(s, dir)
+          .withColumn("band", floor(cents / lit(100000.0)).cast("long"))
+          .withColumn("csize", count(lit(1)).over(w))
+          .withColumn("ldiv", size(collect_set(col("c_mktsegment")).over(w)))
+          .select(col("c_custkey"),
+            when(ok, col("c_nationkey").cast("string")).otherwise("*").as("nation_qi"),
+            when(ok, col("band").cast("string")).otherwise("*").as("band_qi"),
+            col("ldiv").cast("int").as("ldiv"),
+            ok.as("released"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH b AS (
+             |  SELECT c_custkey, c_nationkey, c_mktsegment,
+             |    CAST(floor((c_acctbal::DECIMAL(18,4) * 100)::BIGINT / 100000.0) AS BIGINT) AS band
+             |  FROM customer),
+             |sz AS (SELECT *,
+             |        count(*) OVER (PARTITION BY c_nationkey, band) AS csize,
+             |        count(DISTINCT c_mktsegment) OVER (PARTITION BY c_nationkey, band) AS ldiv
+             |      FROM b)
+             |SELECT c_custkey,
+             |  CASE WHEN csize >= 5 AND ldiv >= 3 THEN c_nationkey::VARCHAR ELSE '*' END AS nation_qi,
+             |  CASE WHEN csize >= 5 AND ldiv >= 3 THEN band::VARCHAR ELSE '*' END AS band_qi,
+             |  ldiv::INT AS ldiv,
+             |  (csize >= 5 AND ldiv >= 3) AS released
+             |FROM sz ORDER BY c_custkey""".stripMargin)),
+
     // PII redaction: scrub email/phone/long-digit-run patterns — the
     // standard pre-training scrub pass. Pure codegen'd regexp_replace
     // chain, linear at any scale.

@@ -96,6 +96,22 @@ class QueriesSpec extends SparkSpec {
     assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 1, p)
   }
 
+  test("q_ts_sweepline: reused subtrees are cached, not re-derived per consumer") {
+    // treeString repeats the cached fill plan under every
+    // InMemoryTableScan, so raw FileScan counting over-counts; the
+    // structural count (PLANS.md: 2 scans, cache=4) is the evidence —
+    // here we pin that the cache exists at all: every consumer reads
+    // InMemoryTableScan instead of re-deriving the union from source.
+    val p = plan("q_ts_sweepline")
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("q_hybrid_rrf: no cartesian corpus pairing; map-side TakeOrdered cut on the vector leg") {
+    val p = plan("q_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_sort_limit: TakeOrderedAndProject, zero exchanges") {
     val p = plan("q_sort_limit")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -336,6 +336,33 @@ object Extensions {
     new java.io.File(dir).getName + "-" + h.take(5).map("%02x".format(_)).mkString
   }
 
+  /** The maintained HLL store fixture shared by stream_hll_e2e (the
+    * maintenance loop) and q_hll_intersect_served (the overlap serve
+    * path): all events ingested in 3 micro-batches, each appending its
+    * per-event-type HLL of the user ids as a delta (Streams.hllIngest
+    * over ops/HllStore), landed rows at /out, store at /idx. */
+  private def hllStoreFixture(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val sfKey = sfFingerprint(dir)
+    cachedFixture(s"graft_shll_cache_v1_$sfKey") { root =>
+      val ev = Tables.events(s, dir)
+      graft.ops.HllStore.buildEmpty(s, root + "/idx", lgK = 12)
+      val src = root + "/src"
+      ev.filter(pmod(col("event_id"), lit(3)) === 0)
+        .coalesce(1).write.mode("append").parquet(src)
+      val q = graft.streaming.Streams.hllIngest(
+        s.readStream.schema(ev.schema).parquet(src),
+        root + "/idx", root + "/out", root + "/ckpt")
+      try {
+        q.processAllAvailable()
+        for (i <- 1 to 2) {
+          ev.filter(pmod(col("event_id"), lit(3)) === i)
+            .coalesce(1).write.mode("append").parquet(src)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+  }
+
   private def cachedFixture(name: String)(build: String => Unit): String = {
     val cache = new java.io.File("/tmp", name)
     val marker = new java.io.File(cache, "_DONE")
@@ -1302,25 +1329,7 @@ object Extensions {
     GQuery(
       "stream_hll_e2e",
       (s, dir) => {
-        val sfKey = sfFingerprint(dir)
-        val root = cachedFixture(s"graft_shll_cache_v1_$sfKey") { root =>
-          val ev = Tables.events(s, dir)
-          graft.ops.HllStore.buildEmpty(s, root + "/idx", lgK = 12)
-          val src = root + "/src"
-          ev.filter(pmod(col("event_id"), lit(3)) === 0)
-            .coalesce(1).write.mode("append").parquet(src)
-          val q = graft.streaming.Streams.hllIngest(
-            s.readStream.schema(ev.schema).parquet(src),
-            root + "/idx", root + "/out", root + "/ckpt")
-          try {
-            q.processAllAvailable()
-            for (i <- 1 to 2) {
-              ev.filter(pmod(col("event_id"), lit(3)) === i)
-                .coalesce(1).write.mode("append").parquet(src)
-              q.processAllAvailable()
-            }
-          } finally q.stop()
-        }
+        val root = hllStoreFixture(s, dir)
         val landed = s.read.parquet(root + "/out")
           .select(col("event_type").as("scope"), col("user_id").as("key"))
         def ok(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
@@ -1341,6 +1350,57 @@ object Extensions {
              |FROM events GROUP BY event_type
              |UNION ALL
              |SELECT 'ALL', count(DISTINCT user_id), TRUE FROM events
+             |ORDER BY scope""".stripMargin)),
+
+    // SERVED sketch intersection — q_agg_hll_intersect's overlap
+    // recipe (inclusion–exclusion) answered from the PERSISTED,
+    // STREAM-MAINTAINED store instead of in-query sketches: which
+    // users both click AND purchase, estimated purely from the
+    // HllStore deltas the stream_hll_e2e fixture appended batch by
+    // batch. This is the production shape end-to-end — sketches
+    // maintained incrementally at ingest time, audience-overlap
+    // questions answered later from kilobytes with the raw events
+    // never re-scanned on the serve path (the exact twins here are
+    // GATE scaffolding over the landed rows). Union is register-wise
+    // max over the two scopes' stored sketches; the I-E intersect
+    // carries the same compounding-error caveat, in-range because
+    // click∩purchase users dominate both segments at every sf.
+    GQuery(
+      "q_hll_intersect_served",
+      (s, dir) => {
+        val root = hllStoreFixture(s, dir)
+        val sel = graft.ops.HllStore.sketches(s, root + "/idx")
+          .filter(col("scope").isin("click", "purchase")).cache()
+        def ok(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+          (abs(est - exact) <= exact.cast("double") * 0.05).as("est_ok")
+        val landed = s.read.parquet(root + "/out")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type").as("p"), col("user_id").as("c")).distinct().cache()
+        val exact = landed.groupBy(col("p")).agg(count(lit(1)).as("exact_d"))
+        val flags = sel.join(exact, sel("scope") === exact("p"))
+          .select(col("scope"), col("exact_d"),
+            ok(hll_sketch_estimate(col("sk")), col("exact_d")))
+        val est2 = sel.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_u"),
+          sum(hll_sketch_estimate(col("sk"))).as("est_sum"))
+        val exU = landed.agg(countDistinct(col("c")).as("ex_u"))
+        val exI = landed.groupBy(col("c")).agg(count(lit(1)).as("k"))
+          .filter(col("k") === 2).agg(count(lit(1)).as("ex_i"))
+        val unionRow = est2.crossJoin(exU).select(
+          lit("UNION").as("scope"), col("ex_u").as("exact_d"), ok(col("est_u"), col("ex_u")))
+        val interRow = est2.crossJoin(exI).select(
+          lit("INTERSECT").as("scope"), col("ex_i").as("exact_d"),
+          ok(col("est_sum") - col("est_u"), col("ex_i")))
+        flags.unionByName(unionRow).unionByName(interRow).orderBy(col("scope"))
+      },
+      Some("""WITH po AS (SELECT DISTINCT event_type AS p, user_id AS c
+             |           FROM events WHERE event_type IN ('click', 'purchase'))
+             |SELECT p AS scope, count(*)::BIGINT AS exact_d, TRUE AS est_ok FROM po GROUP BY p
+             |UNION ALL
+             |SELECT 'UNION', count(DISTINCT c), TRUE FROM po
+             |UNION ALL
+             |SELECT 'INTERSECT', count(*), TRUE FROM (
+             |  SELECT c FROM po GROUP BY c HAVING count(*) = 2) z
              |ORDER BY scope""".stripMargin)),
 
     // STREAMING windowed-aggregation e2e — Streams.tumblingAgg run as a

@@ -336,6 +336,36 @@ object Extensions {
     new java.io.File(dir).getName + "-" + h.take(5).map("%02x".format(_)).mkString
   }
 
+  /** The fused hybrid ranking shared by q_hybrid_rrf (which IS this
+    * result) and q_pipeline_rag (which packs it into a token-budgeted
+    * context): BM25 top-50 ⊕ cosine top-50 by reciprocal rank fusion,
+    * top-10 by (rrf desc, doc_id). See q_hybrid_rrf's comment for the
+    * scale discipline of both legs. */
+  private def rrfFusedTop10(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val toks = Text.tokenStream(fanout(Tables.documents(s, dir)), "doc_id", "text").cache()
+    val qterms = Text.docFreq(toks).orderBy(col("df").desc, col("term")).limit(3)
+    val wT = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val text50 = Text.bm25TopK(toks, qterms, 50)
+      .withColumn("r_t", row_number().over(wT).cast("int"))
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val wV = Window.orderBy(col("cos").desc, col("vec_id"))
+    val vec50 = emb.crossJoin(broadcast(qv))
+      .withColumn("cos", Vectors.cosine(col("v"), col("qv"), col("nrm"), col("qn")))
+      .select(col("vec_id"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(50)
+      .withColumn("r_v", row_number().over(wV).cast("int"))
+    text50.select(col("doc_id"), col("r_t"))
+      .join(vec50.select(col("vec_id").as("doc_id"), col("r_v")), Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        floor((coalesce(lit(1.0) / (col("r_t") + 60), lit(0.0))
+          + coalesce(lit(1.0) / (col("r_v") + 60), lit(0.0))) * 1000000 + 0.5) / 1000000)
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      .select(col("doc_id"), col("r_t"), col("r_v"), col("rrf"))
+  }
+
   /** The maintained HLL store fixture shared by stream_hll_e2e (the
     * maintenance loop) and q_hll_intersect_served (the overlap serve
     * path): all events ingested in 3 micro-batches, each appending its
@@ -4051,30 +4081,7 @@ object Extensions {
     // standard RRF convention), exercised through the full-outer join.
     GQuery(
       "q_hybrid_rrf",
-      (s, dir) => {
-        val toks = Text.tokenStream(fanout(Tables.documents(s, dir)), "doc_id", "text").cache()
-        val qterms = Text.docFreq(toks).orderBy(col("df").desc, col("term")).limit(3)
-        val wT = Window.orderBy(col("bm25").desc, col("doc_id"))
-        val text50 = Text.bm25TopK(toks, qterms, 50)
-          .withColumn("r_t", row_number().over(wT).cast("int"))
-        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding").as("v"))
-          .withColumn("nrm", Vectors.norm(col("v")))
-        val qv = emb.filter(col("vec_id") === 0)
-          .select(col("v").as("qv"), col("nrm").as("qn"))
-        val wV = Window.orderBy(col("cos").desc, col("vec_id"))
-        val vec50 = emb.crossJoin(broadcast(qv))
-          .withColumn("cos", Vectors.cosine(col("v"), col("qv"), col("nrm"), col("qn")))
-          .select(col("vec_id"), col("cos"))
-          .orderBy(col("cos").desc, col("vec_id")).limit(50)
-          .withColumn("r_v", row_number().over(wV).cast("int"))
-        text50.select(col("doc_id"), col("r_t"))
-          .join(vec50.select(col("vec_id").as("doc_id"), col("r_v")), Seq("doc_id"), "full_outer")
-          .withColumn("rrf",
-            floor((coalesce(lit(1.0) / (col("r_t") + 60), lit(0.0))
-              + coalesce(lit(1.0) / (col("r_v") + 60), lit(0.0))) * 1000000 + 0.5) / 1000000)
-          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
-          .select(col("doc_id"), col("r_t"), col("r_v"), col("rrf"))
-      },
+      (s, dir) => rrfFusedTop10(s, dir),
       Some("""WITH toks AS (
              |  SELECT doc_id, t AS term FROM (
              |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
@@ -4105,6 +4112,72 @@ object Extensions {
              |        * 1000000 + 0.5) / 1000000 AS rrf
              |FROM tr FULL OUTER JOIN vr USING (doc_id)
              |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // RAG CONTEXT ASSEMBLY — the serving pipeline's LAST stage,
+    // composed end-to-end: the fused hybrid ranking (q_hybrid_rrf's
+    // exact pipeline, shared code) packed into a model context under a
+    // 256-TOKEN BUDGET — documents enter in fusion-rank order and the
+    // cut is the first rank whose cumulative token count would
+    // overflow (admission is all-or-nothing per doc, the standard
+    // context-window rule; a doc is never truncated here — chunking is
+    // q_chunk_docs' job upstream). Everything after retrieval is
+    // RANK-LIST-SIZED: the token counts join touches ten docs, the
+    // cumulative window sees ten rows — assembling a 100 TB corpus's
+    // context costs exactly the retrieval it rode in on.
+    GQuery(
+      "q_pipeline_rag",
+      (s, dir) => {
+        val fused = rrfFusedTop10(s, dir)
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val wR = Window.orderBy(col("rrf").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fused.join(tok, "doc_id")
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+          .withColumn("cum_tok", sum(col("n_tok")).over(wR))
+          .filter(col("cum_tok") <= 256)
+          .select(col("rk"), col("doc_id"), col("n_tok"), col("cum_tok"))
+          .orderBy(col("rk"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, t AS term FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+             |  WHERE t IS NOT NULL AND t <> ''),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+             |stats AS (SELECT count(*) AS t_total, count(DISTINCT doc_id) AS n_docs FROM toks),
+             |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+             |qterms AS (SELECT term, df FROM dft ORDER BY df DESC, term LIMIT 3),
+             |tf AS (SELECT doc_id, term, df, count(*) AS tf FROM toks
+             |       JOIN qterms USING (term) GROUP BY doc_id, term, df),
+             |sc AS (SELECT t.doc_id,
+             |         (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)
+             |           * (tf * 2.2::DOUBLE)
+             |           / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * d.dl
+             |              / (t_total::DOUBLE / n_docs))) AS sc
+             |       FROM tf t JOIN dl d USING (doc_id) CROSS JOIN stats),
+             |bm AS (SELECT doc_id,
+             |         floor(list_reduce(list_sort(list(sc)), (a, x) -> a + x) * 10000 + 0.5) / 10000 AS bm25
+             |       FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+             |tr AS (SELECT doc_id, (row_number() OVER (ORDER BY bm25 DESC, doc_id))::INT AS r_t FROM bm),
+             |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+             |vs AS (SELECT vec_id, list_cosine_similarity(v.e, q.qe) AS c
+             |       FROM v CROSS JOIN q ORDER BY c DESC, vec_id LIMIT 50),
+             |vr AS (SELECT vec_id AS doc_id, (row_number() OVER (ORDER BY c DESC, vec_id))::INT AS r_v FROM vs),
+             |fused AS (SELECT doc_id,
+             |    floor((coalesce(1::DOUBLE / (r_t + 60), 0) + coalesce(1::DOUBLE / (r_v + 60), 0))
+             |          * 1000000 + 0.5) / 1000000 AS rrf
+             |  FROM tr FULL OUTER JOIN vr USING (doc_id)
+             |  ORDER BY rrf DESC, doc_id LIMIT 10),
+             |ntok AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+             |packed AS (SELECT f.doc_id, n_tok,
+             |    (row_number() OVER (ORDER BY rrf DESC, f.doc_id))::INT AS rk,
+             |    (sum(n_tok) OVER (ORDER BY rrf DESC, f.doc_id
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tok
+             |  FROM fused f JOIN ntok USING (doc_id))
+             |SELECT rk, doc_id, n_tok, cum_tok FROM packed
+             |WHERE cum_tok <= 256 ORDER BY rk""".stripMargin)),
 
     // SERVED text search through the oracle gate: the same BM25 answer
     // as q_text_search, produced from the PERSISTED inverted index

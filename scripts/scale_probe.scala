@@ -109,7 +109,9 @@ val queries = Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
   "q_agg_weighted_percentile",
   // round 14 batch-6/7 corpus-pass shapes: the distinct-window
   // rewrite, array-adjacent bigram statistics, vocabulary-graph rank
-  "q_win_running_distinct", "q_text_collocations", "q_text_keywords")
+  "q_win_running_distinct", "q_text_collocations", "q_text_keywords",
+  // round 14 closers: the RAG serving composite (fusion + packing)
+  "q_pipeline_rag")
 
 // Optional filter for targeted runs (same convention as
 // SPARK_GRAFT_VERIFY_ONLY): probe only the named queries.

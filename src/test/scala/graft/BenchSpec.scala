@@ -58,6 +58,43 @@ class BenchSpec extends AnyFunSuite {
     assert((1 to 10).forall(i => detail.contains(s"q_generated_query_name_$i")))
   }
 
+  test("partial line carries the marker, the coverage counts, and stays bounded") {
+    val line = Bench.stdoutLine(results(120, 1), "/root/testdata/sf0.1", partialOf = Some(228))
+    assert(line.contains("\"partial\":true"))
+    assert(line.contains("\"n_done\":121"))
+    assert(line.contains("\"n_total\":228"))
+    assert(line.length < Bound, s"${line.length} chars: $line")
+    // a complete line must NOT carry the marker
+    assert(!Bench.stdoutLine(results(120, 1), "/root/testdata/sf0.1").contains("partial"))
+  }
+
+  // The round-14 lesson (BENCH_r14.json rc 124, parsed null): the sweep
+  // must fit the driver's kill window at ANY query count. planRuns is
+  // the degrade schedule — these pins make its three tiers structural.
+  test("planRuns keeps full fidelity while the projection fits the budget") {
+    // 10 execs in 10s = 1 s/exec; 100 queries x 4 execs = 400s <= 890 remaining
+    assert(Bench.planRuns(10.0, 10, 100, 3, 900.0) == ((true, 3, true)))
+    // first query (no history): full fidelity
+    assert(Bench.planRuns(0.0, 0, 228, 3, 900.0) == ((true, 3, true)))
+  }
+
+  test("planRuns degrades to warmup+1 when full projection exceeds the budget") {
+    // 1 s/exec, 300 queries left: full = 1200 > 890 remaining, degraded = 600 fits
+    assert(Bench.planRuns(10.0, 10, 300, 3, 900.0) == ((true, 1, false)))
+  }
+
+  test("planRuns drops to a single bare run when even warmup+1 cannot fit") {
+    // 1 s/exec, 2000 queries left: degraded = 4000 > 890 remaining
+    assert(Bench.planRuns(10.0, 10, 2000, 3, 900.0) == ((false, 1, false)))
+    // budget already blown: never deadlocks, still runs each query once
+    assert(Bench.planRuns(1000.0, 500, 50, 3, 900.0) == ((false, 1, false)))
+  }
+
+  test("detail record carries the mode counts when provided") {
+    val d = Bench.detailJson(results(3, 0), "/x", 3, Map("full" -> 2, "degraded" -> 1))
+    assert(d.contains("\"modes\":{\"degraded\":1,\"full\":2}"))
+  }
+
   test("error messages are escaped and truncated on the stdout line") {
     val rs = Seq("q_bad" -> Left("""Exception: "quoted"
 	tabbed and very very very very very very very very long message"""))

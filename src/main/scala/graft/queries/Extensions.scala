@@ -479,19 +479,56 @@ object Extensions {
     // 2i), the 64-way file split, and the min/max pruning all get
     // value-checked — ClusteringSpec holds the comparative claim
     // (2-D probes prune under z-order where a 1-D sort scans all).
-    // Scale: file assignment here is ntile over one global sort for
-    // oracle determinism; the production write path is
+    // Scale: file assignment replays ntile(64)'s exact arithmetic from
+    // a TWO-LEVEL global rank (the q_pack_shards discipline) — the
+    // naive ntile-over-one-global-window puts the whole fact through a
+    // single WindowExec partition. Bucket by a monotone function of z
+    // (z is the primary sort key, so bucket boundaries respect the
+    // global (z,p,sk) order), per-bucket counts cumulate into a ≤nb-row
+    // offset table (the only global window), and per-bucket row_numbers
+    // plus their bucket offset reconstruct the global 0-based rank. The
+    // SQL-standard ntile split (first n%64 tiles get ⌈n/64⌉ rows) is
+    // then a closed-form expression of (rank, n), so the DuckDB twin
+    // keeps verifying with its own ntile(64). No partition ever holds
+    // more than corpus/nb rows; ties in (z,p,sk) are exact (p,sk)
+    // duplicates, so rank order among them cannot move any file's
+    // count or min/max. The production write path is
     // Clustering.cluster's sample-based range partitioner on the SAME
-    // z-value — no global sort bottleneck, identical file key-ranges.
+    // z-value — no equal-count guarantee needed there.
     GQuery(
       "q_layout_zorder",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        val nb = 64
         val z = graft.cdc.Clustering.zvalue(col("l_partkey"), col("l_suppkey"), 16)
-        Tables.lineitem(s, dir)
+        // (p, sk, z) materialized once: the max-z scalar, the bucket
+        // counts, and the main pass share one scan+interleave
+        val rows = Tables.lineitem(s, dir)
           .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"), z.as("z"))
+          .localCheckpoint()
+        // bucket width from a 1-row max scalar keeps the bucket count
+        // ≤ nb at any sf; floor(z/k) is monotone in z
+        val k = rows.agg((floor(max(col("z")) / nb) + 1).cast("long").as("k"))
+        val withB = rows.crossJoin(broadcast(k))
+          .withColumn("b", floor(col("z") / col("k")).cast("long"))
+        val wOff = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+        val offs = withB.groupBy(col("b")).agg(count(lit(1)).as("bn"))
+          .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+          .withColumn("n_tot", sum(col("bn")).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .select(col("b"), col("off"), col("n_tot")) // ≤ nb rows: the only global windows
+        val wIn = Window.partitionBy(col("b")).orderBy(col("z"), col("p"), col("sk"))
+        // ntile(nb) closed form over 0-based rank r of n rows:
+        // q=⌊n/nb⌋ big-or-small tile size, rem=n%nb tiles of size q+1
+        // first — identical to the SQL-standard (and DuckDB) split
+        val q = floor(col("n_tot") / nb)
+        val rem = col("n_tot") - q * nb
+        val r = row_number().over(wIn).cast("long") - 1 + col("off")
+        withB.join(broadcast(offs), "b")
           .withColumn("file_id",
-            ntile(64).over(Window.orderBy(col("z"), col("p"), col("sk"))).cast("long"))
+            when(r < rem * (q + 1), floor(r / (q + 1)) + 1)
+              .otherwise(rem + floor((r - rem * (q + 1)) / greatest(q, lit(1L))) + 1)
+              .cast("long"))
           .groupBy(col("file_id"))
           .agg(count(lit(1)).as("n"),
             min(col("p")).as("p_lo"), max(col("p")).as("p_hi"),
@@ -2667,21 +2704,29 @@ object Extensions {
 
     // ------------------------------------------------ similarity search
     // Brute-force exact cosine top-k for a bounded query set (vec_id ≤
-    // 50) against the full corpus: corpus broadcast, queries scanned —
-    // the correctness baseline. Scale path: raise `bits` in
-    // Vectors.nearDupPairs / IVF-partition the corpus; the oracle stays
-    // on this exact form (SURVEY.md §7.5).
+    // 50) against the full corpus — the correctness baseline. Sides
+    // matter at scale: the ≤51 QUERY rows are broadcast and the CORPUS
+    // is streamed (the discipline every later similarity query follows,
+    // e.g. q_sim_mrl) — the original inverted form broadcast the corpus,
+    // a multi-GB ship to every task at 100× data. Per-query top-5 via
+    // row_number ≤ 5, which Spark plans as WindowGroupLimit: each
+    // corpus partition keeps only its local top-5 per query before the
+    // single query-key exchange, so the shuffle carries ≤ 5·|queries|
+    // rows per partition regardless of corpus size. Scale path beyond
+    // exact: the IVF/PQ ladder below; the oracle stays on this exact
+    // form (SURVEY.md §7.5).
     GQuery(
       "q_sim_topk",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding").as("v"))
+        val corpus = fanout(emb)
+          .select(col("vec_id").as("nn_id"), col("v").as("v2"))
+          .withColumn("nrm2", Vectors.norm(col("v2")))
+        val queries = emb.filter(col("vec_id") <= 50)
           .withColumn("nrm", Vectors.norm(col("v")))
-        val queries = fanout(emb.filter(col("vec_id") <= 50))
-        val corpus = broadcast(emb.select(
-          col("vec_id").as("nn_id"), col("v").as("v2"), col("nrm").as("nrm2")))
         val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nn_id"))
-        queries.join(corpus, col("vec_id") =!= col("nn_id"))
+        corpus.join(broadcast(queries), col("vec_id") =!= col("nn_id"))
           .withColumn("cos", Vectors.cosine(col("v"), col("v2"), col("nrm"), col("nrm2")))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)

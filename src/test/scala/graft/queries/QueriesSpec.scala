@@ -374,6 +374,42 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_sim_topk: queries broadcast, corpus streamed, partial top-k cut before the shuffle") {
+    // round-14 verdict: the sides were inverted (corpus broadcast) — a
+    // multi-GB ship to every task at 100x data. Pin: exactly one
+    // broadcast and its subtree carries the vec_id<=50 QUERY filter;
+    // the corpus is cut to a per-partition top-5 (Partial
+    // WindowGroupLimit) before the one query-key exchange.
+    val p = plan("q_sim_topk")
+    assert(p.split("\n").count(_.contains("BroadcastExchange")) == 1, p)
+    assert(p.substring(p.indexOf("BroadcastExchange")).contains("<= 50"), p)
+    assert(p.contains("row_number(), 5, Partial"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_layout_zorder: corpus rank is two-level — no corpus-sized global window, no ntile") {
+    // round-14 verdict: ntile(64) over a GLOBAL window put the whole
+    // fact through one WindowExec partition. Pin on the optimized
+    // logical plan: the corpus row_number window must be PARTITIONED
+    // (by the z-bucket); any window with an empty partition spec must
+    // be one of the <=nb-row offset-table windows (sum over bucket
+    // counts), never a row_number over the fact.
+    val df = GQuery.all.find(_.name == "q_layout_zorder").get.fn(spark, dir)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("ntile"),
+      df.queryExecution.optimizedPlan.toString)
+    val rowNumWins = wins.filter(_.windowExpressions.mkString.contains("row_number"))
+    assert(rowNumWins.nonEmpty && rowNumWins.forall(_.partitionSpec.nonEmpty),
+      df.queryExecution.optimizedPlan.toString)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.windowExpressions.mkString.contains("sum"),
+        s"unexpected global window:\n$w")
+    }
+  }
+
   test("stream_session_e2e equals the batch q_win_session rows (shared columns)") {
     // the streaming state machine and the batch gaps-and-islands window
     // must agree row for row — the spec-level twin of the DuckDB gate

@@ -247,9 +247,24 @@ object FileGroups {
   /** Time travel: the snapshot as of still-retained committed version
     * `id` (current, prior, or savepointed). The manifest makes this
     * exact — it lists the very files version `id` saw, including clean
-    * buckets carried from older commits. */
-  def readAt(sess: SparkSession, dir: String, id: Long): Option[DataFrame] =
-    if (!Ingest.snapshotVersions(sess, dir).contains(id)) None
+    * buckets carried from older commits. Fails loudly when a purge
+    * intent marker covers the requested version: between a purge's
+    * manifest commit and the end of its forget-history step, older
+    * manifests may still reference the purged keys — serving them
+    * would silently resurrect supposedly-forgotten rows. */
+  def readAt(sess: SparkSession, dir: String, id: Long): Option[DataFrame] = {
+    val versions = Ingest.snapshotVersions(sess, dir)
+    pendingPurge(sess, dir).foreach { pid =>
+      // only a COMMITTED purge (pid <= current id) can have left
+      // un-forgotten history; an uncommitted marker means the purge
+      // never landed and every retained version is untouched
+      if (versions.lastOption.exists(pid <= _) && id < pid && versions.contains(id))
+        throw new IllegalStateException(
+          s"purge $pid is pending at $dir (crash between commit and history " +
+            s"drop): version $id predates it and may still hold purged keys — " +
+            "re-run purgeKeys (any key set) to complete the purge first")
+    }
+    if (!versions.contains(id)) None
     else Some {
       val (_, schema, entries) = readManifest(sess, dir, id)
       if (entries.isEmpty)
@@ -262,6 +277,7 @@ object FileGroups {
         .parquet(entries.map(e => s"$dir/${e.relPath}"): _*)
         .drop("_bucket")
     }
+  }
 
   /** Checkpointed streaming ingest at file-group granularity — the
     * third member of the service triad next to [[Ingest.run]] (table-
@@ -377,11 +393,16 @@ object FileGroups {
     *
     * At 100 TB the rewrite cost is ∝ buckets actually holding purged
     * keys (bloom-pruned, usually |keys| file groups), and the history
-    * drop is pure metadata plus unreferenced-dir deletes. A crash
-    * inside step 3 is completed by re-running the purge under a FRESH
-    * batch id (ids are monotone; the rewrite is then a cheap no-match
-    * pass). Single-long-key tables (the stats/bloom scope). Returns
-    * the rewritten bucket set. */
+    * drop is pure metadata plus unreferenced-dir deletes.
+    *
+    * Crash safety does NOT rely on the operator noticing the crash: a
+    * `_PURGE_<batchId>` intent marker is written before any mutation
+    * and removed only after step 3 completes. While it stands,
+    * [[readAt]] refuses to serve pre-purge versions (no silent
+    * resurrection), and the next purgeKeys call on the table finishes
+    * the forget step (marker committed) or discards the orphan rewrite
+    * (marker uncommitted) before proceeding. Single-long-key tables
+    * (the stats/bloom scope). Returns the rewritten bucket set. */
   def purgeKeys(sess: SparkSession, dir: String, keys: Seq[String],
                 purge: Seq[Long], batchId: Long): Set[Long] = {
     require(keys.size == 1, "purgeKeys supports single-key tables (the index scope)")
@@ -389,6 +410,24 @@ object FileGroups {
     val id = committedId(sess, dir).getOrElse(
       throw new IllegalStateException(s"no committed table at $dir"))
     require(batchId > id, s"purge batchId $batchId must exceed committed id $id")
+    // Crash recovery from a leftover intent marker (written below before
+    // any mutation, removed only after the forget step completes).
+    // Committed marker (pid <= committed id): the purged manifest landed
+    // but history may not have been dropped — older manifests could
+    // still resurrect the purged keys, so FINISH the forget from the
+    // current committed manifest before doing anything else. Uncommitted
+    // marker (pid > committed id): the crash hit before the manifest
+    // commit, the table never changed — drop the orphan rewrite dir and
+    // the marker, then proceed.
+    pendingPurge(sess, dir).foreach { pid =>
+      if (pid <= id) {
+        forgetHistory(sess, dir, id, readManifest(sess, dir, id)._3.map(_.relPath).toSet)
+        fs.delete(path(purgeMarkerPath(dir, pid)), false)
+      } else {
+        fs.delete(path(s"$dir/files/v$pid"), true)
+        fs.delete(path(purgeMarkerPath(dir, pid)), false)
+      }
+    }
     val (nb, schema, entries) = readManifest(sess, dir, id)
     val keyType = schema.flatMap(st => st.fields.find(_.name == keys.head).map(_.dataType))
       .getOrElse(org.apache.spark.sql.types.LongType)
@@ -399,6 +438,12 @@ object FileGroups {
           e.bloom.forall(bloomMightContain(_, pos))
       }
     }
+    // Intent marker BEFORE any mutation: records that a purge is in
+    // flight, so a crash anywhere below is DETECTED rather than silent —
+    // readAt fails loudly on pre-purge versions while it stands, and the
+    // next purgeKeys call completes the forget step (above). Removed
+    // only after forgetHistory finishes.
+    fs.createNewFile(path(purgeMarkerPath(dir, batchId)))
     val newEntries: Seq[Entry] =
       if (dirtyBuckets.isEmpty) entries
       else {
@@ -423,14 +468,41 @@ object FileGroups {
     writeManifest(sess, dir, batchId, nb,
       schema.getOrElse(read(sess, dir).get.schema), newEntries)
     fs.createNewFile(path(s"$dir/_COMMIT_$batchId"))
-    // step 3 — forget: metadata first, unreferenced data dirs last
+    // step 3 — forget, then retire the intent marker
+    forgetHistory(sess, dir, batchId, newEntries.map(_.relPath).toSet)
+    fs.delete(path(purgeMarkerPath(dir, batchId)), false)
+    dirtyBuckets.map(_.bucket).toSet
+  }
+
+  private def purgeMarkerPath(dir: String, id: Long) = s"$dir/_PURGE_$id"
+
+  /** Pending purge intent, if any: a `_PURGE_<batchId>` marker is
+    * written before a purge mutates anything and removed only after its
+    * forget-history step completes — a leftover marker means a crash
+    * mid-purge. [[readAt]] refuses pre-purge versions while one stands;
+    * the next [[purgeKeys]] call completes or discards it. */
+  def pendingPurge(sess: SparkSession, dir: String): Option[Long] = {
+    val fs = fsOf(sess)
+    if (!fs.exists(path(dir))) None
+    else fs.listStatus(path(dir)).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("_PURGE_") => n.stripPrefix("_PURGE_").toLong }
+      .sorted.lastOption
+  }
+
+  /** Purge step 3 — forget history: drop every manifest + commit marker
+    * older than `batchId` and every savepoint, then delete each
+    * per-version bucket dir `referenced` does not name. Data dirs go
+    * LAST so no still-referenced file is ever missing; every delete is
+    * idempotent, so re-running to complete a crashed purge is safe. */
+  private def forgetHistory(sess: SparkSession, dir: String, batchId: Long,
+                            referenced: Set[String]): Unit = {
+    val fs = fsOf(sess)
     Ingest.snapshotVersions(sess, dir).filter(_ < batchId).foreach { v =>
       fs.delete(path(manifestPath(dir, v)), false)
       fs.delete(path(s"$dir/_COMMIT_$v"), false)
     }
     Savepoints.savepoints(sess, dir).foreach(spId =>
       fs.delete(path(s"$dir/_SAVEPOINT_$spId"), false))
-    val referenced = newEntries.map(_.relPath).toSet
     if (fs.exists(path(s"$dir/files")))
       fs.listStatus(path(s"$dir/files")).foreach { vdir =>
         fs.listStatus(vdir.getPath).foreach { bdir =>
@@ -440,7 +512,6 @@ object FileGroups {
         }
         if (fs.listStatus(vdir.getPath).isEmpty) fs.delete(vdir.getPath, true)
       }
-    dirtyBuckets.map(_.bucket).toSet
   }
 
   /** Hudi-style index tagging: classify each incoming key as `update`

@@ -232,6 +232,56 @@ class FileGroupsSpec extends SparkSpec {
     assert(purge.forall(p => !allOnDisk.contains(p)))
   }
 
+  test("purge crash between commit and forget: old versions refuse to serve; next purge completes") {
+    val dir = tmpDir("graft_fg_purge_crash") + "/t"
+    val l = log()
+    FileGroups.commit(spark, dir, l.filter($"lsn" < 500), 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    FileGroups.commit(spark, dir, l.filter($"lsn" >= 500), 1L, Seq("id"), Seq("lsn"))
+    val before = FileGroups.read(spark, dir).get.select($"id").as[Long].collect().toSet
+    // simulate the crash window: the purge's rewrite COMMITTED as v2
+    // (here: a delete commit stands in for the rewritten manifest) but
+    // the JVM died before forgetHistory — the intent marker is still
+    // standing and manifests v0/v1 still reference the purged key
+    val victim = before.toSeq.min
+    FileGroups.commit(spark, dir,
+      Seq((victim, 99999L, "d", 0.0)).toDF("id", "lsn", "op", "value"),
+      2L, Seq("id"), Seq("lsn"))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.createNewFile(new org.apache.hadoop.fs.Path(s"$dir/_PURGE_2"))
+    assert(FileGroups.pendingPurge(spark, dir).contains(2L))
+    // pre-purge versions fail LOUDLY (no silent resurrection) ...
+    intercept[IllegalStateException] { FileGroups.readAt(spark, dir, 1L) }
+    // ... while the current (already-purged) snapshot still serves
+    assert(FileGroups.read(spark, dir).get.count() > 0)
+    // the next purge call finishes the forget before its own work
+    FileGroups.purgeKeys(spark, dir, Seq("id"), Seq(before.toSeq.max), 3L)
+    assert(FileGroups.pendingPurge(spark, dir).isEmpty)
+    assert(Ingest.snapshotVersions(spark, dir) == Seq(3L))
+    assert(FileGroups.readAt(spark, dir, 1L).isEmpty) // manifest gone, plain None
+    val after = FileGroups.read(spark, dir).get.select($"id").as[Long].collect().toSet
+    assert(after == before - victim - before.toSeq.max)
+  }
+
+  test("purge crash before commit: versions stay readable; orphan rewrite is discarded") {
+    val dir = tmpDir("graft_fg_purge_orphan") + "/t"
+    val l = log()
+    FileGroups.commit(spark, dir, l, 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    val before = FileGroups.read(spark, dir).get.select($"id").as[Long].collect().toSet
+    // crash BEFORE the manifest commit: marker + partial rewrite dir,
+    // no _COMMIT_5 — the table never changed
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/files/v5/_bucket=0"))
+    fs.createNewFile(new org.apache.hadoop.fs.Path(s"$dir/_PURGE_5"))
+    // an uncommitted marker blocks nothing: every version is untouched
+    assert(FileGroups.readAt(spark, dir, 0L).get.count() == before.size)
+    val victim = before.toSeq.min
+    FileGroups.purgeKeys(spark, dir, Seq("id"), Seq(victim), 6L)
+    assert(FileGroups.pendingPurge(spark, dir).isEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/files/v5")))
+    val after = FileGroups.read(spark, dir).get.select($"id").as[Long].collect().toSet
+    assert(after == before - victim)
+  }
+
   test("bloom index: absent keys are rejected from metadata alone; tagging is exact") {
     val dir = tmpDir("graft_fg5") + "/t"
     val l = log()

@@ -81,8 +81,12 @@ object TextIndex {
       tf.join(dl, "doc_id")
         .withColumn("_tb", termBucket(col("term")))
         .write.mode("overwrite").partitionBy("_tb").parquet(postDir)
+      // id_lo/id_hi: the segment's doc_id range, so append's overlap
+      // guard can clear disjoint batches from this 1-row read alone
       toks.agg(count(lit(1)).as("t_total"),
-          countDistinct(col("doc_id")).as("n_docs"))
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).cast("long").as("id_lo"),
+          max(col("doc_id")).cast("long").as("id_hi"))
         .coalesce(1).write.mode("overwrite").parquet(statDir)
     } finally { toks.unpersist(); () }
   }
@@ -102,7 +106,18 @@ object TextIndex {
     * aggregate the BATCH only, never re-reading the landed corpus.
     * Exactly-once by the delta marker: a committed id is a no-op
     * (returns false); an empty batch commits a data-less marker.
-    * Cost per batch ∝ batch tokens. */
+    * Cost per batch ∝ batch tokens.
+    *
+    * ENFORCES the append-only doc_id contract it depends on: a
+    * re-ingested doc_id would duplicate (term, doc_id) postings across
+    * segments, silently inflating the window-count df and
+    * double-scoring the doc in topK — so an overlapping batch FAILS
+    * LOUDLY (rebuild to replace docs), mirroring DeltaProtocol's
+    * fail-loud discipline. The guard is metadata-only for batches whose
+    * doc_id range is disjoint from every landed segment's [id_lo,
+    * id_hi] stats (the monotone-ingest common case); only
+    * range-intersecting segments pay an exact column-pruned doc_id
+    * semi-join. */
   def append(spark: SparkSession, dir: String, docs: DataFrame, deltaId: Long,
              idCol: String = "doc_id", textCol: String = "text"): Boolean = {
     require(exists(spark, dir), s"no committed text index at $dir — build first")
@@ -111,11 +126,49 @@ object TextIndex {
       if (DeltaProtocol.batchIsEmpty(docs))
         DeltaProtocol.commitDeltaMarker(spark, dir, deltaId, empty = true)
       else {
+        assertNoDocOverlap(spark, dir, docs, idCol)
         writeSegment(docs, idCol, textCol,
           s"$dir/postings_d$deltaId", s"$dir/stats_d$deltaId")
         DeltaProtocol.commitDeltaMarker(spark, dir, deltaId)
       }
       true
+    }
+  }
+
+  /** The overlap guard behind [[append]]. Long-keyed corpora (the
+    * stats-range scope): a batch whose ids do not cast to long skips
+    * the range cut and is checked exactly. Segments written before the
+    * range stats existed (no id_lo column) are also checked exactly. */
+  private def assertNoDocOverlap(spark: SparkSession, dir: String,
+                                 docs: DataFrame, idCol: String): Unit = {
+    val b = docs.agg(min(col(idCol).cast("long")).as("lo"),
+      max(col(idCol).cast("long")).as("hi")).head()
+    val range = if (b.isNullAt(0)) None else Some((b.getLong(0), b.getLong(1)))
+    val segs = Seq(("postings", "stats")) ++
+      DeltaProtocol.liveDeltaIds(spark, dir).map(i => (s"postings_d$i", s"stats_d$i"))
+    val suspect = segs.filter { case (_, sd) =>
+      val st = spark.read.parquet(s"$dir/$sd")
+      if (!st.columns.contains("id_lo") || range.isEmpty) true
+      else {
+        val r = st.select(col("id_lo"), col("id_hi")).head()
+        !r.isNullAt(0) && r.getLong(0) <= range.get._2 && range.get._1 <= r.getLong(1)
+      }
+    }.map(_._1)
+    if (suspect.nonEmpty) {
+      // per-segment reads (each _tb-partitioned dir is its own root —
+      // a multi-path read trips partition-structure inference), doc_id
+      // column only, unioned then probed
+      val dup = suspect
+        .map(p => spark.read.option("basePath", s"$dir/$p").parquet(s"$dir/$p")
+          .select(col("doc_id")))
+        .reduce(_ unionByName _).distinct()
+        .join(docs.select(col(idCol).as("doc_id")).distinct(), "doc_id")
+        .limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalStateException(
+          s"TextIndex.append at $dir violates the append-only doc_id contract: " +
+            s"doc_id ${dup.head.get(0)} is already indexed (segments checked: " +
+            s"${suspect.mkString(", ")}) — re-ingesting a doc requires a rebuild")
     }
   }
 

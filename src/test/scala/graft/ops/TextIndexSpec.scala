@@ -61,6 +61,30 @@ class TextIndexSpec extends SparkSpec {
     assert(canon(TextIndex.topK(spark, dir, query, 10)) == before)
   }
 
+  test("append fails loudly on a re-ingested doc_id; disjoint appends stay cheap") {
+    val dir = tmpDir("graft_tix_dup") + "/idx"
+    val base = docs().filter($"doc_id" < 40 && pmod($"doc_id", lit(2)) === 0)
+    TextIndex.build(spark, dir, base)
+    // overlapping batch (doc 0 already indexed): LOUD failure, and the
+    // failed attempt must not commit — the delta id stays replayable
+    val ex = intercept[IllegalStateException] {
+      TextIndex.append(spark, dir, docs().filter($"doc_id" === 0), 0L)
+    }
+    assert(ex.getMessage.contains("append-only doc_id contract"))
+    assert(TextIndex.deltaIds(spark, dir).isEmpty)
+    // range-disjoint batch (40..59 vs base's [0,38]): admitted from the
+    // 1-row range stats alone
+    assert(TextIndex.append(spark, dir, docs().filter($"doc_id" >= 40 && $"doc_id" < 60), 0L))
+    // interleaved-but-distinct ids (odd < 40): ranges intersect the
+    // base, the exact check runs and correctly admits the batch
+    assert(TextIndex.append(spark, dir,
+      docs().filter($"doc_id" < 40 && pmod($"doc_id", lit(2)) === 1), 1L))
+    // and a duplicate is rejected across DELTA segments too (41 ∈ delta 0)
+    intercept[IllegalStateException] {
+      TextIndex.append(spark, dir, docs().filter($"doc_id" === 41), 2L)
+    }
+  }
+
   test("streaming ingest twin: end-state serve equals full-corpus search; crash-replay safe") {
     val root = tmpDir("graft_tix4")
     val dir = root + "/idx"

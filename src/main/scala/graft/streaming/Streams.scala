@@ -255,17 +255,21 @@ object Streams {
     * micro-batch absorbs into the assignment through the condensed
     * label graph ([[graft.ops.Components.mergeBatch]] — batch-sized
     * merge work, bit-equal to a full recompute), then commits the
-    * updated state as a versioned snapshot. An edge FIRES exactly once:
-    * on the batch where its later-arriving endpoint lands (both
-    * endpoints known, at least one in the batch) — earlier batches
-    * can't see it, later batches would double-apply it harmlessly but
-    * never get it. `pairsDir` stands in for the near-dup pair feed the
-    * LSH probe produces online ([[nearDupIngest]] demonstrates that
-    * half); at 100 TB the probe output IS this feed and the pair table
-    * never materializes. Exactly-once by the version marker: a
-    * committed batch is a replay no-op, a crash between the snapshot
-    * write and the marker replays into an identical snapshot off the
-    * unchanged previous version. */
+    * updated state as a versioned snapshot. An edge fires on the batch
+    * where its later-arriving endpoint lands (both endpoints known, at
+    * least one in the batch) — plus the LATE-PAIR sweep: a pair that
+    * reaches the feed only after BOTH endpoints' batches committed
+    * (out-of-order probe output) fires on the next batch, selected as
+    * "both endpoints landed but their labels still differ". Already-
+    * merged pairs never refire (labels equal), so the effect stays
+    * exactly-once without persisting an applied-pair set; an empty
+    * batch flushes pending late pairs. `pairsDir` stands in for the
+    * near-dup pair feed the LSH probe produces online
+    * ([[nearDupIngest]] demonstrates that half); at 100 TB the probe
+    * output IS this feed and the pair table never materializes.
+    * Exactly-once by the version marker: a committed batch is a replay
+    * no-op, a crash between the snapshot write and the marker replays
+    * into an identical snapshot off the unchanged previous version. */
   def clusterIngest(docs: DataFrame, pairsDir: String, storeDir: String,
                     checkpointDir: String): StreamingQuery =
     docs.writeStream
@@ -287,19 +291,32 @@ object Streams {
     if (graft.ops.ClusterStore.deltaIds(s, storeDir).contains(batchId)) false
     else {
       val b = batch.select(col("doc_id").as("id")).distinct().localCheckpoint()
-      val known = graft.ops.ClusterStore.read(s, storeDir)
-        .select(col("id")).union(b)
+      val assigned = graft.ops.ClusterStore.read(s, storeDir) // (id, lab)
+      val known = assigned.select(col("id")).union(b)
       val pairs = s.read.parquet(pairsDir)
       // both endpoints known (the later endpoint just arrived or is
-      // already landed) AND at least one endpoint in this batch
+      // already landed)
       val bothKnown = pairs
         .join(known.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
         .join(known.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
-      val fired = bothKnown
+      // fires now: at least one endpoint in this batch ...
+      val inBatch = bothKnown
         .join(b.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
         .union(bothKnown
           .join(b.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi"))
-        .distinct()
+      // ... plus LATE pairs: both endpoints landed in earlier batches
+      // (so no later batch contains either) but their labels still
+      // differ — the pair reached the feed after both endpoints
+      // committed and would otherwise be permanently dropped. Labels
+      // equal ⇒ already merged (directly or transitively): skipping
+      // keeps the applied-effect exactly-once with no applied-pair
+      // state.
+      val late = bothKnown
+        .join(assigned.select(col("id").as("id_a"), col("lab").as("lab_a")), Seq("id_a"))
+        .join(assigned.select(col("id").as("id_b"), col("lab").as("lab_b")), Seq("id_b"))
+        .filter(col("lab_a") =!= col("lab_b"))
+        .select(col("id_a"), col("id_b"))
+      val fired = inBatch.select(col("id_a"), col("id_b")).union(late).distinct()
       graft.ops.ClusterStore.append(s, storeDir, b, fired, batchId)
       true
     }

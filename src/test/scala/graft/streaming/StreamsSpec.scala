@@ -128,6 +128,31 @@ class StreamsSpec extends SparkSpec {
       "crash replay diverged from the committed state")
   }
 
+  test("clusterBatch: a pair landing AFTER both endpoints' batches still merges (late-pair sweep)") {
+    import graft.ops.ClusterStore
+    val root = tmpDir("graft_scluster_late")
+    val (pairsDir, store) = (root + "/pairs", root + "/store")
+    // nodes 0..3 land across batches 0 and 1 with NO pairs in the feed
+    Seq.empty[(Long, Long)].toDF("id_a", "id_b").write.parquet(pairsDir)
+    ClusterStore.buildEmpty(spark, store)
+    assert(Streams.clusterBatch(Seq(0L, 1L).toDF("doc_id"), 0L, pairsDir, store))
+    assert(Streams.clusterBatch(Seq(2L, 3L).toDF("doc_id"), 1L, pairsDir, store))
+    assert(ClusterStore.read(spark, store).select($"lab").distinct().count() == 4)
+    // the probe's (1,2) pair arrives ONLY NOW — after both endpoints
+    // committed; no future batch contains either endpoint
+    Seq((1L, 2L)).toDF("id_a", "id_b").write.mode("append").parquet(pairsDir)
+    // the next batch (unrelated node) must sweep the late pair in
+    assert(Streams.clusterBatch(Seq(9L).toDF("doc_id"), 2L, pairsDir, store))
+    val got = ClusterStore.read(spark, store).as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L), s"late pair never merged: $got")
+    assert(got(0L) != got(1L) && got(3L) != got(2L))
+    // an EMPTY batch also flushes late pairs
+    Seq((0L, 3L)).toDF("id_a", "id_b").write.mode("append").parquet(pairsDir)
+    assert(Streams.clusterBatch(Seq.empty[Long].toDF("doc_id"), 3L, pairsDir, store))
+    val got2 = ClusterStore.read(spark, store).as[(Long, Long)].collect().toMap
+    assert(got2(0L) == got2(3L), s"empty batch did not flush the late pair: $got2")
+  }
+
   test("dedupBatch crash protocol: replay after any partial state converges to the committed state") {
     import graft.ops.LshIndex
     val root = tmpDir("graft_sdedup_crash")

@@ -21,9 +21,12 @@ case class TopKEntry(ord: Long, id: Long)
   * per group, so the exchange carries groups × k entries per partition
   * — independent of row count. At 100 TB the shuffle is KBs.
   *
-  * The buffer is kept sorted (desc ord, asc id); `reduce` is O(1) for
-  * the common below-threshold row (compare against the current k-th),
-  * O(k) on insert; `merge` is a bounded merge of two sorted runs.
+  * The buffer is kept sorted (desc ord, asc id) in an INDEXED Seq
+  * (Vector / the encoder's ArraySeq), so `reduce`'s common
+  * below-threshold row really is O(1): length check + one comparison
+  * against the current k-th — no list walk (a List buffer made size/
+  * last O(k) and every losing row paid it). Insert stays O(k); `merge`
+  * is an index-walked bounded merge of two sorted runs.
   */
 class TopKAgg(k: Int) extends Aggregator[TopKEntry, Seq[TopKEntry], Seq[TopKEntry]] {
 
@@ -31,25 +34,39 @@ class TopKAgg(k: Int) extends Aggregator[TopKEntry, Seq[TopKEntry], Seq[TopKEntr
   private def beats(x: TopKEntry, y: TopKEntry): Boolean =
     x.ord > y.ord || (x.ord == y.ord && x.id < y.id)
 
-  private def insert(sorted: Seq[TopKEntry], a: TopKEntry): Seq[TopKEntry] = {
-    val (better, rest) = sorted.span(e => !beats(a, e))
-    (better :+ a) ++ rest
+  /** Buffers we built are already indexed; the one O(k) copy happens
+    * only when the encoder hands back a non-indexed Seq after a
+    * shuffle-boundary deserialization. */
+  private def idx(b: Seq[TopKEntry]): IndexedSeq[TopKEntry] = b match {
+    case v: IndexedSeq[TopKEntry] => v
+    case other => other.toIndexedSeq
   }
 
-  override def zero: Seq[TopKEntry] = Seq.empty
+  private def insert(sorted: IndexedSeq[TopKEntry], a: TopKEntry): IndexedSeq[TopKEntry] = {
+    val at = sorted.indexWhere(e => beats(a, e)) match {
+      case -1 => sorted.length
+      case i => i
+    }
+    (sorted.take(at) :+ a) ++ sorted.drop(at)
+  }
 
-  override def reduce(b: Seq[TopKEntry], a: TopKEntry): Seq[TopKEntry] =
-    if (b.size < k) insert(b, a)
-    else if (beats(a, b.last)) insert(b, a).take(k)
-    else b
+  override def zero: Seq[TopKEntry] = Vector.empty
+
+  override def reduce(b: Seq[TopKEntry], a: TopKEntry): Seq[TopKEntry] = {
+    val v = idx(b)
+    if (v.length < k) insert(v, a)
+    else if (beats(a, v(v.length - 1))) insert(v, a).take(k)
+    else v
+  }
 
   override def merge(b1: Seq[TopKEntry], b2: Seq[TopKEntry]): Seq[TopKEntry] = {
-    val out = Seq.newBuilder[TopKEntry]
-    var (l, r, n) = (b1, b2, 0)
-    while (n < k && (l.nonEmpty || r.nonEmpty)) {
-      if (r.isEmpty || (l.nonEmpty && !beats(r.head, l.head))) { out += l.head; l = l.tail }
-      else { out += r.head; r = r.tail }
-      n += 1
+    val (l, r) = (idx(b1), idx(b2))
+    val out = Vector.newBuilder[TopKEntry]
+    var i = 0
+    var j = 0
+    while (i + j < k && (i < l.length || j < r.length)) {
+      if (j >= r.length || (i < l.length && !beats(r(j), l(i)))) { out += l(i); i += 1 }
+      else { out += r(j); j += 1 }
     }
     out.result()
   }

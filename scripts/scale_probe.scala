@@ -111,7 +111,13 @@ val queries = Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
   // rewrite, array-adjacent bigram statistics, vocabulary-graph rank
   "q_win_running_distinct", "q_text_collocations", "q_text_keywords",
   // round 14 closers: the RAG serving composite (fusion + packing)
-  "q_pipeline_rag")
+  "q_pipeline_rag",
+  // round 15: the re-planned exact-ANN baseline (corpus streamed,
+  // queries broadcast) and z-order gate (two-level rank), the served
+  // BM25 delta-union read, the FK anti-join constraint pass, and the
+  // two post-close round-14 shapes never probed
+  "q_sim_topk", "q_layout_zorder", "q_text_search_served",
+  "q_quality_constraints", "q_privacy_ldiv", "q_hll_intersect_served")
 
 // Optional filter for targeted runs (same convention as
 // SPARK_GRAFT_VERIFY_ONLY): probe only the named queries.

@@ -474,6 +474,36 @@ object FileGroups {
     dirtyBuckets.map(_.bucket).toSet
   }
 
+  /** DSv2 catalog support ([[graft.sources.FileGroupCatalog]]): the
+    * table schema version `id`'s manifest records. */
+  private[graft] def manifestSchema(sess: SparkSession, dir: String, id: Long):
+      Option[org.apache.spark.sql.types.StructType] =
+    readManifest(sess, dir, id)._2
+
+  /** DSv2 catalog support: the data paths version `id` references —
+    * cut to the buckets that could hold `probes` when probes are given
+    * (hash bucket + [min,max] stats + key bloom, the same manifest
+    * index [[pointLookup]] and [[purgeKeys]] prune with). Empty probes
+    * = the full snapshot's paths. */
+  private[graft] def referencedPaths(sess: SparkSession, dir: String, id: Long,
+                                     keys: Seq[String], probes: Seq[Long]): Seq[String] = {
+    val (nb, schema, entries) = readManifest(sess, dir, id)
+    val sel =
+      if (probes.isEmpty) entries
+      else {
+        val keyType = schema.flatMap(st => st.fields.find(_.name == keys.head).map(_.dataType))
+          .getOrElse(org.apache.spark.sql.types.LongType)
+        val pr = probeIndex(sess, keys, probes, keyType, nb)
+        entries.filter { e =>
+          pr.exists { case (p, b, pos) =>
+            b == e.bucket && e.lo.forall(p >= _) && e.hi.forall(p <= _) &&
+              e.bloom.forall(bloomMightContain(_, pos))
+          }
+        }
+      }
+    sel.map(e => s"$dir/${e.relPath}")
+  }
+
   private def purgeMarkerPath(dir: String, id: Long) = s"$dir/_PURGE_$id"
 
   /** Pending purge intent, if any: a `_PURGE_<batchId>` marker is

@@ -278,17 +278,19 @@ object Extensions {
     val sfKey = sfFingerprint(dir)
     // v2: commit() writes per-bucket key blooms into the manifest (the
     // bloom-index tagging path needs them; v1 caches predate the field)
-    cachedFixture(s"graft_fg_cache_v2_$sfKey") { root =>
+    // v3: the table dir is named like a catalog table ("employees") so
+    // the same fixture serves q_cdc_sql_read's DSv2 catalog root
+    cachedFixture(s"graft_fg_cache_v3_$sfKey") { root =>
       val log = cdcLog(s, dir)
       val Seq(c1, c2) = {
         val n = Tables.events(s, dir).count()
         Seq(n * 2 / 5, n * 4 / 5)
       }
-      val t = root + "/table"
+      val t = root + "/employees"
       graft.cdc.FileGroups.commit(s, t, log.filter(col("lsn") < c1), 0L, Seq("id"), Seq("lsn"), nBuckets = 16)
       graft.cdc.FileGroups.commit(s, t, log.filter(col("lsn") >= c1 && col("lsn") < c2), 1L, Seq("id"), Seq("lsn"))
       graft.cdc.FileGroups.commit(s, t, log.filter(col("lsn") >= c2), 2L, Seq("id"), Seq("lsn"))
-    } + "/table"
+    } + "/employees"
   }
 
   /** The MOR snapshot read over the cached lifecycle fixture: base ⊎
@@ -803,6 +805,28 @@ object Extensions {
         graft.cdc.FileGroups.read(s, fileGroupTable(s, dir)).get
           .select(col("id"), col("lsn"), col("op"), col("value"))
           .orderBy(col("id"))
+      },
+      Some(latestWinsSql)),
+
+    // SQL-SURFACE catalog read — the reference's end product is a
+    // CATALOG-queryable table (Glue-synced, README.md:298-304), and
+    // this is that experience on the file-group store: a DSv2
+    // TableCatalog (sources/FileGroupCatalog) registered by config,
+    // then plain `SELECT … FROM graft_cdc.employees` — same fixture,
+    // same latest-wins oracle as the Scala-API read above, so the two
+    // doors are pinned value-identical. Underneath it is Spark's own
+    // ParquetScan over exactly the manifest-referenced files (column
+    // pruning + filter pushdown native), record-key predicates prune
+    // file groups from the manifest index (FileGroupCatalogSpec pins
+    // the 1-bucket plan + `VERSION AS OF`), and the catalog is
+    // read-only (writes stay on the crash-safe commit protocol).
+    GQuery(
+      "q_cdc_sql_read",
+      (s, dir) => {
+        val root = fileGroupTable(s, dir).stripSuffix("/employees")
+        s.conf.set("spark.sql.catalog.graft_cdc", "graft.sources.FileGroupCatalog")
+        s.conf.set("spark.sql.catalog.graft_cdc.root", root)
+        s.sql("SELECT id, lsn, op, value FROM graft_cdc.employees ORDER BY id")
       },
       Some(latestWinsSql)),
 

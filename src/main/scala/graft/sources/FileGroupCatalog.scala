@@ -1,0 +1,155 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.cdc.{FileGroups, Ingest}
+
+/** SQL-surface catalog for the file-group CDC tables — the last
+  * experience gap against the reference's end product (a catalog-
+  * queryable table, README.md:298-304): after
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft_cdc", classOf[FileGroupCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft_cdc.root", "/data/cdc")
+  * }}}
+  *
+  * every [[graft.cdc.FileGroups]] table under the root resolves through
+  * plain SQL — `SELECT * FROM graft_cdc.employees`, including time
+  * travel `VERSION AS OF n` (Spark routes it to
+  * `loadTable(ident, version)`) — with the native parquet DSv2 read
+  * path underneath: the scan is a real [[org.apache.spark.sql.
+  * execution.datasources.v2.parquet.ParquetScan]] over exactly the
+  * manifest-referenced files, so column pruning and filter pushdown
+  * come from Spark itself, and record-key equality predicates
+  * additionally prune FILE GROUPS from the manifest index (hash bucket
+  * + [min,max] stats + key bloom — the [[graft.cdc.FileGroups.
+  * pointLookup]] metadata read, now reached from SQL). At 100 TB a
+  * `WHERE id = k` catalog query scans ~1 file group, never the table.
+  *
+  * READ-ONLY by design: writes go through the crash-safe
+  * [[graft.cdc.FileGroups.commit]]/[[graft.cdc.MergeOnRead]] protocol,
+  * not blind DSv2 appends — createTable/dropTable fail loudly.
+  *
+  * Config is re-read per lookup from the LIVE session conf (not the
+  * `initialize` snapshot): Spark's CatalogManager caches the plugin
+  * instance per name, and a stale root captured at first use would
+  * silently serve the wrong warehouse after a conf change.
+  *
+  * Options: `root` (required) — the directory whose children are
+  * file-group tables; `keys` (default `id`) — the record-key column
+  * bucket pruning probes.
+  */
+class FileGroupCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+
+  private def conf(key: String): Option[String] =
+    spark.conf.getOption(s"spark.sql.catalog.$catalogName.$key")
+
+  private def root: String = conf("root").getOrElse(
+    throw new IllegalStateException(
+      s"spark.sql.catalog.$catalogName.root is not set — point it at the file-group warehouse"))
+
+  private def keys: Seq[String] =
+    conf("keys").getOrElse("id").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def dirOf(ident: Identifier): String =
+    (root +: (ident.namespace() :+ ident.name())).mkString("/")
+
+  /** Single-level namespace: tables live directly under the root. */
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root))) Array.empty
+    else fs.listStatus(new Path(root)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => FileGroups.committedId(spark, s"$root/$n").isDefined)
+      .sorted
+      .map(Identifier.of(Array.empty, _))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    FileGroups.committedId(spark, dirOf(ident)).isDefined
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF n` — Spark's time-travel resolution lands here. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toLong))
+
+  private def load(ident: Identifier, version: Option[Long]): Table = {
+    val dir = dirOf(ident)
+    val committed = FileGroups.committedId(spark, dir)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val id = version.getOrElse(committed)
+    if (!Ingest.snapshotVersions(spark, dir).contains(id))
+      throw new IllegalArgumentException(
+        s"version $id of ${ident.name()} is not retained (committed: $committed, " +
+          s"retained: ${Ingest.snapshotVersions(spark, dir).mkString(", ")})")
+    new FileGroupTable(spark, s"$catalogName.${ident.name()}", dir, id, keys)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName is read-only: write through FileGroups.commit / MergeOnRead.run " +
+        "(crash-safe versioned commits), not DSv2 DDL")
+
+  override def alterTable(ident: Identifier,
+                          changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
+    throw new UnsupportedOperationException(s"$catalogName is read-only")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      s"$catalogName is read-only: use FileGroups.purgeKeys for data removal")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(s"$catalogName is read-only")
+}
+
+/** One file-group table pinned at a committed version. The scan
+  * delegates to the native parquet DSv2 builder over the manifest's
+  * referenced bucket dirs ([[FileGroupScanBuilder]]), so the physical
+  * plan is indistinguishable from a hand-written parquet read of
+  * exactly the live files. */
+private[sources] class FileGroupTable(spark: SparkSession, tableName: String,
+                                      dir: String, version: Long, keys: Seq[String])
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+
+  override lazy val schema: StructType =
+    FileGroups.manifestSchema(spark, dir, version).getOrElse(
+      throw new IllegalStateException(
+        s"manifest v$version at $dir carries no schema — pre-schema-header table; rebuild"))
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def properties(): util.Map[String, String] =
+    Map("version" -> version.toString, "location" -> dir).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    FileGroupScanBuilder(spark, dir, version, keys, schema, options)
+}

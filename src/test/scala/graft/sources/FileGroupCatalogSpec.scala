@@ -1,0 +1,106 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.cdc.FileGroups
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** DSv2 catalog surface over the file-group store: SQL resolution,
+  * time travel, manifest bucket pruning surviving the catalog path,
+  * and the read-only contract. */
+class FileGroupCatalogSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def log() = Tables.events(spark, sf).select(
+    col("user_id").as("id"), col("event_id").as("lsn"),
+    when(pmod(col("event_id"), lit(11)) === 0, "d")
+      .when(pmod(col("event_id"), lit(3)) === 0, "u")
+      .otherwise("c").as("op"),
+    col("value"))
+
+  /** Fresh warehouse with one 2-commit table; registers the catalog. */
+  private def warehouse(): String = {
+    val root = tmpDir("graft_fgcat")
+    val t = root + "/employees"
+    val l = log()
+    FileGroups.commit(spark, t, l.filter($"lsn" < 500), 0L, Seq("id"), Seq("lsn"), nBuckets = 16)
+    FileGroups.commit(spark, t, l.filter($"lsn" >= 500), 1L, Seq("id"), Seq("lsn"))
+    spark.conf.set("spark.sql.catalog.graft_cdc", classOf[FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cdc.root", root)
+    root
+  }
+
+  test("SQL read equals the Scala-API read; SHOW TABLES lists the table") {
+    val root = warehouse()
+    val sql = spark.sql("SELECT id, lsn, op, value FROM graft_cdc.employees ORDER BY id")
+      .collect().toSeq
+    val api = FileGroups.read(spark, root + "/employees").get
+      .select($"id", $"lsn", $"op", $"value").orderBy($"id").collect().toSeq
+    assert(sql.nonEmpty && sql == api)
+    assert(spark.sql("SHOW TABLES IN graft_cdc").select($"tableName").as[String]
+      .collect().toSeq == Seq("employees"))
+  }
+
+  test("VERSION AS OF resolves retained versions and rejects others") {
+    val root = warehouse()
+    val v0sql = spark.sql("SELECT * FROM graft_cdc.employees VERSION AS OF 0").count()
+    assert(v0sql == FileGroups.readAt(spark, root + "/employees", 0L).get.count())
+    assert(spark.sql("SELECT * FROM graft_cdc.employees VERSION AS OF 1").count() ==
+      FileGroups.read(spark, root + "/employees").get.count())
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_cdc.employees VERSION AS OF 9").count()
+    }
+    assert(ex.getMessage.contains("not retained"), ex.getMessage)
+  }
+
+  test("record-key equality through SQL prunes to the manifest's bucket files") {
+    warehouse()
+    val df = spark.sql("SELECT id, lsn FROM graft_cdc.employees WHERE id = 5")
+    // values first: the pruned read must agree with the unpruned one
+    val want = spark.sql("SELECT id, lsn FROM graft_cdc.employees")
+      .filter($"id" === 5).collect().toSeq
+    assert(df.collect().toSeq == want)
+    // plan: the scan's file index holds ONE bucket dir (16 buckets
+    // total), and the key predicate still reached the parquet scan
+    val p = df.queryExecution.executedPlan.treeString
+    assert(p.contains("InMemoryFileIndex(1 paths)"), p)
+    assert(p.contains("_bucket="), p)
+    assert(p.contains("PushedFilters: [IsNotNull(id), EqualTo(id,5)]"), p)
+  }
+
+  test("non-key and wide predicates fall back to the full referenced-file scan") {
+    warehouse()
+    val p = spark.sql("SELECT id FROM graft_cdc.employees WHERE lsn > 100")
+      .queryExecution.executedPlan.treeString
+    // every live bucket dir, not one — and lsn still pushed to parquet
+    assert(!p.contains("InMemoryFileIndex(1 paths)"), p)
+    assert(p.contains("GreaterThan(lsn,100)"), p)
+  }
+
+  test("the catalog is read-only: DDL and writes fail loudly") {
+    warehouse()
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_cdc.t2 (id BIGINT) USING parquet")
+    }
+    assert(e1.getMessage.contains("read-only"), e1.getMessage)
+    val e2 = intercept[Exception] { spark.sql("DROP TABLE graft_cdc.employees") }
+    assert(e2.getMessage.contains("read-only"), e2.getMessage)
+  }
+
+  test("catalog root re-resolves from the live conf (no stale plugin cache)") {
+    val root1 = warehouse()
+    assert(spark.sql("SELECT count(*) FROM graft_cdc.employees").head.getLong(0) > 0)
+    // second warehouse under the SAME catalog name: the cached plugin
+    // instance must follow the conf, not the first-use snapshot
+    val root2 = tmpDir("graft_fgcat_b")
+    FileGroups.commit(spark, root2 + "/employees",
+      Seq((1L, 10L, "c", 1.0)).toDF("id", "lsn", "op", "value"),
+      0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    spark.conf.set("spark.sql.catalog.graft_cdc.root", root2)
+    assert(spark.sql("SELECT count(*) FROM graft_cdc.employees").head.getLong(0) == 1L)
+    spark.conf.set("spark.sql.catalog.graft_cdc.root", root1)
+  }
+}

@@ -72,6 +72,13 @@ object Demo {
     println(s"[demo] 6. file-group table: ${fg.count()} rows across " +
       s"${fg.select(input_file_name()).distinct().count()} bucket files " +
       "(commits rewrote only touched buckets)")
+    // ... and the same table through the DSv2 catalog — the reference's
+    // Glue-queryable end state as two conf keys + plain SQL
+    spark.conf.set("spark.sql.catalog.graft_cdc",
+      classOf[graft.sources.FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cdc.root", work)
+    println("[demo] 6b. the same table over SQL via graft_cdc catalog:")
+    spark.sql("SELECT count(*) AS rows FROM graft_cdc.fg").show()
 
     // 7. savepoint + change feed: pin the current version, then diff it
     //    against a later state instead of re-reading the table

@@ -4,6 +4,27 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** stderr lines for a SPARK_GRAFT_VERIFY_ONLY-filtered run — the two
+    * local-iteration guards, pure so VerifySpec can pin them:
+    *  - unmatched names warn loudly (a typo'd query id otherwise runs
+    *    NOTHING and looks green);
+    *  - any filtered run flags the stale-output hazard: other queries'
+    *    parquet dirs from a previous full run remain in outDir and
+    *    compare.py would re-validate them — use a fresh outDir or pass
+    *    the same names to compare.py. */
+  def filterDiagnostics(only: Option[Set[String]], known: Set[String],
+                        selectedCount: Int, outDir: String): Seq[String] =
+    only.toSeq.flatMap { names =>
+      val unknown = names -- known
+      val warn =
+        if (unknown.isEmpty) Nil
+        else Seq("[verify] WARNING: SPARK_GRAFT_VERIFY_ONLY names match no query: " +
+          unknown.toSeq.sorted.mkString(", "))
+      warn :+ s"[verify] NOTE: filtered run ($selectedCount/${known.size} queries); " +
+        s"unselected query dirs in $outDir may be stale"
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,16 +48,8 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
-      if (unknown.nonEmpty)
-        System.err.println(s"[verify] WARNING: SPARK_GRAFT_VERIFY_ONLY names match no query: ${unknown.toSeq.sorted.mkString(", ")}")
-      // stale-output hazard: other queries' parquet dirs from a previous
-      // full run remain in outDir and compare.py would re-validate them —
-      // filtered runs should use a fresh outDir (or pass the same names
-      // to compare.py)
-      System.err.println(s"[verify] NOTE: filtered run (${selected.size}/${SparkEntry.queries.size} queries); unselected query dirs in $outDir may be stale")
-    }
+    filterDiagnostics(only, SparkEntry.queries.keySet, selected.size, outDir)
+      .foreach(System.err.println)
     val tasks = selected.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =

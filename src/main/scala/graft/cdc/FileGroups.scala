@@ -254,16 +254,7 @@ object FileGroups {
     * would silently resurrect supposedly-forgotten rows. */
   def readAt(sess: SparkSession, dir: String, id: Long): Option[DataFrame] = {
     val versions = Ingest.snapshotVersions(sess, dir)
-    pendingPurge(sess, dir).foreach { pid =>
-      // only a COMMITTED purge (pid <= current id) can have left
-      // un-forgotten history; an uncommitted marker means the purge
-      // never landed and every retained version is untouched
-      if (versions.lastOption.exists(pid <= _) && id < pid && versions.contains(id))
-        throw new IllegalStateException(
-          s"purge $pid is pending at $dir (crash between commit and history " +
-            s"drop): version $id predates it and may still hold purged keys — " +
-            "re-run purgeKeys (any key set) to complete the purge first")
-    }
+    assertNoPurgeResurrection(sess, dir, id)
     if (!versions.contains(id)) None
     else Some {
       val (_, schema, entries) = readManifest(sess, dir, id)
@@ -419,15 +410,7 @@ object FileGroups {
     // marker (pid > committed id): the crash hit before the manifest
     // commit, the table never changed — drop the orphan rewrite dir and
     // the marker, then proceed.
-    pendingPurge(sess, dir).foreach { pid =>
-      if (pid <= id) {
-        forgetHistory(sess, dir, id, readManifest(sess, dir, id)._3.map(_.relPath).toSet)
-        fs.delete(path(purgeMarkerPath(dir, pid)), false)
-      } else {
-        fs.delete(path(s"$dir/files/v$pid"), true)
-        fs.delete(path(purgeMarkerPath(dir, pid)), false)
-      }
-    }
+    completePendingPurge(sess, dir)
     val (nb, schema, entries) = readManifest(sess, dir, id)
     val keyType = schema.flatMap(st => st.fields.find(_.name == keys.head).map(_.dataType))
       .getOrElse(org.apache.spark.sql.types.LongType)
@@ -469,7 +452,7 @@ object FileGroups {
       schema.getOrElse(read(sess, dir).get.schema), newEntries)
     fs.createNewFile(path(s"$dir/_COMMIT_$batchId"))
     // step 3 — forget, then retire the intent marker
-    forgetHistory(sess, dir, batchId, newEntries.map(_.relPath).toSet)
+    forgetHistory(sess, dir, batchId)
     fs.delete(path(purgeMarkerPath(dir, batchId)), false)
     dirtyBuckets.map(_.bucket).toSet
   }
@@ -504,6 +487,64 @@ object FileGroups {
     sel.map(e => s"$dir/${e.relPath}")
   }
 
+  /** Finish (or discard) a crashed purge WITHOUT purging further keys —
+    * the recovery step every [[purgeKeys]] call runs first, exposed on
+    * its own so an operator can clear a standing intent marker
+    * directly. Committed marker (pid <= committed id): the purged
+    * manifest landed but history wasn't dropped — complete the forget
+    * relative to the CRASHED purge's id, so versions committed AFTER
+    * the crash (pid < v) and their savepoints/data are outside the
+    * purge's mandate and survive. Uncommitted marker (pid > committed
+    * id): the table never changed — discard the orphan rewrite dir.
+    * Returns the cleared marker's id; None when nothing is pending
+    * (or the table has no committed version to recover against). */
+  def completePendingPurge(sess: SparkSession, dir: String): Option[Long] = {
+    val fs = fsOf(sess)
+    committedId(sess, dir).flatMap { id =>
+      pendingPurge(sess, dir).map { pid =>
+        if (pid <= id) forgetHistory(sess, dir, pid)
+        else fs.delete(path(s"$dir/files/v$pid"), true)
+        fs.delete(path(purgeMarkerPath(dir, pid)), false)
+        pid
+      }
+    }
+  }
+
+  /** The purge-resurrection guard behind [[readAt]] AND the SQL
+    * catalog's `VERSION AS OF` / `TIMESTAMP AS OF` path
+    * ([[graft.sources.FileGroupCatalog]] routes through here so the
+    * two doors can never disagree): while a COMMITTED purge's intent
+    * marker stands (crash between its manifest commit and the
+    * forget-history step), versions that PREDATE the purge may still
+    * reference the purged keys — serving them would silently resurrect
+    * supposedly-forgotten rows, so the read fails loudly instead.
+    * Only a committed purge (pid <= current id) can have left
+    * un-forgotten history; an uncommitted marker means the purge never
+    * landed and every retained version is untouched. */
+  private[graft] def assertNoPurgeResurrection(sess: SparkSession, dir: String,
+                                               id: Long): Unit = {
+    val versions = Ingest.snapshotVersions(sess, dir)
+    pendingPurge(sess, dir).foreach { pid =>
+      if (versions.lastOption.exists(pid <= _) && id < pid && versions.contains(id))
+        throw new IllegalStateException(
+          s"purge $pid is pending at $dir (crash between commit and history " +
+            s"drop): version $id predates it and may still hold purged keys — " +
+            "re-run purgeKeys (any key set) to complete the purge first")
+    }
+  }
+
+  /** Commit instant of retained version `id` — the `_COMMIT_<id>`
+    * marker's filesystem mtime (epoch millis). The marker is written
+    * atomically LAST in every commit path, so its mtime IS the moment
+    * the version became readable. Drives the SQL catalog's
+    * `TIMESTAMP AS OF` resolution. */
+  private[graft] def commitTimeOf(sess: SparkSession, dir: String,
+                                  id: Long): Option[Long] = {
+    val fs = fsOf(sess)
+    val p = path(s"$dir/_COMMIT_$id")
+    if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime) else None
+  }
+
   private def purgeMarkerPath(dir: String, id: Long) = s"$dir/_PURGE_$id"
 
   /** Pending purge intent, if any: a `_PURGE_<batchId>` marker is
@@ -520,19 +561,27 @@ object FileGroups {
   }
 
   /** Purge step 3 — forget history: drop every manifest + commit marker
-    * older than `batchId` and every savepoint, then delete each
-    * per-version bucket dir `referenced` does not name. Data dirs go
-    * LAST so no still-referenced file is ever missing; every delete is
-    * idempotent, so re-running to complete a crashed purge is safe. */
-  private def forgetHistory(sess: SparkSession, dir: String, batchId: Long,
-                            referenced: Set[String]): Unit = {
+    * + savepoint STRICTLY OLDER than `batchId` (the purge's own id —
+    * never the current committed id: in crash recovery, commits that
+    * landed AFTER the crashed purge are legitimate post-purge history
+    * outside the purge's mandate and must keep their manifests, data
+    * and savepoints), then delete each per-version bucket dir no
+    * SURVIVING manifest references — the union over every still-
+    * retained version, recomputed after the manifest drop, so a file
+    * referenced only by a post-purge commit survives recovery. Data
+    * dirs go LAST so no still-referenced file is ever missing; every
+    * delete is idempotent, so re-running to complete a crashed purge
+    * is safe. */
+  private def forgetHistory(sess: SparkSession, dir: String, batchId: Long): Unit = {
     val fs = fsOf(sess)
     Ingest.snapshotVersions(sess, dir).filter(_ < batchId).foreach { v =>
       fs.delete(path(manifestPath(dir, v)), false)
       fs.delete(path(s"$dir/_COMMIT_$v"), false)
     }
-    Savepoints.savepoints(sess, dir).foreach(spId =>
+    Savepoints.savepoints(sess, dir).filter(_ < batchId).foreach(spId =>
       fs.delete(path(s"$dir/_SAVEPOINT_$spId"), false))
+    val referenced: Set[String] = Ingest.snapshotVersions(sess, dir)
+      .flatMap(v => readManifest(sess, dir, v)._3.map(_.relPath)).toSet
     if (fs.exists(path(s"$dir/files")))
       fs.listStatus(path(s"$dir/files")).foreach { vdir =>
         fs.listStatus(vdir.getPath).foreach { bdir =>

@@ -195,8 +195,15 @@ object TextIndex {
         .filter(col("term").isin(qtoks: _*))
     val posts = (Seq("postings") ++ ids.map(i => s"postings_d$i"))
       .map(seg).reduce(_ unionByName _)
+    // project each segment to the two serve-side columns BEFORE the
+    // union: segments built before the id_lo/id_hi range stats existed
+    // carry 2 columns, newer ones 4 — a strict unionByName across the
+    // mix would throw on exactly the legacy-segment case the overlap
+    // guard supports
     val stats = (Seq("stats") ++ ids.map(i => s"stats_d$i"))
-      .map(sd => spark.read.parquet(s"$dir/$sd")).reduce(_ unionByName _)
+      .map(sd => spark.read.parquet(s"$dir/$sd")
+        .select(col("t_total"), col("n_docs")))
+      .reduce(_ unionByName _)
       .agg(sum(col("t_total")).cast("long").as("t_total"),
         sum(col("n_docs")).cast("long").as("n_docs"))
     val tf = posts

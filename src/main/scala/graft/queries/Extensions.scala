@@ -293,6 +293,21 @@ object Extensions {
     } + "/employees"
   }
 
+  /** Register the `graft_cdc` DSv2 catalog over `root`, idempotently:
+    * a same-value re-set is skipped, so query bodies that need the
+    * catalog stay effectively side-effect-free after the first call
+    * (conf mutation inside a registry of otherwise-pure functions was
+    * round-15's hidden-global-state wart). Lives OUTSIDE the
+    * cachedFixture builder because the builder only runs on cache
+    * miss — a later process reading the on-disk fixture still needs
+    * the catalog registered. */
+  private def registerCdcCatalog(s: org.apache.spark.sql.SparkSession, root: String): Unit =
+    if (!s.conf.getOption("spark.sql.catalog.graft_cdc.root").contains(root) ||
+        s.conf.getOption("spark.sql.catalog.graft_cdc").isEmpty) {
+      s.conf.set("spark.sql.catalog.graft_cdc", "graft.sources.FileGroupCatalog")
+      s.conf.set("spark.sql.catalog.graft_cdc.root", root)
+    }
+
   /** The MOR snapshot read over the cached lifecycle fixture: base ⊎
     * pending logs, one window shuffle. */
   private def morRead(s: org.apache.spark.sql.SparkSession, dir: String,
@@ -823,9 +838,7 @@ object Extensions {
     GQuery(
       "q_cdc_sql_read",
       (s, dir) => {
-        val root = fileGroupTable(s, dir).stripSuffix("/employees")
-        s.conf.set("spark.sql.catalog.graft_cdc", "graft.sources.FileGroupCatalog")
-        s.conf.set("spark.sql.catalog.graft_cdc.root", root)
+        registerCdcCatalog(s, fileGroupTable(s, dir).stripSuffix("/employees"))
         s.sql("SELECT id, lsn, op, value FROM graft_cdc.employees ORDER BY id")
       },
       Some(latestWinsSql)),

@@ -48,7 +48,10 @@ import graft.cdc.{FileGroups, Ingest}
   *
   * Options: `root` (required) — the directory whose children are
   * file-group tables; `keys` (default `id`) — the record-key column
-  * bucket pruning probes.
+  * bucket pruning probes. The manifest probe index is single-long-key
+  * scope (as purgeKeys/pointLookup): a multi-column `keys` config
+  * still reads correctly, but key predicates fall back to the full
+  * referenced-file scan (no bucket pruning) instead of erroring.
   */
 class FileGroupCatalog extends TableCatalog {
 
@@ -97,11 +100,38 @@ class FileGroupCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(version.toLong))
 
+  /** `TIMESTAMP AS OF t` — Spark hands the instant as MICROSECONDS
+    * since the epoch. Resolves to the LATEST retained version whose
+    * commit instant (the atomic `_COMMIT_<id>` marker's mtime — the
+    * moment that version became readable) is <= the requested instant;
+    * an instant predating every retained commit fails with the
+    * retained versions and their commit times listed. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    if (FileGroups.committedId(spark, dir).isEmpty) throw new NoSuchTableException(ident)
+    val tsMillis = timestamp / 1000L
+    val commits = Ingest.snapshotVersions(spark, dir)
+      .flatMap(v => FileGroups.commitTimeOf(spark, dir, v).map(v -> _))
+    val id = commits.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse {
+      val listed = commits.map { case (v, t) =>
+        s"v$v @ ${java.time.Instant.ofEpochMilli(t)}" }.mkString(", ")
+      throw new IllegalArgumentException(
+        s"no retained version of ${ident.name()} committed at or before " +
+          s"${java.time.Instant.ofEpochMilli(tsMillis)} (retained: $listed)")
+    }
+    load(ident, Some(id))
+  }
+
   private def load(ident: Identifier, version: Option[Long]): Table = {
     val dir = dirOf(ident)
     val committed = FileGroups.committedId(spark, dir)
       .getOrElse(throw new NoSuchTableException(ident))
     val id = version.getOrElse(committed)
+    // the same purge-resurrection guard as FileGroups.readAt — SQL time
+    // travel must not serve pre-purge versions while a crashed purge's
+    // intent marker stands (the keys those versions reference are
+    // supposed to be forgotten)
+    FileGroups.assertNoPurgeResurrection(spark, dir, id)
     if (!Ingest.snapshotVersions(spark, dir).contains(id))
       throw new IllegalArgumentException(
         s"version $id of ${ident.name()} is not retained (committed: $committed, " +

@@ -47,22 +47,41 @@ class FileGroupScanBuilder private (
     case _ => false
   }
 
-  /** Key probes in the PUSHED data filters (catalyst side — populated
-    * by FileScanBuilder.pushFilters before build()). None = a non-probe
-    * predicate shape; pruning only engages when every extracted list is
-    * defined. */
-  private def keyProbes: Seq[Long] = dataFilters.flatMap {
-    case EqualTo(a, l) if isKey(a) => probeValue(l).toSeq
-    case EqualTo(l, a) if isKey(a) => probeValue(l).toSeq
-    case EqualNullSafe(a, l) if isKey(a) => probeValue(l).toSeq
-    case EqualNullSafe(l, a) if isKey(a) => probeValue(l).toSeq
-    case In(a, vs) if isKey(a) => vs.flatMap(probeValue)
-    case _ => Nil
-  }.distinct
+  /** One pushed conjunct's key-probe list, if the WHOLE conjunct
+    * converts: `Some(vs)` only when every element is a convertible
+    * literal — an IN list with a non-literal entry (`id IN (5,
+    * other_col)`) returns None so that conjunct contributes NO pruning
+    * (a partial literal subset would prune away file groups holding
+    * rows that match the dropped entry — silent wrong results). */
+  private def conjunctProbes(e: Expression): Option[Seq[Long]] = e match {
+    case EqualTo(a, l) if isKey(a) => probeValue(l).map(Seq(_))
+    case EqualTo(l, a) if isKey(a) => probeValue(l).map(Seq(_))
+    case EqualNullSafe(a, l) if isKey(a) => probeValue(l).map(Seq(_))
+    case EqualNullSafe(l, a) if isKey(a) => probeValue(l).map(Seq(_))
+    case In(a, vs) if isKey(a) =>
+      val ps = vs.map(probeValue)
+      if (ps.nonEmpty && ps.forall(_.isDefined)) Some(ps.flatten) else None
+    case _ => None
+  }
+
+  /** Key probes from the PUSHED data filters (catalyst side — populated
+    * by FileScanBuilder.pushFilters before build()). Conjuncts are
+    * ANDed, so each FULLY-converted conjunct's list alone bounds the
+    * matching keys — the INTERSECTION across converted conjuncts is
+    * the tightest sound cut, and partially-converted conjuncts are
+    * discarded wholesale (never used as a subset). Empty = no pruning. */
+  private def keyProbes: Seq[Long] =
+    dataFilters.flatMap(conjunctProbes(_).map(_.distinct)) match {
+      case Seq() => Nil
+      case lists => lists.reduce(_ intersect _)
+    }
 
   override def build(): ParquetScan = {
     val base = super.build()
-    val probes = keyProbes
+    // manifest probe pruning is single-long-key scope (the stats/bloom
+    // index); a multi-key catalog config reads correctly via the full
+    // referenced-file scan
+    val probes = if (keys.size == 1) keyProbes else Nil
     if (probes.isEmpty || probes.size > FileGroupScanBuilder.MaxProbes) base
     else {
       val paths = FileGroups.referencedPaths(sparkSes, dir, version, keys, probes)

@@ -282,6 +282,43 @@ class FileGroupsSpec extends SparkSpec {
     assert(after == before - victim)
   }
 
+  test("crash recovery forgets relative to the CRASHED purge id: post-purge commits and savepoints survive") {
+    val dir = tmpDir("graft_fg_purge_recover") + "/t"
+    val l = log()
+    FileGroups.commit(spark, dir, l.filter($"lsn" < 500), 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    FileGroups.commit(spark, dir, l.filter($"lsn" >= 500), 1L, Seq("id"), Seq("lsn"))
+    val before = FileGroups.read(spark, dir).get.select($"id").as[Long].collect().toSet
+    val victim = before.min
+    val other = (before - victim).max
+    // the crashed purge: its rewrite committed as v2, marker left standing
+    FileGroups.commit(spark, dir,
+      Seq((victim, 99999L, "d", 0.0)).toDF("id", "lsn", "op", "value"),
+      2L, Seq("id"), Seq("lsn"))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.createNewFile(new org.apache.hadoop.fs.Path(s"$dir/_PURGE_2"))
+    // legitimate post-purge history lands AFTER the crash, and gets
+    // savepointed — both are OUTSIDE the crashed purge's mandate
+    FileGroups.commit(spark, dir,
+      Seq((other, 99998L, "u", 7.7)).toDF("id", "lsn", "op", "value"),
+      3L, Seq("id"), Seq("lsn"))
+    Savepoints.savepoint(spark, dir, 3L)
+    // recovery completes the forget RELATIVE TO pid=2 (forgetting up to
+    // the CURRENT id would drop v2's manifest + files and the savepoint)
+    assert(FileGroups.completePendingPurge(spark, dir).contains(2L))
+    assert(FileGroups.pendingPurge(spark, dir).isEmpty)
+    assert(Ingest.snapshotVersions(spark, dir) == Seq(2L, 3L))
+    assert(Savepoints.savepoints(spark, dir) == Set(3L))
+    // both surviving versions still read with their data intact
+    assert(FileGroups.readAt(spark, dir, 2L).get
+      .filter($"id" === other && $"lsn" === 99998L).count() == 0)
+    assert(FileGroups.readAt(spark, dir, 3L).get
+      .filter($"id" === other).select($"lsn").as[Long].head() == 99998L)
+    assert(!FileGroups.read(spark, dir).get.select($"id").as[Long].collect().toSet
+      .contains(victim))
+    // idempotent: nothing pending afterwards
+    assert(FileGroups.completePendingPurge(spark, dir).isEmpty)
+  }
+
   test("bloom index: absent keys are rejected from metadata alone; tagging is exact") {
     val dir = tmpDir("graft_fg5") + "/t"
     val l = log()

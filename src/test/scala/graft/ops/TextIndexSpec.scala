@@ -61,6 +61,22 @@ class TextIndexSpec extends SparkSpec {
     assert(canon(TextIndex.topK(spark, dir, query, 10)) == before)
   }
 
+  test("a legacy 2-column stats segment (pre-range format) still appends and serves") {
+    val dir = tmpDir("graft_tix_legacy") + "/idx"
+    val half = docs().filter(pmod($"doc_id", lit(2)) === 0)
+    TextIndex.build(spark, dir, half)
+    // rewrite the base stats as the PRE-id_lo 2-column format: both the
+    // append overlap guard (exact-check fallback) and the serve-side
+    // stats union must keep working against the mixed-schema layout
+    val r = spark.read.parquet(s"$dir/stats").select($"t_total", $"n_docs").head()
+    Seq((r.getLong(0), r.getLong(1))).toDF("t_total", "n_docs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    TextIndex.append(spark, dir, docs().filter(pmod($"doc_id", lit(2)) === 1), 0L)
+    val served = canon(TextIndex.topK(spark, dir, query, 10))
+    assert(served.nonEmpty)
+    assert(served == canon(Text.search(docs(), "doc_id", "text", query, 10)))
+  }
+
   test("append fails loudly on a re-ingested doc_id; disjoint appends stay cheap") {
     val dir = tmpDir("graft_tix_dup") + "/idx"
     val base = docs().filter($"doc_id" < 40 && pmod($"doc_id", lit(2)) === 0)

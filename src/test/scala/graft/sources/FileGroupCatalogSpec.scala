@@ -80,6 +80,85 @@ class FileGroupCatalogSpec extends SparkSpec {
     assert(p.contains("GreaterThan(lsn,100)"), p)
   }
 
+  private def chainMsg(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+
+  test("TIMESTAMP AS OF resolves by commit instant; predating every commit fails") {
+    val root = warehouse()
+    val t = root + "/employees"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    // pin deterministic commit instants on the atomic markers (their
+    // mtime IS the commit point — written last in every commit path)
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$t/_COMMIT_0"), 1577836800000L, -1) // 2020-01-01
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$t/_COMMIT_1"), 1590969600000L, -1) // 2020-06-01
+    val v0 = FileGroups.readAt(spark, t, 0L).get.count()
+    val v1 = FileGroups.read(spark, t).get.count()
+    assert(v0 != v1) // the two versions must be distinguishable
+    assert(spark.sql(
+      "SELECT * FROM graft_cdc.employees TIMESTAMP AS OF '2020-03-01 00:00:00'").count() == v0)
+    assert(spark.sql(
+      "SELECT * FROM graft_cdc.employees TIMESTAMP AS OF '2021-01-01 00:00:00'").count() == v1)
+    val ex = intercept[Throwable] {
+      spark.sql("SELECT * FROM graft_cdc.employees TIMESTAMP AS OF '2019-01-01 00:00:00'").count()
+    }
+    assert(chainMsg(ex).contains("no retained version"), chainMsg(ex))
+  }
+
+  test("SQL time travel refuses pre-purge versions while a purge intent marker stands") {
+    val root = warehouse()
+    val t = root + "/employees"
+    // the crash window: v2 stands in for a purge's committed rewrite,
+    // the intent marker is still standing (forget never ran)
+    FileGroups.commit(spark, t,
+      Seq((1L, 99999L, "d", 0.0)).toDF("id", "lsn", "op", "value"),
+      2L, Seq("id"), Seq("lsn"))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.createNewFile(new org.apache.hadoop.fs.Path(s"$t/_PURGE_2"))
+    // the current (already-purged) snapshot still serves through SQL...
+    assert(spark.sql("SELECT count(*) FROM graft_cdc.employees").head.getLong(0) > 0)
+    // ...but VERSION AS OF a pre-purge version fails LOUDLY — same
+    // resurrection guard as FileGroups.readAt, reached from SQL
+    val ex = intercept[Throwable] {
+      spark.sql("SELECT * FROM graft_cdc.employees VERSION AS OF 1").count()
+    }
+    assert(chainMsg(ex).contains("purge 2 is pending"), chainMsg(ex))
+  }
+
+  test("fully-literal IN prunes; a non-literal IN entry disables pruning, never a literal subset") {
+    warehouse()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
+    val lits = spark.sql("SELECT id, lsn FROM graft_cdc.employees WHERE id IN (5, 7)")
+    assert(canon(lits) ==
+      canon(spark.sql("SELECT id, lsn FROM graft_cdc.employees").filter($"id".isin(5, 7))))
+    val pLit = lits.queryExecution.executedPlan.treeString
+    assert(pLit.contains("InMemoryFileIndex(1 paths)") ||
+      pLit.contains("InMemoryFileIndex(2 paths)"), pLit)
+    // id IN (5, lsn): pruning on the literal subset {5} alone would drop
+    // file groups holding rows where id = lsn — the conjunct must be
+    // discarded wholesale and the full referenced-file scan used
+    val mixed = spark.sql("SELECT id, lsn FROM graft_cdc.employees WHERE id IN (5, lsn)")
+    assert(canon(mixed) == canon(spark.sql("SELECT id, lsn FROM graft_cdc.employees")
+      .filter($"id" === 5 || $"id" === $"lsn")))
+    val pM = mixed.queryExecution.executedPlan.treeString
+    assert(!pM.contains("InMemoryFileIndex(1 paths)") &&
+      !pM.contains("InMemoryFileIndex(2 paths)"), pM)
+  }
+
+  test("a multi-column keys config reads correctly via the full scan (pruning skipped, not an error)") {
+    warehouse()
+    spark.conf.set("spark.sql.catalog.graft_cdc.keys", "id,lsn")
+    try {
+      val df = spark.sql("SELECT id, lsn FROM graft_cdc.employees WHERE id = 5")
+      assert(df.collect().toSeq ==
+        spark.sql("SELECT id, lsn FROM graft_cdc.employees").filter($"id" === 5).collect().toSeq)
+      val p = df.queryExecution.executedPlan.treeString
+      assert(!p.contains("InMemoryFileIndex(1 paths)"), p)
+      assert(p.contains("EqualTo(id,5)"), p) // predicate still pushed to parquet
+    } finally spark.conf.unset("spark.sql.catalog.graft_cdc.keys")
+  }
+
   test("the catalog is read-only: DDL and writes fail loudly") {
     warehouse()
     val e1 = intercept[Exception] {

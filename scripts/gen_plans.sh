@@ -9,5 +9,6 @@ SPARK_GRAFT_SF_DIR=${1:-/root/testdata/sf0.1} /opt/spark/bin/spark-shell \
   --master "local[32]" \
   --conf spark.sql.shuffle.partitions=32 --conf spark.ui.enabled=false \
   --conf spark.sql.session.timeZone=UTC \
+  --conf spark.sql.extensions=graft.functions.GraftExtensions \
   --driver-memory 16g --driver-class-path target/scala-2.13/classes \
   -I scripts/gen_plans.scala

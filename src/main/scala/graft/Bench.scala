@@ -54,36 +54,35 @@ object Bench {
     s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$errField,"n_errors":$nErr$partField,"sf":$sfNum}"""
   }
 
-  /** Budget-aware run plan for the NEXT query: (runWarmup, timedRuns,
-    * allowExtraOverSecs). Round 14's official bench artifact was rc 124
-    * (driver kill) because 1 warm-up + 3 timed + up to 2 extra noop
-    * executions x 228 queries outgrew the driver's window — this
-    * scheduler degrades gracefully instead of dying with nothing:
-    * full fidelity (warmup + nRuns + extras) while the projection fits
-    * the budget, then warmup + 1 timed, then a single bare run. The
-    * projection uses the observed per-EXECUTION average so far (not
-    * per-query — mode switches change executions per query), which
-    * self-corrects as the sweep progresses. Pure function: BenchSpec
-    * pins the thresholds. */
-  def planRuns(elapsedS: Double, execsDone: Long, queriesLeft: Int,
-               nRuns: Int, budgetS: Double): (Boolean, Int, Boolean) = {
-    val perExec = if (execsDone > 0) elapsedS / execsDone else 0.0
-    val remaining = budgetS - elapsedS
-    // +1 for the warm-up pass; extras (slow-query +2) are deliberately
-    // left out of the projection — they only fire on the slow tail and
-    // the per-exec average already reflects suite-wide cost
-    if (queriesLeft * (nRuns + 1) * perExec <= remaining) (true, nRuns, true)
-    else if (queriesLeft * 2.0 * perExec <= remaining) (true, 1, false)
-    else (false, 1, false)
+  /** Round-level budget fit: the cost-ASCENDING greedy prefix of
+    * `costs` whose cumulative projection stays inside `remaining`
+    * seconds. This is the round-16 scheduler's one decision point —
+    * round 15's per-query online degrade gave the middle of the
+    * alphabet the worst fidelity while the tail ran full; scheduling a
+    * whole round at a time with per-query cost estimates (a) gives
+    * EVERY query its warm run before ANY query gets a third, and (b)
+    * under pressure drops the expensive tail, not an alphabetic
+    * stripe. Pure function: BenchSpec pins the greedy-prefix contract. */
+  def fitRound(costs: Seq[(String, Double)], remaining: Double): Seq[String] = {
+    val asc = costs.sortBy(c => (c._2, c._1))
+    asc.scanLeft(("", 0.0)) { case ((_, acc), (n, c)) => (n, acc + c) }
+      .drop(1).takeWhile(_._2 <= remaining).map(_._1)
   }
 
   /** The full-fidelity record written to bench_detail.json: every query's
-    * min-of-N headline, the (min,max,n) spread, and complete error text. */
+    * min-of-N headline, the (min,max,n,mode) spread, and complete error
+    * text. `queryModes`: full = warm runs >= nRuns (min excludes every
+    * first-run cost), degraded = at least one warm run, minimal = the
+    * cold coverage-sweep run only (fixture builds/codegen land IN the
+    * number — disclosed per query so cross-round comparisons can filter
+    * to comparables without inference). */
   def detailJson(results: Seq[(String, Either[String, Seq[Double]])],
                  sfDir: String, nRuns: Int,
-                 modes: Map[String, Int] = Map.empty): String = {
+                 modes: Map[String, Int] = Map.empty,
+                 queryModes: Map[String, String] = Map.empty): String = {
     val spread = results.collect { case (k, Right(ts)) =>
-      s"""\"$k\":{"min":${f(ts.min)},"max":${f(ts.max)},"n":${ts.size}}"""
+      val m = queryModes.get(k).map(m => s""","mode":"$m"""").getOrElse("")
+      s"""\"$k\":{"min":${f(ts.min)},"max":${f(ts.max)},"n":${ts.size}$m}"""
     }.mkString("{", ",", "}")
     val errors = results.collect { case (k, Left(e)) => s"\"${k}\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")
@@ -95,7 +94,7 @@ object Bench {
     s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${
       results.map { case (k, v) => s"\"$k\":" + v.map(ts => f(ts.min)).getOrElse("-1.0") }
         .mkString("{", ",", "}")
-    },"spread":$spread,"errors":$errors,"n_errors":$nErr$modesField,"timing":"warmup1_discarded_min_of_${nRuns}_plus_extra_over_1s_clearcache_per_iter_budget_degrade","sf":"$sfDir"}"""
+    },"spread":$spread,"errors":$errors,"n_errors":$nErr$modesField,"timing":"cold_coverage_sweep_then_${nRuns}_warm_rounds_cost_ascending_budget_fit_plus_extra_over_1s_min_of_warm_clearcache_per_iter","sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -106,6 +105,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Wall-clock budget for the WHOLE sweep (seconds), measured from
@@ -132,22 +132,56 @@ object Bench {
     val ordered0 = SparkEntry.queries.toSeq.sortBy(_._1)
     val ordered = (if (reverseOrder) ordered0.reverse else ordered0)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // Shared accumulator + shutdown hook, registered BEFORE the warm-up
-    // loop (a kill during the multi-second warm-up/startup phase must
-    // still produce a parseable line — the round-14 kill test caught
-    // exactly that hole): if the driver SIGTERMs the JVM mid-sweep
-    // (rc 124, round 14), the hook emits a stdout line flagged
-    // "partial" and a detail file from whatever completed — a truncated
-    // sweep beats an empty artifact. The hook only prints; it does NOT
-    // spark.stop() (slow, and Spark registers its own stop hook).
-    val acc = new scala.collection.mutable.ArrayBuffer[(String, Either[String, Seq[Double]])]()
+    // Per-query state, mutated single-threaded under `lock` so the
+    // shutdown hook can snapshot a consistent view: `cold` holds the
+    // coverage-sweep run (pass 1), `warm` the timed rounds (pass 2+),
+    // `est` the latest observed wall cost driving fitRound projections.
+    val lock = new Object
+    val cold = scala.collection.mutable.LinkedHashMap[String, Either[String, Double]]()
+    val warm = scala.collection.mutable.LinkedHashMap[String, Vector[Either[String, Double]]]()
+    val est = scala.collection.mutable.Map[String, Double]()
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
+    def modeOf(n: String): String = {
+      val w = warm.getOrElse(n, Vector.empty)
+      if (w.size >= nRuns) "full" else if (w.nonEmpty) "degraded" else "minimal"
+    }
+    // Headline timings per query: the WARM successes when any exist (the
+    // cold run carries fixture builds / first-use codegen — never let it
+    // into a mode>=degraded number), else the cold run, else the first
+    // error. Queries the kill reached before pass 1 are absent (the
+    // partial marker discloses coverage).
+    def collectResults(): (Seq[(String, Either[String, Seq[Double]])], Map[String, String]) =
+      lock.synchronized {
+        val rs = cold.keysIterator.toSeq.map { n =>
+          val w = warm.getOrElse(n, Vector.empty)
+          val wOk = w.collect { case Right(t) => t }
+          val r: Either[String, Seq[Double]] =
+            if (wOk.nonEmpty) Right(wOk)
+            else cold(n) match {
+              case Right(t) => Right(Seq(t))
+              case Left(e) =>
+                Left(w.collectFirst { case Left(e2) => e2 }.getOrElse(e))
+            }
+          n -> r
+        }
+        (rs, cold.keysIterator.map(n => n -> modeOf(n)).toMap)
+      }
+    // Shutdown hook, registered BEFORE any query runs (a kill during
+    // the multi-second warm-up/startup phase must still produce a
+    // parseable line — the round-14 kill test caught exactly that
+    // hole): if the driver SIGTERMs the JVM mid-sweep (rc 124,
+    // round 14), the hook emits a stdout line flagged "partial" and a
+    // detail file from whatever completed — a truncated sweep beats an
+    // empty artifact. The hook only prints; it does NOT spark.stop()
+    // (slow, and Spark registers its own stop hook).
     val finished = new java.util.concurrent.atomic.AtomicBoolean(false)
     val detailPath = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       if (!finished.get()) {
-        val partial = acc.synchronized(acc.toSeq)
+        val (partial, pModes) = collectResults()
+        val counts = pModes.values.groupBy(identity).map { case (k, v) => k -> v.size }
         try java.nio.file.Files.write(detailPath,
-          (detailJson(partial, sfDir, 0) + "\n").getBytes("UTF-8"))
+          (detailJson(partial, sfDir, nRuns, counts, pModes) + "\n").getBytes("UTF-8"))
         catch { case _: Throwable => () }
         println(stdoutLine(partial, sfDir, partialOf = Some(ordered.size)))
         System.out.flush()
@@ -156,30 +190,30 @@ object Bench {
     // Untimed warmup at the smallest SF: pays the one-time JIT/codegen/
     // planner costs so per-query timings measure the queries, not JVM
     // cold start (standard benchmarking practice).
-    val warm = Seq("q_agg_hash", "q_win_analytic", "q_dedup_ngram", "q_join_broadcast")
-    warm.foreach { n =>
+    val jvmWarmList = Seq("q_agg_hash", "q_win_analytic", "q_dedup_ngram", "q_join_broadcast")
+    jvmWarmList.foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    // Each query timed N times (default 3), min reported as the
-    // headline: a single local-JVM run is exposed to one-off GC/
-    // compilation stalls that can inflate one query's number 20x
-    // (observed: 1.2s query recorded as 32s); min-of-N measures the
-    // query, not the stall. The full (min, max, n) spread is emitted
-    // per query so a cross-round swing can be attributed to machine
-    // noise (max >> min within a round) vs a plan regression (tight
-    // spread at a new level) without re-running. A failed query is
-    // reported explicitly in `errors` (never silently timed as if it
-    // ran). Queries over cachedFixture tables (q_cdc_*, q_dedup_
-    // incremental) pay their one-time fixture build in the DISCARDED
-    // warm-up run (below), so even `max` now times the steady-state
-    // read/serve path the fixture exists to isolate.
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
-    // Slow queries get extra iterations: within-run spread (GC, JIT
-    // recompiles, page-cache state) reached 3.2x max/min on multi-second
-    // queries at n=3, wide enough to hide a real 2x regression. Once a
-    // query's min exceeds 1 s, two more runs tighten the min estimate at
-    // negligible suite cost (only the already-slow tail pays them).
+    // Timing protocol (round 16 — fixes the round-15 fidelity collapse
+    // where an online per-query degrade left 205/229 queries at n=1 and
+    // 94 cold):
+    //   pass 1  COLD COVERAGE SWEEP — every query exactly once, suite
+    //           order, ALWAYS (coverage beats budget adherence; the
+    //           driver kill window is the real backstop). Pays fixture
+    //           builds + per-query codegen and yields a per-query cost
+    //           estimate.
+    //   pass 2+ WARM ROUNDS — up to nRuns (default 3) timed rounds,
+    //           each round scheduled as a whole by fitRound: EVERY
+    //           query gets its first warm run before ANY query gets a
+    //           second, and under budget pressure the cost-descending
+    //           tail is dropped, not an alphabetic stripe. Min-of-warm
+    //           is the headline; a single warm run can still hit a
+    //           one-off GC/JIT stall (observed 20x), which is why the
+    //           spread (min,max,n,mode) ships per query.
+    //   extras  queries whose warm min >= 1 s get up to nExtra more
+    //           runs in leftover budget (within-run spread reached
+    //           3.2x max/min on multi-second queries at n=3).
     val extraRunsOverSecs = 1.0
     val nExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt.max(0)
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
@@ -210,37 +244,53 @@ object Bench {
       spark.catalog.clearCache()
       r
     }
-    var execs = 0L
-    val modeCounts = scala.collection.mutable.Map("full" -> 0, "degraded" -> 0, "minimal" -> 0)
-    ordered.zipWithIndex.foreach { case ((name, fn), i) =>
-      val (doWarmup, timedRuns, allowExtra) =
-        planRuns(elapsedS, execs, ordered.size - i, nRuns, budgetS)
-      modeCounts(if (allowExtra) "full" else if (doWarmup) "degraded" else "minimal") += 1
-      // One DISCARDED warm-up run per query: absorbs the one-time
-      // first-iteration costs (fixture build for cachedFixture
-      // queries, parquet page-cache population, per-query codegen)
-      // that were the dominant max/min spread source at n=3 —
-      // 11 of 19 >=1 s queries exceeded 1.5x max/min with the
-      // warm-up folded into the timed runs. Skipped in minimal mode
-      // (budget nearly gone): the single timed run then carries the
-      // first-run costs, which the "minimal" mode count discloses.
-      if (doWarmup) { once(fn); execs += 1 }
-      val base = Iterator.continually { execs += 1; once(fn) }.take(timedRuns).toSeq
-      val oks = base.collect { case Right(t) => t }
-      val extra = if (allowExtra && oks.nonEmpty && oks.min >= extraRunsOverSecs)
-        Iterator.continually { execs += 1; once(fn) }.take(nExtra).toSeq else Seq.empty
-      val runs = base ++ extra
-      // one success is enough to report a time; all-failed reports the
-      // first error
-      val r = runs.collect { case Right(t) => t } match {
-        case ts if ts.nonEmpty => Right(ts)
-        case _ => Left(runs.collectFirst { case Left(e) => e }.get)
-      }
-      acc.synchronized(acc += (name -> r))
+    val fns = ordered.toMap
+    def timed(name: String): Either[String, Double] = {
+      val t0 = System.nanoTime()
+      val r = once(fns(name))
+      lock.synchronized { est(name) = (System.nanoTime() - t0) / 1e9 }
+      r
     }
-    val results: Seq[(String, Either[String, Seq[Double]])] = acc.toSeq
+    // pass 1 — cold coverage sweep (suite order; _ORDER=reverse probes
+    // suite-position effects)
+    ordered.foreach { case (name, _) =>
+      val r = timed(name)
+      lock.synchronized { cold(name) = r }
+    }
+    // pass 2..nRuns — warm rounds, whole-round budget fit, run
+    // cheapest-first so estimate drift drops the tail, not coverage
+    for (round <- 1 to nRuns) {
+      val cands = lock.synchronized {
+        cold.keysIterator.toSeq.filter(n => warm.getOrElse(n, Vector.empty).size < round)
+          .map(n => n -> est(n))
+      }
+      fitRound(cands, budgetS - elapsedS).foreach { n =>
+        if (elapsedS + est(n) <= budgetS) {
+          val r = timed(n)
+          lock.synchronized { warm(n) = warm.getOrElse(n, Vector.empty) :+ r }
+        }
+      }
+    }
+    // extras — tighten the slow tail's min in leftover budget
+    for (x <- 1 to nExtra) {
+      val cands = lock.synchronized {
+        cold.keysIterator.toSeq.filter { n =>
+          val w = warm.getOrElse(n, Vector.empty)
+          val oks = w.collect { case Right(t) => t }
+          w.size == nRuns + x - 1 && oks.nonEmpty && oks.min >= extraRunsOverSecs
+        }.map(n => n -> est(n))
+      }
+      fitRound(cands, budgetS - elapsedS).foreach { n =>
+        if (elapsedS + est(n) <= budgetS) {
+          val r = timed(n)
+          lock.synchronized { warm(n) = warm.getOrElse(n, Vector.empty) :+ r }
+        }
+      }
+    }
+    val (results, qModes) = collectResults()
+    val modeCounts = qModes.values.groupBy(identity).map { case (k, v) => k -> v.size }
     java.nio.file.Files.write(detailPath,
-      (detailJson(results, sfDir, nRuns, modeCounts.toMap) + "\n").getBytes("UTF-8"))
+      (detailJson(results, sfDir, nRuns, modeCounts, qModes) + "\n").getBytes("UTF-8"))
     // complete line FIRST, finished-flag second: a kill landing between
     // the two re-prints a partial line after the complete one (harmless
     // — same coverage), whereas the opposite order could die with

@@ -25,6 +25,7 @@ object GoldenGen {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val counts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -115,6 +115,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotEntry)
     ext.injectFunction(GraftExtensions.ldotEntry)
+    // MERGE INTO on graft_cdc tables: rewrite the resolved MergeIntoTable
+    // onto the crash-safe FileGroups.commit path (post-hoc — after the
+    // main resolution batch, before Spark's unsupported-operation check)
+    ext.injectPostHocResolutionRule(session => new graft.sources.FileGroupMergeRule(session))
   }
 }
 

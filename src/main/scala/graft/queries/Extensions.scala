@@ -301,11 +301,26 @@ object Extensions {
     * cachedFixture builder because the builder only runs on cache
     * miss — a later process reading the on-disk fixture still needs
     * the catalog registered. */
-  private def registerCdcCatalog(s: org.apache.spark.sql.SparkSession, root: String): Unit =
-    if (!s.conf.getOption("spark.sql.catalog.graft_cdc.root").contains(root) ||
-        s.conf.getOption("spark.sql.catalog.graft_cdc").isEmpty) {
-      s.conf.set("spark.sql.catalog.graft_cdc", "graft.sources.FileGroupCatalog")
-      s.conf.set("spark.sql.catalog.graft_cdc.root", root)
+  private def registerCdcCatalog(s: org.apache.spark.sql.SparkSession, root: String,
+                                 name: String = "graft_cdc"): Unit =
+    if (!s.conf.getOption(s"spark.sql.catalog.$name.root").contains(root) ||
+        s.conf.getOption(s"spark.sql.catalog.$name").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$name", "graft.sources.FileGroupCatalog")
+      s.conf.set(s"spark.sql.catalog.$name.root", root)
+    }
+
+  /** The MERGE-target fixture: its OWN warehouse (q_cdc_sql_merge
+    * mutates it — sharing fileGroupTable would corrupt the read-only
+    * queries' oracles), one commit of the full CDC log. The merge the
+    * query applies is a FIXPOINT on (id, lsn, value) after the first
+    * application, so the persisted-cache + repeated-invocation
+    * lifecycle stays oracle-stable (op flips c→u on re-merge of
+    * inserted rows, which is why the query doesn't select op;
+    * FileGroupMergeSpec pins op semantics on a fresh table). */
+  private def mergeTableRoot(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    cachedFixture(s"graft_fg_merge_cache_v1_${sfFingerprint(dir)}") { root =>
+      graft.cdc.FileGroups.commit(s, root + "/employees", cdcLog(s, dir),
+        0L, Seq("id"), Seq("lsn"), nBuckets = 16)
     }
 
   /** The MOR snapshot read over the cached lifecycle fixture: base ⊎
@@ -842,6 +857,64 @@ object Extensions {
         s.sql("SELECT id, lsn, op, value FROM graft_cdc.employees ORDER BY id")
       },
       Some(latestWinsSql)),
+
+    // SQL-SURFACE MERGE — the write half of the catalog door: standard
+    // `MERGE INTO` syntax on a graft_cdc table, lowered by the
+    // GraftExtensions post-hoc analyzer rule onto the crash-safe
+    // FileGroups.commit protocol (sources/FileGroupMerge.scala) — the
+    // DSv2 write surface itself stays blocked, so every mutation still
+    // rides the versioned manifest + atomic marker. The statement
+    // exercises all three clauses (conditional DELETE, UPDATE,
+    // conditional INSERT) against a source derived from events; the
+    // DuckDB oracle replays the identical merge relationally over
+    // base + src. Scale: ONE left-outer join of the batch-sized source
+    // against the snapshot + a batch-sized cardinality guard, then
+    // commit rewrites only the file groups the change batch touches —
+    // the Hudi/Delta merge shape.
+    GQuery(
+      "q_cdc_sql_merge",
+      (s, dir) => {
+        registerCdcCatalog(s, mergeTableRoot(s, dir), "graft_cdcm")
+        s.sql(
+          s"""MERGE INTO graft_cdcm.employees t
+             |USING (SELECT user_id + 7 AS id,
+             |              CAST(2000000 + user_id AS BIGINT) AS lsn,
+             |              max(value) AS value
+             |       FROM parquet.`$dir/events.parquet` GROUP BY user_id) s
+             |ON t.id = s.id
+             |WHEN MATCHED AND s.value < 0.5 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET value = s.value, lsn = s.lsn, op = 'u'
+             |WHEN NOT MATCHED AND s.value >= 0.5 THEN
+             |  INSERT (id, lsn, op, value) VALUES (s.id, s.lsn, 'c', s.value)
+             |""".stripMargin)
+        s.sql("SELECT id, lsn, value FROM graft_cdcm.employees ORDER BY id")
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT id, lsn, op, value FROM (
+          |    SELECT user_id AS id, event_id AS lsn,
+          |      CASE WHEN event_id % 11 = 0 THEN 'd'
+          |           WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+          |      value,
+          |      row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          |    FROM events) t
+          |  WHERE rn = 1 AND op <> 'd'
+          |), src AS (
+          |  SELECT user_id + 7 AS id, CAST(2000000 + user_id AS BIGINT) AS lsn,
+          |         max(value) AS value
+          |  FROM events GROUP BY user_id
+          |)
+          |SELECT id, lsn, value FROM (
+          |  SELECT b.id, COALESCE(s.lsn, b.lsn) AS lsn, COALESCE(s.value, b.value) AS value
+          |  FROM base b
+          |  LEFT JOIN (SELECT * FROM src WHERE value >= 0.5) s ON b.id = s.id
+          |  WHERE NOT EXISTS (SELECT 1 FROM src d WHERE d.value < 0.5 AND d.id = b.id)
+          |  UNION ALL
+          |  SELECT s2.id, s2.lsn, s2.value
+          |  FROM src s2
+          |  WHERE s2.value >= 0.5
+          |    AND NOT EXISTS (SELECT 1 FROM base b2 WHERE b2.id = s2.id)
+          |) ORDER BY id""".stripMargin)),
 
     // POINT LOOKUP through the oracle gate: the record-key-index read
     // path (Hudi metadata-table / bloom-index serve shape) — each

@@ -74,6 +74,11 @@ class FileGroupCatalog extends TableCatalog {
   private def keys: Seq[String] =
     conf("keys").getOrElse("id").split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** Precombine / latest-wins ordering columns — what MERGE INTO's
+    * lowered commit orders by (the store convention: LSN). */
+  private def ord: Seq[String] =
+    conf("ord").getOrElse("lsn").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
   private def dirOf(ident: Identifier): String =
     (root +: (ident.namespace() :+ ident.name())).mkString("/")
 
@@ -136,7 +141,7 @@ class FileGroupCatalog extends TableCatalog {
       throw new IllegalArgumentException(
         s"version $id of ${ident.name()} is not retained (committed: $committed, " +
           s"retained: ${Ingest.snapshotVersions(spark, dir).mkString(", ")})")
-    new FileGroupTable(spark, s"$catalogName.${ident.name()}", dir, id, keys)
+    new FileGroupTable(spark, s"$catalogName.${ident.name()}", dir, id, keys, ord)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -164,22 +169,26 @@ class FileGroupCatalog extends TableCatalog {
   * plan is indistinguishable from a hand-written parquet read of
   * exactly the live files. */
 private[sources] class FileGroupTable(spark: SparkSession, tableName: String,
-                                      dir: String, version: Long, keys: Seq[String])
+                                      val dir: String, val snapshotVersion: Long,
+                                      keys: Seq[String], val ordSeq: Seq[String] = Seq("lsn"))
     extends Table with SupportsRead {
+
+  /** Record-key columns ([[FileGroupMergeRule]] reads them). */
+  def keySeq: Seq[String] = keys
 
   override def name(): String = tableName
 
   override lazy val schema: StructType =
-    FileGroups.manifestSchema(spark, dir, version).getOrElse(
+    FileGroups.manifestSchema(spark, dir, snapshotVersion).getOrElse(
       throw new IllegalStateException(
-        s"manifest v$version at $dir carries no schema — pre-schema-header table; rebuild"))
+        s"manifest v$snapshotVersion at $dir carries no schema — pre-schema-header table; rebuild"))
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def properties(): util.Map[String, String] =
-    Map("version" -> version.toString, "location" -> dir).asJava
+    Map("version" -> snapshotVersion.toString, "location" -> dir).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    FileGroupScanBuilder(spark, dir, version, keys, schema, options)
+    FileGroupScanBuilder(spark, dir, snapshotVersion, keys, schema, options)
 }

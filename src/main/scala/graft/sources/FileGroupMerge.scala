@@ -1,0 +1,173 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+import graft.cdc.FileGroups
+
+/** `MERGE INTO graft_cdc.<table> ...` — the SQL write door on the
+  * file-group CDC store, closing the last experience seam against the
+  * reference's end product (README.md:298-304: downstream users get a
+  * catalog table they can query AND maintain with standard SQL).
+  *
+  * The catalog itself stays READ-ONLY at the DSv2 write surface
+  * (blind appends would bypass the crash-safe versioned-commit
+  * protocol); MERGE is instead LOWERED onto that protocol: a post-hoc
+  * analyzer rule (the delta-lake-style extension point — DSv2 has no
+  * native path for a custom merge executor short of the full
+  * SupportsRowLevelOperations write machinery) rewrites the RESOLVED
+  * [[MergeIntoTable]] into [[FileGroupMergeCommand]], which computes
+  * the change batch declaratively and hands it to
+  * [[graft.cdc.FileGroups.commit]] — same latest-wins merge, bucket
+  * pruning, manifest swap and atomic `_COMMIT_` marker as every other
+  * write. Registered via `GraftExtensions` (session build time —
+  * analyzer rules cannot be injected into a live session).
+  *
+  * Semantics (standard SQL MERGE, first matching clause wins):
+  *  - WHEN MATCHED [AND c] THEN UPDATE SET ... — unset columns keep the
+  *    target row's values; the batch row ties the target's ordering
+  *    column unless SET changes it, and commit's tie-break prefers the
+  *    batch, so the update always lands.
+  *  - WHEN MATCHED [AND c] THEN DELETE — the batch row carries the
+  *    store's CDC delete (`op='d'`), so the key leaves the snapshot
+  *    through the same collapse as any Debezium delete. Requires the
+  *    table to have the `op` column.
+  *  - WHEN NOT MATCHED [AND c] THEN INSERT ... — unassigned columns
+  *    null.
+  *  - WHEN NOT MATCHED BY SOURCE and WITH SCHEMA EVOLUTION fail
+  *    loudly: the first needs a full-table anti-scan (a deliberate
+  *    non-goal for the bucket-pruned write path), the second is the
+  *    store's reconcile-on-read job, not the merge's.
+  *
+  * Scale: matched/not-matched classification is ONE left-outer join of
+  * the (batch-sized) source against the snapshot scan, the same shape
+  * Hudi/Delta merges pay; the write side then rewrites only the file
+  * groups the change batch's keys hash into. The SQL-standard
+  * cardinality guard (a target row matched by >1 source rows is an
+  * error, not a double-update) costs one aggregation over the matched
+  * keys — batch-sized, not table-sized.
+  */
+class FileGroupMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case m: MergeIntoTable if m.resolved =>
+      EliminateSubqueryAliases(m.targetTable) match {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[FileGroupTable] =>
+          val t = r.table.asInstanceOf[FileGroupTable]
+          if (m.notMatchedBySourceActions.nonEmpty)
+            throw new UnsupportedOperationException(
+              "WHEN NOT MATCHED BY SOURCE is not supported on file-group tables: " +
+                "it requires a full-table anti-scan; run the update/delete as a " +
+                "derived CDC batch through FileGroups.commit instead")
+          if (m.withSchemaEvolution)
+            throw new UnsupportedOperationException(
+              "WITH SCHEMA EVOLUTION is not supported on file-group tables: the " +
+                "store reconciles drifted batches on read (mergeSchema) — commit " +
+                "the widened batch directly")
+          val hasDelete = m.matchedActions.exists(_.isInstanceOf[DeleteAction])
+          if (hasDelete && !r.output.exists(_.name == FileGroupMergeCommand.OpCol))
+            throw new UnsupportedOperationException(
+              s"WHEN MATCHED ... DELETE needs an '${FileGroupMergeCommand.OpCol}' " +
+                "column on the target (the store's CDC delete convention)")
+          FileGroupMergeCommand(t.dir, t.snapshotVersion, t.keySeq, t.ordSeq, r, m.sourceTable,
+            m.mergeCondition, m.matchedActions, m.notMatchedActions)
+        case _ => m
+      }
+  }
+}
+
+/** The lowered merge: computes the change batch as a single
+  * declarative plan over `source LEFT OUTER JOIN target` and commits
+  * it through the crash-safe file-group protocol. A LEAF command — the
+  * analyzed target/source plans ride as fields for exact attribute-id
+  * alignment with the resolved condition/assignments. */
+case class FileGroupMergeCommand(
+    dir: String, version: Long, keys: Seq[String], ord: Seq[String],
+    target: LogicalPlan, source: LogicalPlan, condition: Expression,
+    matchedActions: Seq[MergeAction], notMatchedActions: Seq[MergeAction])
+  extends LeafRunnableCommand {
+
+  import FileGroupMergeCommand._
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val committed = FileGroups.committedId(session, dir).getOrElse(
+      throw new IllegalStateException(s"no committed file-group table at $dir"))
+    if (committed != version)
+      throw new IllegalStateException(
+        s"concurrent commit detected at $dir: MERGE resolved version $version " +
+          s"but v$committed is now current — re-run the statement")
+    val src = org.apache.spark.sql.classic.GraftPlanBuilder.ofRows(session, source)
+    val tgt = org.apache.spark.sql.classic.GraftPlanBuilder.ofRows(session, target)
+    val joined = src.join(tgt.withColumn(MatchedCol, lit(true)),
+      Bridge.column(condition), "left_outer")
+
+    val tgtAttrs = target.output
+    val resolver = session.sessionState.conf.resolver
+    if (matchedActions.nonEmpty) {
+      val keyAttrs = keys.map(k => tgtAttrs.find(a => resolver(a.name, k)).getOrElse(
+        throw new IllegalStateException(s"record key '$k' not in target schema")))
+      // SQL-standard cardinality guard: one target row, one source match
+      val dup = joined.filter(col(MatchedCol))
+        .groupBy(keyAttrs.map(Bridge.column(_)): _*).count()
+        .filter(col("count") > 1).limit(1).count() > 0
+      if (dup) throw new IllegalStateException(
+        "MERGE cardinality violation: a target row matched more than one " +
+          "source row — deduplicate the source on the join keys first")
+    }
+
+    def condCol(c: Option[Expression]) = c.map(Bridge.column).getOrElse(lit(true))
+    // first matching clause wins: fold right into a CASE chain; no
+    // clause applying = null route = row dropped (no change)
+    def route(actions: Seq[MergeAction], base: Int) =
+      actions.zipWithIndex.foldRight(lit(null).cast("int")) {
+        case ((a, i), els) => when(condCol(a.condition), lit(base + i)).otherwise(els)
+      }
+    val routed = joined
+      .withColumn(ActionCol, when(col(MatchedCol) === true, route(matchedActions, 0))
+        .otherwise(route(notMatchedActions, NotMatchedBase)))
+      .filter(col(ActionCol).isNotNull)
+
+    def assigned(assigns: Seq[Assignment], tAttr: Attribute): Option[Expression] =
+      assigns.collectFirst {
+        case Assignment(k: Attribute, v) if k.exprId == tAttr.exprId => v
+      }
+    def valueFor(a: MergeAction, tAttr: Attribute) = a match {
+      case UpdateAction(_, assigns, _) =>
+        assigned(assigns, tAttr).map(Bridge.column).getOrElse(Bridge.column(tAttr))
+      case DeleteAction(_) =>
+        if (tAttr.name == OpCol) lit(graft.cdc.Envelope.OpDelete)
+        else Bridge.column(tAttr)
+      case InsertAction(_, assigns) =>
+        assigned(assigns, tAttr).map(Bridge.column)
+          .getOrElse(lit(null).cast(tAttr.dataType))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported MERGE action ${other.getClass.getSimpleName}")
+    }
+    val coded = matchedActions.zipWithIndex ++
+      notMatchedActions.zipWithIndex.map { case (a, i) => (a, NotMatchedBase + i) }
+    val batchCols = tgtAttrs.map { tAttr =>
+      coded.foldRight(lit(null).cast(tAttr.dataType)) { case ((a, code), els) =>
+        when(col(ActionCol) === code, valueFor(a, tAttr)).otherwise(els)
+      }.as(tAttr.name)
+    }
+    FileGroups.commit(session, dir, routed.select(batchCols: _*),
+      committed + 1, keys, ord)
+    Seq.empty
+  }
+}
+
+object FileGroupMergeCommand {
+  /** The store's CDC op column (CdcMerge's default): DELETE lowers to
+    * a row with op='d', collapsed away like any Debezium delete. */
+  val OpCol = "op"
+  private val NotMatchedBase = 1000
+  private val MatchedCol = "_graft_merge_matched"
+  private val ActionCol = "_graft_merge_action"
+}

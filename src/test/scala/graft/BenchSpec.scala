@@ -68,31 +68,41 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.stdoutLine(results(120, 1), "/root/testdata/sf0.1").contains("partial"))
   }
 
-  // The round-14 lesson (BENCH_r14.json rc 124, parsed null): the sweep
-  // must fit the driver's kill window at ANY query count. planRuns is
-  // the degrade schedule — these pins make its three tiers structural.
-  test("planRuns keeps full fidelity while the projection fits the budget") {
-    // 10 execs in 10s = 1 s/exec; 100 queries x 4 execs = 400s <= 890 remaining
-    assert(Bench.planRuns(10.0, 10, 100, 3, 900.0) == ((true, 3, true)))
-    // first query (no history): full fidelity
-    assert(Bench.planRuns(0.0, 0, 228, 3, 900.0) == ((true, 3, true)))
+  // The round-14 lesson (rc 124, nothing parseable) and the round-15
+  // lesson (parseable but 205/229 queries at n=1, alphabetic fidelity
+  // stripes): the sweep must fit the driver's kill window at ANY query
+  // count, and under pressure must drop the EXPENSIVE TAIL of a round,
+  // not a stripe of the alphabet. fitRound is that one decision point.
+  test("fitRound selects the cost-ascending greedy prefix that fits the budget") {
+    val costs = Seq("q_big" -> 10.0, "q_small" -> 1.0, "q_mid" -> 3.0)
+    // 5s budget: q_small (1) + q_mid (4 cumulative) fit; q_big does not
+    assert(Bench.fitRound(costs, 5.0) == Seq("q_small", "q_mid"))
+    // everything fits
+    assert(Bench.fitRound(costs, 100.0) == Seq("q_small", "q_mid", "q_big"))
+    // nothing fits / no budget left: empty, never negative-selects
+    assert(Bench.fitRound(costs, 0.5).isEmpty)
+    assert(Bench.fitRound(costs, -3.0).isEmpty)
+    assert(Bench.fitRound(Nil, 100.0).isEmpty)
   }
 
-  test("planRuns degrades to warmup+1 when full projection exceeds the budget") {
-    // 1 s/exec, 300 queries left: full = 1200 > 890 remaining, degraded = 600 fits
-    assert(Bench.planRuns(10.0, 10, 300, 3, 900.0) == ((true, 1, false)))
-  }
-
-  test("planRuns drops to a single bare run when even warmup+1 cannot fit") {
-    // 1 s/exec, 2000 queries left: degraded = 4000 > 890 remaining
-    assert(Bench.planRuns(10.0, 10, 2000, 3, 900.0) == ((false, 1, false)))
-    // budget already blown: never deadlocks, still runs each query once
-    assert(Bench.planRuns(1000.0, 500, 50, 3, 900.0) == ((false, 1, false)))
+  test("fitRound breaks cost ties by name for a deterministic schedule") {
+    val costs = Seq("q_b" -> 1.0, "q_a" -> 1.0, "q_c" -> 1.0)
+    assert(Bench.fitRound(costs, 2.0) == Seq("q_a", "q_b"))
   }
 
   test("detail record carries the mode counts when provided") {
     val d = Bench.detailJson(results(3, 0), "/x", 3, Map("full" -> 2, "degraded" -> 1))
     assert(d.contains("\"modes\":{\"degraded\":1,\"full\":2}"))
+  }
+
+  test("detail record tags each query's spread entry with its fidelity mode") {
+    val rs = results(2, 0)
+    val d = Bench.detailJson(rs, "/x", 3, Map("full" -> 1, "minimal" -> 1),
+      Map("q_generated_query_name_1" -> "full", "q_generated_query_name_2" -> "minimal"))
+    assert(d.contains(""""q_generated_query_name_1":{"min":0.0110,"max":0.0170,"n":3,"mode":"full"}"""), d)
+    assert(d.contains(""""mode":"minimal""""), d)
+    // without modes the spread entry stays in the pre-16 shape
+    assert(Bench.detailJson(rs, "/x", 3).contains(""""n":3}"""))
   }
 
   test("error messages are escaped and truncated on the stdout line") {

@@ -12,6 +12,7 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir", "target/spark-warehouse")
+    .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 
   def tmpDir(prefix: String): String = {

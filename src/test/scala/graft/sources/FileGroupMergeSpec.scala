@@ -1,0 +1,111 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.cdc.FileGroups
+
+/** MERGE INTO on graft_cdc tables: standard SQL syntax lowered onto
+  * the crash-safe FileGroups.commit protocol by the post-hoc analyzer
+  * rule (GraftExtensions). Pins the action semantics (first clause
+  * wins, partial SET keeps target values, DELETE lowers to the CDC
+  * 'd' row), the SQL-standard cardinality guard, the unsupported-
+  * clause rejections, and idempotent re-merge convergence. */
+class FileGroupMergeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def chainMsg(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+
+  /** Fresh 3-row table under a fresh warehouse root. */
+  private def mkTable(): String = {
+    val root = tmpDir("graft_fgmerge")
+    val t = root + "/emp"
+    FileGroups.commit(spark,
+      t,
+      Seq((1L, 10L, "c", 1.0), (2L, 11L, "c", 2.0), (3L, 12L, "u", 3.0))
+        .toDF("id", "lsn", "op", "value"),
+      0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    spark.conf.set("spark.sql.catalog.graft_cdc", classOf[FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cdc.root", root)
+    t
+  }
+
+  private def state(): Seq[(Long, Long, String, Double)] =
+    spark.sql("SELECT id, lsn, op, value FROM graft_cdc.emp ORDER BY id")
+      .as[(Long, Long, String, Double)].collect().toSeq
+
+  test("update + conditional delete + insert through plain SQL, committed as a new version") {
+    val t = mkTable()
+    spark.sql(
+      """MERGE INTO graft_cdc.emp t
+        |USING (SELECT * FROM VALUES (1L, 20L, 9.9D), (3L, 21L, 0.1D), (7L, 22L, 7.7D)
+        |       AS x(id, lsn, value)) s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.value < 0.5 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET value = s.value, lsn = s.lsn, op = 'u'
+        |WHEN NOT MATCHED THEN INSERT (id, lsn, op, value) VALUES (s.id, s.lsn, 'c', s.value)
+        |""".stripMargin)
+    assert(state() == Seq((1L, 20L, "u", 9.9), (2L, 11L, "c", 2.0), (7L, 22L, "c", 7.7)))
+    // landed as a versioned commit through the protocol (marker + manifest)
+    assert(FileGroups.committedId(spark, t).contains(1L))
+    assert(FileGroups.readAt(spark, t, 1L).get.count() == 3)
+  }
+
+  test("partial SET keeps unset target columns; re-running the merge is a fixpoint") {
+    mkTable()
+    val merge =
+      """MERGE INTO graft_cdc.emp t
+        |USING (SELECT 1L AS id, 42.0D AS v) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET value = s.v
+        |""".stripMargin
+    spark.sql(merge)
+    // lsn and op keep the target row's values — the batch row ties the
+    // target's ord and commit's tie-break prefers the batch
+    val once = state()
+    assert(once == Seq((1L, 10L, "c", 42.0), (2L, 11L, "c", 2.0), (3L, 12L, "u", 3.0)))
+    spark.sql(merge)
+    assert(state() == once)
+  }
+
+  test("a target row matched by two source rows is a cardinality violation, not a double-update") {
+    mkTable()
+    val ex = intercept[Throwable] {
+      spark.sql(
+        """MERGE INTO graft_cdc.emp t
+          |USING (SELECT * FROM VALUES (1L, 20L, 1.0D), (1L, 21L, 2.0D) AS x(id, lsn, value)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET value = s.value, lsn = s.lsn
+          |""".stripMargin)
+    }
+    assert(chainMsg(ex).contains("cardinality"), chainMsg(ex))
+    // and nothing committed
+    assert(state() == Seq((1L, 10L, "c", 1.0), (2L, 11L, "c", 2.0), (3L, 12L, "u", 3.0)))
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE fails loudly (full-table anti-scan is a non-goal)") {
+    mkTable()
+    val ex = intercept[Throwable] {
+      spark.sql(
+        """MERGE INTO graft_cdc.emp t
+          |USING (SELECT 1L AS id) s
+          |ON t.id = s.id
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE
+          |""".stripMargin)
+    }
+    assert(chainMsg(ex).contains("NOT MATCHED BY SOURCE"), chainMsg(ex))
+  }
+
+  test("first matching clause wins among multiple conditional matched actions") {
+    mkTable()
+    spark.sql(
+      """MERGE INTO graft_cdc.emp t
+        |USING (SELECT * FROM VALUES (1L, 100.0D), (2L, 200.0D) AS x(id, v)) s
+        |ON t.id = s.id
+        |WHEN MATCHED AND t.id = 1 THEN UPDATE SET value = s.v + 0.5
+        |WHEN MATCHED THEN UPDATE SET value = s.v
+        |""".stripMargin)
+    assert(state() == Seq((1L, 10L, "c", 100.5), (2L, 11L, "c", 200.0), (3L, 12L, "u", 3.0)))
+  }
+}

@@ -117,7 +117,11 @@ val queries = Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
   // BM25 delta-union read, the FK anti-join constraint pass, and the
   // two post-close round-14 shapes never probed
   "q_sim_topk", "q_layout_zorder", "q_text_search_served",
-  "q_quality_constraints", "q_privacy_ldiv", "q_hll_intersect_served")
+  "q_quality_constraints", "q_privacy_ldiv", "q_hll_intersect_served",
+  // round 16: the last wide shapes with no probe row — the partial-
+  // update key exchange and the boilerplate segment-key shuffle
+  // (q_bpe_train already probes above)
+  "q_cdc_partial_update", "q_boilerplate")
 
 // Optional filter for targeted runs (same convention as
 // SPARK_GRAFT_VERIFY_ONLY): probe only the named queries.

@@ -113,10 +113,11 @@ object Bench {
     // control). Round 14's driver bench died at rc 124 with NOTHING on
     // stdout — the full-fidelity protocol outgrew the kill window at
     // 228 queries. Two independent defenses, both pinned in BenchSpec:
-    // (1) planRuns degrades per-query fidelity once the projection
-    // exceeds this budget, so the sweep finishes and covers EVERY
-    // query; (2) a shutdown hook (below) emits a partial-but-parseable
-    // stdout line + detail file if the JVM is killed anyway.
+    // (1) fitRound schedules each warm round inside this budget, so
+    // the sweep finishes and covers EVERY query (the cold sweep runs
+    // unconditionally — coverage first); (2) a shutdown hook (below)
+    // emits a partial-but-parseable stdout line + detail file if the
+    // JVM is killed anyway.
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "900").toDouble
     val t0Sweep = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - t0Sweep) / 1e9

@@ -79,6 +79,21 @@ object Demo {
     spark.conf.set("spark.sql.catalog.graft_cdc.root", work)
     println("[demo] 6b. the same table over SQL via graft_cdc catalog:")
     spark.sql("SELECT count(*) AS rows FROM graft_cdc.fg").show()
+    // ... and MAINTAINED with standard SQL: MERGE INTO is lowered onto
+    // the same crash-safe versioned commit the streaming path uses
+    // (GraftExtensions analyzer rule), so the raise below rewrites only
+    // the one file group employee 2's key hashes into
+    val before2 = spark.sql("SELECT salary FROM graft_cdc.fg WHERE id = 2")
+      .collect().headOption.map(_.get(0)).getOrElse("absent")
+    spark.sql(
+      """MERGE INTO graft_cdc.fg t
+        |USING (SELECT 2 AS id, CAST(900000000 AS BIGINT) AS lsn, 99999 AS salary) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET salary = s.salary, lsn = s.lsn
+        |""".stripMargin)
+    println(s"[demo] 6c. SQL MERGE raised employee 2's salary ($before2 -> " +
+      spark.sql("SELECT salary FROM graft_cdc.fg WHERE id = 2")
+        .collect().headOption.map(_.get(0)).getOrElse("absent") + ")")
 
     // 7. savepoint + change feed: pin the current version, then diff it
     //    against a later state instead of re-reading the table

@@ -18,6 +18,7 @@ object CdcMergeProps extends Properties("CdcMerge") {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 
   private val genOps: Gen[List[(Int, String, Int)]] =

@@ -20,6 +20,7 @@ object ComponentsProps extends Properties("Components") {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 
   private val genGraph: Gen[(Int, List[(Long, Long)])] = for {

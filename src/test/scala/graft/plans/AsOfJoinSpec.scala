@@ -19,6 +19,7 @@ class AsOfJoinSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 
   /** Pin the physical path: the strategy is cost-based (broadcast under

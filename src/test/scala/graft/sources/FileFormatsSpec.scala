@@ -16,6 +16,7 @@ class FileFormatsSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 
   private def tmp(): String =

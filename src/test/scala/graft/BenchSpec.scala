@@ -85,6 +85,16 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.fitRound(Nil, 100.0).isEmpty)
   }
 
+  test("warmTier picks the largest uniform tier that fits, degrading together") {
+    // 100s of estimated cold cost; nRuns=3
+    assert(Bench.warmTier(100.0, 3, 1000.0) == 3) // 300 <= 900
+    assert(Bench.warmTier(100.0, 3, 250.0) == 2)  // 300 > 225, 200 <= 225
+    assert(Bench.warmTier(100.0, 3, 120.0) == 1)
+    assert(Bench.warmTier(100.0, 3, 50.0) == 0)   // even one pass won't fit
+    assert(Bench.warmTier(100.0, 3, -10.0) == 0)  // budget already blown
+    assert(Bench.warmTier(0.0, 3, 0.0) == 3)      // empty suite: vacuous full tier
+  }
+
   test("fitRound breaks cost ties by name for a deterministic schedule") {
     val costs = Seq("q_b" -> 1.0, "q_a" -> 1.0, "q_c" -> 1.0)
     assert(Bench.fitRound(costs, 2.0) == Seq("q_a", "q_b"))

@@ -323,6 +323,15 @@ object Extensions {
         0L, Seq("id"), Seq("lsn"), nBuckets = 16)
     }
 
+  /** q_cdc_sql_dml's own mutable warehouse (same isolation rationale
+    * as [[mergeTableRoot]] — the statements mutate it, so it cannot
+    * share the read-only queries' fixture OR the merge query's). */
+  private def dmlTableRoot(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    cachedFixture(s"graft_fg_dml_cache_v1_${sfFingerprint(dir)}") { root =>
+      graft.cdc.FileGroups.commit(s, root + "/employees", cdcLog(s, dir),
+        0L, Seq("id"), Seq("lsn"), nBuckets = 16)
+    }
+
   /** The MOR snapshot read over the cached lifecycle fixture: base ⊎
     * pending logs, one window shuffle. */
   private def morRead(s: org.apache.spark.sql.SparkSession, dir: String,
@@ -915,6 +924,45 @@ object Extensions {
           |  WHERE s2.value >= 0.5
           |    AND NOT EXISTS (SELECT 1 FROM base b2 WHERE b2.id = s2.id)
           |) ORDER BY id""".stripMargin)),
+
+    // SQL-SURFACE UPDATE + DELETE — the rest of the DML triad on the
+    // catalog door (same post-hoc lowering as MERGE, strictly simpler
+    // batches): UPDATE's hit rows with assignments applied become an
+    // upsert batch (ord ties break toward the batch), DELETE's hit
+    // rows become op='d' CDC deletes; both land as crash-safe
+    // versioned commits touching only the hit keys' file groups, and a
+    // key-equality WHERE even builds its batch from a file-group-
+    // pruned scan (the catalog scan builder's manifest cut). Both
+    // statements are value-idempotent (SET from key-derived constants,
+    // delete-of-deleted = empty batch), so the persisted fixture stays
+    // oracle-stable across repeated runs; FileGroupMergeSpec pins op
+    // semantics and the record-key-update rejection on a fresh table.
+    GQuery(
+      "q_cdc_sql_dml",
+      (s, dir) => {
+        registerCdcCatalog(s, dmlTableRoot(s, dir), "graft_cdcd")
+        s.sql(
+          """UPDATE graft_cdcd.employees
+            |SET value = CAST(id AS DOUBLE) / 1000, op = 'u'
+            |WHERE id % 10 = 3""".stripMargin)
+        s.sql("DELETE FROM graft_cdcd.employees WHERE id % 13 = 0")
+        s.sql("SELECT id, lsn, value FROM graft_cdcd.employees ORDER BY id")
+      },
+      Some(
+        """SELECT id, lsn,
+          |  CASE WHEN id % 10 = 3 THEN CAST(id AS DOUBLE) / 1000 ELSE value END AS value
+          |FROM (
+          |  SELECT id, lsn, op, value FROM (
+          |    SELECT user_id AS id, event_id AS lsn,
+          |      CASE WHEN event_id % 11 = 0 THEN 'd'
+          |           WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+          |      value,
+          |      row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          |    FROM events) t
+          |  WHERE rn = 1 AND op <> 'd'
+          |) base
+          |WHERE NOT (id % 13 = 0)
+          |ORDER BY id""".stripMargin)),
 
     // POINT LOOKUP through the oracle gate: the record-key-index read
     // path (Hudi metadata-table / bloom-index serve shape) — each

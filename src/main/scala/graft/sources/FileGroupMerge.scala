@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction}
+import org.apache.spark.sql.catalyst.plans.logical.{AppendData, Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -80,6 +80,120 @@ class FileGroupMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
             m.mergeCondition, m.matchedActions, m.notMatchedActions)
         case _ => m
       }
+
+    // DELETE FROM graft_cdc.<t> WHERE p — the matching rows become the
+    // store's CDC delete batch (op='d'); with a record-key predicate
+    // the batch-build scan is already file-group-pruned by the
+    // catalog's scan builder, and commit rewrites only the touched
+    // groups.
+    case d: DeleteFromTable if d.resolved =>
+      EliminateSubqueryAliases(d.table) match {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[FileGroupTable] =>
+          val t = r.table.asInstanceOf[FileGroupTable]
+          if (!r.output.exists(_.name == FileGroupMergeCommand.OpCol))
+            throw new UnsupportedOperationException(
+              s"DELETE needs an '${FileGroupMergeCommand.OpCol}' column on the " +
+                "target (the store's CDC delete convention)")
+          FileGroupDmlCommand(t.dir, t.snapshotVersion, t.keySeq, t.ordSeq, r,
+            Some(d.condition), Nil, delete = true)
+        case _ => d
+      }
+
+    // UPDATE graft_cdc.<t> SET ... WHERE p — the matching rows with the
+    // assignments applied become an upsert batch (ties on the ordering
+    // column break toward the batch, so the update always lands).
+    // Updating a RECORD KEY is rejected: under key-addressed storage
+    // that is a delete+insert, which MERGE or an explicit CDC batch
+    // expresses honestly (Hudi prohibits record-key updates the same
+    // way).
+    case u: UpdateTable if u.resolved =>
+      EliminateSubqueryAliases(u.table) match {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[FileGroupTable] =>
+          val t = r.table.asInstanceOf[FileGroupTable]
+          val keyHit = u.assignments.collectFirst {
+            case Assignment(k: org.apache.spark.sql.catalyst.expressions.Attribute, _)
+              if t.keySeq.exists(session.sessionState.conf.resolver(_, k.name)) => k.name
+          }
+          keyHit.foreach { k =>
+            throw new UnsupportedOperationException(
+              s"UPDATE cannot change record key '$k': under key-addressed file " +
+                "groups that is a delete+insert — express it with MERGE INTO or " +
+                "a CDC batch through FileGroups.commit")
+          }
+          FileGroupDmlCommand(t.dir, t.snapshotVersion, t.keySeq, t.ordSeq, r,
+            u.condition, u.assignments, delete = false)
+        case _ => u
+      }
+
+    // INSERT INTO graft_cdc.<t> ... — the aligned insert rows become an
+    // upsert batch: under a key-addressed store INSERT has UPSERT
+    // semantics (latest-wins by the ordering column, batch wins ties —
+    // Hudi's spark-sql INSERT INTO behaves the same way). The analyzer
+    // has already aligned/cast the query to the table schema
+    // (TableOutputResolver), so the batch is a positional rename away.
+    // INSERT OVERWRITE stays unsupported (capability check fails loudly
+    // downstream — a table-replacing write belongs to the Scala
+    // services, not a SQL statement).
+    case a: AppendData if a.resolved =>
+      a.table match {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[FileGroupTable] =>
+          val t = r.table.asInstanceOf[FileGroupTable]
+          FileGroupInsertCommand(t.dir, t.snapshotVersion, t.keySeq, t.ordSeq, r, a.query)
+        case _ => a
+      }
+  }
+}
+
+/** The lowered INSERT: commit the aligned rows as an upsert batch. */
+case class FileGroupInsertCommand(
+    dir: String, version: Long, keys: Seq[String], ord: Seq[String],
+    target: LogicalPlan, query: LogicalPlan)
+  extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val committed = FileGroups.committedId(session, dir).getOrElse(
+      throw new IllegalStateException(s"no committed file-group table at $dir"))
+    if (committed != version)
+      throw new IllegalStateException(
+        s"concurrent commit detected at $dir: statement resolved version $version " +
+          s"but v$committed is now current — re-run the statement")
+    val batch = org.apache.spark.sql.classic.GraftPlanBuilder.ofRows(session, query)
+      .toDF(target.output.map(_.name): _*)
+    FileGroups.commit(session, dir, batch, committed + 1, keys, ord)
+    Seq.empty
+  }
+}
+
+/** The lowered UPDATE/DELETE: filter the snapshot to the hit rows,
+  * apply assignments (UPDATE) or stamp the CDC delete op (DELETE), and
+  * commit the batch through the crash-safe protocol — the strictly
+  * simpler siblings of [[FileGroupMergeCommand]]. */
+case class FileGroupDmlCommand(
+    dir: String, version: Long, keys: Seq[String], ord: Seq[String],
+    target: LogicalPlan, condition: Option[Expression],
+    assignments: Seq[Assignment], delete: Boolean)
+  extends LeafRunnableCommand {
+
+  import FileGroupMergeCommand.OpCol
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val committed = FileGroups.committedId(session, dir).getOrElse(
+      throw new IllegalStateException(s"no committed file-group table at $dir"))
+    if (committed != version)
+      throw new IllegalStateException(
+        s"concurrent commit detected at $dir: statement resolved version $version " +
+          s"but v$committed is now current — re-run the statement")
+    val tgt = org.apache.spark.sql.classic.GraftPlanBuilder.ofRows(session, target)
+    val hit = condition.map(c => tgt.filter(Bridge.column(c))).getOrElse(tgt)
+    val batchCols = target.output.map { a =>
+      if (delete && a.name == OpCol) lit(graft.cdc.Envelope.OpDelete).as(a.name)
+      else assignments.collectFirst {
+        case Assignment(k: Attribute, v) if k.exprId == a.exprId =>
+          Bridge.column(v).as(a.name)
+      }.getOrElse(Bridge.column(a))
+    }
+    FileGroups.commit(session, dir, hit.select(batchCols: _*), committed + 1, keys, ord)
+    Seq.empty
   }
 }
 

@@ -97,6 +97,46 @@ class FileGroupMergeSpec extends SparkSpec {
     assert(chainMsg(ex).contains("NOT MATCHED BY SOURCE"), chainMsg(ex))
   }
 
+  test("UPDATE ... WHERE applies assignments to hit rows only; re-run is a fixpoint") {
+    val t = mkTable()
+    val stmt = "UPDATE graft_cdc.emp SET value = CAST(id AS DOUBLE) / 2, op = 'u' WHERE id >= 2"
+    spark.sql(stmt)
+    assert(state() == Seq((1L, 10L, "c", 1.0), (2L, 11L, "u", 1.0), (3L, 12L, "u", 1.5)))
+    assert(FileGroups.committedId(spark, t).contains(1L)) // versioned commit
+    spark.sql(stmt)
+    assert(state() == Seq((1L, 10L, "c", 1.0), (2L, 11L, "u", 1.0), (3L, 12L, "u", 1.5)))
+  }
+
+  test("DELETE ... WHERE removes hit keys through the CDC collapse; absent keys are a no-op") {
+    val t = mkTable()
+    spark.sql("DELETE FROM graft_cdc.emp WHERE value > 1.5")
+    assert(state() == Seq((1L, 10L, "c", 1.0)))
+    // deleted keys stay deleted on re-run (empty batch still commits safely)
+    spark.sql("DELETE FROM graft_cdc.emp WHERE value > 1.5")
+    assert(state() == Seq((1L, 10L, "c", 1.0)))
+    assert(FileGroups.committedId(spark, t).exists(_ >= 1L))
+  }
+
+  test("INSERT INTO has upsert semantics: new keys land, existing keys take the batch row") {
+    val t = mkTable()
+    spark.sql("INSERT INTO graft_cdc.emp VALUES (7L, 20L, 'c', 7.7), (1L, 10L, 'u', 1.5)")
+    assert(state() == Seq((1L, 10L, "u", 1.5), (2L, 11L, "c", 2.0),
+      (3L, 12L, "u", 3.0), (7L, 20L, "c", 7.7)))
+    assert(FileGroups.committedId(spark, t).contains(1L))
+    // an INSERT ... SELECT aligns through the same analyzer path
+    spark.sql("INSERT INTO graft_cdc.emp SELECT id + 10, lsn + 100, op, value FROM graft_cdc.emp WHERE id = 2")
+    assert(state().contains((12L, 111L, "c", 2.0)))
+  }
+
+  test("UPDATE of a record-key column is rejected (delete+insert in disguise)") {
+    mkTable()
+    val ex = intercept[Throwable] {
+      spark.sql("UPDATE graft_cdc.emp SET id = id + 100 WHERE id = 1")
+    }
+    assert(chainMsg(ex).contains("record key"), chainMsg(ex))
+    assert(state() == Seq((1L, 10L, "c", 1.0), (2L, 11L, "c", 2.0), (3L, 12L, "u", 3.0)))
+  }
+
   test("first matching clause wins among multiple conditional matched actions") {
     mkTable()
     spark.sql(

@@ -159,7 +159,7 @@ case class FileGroupInsertCommand(
           s"but v$committed is now current — re-run the statement")
     val batch = org.apache.spark.sql.classic.GraftPlanBuilder.ofRows(session, query)
       .toDF(target.output.map(_.name): _*)
-    FileGroups.commit(session, dir, batch, committed + 1, keys, ord)
+    FileGroupMergeCommand.commitNonEmpty(session, dir, batch, committed + 1, keys, ord)
     Seq.empty
   }
 }
@@ -192,7 +192,8 @@ case class FileGroupDmlCommand(
           Bridge.column(v).as(a.name)
       }.getOrElse(Bridge.column(a))
     }
-    FileGroups.commit(session, dir, hit.select(batchCols: _*), committed + 1, keys, ord)
+    FileGroupMergeCommand.commitNonEmpty(session, dir,
+      hit.select(batchCols: _*), committed + 1, keys, ord)
     Seq.empty
   }
 }
@@ -271,8 +272,8 @@ case class FileGroupMergeCommand(
         when(col(ActionCol) === code, valueFor(a, tAttr)).otherwise(els)
       }.as(tAttr.name)
     }
-    FileGroups.commit(session, dir, routed.select(batchCols: _*),
-      committed + 1, keys, ord)
+    FileGroupMergeCommand.commitNonEmpty(session, dir,
+      routed.select(batchCols: _*), committed + 1, keys, ord)
     Seq.empty
   }
 }
@@ -284,4 +285,23 @@ object FileGroupMergeCommand {
   private val NotMatchedBase = 1000
   private val MatchedCol = "_graft_merge_matched"
   private val ActionCol = "_graft_merge_action"
+
+  /** Commit the change batch ONLY when it has rows: a statement whose
+    * clauses hit nothing is a true no-op — an empty commit would still
+    * bump the version, and under two-version GC retention a re-run
+    * no-op statement (idempotent MERGE/DELETE are common in retry
+    * loops) would silently age real snapshots out of time travel. The
+    * persist also keeps the batch plan (join + CASE routing) from
+    * recomputing across the emptiness probe and commit's own two
+    * passes. Returns true when a commit landed. */
+  private[sources] def commitNonEmpty(session: SparkSession, dir: String,
+                                      batch: org.apache.spark.sql.DataFrame, batchId: Long,
+                                      keys: Seq[String], ord: Seq[String]): Boolean = {
+    batch.persist()
+    try {
+      val nonEmpty = batch.limit(1).count() > 0
+      if (nonEmpty) FileGroups.commit(session, dir, batch, batchId, keys, ord)
+      nonEmpty
+    } finally { batch.unpersist(); () }
+  }
 }

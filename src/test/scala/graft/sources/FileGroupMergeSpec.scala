@@ -128,6 +128,23 @@ class FileGroupMergeSpec extends SparkSpec {
     assert(state().contains((12L, 111L, "c", 2.0)))
   }
 
+  test("a statement hitting nothing is a true no-op: no version bump, no history erosion") {
+    val t = mkTable()
+    val v0 = FileGroups.committedId(spark, t)
+    // none of these touch a row — an empty commit would bump the
+    // version and, under two-version GC, retry-looped no-ops would age
+    // real snapshots out of time travel
+    spark.sql("DELETE FROM graft_cdc.emp WHERE id = 999")
+    spark.sql("UPDATE graft_cdc.emp SET value = 0.0 WHERE id = 999")
+    spark.sql(
+      """MERGE INTO graft_cdc.emp t
+        |USING (SELECT 999L AS id, 1.0D AS v) s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET value = s.v
+        |""".stripMargin)
+    assert(FileGroups.committedId(spark, t) == v0)
+    assert(state() == Seq((1L, 10L, "c", 1.0), (2L, 11L, "c", 2.0), (3L, 12L, "u", 3.0)))
+  }
+
   test("UPDATE of a record-key column is rejected (delete+insert in disguise)") {
     mkTable()
     val ex = intercept[Throwable] {

@@ -220,9 +220,18 @@ case class FileGroupMergeCommand(
           s"but v$committed is now current — re-run the statement")
     val src = org.apache.spark.sql.classic.GraftPlanBuilder.ofRows(session, source)
     val tgt = org.apache.spark.sql.classic.GraftPlanBuilder.ofRows(session, target)
+    // persisted: the cardinality guard and the change-batch
+    // materialization would otherwise each execute the source⋈snapshot
+    // join from scratch
     val joined = src.join(tgt.withColumn(MatchedCol, lit(true)),
-      Bridge.column(condition), "left_outer")
+      Bridge.column(condition), "left_outer").persist()
+    try {
+      runOnJoined(session, committed, joined)
+    } finally { joined.unpersist(); () }
+  }
 
+  private def runOnJoined(session: SparkSession, committed: Long,
+                          joined: org.apache.spark.sql.DataFrame): Seq[Row] = {
     val tgtAttrs = target.output
     val resolver = session.sessionState.conf.resolver
     if (matchedActions.nonEmpty) {

@@ -463,6 +463,14 @@ object FileGroups {
       Option[org.apache.spark.sql.types.StructType] =
     readManifest(sess, dir, id)._2
 
+  /** SQL maintenance support ([[graft.sources.FileGroupProcedures]]
+    * `show_commits`): version `id`'s (file-group count, total rows) —
+    * manifest metadata only, no data read. */
+  private[graft] def manifestStats(sess: SparkSession, dir: String, id: Long): (Int, Long) = {
+    val entries = readManifest(sess, dir, id)._3
+    (entries.size, entries.map(_.count).sum)
+  }
+
   /** DSv2 catalog support: the data paths version `id` references —
     * cut to the buckets that could hold `probes` when probes are given
     * (hash bucket + [min,max] stats + key bloom, the same manifest

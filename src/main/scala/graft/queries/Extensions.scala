@@ -332,6 +332,27 @@ object Extensions {
         0L, Seq("id"), Seq("lsn"), nBuckets = 16)
     }
 
+  /** q_cdc_sql_maintain's own warehouse (the procedures mutate
+    * versions/markers — same isolation rationale as [[mergeTableRoot]]):
+    * the three-batch lifecycle of [[fileGroupTable]], so the
+    * post-rollback state is the deterministic `lsn < c2` prefix. After
+    * the build, two-version GC retains {v1, v2}; the query's rollback
+    * lands the table at v1 and stays there (re-runs: the savepoint
+    * re-pins, the rollback removes nothing) — a fixpoint like the other
+    * mutable SQL fixtures. */
+  private def maintTableRoot(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    cachedFixture(s"graft_fg_maint_cache_v1_${sfFingerprint(dir)}") { root =>
+      val log = cdcLog(s, dir)
+      val Seq(c1, c2) = {
+        val n = Tables.events(s, dir).count()
+        Seq(n * 2 / 5, n * 4 / 5)
+      }
+      val t = root + "/employees"
+      graft.cdc.FileGroups.commit(s, t, log.filter(col("lsn") < c1), 0L, Seq("id"), Seq("lsn"), nBuckets = 16)
+      graft.cdc.FileGroups.commit(s, t, log.filter(col("lsn") >= c1 && col("lsn") < c2), 1L, Seq("id"), Seq("lsn"))
+      graft.cdc.FileGroups.commit(s, t, log.filter(col("lsn") >= c2), 2L, Seq("id"), Seq("lsn"))
+    }
+
   /** The MOR snapshot read over the cached lifecycle fixture: base ⊎
     * pending logs, one window shuffle. */
   private def morRead(s: org.apache.spark.sql.SparkSession, dir: String,
@@ -963,6 +984,39 @@ object Extensions {
           |) base
           |WHERE NOT (id % 13 = 0)
           |ORDER BY id""".stripMargin)),
+
+    // SQL-SURFACE MAINTENANCE — the operations half of the catalog
+    // door: Spark 4 DSv2 procedures (`CALL`, SPARK-44167) binding the
+    // store's table services to SQL the way Hudi ships its CLI surface
+    // as SQL procedures (sources/FileGroupProcedures.scala —
+    // show_commits / create_savepoint / release_savepoint / rollback /
+    // purge_keys, each a thin wrapper over the existing crash-safe
+    // Scala service, so the two doors cannot diverge). The statement
+    // sequence pins a version, ROLLS THE TABLE BACK to it (removing
+    // the commit above — the value-bearing op: the snapshot returns to
+    // the two-batch prefix), releases the pin, and reads the restored
+    // state through the same catalog. Re-runs are a fixpoint (rollback
+    // of the head removes nothing). All driver-side manifest/marker
+    // metadata — nothing here scales with table size.
+    GQuery(
+      "q_cdc_sql_maintain",
+      (s, dir) => {
+        registerCdcCatalog(s, maintTableRoot(s, dir), "graft_cdct")
+        s.sql("CALL graft_cdct.create_savepoint(table => 'employees', version => 1)")
+        s.sql("CALL graft_cdct.rollback(table => 'employees', version => 1)")
+        s.sql("CALL graft_cdct.release_savepoint(table => 'employees', version => 1)")
+        s.sql("SELECT id, lsn, op, value FROM graft_cdct.employees ORDER BY id")
+      },
+      Some(
+        """WITH cut AS (SELECT (4 * count(*)) // 5 AS c2 FROM events)
+          |SELECT id, lsn, op, value FROM (
+          |  SELECT user_id AS id, event_id AS lsn,
+          |    CASE WHEN event_id % 11 = 0 THEN 'd'
+          |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+          |    value,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          |  FROM events WHERE event_id < (SELECT c2 FROM cut)) t
+          |WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin)),
 
     // POINT LOOKUP through the oracle gate: the record-key-index read
     // path (Hudi metadata-table / bloom-index serve shape) — each

@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, SupportsRead, Table, TableCapability, TableCatalog}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.types.StructType
@@ -53,7 +54,7 @@ import graft.cdc.{FileGroups, Ingest}
   * still reads correctly, but key predicates fall back to the full
   * referenced-file scan (no bucket pruning) instead of erroring.
   */
-class FileGroupCatalog extends TableCatalog {
+class FileGroupCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
 
@@ -142,6 +143,28 @@ class FileGroupCatalog extends TableCatalog {
         s"version $id of ${ident.name()} is not retained (committed: $committed, " +
           s"retained: ${Ingest.snapshotVersions(spark, dir).mkString(", ")})")
     new FileGroupTable(spark, s"$catalogName.${ident.name()}", dir, id, keys, ord)
+  }
+
+  /** Maintenance procedures ([[FileGroupProcedures]]) live in the
+    * catalog's root namespace AND the Iceberg/Hudi-conventional
+    * `system` namespace — `CALL graft_cdc.rollback(...)` and
+    * `CALL graft_cdc.system.rollback(...)` both resolve, so operators
+    * coming from either convention land on the same service. */
+  private def isProcNamespace(namespace: Array[String]): Boolean =
+    namespace.isEmpty || namespace.sameElements(Array("system"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    if (!isProcNamespace(namespace)) throw new NoSuchNamespaceException(namespace)
+    FileGroupProcedures.Names.map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (!isProcNamespace(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    FileGroupProcedures.resolve(ident.name(), spark, root, keys).getOrElse(
+      throw new IllegalArgumentException(
+        s"no procedure '${ident.name()}' in catalog $catalogName " +
+          s"(available: ${FileGroupProcedures.Names.mkString(", ")})"))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

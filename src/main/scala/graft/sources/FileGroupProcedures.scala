@@ -1,0 +1,225 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.cdc.{FileGroups, Ingest, Savepoints}
+
+/** The MAINTENANCE half of the SQL door on the file-group CDC store —
+  * Spark 4's DSv2 procedure surface (`CALL catalog.proc(...)`,
+  * SPARK-44167), mirroring how the reference's downstream users
+  * operate their DeltaStreamer tables: Hudi ships its table services
+  * as Spark SQL procedures (`create_savepoint`, `show_commits`,
+  * `rollback_to_savepoint`, ... — README.md:348's CLI surface moved
+  * into SQL), so an operator never needs a JVM to savepoint, roll
+  * back, inspect or purge a table. Each procedure is a thin SQL
+  * binding over the EXISTING crash-safe service ([[Savepoints]],
+  * [[FileGroups.purgeKeys]]) — no new mutation protocol, the SQL door
+  * and the Scala door cannot disagree.
+  *
+  * All procedures resolve tables against the owning catalog's live
+  * `root`, accept both positional and named (`table => 'employees'`)
+  * arguments, and return their outcome as ROWS (a [[LocalScan]] the
+  * analyzer turns into a local relation) so `CALL` results compose
+  * with SQL like any query.
+  *
+  * Everything here is driver-side manifest/marker metadata except
+  * `purge_keys`, whose data rewrite is the bucket-pruned
+  * [[FileGroups.purgeKeys]] path — nothing scales with table size
+  * beyond the purge's own touched file groups.
+  */
+private[sources] object FileGroupProcedures {
+
+  /** Procedure names the catalog lists/loads (empty namespace and the
+    * Iceberg/Hudi-conventional `system` namespace both resolve). */
+  val Names: Seq[String] =
+    Seq("show_commits", "create_savepoint", "release_savepoint", "rollback", "purge_keys")
+
+  def resolve(name: String, spark: => SparkSession, root: => String,
+              keys: => Seq[String]): Option[UnboundProcedure] = name match {
+    case "show_commits" => Some(new ShowCommits(spark, root))
+    case "create_savepoint" => Some(new CreateSavepoint(spark, root))
+    case "release_savepoint" => Some(new ReleaseSavepoint(spark, root))
+    case "rollback" => Some(new RollbackProc(spark, root))
+    case "purge_keys" => Some(new PurgeKeys(spark, root, keys))
+    case _ => None
+  }
+
+  /** Shared shape: every procedure is its own bound form (binding is
+    * pure parameter validation, which the analyzer already does from
+    * `parameters()`), non-deterministic (reads/mutates table state),
+    * and returns one [[LocalScan]] of result rows. */
+  private abstract class FgProcedure(spark: => SparkSession, root: => String)
+      extends UnboundProcedure with BoundProcedure {
+
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    protected def session: SparkSession = spark
+
+    /** Resolve `table` to its warehouse dir, failing loudly on an
+      * unknown table (matching the catalog's NoSuchTable behavior). */
+    protected def resolveDir(table: String): String = {
+      val dir = s"$root/$table"
+      if (FileGroups.committedId(spark, dir).isEmpty)
+        throw new IllegalArgumentException(
+          s"no committed file-group table '$table' under $root")
+      dir
+    }
+
+    protected def in(name: String, dt: DataType): ProcedureParameter =
+      ProcedureParameter.in(name, dt).build()
+
+    protected def result(schema: StructType, out: Seq[InternalRow]): util.Iterator[Scan] = {
+      val materialized = out.toArray
+      util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = materialized
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+  }
+
+  /** `CALL c.show_commits(table)` — the retained timeline: one row per
+    * retained version with its commit instant (the `_COMMIT_` marker
+    * mtime — what `TIMESTAMP AS OF` resolves against), savepoint pin,
+    * and manifest-level size stats. Read-only metadata. */
+  private final class ShowCommits(spark: => SparkSession, root: => String)
+      extends FgProcedure(spark, root) {
+    override def name(): String = "show_commits"
+    override def description(): String =
+      "retained versions of a file-group table: commit time, savepoint pin, size stats"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType))
+
+    private val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = true),
+      StructField("savepointed", BooleanType, nullable = false),
+      StructField("file_groups", IntegerType, nullable = false),
+      StructField("num_rows", LongType, nullable = false)))
+
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val pinned = Savepoints.savepoints(session, dir)
+      val rows = Ingest.snapshotVersions(session, dir).sorted.map { v =>
+        val at = FileGroups.commitTimeOf(session, dir, v)
+          .map(ms => ms * 1000L: java.lang.Long).orNull
+        val (groups, n) = FileGroups.manifestStats(session, dir, v)
+        InternalRow(v, at, pinned.contains(v), groups, n)
+      }
+      result(schema, rows)
+    }
+  }
+
+  private val versionOutcome = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("applied", BooleanType, nullable = false)))
+
+  /** `CALL c.create_savepoint(table, version)` — pin a retained version
+    * against GC and rollback ([[Savepoints.savepoint]]). `applied` is
+    * false when the version is not retained (a savepoint of nothing
+    * pins nothing) or the pin already exists. */
+  private final class CreateSavepoint(spark: => SparkSession, root: => String)
+      extends FgProcedure(spark, root) {
+    override def name(): String = "create_savepoint"
+    override def description(): String = "pin a retained version against GC and rollback"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType), in("version", LongType))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val v = input.getLong(1)
+      result(versionOutcome, Seq(InternalRow(v, Savepoints.savepoint(session, dir, v))))
+    }
+  }
+
+  /** `CALL c.release_savepoint(table, version)` — drop the pin; the
+    * version becomes ordinary GC fodder. */
+  private final class ReleaseSavepoint(spark: => SparkSession, root: => String)
+      extends FgProcedure(spark, root) {
+    override def name(): String = "release_savepoint"
+    override def description(): String = "release a savepoint pin"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType), in("version", LongType))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val v = input.getLong(1)
+      val had = Savepoints.savepoints(session, dir).contains(v)
+      Savepoints.release(session, dir, v)
+      result(versionOutcome, Seq(InternalRow(v, had)))
+    }
+  }
+
+  /** `CALL c.rollback(table, version)` — restore the table to a
+    * retained version, removing every commit above it
+    * ([[Savepoints.rollback]]: markers first, so no reader ever
+    * resolves a half-deleted version; savepointed versions above the
+    * target REFUSE the rollback loudly). A standing crashed-purge
+    * intent is completed first — rolling back around an unfinished
+    * purge could otherwise leave its marker pointing at history the
+    * rollback already rewrote. Returns the removed version ids. */
+  private final class RollbackProc(spark: => SparkSession, root: => String)
+      extends FgProcedure(spark, root) {
+    override def name(): String = "rollback"
+    override def description(): String =
+      "restore the table to a retained version; removes every commit above it"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType), in("version", LongType))
+
+    private val schema = StructType(Seq(
+      StructField("removed_version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val v = input.getLong(1)
+      // complete a crashed purge BEFORE validating the target: its
+      // forget step may remove pre-purge versions, and validating
+      // against the pre-recovery listing would accept a target the
+      // recovery is about to forget (then silently no-op on it)
+      FileGroups.completePendingPurge(session, dir)
+      val retained = Ingest.snapshotVersions(session, dir)
+      // distinguish "not retained" (error: the restore target does not
+      // exist) from "already the head" (no-op: nothing above to remove)
+      if (!retained.contains(v))
+        throw new IllegalArgumentException(
+          s"version $v is not retained (retained: ${retained.mkString(", ")}) — " +
+            "rollback needs an existing restore target")
+      val removed = Savepoints.rollback(session, dir, v)
+      result(schema, removed.sorted.map(InternalRow(_)))
+    }
+  }
+
+  /** `CALL c.purge_keys(table, keys)` — right-to-be-forgotten through
+    * SQL: [[FileGroups.purgeKeys]] with the next version id — the keys
+    * leave the CURRENT state and every retained historical version
+    * (manifests, savepoints, unreferenced data dropped), rewriting only
+    * the file groups the manifest index admits for the purged keys.
+    * Crash-safe via the `_PURGE_` intent marker like every Scala-side
+    * purge. Returns the rewritten bucket ids. */
+  private final class PurgeKeys(spark: => SparkSession, root: => String,
+                                keys: => Seq[String])
+      extends FgProcedure(spark, root) {
+    override def name(): String = "purge_keys"
+    override def description(): String =
+      "hard-delete record keys from the current state AND all retained history"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType), in("keys", ArrayType(LongType, containsNull = false)))
+
+    private val schema = StructType(Seq(
+      StructField("rewritten_bucket", LongType, nullable = false)))
+
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val purge = input.getArray(1).toLongArray().toSeq
+      require(purge.nonEmpty, "purge_keys needs at least one key")
+      val id = FileGroups.committedId(session, dir).get
+      val buckets = FileGroups.purgeKeys(session, dir, keys, purge, id + 1)
+      result(schema, buckets.toSeq.sorted.map(InternalRow(_)))
+    }
+  }
+}

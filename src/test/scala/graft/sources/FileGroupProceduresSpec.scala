@@ -1,0 +1,126 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.cdc.{FileGroups, Savepoints}
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** SQL maintenance procedures on the file-group catalog (`CALL` —
+  * Spark 4 DSv2 procedures): each is a thin binding over the existing
+  * crash-safe Scala service, so these tests pin (a) the SQL results
+  * against the Scala APIs and (b) the SQL-reachable guard rails
+  * (savepoint-blocks-rollback, purge history removal, loud errors). */
+class FileGroupProceduresSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private val cat = "graft_proc"
+
+  private def log() = Tables.events(spark, sf).select(
+    col("user_id").as("id"), col("event_id").as("lsn"),
+    when(pmod(col("event_id"), lit(11)) === 0, "d")
+      .when(pmod(col("event_id"), lit(3)) === 0, "u")
+      .otherwise("c").as("op"),
+    col("value"))
+
+  /** Fresh warehouse with one 2-commit table; registers the catalog. */
+  private def warehouse(): String = {
+    val root = tmpDir("graft_fgproc")
+    val t = root + "/employees"
+    val l = log()
+    FileGroups.commit(spark, t, l.filter($"lsn" < 500), 0L, Seq("id"), Seq("lsn"), nBuckets = 16)
+    FileGroups.commit(spark, t, l.filter($"lsn" >= 500), 1L, Seq("id"), Seq("lsn"))
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[FileGroupCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    root
+  }
+
+  test("show_commits lists the retained timeline with savepoint pins and manifest stats") {
+    val root = warehouse()
+    val t = root + "/employees"
+    Savepoints.savepoint(spark, t, 0L)
+    val rows = spark.sql(s"CALL $cat.show_commits(table => 'employees')")
+      .select($"version", $"savepointed", $"file_groups", $"num_rows")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(rows.map(_._1) == Seq(0L, 1L))
+    assert(rows.map(_._2) == Seq(true, false))
+    // num_rows comes from manifest metadata; it must equal the data
+    assert(rows.last._4 == FileGroups.read(spark, t).get.count())
+    assert(rows.head._4 == FileGroups.readAt(spark, t, 0L).get.count())
+    assert(rows.forall(_._3 > 0))
+    // commit instants present and non-decreasing
+    val at = spark.sql(s"CALL $cat.show_commits('employees')")
+      .select($"committed_at").as[java.sql.Timestamp].collect().toSeq
+    assert(at.forall(_ != null) && at == at.sortBy(_.getTime))
+  }
+
+  test("create_savepoint pins through SQL: rollback refuses until release_savepoint") {
+    val root = warehouse()
+    val t = root + "/employees"
+    assert(spark.sql(s"CALL $cat.create_savepoint('employees', 1)")
+      .head.getBoolean(1))
+    // pinned above the target → the rollback must refuse loudly
+    val ex = intercept[Exception] {
+      spark.sql(s"CALL $cat.rollback(table => 'employees', version => 0)")
+    }
+    assert(ex.getMessage.contains("savepointed"), ex.getMessage)
+    assert(FileGroups.committedId(spark, t).contains(1L)) // untouched
+    // release the pin (applied=true: it existed), then the rollback lands
+    assert(spark.sql(s"CALL $cat.release_savepoint('employees', 1)").head.getBoolean(1))
+    val removed = spark.sql(s"CALL $cat.rollback('employees', 0)")
+      .as[Long].collect().toSeq
+    assert(removed == Seq(1L))
+    assert(FileGroups.committedId(spark, t).contains(0L))
+    // the restored SQL read equals the Scala v0 read
+    assert(spark.sql(s"SELECT count(*) FROM $cat.employees").head.getLong(0) ==
+      FileGroups.readAt(spark, t, 0L).get.count())
+  }
+
+  test("savepointing an unretained version applies nothing; rollback to one is an error") {
+    warehouse()
+    assert(!spark.sql(s"CALL $cat.create_savepoint('employees', 9)").head.getBoolean(1))
+    val ex = intercept[Exception] { spark.sql(s"CALL $cat.rollback('employees', 9)") }
+    assert(ex.getMessage.contains("not retained"), ex.getMessage)
+  }
+
+  test("purge_keys through SQL removes the keys from the current state AND retained history") {
+    val root = warehouse()
+    val t = root + "/employees"
+    val victims = spark.sql(s"SELECT DISTINCT id FROM $cat.employees ORDER BY id LIMIT 3")
+      .as[Long].collect().toSeq
+    val buckets = spark.sql(
+      s"CALL $cat.purge_keys(table => 'employees', keys => array(${victims.mkString(", ")}))")
+      .as[Long].collect().toSeq
+    assert(buckets.nonEmpty && buckets == buckets.sorted)
+    // gone from the current snapshot (SQL read)...
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.employees WHERE id IN (${victims.mkString(", ")})")
+      .head.getLong(0) == 0L)
+    // ...and history is forgotten: only the purge commit remains, so no
+    // retained version can resurrect the keys
+    val retained = spark.sql(s"CALL $cat.show_commits('employees')")
+      .select($"version").as[Long].collect().toSeq
+    assert(retained == Seq(2L), retained.toString)
+    assert(FileGroups.pendingPurge(spark, t).isEmpty) // intent marker retired
+  }
+
+  test("procedures resolve in the system namespace too, and SHOW PROCEDURES lists them") {
+    warehouse()
+    assert(spark.sql(s"CALL $cat.system.show_commits('employees')").count() == 2)
+    val listed = spark.sql(s"SHOW PROCEDURES IN $cat")
+      .select($"procedure_name").as[String].collect().toSet
+    assert(listed == FileGroupProcedures.Names.toSet, listed.toString)
+    val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.purge_keys")
+      .as[String].collect().mkString("\n")
+    assert(desc.contains("purge_keys") && desc.contains("retained history"), desc)
+  }
+
+  test("unknown procedures and unknown tables fail loudly") {
+    warehouse()
+    val e1 = intercept[Exception] { spark.sql(s"CALL $cat.frobnicate('employees')") }
+    assert(e1.getMessage.contains("frobnicate"), e1.getMessage)
+    val e2 = intercept[Exception] { spark.sql(s"CALL $cat.show_commits('nope')") }
+    assert(e2.getMessage.contains("no committed file-group table"), e2.getMessage)
+  }
+}

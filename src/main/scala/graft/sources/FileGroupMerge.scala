@@ -71,6 +71,11 @@ class FileGroupMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
               "WITH SCHEMA EVOLUTION is not supported on file-group tables: the " +
                 "store reconciles drifted batches on read (mergeSchema) — commit " +
                 "the widened batch directly")
+          (m.matchedActions ++ m.notMatchedActions).foreach {
+            case UpdateAction(_, assigns, _) => assertTopLevelAssignments(assigns, "MERGE")
+            case InsertAction(_, assigns) => assertTopLevelAssignments(assigns, "MERGE")
+            case _ => ()
+          }
           val hasDelete = m.matchedActions.exists(_.isInstanceOf[DeleteAction])
           if (hasDelete && !r.output.exists(_.name == FileGroupMergeCommand.OpCol))
             throw new UnsupportedOperationException(
@@ -120,6 +125,7 @@ class FileGroupMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
                 "groups that is a delete+insert — express it with MERGE INTO or " +
                 "a CDC batch through FileGroups.commit")
           }
+          assertTopLevelAssignments(u.assignments, "UPDATE")
           FileGroupDmlCommand(t.dir, t.snapshotVersion, t.keySeq, t.ordSeq, r,
             u.condition, u.assignments, delete = false)
         case _ => u
@@ -142,6 +148,23 @@ class FileGroupMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
         case _ => a
       }
   }
+
+  /** The batch-build machinery applies assignments by matching TARGET
+    * ATTRIBUTES (`k.exprId == a.exprId`), so an assignment whose key is
+    * a nested-field extraction (`SET meta.x = 5` resolves the key to a
+    * GetStructField, not an Attribute) would match nothing and SILENTLY
+    * keep the target value — a wrong result, not a missing feature.
+    * Fail loudly instead; assigning the whole struct column expresses
+    * the same update honestly. */
+  private def assertTopLevelAssignments(assigns: Seq[Assignment], stmt: String): Unit =
+    assigns.foreach {
+      case Assignment(_: Attribute, _) => ()
+      case Assignment(k, _) =>
+        throw new UnsupportedOperationException(
+          s"$stmt cannot assign nested field '${k.sql}' on a file-group table: " +
+            "assignments must target whole top-level columns — assign the full " +
+            "struct value instead")
+    }
 }
 
 /** The lowered INSERT: commit the aligned rows as an upsert batch. */

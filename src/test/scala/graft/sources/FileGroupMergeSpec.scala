@@ -154,6 +154,37 @@ class FileGroupMergeSpec extends SparkSpec {
     assert(state() == Seq((1L, 10L, "c", 1.0), (2L, 11L, "c", 2.0), (3L, 12L, "u", 3.0)))
   }
 
+  test("nested-field assignments are rejected loudly, never silently dropped") {
+    // the batch builder applies assignments by target-attribute exprId,
+    // so a GetStructField key would match nothing and keep the target
+    // value — the rule must reject it up front
+    val root = tmpDir("graft_fgmerge_nested")
+    FileGroups.commit(spark,
+      root + "/emp",
+      spark.sql("SELECT * FROM VALUES (1L, 10L, 'c', named_struct('x', 1, 'y', 'a')) AS t(id, lsn, op, meta)"),
+      0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    spark.conf.set("spark.sql.catalog.graft_cdcn", classOf[FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cdcn.root", root)
+    val exU = intercept[Throwable] {
+      spark.sql("UPDATE graft_cdcn.emp SET meta.x = 5 WHERE id = 1")
+    }
+    assert(chainMsg(exU).contains("nested field"), chainMsg(exU))
+    val exM = intercept[Throwable] {
+      spark.sql(
+        """MERGE INTO graft_cdcn.emp t
+          |USING (SELECT 1L AS id, 7 AS nx) s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET meta.x = s.nx
+          |""".stripMargin)
+    }
+    assert(chainMsg(exM).contains("nested field"), chainMsg(exM))
+    // nothing committed by either rejected statement
+    assert(FileGroups.committedId(spark, root + "/emp").contains(0L))
+    // assigning the WHOLE struct column still works
+    spark.sql("UPDATE graft_cdcn.emp SET meta = named_struct('x', 5, 'y', 'b') WHERE id = 1")
+    assert(spark.sql("SELECT meta.x, meta.y FROM graft_cdcn.emp WHERE id = 1")
+      .as[(Int, String)].collect().toSeq == Seq((5, "b")))
+  }
+
   test("first matching clause wins among multiple conditional matched actions") {
     mkTable()
     spark.sql(

@@ -153,8 +153,12 @@ object Bench {
     val est = scala.collection.mutable.Map[String, Double]()
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
     def modeOf(n: String): String = {
-      val w = warm.getOrElse(n, Vector.empty)
-      if (w.size >= nRuns) "full" else if (w.nonEmpty) "degraded" else "minimal"
+      // fidelity = warm SUCCESSES, not attempts: a query whose warm
+      // runs all errored falls back to its cold-run headline, and
+      // labeling that "full" would break the contract cross-round
+      // comparisons filter on (full = min excludes first-run costs)
+      val ok = warm.getOrElse(n, Vector.empty).count(_.isRight)
+      if (ok >= nRuns) "full" else if (ok > 0) "degraded" else "minimal"
     }
     // Headline timings per query: the WARM successes when any exist (the
     // cold run carries fixture builds / first-use codegen — never let it

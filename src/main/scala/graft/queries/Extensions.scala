@@ -309,28 +309,33 @@ object Extensions {
       s.conf.set(s"spark.sql.catalog.$name.root", root)
     }
 
-  /** The MERGE-target fixture: its OWN warehouse (q_cdc_sql_merge
-    * mutates it — sharing fileGroupTable would corrupt the read-only
-    * queries' oracles), one commit of the full CDC log. The merge the
-    * query applies is a FIXPOINT on (id, lsn, value) after the first
-    * application, so the persisted-cache + repeated-invocation
-    * lifecycle stays oracle-stable (op flips c→u on re-merge of
-    * inserted rows, which is why the query doesn't select op;
-    * FileGroupMergeSpec pins op semantics on a fresh table). */
-  private def mergeTableRoot(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    cachedFixture(s"graft_fg_merge_cache_v1_${sfFingerprint(dir)}") { root =>
+  /** A MUTABLE one-commit warehouse of the full CDC log, cached under
+    * its own `cacheName`: the SQL write-path queries each mutate their
+    * table, so none can share the read-only queries' fixture or each
+    * other's (isolation lives in the cache key; the build is
+    * deliberately identical so the two warehouses cannot diverge).
+    * q_cdc_sql_merge's merge is a FIXPOINT on (id, lsn, value) after
+    * the first application, so the persisted-cache +
+    * repeated-invocation lifecycle stays oracle-stable (op flips c→u
+    * on re-merge of inserted rows, which is why that query doesn't
+    * select op; FileGroupMergeSpec pins op semantics on a fresh
+    * table). */
+  private def mutableCdcRoot(s: org.apache.spark.sql.SparkSession, dir: String,
+                             cacheName: String): String =
+    cachedFixture(s"${cacheName}_${sfFingerprint(dir)}") { root =>
       graft.cdc.FileGroups.commit(s, root + "/employees", cdcLog(s, dir),
         0L, Seq("id"), Seq("lsn"), nBuckets = 16)
     }
 
-  /** q_cdc_sql_dml's own mutable warehouse (same isolation rationale
-    * as [[mergeTableRoot]] — the statements mutate it, so it cannot
-    * share the read-only queries' fixture OR the merge query's). */
+  // v2: the merge source's lsn base changed from a hardcoded 2000000
+  // to max(event_id)+1 — fixtures mutated under the old base hold
+  // higher lsns than the new formula assigns, which the ord-regression
+  // guard now (correctly) refuses
+  private def mergeTableRoot(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    mutableCdcRoot(s, dir, "graft_fg_merge_cache_v2")
+
   private def dmlTableRoot(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    cachedFixture(s"graft_fg_dml_cache_v1_${sfFingerprint(dir)}") { root =>
-      graft.cdc.FileGroups.commit(s, root + "/employees", cdcLog(s, dir),
-        0L, Seq("id"), Seq("lsn"), nBuckets = 16)
-    }
+    mutableCdcRoot(s, dir, "graft_fg_dml_cache_v1")
 
   /** q_cdc_sql_maintain's own warehouse (the procedures mutate
     * versions/markers — same isolation rationale as [[mergeTableRoot]]):
@@ -908,7 +913,8 @@ object Extensions {
         s.sql(
           s"""MERGE INTO graft_cdcm.employees t
              |USING (SELECT user_id + 7 AS id,
-             |              CAST(2000000 + user_id AS BIGINT) AS lsn,
+             |              CAST((SELECT max(event_id) + 1
+             |                    FROM parquet.`$dir/events.parquet`) + user_id AS BIGINT) AS lsn,
              |              max(value) AS value
              |       FROM parquet.`$dir/events.parquet` GROUP BY user_id) s
              |ON t.id = s.id
@@ -930,7 +936,8 @@ object Extensions {
           |    FROM events) t
           |  WHERE rn = 1 AND op <> 'd'
           |), src AS (
-          |  SELECT user_id + 7 AS id, CAST(2000000 + user_id AS BIGINT) AS lsn,
+          |  SELECT user_id + 7 AS id,
+          |         CAST((SELECT max(event_id) + 1 FROM events) + user_id AS BIGINT) AS lsn,
           |         max(value) AS value
           |  FROM events GROUP BY user_id
           |)

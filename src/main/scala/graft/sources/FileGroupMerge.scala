@@ -77,7 +77,8 @@ class FileGroupMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
             case _ => ()
           }
           val hasDelete = m.matchedActions.exists(_.isInstanceOf[DeleteAction])
-          if (hasDelete && !r.output.exists(_.name == FileGroupMergeCommand.OpCol))
+          if (hasDelete && !r.output.exists(a =>
+              session.sessionState.conf.resolver(a.name, FileGroupMergeCommand.OpCol)))
             throw new UnsupportedOperationException(
               s"WHEN MATCHED ... DELETE needs an '${FileGroupMergeCommand.OpCol}' " +
                 "column on the target (the store's CDC delete convention)")
@@ -95,7 +96,8 @@ class FileGroupMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
       EliminateSubqueryAliases(d.table) match {
         case r: DataSourceV2Relation if r.table.isInstanceOf[FileGroupTable] =>
           val t = r.table.asInstanceOf[FileGroupTable]
-          if (!r.output.exists(_.name == FileGroupMergeCommand.OpCol))
+          if (!r.output.exists(a =>
+              session.sessionState.conf.resolver(a.name, FileGroupMergeCommand.OpCol)))
             throw new UnsupportedOperationException(
               s"DELETE needs an '${FileGroupMergeCommand.OpCol}' column on the " +
                 "target (the store's CDC delete convention)")
@@ -167,19 +169,21 @@ class FileGroupMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
 }
 
-/** The lowered INSERT: commit the aligned rows as an upsert batch. */
+/** The lowered INSERT: commit the aligned rows as an upsert batch.
+  * Deliberately NOT guarded by the UPDATE path's ordering-regression
+  * check: INSERT declares a CDC row, and the store's precombine
+  * contract governs — a row carrying a lower ordering value than the
+  * key's current row loses latest-wins, exactly as the same row would
+  * arriving through any CDC batch (Hudi's spark-sql INSERT semantics).
+  * UPDATE is different: its intent is imperative ("change this row"),
+  * so a silently-losing assignment there is an error, not a merge. */
 case class FileGroupInsertCommand(
     dir: String, version: Long, keys: Seq[String], ord: Seq[String],
     target: LogicalPlan, query: LogicalPlan)
   extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
-    val committed = FileGroups.committedId(session, dir).getOrElse(
-      throw new IllegalStateException(s"no committed file-group table at $dir"))
-    if (committed != version)
-      throw new IllegalStateException(
-        s"concurrent commit detected at $dir: statement resolved version $version " +
-          s"but v$committed is now current — re-run the statement")
+    val committed = FileGroupMergeCommand.resolvedCommitted(session, dir, version, "INSERT")
     val batch = org.apache.spark.sql.classic.GraftPlanBuilder.ofRows(session, query)
       .toDF(target.output.map(_.name): _*)
     FileGroupMergeCommand.commitNonEmpty(session, dir, batch, committed + 1, keys, ord)
@@ -200,20 +204,37 @@ case class FileGroupDmlCommand(
   import FileGroupMergeCommand.OpCol
 
   override def run(session: SparkSession): Seq[Row] = {
-    val committed = FileGroups.committedId(session, dir).getOrElse(
-      throw new IllegalStateException(s"no committed file-group table at $dir"))
-    if (committed != version)
-      throw new IllegalStateException(
-        s"concurrent commit detected at $dir: statement resolved version $version " +
-          s"but v$committed is now current — re-run the statement")
+    val committed = FileGroupMergeCommand.resolvedCommitted(
+      session, dir, version, if (delete) "DELETE" else "UPDATE")
+    val resolver = session.sessionState.conf.resolver
     val tgt = org.apache.spark.sql.classic.GraftPlanBuilder.ofRows(session, target)
     val hit = condition.map(c => tgt.filter(Bridge.column(c))).getOrElse(tgt)
+    def assignedTo(a: Attribute): Option[Expression] = assignments.collectFirst {
+      case Assignment(k: Attribute, v) if k.exprId == a.exprId => v
+    }
+    // Ordering-regression guard: latest-wins keeps the HIGHER ord
+    // tuple, so an UPDATE that assigns the ordering column a value
+    // below the target row's would commit a version and report success
+    // while the snapshot keeps the old row — the silent-keep failure
+    // class this file rejects loudly everywhere else. Batch-sized
+    // check (the hit rows), only when an ord column is assigned.
+    if (!delete) {
+      val ordAttrs = ord.flatMap(o => target.output.find(a => resolver(a.name, o)))
+      if (ordAttrs.exists(assignedTo(_).isDefined)) {
+        val newOrd = struct(ordAttrs.map(a =>
+          assignedTo(a).map(Bridge.column).getOrElse(Bridge.column(a))): _*)
+        val oldOrd = struct(ordAttrs.map(Bridge.column(_)): _*)
+        if (hit.filter(newOrd < oldOrd).limit(1).count() > 0)
+          throw new IllegalStateException(
+            s"UPDATE assigns ordering column(s) ${ord.mkString(", ")} a value " +
+              "below the target row's: latest-wins would keep the old row, " +
+              "silently dropping the update — assign a value at or above the " +
+              "current one (or commit a CDC batch with the intended ordering)")
+      }
+    }
     val batchCols = target.output.map { a =>
-      if (delete && a.name == OpCol) lit(graft.cdc.Envelope.OpDelete).as(a.name)
-      else assignments.collectFirst {
-        case Assignment(k: Attribute, v) if k.exprId == a.exprId =>
-          Bridge.column(v).as(a.name)
-      }.getOrElse(Bridge.column(a))
+      if (delete && resolver(a.name, OpCol)) lit(graft.cdc.Envelope.OpDelete).as(a.name)
+      else assignedTo(a).map(Bridge.column(_).as(a.name)).getOrElse(Bridge.column(a))
     }
     FileGroupMergeCommand.commitNonEmpty(session, dir,
       hit.select(batchCols: _*), committed + 1, keys, ord)
@@ -235,12 +256,7 @@ case class FileGroupMergeCommand(
   import FileGroupMergeCommand._
 
   override def run(session: SparkSession): Seq[Row] = {
-    val committed = FileGroups.committedId(session, dir).getOrElse(
-      throw new IllegalStateException(s"no committed file-group table at $dir"))
-    if (committed != version)
-      throw new IllegalStateException(
-        s"concurrent commit detected at $dir: MERGE resolved version $version " +
-          s"but v$committed is now current — re-run the statement")
+    val committed = FileGroupMergeCommand.resolvedCommitted(session, dir, version, "MERGE")
     val src = org.apache.spark.sql.classic.GraftPlanBuilder.ofRows(session, source)
     val tgt = org.apache.spark.sql.classic.GraftPlanBuilder.ofRows(session, target)
     // persisted: the cardinality guard and the change-batch
@@ -289,7 +305,7 @@ case class FileGroupMergeCommand(
       case UpdateAction(_, assigns, _) =>
         assigned(assigns, tAttr).map(Bridge.column).getOrElse(Bridge.column(tAttr))
       case DeleteAction(_) =>
-        if (tAttr.name == OpCol) lit(graft.cdc.Envelope.OpDelete)
+        if (resolver(tAttr.name, OpCol)) lit(graft.cdc.Envelope.OpDelete)
         else Bridge.column(tAttr)
       case InsertAction(_, assigns) =>
         assigned(assigns, tAttr).map(Bridge.column)
@@ -299,6 +315,28 @@ case class FileGroupMergeCommand(
     }
     val coded = matchedActions.zipWithIndex ++
       notMatchedActions.zipWithIndex.map { case (a, i) => (a, NotMatchedBase + i) }
+    // Ordering-regression guard (the UPDATE-statement guard's MERGE
+    // twin): an UPDATE clause assigning the ordering column a value
+    // below the matched target row's would lose latest-wins — the
+    // merge commits and reports success while the snapshot keeps the
+    // old row. Checked per update clause that assigns an ord column,
+    // one batch-sized filter over the already-persisted join.
+    val ordAttrs = ord.flatMap(o => tgtAttrs.find(a => resolver(a.name, o)))
+    val ordRegressed = coded.collect {
+      case (UpdateAction(_, assigns, _), code)
+          if ordAttrs.exists(assigned(assigns, _).isDefined) =>
+        (col(ActionCol) === code) &&
+          (struct(ordAttrs.map(a => assigned(assigns, a)
+            .map(Bridge.column).getOrElse(Bridge.column(a))): _*)
+            < struct(ordAttrs.map(Bridge.column(_)): _*))
+    }
+    if (ordRegressed.nonEmpty &&
+        routed.filter(ordRegressed.reduce(_ || _)).limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"MERGE UPDATE assigns ordering column(s) ${ord.mkString(", ")} a value " +
+          "below the matched target row's: latest-wins would keep the old row, " +
+          "silently dropping the update — assign a value at or above the " +
+          "current one (or commit a CDC batch with the intended ordering)")
     val batchCols = tgtAttrs.map { tAttr =>
       coded.foldRight(lit(null).cast(tAttr.dataType)) { case ((a, code), els) =>
         when(col(ActionCol) === code, valueFor(a, tAttr)).otherwise(els)
@@ -314,6 +352,22 @@ object FileGroupMergeCommand {
   /** The store's CDC op column (CdcMerge's default): DELETE lowers to
     * a row with op='d', collapsed away like any Debezium delete. */
   val OpCol = "op"
+
+  /** The shared concurrent-commit guard: every lowered statement
+    * resolved its table at some committed version; by commit time the
+    * table must still BE at that version or the statement's batch was
+    * computed against a stale snapshot — fail with a re-run hint
+    * rather than committing a lost-update. Returns the committed id. */
+  private[sources] def resolvedCommitted(session: SparkSession, dir: String,
+                                         version: Long, stmt: String): Long = {
+    val committed = FileGroups.committedId(session, dir).getOrElse(
+      throw new IllegalStateException(s"no committed file-group table at $dir"))
+    if (committed != version)
+      throw new IllegalStateException(
+        s"concurrent commit detected at $dir: $stmt resolved version $version " +
+          s"but v$committed is now current — re-run the statement")
+    committed
+  }
   private val NotMatchedBase = 1000
   private val MatchedCol = "_graft_merge_matched"
   private val ActionCol = "_graft_merge_action"

@@ -154,6 +154,45 @@ class FileGroupMergeSpec extends SparkSpec {
     assert(state() == Seq((1L, 10L, "c", 1.0), (2L, 11L, "c", 2.0), (3L, 12L, "u", 3.0)))
   }
 
+  test("assigning the ordering column a lower value fails loudly instead of silently losing latest-wins") {
+    val t = mkTable()
+    // row id=1 has lsn=10; an UPDATE to lsn=1 would commit a version
+    // whose batch row LOSES the latest-wins collapse — old state served,
+    // statement "succeeded". The guard refuses before committing.
+    val exU = intercept[Throwable] {
+      spark.sql("UPDATE graft_cdc.emp SET lsn = 1, value = 9.9 WHERE id = 1")
+    }
+    assert(chainMsg(exU).contains("ordering"), chainMsg(exU))
+    val exM = intercept[Throwable] {
+      spark.sql(
+        """MERGE INTO graft_cdc.emp t
+          |USING (SELECT 1L AS id, 1L AS new_lsn) s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET lsn = s.new_lsn, value = 9.9
+          |""".stripMargin)
+    }
+    assert(chainMsg(exM).contains("ordering"), chainMsg(exM))
+    // neither statement committed anything
+    assert(FileGroups.committedId(spark, t).contains(0L))
+    assert(state() == Seq((1L, 10L, "c", 1.0), (2L, 11L, "c", 2.0), (3L, 12L, "u", 3.0)))
+    // equal (tie -> batch wins) and higher values still land
+    spark.sql("UPDATE graft_cdc.emp SET lsn = 10, value = 4.5 WHERE id = 1")
+    spark.sql("UPDATE graft_cdc.emp SET lsn = 99, value = 5.5 WHERE id = 2")
+    assert(state() == Seq((1L, 10L, "c", 4.5), (2L, 99L, "c", 5.5), (3L, 12L, "u", 3.0)))
+  }
+
+  test("the CDC op column resolves case-insensitively across DELETE and MERGE") {
+    val root = tmpDir("graft_fgmerge_opcase")
+    FileGroups.commit(spark,
+      root + "/emp",
+      Seq((1L, 10L, "c", 1.0), (2L, 11L, "c", 2.0))
+        .toDF("id", "lsn", "OP", "value"),
+      0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    spark.conf.set("spark.sql.catalog.graft_cdcc", classOf[FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cdcc.root", root)
+    spark.sql("DELETE FROM graft_cdcc.emp WHERE id = 2")
+    assert(spark.sql("SELECT id FROM graft_cdcc.emp").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("nested-field assignments are rejected loudly, never silently dropped") {
     // the batch builder applies assignments by target-attribute exprId,
     // so a GetStructField key would match nothing and keep the target

@@ -60,10 +60,15 @@ object Clustering {
     * read path (every readSnapshot/readMerged), where on an object
     * store each extra listing is a remote call. */
   def baseDir(spark: SparkSession, dir: String): Option[String] =
-    Ingest.committedBatch(spark, dir).map { id =>
-      if (fsOf(spark).exists(path(s"$dir/_CLUSTER_$id"))) s"$dir/c$id"
-      else s"$dir/v$id"
-    }
+    Ingest.committedBatch(spark, dir).map(baseDirAt(spark, dir, _))
+
+  /** The preferred data dir for a SPECIFIC committed version: its
+    * clustered REPLACE copy when one exists, else the version dir —
+    * the id-pinned form of [[baseDir]] ([[MergeOnRead.readMerged]]
+    * pairs it with a delta list taken at the same id). */
+  def baseDirAt(spark: SparkSession, dir: String, id: Long): String =
+    if (fsOf(spark).exists(path(s"$dir/_CLUSTER_$id"))) s"$dir/c$id"
+    else s"$dir/v$id"
 
   /** Rewrite the current base version range-sorted by `sortCols` into
     * `files` min/max-disjoint files (a REPLACE commit), preserving the

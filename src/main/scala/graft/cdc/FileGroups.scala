@@ -38,6 +38,17 @@ import org.apache.spark.sql.functions._
   * role at bucket granularity: [[pointLookup]] prunes to the hash
   * bucket of each probed key AND drops buckets whose [min,max] range
   * excludes it — a point read touches 1 file group out of nBuckets.
+  *
+  * WRITER CONTRACT: one writer per table at a time (the Hudi/Delta-
+  * without-a-lock-provider posture). The marker protocol makes any
+  * single writer crash-safe and replays idempotent, and the cheap
+  * stale-head rechecks here and in the SQL DML commands DETECT the
+  * common concurrent-writer races (two statements racing one version,
+  * a rollback landing mid-statement) and fail loudly — but detection
+  * is not coordination: concurrent writers that interleave between a
+  * recheck and its publish can still clobber each other. Serialize
+  * writes per table; readers need no coordination (they resolve
+  * whole committed manifests only).
   */
 object FileGroups {
 
@@ -164,6 +175,13 @@ object FileGroups {
   def commit(sess: SparkSession, dir: String, batch: DataFrame, batchId: Long,
              keys: Seq[String], ord: Seq[String], nBuckets: Int = 16): Set[Long] = {
     val fs = fsOf(sess)
+    // resolve any standing purge intent BEFORE taking the next id: an
+    // abandoned UNCOMMITTED _PURGE_ marker sitting at a future id would
+    // otherwise be reclassified as a COMMITTED purge the moment this
+    // commit's id reaches it — spurious read refusals on older versions
+    // now, and a wrongful forgetHistory (history + savepoints deleted
+    // for a purge that never rewrote data) on the next recovery
+    completePendingPurge(sess, dir)
     val committed = committedId(sess, dir)
     if (committed.exists(_ >= batchId)) Set.empty
     else {
@@ -427,6 +445,17 @@ object FileGroups {
     // next purgeKeys call completes the forget step (above). Removed
     // only after forgetHistory finishes.
     fs.createNewFile(path(purgeMarkerPath(dir, batchId)))
+    // pre-mutation head recheck (the write below OVERWRITES files/
+    // v<batchId>, so a concurrent commit that took this id would be
+    // clobbered and its manifest replaced from the stale snapshot):
+    // the store is single-writer by contract, but a stale-head purge
+    // is cheap to detect here and destructive to miss
+    if (!committedId(sess, dir).contains(id)) {
+      fs.delete(path(purgeMarkerPath(dir, batchId)), false)
+      throw new IllegalStateException(
+        s"concurrent commit detected at $dir: purge resolved head v$id but the " +
+          "table moved — re-run the purge against the current head")
+    }
     val newEntries: Seq[Entry] =
       if (dirtyBuckets.isEmpty) entries
       else {

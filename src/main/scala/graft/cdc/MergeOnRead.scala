@@ -61,12 +61,23 @@ object MergeOnRead {
   /** Read the CURRENT state: base snapshot merged with every pending
     * log delta above it (the MOR read path — what Hudi calls the
     * snapshot/real-time view). One window shuffle regardless of how
-    * many logs are pending. */
+    * many logs are pending.
+    *
+    * The base is PINNED to the id observed when the pending-delta list
+    * was taken (readSnapshotAt, not "whatever is current"): a compact()
+    * landing between the listing and the read would otherwise pair the
+    * NEW base with the stale delta list. With the pin the pairing is
+    * always internally consistent; a compaction that deletes the listed
+    * log dirs before this plan executes surfaces as a loud read error
+    * (retry the read), never a silently inconsistent merge — the
+    * reader-vs-maintenance window every lock-free MOR store has. */
   def readMerged(spark: SparkSession, dir: String,
                  keys: Seq[String], ord: Seq[String]): Option[DataFrame] = {
     val baseId = Ingest.committedBatch(spark, dir).getOrElse(-1L)
     val pending = deltaIds(spark, dir).filter(_ > baseId)
-    val base = Ingest.readSnapshot(spark, dir)
+    val base =
+      if (baseId < 0) None
+      else Some(spark.read.parquet(Clustering.baseDirAt(spark, dir, baseId)))
     if (pending.isEmpty) base
     else {
       val logs = pending.map(id => spark.read.parquet(s"$dir/log/d$id"))

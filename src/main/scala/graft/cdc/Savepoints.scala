@@ -41,10 +41,18 @@ object Savepoints {
 
   /** Pin committed version `id` against GC. False if `id` was never
     * committed or is already gone — a savepoint of nothing pins
-    * nothing. */
+    * nothing. Re-validated AFTER the marker lands: a concurrent
+    * commit's GC could age `id` out between the retention check and
+    * the pin, and an `applied=true` that protects nothing would leave
+    * the operator believing a vanished state is restorable — the stale
+    * pin is removed and false returned instead. */
   def savepoint(spark: SparkSession, dir: String, id: Long): Boolean =
     Ingest.snapshotVersions(spark, dir).contains(id) &&
-      fsOf(spark).createNewFile(path(s"$dir/_SAVEPOINT_$id"))
+      fsOf(spark).createNewFile(path(s"$dir/_SAVEPOINT_$id")) && {
+        val still = Ingest.snapshotVersions(spark, dir).contains(id)
+        if (!still) fsOf(spark).delete(path(s"$dir/_SAVEPOINT_$id"), false)
+        still
+      }
 
   /** Release a savepoint; the version becomes ordinary GC fodder. */
   def release(spark: SparkSession, dir: String, id: Long): Unit =
@@ -59,9 +67,26 @@ object Savepoints {
     * Savepoints take precedence (Hudi's restore guard): a rollback that
     * would destroy a savepointed version REFUSES loudly — the caller
     * must [[release]] the pin first. A savepoint thereby protects its
-    * version from both GC and restore, never silently dying. */
+    * version from both GC and restore, never silently dying.
+    *
+    * A standing purge intent marker is COMPLETED first: deleting the
+    * purge's committed version would reclassify its `_PURGE_` marker as
+    * uncommitted, and recovery would then discard it WITHOUT the
+    * forget-history step — silently resurrecting the purged keys in
+    * every pre-purge version. Completing first keeps the
+    * right-to-be-forgotten mandate through any rollback.
+    *
+    * NOT safe under a live checkpointed COW/file-group stream: the
+    * stream's checkpoint has acked the rolled-back batches and will
+    * never re-deliver them, so its next trigger merges a later batch
+    * onto the restored state and the rolled-back changes are lost with
+    * a healthy-looking timeline. Stop the stream and reset (or delete)
+    * its checkpoint before rolling its table back; MOR log deltas are
+    * the exception — rollback removes their markers so the stream's
+    * replay re-applies them (below). */
   def rollback(spark: SparkSession, dir: String, toId: Long): Seq[Long] = {
     val fs = fsOf(spark)
+    FileGroups.completePendingPurge(spark, dir)
     val ids = Ingest.snapshotVersions(spark, dir)
     if (!ids.contains(toId)) Seq.empty
     else {
@@ -71,7 +96,14 @@ object Savepoints {
       require(pinned.isEmpty,
         s"rollback to $toId would destroy savepointed version(s) " +
           s"${pinned.toSeq.sorted.mkString(", ")} — release them first")
-      val doomed = ids.filter(_ > toId)
+      // HIGHEST first: at any crash point the highest surviving
+      // _COMMIT_ marker is the resolvable head, and manifests only
+      // carry data references DOWNWARD (older version dirs) — so a
+      // mid-loop crash leaves a readable head over untouched data.
+      // Oldest-first would let a crash strand the still-marked top
+      // version referencing already-deleted dirs: a permanently
+      // unreadable table.
+      val doomed = ids.filter(_ > toId).sorted.reverse
       doomed.foreach { id =>
         // markers first: once _COMMIT_ is gone no reader resolves the
         // version, and the data dirs become invisible garbage

@@ -224,7 +224,11 @@ case class FileGroupDmlCommand(
         val newOrd = struct(ordAttrs.map(a =>
           assignedTo(a).map(Bridge.column).getOrElse(Bridge.column(a))): _*)
         val oldOrd = struct(ordAttrs.map(Bridge.column(_)): _*)
-        if (hit.filter(newOrd < oldOrd).limit(1).count() > 0)
+        // coalesce(_, true): a NULL comparison (an assigned ord value
+        // of NULL against a non-null target) must count as a
+        // violation, not slip through the filter — the null-ord batch
+        // row loses the NULLS-LAST desc collapse just like a lower one
+        if (hit.filter(coalesce(newOrd < oldOrd, lit(true))).limit(1).count() > 0)
           throw new IllegalStateException(
             s"UPDATE assigns ordering column(s) ${ord.mkString(", ")} a value " +
               "below the target row's: latest-wins would keep the old row, " +
@@ -323,10 +327,13 @@ case class FileGroupMergeCommand(
       val ordRegressed = coded.collect {
         case (UpdateAction(_, assigns, _), code)
             if ordAttrs.exists(assigned(assigns, _).isDefined) =>
+          // coalesce(_, true): a NULL assigned ord value must count as
+          // a violation (the null-ord row loses the NULLS-LAST desc
+          // collapse), not null out the predicate and slip through
           (col(ActionCol) === code) &&
-            (struct(ordAttrs.map(a => assigned(assigns, a)
+            coalesce(struct(ordAttrs.map(a => assigned(assigns, a)
               .map(Bridge.column).getOrElse(Bridge.column(a))): _*)
-              < struct(ordAttrs.map(Bridge.column(_)): _*))
+              < struct(ordAttrs.map(Bridge.column(_)): _*), lit(true))
       }
       val regress = if (ordRegressed.nonEmpty) ordRegressed.reduce(_ || _) else lit(false)
       val viol = routedAll.filter(col(MatchedCol))
@@ -395,7 +402,23 @@ object FileGroupMergeCommand {
     batch.persist()
     try {
       val nonEmpty = batch.limit(1).count() > 0
-      if (nonEmpty) FileGroups.commit(session, dir, batch, batchId, keys, ord)
+      if (nonEmpty) {
+        // Commit-time head recheck: resolvedCommitted ran at statement
+        // START, and the batch computation can take a while — a
+        // concurrent commit (or rollback) landing in between would
+        // otherwise hit commit()'s replay-idempotence guard, which
+        // returns empty WITHOUT committing, and the statement would
+        // report success for changes that were never applied (the
+        // lost-update the version guard exists to prevent). Recheck
+        // here, and treat an empty rewrite set for a non-empty batch
+        // as the same conflict (the id was taken mid-flight).
+        resolvedCommitted(session, dir, batchId - 1, "commit")
+        val touched = FileGroups.commit(session, dir, batch, batchId, keys, ord)
+        if (touched.isEmpty)
+          throw new IllegalStateException(
+            s"concurrent commit detected at $dir: version $batchId was published " +
+              "by another writer while this statement ran — re-run the statement")
+      }
       nonEmpty
     } finally { batch.unpersist(); () }
   }

@@ -295,13 +295,17 @@ class FileGroupsSpec extends SparkSpec {
       Seq((victim, 99999L, "d", 0.0)).toDF("id", "lsn", "op", "value"),
       2L, Seq("id"), Seq("lsn"))
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
-    fs.createNewFile(new org.apache.hadoop.fs.Path(s"$dir/_PURGE_2"))
-    // legitimate post-purge history lands AFTER the crash, and gets
-    // savepointed — both are OUTSIDE the crashed purge's mandate
+    // legitimate post-purge history and its savepoint — OUTSIDE the
+    // crashed purge's mandate. Committed BEFORE the marker is planted:
+    // commit() itself completes any standing intent first (so through
+    // the public APIs this state can no longer arise), but recovery
+    // must stay correct for an out-of-band marker too — it is the
+    // forgetHistory-relative-to-pid property this test pins.
     FileGroups.commit(spark, dir,
       Seq((other, 99998L, "u", 7.7)).toDF("id", "lsn", "op", "value"),
       3L, Seq("id"), Seq("lsn"))
     Savepoints.savepoint(spark, dir, 3L)
+    fs.createNewFile(new org.apache.hadoop.fs.Path(s"$dir/_PURGE_2"))
     // recovery completes the forget RELATIVE TO pid=2 (forgetting up to
     // the CURRENT id would drop v2's manifest + files and the savepoint)
     assert(FileGroups.completePendingPurge(spark, dir).contains(2L))
@@ -317,6 +321,75 @@ class FileGroupsSpec extends SparkSpec {
       .contains(victim))
     // idempotent: nothing pending afterwards
     assert(FileGroups.completePendingPurge(spark, dir).isEmpty)
+  }
+
+  test("a plain commit completes a standing committed purge intent before taking the next id") {
+    val dir = tmpDir("graft_fg_commit_recover") + "/t"
+    val l = log()
+    FileGroups.commit(spark, dir, l.filter($"lsn" < 500), 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    FileGroups.commit(spark, dir, l.filter($"lsn" >= 500), 1L, Seq("id"), Seq("lsn"))
+    val victim = FileGroups.read(spark, dir).get.select($"id").as[Long].collect().min
+    FileGroups.commit(spark, dir,
+      Seq((victim, 99999L, "d", 0.0)).toDF("id", "lsn", "op", "value"),
+      2L, Seq("id"), Seq("lsn"))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.createNewFile(new org.apache.hadoop.fs.Path(s"$dir/_PURGE_2"))
+    // the next ORDINARY commit runs recovery first: the purge's forget
+    // completes (pre-purge manifests drop), the marker clears, and the
+    // commit lands — no reader window where v3 exists behind a marker
+    FileGroups.commit(spark, dir,
+      l.filter($"lsn" < 100).withColumn("lsn", $"lsn" + 200000L),
+      3L, Seq("id"), Seq("lsn"))
+    assert(FileGroups.pendingPurge(spark, dir).isEmpty)
+    assert(Ingest.snapshotVersions(spark, dir) == Seq(2L, 3L))
+    assert(FileGroups.readAt(spark, dir, 2L).isDefined)
+  }
+
+  test("an abandoned uncommitted purge marker is discarded by the next commit, never reclassified") {
+    val dir = tmpDir("graft_fg_orphan_marker") + "/t"
+    val l = log()
+    FileGroups.commit(spark, dir, l.filter($"lsn" < 500), 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    FileGroups.commit(spark, dir, l.filter($"lsn" >= 500), 1L, Seq("id"), Seq("lsn"))
+    // a purge wrote its intent at the next id (2) and crashed BEFORE
+    // committing anything — the table never changed
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.createNewFile(new org.apache.hadoop.fs.Path(s"$dir/_PURGE_2"))
+    // an ordinary commit then takes id 2. Without recovery-first the
+    // orphan marker would become a "committed purge" at that instant:
+    // older versions would refuse to serve, and the next recovery would
+    // destructively forget history for a purge that never ran.
+    FileGroups.commit(spark, dir,
+      l.filter($"lsn" < 100).withColumn("lsn", $"lsn" + 200000L),
+      2L, Seq("id"), Seq("lsn"))
+    assert(FileGroups.pendingPurge(spark, dir).isEmpty)
+    assert(Ingest.snapshotVersions(spark, dir) == Seq(1L, 2L))
+    // the older retained version serves without a resurrection refusal
+    assert(FileGroups.readAt(spark, dir, 1L).get.count() > 0)
+  }
+
+  test("rollback completes a standing purge intent first: purged keys cannot resurrect") {
+    val dir = tmpDir("graft_fg_rollback_purge") + "/t"
+    val l = log()
+    FileGroups.commit(spark, dir, l.filter($"lsn" < 500), 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    FileGroups.commit(spark, dir, l.filter($"lsn" >= 500), 1L, Seq("id"), Seq("lsn"))
+    val victim = FileGroups.read(spark, dir).get.select($"id").as[Long].collect().min
+    // committed purge rewrite at v2, crash before forget (marker stands)
+    FileGroups.commit(spark, dir,
+      Seq((victim, 99999L, "d", 0.0)).toDF("id", "lsn", "op", "value"),
+      2L, Seq("id"), Seq("lsn"))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.createNewFile(new org.apache.hadoop.fs.Path(s"$dir/_PURGE_2"))
+    // rolling back to a pre-purge version must NOT delete v2 and
+    // reclassify the marker as uncommitted (recovery would then drop it
+    // without the forget step, resurrecting the purged keys): rollback
+    // completes the purge first, after which the pre-purge target is
+    // forgotten and the rollback is a no-op
+    assert(Savepoints.rollback(spark, dir, 1L).isEmpty)
+    assert(FileGroups.pendingPurge(spark, dir).isEmpty)
+    assert(Ingest.snapshotVersions(spark, dir) == Seq(2L))
+    assert(FileGroups.readAt(spark, dir, 1L).isEmpty)
+    assert(!FileGroups.read(spark, dir).get.select($"id").as[Long].collect().toSet
+      .contains(victim))
   }
 
   test("bloom index: absent keys are rejected from metadata alone; tagging is exact") {

@@ -67,6 +67,17 @@ object ClusterStore {
   def append(spark: SparkSession, dir: String, newNodes: DataFrame,
              newEdges: DataFrame, id: Long): Unit = {
     require(exists(spark, dir), s"no committed cluster store at $dir — buildEmpty first")
+    // Snapshots CHAIN (each state_v<id> is built from the then-current
+    // state and read() serves the max live id) — unlike the additive
+    // sketch stores, append order is semantic. An id at or below the
+    // committed max would build from the LATER state but never be
+    // served: a committed marker whose content is permanently invisible
+    // and whose replay is a no-op. Fail loudly instead.
+    DeltaProtocol.deltaIds(spark, dir).lastOption.foreach(last =>
+      require(id > last,
+        s"ClusterStore.append at $dir: batch id $id is not above the last " +
+          s"committed id $last — state snapshots chain by id, so an out-of-order " +
+          "append would be committed but never served"))
     if (DeltaProtocol.batchIsEmpty(newNodes) && DeltaProtocol.batchIsEmpty(newEdges))
       DeltaProtocol.commitDeltaMarker(spark, dir, id, empty = true)
     else {

@@ -87,6 +87,7 @@ object CmsSketch {
     * [[deltaIds]], same as the index siblings). A term-less batch
     * commits an `empty` marker and writes no dir. */
   def append(spark: SparkSession, dir: String, terms: DataFrame, id: Long): Unit = {
+    DeltaProtocol.finishCompact(spark, dir, "cells_d", "cells_compact_tmp")
     require(exists(spark, dir), s"no committed CMS sketch at $dir — buildEmpty first")
     val (d, w) = geometry(spark, dir)
     val cells = partialSketch(terms, d, w)
@@ -138,11 +139,14 @@ object CmsSketch {
     * and appender fails loudly from that point), the merged cells are
     * moved into place, and the markers (kept delta, empty twins, then
     * `_INDEX` LAST) re-commit the sketch only once the layout is fully
-    * consistent. A crash at any point leaves either the old committed
-    * sketch or an uncommitted one — recoverable by re-running compact
-    * (the tmp dir is re-written) or rebuilding from the landed corpus
-    * — never a readable wrong sum. */
+    * consistent. The swap itself is [[DeltaProtocol.compactSwap]]: an
+    * intent marker carrying everything recovery needs lands before the
+    * point of no return, so a crash at ANY point is completed by the
+    * next compact or append call — never a readable wrong sum, never a
+    * permanently uncommitted store. Single-writer: quiesce ingest
+    * first (a delta committed after the listing would be swept). */
   def compact(spark: SparkSession, dir: String): Unit = {
+    DeltaProtocol.finishCompact(spark, dir, "cells_d", "cells_compact_tmp")
     val live = DeltaProtocol.liveDeltaIds(spark, dir)
     if (live.length > 1) {
       val (d, w) = geometry(spark, dir)
@@ -150,18 +154,9 @@ object CmsSketch {
       val merged = cells(spark, dir)
         .select(col("r"), col("b"), col("cell").as("n"))
       val keep = live.min
-      val fs = fsOf(spark)
       merged.write.mode("overwrite").parquet(s"$dir/cells_compact_tmp")
-      // point of no return: uncommit, swap the data, re-commit markers
-      // last. clearPriorIndex drops _INDEX first, then every delta
-      // marker, then the cells_d dirs (the tmp dir's name doesn't match
-      // the prefix, so the merged copy survives the sweep).
-      DeltaProtocol.clearPriorIndex(spark, dir, Seq("cells_d"))
-      fs.rename(path(s"$dir/cells_compact_tmp"), path(s"$dir/cells_d$keep"))
-      DeltaProtocol.commitDeltaMarker(spark, dir, keep)
-      all.filter(_ != keep).foreach(id =>
-        DeltaProtocol.commitDeltaMarker(spark, dir, id, empty = true))
-      commitIndexMarker(spark, dir, d, w)
+      DeltaProtocol.compactSwap(spark, dir, "cells_d", "cells_compact_tmp",
+        keep, all, s"d=$d,w=$w")
     }
   }
 }

@@ -50,6 +50,9 @@ private[graft] object DeltaProtocol {
     if (!fs.exists(path(dir))) Seq.empty
     else fs.listStatus(path(dir))
       .filter(_.getPath.getName.startsWith("_DELTA_"))
+      // a `.tmp` sibling is a crashed writeFileAtomic, not corruption:
+      // the marker it was building is simply uncommitted
+      .filterNot(_.getPath.getName.endsWith(".tmp"))
       .map { st =>
         val n = st.getPath.getName
         val id = n.stripPrefix("_DELTA_").toLongOption.getOrElse(
@@ -80,13 +83,91 @@ private[graft] object DeltaProtocol {
     }
   }
 
+  /** Atomic small-file write: content lands in a `.tmp` sibling first,
+    * then renames over the target — the target is never visible with
+    * PARTIAL content (a zero-length `_DELTA_` marker would read as a
+    * LIVE delta whose data dir never existed, wedging every reader).
+    * The pre-rename delete leaves at worst a MISSING file, which is the
+    * safe direction everywhere this is used (an absent marker = an
+    * uncommitted delta = replay re-commits it). */
+  def writeFileAtomic(spark: SparkSession, target: String, content: String): Unit = {
+    val fs = fsOf(spark)
+    val tmp = path(target + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    fs.delete(path(target), false)
+    if (!fs.rename(tmp, path(target)))
+      throw new IllegalStateException(s"atomic marker rename failed for $target")
+  }
+
+  private def readFile(spark: SparkSession, p: String): String = {
+    val in = fsOf(spark).open(path(p))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
   /** Marker content `empty` records a data-less delta — the signal that
     * lets readers distinguish "legitimately nothing to read" from
-    * "data dir lost". */
+    * "data dir lost". The empty variant writes atomically (tmp +
+    * rename): a crash between create and content-write would otherwise
+    * leave a zero-length marker that [[liveDeltaIds]] misreads as a
+    * LIVE delta with no data dir. */
   def commitDeltaMarker(spark: SparkSession, dir: String, id: Long,
-                        empty: Boolean = false): Unit = {
-    val out = fsOf(spark).create(path(s"$dir/_DELTA_$id"), true)
-    try { if (empty) out.write("empty".getBytes("UTF-8")) } finally out.close()
+                        empty: Boolean = false): Unit =
+    if (!empty) fsOf(spark).create(path(s"$dir/_DELTA_$id"), true).close()
+    else writeFileAtomic(spark, s"$dir/_DELTA_$id", "empty")
+
+  /** Crash-safe delta collapse, shared by the mergeable sketch stores
+    * (CMS / HLL / quantile — union is addition, so ANY layout where the
+    * merged copy and a source delta are both live double-counts
+    * silently). The caller has already written the merged copy to
+    * `dir/tmpName`; this publishes it: an intent marker (`_COMPACT`,
+    * atomic, carrying the keep id, every delta id, and the `_INDEX`
+    * content) lands FIRST, then [[finishCompact]] performs the
+    * uncommit-sweep-swap-recommit. A crash at ANY point after the
+    * intent is completed by the next [[finishCompact]] call (every
+    * store runs it at compact AND append time), because the intent
+    * holds everything recovery needs — the round-15 protocol's "re-run
+    * compact" recovery claim was unsatisfiable without it (the crash
+    * left ≤1 live delta, so a re-run no-op'd and the store stayed
+    * permanently uncommitted).
+    *
+    * Single-writer, like every store here: a delta committed by a
+    * concurrent appender AFTER the caller listed `all` would be swept
+    * and lost — quiesce ingest before compacting. */
+  def compactSwap(spark: SparkSession, dir: String, dataPrefix: String,
+                  tmpName: String, keep: Long, all: Seq[Long],
+                  indexContent: String): Unit = {
+    writeFileAtomic(spark, s"$dir/_COMPACT",
+      s"keep=$keep\nall=${all.mkString(",")}\nindex=$indexContent")
+    finishCompact(spark, dir, dataPrefix, tmpName)
+  }
+
+  /** Complete a pending compact swap, if any (no-op otherwise;
+    * idempotent from every crash point — each step either re-runs
+    * safely or is skipped because its effect is already visible). */
+  def finishCompact(spark: SparkSession, dir: String, dataPrefix: String,
+                    tmpName: String): Unit = {
+    val fs = fsOf(spark)
+    if (!fs.exists(path(s"$dir/_COMPACT"))) return
+    val lines = readFile(spark, s"$dir/_COMPACT").split("\n", 3)
+    val keep = lines(0).stripPrefix("keep=").toLong
+    val all = lines(1).stripPrefix("all=").split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+    val indexContent = lines(2).stripPrefix("index=")
+    if (fs.exists(path(s"$dir/$tmpName"))) {
+      // crash before (or during) the sweep: clear the old layout (the
+      // tmp dir and the intent survive — their names match no swept
+      // prefix), then move the merged copy into place
+      clearPriorIndex(spark, dir, Seq(dataPrefix))
+      if (!fs.rename(path(s"$dir/$tmpName"), path(s"$dir/$dataPrefix$keep")))
+        throw new IllegalStateException(
+          s"compact swap rename failed at $dir/$tmpName")
+    } else require(fs.exists(path(s"$dir/$dataPrefix$keep")),
+      s"compact recovery at $dir found neither $tmpName nor $dataPrefix$keep — " +
+        "layout corrupted; rebuild the store from the landed corpus")
+    commitDeltaMarker(spark, dir, keep)
+    all.filter(_ != keep).foreach(id => commitDeltaMarker(spark, dir, id, empty = true))
+    writeFileAtomic(spark, s"$dir/_INDEX", indexContent)
+    fs.delete(path(s"$dir/_COMPACT"), false)
   }
 
   /** Committed delta ids that carry data, sorted. Liveness is the

@@ -78,6 +78,7 @@ object HllStore {
     * commits an `empty` marker and writes no dir. `rows` must carry
     * (scope, key). */
   def append(spark: SparkSession, dir: String, rows: DataFrame, id: Long): Unit = {
+    DeltaProtocol.finishCompact(spark, dir, "sk_d", "sk_compact_tmp")
     require(exists(spark, dir), s"no committed HLL store at $dir — buildEmpty first")
     val lgK = precision(spark, dir)
     val sk = partialSketch(rows, lgK)
@@ -120,20 +121,16 @@ object HllStore {
     * protocol so a reader never has to know which sketch algebra it is
     * reading: uncommit first, swap, re-commit markers last. */
   def compact(spark: SparkSession, dir: String): Unit = {
+    DeltaProtocol.finishCompact(spark, dir, "sk_d", "sk_compact_tmp")
     val live = DeltaProtocol.liveDeltaIds(spark, dir)
     if (live.length > 1) {
       val lgK = precision(spark, dir)
       val all = DeltaProtocol.deltaIds(spark, dir)
       val merged = sketches(spark, dir)
       val keep = live.min
-      val fs = fsOf(spark)
       merged.write.mode("overwrite").parquet(s"$dir/sk_compact_tmp")
-      DeltaProtocol.clearPriorIndex(spark, dir, Seq("sk_d"))
-      fs.rename(path(s"$dir/sk_compact_tmp"), path(s"$dir/sk_d$keep"))
-      DeltaProtocol.commitDeltaMarker(spark, dir, keep)
-      all.filter(_ != keep).foreach(id =>
-        DeltaProtocol.commitDeltaMarker(spark, dir, id, empty = true))
-      commitIndexMarker(spark, dir, lgK)
+      DeltaProtocol.compactSwap(spark, dir, "sk_d", "sk_compact_tmp",
+        keep, all, s"lgk=$lgK")
     }
   }
 }

@@ -94,6 +94,7 @@ object QuantileSketch {
     * commits an `empty` marker and writes no dir. `rows` must carry
     * (scope, v, h) with h the content hash-rank. */
   def append(spark: SparkSession, dir: String, rows: DataFrame, id: Long): Unit = {
+    DeltaProtocol.finishCompact(spark, dir, "rows_d", "rows_compact_tmp")
     require(exists(spark, dir), s"no committed quantile sketch at $dir — buildEmpty first")
     val k = sampleSize(spark, dir)
     val cut = bottomK(rows, k)
@@ -143,23 +144,16 @@ object QuantileSketch {
     * crash leaves either the old committed sketch or an uncommitted
     * one — never a readable wrong sample. */
   def compact(spark: SparkSession, dir: String): Unit = {
+    DeltaProtocol.finishCompact(spark, dir, "rows_d", "rows_compact_tmp")
     val live = DeltaProtocol.liveDeltaIds(spark, dir)
     if (live.length > 1) {
       val k = sampleSize(spark, dir)
       val all = DeltaProtocol.deltaIds(spark, dir)
       val merged = sketchRows(spark, dir)
       val keep = live.min
-      val fs = fsOf(spark)
       merged.write.mode("overwrite").parquet(s"$dir/rows_compact_tmp")
-      // point of no return: uncommit, swap the data, re-commit markers
-      // last (the tmp dir's name doesn't match the "rows_d" prefix, so
-      // the merged copy survives the sweep)
-      DeltaProtocol.clearPriorIndex(spark, dir, Seq("rows_d"))
-      fs.rename(path(s"$dir/rows_compact_tmp"), path(s"$dir/rows_d$keep"))
-      DeltaProtocol.commitDeltaMarker(spark, dir, keep)
-      all.filter(_ != keep).foreach(id =>
-        DeltaProtocol.commitDeltaMarker(spark, dir, id, empty = true))
-      commitIndexMarker(spark, dir, k)
+      DeltaProtocol.compactSwap(spark, dir, "rows_d", "rows_compact_tmp",
+        keep, all, s"k=$k")
     }
   }
 }

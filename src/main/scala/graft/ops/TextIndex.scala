@@ -71,33 +71,49 @@ object TextIndex {
     * consumers), write term-bucketed postings with dl denormalized in,
     * and the segment's 1-row stats. The tf⋈dl join is co-keyed on
     * doc_id — one hash exchange of vocabulary-sized aggregates, linear
-    * in segment tokens. */
+    * in segment tokens. Returns false WITHOUT WRITING when the batch
+    * tokenizes to zero tokens (all-null/empty/whitespace text): the
+    * DeltaProtocol empty rule applies at the DERIVED-row level — a
+    * zero-row partitioned write leaves a schema-less dir that fails
+    * every later read (the LshIndex band guard's twin). */
   private def writeSegment(docs: DataFrame, idCol: String, textCol: String,
-                           postDir: String, statDir: String): Unit = {
+                           postDir: String, statDir: String): Boolean = {
     val toks = Text.tokenStream(docs, idCol, textCol).cache()
     try {
-      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      tf.join(dl, "doc_id")
-        .withColumn("_tb", termBucket(col("term")))
-        .write.mode("overwrite").partitionBy("_tb").parquet(postDir)
-      // id_lo/id_hi: the segment's doc_id range, so append's overlap
-      // guard can clear disjoint batches from this 1-row read alone
-      toks.agg(count(lit(1)).as("t_total"),
-          countDistinct(col("doc_id")).as("n_docs"),
-          min(col("doc_id")).cast("long").as("id_lo"),
-          max(col("doc_id")).cast("long").as("id_hi"))
-        .coalesce(1).write.mode("overwrite").parquet(statDir)
+      if (toks.isEmpty) false
+      else {
+        val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        tf.join(dl, "doc_id")
+          .withColumn("_tb", termBucket(col("term")))
+          .write.mode("overwrite").partitionBy("_tb").parquet(postDir)
+        // id_lo/id_hi: the segment's doc_id range, so append's overlap
+        // guard can clear disjoint batches from this 1-row read alone.
+        // min/max OF THE CAST (not cast of the raw min/max): the guard
+        // compares against the batch's cast range, and a lexicographic
+        // min/max of string ids can invert under the cast — a false
+        // negative that admits the exact duplicate the guard exists to
+        // catch.
+        toks.agg(count(lit(1)).as("t_total"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id").cast("long")).as("id_lo"),
+            max(col("doc_id").cast("long")).as("id_hi"))
+          .coalesce(1).write.mode("overwrite").parquet(statDir)
+        true
+      }
     } finally { toks.unpersist(); () }
   }
 
   /** (Re)build the base index over a corpus. Rebuild-safe per the
     * delta protocol: commit marker dropped first, so a crash leaves an
-    * uncommitted index, never a readable mismatch. */
+    * uncommitted index, never a readable mismatch. A corpus with zero
+    * tokens refuses loudly (there is nothing to index, and the base
+    * segment dirs must exist for every later read). */
   def build(spark: SparkSession, dir: String, docs: DataFrame,
             idCol: String = "doc_id", textCol: String = "text"): Unit = {
     DeltaProtocol.clearPriorIndex(spark, dir, Seq("postings", "stats"))
-    writeSegment(docs, idCol, textCol, s"$dir/postings", s"$dir/stats")
+    require(writeSegment(docs, idCol, textCol, s"$dir/postings", s"$dir/stats"),
+      s"TextIndex.build at $dir: the corpus tokenizes to zero tokens — nothing to index")
     val out = DeltaProtocol.fsOf(spark).create(DeltaProtocol.path(s"$dir/_INDEX"), true)
     out.close()
   }
@@ -127,9 +143,12 @@ object TextIndex {
         DeltaProtocol.commitDeltaMarker(spark, dir, deltaId, empty = true)
       else {
         assertNoDocOverlap(spark, dir, docs, idCol)
-        writeSegment(docs, idCol, textCol,
+        // a batch with rows can still tokenize to ZERO tokens — it then
+        // commits the data-less marker like an empty batch (writing a
+        // zero-row segment would poison the read path)
+        val wrote = writeSegment(docs, idCol, textCol,
           s"$dir/postings_d$deltaId", s"$dir/stats_d$deltaId")
-        DeltaProtocol.commitDeltaMarker(spark, dir, deltaId)
+        DeltaProtocol.commitDeltaMarker(spark, dir, deltaId, empty = !wrote)
       }
       true
     }
@@ -151,7 +170,12 @@ object TextIndex {
       if (!st.columns.contains("id_lo") || range.isEmpty) true
       else {
         val r = st.select(col("id_lo"), col("id_hi")).head()
-        !r.isNullAt(0) && r.getLong(0) <= range.get._2 && range.get._1 <= r.getLong(1)
+        // an unusable range (null cast, or inverted — a pre-fix segment
+        // whose stats were the cast of a LEXICOGRAPHIC min/max of
+        // string ids) falls back to the exact check: the safe default
+        // is "suspect", never "cleared"
+        if (r.isNullAt(0) || r.isNullAt(1) || r.getLong(0) > r.getLong(1)) true
+        else r.getLong(0) <= range.get._2 && range.get._1 <= r.getLong(1)
       }
     }.map(_._1)
     if (suspect.nonEmpty) {

@@ -723,9 +723,17 @@ object Streams {
       incoming: Seq[(Long, Long, String)], wmUs: Long)
     : (Seq[PatternMatch], PatBufState, Option[Long]) = {
     // ts == wm is NOT late (the wm was derived from that event's own
-    // batch); ts < wm is
+    // batch); ts < wm is. But an event at EXACTLY the watermark must
+    // not fold yet either: another event at the SAME ts is still
+    // admissible in a later trigger, and folding the first now would
+    // break the (ts, event_id) total order the adjacency automaton is
+    // sensitive to (an equal-ts click arriving after its purchase
+    // folded would emit/suppress the wrong match — foldSessions can
+    // keep the <= cut because its aggregates are commutative at equal
+    // ts). The == row waits in pending; the event-time timer fires
+    // once the watermark moves strictly past it.
     val inWm = incoming.filter(_._1 >= wmUs)
-    val (ready, still) = (prev.pending ++ inWm).partition(_._1 <= wmUs)
+    val (ready, still) = (prev.pending ++ inWm).partition(_._1 < wmUs)
     val out = scala.collection.mutable.ArrayBuffer.empty[PatternMatch]
     var (pt, rs, rn) = (prev.prevType, prev.runStartUs, prev.runN)
     for ((u, _, t) <- ready.sortBy(e => (e._1, e._2))) {

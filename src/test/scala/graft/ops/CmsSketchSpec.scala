@@ -83,6 +83,40 @@ class CmsSketchSpec extends SparkSpec {
     assert(est.head.getLong(1) >= 2L)
   }
 
+  test("a crash mid-compact is completed by the next compact or append call") {
+    val dir = tmpDir("cms_compact_crash")
+    CmsSketch.buildEmpty(spark, dir, d = 2, w = 64)
+    CmsSketch.append(spark, dir, terms("a", "b"), 0L)
+    CmsSketch.append(spark, dir, terms("b", "c"), 1L)
+    val before = cellMap(dir)
+    // worst crash point: merged copy + intent landed, old layout swept,
+    // markers NOT re-committed. Pre-intent-marker protocol this state
+    // was UNRECOVERABLE: <=1 live delta meant a compact re-run no-op'd
+    // and the store stayed permanently uncommitted.
+    CmsSketch.cells(spark, dir).select(col("r"), col("b"), col("cell").as("n"))
+      .write.mode("overwrite").parquet(s"$dir/cells_compact_tmp")
+    DeltaProtocol.writeFileAtomic(spark, s"$dir/_COMPACT",
+      "keep=0\nall=0,1\nindex=d=2,w=64")
+    DeltaProtocol.clearPriorIndex(spark, dir, Seq("cells_d"))
+    assert(!CmsSketch.exists(spark, dir))
+    CmsSketch.compact(spark, dir) // recovery completes the swap
+    assert(CmsSketch.exists(spark, dir))
+    assert(CmsSketch.deltaIds(spark, dir) == Seq(0L, 1L))
+    assert(DeltaProtocol.liveDeltaIds(spark, dir) == Seq(0L))
+    assert(cellMap(dir) == before)
+    // a crash AFTER the rename (tmp gone, markers dropped again)
+    // recovers through the APPEND door, then the append lands
+    val fs = DeltaProtocol.fsOf(spark)
+    fs.delete(DeltaProtocol.path(s"$dir/_INDEX"), false)
+    fs.delete(DeltaProtocol.path(s"$dir/_DELTA_0"), false)
+    fs.delete(DeltaProtocol.path(s"$dir/_DELTA_1"), false)
+    DeltaProtocol.writeFileAtomic(spark, s"$dir/_COMPACT",
+      "keep=0\nall=0,1\nindex=d=2,w=64")
+    CmsSketch.append(spark, dir, terms("c"), 2L)
+    assert(CmsSketch.deltaIds(spark, dir) == Seq(0L, 1L, 2L))
+    assert(cellMap(dir) != before) // the post-recovery append landed
+  }
+
   test("geometry is pinned at build and round-trips") {
     val dir = tmpDir("cms_geom")
     CmsSketch.buildEmpty(spark, dir, d = 7, w = 33)

@@ -61,6 +61,27 @@ class TextIndexSpec extends SparkSpec {
     assert(canon(TextIndex.topK(spark, dir, query, 10)) == before)
   }
 
+  test("a batch whose text tokenizes to zero tokens commits a data-less marker, not a poisoned segment") {
+    val dir = tmpDir("graft_tix_zerotok") + "/idx"
+    TextIndex.build(spark, dir, docs())
+    val before = canon(TextIndex.topK(spark, dir, query, 10))
+    // rows exist but every text is null/empty/whitespace: a zero-row
+    // partitioned write would leave a schema-less postings dir that
+    // fails every later read with the marker committed LIVE — wedged
+    // until rebuild
+    val blank = Seq((9001L, ""), (9002L, "   "), (9003L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(TextIndex.append(spark, dir, blank, 0L))
+    assert(TextIndex.deltaIds(spark, dir) == Seq(0L))
+    assert(graft.ops.DeltaProtocol.liveDeltaIds(spark, dir).isEmpty)
+    assert(canon(TextIndex.topK(spark, dir, query, 10)) == before)
+    // and an all-blank corpus refuses to build (the base dirs must exist)
+    val ex = intercept[IllegalArgumentException] {
+      TextIndex.build(spark, tmpDir("graft_tix_zerotok2") + "/idx", blank)
+    }
+    assert(ex.getMessage.contains("zero tokens"))
+  }
+
   test("a legacy 2-column stats segment (pre-range format) still appends and serves") {
     val dir = tmpDir("graft_tix_legacy") + "/idx"
     val half = docs().filter(pmod($"doc_id", lit(2)) === 0)

@@ -153,6 +153,45 @@ class StreamsSpec extends SparkSpec {
     assert(got2(0L) == got2(3L), s"empty batch did not flush the late pair: $got2")
   }
 
+  test("ClusterStore rejects an out-of-order append id instead of committing an invisible batch") {
+    import graft.ops.ClusterStore
+    val store = tmpDir("graft_scluster_order") + "/store"
+    ClusterStore.buildEmpty(spark, store)
+    ClusterStore.append(spark, store, Seq(0L, 1L).toDF("id"),
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), 7L)
+    // snapshots chain by id and read() serves the max — an id at/below
+    // the committed max would build from the LATER state, commit, and
+    // never be served (silent permanent loss)
+    val ex = intercept[IllegalArgumentException] {
+      ClusterStore.append(spark, store, Seq(2L).toDF("id"),
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"), 3L)
+    }
+    assert(ex.getMessage.contains("not above"), ex.getMessage)
+    assert(ClusterStore.deltaIds(spark, store) == Seq(7L))
+  }
+
+  test("foldPattern holds an event at EXACTLY the watermark until the watermark passes it") {
+    // an equal-ts sibling is still admissible in a later trigger, and
+    // the CLICK+ PURCHASE automaton is order-sensitive: folding the
+    // ts==wm purchase now, then receiving its equal-ts click later,
+    // would break the (ts, event_id) total order the batch query folds in
+    val wm = 1000L
+    val purchaseAtWm = Seq((wm, 2L, "purchase"))
+    val clickAtWm = Seq((wm, 1L, "click"))
+    val s0 = Streams.PatBufState(Seq.empty, "", 0L, 0L)
+    // trigger 1: the purchase sits AT the watermark — must stay pending
+    val (m1, s1, _) = Streams.foldPattern(5L, s0, purchaseAtWm, wm)
+    assert(m1.isEmpty && s1.pending == purchaseAtWm)
+    // trigger 2: the equal-ts click arrives (not late: ts >= wm);
+    // trigger 3: the watermark passes — both fold in (ts, event_id)
+    // order, click before purchase, and the match emits
+    val (m2, s2, _) = Streams.foldPattern(5L, s1, clickAtWm, wm)
+    assert(m2.isEmpty && s2.pending.toSet == (purchaseAtWm ++ clickAtWm).toSet)
+    val (m3, s3, _) = Streams.foldPattern(5L, s2, Seq.empty, wm + 1)
+    assert(m3 == Seq(Streams.PatternMatch(5L, wm, wm, 1L)), m3.toString)
+    assert(s3.pending.isEmpty)
+  }
+
   test("dedupBatch crash protocol: replay after any partial state converges to the committed state") {
     import graft.ops.LshIndex
     val root = tmpDir("graft_sdedup_crash")

@@ -61,9 +61,18 @@ object CdcMerge {
     */
   def upsertPruned(table: DataFrame, batch: DataFrame, keys: Seq[String], ord: Seq[String],
                    opCol: String = "op"): DataFrame = {
+    // Null-key rows ALWAYS route through the merged side: semi/anti
+    // joins never match NULL keys, so the pruned split would otherwise
+    // pass a null-key table row through "untouched" AND append the
+    // batch's null-key row — duplicating the key and making a null-key
+    // delete a no-op, where [[upsert]]'s window (which groups NULLs
+    // together) collapses them. The pruning must be a pure
+    // optimization, identical to upsert for every input.
+    val nonNullKey = keys.map(col(_).isNotNull).reduce(_ && _)
     val batchKeys = batch.select(keys.map(col): _*).distinct()
-    val untouched = table.join(broadcast(batchKeys), keys, "left_anti")
-    val touched = table.join(broadcast(batchKeys), keys, "left_semi")
+    val untouched = table.filter(nonNullKey).join(broadcast(batchKeys), keys, "left_anti")
+    val touched = table.filter(!nonNullKey).unionByName(
+      table.filter(nonNullKey).join(broadcast(batchKeys), keys, "left_semi"))
     untouched.unionByName(upsert(touched, batch, keys, ord, opCol), allowMissingColumns = true)
   }
 

@@ -96,6 +96,17 @@ object Ingest {
                        keyCols: Seq[String] = Seq("id")): DataFrame =
     parse(kafkaShaped, schema, keyCols)
 
+  /** Whether an (inferred) envelope schema carries a usable row image —
+    * a payload.after or payload.before STRUCT. [[parse]] throws without
+    * one; [[run]]'s dynamic-inference path must not cache such a
+    * schema (see the crash-loop note there). */
+  private[cdc] def hasPayloadImage(schema: StructType): Boolean =
+    schema.fields.find(_.name == "payload").map(_.dataType).exists {
+      case p: StructType => p.fields.exists(f =>
+        (f.name == "after" || f.name == "before") && f.dataType.isInstanceOf[StructType])
+      case _ => false
+    }
+
   private def parse(df: DataFrame, schema: StructType, keyCols: Seq[String] = Seq("id")): DataFrame = {
     // Schema-drift/delete-only hazard (SURVEY.md §7.5 #1): with the
     // dynamic inference path, a batch of only deletes infers `after` as
@@ -143,10 +154,20 @@ object Ingest {
       if (afterOk) acc.withColumn(k, coalesce(col(k), col(s"_before_$k"))).drop(s"_before_$k")
       else acc
     }
-    if (rowSchema.fieldNames.contains("created_at"))
-      // cast: the dynamic inference path widens int32 epoch-days to long
-      projected.withColumn("created_date", Envelope.epochDaysToDate(col("created_at").cast("int")))
-    else projected
+    val typed =
+      if (rowSchema.fieldNames.contains("created_at"))
+        // cast: the dynamic inference path widens int32 epoch-days to long
+        projected.withColumn("created_date", Envelope.epochDaysToDate(col("created_at").cast("int")))
+      else projected
+    // Poison guard, the [[withDeadLetters]] classification applied
+    // uniformly: an unparseable value (from_json -> null struct) or an
+    // envelope missing payload.op projects as an all-null row whose
+    // op=NULL the snapshot collapse treats as LIVE — a permanent
+    // phantom row no later event can update or delete (null keys never
+    // join). With a DLQ these rows were already quarantined upstream
+    // (this filter is then a no-op on the good half); without one they
+    // are dropped here instead of materialized.
+    typed.filter(col("op").isNotNull)
   }
 
   // ----- versioned-snapshot commit protocol (U4, crash-safe) -----
@@ -222,12 +243,30 @@ object Ingest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import batch.sparkSession.implicits._
-        val schema = cachedSchema.getOrElse {
+        // Cache an inferred schema ONLY when it actually carries a
+        // payload image: inferring from an empty or all-poison first
+        // batch yields an envelope with no after/before struct, and
+        // caching THAT would turn one bad batch into a permanent crash
+        // loop (parse throws, the checkpoint replays the same batch,
+        // the same unusable schema re-infers — forever, DLQ or not).
+        // An unusable inference quarantines the whole batch (DLQ set)
+        // or drops it (all rows are poison by construction — nothing
+        // parseable existed to lose), and the NEXT batch retries.
+        val schemaOpt = cachedSchema.orElse {
           val s = inferEnvelopeSchema(batch.sparkSession,
             batch.select(col("value").cast("string")).as[String])
-          cachedSchema = Some(s)
-          s
+          if (hasPayloadImage(s)) { cachedSchema = Some(s); Some(s) }
+          else None
         }
+        schemaOpt match {
+          case None =>
+            dlqDir.foreach { dq =>
+              graft.ops.DeltaProtocol.writeBatchPartition(
+                batch.select(col("topic"), col("partition"), col("offset"),
+                  col("timestamp"), col("value").cast("string").as("raw")),
+                batchId, dq)
+            }
+          case Some(schema) =>
         // DLQ wire: quarantine poison records before projection; the
         // idempotent per-batch overwrite makes replays exactly-once,
         // same protocol as the event log below.
@@ -255,6 +294,7 @@ object Ingest {
         snapshotDir.foreach { dir =>
           commitMerge(batch.sparkSession, dir, parsed, parsedIsEmpty = !wrote,
             batchId, Seq("id"), Seq("lsn"), snapshotPartitionBy)
+        }
         }
       }
       .start()
@@ -292,16 +332,25 @@ object Ingest {
       // GC: drop everything older than the previous version (kept for
       // readers that resolved the pointer just before commit), except
       // savepointed versions (Savepoints pins them for restore).
+      // MARKERS FIRST, then data — explicitly, never in listing order:
+      // a crash after a v-dir's recursive delete but before its marker
+      // would otherwise leave a resolvable version over partial data
+      // (silently short reads, a savepoint pinning nothing, a rollback
+      // restoring a half-deleted head). With markers gone first, a
+      // mid-GC crash leaves only invisible garbage the second pass
+      // below also reclaims on the NEXT commit's GC.
       committedBatch(sess, dir).foreach { cur =>
         val saved = Savepoints.savepoints(sess, dir)
+        def doomed(i: Long): Boolean =
+          i < cur && i != committed.getOrElse(-1L) && !saved.contains(i)
+        snapshotVersions(sess, dir).filter(doomed).foreach { i =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_COMMIT_$i"), false)
+        }
         fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath)
           .foreach { p =>
-            val n = p.getName
-            val id = if (n.startsWith("_COMMIT_")) Some(n.stripPrefix("_COMMIT_").toLong)
-                     else if (n.startsWith("v")) n.stripPrefix("v").toLongOption
-                     else None
-            if (id.exists(i => i < cur && i != committed.getOrElse(-1L) && !saved.contains(i)))
-              fs.delete(p, true)
+            val id = if (p.getName.startsWith("v"))
+              p.getName.stripPrefix("v").toLongOption else None
+            if (id.exists(doomed)) fs.delete(p, true)
           }
       }
     }

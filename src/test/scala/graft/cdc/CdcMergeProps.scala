@@ -28,15 +28,28 @@ object CdcMergeProps extends Properties("CdcMerge") {
       v <- Gen.choose(0, 999)
     } yield (id, op, v))
 
+  // id 0 stands in for NULL (mapped below): a malformed event whose
+  // image lost its key. Pruning must treat these like any other key —
+  // upsertPruned's semi/anti joins never match NULLs, so without the
+  // null-route they'd duplicate and never delete.
+  private val genOpsWithNulls: Gen[List[(Int, String, Int)]] =
+    Gen.listOfN(30, for {
+      id <- Gen.choose(0, 4)
+      op <- Gen.oneOf("c", "u", "d")
+      v <- Gen.choose(0, 999)
+    } yield (id, op, v))
+
   private def df(ops: List[(Int, String, Int)], lsn0: Long) = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, when}
     ops.zipWithIndex.map { case ((id, op, v), i) => (id, lsn0 + i, op, v) }
       .toDF("id", "lsn", "op", "salary")
+      .withColumn("id", when(col("id") === 0, null).otherwise(col("id")).cast("int"))
   }
 
-  private def canon(d: org.apache.spark.sql.DataFrame): Seq[(Int, Long, String, Int)] = {
+  private def canon(d: org.apache.spark.sql.DataFrame): Seq[(Option[Int], Long, String, Int)] = {
     import spark.implicits._
-    d.select("id", "lsn", "op", "salary").as[(Int, Long, String, Int)]
+    d.select("id", "lsn", "op", "salary").as[(Option[Int], Long, String, Int)]
       .collect().sortBy(t => (t._1, t._2)).toSeq
   }
 
@@ -58,6 +71,14 @@ object CdcMergeProps extends Properties("CdcMerge") {
 
   property("pruned == full upsert") =
     forAll(genOps, genOps) { (a, b) =>
+      val s0 = CdcMerge.snapshot(df(a, 0), Seq("id"), Seq("lsn"))
+      val batch = df(b, 1000)
+      canon(CdcMerge.upsertPruned(s0, batch, Seq("id"), Seq("lsn"))) ==
+        canon(CdcMerge.upsert(s0, batch, Seq("id"), Seq("lsn")))
+    }
+
+  property("pruned == full upsert under NULL merge keys") =
+    forAll(genOpsWithNulls, genOpsWithNulls) { (a, b) =>
       val s0 = CdcMerge.snapshot(df(a, 0), Seq("id"), Seq("lsn"))
       val batch = df(b, 1000)
       canon(CdcMerge.upsertPruned(s0, batch, Seq("id"), Seq("lsn"))) ==

@@ -87,6 +87,38 @@ class IngestStreamSpec extends SparkSpec {
     assert(Ingest.readSnapshot(spark, s"$root/snap").get.count() == cleanCount)
   }
 
+  test("dynamic inference: an all-poison first batch neither crashes nor poisons the schema cache") {
+    val root = tmpDir("graft_stream_poison")
+    val topic = s"$root/topic"; val log = s"$root/log"
+    val ckpt = s"$root/ckpt"; val dlq = s"$root/dlq"; val snap = s"$root/snap"
+    // batch 0: every value is unparseable garbage — inference yields an
+    // envelope with NO payload image. Pre-fix, that schema was cached
+    // and parse() threw on it forever: checkpoint replay re-delivered
+    // the same batch, re-inferred the same schema, permanent crash loop
+    // (DLQ or not, since the throw preceded row projection).
+    new java.io.File(topic).mkdirs()
+    val w = new java.io.PrintWriter(s"$topic/part-000-poison.json")
+    (1 to 3).foreach(i => w.println(
+      s"""{"value":"not json $i","topic":"debezium1.public.employees","partition":0,"offset":$i,"timestamp":"2026-01-01T00:00:0$i.000Z"}"""))
+    w.close()
+    Thread.sleep(1100) // distinct mtime: the poison file must trigger first
+    CdcGen.writeTopicFiles(spark, n = 20, topic, nBatches = 1)
+    val q = Ingest.run(spark, topic, log, ckpt, snapshotDir = Some(snap),
+      declared = None, dlqDir = Some(dlq))
+    q.processAllAvailable(); q.stop()
+    // the poison batch was quarantined WHOLE and the next batch
+    // re-inferred a usable schema — the stream self-healed
+    assert(spark.read.parquet(dlq).count() == 3)
+    val got = Ingest.readSnapshot(spark, snap).get
+    val want = CdcGen.expectedSnapshot(spark, 20)
+    assert(got.count() == want.count())
+    // and the BATCH path with a declared schema simply drops the poison
+    // rows (op is null) instead of materializing phantom all-null rows
+    val batchSnap = Ingest.snapshotFromTopic(spark, topic)
+    assert(batchSnap.count() == want.count())
+    assert(batchSnap.filter(col("id").isNull || col("op").isNull).count() == 0)
+  }
+
   test("U5: snapshot written with hive-style key partitioning") {
     val root = tmpDir("graft_part")
     CdcGen.writeTopicFiles(spark, n = 50, s"$root/topic", nBatches = 1)

@@ -79,6 +79,16 @@ object Bench {
   def warmTier(estSum: Double, nRuns: Int, remaining: Double): Int =
     (nRuns to 0 by -1).find(t => t * estSum <= remaining * 0.9).getOrElse(0)
 
+  /** Per-query methodology annotations shipped in bench_detail.json's
+    * `notes` field: when a round RE-SCOPES what a query's timed body
+    * covers, automated cross-round diffing would otherwise read the
+    * discontinuity as a regression-free speedup (or a regression).
+    * One line per affected query, permanent once added. */
+  val MethodologyNotes: Map[String, String] = Map(
+    "q_dedup_cluster_incr" -> ("timed body re-scoped in r16: the base CC assignment " +
+      "and mined batch pairs moved into a persisted fixture, so the number is the " +
+      "per-batch absorb only — not comparable to pre-r16 rounds"))
+
   /** The full-fidelity record written to bench_detail.json: every query's
     * min-of-N headline, the (min,max,n,mode) spread, and complete error
     * text. `queryModes`: full = warm runs >= nRuns (min excludes every
@@ -101,10 +111,14 @@ object Bench {
     val modesField = if (modes.isEmpty) "" else
       modes.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":$v" }
         .mkString(""","modes":{""", ",", "}")
+    val notes = MethodologyNotes.filter { case (k, _) => results.exists(_._1 == k) }
+    val notesField = if (notes.isEmpty) "" else
+      notes.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":\"${esc(v)}\"" }
+        .mkString(""","notes":{""", ",", "}")
     s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${
       results.map { case (k, v) => s"\"$k\":" + v.map(ts => f(ts.min)).getOrElse("-1.0") }
         .mkString("{", ",", "}")
-    },"spread":$spread,"errors":$errors,"n_errors":$nErr$modesField,"timing":"cold_coverage_sweep_then_${nRuns}_warm_rounds_cost_ascending_budget_fit_plus_extra_over_1s_min_of_warm_clearcache_per_iter","sf":"$sfDir"}"""
+    },"spread":$spread,"errors":$errors,"n_errors":$nErr$modesField$notesField,"timing":"cold_coverage_sweep_then_${nRuns}_warm_rounds_cost_ascending_budget_fit_plus_extra_over_1s_min_of_warm_clearcache_per_iter","sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -118,6 +132,15 @@ object Bench {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Quiet the WindowExec "No Partition Defined" warning wall: all 11
+    // global Window.orderBy sites in the suite rank BOUNDED inputs
+    // (≤64-row offset tables, rank lists — audited r16), so the warning
+    // is noise that buries real tail output in every bench log.
+    // (package-level: Logging names loggers by the CONCRETE class, so
+    // WindowExec and WindowExecBase both need covering)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     // Wall-clock budget for the WHOLE sweep (seconds), measured from
     // here (Spark session is up; sbt/JVM startup is outside our
     // control). Round 14's driver bench died at rc 124 with NOTHING on

@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.StructType
   * partition overwrite so a replayed batch overwrites itself instead of
   * duplicating (idempotent exactly-once, not just at-least-once).
   */
-object Ingest {
+object Ingest extends org.apache.spark.internal.Logging {
 
   /** S1/S2: subscribe to the emulated topic directory; emit Kafka-shaped
     * rows. `subscribePattern` filtering (README.md:193) is the rlike.
@@ -260,11 +260,26 @@ object Ingest {
         }
         schemaOpt match {
           case None =>
-            dlqDir.foreach { dq =>
-              graft.ops.DeltaProtocol.writeBatchPartition(
-                batch.select(col("topic"), col("partition"), col("offset"),
-                  col("timestamp"), col("value").cast("string").as("raw")),
-                batchId, dq)
+            // OBSERVABLE, not silent: a transient producer bug that
+            // poisons a whole batch should leave more than a gap in the
+            // event log — log the quarantine/drop either way (the count
+            // is one job over the batch-sized micro-batch, paid only on
+            // this failure path)
+            val n = batch.count()
+            dlqDir match {
+              case Some(dq) =>
+                logWarning(s"batch $batchId: envelope schema inference yielded no " +
+                  s"payload image — quarantining all $n rows to DLQ $dq; " +
+                  "the next batch re-attempts inference")
+                graft.ops.DeltaProtocol.writeBatchPartition(
+                  batch.select(col("topic"), col("partition"), col("offset"),
+                    col("timestamp"), col("value").cast("string").as("raw")),
+                  batchId, dq)
+                ()
+              case None =>
+                logWarning(s"batch $batchId: envelope schema inference yielded no " +
+                  s"payload image and no DLQ is configured — DROPPING all $n rows; " +
+                  "set dlqDir to quarantine instead")
             }
           case Some(schema) =>
         // DLQ wire: quarantine poison records before projection; the

@@ -45,7 +45,12 @@ object Savepoints {
     * commit's GC could age `id` out between the retention check and
     * the pin, and an `applied=true` that protects nothing would leave
     * the operator believing a vanished state is restorable — the stale
-    * pin is removed and false returned instead. */
+    * pin is removed and false returned instead. The recheck is
+    * BEST-EFFORT DETECTION, not coordination (the FileGroups WRITER
+    * CONTRACT posture): a concurrent GC can still age the version out
+    * after the second listing returns true. Under the documented
+    * single-writer-per-table contract the window never opens; with
+    * concurrent writers, serialize savepoints with commits. */
   def savepoint(spark: SparkSession, dir: String, id: Long): Boolean =
     Ingest.snapshotVersions(spark, dir).contains(id) &&
       fsOf(spark).createNewFile(path(s"$dir/_SAVEPOINT_$id")) && {

@@ -97,7 +97,11 @@ private[graft] object DeltaProtocol {
     try out.write(content.getBytes("UTF-8")) finally out.close()
     fs.delete(path(target), false)
     if (!fs.rename(tmp, path(target)))
-      throw new IllegalStateException(s"atomic marker rename failed for $target")
+      throw new IllegalStateException(
+        s"atomic marker rename failed for $target — the pre-rename delete may have " +
+          "left the target missing (the safe direction: an absent marker reads as " +
+          "uncommitted); re-running the interrupted operation (append / compact / " +
+          "finishCompact) completes recovery")
   }
 
   private def readFile(spark: SparkSession, p: String): String = {

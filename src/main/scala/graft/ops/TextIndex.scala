@@ -108,9 +108,15 @@ object TextIndex {
     * delta protocol: commit marker dropped first, so a crash leaves an
     * uncommitted index, never a readable mismatch. A corpus with zero
     * tokens refuses loudly (there is nothing to index, and the base
-    * segment dirs must exist for every later read). */
+    * segment dirs must exist for every later read) — and it refuses
+    * BEFORE clearPriorIndex touches anything, so a bad rebuild against
+    * an all-blank corpus leaves a previously healthy store committed
+    * and readable instead of destroyed-and-uncommitted. */
   def build(spark: SparkSession, dir: String, docs: DataFrame,
             idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    require(!Text.tokenStream(docs, idCol, textCol).isEmpty,
+      s"TextIndex.build at $dir: the corpus tokenizes to zero tokens — nothing to " +
+        "index (any existing index is left untouched)")
     DeltaProtocol.clearPriorIndex(spark, dir, Seq("postings", "stats"))
     require(writeSegment(docs, idCol, textCol, s"$dir/postings", s"$dir/stats"),
       s"TextIndex.build at $dir: the corpus tokenizes to zero tokens — nothing to index")

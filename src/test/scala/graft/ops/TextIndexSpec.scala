@@ -80,6 +80,12 @@ class TextIndexSpec extends SparkSpec {
       TextIndex.build(spark, tmpDir("graft_tix_zerotok2") + "/idx", blank)
     }
     assert(ex.getMessage.contains("zero tokens"))
+    // CRITICALLY, the refusal happens BEFORE the prior index is cleared:
+    // a bad rebuild against an all-blank corpus must leave the existing
+    // healthy store committed and serving, not destroyed-and-uncommitted
+    intercept[IllegalArgumentException] { TextIndex.build(spark, dir, blank) }
+    assert(TextIndex.exists(spark, dir), "the committed index must survive a zero-token rebuild")
+    assert(canon(TextIndex.topK(spark, dir, query, 10)) == before)
   }
 
   test("a legacy 2-column stats segment (pre-range format) still appends and serves") {

@@ -1,7 +1,8 @@
 package graft.cdc
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** File-group-level COPY_ON_WRITE — the upsert granularity that makes
   * COW viable at 100 TB, modeled on Hudi's record-key → file-group
@@ -35,9 +36,13 @@ import org.apache.spark.sql.functions._
   * the COW/MOR services.
   *
   * The per-bucket key stats double as Hudi's bloom/column-stats index
-  * role at bucket granularity: [[pointLookup]] prunes to the hash
-  * bucket of each probed key AND drops buckets whose [min,max] range
-  * excludes it — a point read touches 1 file group out of nBuckets.
+  * role at bucket granularity: [[pointLookupTuples]] prunes to the
+  * hash bucket of each probed key AND drops buckets whose index
+  * metadata excludes it — a point read touches 1 file group out of
+  * nBuckets. The index covers ANY record-key shape (the Debezium
+  * reality: integer PKs, UUID string PKs, composite PKs): the hash
+  * bucket and the per-bucket key bloom prune every shape, and single
+  * integer-family keys additionally carry [lo,hi] stats.
   *
   * WRITER CONTRACT: one writer per table at a time (the Hudi/Delta-
   * without-a-lock-provider posture). The marker protocol makes any
@@ -85,18 +90,23 @@ object FileGroups {
   private val BloomWords = (BloomBits / 64).toInt
   private val BloomK = 3
 
-  /** Bit position of hash `seed` for a key — the SAME codegen'd
+  /** Bit position of hash `seed` for a key tuple — the SAME codegen'd
     * xxhash64 on writer and prober (driver-side reimplementation could
-    * drift, exactly as [[bucketCol]]). */
-  private def bloomPos(key: org.apache.spark.sql.Column, seed: Int) =
-    pmod(xxhash64(key, lit(seed)), lit(BloomBits))
+    * drift, exactly as [[bucketCol]]). Multi-column keys hash the whole
+    * tuple plus the seed in one xxhash64 call; for a single key column
+    * this reduces to the historical `xxhash64(key, seed)`, so manifests
+    * written before composite support stay probe-compatible. */
+  private def bloomPos(keyCols: Seq[Column], seed: Int) =
+    pmod(xxhash64(keyCols :+ lit(seed): _*), lit(BloomBits))
 
   /** hex(64 words) per bucket, from one narrow agg over the rewritten
-    * buckets. Single-long-key tables only (same scope as the stats). */
-  private def buildBlooms(out: DataFrame, key: String): Map[Long, String] = {
+    * buckets. ANY key shape (the bloom is the sole index beyond the
+    * hash bucket for string/composite keys; [lo,hi] stats additionally
+    * apply to single integer-family keys). */
+  private def buildBlooms(out: DataFrame, keys: Seq[String]): Map[Long, String] = {
     val words = out
       .select(col("_bucket"), explode(array(
-        (0 until BloomK).map(i => bloomPos(col(key), i)): _*)).as("pos"))
+        (0 until BloomK).map(i => bloomPos(keys.map(col), i)): _*)).as("pos"))
       .selectExpr("_bucket", "CAST(pos / 64 AS INT) AS w",
         "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS m")
       .groupBy(col("_bucket"), col("w"))
@@ -123,12 +133,27 @@ object FileGroups {
   def committedId(spark: SparkSession, dir: String): Option[Long] =
     Ingest.committedBatch(spark, dir)
 
+  /** Everything one committed manifest knows about its table. `keys` /
+    * `ord` are recorded at commit time (round 17) so the table is
+    * SELF-DESCRIBING: the SQL catalog and every index consumer resolve
+    * the record-key columns from the manifest, never from session
+    * config — a misconfigured `keys` conf could otherwise hash probes
+    * with the wrong bucketing expression and silently prune away live
+    * file groups. None on pre-r17 manifests (callers fall back to
+    * their configured/passed columns — the historical trust model). */
+  private final case class TableMeta(nBuckets: Int,
+                                     schema: Option[StructType],
+                                     keys: Option[Seq[String]],
+                                     ord: Option[Seq[String]],
+                                     entries: Seq[Entry])
+
   /** Manifest = `#nbuckets=` header, a `#schema=` header carrying the
     * table schema as Spark JSON (so an all-deleted table still reads as
-    * a TYPED empty DataFrame, and [[pointLookup]] hashes probes at the
-    * committed key type), then one tab-separated line per bucket. */
-  private def readManifest(spark: SparkSession, dir: String, id: Long):
-      (Int, Option[org.apache.spark.sql.types.StructType], Seq[Entry]) = {
+    * a TYPED empty DataFrame, and [[pointLookupTuples]] hashes probes
+    * at the committed key types), `#keys=`/`#ord=` headers pinning the
+    * record-key / ordering columns, then one tab-separated line per
+    * bucket. */
+  private def readManifest(spark: SparkSession, dir: String, id: Long): TableMeta = {
     val fs = fsOf(spark)
     val in = fs.open(path(manifestPath(dir, id)))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -139,27 +164,59 @@ object FileGroups {
     }.get
     val schema = headers.collectFirst {
       case h if h.startsWith("#schema=") =>
-        org.apache.spark.sql.types.DataType.fromJson(h.stripPrefix("#schema="))
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        DataType.fromJson(h.stripPrefix("#schema=")).asInstanceOf[StructType]
     }
+    def cols(prefix: String): Option[Seq[String]] = headers.collectFirst {
+      case h if h.startsWith(prefix) =>
+        h.stripPrefix(prefix).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }.filter(_.nonEmpty)
     val entries = lines.drop(headers.length).toSeq.map { l =>
       val f = l.split("\t", -1)
       Entry(f(0).toLong, f(1), f(2).toLongOption, f(3).toLongOption, f(4).toLong,
         f.lift(5).filter(_.nonEmpty)) // bloom optional: pre-bloom manifests stay readable
     }
-    (nBuckets, schema, entries)
+    TableMeta(nBuckets, schema, cols("#keys="), cols("#ord="), entries)
   }
 
   private def writeManifest(spark: SparkSession, dir: String, id: Long, nBuckets: Int,
-                            schema: org.apache.spark.sql.types.StructType,
+                            schema: StructType, keys: Seq[String], ord: Seq[String],
                             entries: Seq[Entry]): Unit = {
+    require(keys.forall(k => !k.contains(",") && !k.contains("\n")) &&
+      ord.forall(o => !o.contains(",") && !o.contains("\n")),
+      "key/ordering column names must not contain ',' or newlines (manifest header format)")
     val body = s"#nbuckets=$nBuckets\n#schema=${schema.json}\n" +
+      s"#keys=${keys.mkString(",")}\n#ord=${ord.mkString(",")}\n" +
       entries.sortBy(_.bucket).map { e =>
         s"${e.bucket}\t${e.relPath}\t${e.lo.fold("")(_.toString)}\t${e.hi.fold("")(_.toString)}\t${e.count}\t${e.bloom.getOrElse("")}"
       }.mkString("\n")
     val out = fsOf(spark).create(path(manifestPath(dir, id)), true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
+
+  /** The committed record-key / ordering columns of the table at `dir`
+    * (the manifest's `#keys=`/`#ord=` headers) — what the SQL catalog
+    * resolves instead of trusting session config. None per component on
+    * pre-r17 manifests. */
+  def tableKeyConfig(sess: SparkSession, dir: String):
+      Option[(Option[Seq[String]], Option[Seq[String]])] =
+    committedId(sess, dir).map { id =>
+      val m = readManifest(sess, dir, id)
+      (m.keys, m.ord)
+    }
+
+  /** Fail loudly when a caller-supplied key column list disagrees with
+    * the manifest-recorded one: bucket hashing is key-dependent, so a
+    * mismatched probe would hash into the wrong buckets and silently
+    * prune away live file groups (reads) or rewrite the wrong groups
+    * (writes). Pre-r17 manifests record no keys — callers keep the
+    * historical trust model. */
+  private def checkKeys(meta: TableMeta, keys: Seq[String], dir: String): Unit =
+    meta.keys.foreach { mk =>
+      require(mk.map(_.toLowerCase) == keys.map(_.toLowerCase),
+        s"table at $dir is keyed by (${mk.mkString(", ")}) but (${keys.mkString(", ")}) " +
+          "was supplied — the record key is pinned at table creation (bucket hashing " +
+          "and the manifest index depend on it)")
+    }
 
   /** Upsert one batch at file-group granularity. Only buckets whose
     * hash range the batch touches are merged and rewritten; the rest
@@ -186,7 +243,10 @@ object FileGroups {
     if (committed.exists(_ >= batchId)) Set.empty
     else {
       val (nb, current) = committed match {
-        case Some(id) => val (n, _, es) = readManifest(sess, dir, id); (n, es)
+        case Some(id) =>
+          val m = readManifest(sess, dir, id)
+          checkKeys(m, keys, dir)
+          (m.nBuckets, m.entries)
         case None => (nBuckets, Seq.empty[Entry])
       }
       val withB = batch.withColumn("_bucket", bucketCol(keys, nb))
@@ -208,26 +268,17 @@ object FileGroups {
       // buckets' merge runs once, not twice
       val out = merged.withColumn("_bucket", bucketCol(keys, nb)).persist()
       out.write.mode("overwrite").partitionBy("_bucket").parquet(s"$dir/files/v$batchId")
-      // per-bucket stats (single narrow agg pass); single-key tables
-      // get [min,max] for stats pruning, composite keys count-only. A
-      // bucket merged to EMPTY (every key deleted) yields no stats row,
-      // writes no partition dir, and simply leaves the manifest.
-      val statCol = if (keys.size == 1) col(keys.head).cast("long") else lit(null).cast("long")
-      val blooms = if (keys.size == 1) buildBlooms(out, keys.head) else Map.empty[Long, String]
-      val stats = out
-        .groupBy(col("_bucket"))
-        .agg(min(statCol).as("lo"), max(statCol).as("hi"), count(lit(1)).as("n"))
-        .collect().map { r =>
-          r.getLong(0) -> Entry(r.getLong(0), s"files/v$batchId/_bucket=${r.getLong(0)}",
-            if (r.isNullAt(1)) None else Some(r.getLong(1)),
-            if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3),
-            blooms.get(r.getLong(0)))
-        }.toMap
+      // per-bucket stats + key blooms ([[rewriteEntries]]): blooms for
+      // ANY key shape, [lo,hi] stats additionally for single
+      // integer-family keys. A bucket merged to EMPTY (every key
+      // deleted) yields no stats row, writes no partition dir, and
+      // simply leaves the manifest.
+      val stats = rewriteEntries(out, keys, batchId)
       out.unpersist()
       // a dirty bucket can merge to EMPTY (every key deleted) — it then
       // has no partition dir and simply leaves the manifest
-      val entries = current.filterNot(e => dirty.contains(e.bucket)) ++ stats.values
-      writeManifest(sess, dir, batchId, nb, merged.schema, entries)
+      val entries = current.filterNot(e => dirty.contains(e.bucket)) ++ stats
+      writeManifest(sess, dir, batchId, nb, merged.schema, keys, ord, entries)
       fs.createNewFile(path(s"$dir/_COMMIT_$batchId"))
       gc(sess, dir)
       dirty
@@ -244,7 +295,7 @@ object FileGroups {
     val saved = Savepoints.savepoints(sess, dir)
     val keep = (ids.takeRight(2) ++ ids.filter(saved.contains)).distinct
     val referenced: Set[String] = keep.flatMap { id =>
-      readManifest(sess, dir, id)._3.map(e => e.relPath.split("/").take(2).mkString("/"))
+      readManifest(sess, dir, id).entries.map(e => e.relPath.split("/").take(2).mkString("/"))
     }.toSet // files/v<id> dirs still referenced
     if (fs.exists(path(s"$dir/files")))
       fs.listStatus(path(s"$dir/files")).map(_.getPath).foreach { p =>
@@ -275,15 +326,15 @@ object FileGroups {
     assertNoPurgeResurrection(sess, dir, id)
     if (!versions.contains(id)) None
     else Some {
-      val (_, schema, entries) = readManifest(sess, dir, id)
-      if (entries.isEmpty)
+      val m = readManifest(sess, dir, id)
+      if (m.entries.isEmpty)
         // all keys deleted: a TYPED empty frame from the manifest schema,
         // so downstream selects still resolve
-        schema.fold(sess.emptyDataFrame) { st =>
+        m.schema.fold(sess.emptyDataFrame) { st =>
           sess.createDataFrame(sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
         }
       else sess.read.option("mergeSchema", "true")
-        .parquet(entries.map(e => s"$dir/${e.relPath}"): _*)
+        .parquet(m.entries.map(e => s"$dir/${e.relPath}"): _*)
         .drop("_bucket")
     }
   }
@@ -307,77 +358,192 @@ object FileGroups {
       }
       .start()
 
-  /** Point lookup: resolve each probed key's hash bucket, drop buckets
-    * whose [min,max] stats exclude it, and scan only what survives —
-    * the metadata-table read path (1 file group per key instead of the
-    * table). Single-long-key tables only (the stats column). */
-  def pointLookup(sess: SparkSession, dir: String, keys: Seq[String],
-                  probes: Seq[Long]): Option[DataFrame] =
-    committedId(sess, dir).map { id =>
-      val (nb, schema, entries) = readManifest(sess, dir, id)
-      import sess.implicits._
-      // bucket of each probe via the SAME codegen'd expression as the
-      // writer (a driver-side reimplementation could drift) — AFTER
-      // casting the probe to the COMMITTED key type from the manifest
-      // schema: xxhash64 is type-sensitive (hash of int 5 ≠ long 5), so
-      // probing a non-bigint key table at LongType would silently hash
-      // every probe into the wrong bucket and return empty. A bucket
-      // survives only if SOME probe both hashes into it and lies inside
-      // its [min,max] — the per-probe pairing matters: with probes 1 and
-      // 99, a bucket spanning [40,60] must not survive on "1 ≤ hi and
-      // 99 ≥ lo"
-      val keyType = schema.flatMap(st => st.fields.find(_.name == keys.head).map(_.dataType))
-        .getOrElse(org.apache.spark.sql.types.LongType)
-      val probePairs = probeIndex(sess, keys, probes, keyType, nb)
-      // a bucket survives only if SOME probe hashes into it, lies inside
-      // its [min,max], AND passes its key bloom — a negative probe costs
-      // zero data-file IO (the bloom-index read path)
-      val hit = entries.filter { e =>
-        probePairs.exists { case (p, b, pos) =>
-          b == e.bucket && e.lo.forall(p >= _) && e.hi.forall(p <= _) &&
-            e.bloom.forall(bloomMightContain(_, pos))
-        }
+  // --------------------------------------------------------------------
+  // The typed probe model — the manifest index generalized beyond a
+  // single integer key (string PKs and composite PKs are the common
+  // Debezium reality). A probe is one KEY TUPLE: one value per key
+  // column, in `keys` order. Pruning = hash bucket (any shape) + key
+  // bloom (any shape) + [lo,hi] stats (single integer-family keys).
+
+  private def integerFamily(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  /** One probed key tuple resolved against the manifest index: its
+    * values CAST to the committed key types (equality filters built
+    * from these never coerce the key column — comparing a bigint key
+    * against a string literal would silently go through double and
+    * break above 2^53), its hash bucket, its bloom bit positions, and —
+    * for single integer-family keys — the long value the [lo,hi]
+    * manifest stats prune on. */
+  private final case class Probe(vals: Seq[Any], bucket: Long, pos: Seq[Long],
+                                 stat: Option[Long])
+
+  /** Can file group `e` possibly hold probe `p`? The ONE admit test
+    * every index consumer (pointLookup, purge, tagging, the SQL scan
+    * builder's [[referencedPaths]]) shares — a conservative superset
+    * cut: bucket must match, the [lo,hi] stats (when both sides carry
+    * them) must admit, the bloom (when present) must admit. The
+    * per-probe pairing matters: with probes 1 and 99, a bucket spanning
+    * [40,60] must not survive on "1 ≤ hi and 99 ≥ lo". */
+  private def admits(e: Entry)(p: Probe): Boolean =
+    p.bucket == e.bucket &&
+      p.stat.forall(v => e.lo.forall(v >= _) && e.hi.forall(v <= _)) &&
+      e.bloom.forall(bloomMightContain(_, p.pos))
+
+  /** Resolve each probed key tuple against the index, computed by the
+    * SAME codegen'd expressions as the writer (a driver-side
+    * reimplementation could drift), AFTER casting each value to the
+    * COMMITTED key type from the manifest schema: xxhash64 is
+    * type-sensitive (hash of int 5 ≠ long 5 ≠ string '5'), so probing a
+    * table at the wrong type would silently hash every probe into the
+    * wrong bucket and return empty. */
+  private def probeIndex(sess: SparkSession, keys: Seq[String], probes: Seq[Seq[Any]],
+                         schema: Option[StructType], nb: Int): Seq[Probe] = {
+    if (probes.isEmpty) return Nil
+    require(probes.forall(t => t.size == keys.size && t.forall(_ != null)),
+      s"each probe must carry exactly ${keys.size} non-null value(s) for " +
+        s"key columns (${keys.mkString(", ")})")
+    // normalize driver-side values, then infer the pre-cast column type
+    // per key column (the probe's natural type; int family widens to
+    // long so legacy Seq[Long] probes keep their exact historical path)
+    val norm: Seq[Seq[Any]] = probes.map(_.map {
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case f: Float => f.toDouble
+      case bd: BigDecimal => bd.bigDecimal
+      case v => v
+    })
+    val inferred: Seq[DataType] = keys.indices.map { i =>
+      norm.head(i) match {
+        case _: java.lang.Long => LongType
+        case _: String => StringType
+        case _: java.lang.Double => DoubleType
+        case _: java.math.BigDecimal => DecimalType(38, 18)
+        case _: java.lang.Boolean => BooleanType
+        case _: java.sql.Timestamp => TimestampType
+        case _: java.sql.Date => DateType
+        case other => throw new IllegalArgumentException(
+          s"unsupported probe value type ${other.getClass.getName} for key '${keys(i)}'")
       }
+    }
+    val keyTypes: Seq[Option[DataType]] =
+      keys.map(k => schema.flatMap(_.fields.find(_.name == k).map(_.dataType)))
+    val rowSchema = StructType(StructField("_i", IntegerType, nullable = false) +:
+      keys.zip(inferred).map { case (k, t) => StructField(k, t) })
+    import scala.jdk.CollectionConverters._
+    val df0 = sess.createDataFrame(
+      norm.zipWithIndex.map { case (t, i) => Row.fromSeq(i +: t) }.asJava, rowSchema)
+    val casted = keys.zip(keyTypes).foldLeft(df0) { case (d, (k, t)) =>
+      t.fold(d)(dt => d.withColumn(k, col(k).cast(dt)))
+    }
+    val statType = keyTypes.head.getOrElse(inferred.head)
+    val statCol =
+      if (keys.size == 1 && integerFamily(statType)) col(keys.head).cast("long")
+      else lit(null).cast("long")
+    casted
+      .select(col("_i"), struct(keys.map(col): _*).as("_t"),
+        bucketCol(keys, nb).as("_b"),
+        array((0 until BloomK).map(i => bloomPos(keys.map(col), i)): _*).as("_pos"),
+        statCol.as("_stat"))
+      .collect().sortBy(_.getInt(0)).toSeq
+      .map { r =>
+        Probe(r.getStruct(1).toSeq, r.getLong(2), r.getSeq[Long](3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))
+      }
+  }
+
+  /** Exact key-membership filter from resolved probes: values are
+    * already at the committed key types, so the comparison never
+    * coerces the key column. Single-key tables take the `isin` fast
+    * path; composite keys OR per-tuple AND-equalities (probe lists are
+    * lookup-shaped — bounded by the caller, never corpus-sized). */
+  private def tupleMatch(keys: Seq[String], ps: Seq[Probe]): Column =
+    if (keys.size == 1) col(keys.head).isin(ps.map(_.vals.head): _*)
+    else ps.map(p => keys.zip(p.vals).map { case (k, v) => col(k) === lit(v) }
+      .reduce(_ && _)).reduce(_ || _)
+
+  /** Per-bucket manifest entries for a freshly rewritten version dir
+    * (shared by [[commit]] and the purge rewrite): ONE narrow agg pass
+    * for [lo,hi,count] — [lo,hi] populated only for single
+    * integer-family keys, the stats-index scope — plus the distributed
+    * key blooms, built for ANY key shape. */
+  private def rewriteEntries(out: DataFrame, keys: Seq[String], batchId: Long): Seq[Entry] = {
+    val singleIntKey = keys.size == 1 &&
+      out.schema.fields.find(_.name == keys.head).exists(f => integerFamily(f.dataType))
+    val statCol = if (singleIntKey) col(keys.head).cast("long") else lit(null).cast("long")
+    val blooms = buildBlooms(out, keys)
+    out.groupBy(col("_bucket"))
+      .agg(min(statCol).as("lo"), max(statCol).as("hi"), count(lit(1)).as("n"))
+      .collect().map { r =>
+        Entry(r.getLong(0), s"files/v$batchId/_bucket=${r.getLong(0)}",
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3),
+          blooms.get(r.getLong(0)))
+      }.toSeq
+  }
+
+  /** Point lookup by key TUPLE — string and composite record keys
+    * included: resolve each probed tuple's hash bucket, drop buckets
+    * whose index metadata (stats/bloom) excludes it, and scan only what
+    * survives — the metadata-table read path (1 file group per key
+    * instead of the table). */
+  def pointLookupTuples(sess: SparkSession, dir: String, keys: Seq[String],
+                        probes: Seq[Seq[Any]]): Option[DataFrame] =
+    committedId(sess, dir).map { id =>
+      val m = readManifest(sess, dir, id)
+      checkKeys(m, keys, dir)
+      val ps = probeIndex(sess, keys, probes, m.schema, m.nBuckets)
+      // a bucket survives only if SOME probe hashes into it AND passes
+      // its stats + key bloom — a negative probe costs zero data-file
+      // IO (the bloom-index read path)
+      val hit = m.entries.filter(e => ps.exists(admits(e)))
       if (hit.isEmpty) read(sess, dir).get.limit(0)
       else sess.read.option("mergeSchema", "true")
         .parquet(hit.map(e => s"$dir/${e.relPath}"): _*)
         .drop("_bucket")
-        .filter(col(keys.head).isin(probes: _*))
+        .filter(tupleMatch(keys, ps))
     }
 
-  /** (probe, bucket, bloom positions) for each probed key, computed by
-    * the SAME codegen'd expressions as the writer, at the committed key
-    * type (see [[pointLookup]] for why both of those matter). */
-  private def probeIndex(sess: SparkSession, keys: Seq[String], probes: Seq[Long],
-                         keyType: org.apache.spark.sql.types.DataType, nb: Int):
-      Seq[(Long, Long, Seq[Long])] = {
-    import sess.implicits._
-    probes.toDF(keys.head)
-      .select(col(keys.head).cast(keyType).as(keys.head))
-      .select(col(keys.head).cast("long").as("p"), bucketCol(keys, nb).as("b"),
-        array((0 until BloomK).map(i => bloomPos(col(keys.head), i)): _*).as("pos"))
-      .as[(Long, Long, Seq[Long])].collect().toSeq
+  /** Single-long-key convenience over [[pointLookupTuples]] (the
+    * historical API shape — Debezium integer PKs). */
+  def pointLookup(sess: SparkSession, dir: String, keys: Seq[String],
+                  probes: Seq[Long]): Option[DataFrame] =
+    pointLookupTuples(sess, dir, keys, probes.map(Seq(_)))
+
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case other => throw new IllegalArgumentException(
+      s"expected an integer key value, got ${other.getClass.getName}")
   }
 
-  /** Index-only candidate test: for each probe, can the table possibly
-    * contain it? False ⇒ DEFINITELY absent (bloom + stats are
-    * one-sided); true ⇒ candidate, confirm by scanning its file group.
-    * This is the metadata half of [[tagKeys]], exposed so the pruning
-    * property itself is testable. */
+  /** Index-only candidate test by key TUPLE: for each probe, can the
+    * table possibly contain it? False ⇒ DEFINITELY absent (bloom +
+    * stats are one-sided); true ⇒ candidate, confirm by scanning its
+    * file group. The metadata half of [[tagKeys]], exposed so the
+    * pruning property itself is testable. Tuples are returned at the
+    * COMMITTED key types, in probe order. */
+  def bloomCandidateTuples(sess: SparkSession, dir: String, keys: Seq[String],
+                           probes: Seq[Seq[Any]]): Option[Seq[(Seq[Any], Boolean)]] =
+    committedId(sess, dir).map { id =>
+      val m = readManifest(sess, dir, id)
+      checkKeys(m, keys, dir)
+      val byBucket = m.entries.map(e => e.bucket -> e).toMap
+      probeIndex(sess, keys, probes, m.schema, m.nBuckets).map { p =>
+        p.vals -> byBucket.get(p.bucket).exists(e => admits(e)(p))
+      }
+    }
+
+  /** Single-long-key convenience over [[bloomCandidateTuples]]. */
   def bloomCandidates(sess: SparkSession, dir: String, keys: Seq[String],
                       probes: Seq[Long]): Option[Map[Long, Boolean]] =
-    committedId(sess, dir).map { id =>
-      val (nb, schema, entries) = readManifest(sess, dir, id)
-      val keyType = schema.flatMap(st => st.fields.find(_.name == keys.head).map(_.dataType))
-        .getOrElse(org.apache.spark.sql.types.LongType)
-      val byBucket = entries.map(e => e.bucket -> e).toMap
-      probeIndex(sess, keys, probes, keyType, nb).map { case (p, b, pos) =>
-        p -> byBucket.get(b).exists { e =>
-          e.lo.forall(p >= _) && e.hi.forall(p <= _) &&
-            e.bloom.forall(bloomMightContain(_, pos))
-        }
-      }.toMap
-    }
+    bloomCandidateTuples(sess, dir, keys, probes.map(Seq(_)))
+      .map(_.map { case (vs, b) => asLong(vs.head) -> b }.toMap)
 
   /** Hard purge — the right-to-be-forgotten operation: remove `purge`d
     * keys from the CURRENT state AND from every retained historical
@@ -408,13 +574,14 @@ object FileGroups {
     * `_PURGE_<batchId>` intent marker is written before any mutation
     * and removed only after step 3 completes. While it stands,
     * [[readAt]] refuses to serve pre-purge versions (no silent
-    * resurrection), and the next purgeKeys call on the table finishes
+    * resurrection), and the next purge call on the table finishes
     * the forget step (marker committed) or discards the orphan rewrite
-    * (marker uncommitted) before proceeding. Single-long-key tables
-    * (the stats/bloom scope). Returns the rewritten bucket set. */
-  def purgeKeys(sess: SparkSession, dir: String, keys: Seq[String],
-                purge: Seq[Long], batchId: Long): Set[Long] = {
-    require(keys.size == 1, "purgeKeys supports single-key tables (the index scope)")
+    * (marker uncommitted) before proceeding. ANY key shape — string and
+    * composite keys prune by hash bucket + key bloom; single
+    * integer-family keys additionally by [lo,hi] stats. Returns the
+    * rewritten bucket set. */
+  def purgeKeyTuples(sess: SparkSession, dir: String, keys: Seq[String],
+                     purge: Seq[Seq[Any]], batchId: Long): Set[Long] = {
     val fs = fsOf(sess)
     val id = committedId(sess, dir).getOrElse(
       throw new IllegalStateException(s"no committed table at $dir"))
@@ -429,16 +596,11 @@ object FileGroups {
     // commit, the table never changed — drop the orphan rewrite dir and
     // the marker, then proceed.
     completePendingPurge(sess, dir)
-    val (nb, schema, entries) = readManifest(sess, dir, id)
-    val keyType = schema.flatMap(st => st.fields.find(_.name == keys.head).map(_.dataType))
-      .getOrElse(org.apache.spark.sql.types.LongType)
-    val probes = probeIndex(sess, keys, purge, keyType, nb)
-    val dirtyBuckets = entries.filter { e =>
-      probes.exists { case (p, b, pos) =>
-        b == e.bucket && e.lo.forall(p >= _) && e.hi.forall(p <= _) &&
-          e.bloom.forall(bloomMightContain(_, pos))
-      }
-    }
+    val m = readManifest(sess, dir, id)
+    checkKeys(m, keys, dir)
+    val (nb, schema, entries) = (m.nBuckets, m.schema, m.entries)
+    val probes = probeIndex(sess, keys, purge, schema, nb)
+    val dirtyBuckets = entries.filter(e => probes.exists(admits(e)))
     // Intent marker BEFORE any mutation: records that a purge is in
     // flight, so a crash anywhere below is DETECTED rather than silent —
     // readAt fails loudly on pre-purge versions while it stands, and the
@@ -459,26 +621,23 @@ object FileGroups {
     val newEntries: Seq[Entry] =
       if (dirtyBuckets.isEmpty) entries
       else {
+        // !coalesce(match, false): a row is removed only when it
+        // DEFINITELY matches a purged tuple — a null key column makes
+        // the equality null, and such a row is not a purge target (the
+        // probe values are non-null by contract), so it survives
         val kept = sess.read.option("mergeSchema", "true")
           .parquet(dirtyBuckets.map(e => s"$dir/${e.relPath}"): _*)
-          .filter(!col(keys.head).isin(purge: _*))
+          .filter(!coalesce(tupleMatch(keys, probes), lit(false)))
           .withColumn("_bucket", bucketCol(keys, nb)).persist()
         kept.write.mode("overwrite").partitionBy("_bucket").parquet(s"$dir/files/v$batchId")
-        val blooms = buildBlooms(kept, keys.head)
-        val stats = kept.groupBy(col("_bucket"))
-          .agg(min(col(keys.head).cast("long")).as("lo"),
-            max(col(keys.head).cast("long")).as("hi"), count(lit(1)).as("n"))
-          .collect().map { r =>
-            Entry(r.getLong(0), s"files/v$batchId/_bucket=${r.getLong(0)}",
-              Some(r.getLong(1)), Some(r.getLong(2)), r.getLong(3),
-              blooms.get(r.getLong(0)))
-          }.toSeq
+        val stats = rewriteEntries(kept, keys, batchId)
         kept.unpersist()
         val dirtySet = dirtyBuckets.map(_.bucket).toSet
         entries.filterNot(e => dirtySet.contains(e.bucket)) ++ stats
       }
     writeManifest(sess, dir, batchId, nb,
-      schema.getOrElse(read(sess, dir).get.schema), newEntries)
+      schema.getOrElse(read(sess, dir).get.schema), keys,
+      m.ord.getOrElse(Nil), newEntries)
     fs.createNewFile(path(s"$dir/_COMMIT_$batchId"))
     // step 3 — forget, then retire the intent marker
     forgetHistory(sess, dir, batchId)
@@ -486,40 +645,41 @@ object FileGroups {
     dirtyBuckets.map(_.bucket).toSet
   }
 
+  /** Single-long-key convenience over [[purgeKeyTuples]] (the
+    * historical API shape). */
+  def purgeKeys(sess: SparkSession, dir: String, keys: Seq[String],
+                purge: Seq[Long], batchId: Long): Set[Long] =
+    purgeKeyTuples(sess, dir, keys, purge.map(Seq(_)), batchId)
+
   /** DSv2 catalog support ([[graft.sources.FileGroupCatalog]]): the
     * table schema version `id`'s manifest records. */
   private[graft] def manifestSchema(sess: SparkSession, dir: String, id: Long):
-      Option[org.apache.spark.sql.types.StructType] =
-    readManifest(sess, dir, id)._2
+      Option[StructType] =
+    readManifest(sess, dir, id).schema
 
   /** SQL maintenance support ([[graft.sources.FileGroupProcedures]]
     * `show_commits`): version `id`'s (file-group count, total rows) —
     * manifest metadata only, no data read. */
   private[graft] def manifestStats(sess: SparkSession, dir: String, id: Long): (Int, Long) = {
-    val entries = readManifest(sess, dir, id)._3
+    val entries = readManifest(sess, dir, id).entries
     (entries.size, entries.map(_.count).sum)
   }
 
   /** DSv2 catalog support: the data paths version `id` references —
-    * cut to the buckets that could hold `probes` when probes are given
-    * (hash bucket + [min,max] stats + key bloom, the same manifest
-    * index [[pointLookup]] and [[purgeKeys]] prune with). Empty probes
-    * = the full snapshot's paths. */
+    * cut to the buckets that could hold the probed key TUPLES when
+    * probes are given (hash bucket + [min,max] stats + key bloom, the
+    * same manifest index [[pointLookupTuples]] and [[purgeKeyTuples]]
+    * prune with — string and composite keys included). Empty probes =
+    * the full snapshot's paths. */
   private[graft] def referencedPaths(sess: SparkSession, dir: String, id: Long,
-                                     keys: Seq[String], probes: Seq[Long]): Seq[String] = {
-    val (nb, schema, entries) = readManifest(sess, dir, id)
+                                     keys: Seq[String], probes: Seq[Seq[Any]]): Seq[String] = {
+    val m = readManifest(sess, dir, id)
     val sel =
-      if (probes.isEmpty) entries
+      if (probes.isEmpty) m.entries
       else {
-        val keyType = schema.flatMap(st => st.fields.find(_.name == keys.head).map(_.dataType))
-          .getOrElse(org.apache.spark.sql.types.LongType)
-        val pr = probeIndex(sess, keys, probes, keyType, nb)
-        entries.filter { e =>
-          pr.exists { case (p, b, pos) =>
-            b == e.bucket && e.lo.forall(p >= _) && e.hi.forall(p <= _) &&
-              e.bloom.forall(bloomMightContain(_, pos))
-          }
-        }
+        checkKeys(m, keys, dir)
+        val pr = probeIndex(sess, keys, probes, m.schema, m.nBuckets)
+        m.entries.filter(e => pr.exists(admits(e)))
       }
     sel.map(e => s"$dir/${e.relPath}")
   }
@@ -618,7 +778,7 @@ object FileGroups {
     Savepoints.savepoints(sess, dir).filter(_ < batchId).foreach(spId =>
       fs.delete(path(s"$dir/_SAVEPOINT_$spId"), false))
     val referenced: Set[String] = Ingest.snapshotVersions(sess, dir)
-      .flatMap(v => readManifest(sess, dir, v)._3.map(_.relPath)).toSet
+      .flatMap(v => readManifest(sess, dir, v).entries.map(_.relPath)).toSet
     if (fs.exists(path(s"$dir/files")))
       fs.listStatus(path(s"$dir/files")).foreach { vdir =>
         fs.listStatus(vdir.getPath).foreach { bdir =>
@@ -652,5 +812,43 @@ object FileGroups {
         .withColumn("tag",
           when(col(keys.head).isin(existing.toSeq: _*), lit("update"))
             .otherwise(lit("insert")))
+    }
+
+  /** [[tagKeys]] generalized to key TUPLES (string/composite record
+    * keys): classify each probed tuple `update` (present) vs `insert`
+    * (absent), exactly — bloom+stats answer the negatives from index
+    * metadata alone, candidate tuples' file groups are scanned once to
+    * squeeze out false positives. Output: the key columns at the
+    * COMMITTED key types plus `tag`, one row per probe in probe order. */
+  def tagKeyTuples(sess: SparkSession, dir: String, keys: Seq[String],
+                   probes: Seq[Seq[Any]]): Option[DataFrame] =
+    committedId(sess, dir).map { id =>
+      val schema = readManifest(sess, dir, id).schema
+      val cand = bloomCandidateTuples(sess, dir, keys, probes).get
+      val candidateTuples = probes.zip(cand).collect { case (orig, (_, true)) => orig }
+      // present tuples at the committed key types — the same type space
+      // cand's vals live in, so Set membership compares like-for-like
+      val existing: Set[Seq[Any]] =
+        if (candidateTuples.isEmpty) Set.empty
+        else pointLookupTuples(sess, dir, keys, candidateTuples).get
+          .select(keys.map(col): _*).distinct().collect().map(_.toSeq).toSet
+      val keyTypes = keys.zipWithIndex.map { case (k, i) =>
+        schema.flatMap(_.fields.find(_.name == k).map(_.dataType)).getOrElse {
+          cand.head._1(i) match {
+            case _: java.lang.Long => LongType
+            case _: java.lang.Integer => IntegerType
+            case _: String => StringType
+            case other => throw new IllegalArgumentException(
+              s"cannot infer key type for '${k}' from ${other.getClass.getName}")
+          }
+        }
+      }
+      val outSchema = StructType(keys.zip(keyTypes).map { case (k, t) => StructField(k, t) } :+
+        StructField("tag", StringType, nullable = false))
+      import scala.jdk.CollectionConverters._
+      val rows = cand.map { case (vals, isCand) =>
+        Row.fromSeq(vals :+ (if (isCand && existing(vals)) "update" else "insert"))
+      }
+      sess.createDataFrame(rows.asJava, outSchema)
     }
 }

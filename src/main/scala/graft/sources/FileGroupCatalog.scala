@@ -34,9 +34,11 @@ import graft.cdc.{FileGroups, Ingest}
   * manifest-referenced files, so column pruning and filter pushdown
   * come from Spark itself, and record-key equality predicates
   * additionally prune FILE GROUPS from the manifest index (hash bucket
-  * + [min,max] stats + key bloom — the [[graft.cdc.FileGroups.
-  * pointLookup]] metadata read, now reached from SQL). At 100 TB a
-  * `WHERE id = k` catalog query scans ~1 file group, never the table.
+  * + key bloom for every key shape, [min,max] stats for single
+  * integer keys — the [[graft.cdc.FileGroups.pointLookupTuples]]
+  * metadata read, now reached from SQL). At 100 TB a `WHERE id = k`
+  * catalog query scans ~1 file group, never the table — for integer,
+  * string (UUID) and composite record keys alike.
   *
   * READ-ONLY by design: writes go through the crash-safe
   * [[graft.cdc.FileGroups.commit]]/[[graft.cdc.MergeOnRead]] protocol,
@@ -48,11 +50,12 @@ import graft.cdc.{FileGroups, Ingest}
   * silently serve the wrong warehouse after a conf change.
   *
   * Options: `root` (required) — the directory whose children are
-  * file-group tables; `keys` (default `id`) — the record-key column
-  * bucket pruning probes. The manifest probe index is single-long-key
-  * scope (as purgeKeys/pointLookup): a multi-column `keys` config
-  * still reads correctly, but key predicates fall back to the full
-  * referenced-file scan (no bucket pruning) instead of erroring.
+  * file-group tables; `keys` (default `id`) — the record-key
+  * column(s) bucket pruning probes. Integer, string and composite
+  * keys all prune: a composite-key query needs every key column
+  * equality-constrained to cut file groups (the scan builder's
+  * cross-product tuple probes); anything else reads correctly via the
+  * full referenced-file scan.
   */
 class FileGroupCatalog extends TableCatalog with ProcedureCatalog {
 
@@ -142,7 +145,14 @@ class FileGroupCatalog extends TableCatalog with ProcedureCatalog {
       throw new IllegalArgumentException(
         s"version $id of ${ident.name()} is not retained (committed: $committed, " +
           s"retained: ${Ingest.snapshotVersions(spark, dir).mkString(", ")})")
-    new FileGroupTable(spark, s"$catalogName.${ident.name()}", dir, id, keys, ord)
+    // key/ordering columns come from the MANIFEST when recorded (the
+    // table is self-describing — a misconfigured `keys` conf could
+    // otherwise hash probes with the wrong bucketing and silently
+    // prune live file groups); the catalog conf is the fallback for
+    // pre-header tables only
+    val (mKeys, mOrd) = FileGroups.tableKeyConfig(spark, dir).getOrElse((None, None))
+    new FileGroupTable(spark, s"$catalogName.${ident.name()}", dir, id,
+      mKeys.getOrElse(keys), mOrd.getOrElse(ord))
   }
 
   /** Maintenance procedures ([[FileGroupProcedures]]) live in the

@@ -195,12 +195,17 @@ private[sources] object FileGroupProcedures {
   }
 
   /** `CALL c.purge_keys(table, keys)` — right-to-be-forgotten through
-    * SQL: [[FileGroups.purgeKeys]] with the next version id — the keys
-    * leave the CURRENT state and every retained historical version
+    * SQL: [[FileGroups.purgeKeyTuples]] with the next version id — the
+    * keys leave the CURRENT state and every retained historical version
     * (manifests, savepoints, unreferenced data dropped), rewriting only
     * the file groups the manifest index admits for the purged keys.
     * Crash-safe via the `_PURGE_` intent marker like every Scala-side
-    * purge. Returns the rewritten bucket ids. */
+    * purge. The `keys` parameter is `array<string>` so ONE procedure
+    * serves integer AND string (UUID) record keys — each element is
+    * cast to the table's committed key type before hashing (ANSI store
+    * assignment coerces an `array(1, 2)` argument transparently);
+    * composite-key tables purge through the Scala door's tuple API.
+    * Returns the rewritten bucket ids. */
   private final class PurgeKeys(spark: => SparkSession, root: => String,
                                 keys: => Seq[String])
       extends FgProcedure(spark, root) {
@@ -208,17 +213,24 @@ private[sources] object FileGroupProcedures {
     override def description(): String =
       "hard-delete record keys from the current state AND all retained history"
     override def parameters(): Array[ProcedureParameter] =
-      Array(in("table", StringType), in("keys", ArrayType(LongType, containsNull = false)))
+      Array(in("table", StringType), in("keys", ArrayType(StringType, containsNull = false)))
 
     private val schema = StructType(Seq(
       StructField("rewritten_bucket", LongType, nullable = false)))
 
     override def call(input: InternalRow): util.Iterator[Scan] = {
       val dir = resolveDir(input.getUTF8String(0).toString)
-      val purge = input.getArray(1).toLongArray().toSeq
+      val purge = input.getArray(1).toObjectArray(StringType)
+        .map(v => Seq[Any](v.toString)).toSeq
       require(purge.nonEmpty, "purge_keys needs at least one key")
+      // manifest-recorded key columns win over the catalog conf (the
+      // same self-describing rule as the catalog's loadTable)
+      val tableKeys = FileGroups.tableKeyConfig(session, dir).flatMap(_._1).getOrElse(keys)
+      require(tableKeys.size == 1,
+        "purge_keys takes one value per key — composite-key tables purge " +
+          "through FileGroups.purgeKeyTuples")
       val id = FileGroups.committedId(session, dir).get
-      val buckets = FileGroups.purgeKeys(session, dir, keys, purge, id + 1)
+      val buckets = FileGroups.purgeKeyTuples(session, dir, tableKeys, purge, id + 1)
       result(schema, buckets.toSeq.sorted.map(InternalRow(_)))
     }
   }

@@ -5,8 +5,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualNullSafe, EqualTo, Expression, In, Literal}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.cdc.FileGroups
 
@@ -16,12 +17,15 @@ import graft.cdc.FileGroups
   * referenced bucket dirs, plus ONE override: `build()` inspects the
   * pushed data filters for record-key equality/IN probes and, when
   * found, swaps the file index for one holding only the file groups
-  * the manifest index (hash bucket + [min,max] stats + key bloom)
-  * admits — [[FileGroups.pointLookup]]'s metadata pruning surfacing
-  * in SQL plans. The pruning is a conservative superset cut and the
-  * key predicate stays in the scan's pushed filters, so results are
-  * exact either way. Non-key predicates, ranges, and wide IN lists
-  * (> [[FileGroupScanBuilder.MaxProbes]]) fall back to the full
+  * the manifest index (hash bucket + stats + key bloom) admits —
+  * [[FileGroups.pointLookupTuples]]'s metadata pruning surfacing in
+  * SQL plans, for EVERY record-key shape: integer keys, string (UUID)
+  * keys, and composite keys (each key column equality-constrained →
+  * the cross product of the per-column literal lists is the candidate
+  * tuple set). The pruning is a conservative superset cut and the key
+  * predicate stays in the scan's pushed filters, so results are exact
+  * either way. Non-key predicates, ranges, and probe sets wider than
+  * [[FileGroupScanBuilder.MaxProbes]] fall back to the full
   * referenced-file scan unchanged. */
 class FileGroupScanBuilder private (
     sparkSes: SparkSession,
@@ -33,56 +37,75 @@ class FileGroupScanBuilder private (
     options: CaseInsensitiveStringMap)
   extends ParquetScanBuilder(sparkSes, allFiles, tableSchema, tableSchema, options) {
 
-  private def probeValue(e: Expression): Option[Long] = e match {
+  /** A pushable probe literal: int family (normalized to Long — the
+    * probe resolver casts to the committed key type anyway) and
+    * strings. Other types (decimal, timestamp) are rare as record keys
+    * and simply fall back to the unpruned referenced-file scan. */
+  private def probeValue(e: Expression): Option[Any] = e match {
     case Literal(v: Long, LongType) => Some(v)
     case Literal(v: Int, IntegerType) => Some(v.toLong)
     case Literal(v: Short, ShortType) => Some(v.toLong)
     case Literal(v: Byte, ByteType) => Some(v.toLong)
+    case Literal(v: UTF8String, _: StringType) => Some(v.toString)
     case _ => None
   }
 
-  private def isKey(e: Expression): Boolean = e match {
+  /** The canonical key-column name `e` references, if any. */
+  private def keyOf(e: Expression): Option[String] = e match {
     case a: AttributeReference =>
-      keys.exists(sparkSes.sessionState.conf.resolver(_, a.name))
-    case _ => false
-  }
-
-  /** One pushed conjunct's key-probe list, if the WHOLE conjunct
-    * converts: `Some(vs)` only when every element is a convertible
-    * literal — an IN list with a non-literal entry (`id IN (5,
-    * other_col)`) returns None so that conjunct contributes NO pruning
-    * (a partial literal subset would prune away file groups holding
-    * rows that match the dropped entry — silent wrong results). */
-  private def conjunctProbes(e: Expression): Option[Seq[Long]] = e match {
-    case EqualTo(a, l) if isKey(a) => probeValue(l).map(Seq(_))
-    case EqualTo(l, a) if isKey(a) => probeValue(l).map(Seq(_))
-    case EqualNullSafe(a, l) if isKey(a) => probeValue(l).map(Seq(_))
-    case EqualNullSafe(l, a) if isKey(a) => probeValue(l).map(Seq(_))
-    case In(a, vs) if isKey(a) =>
-      val ps = vs.map(probeValue)
-      if (ps.nonEmpty && ps.forall(_.isDefined)) Some(ps.flatten) else None
+      keys.find(sparkSes.sessionState.conf.resolver(_, a.name))
     case _ => None
   }
 
-  /** Key probes from the PUSHED data filters (catalyst side — populated
-    * by FileScanBuilder.pushFilters before build()). Conjuncts are
-    * ANDed, so each FULLY-converted conjunct's list alone bounds the
-    * matching keys — the INTERSECTION across converted conjuncts is
-    * the tightest sound cut, and partially-converted conjuncts are
-    * discarded wholesale (never used as a subset). Empty = no pruning. */
-  private def keyProbes: Seq[Long] =
-    dataFilters.flatMap(conjunctProbes(_).map(_.distinct)) match {
-      case Seq() => Nil
-      case lists => lists.reduce(_ intersect _)
+  /** One pushed conjunct's (key column, probe literals), if the WHOLE
+    * conjunct converts: `Some(k, vs)` only when every element is a
+    * convertible literal — an IN list with a non-literal entry (`id IN
+    * (5, other_col)`) returns None so that conjunct contributes NO
+    * pruning (a partial literal subset would prune away file groups
+    * holding rows that match the dropped entry — silent wrong
+    * results). */
+  private def conjunctProbes(e: Expression): Option[(String, Seq[Any])] = e match {
+    case EqualTo(a, l) if keyOf(a).isDefined => probeValue(l).map(v => (keyOf(a).get, Seq(v)))
+    case EqualTo(l, a) if keyOf(a).isDefined => probeValue(l).map(v => (keyOf(a).get, Seq(v)))
+    case EqualNullSafe(a, l) if keyOf(a).isDefined => probeValue(l).map(v => (keyOf(a).get, Seq(v)))
+    case EqualNullSafe(l, a) if keyOf(a).isDefined => probeValue(l).map(v => (keyOf(a).get, Seq(v)))
+    case In(a, vs) if keyOf(a).isDefined =>
+      val ps = vs.map(probeValue)
+      if (ps.nonEmpty && ps.forall(_.isDefined)) Some((keyOf(a).get, ps.flatten)) else None
+    case _ => None
+  }
+
+  /** Candidate key TUPLES from the PUSHED data filters (catalyst side —
+    * populated by FileScanBuilder.pushFilters before build()).
+    * Conjuncts are ANDed, so per key column the INTERSECTION of its
+    * fully-converted conjuncts' lists is the tightest sound literal
+    * set, and partially-converted conjuncts are discarded wholesale
+    * (never used as a subset). A tuple set exists only when EVERY key
+    * column is equality-constrained (`k1 = 5 AND k2 IN ('a','b')` →
+    * tuples (5,'a'),(5,'b') — any matching row's tuple must lie in the
+    * cross product, so the cut is sound); a missing column, an empty
+    * intersection (contradictory conjuncts — Spark's own filters
+    * already return zero rows), or a cross product past
+    * [[FileGroupScanBuilder.MaxProbes]] yields Nil = no pruning. */
+  private def keyProbes: Seq[Seq[Any]] = {
+    val perCol: Map[String, Seq[Seq[Any]]] =
+      dataFilters.flatMap(conjunctProbes).groupMap(_._1)(_._2.distinct)
+    val colLists: Map[String, Seq[Any]] =
+      perCol.view.mapValues(_.reduce(_ intersect _)).toMap
+    if (!keys.forall(k => colLists.get(k).exists(_.nonEmpty))) Nil
+    else {
+      val lists = keys.map(colLists)
+      if (lists.map(_.size.toLong).product > FileGroupScanBuilder.MaxProbes) Nil
+      else lists.foldLeft(Seq(Seq.empty[Any])) { (acc, l) =>
+        acc.flatMap(t => l.map(t :+ _))
+      }
     }
+  }
 
   override def build(): ParquetScan = {
     val base = super.build()
-    // manifest probe pruning is single-long-key scope (the stats/bloom
-    // index); a multi-key catalog config reads correctly via the full
-    // referenced-file scan
-    val probes = if (keys.size == 1) keyProbes else Nil
-    if (probes.isEmpty || probes.size > FileGroupScanBuilder.MaxProbes) base
+    val probes = keyProbes
+    if (probes.isEmpty) base
     else {
       val paths = FileGroups.referencedPaths(sparkSes, dir, version, keys, probes)
       base.copy(fileIndex = FileGroupScanBuilder.index(sparkSes, paths, tableSchema))
@@ -92,9 +115,10 @@ class FileGroupScanBuilder private (
 
 object FileGroupScanBuilder {
 
-  /** Probe-list cap: past this an IN list is scan-shaped, not
-    * lookup-shaped, and the full referenced-file scan with parquet
-    * row-group skipping wins over per-probe bucket resolution. */
+  /** Probe-list cap: past this an IN list (or a composite cross
+    * product) is scan-shaped, not lookup-shaped, and the full
+    * referenced-file scan with parquet row-group skipping wins over
+    * per-probe bucket resolution. */
   val MaxProbes = 256
 
   private[sources] def index(spark: SparkSession, paths: Seq[String],

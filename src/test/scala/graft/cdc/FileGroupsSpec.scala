@@ -87,6 +87,91 @@ class FileGroupsSpec extends SparkSpec {
     assert(ghost.count() == 0)
   }
 
+  test("string record keys: replay equals collapse, tuple point lookup prunes, tuple purge forgets") {
+    // the common Debezium reality beyond integer PKs: a UUID-ish string
+    // key must get the SAME index treatment — hash-bucket + key-bloom
+    // pruning (no [lo,hi] stats: those are the integer-key extra)
+    val dir = tmpDir("graft_fg_str") + "/t"
+    val l = log().withColumn("id", concat(lit("u"), $"id"))
+    FileGroups.commit(spark, dir, l.filter($"lsn" < 500), 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    FileGroups.commit(spark, dir, l.filter($"lsn" >= 500), 1L, Seq("id"), Seq("lsn"))
+    val full = FileGroups.read(spark, dir).get
+    val want = CdcMerge.snapshot(l, Seq("id"), Seq("lsn"))
+      .select($"id", $"lsn", $"op", $"value").orderBy($"id").collect().toSeq
+    assert(full.select($"id", $"lsn", $"op", $"value").orderBy($"id").collect().toSeq == want)
+
+    val k = full.select(min($"id")).as[String].head()
+    val hit = FileGroups.pointLookupTuples(spark, dir, Seq("id"), Seq(Seq(k))).get
+    assert(hit.select($"id", $"lsn", $"op", $"value").collect().toSeq ==
+      full.filter($"id" === k).select($"id", $"lsn", $"op", $"value").collect().toSeq)
+    val nFilesTotal = full.select(input_file_name()).distinct().count()
+    val nFilesHit = hit.select(input_file_name()).distinct().count()
+    assert(nFilesHit < nFilesTotal, s"string-key lookup scanned $nFilesHit of $nFilesTotal files")
+
+    // index metadata answers the absent key (bloom one-sidedness: false
+    // = definitely absent), and tagging classifies exactly
+    val cand = FileGroups.bloomCandidateTuples(spark, dir, Seq("id"),
+      Seq(Seq(k), Seq("no-such-key"))).get
+    assert(cand.head == (Seq(k) -> true))
+    assert(cand(1)._2 == false, "absent string key must not be a candidate")
+    val tags = FileGroups.tagKeyTuples(spark, dir, Seq("id"),
+      Seq(Seq(k), Seq("no-such-key"))).get.collect()
+    assert(tags.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq((k, "update"), ("no-such-key", "insert")))
+
+    // tuple purge: the key leaves the current state AND retained history
+    FileGroups.purgeKeyTuples(spark, dir, Seq("id"), Seq(Seq(k)), 2L)
+    assert(FileGroups.read(spark, dir).get.filter($"id" === k).count() == 0)
+    assert(Ingest.snapshotVersions(spark, dir) == Seq(2L), "pre-purge history must be forgotten")
+  }
+
+  test("composite record keys: tuple index prunes and purges; commit validates the pinned key") {
+    val dir = tmpDir("graft_fg_comp") + "/t"
+    // second key column with a small domain: the tuple (id, region) is
+    // the record identity (region derived so the collapse semantics
+    // stay comparable to the single-key oracle)
+    val l = log().withColumn("region", pmod($"id", lit(5)).cast("int"))
+    FileGroups.commit(spark, dir, l.filter($"lsn" < 500), 0L,
+      Seq("id", "region"), Seq("lsn"), nBuckets = 8)
+    FileGroups.commit(spark, dir, l.filter($"lsn" >= 500), 1L, Seq("id", "region"), Seq("lsn"))
+    val full = FileGroups.read(spark, dir).get
+    val want = CdcMerge.snapshot(l, Seq("id", "region"), Seq("lsn"))
+      .select($"id", $"region", $"lsn", $"op", $"value").orderBy($"id").collect().toSeq
+    assert(full.select($"id", $"region", $"lsn", $"op", $"value")
+      .orderBy($"id").collect().toSeq == want)
+
+    val r0 = full.orderBy($"id").select($"id", $"region").head()
+    val (kid, kreg) = (r0.getLong(0), r0.getInt(1))
+    val hit = FileGroups.pointLookupTuples(spark, dir, Seq("id", "region"),
+      Seq(Seq(kid, kreg))).get
+    assert(hit.select($"id", $"lsn").collect().toSeq ==
+      full.filter($"id" === kid && $"region" === kreg).select($"id", $"lsn").collect().toSeq)
+    val nFilesTotal = full.select(input_file_name()).distinct().count()
+    val nFilesHit = hit.select(input_file_name()).distinct().count()
+    assert(nFilesHit < nFilesTotal, s"tuple lookup scanned $nFilesHit of $nFilesTotal files")
+    // the WRONG tuple half returns nothing (the index hashes the whole
+    // tuple; the exact filter guarantees zero rows either way)
+    assert(FileGroups.pointLookupTuples(spark, dir, Seq("id", "region"),
+      Seq(Seq(kid, (kreg + 1) % 5))).get.count() == 0)
+
+    // tuple purge removes exactly that identity
+    FileGroups.purgeKeyTuples(spark, dir, Seq("id", "region"), Seq(Seq(kid, kreg)), 2L)
+    val after = FileGroups.read(spark, dir).get
+    assert(after.filter($"id" === kid && $"region" === kreg).count() == 0)
+
+    // the key is PINNED at creation: a commit (or probe) under a
+    // different key list fails loudly instead of hashing into the
+    // wrong buckets
+    val ex = intercept[IllegalArgumentException] {
+      FileGroups.commit(spark, dir, l.limit(3), 3L, Seq("id"), Seq("lsn"))
+    }
+    assert(ex.getMessage.contains("keyed by"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException] {
+      FileGroups.pointLookupTuples(spark, dir, Seq("region"), Seq(Seq(kreg)))
+    }
+    assert(ex2.getMessage.contains("keyed by"), ex2.getMessage)
+  }
+
   test("property: random batch splits and bucket counts all replay to the one-shot collapse") {
     // the file-group invariant (partial commits == full recompute) must
     // hold regardless of where the log is cut or how many buckets the

@@ -146,17 +146,70 @@ class FileGroupCatalogSpec extends SparkSpec {
       !pM.contains("InMemoryFileIndex(2 paths)"), pM)
   }
 
-  test("a multi-column keys config reads correctly via the full scan (pruning skipped, not an error)") {
+  test("manifest-recorded keys override a misconfigured catalog keys conf (self-describing table)") {
     warehouse()
+    // the table was committed with keys=(id); a wrong conf claiming
+    // (id, lsn) must NOT change probe hashing — the manifest wins, the
+    // probe prunes to 1 bucket, and the values stay correct. (Before
+    // the #keys manifest header, the conf was trusted and a mismatch
+    // silently disabled — or worse, mis-aimed — pruning.)
     spark.conf.set("spark.sql.catalog.graft_cdc.keys", "id,lsn")
     try {
       val df = spark.sql("SELECT id, lsn FROM graft_cdc.employees WHERE id = 5")
       assert(df.collect().toSeq ==
         spark.sql("SELECT id, lsn FROM graft_cdc.employees").filter($"id" === 5).collect().toSeq)
       val p = df.queryExecution.executedPlan.treeString
-      assert(!p.contains("InMemoryFileIndex(1 paths)"), p)
+      assert(p.contains("InMemoryFileIndex(1 paths)"), p)
       assert(p.contains("EqualTo(id,5)"), p) // predicate still pushed to parquet
     } finally spark.conf.unset("spark.sql.catalog.graft_cdc.keys")
+  }
+
+  test("string record keys prune through SQL: equality and IN cut to bucket files") {
+    val root = tmpDir("graft_fgcat_str")
+    val t = root + "/users"
+    val l = log().withColumn("id", concat(lit("u"), $"id"))
+    FileGroups.commit(spark, t, l.filter($"lsn" < 500), 0L, Seq("id"), Seq("lsn"), nBuckets = 16)
+    FileGroups.commit(spark, t, l.filter($"lsn" >= 500), 1L, Seq("id"), Seq("lsn"))
+    spark.conf.set("spark.sql.catalog.graft_cdc", classOf[FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cdc.root", root)
+    val df = spark.sql("SELECT id, lsn FROM graft_cdc.users WHERE id = 'u5'")
+    assert(df.collect().toSeq ==
+      spark.sql("SELECT id, lsn FROM graft_cdc.users").filter($"id" === "u5").collect().toSeq)
+    val p = df.queryExecution.executedPlan.treeString
+    assert(p.contains("InMemoryFileIndex(1 paths)"), p)
+    assert(p.contains("EqualTo(id,u5)"), p) // pushed to parquet too
+    // IN over string keys prunes to <= 2 bucket dirs
+    val in = spark.sql("SELECT id, lsn FROM graft_cdc.users WHERE id IN ('u5', 'u7')")
+    assert(in.collect().toSeq.map(_.getString(0)).toSet.subsetOf(Set("u5", "u7")))
+    val pIn = in.queryExecution.executedPlan.treeString
+    assert(pIn.contains("InMemoryFileIndex(1 paths)") ||
+      pIn.contains("InMemoryFileIndex(2 paths)"), pIn)
+  }
+
+  test("composite record keys prune through SQL when every key column is equality-constrained") {
+    val root = tmpDir("graft_fgcat_comp")
+    val t = root + "/orders"
+    val l = log().withColumn("region", pmod($"id", lit(5)).cast("int"))
+    FileGroups.commit(spark, t, l, 0L, Seq("id", "region"), Seq("lsn"), nBuckets = 16)
+    spark.conf.set("spark.sql.catalog.graft_cdc", classOf[FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cdc.root", root)
+    // the catalog resolves (id, region) from the MANIFEST — no keys
+    // conf set at all
+    val r0 = spark.sql("SELECT id, region FROM graft_cdc.orders ORDER BY id").head()
+    val (kid, kreg) = (r0.getLong(0), r0.getInt(1))
+    val df = spark.sql(
+      s"SELECT id, lsn FROM graft_cdc.orders WHERE id = $kid AND region = $kreg")
+    assert(df.collect().toSeq ==
+      spark.sql("SELECT id, lsn FROM graft_cdc.orders")
+        .filter($"id" === kid && $"region" === kreg).collect().toSeq)
+    val p = df.queryExecution.executedPlan.treeString
+    assert(p.contains("InMemoryFileIndex(1 paths)"), p)
+    // HALF a key (only id constrained) cannot form tuples — full scan,
+    // never a wrong cut
+    val half = spark.sql(s"SELECT id, lsn FROM graft_cdc.orders WHERE id = $kid")
+    assert(half.collect().toSeq ==
+      spark.sql("SELECT id, lsn FROM graft_cdc.orders").filter($"id" === kid).collect().toSeq)
+    assert(!half.queryExecution.executedPlan.treeString.contains("InMemoryFileIndex(1 paths)"))
   }
 
   test("the catalog is read-only: DDL and writes fail loudly") {

@@ -293,6 +293,44 @@ object Extensions {
     } + "/employees"
   }
 
+  /** String-keyed sibling of [[fileGroupTable]] — the UUID-PK Debezium
+    * shape: the SAME 3-batch lifecycle with the record key rendered as
+    * a string ('u' + id), so the round-17 generalized index (bucket +
+    * key bloom over any key shape) gets its own oracle-gated fixture. */
+  private def fileGroupTableStr(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val sfKey = sfFingerprint(dir)
+    cachedFixture(s"graft_fgstr_cache_v1_$sfKey") { root =>
+      val log = cdcLog(s, dir).withColumn("id", concat(lit("u"), col("id")))
+      val Seq(c1, c2) = {
+        val n = Tables.events(s, dir).count()
+        Seq(n * 2 / 5, n * 4 / 5)
+      }
+      val t = root + "/employees"
+      graft.cdc.FileGroups.commit(s, t, log.filter(col("lsn") < c1), 0L, Seq("id"), Seq("lsn"), nBuckets = 16)
+      graft.cdc.FileGroups.commit(s, t, log.filter(col("lsn") >= c1 && col("lsn") < c2), 1L, Seq("id"), Seq("lsn"))
+      graft.cdc.FileGroups.commit(s, t, log.filter(col("lsn") >= c2), 2L, Seq("id"), Seq("lsn"))
+    } + "/employees"
+  }
+
+  /** Composite-keyed sibling of [[fileGroupTable]]: record identity =
+    * (id, region), region derived (id % 5) so the latest-wins collapse
+    * stays oracle-comparable while the index hashes/blooms the whole
+    * tuple. */
+  private def fileGroupTableComp(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val sfKey = sfFingerprint(dir)
+    cachedFixture(s"graft_fgcomp_cache_v1_$sfKey") { root =>
+      val log = cdcLog(s, dir).withColumn("region", pmod(col("id"), lit(5)).cast("int"))
+      val Seq(c1, c2) = {
+        val n = Tables.events(s, dir).count()
+        Seq(n * 2 / 5, n * 4 / 5)
+      }
+      val t = root + "/orders"
+      graft.cdc.FileGroups.commit(s, t, log.filter(col("lsn") < c1), 0L, Seq("id", "region"), Seq("lsn"), nBuckets = 16)
+      graft.cdc.FileGroups.commit(s, t, log.filter(col("lsn") >= c1 && col("lsn") < c2), 1L, Seq("id", "region"), Seq("lsn"))
+      graft.cdc.FileGroups.commit(s, t, log.filter(col("lsn") >= c2), 2L, Seq("id", "region"), Seq("lsn"))
+    } + "/orders"
+  }
+
   /** Register the `graft_cdc` DSv2 catalog over `root`, idempotently:
     * a same-value re-set is skipped, so query bodies that need the
     * catalog stay effectively side-effect-free after the first call
@@ -1051,6 +1089,88 @@ object Extensions {
           |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
           |  FROM events) t
           |WHERE rn = 1 AND op <> 'd' AND id BETWEEN 1 AND 10 ORDER BY id""".stripMargin)),
+
+    // STRING-KEY POINT LOOKUP through the oracle gate — the UUID-PK
+    // Debezium shape on the generalized manifest index: probes are key
+    // TUPLES cast to the committed type, pruning = hash bucket + key
+    // bloom (no [lo,hi] stats for strings — bucket+bloom alone cut to
+    // ~1 file group per probe, and the absent probe costs zero data
+    // IO). Values must equal the latest-wins collapse restricted to
+    // the probed string keys; FileGroupsSpec pins the pruning itself.
+    GQuery(
+      "q_cdc_lookup_string",
+      (s, dir) => {
+        val probes = (1L to 10L).map(i => Seq[Any](s"u$i")) :+ Seq[Any]("u-absent")
+        graft.cdc.FileGroups.pointLookupTuples(s, fileGroupTableStr(s, dir), Seq("id"), probes).get
+          .select(col("id"), col("lsn"), col("op"), col("value"))
+          .orderBy(col("id"))
+      },
+      Some(
+        """SELECT id, lsn, op, value FROM (
+          |  SELECT concat('u', user_id) AS id, event_id AS lsn,
+          |    CASE WHEN event_id % 11 = 0 THEN 'd'
+          |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+          |    value,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          |  FROM events) t
+          |WHERE rn = 1 AND op <> 'd'
+          |  AND id IN ('u1','u2','u3','u4','u5','u6','u7','u8','u9','u10')
+          |ORDER BY id""".stripMargin)),
+
+    // STRING-KEY SQL READ — the same string-keyed table through the
+    // DSv2 catalog door: a fully-literal string IN list reaches the
+    // scan builder as UTF8String probes and prunes to the probed
+    // buckets (FileGroupCatalogSpec pins the 1-path plan); the oracle
+    // is the identical collapse, so the pruned SQL read and the Scala
+    // tuple lookup above are pinned value-equal.
+    GQuery(
+      "q_cdc_sql_read_string",
+      (s, dir) => {
+        registerCdcCatalog(s, fileGroupTableStr(s, dir).stripSuffix("/employees"), "graft_cdcs")
+        s.sql(
+          """SELECT id, lsn, op, value FROM graft_cdcs.employees
+            |WHERE id IN ('u1','u2','u3','u4','u5','u6','u7','u8','u9','u10')
+            |ORDER BY id""".stripMargin)
+      },
+      Some(
+        """SELECT id, lsn, op, value FROM (
+          |  SELECT concat('u', user_id) AS id, event_id AS lsn,
+          |    CASE WHEN event_id % 11 = 0 THEN 'd'
+          |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+          |    value,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          |  FROM events) t
+          |WHERE rn = 1 AND op <> 'd'
+          |  AND id IN ('u1','u2','u3','u4','u5','u6','u7','u8','u9','u10')
+          |ORDER BY id""".stripMargin)),
+
+    // COMPOSITE-KEY POINT LOOKUP — record identity (id, region): the
+    // index hashes and blooms the WHOLE tuple, so a probe prunes on
+    // both halves at once, and a tuple with the wrong second half
+    // returns nothing (the deliberate 11th probe below). Values equal
+    // the collapse restricted to the 10 correct tuples; region rides
+    // as BIGINT to match the oracle's arithmetic type.
+    GQuery(
+      "q_cdc_lookup_composite",
+      (s, dir) => {
+        val probes = (1L to 10L).map(i => Seq[Any](i, (i % 5).toInt)) :+
+          Seq[Any](3L, ((3 + 1) % 5).toInt) // wrong-region tuple: no rows
+        graft.cdc.FileGroups.pointLookupTuples(
+            s, fileGroupTableComp(s, dir), Seq("id", "region"), probes).get
+          .select(col("id"), col("region").cast("long").as("region"),
+            col("lsn"), col("op"), col("value"))
+          .orderBy(col("id"))
+      },
+      Some(
+        """SELECT id, region, lsn, op, value FROM (
+          |  SELECT user_id AS id, user_id % 5 AS region, event_id AS lsn,
+          |    CASE WHEN event_id % 11 = 0 THEN 'd'
+          |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+          |    value,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          |  FROM events) t
+          |WHERE rn = 1 AND op <> 'd' AND id BETWEEN 1 AND 10
+          |ORDER BY id""".stripMargin)),
 
     // HARD PURGE through the oracle gate — right-to-be-forgotten on the
     // file-group table: purged keys must vanish from the CURRENT state

@@ -235,4 +235,138 @@ class FileGroupMergeSpec extends SparkSpec {
         |""".stripMargin)
     assert(state() == Seq((1L, 10L, "c", 100.5), (2L, 11L, "c", 200.0), (3L, 12L, "u", 3.0)))
   }
+
+  // ------------------------------------------------------------------
+  // The registry's SQL-door fixture queries rest on FIXPOINT arguments
+  // (their persisted /tmp tables are mutated per invocation, so the
+  // oracle is stable only because re-applying each statement sequence
+  // reproduces the same final state). The three cases below convert
+  // those documented arguments into executable guards on FRESH tables:
+  // any future edit to the registry statements that breaks the fixpoint
+  // fails here, not as a flaky CORRECTNESS drift three rounds later.
+
+  import org.apache.spark.sql.functions.{col, lit, pmod, when}
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def cdcLog() = graft.tables.Tables.events(spark, sf).select(
+    col("user_id").as("id"), col("event_id").as("lsn"),
+    when(pmod(col("event_id"), lit(11)) === 0, "d")
+      .when(pmod(col("event_id"), lit(3)) === 0, "u")
+      .otherwise("c").as("op"),
+    col("value"))
+
+  private def mkCatalog(name: String, root: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[FileGroupCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+  }
+
+  test("q_cdc_sql_merge's statement is a fixpoint on (id, lsn, value): second run reproduces the state") {
+    val root = tmpDir("graft_fgfix_m")
+    FileGroups.commit(spark, root + "/employees", cdcLog(), 0L, Seq("id"), Seq("lsn"), nBuckets = 16)
+    mkCatalog("graft_fpm", root)
+    val merge =
+      s"""MERGE INTO graft_fpm.employees t
+         |USING (SELECT user_id + 7 AS id,
+         |              CAST((SELECT max(event_id) + 1
+         |                    FROM parquet.`$sf/events.parquet`) + user_id AS BIGINT) AS lsn,
+         |              max(value) AS value
+         |       FROM parquet.`$sf/events.parquet` GROUP BY user_id) s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.value < 0.5 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET value = s.value, lsn = s.lsn, op = 'u'
+         |WHEN NOT MATCHED AND s.value >= 0.5 THEN
+         |  INSERT (id, lsn, op, value) VALUES (s.id, s.lsn, 'c', s.value)
+         |""".stripMargin
+    spark.sql(merge)
+    val once = spark.sql("SELECT id, lsn, value FROM graft_fpm.employees ORDER BY id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(once.nonEmpty)
+    spark.sql(merge)
+    val twice = spark.sql("SELECT id, lsn, value FROM graft_fpm.employees ORDER BY id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(twice == once, "the registry MERGE must be a fixpoint on (id, lsn, value)")
+  }
+
+  test("q_cdc_sql_dml's UPDATE+DELETE sequence is a full-row fixpoint") {
+    val root = tmpDir("graft_fgfix_d")
+    FileGroups.commit(spark, root + "/employees", cdcLog(), 0L, Seq("id"), Seq("lsn"), nBuckets = 16)
+    mkCatalog("graft_fpd", root)
+    def applyDml(): Seq[(Long, Long, String, Double)] = {
+      spark.sql(
+        """UPDATE graft_fpd.employees
+          |SET value = CAST(id AS DOUBLE) / 1000, op = 'u'
+          |WHERE id % 10 = 3""".stripMargin)
+      spark.sql("DELETE FROM graft_fpd.employees WHERE id % 13 = 0")
+      spark.sql("SELECT id, lsn, op, value FROM graft_fpd.employees ORDER BY id")
+        .as[(Long, Long, String, Double)].collect().toSeq
+    }
+    val once = applyDml()
+    assert(once.nonEmpty)
+    assert(applyDml() == once, "the registry UPDATE+DELETE must be a full-row fixpoint")
+  }
+
+  test("q_cdc_sql_maintain's savepoint/rollback/release sequence is a fixpoint incl. the version timeline") {
+    val root = tmpDir("graft_fgfix_t")
+    val l = cdcLog()
+    val n = graft.tables.Tables.events(spark, sf).count()
+    val (c1, c2) = (n * 2 / 5, n * 4 / 5)
+    val t = root + "/employees"
+    FileGroups.commit(spark, t, l.filter(col("lsn") < c1), 0L, Seq("id"), Seq("lsn"), nBuckets = 16)
+    FileGroups.commit(spark, t, l.filter(col("lsn") >= c1 && col("lsn") < c2), 1L, Seq("id"), Seq("lsn"))
+    FileGroups.commit(spark, t, l.filter(col("lsn") >= c2), 2L, Seq("id"), Seq("lsn"))
+    mkCatalog("graft_fpt", root)
+    def applyMaint(): (Seq[Long], Seq[(Long, Long, String, Double)]) = {
+      spark.sql("CALL graft_fpt.create_savepoint(table => 'employees', version => 1)")
+      spark.sql("CALL graft_fpt.rollback(table => 'employees', version => 1)")
+      spark.sql("CALL graft_fpt.release_savepoint(table => 'employees', version => 1)")
+      (graft.cdc.Ingest.snapshotVersions(spark, t),
+        spark.sql("SELECT id, lsn, op, value FROM graft_fpt.employees ORDER BY id")
+          .as[(Long, Long, String, Double)].collect().toSeq)
+    }
+    val once = applyMaint()
+    assert(once._2.nonEmpty && once._1.lastOption.contains(1L))
+    assert(applyMaint() == once, "the registry maintenance sequence must be a fixpoint")
+  }
+
+  test("a statement executed against a stale snapshot fails with the re-run hint — never a lost update") {
+    // The optimistic-concurrency pair under test: resolvedCommitted pins
+    // the version at ANALYSIS time, the execution-time recheck detects a
+    // commit that landed in between. Staged deterministically (a live
+    // two-thread race can still clobber inside the documented
+    // detection-not-coordination window, so a thread test would be
+    // flaky by design): analyze statement A, let statement B commit,
+    // then execute A's stale plan.
+    val root = tmpDir("graft_fgstale")
+    FileGroups.commit(spark, root + "/emp",
+      Seq((1L, 10L, "c", 1.0), (2L, 11L, "c", 2.0)).toDF("id", "lsn", "op", "value"),
+      0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    mkCatalog("graft_stale", root)
+    def staleAnalyzed(sql: String) = {
+      val qe = spark.sessionState.executePlan(spark.sessionState.sqlParser.parsePlan(sql))
+      qe.assertAnalyzed() // lowers to the command, PINNING version 0
+      qe.analyzed
+    }
+    val staleUpdate = staleAnalyzed(
+      "UPDATE graft_stale.emp SET value = 111.0, lsn = 60 WHERE id = 1")
+    val staleMerge = staleAnalyzed(
+      """MERGE INTO graft_stale.emp t USING (SELECT 2L AS id, 70L AS lsn, 9.0D AS v) s
+        |ON t.id = s.id WHEN MATCHED THEN UPDATE SET value = s.v, lsn = s.lsn""".stripMargin)
+    // the interleaving writer wins version 1
+    spark.sql("UPDATE graft_stale.emp SET value = 22.0, lsn = 50 WHERE id = 2")
+    for (stale <- Seq(staleUpdate, staleMerge)) {
+      val ex = intercept[Throwable] {
+        org.apache.spark.sql.classic.GraftPlanBuilder.ofRows(spark, stale).collect()
+      }
+      assert(chainMsg(ex).contains("concurrent commit") && chainMsg(ex).contains("re-run"),
+        chainMsg(ex))
+    }
+    // exactly one writer won; the losers changed NOTHING (no silent
+    // partial application), and a fresh re-run of the loser succeeds
+    def st() = spark.sql("SELECT id, lsn, value FROM graft_stale.emp ORDER BY id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(st() == Seq((1L, 10L, 1.0), (2L, 50L, 22.0)))
+    spark.sql("UPDATE graft_stale.emp SET value = 111.0, lsn = 60 WHERE id = 1")
+    assert(st() == Seq((1L, 60L, 111.0), (2L, 50L, 22.0)))
+  }
 }

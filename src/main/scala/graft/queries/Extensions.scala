@@ -1063,6 +1063,33 @@ object Extensions {
           |  FROM events WHERE event_id < (SELECT c2 FROM cut)) t
           |WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin)),
 
+    // SQL-SURFACE DDL — the lifecycle bookends on the catalog door
+    // (round 17): DROP TABLE is a guarded recursive delete (only a
+    // COMMITTED file-group table deletes; a typo'd name can never
+    // remove unrelated data), and CREATE TABLE ... AS SELECT lowers to
+    // the table's FIRST versioned commit (schema + stats/blooms +
+    // #keys/#ord manifest headers through the same crash-safe protocol
+    // as streaming ingest — no DSv2 staging write). The timed body
+    // exercises BOTH: drop the previous run's table, CTAS the per-user
+    // latest-event summary, read it back through the catalog. Scale:
+    // CTAS cost = one pass over the query result (a first commit's
+    // price); DROP is driver-side metadata + dir removal.
+    GQuery(
+      "q_cdc_sql_ddl",
+      (s, dir) => {
+        val root = cachedFixture(s"graft_fgddl_root_v1_${sfFingerprint(dir)}")(_ => ())
+        registerCdcCatalog(s, root, "graft_cdcddl")
+        s.sql("DROP TABLE IF EXISTS graft_cdcddl.snap")
+        s.sql(
+          s"""CREATE TABLE graft_cdcddl.snap TBLPROPERTIES('keys'='id', 'ord'='lsn')
+             |AS SELECT user_id AS id, max(event_id) AS lsn, max(value) AS value
+             |FROM parquet.`$dir/events.parquet` GROUP BY user_id""".stripMargin)
+        s.sql("SELECT id, lsn, value FROM graft_cdcddl.snap ORDER BY id")
+      },
+      Some(
+        """SELECT user_id AS id, max(event_id) AS lsn, max(value) AS value
+          |FROM events GROUP BY user_id ORDER BY id""".stripMargin)),
+
     // POINT LOOKUP through the oracle gate: the record-key-index read
     // path (Hudi metadata-table / bloom-index serve shape) — each
     // probed key resolves to its hash bucket, [min,max] stats drop

@@ -86,6 +86,12 @@ class FileGroupCatalog extends TableCatalog with ProcedureCatalog {
   private def dirOf(ident: Identifier): String =
     (root +: (ident.namespace() :+ ident.name())).mkString("/")
 
+  /** CTAS-lowering support ([[FileGroupCtasCommand]] resolves its
+    * target dir and key/ord defaults through the owning catalog). */
+  private[sources] def dirFor(ident: Identifier): String = dirOf(ident)
+  private[sources] def defaultKeys: Seq[String] = keys
+  private[sources] def defaultOrd: Seq[String] = ord
+
   /** Single-level namespace: tables live directly under the root. */
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
@@ -177,23 +183,49 @@ class FileGroupCatalog extends TableCatalog with ProcedureCatalog {
           s"(available: ${FileGroupProcedures.Names.mkString(", ")})"))
   }
 
+  /** Plain CREATE TABLE stays unsupported BY DESIGN: a file-group
+    * table IS its first versioned commit (schema + manifest + marker
+    * land together) — an empty DSv2 shell would be a table no reader
+    * could resolve. `CREATE TABLE ... AS SELECT` IS supported: the
+    * GraftExtensions analyzer rule lowers it onto a v0
+    * [[FileGroups.commit]] before planning ever reaches this method
+    * ([[FileGroupCtasCommand]]); landing here with a CTAS therefore
+    * means the session was built without the extension. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table =
     throw new UnsupportedOperationException(
-      s"$catalogName is read-only: write through FileGroups.commit / MergeOnRead.run " +
-        "(crash-safe versioned commits), not DSv2 DDL")
+      s"plain CREATE TABLE is not supported on $catalogName: a file-group table is " +
+        "its first versioned commit — use CREATE TABLE ... AS SELECT (requires the " +
+        "session built withExtensions(GraftExtensions)) or FileGroups.commit")
 
   override def alterTable(ident: Identifier,
                           changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
-    throw new UnsupportedOperationException(s"$catalogName is read-only")
-
-  override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
-      s"$catalogName is read-only: use FileGroups.purgeKeys for data removal")
+      s"ALTER TABLE is not supported on $catalogName: schema follows the committed " +
+        "batches (drift reconciles on read)")
+
+  /** `DROP TABLE` — the whole-table terminal operation: a guarded
+    * recursive delete of the table directory (manifests, markers,
+    * savepoints, data — everything; a standing purge intent's mandate
+    * is trivially satisfied by total removal). Guarded: only a
+    * directory holding a COMMITTED file-group table is deleted — an
+    * arbitrary child dir that never committed returns false (Spark
+    * then raises NoSuchTable unless IF EXISTS), so a typo'd name can
+    * never recursively delete unrelated data. Key-targeted removal
+    * with history stays [[FileGroups.purgeKeyTuples]]. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    FileGroups.committedId(spark, dir).isDefined && {
+      val p = new Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(s"$catalogName is read-only")
+    throw new UnsupportedOperationException(
+      s"RENAME is not supported on $catalogName: table identity is its directory " +
+        "(rename = copy + drop, an operator decision)")
 }
 
 /** One file-group table pinned at a committed version. The scan

@@ -1,9 +1,9 @@
 package graft.sources
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
+import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, ResolvedIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{AppendData, Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AppendData, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, TableSpec, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -133,6 +133,41 @@ class FileGroupMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
         case _ => u
       }
 
+    // CREATE TABLE graft_cdc.<t> [TBLPROPERTIES(...)] AS SELECT ... —
+    // the lifecycle opener: a file-group table IS its first versioned
+    // commit, so CTAS lowers to FileGroups.commit at v0 (schema,
+    // manifest, blooms and the atomic marker land exactly as any other
+    // commit — the DSv2 staging write machinery is bypassed the same
+    // way MERGE bypasses blind appends). Record key / ordering /
+    // bucket-count come from TBLPROPERTIES ('keys', 'ord', 'buckets'),
+    // defaulting to the owning catalog's conf; the key columns are
+    // pinned in the manifest from this first commit on.
+    case c: CreateTableAsSelect if c.resolved =>
+      c.name match {
+        case ResolvedIdentifier(cat: FileGroupCatalog, ident) =>
+          if (c.partitioning.nonEmpty)
+            throw new UnsupportedOperationException(
+              "PARTITIONED BY is not supported on file-group tables: the store " +
+                "hash-buckets by record key (set TBLPROPERTIES('buckets'='N'))")
+          val props = c.tableSpec match {
+            case t: TableSpec =>
+              t.location.foreach { loc =>
+                throw new UnsupportedOperationException(
+                  s"LOCATION '$loc' is not supported: file-group tables live under " +
+                    "the catalog root (table name = directory)")
+              }
+              t.properties
+            case _ => Map.empty[String, String]
+          }
+          def colsProp(k: String, dflt: Seq[String]) = props.get(k)
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(dflt)
+          FileGroupCtasCommand(cat.dirFor(ident), ident.name(),
+            colsProp("keys", cat.defaultKeys), colsProp("ord", cat.defaultOrd),
+            props.get("buckets").map(_.toInt).getOrElse(16),
+            c.ignoreIfExists, c.query)
+        case _ => c
+      }
+
     // INSERT INTO graft_cdc.<t> ... — the aligned insert rows become an
     // upsert batch: under a key-addressed store INSERT has UPSERT
     // semantics (latest-wins by the ordering column, batch wins ties —
@@ -167,6 +202,50 @@ class FileGroupMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
             "assignments must target whole top-level columns — assign the full " +
             "struct value instead")
     }
+}
+
+/** The lowered CTAS: materialize the query as the table's FIRST
+  * versioned commit (v0) — schema, per-bucket stats/blooms and the
+  * `#keys`/`#ord` manifest headers all land through the one crash-safe
+  * protocol, so a CTAS table is indistinguishable from one built by
+  * streaming ingest. The key columns must exist in the query output
+  * (checked loudly — commit's resolution error would be opaque);
+  * `IF NOT EXISTS` no-ops on a committed table, plain CREATE on one
+  * fails. Scale: cost = one pass over the query result (the write),
+  * exactly a first commit's price. */
+case class FileGroupCtasCommand(
+    dir: String, table: String, keys: Seq[String], ord: Seq[String],
+    nBuckets: Int, ignoreIfExists: Boolean, query: LogicalPlan)
+  extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    if (FileGroups.committedId(session, dir).isDefined) {
+      if (!ignoreIfExists)
+        throw new IllegalStateException(
+          s"file-group table '$table' already exists at $dir — use CREATE TABLE IF " +
+            "NOT EXISTS, or DROP TABLE first (writes to an existing table go through " +
+            "MERGE/UPDATE/DELETE/INSERT)")
+    } else {
+      val df0 = org.apache.spark.sql.classic.GraftPlanBuilder.ofRows(session, query)
+      val resolver = session.sessionState.conf.resolver
+      (keys ++ ord).foreach { c =>
+        if (!df0.columns.exists(resolver(_, c)))
+          throw new IllegalArgumentException(
+            s"CTAS key/ordering column '$c' is not in the query output " +
+              s"(${df0.columns.mkString(", ")}) — set TBLPROPERTIES('keys'=..., 'ord'=...) " +
+              "to columns the SELECT produces")
+      }
+      require(nBuckets > 0, s"TBLPROPERTIES('buckets'='$nBuckets') must be positive")
+      // the store's CDC convention needs an op column (the latest-wins
+      // collapse applies op='d' deletes; SQL DELETE lowers onto it) — a
+      // CTAS query without one gets op='c' stamped: every created row
+      // is, honestly, a create
+      val df = if (df0.columns.exists(resolver(_, FileGroupMergeCommand.OpCol))) df0
+        else df0.withColumn(FileGroupMergeCommand.OpCol, lit(graft.cdc.Envelope.OpCreate))
+      FileGroups.commit(session, dir, df, 0L, keys, ord, nBuckets)
+    }
+    Seq.empty
+  }
 }
 
 /** The lowered INSERT: commit the aligned rows as an upsert batch.

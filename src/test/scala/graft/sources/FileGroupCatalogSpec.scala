@@ -212,14 +212,68 @@ class FileGroupCatalogSpec extends SparkSpec {
     assert(!half.queryExecution.executedPlan.treeString.contains("InMemoryFileIndex(1 paths)"))
   }
 
-  test("the catalog is read-only: DDL and writes fail loudly") {
+  test("CTAS lowers to a v0 commit: queryable, key-pinned, IF NOT EXISTS no-ops, duplicates fail") {
+    val root = warehouse()
+    spark.sql(
+      """CREATE TABLE graft_cdc.snap TBLPROPERTIES('keys'='id', 'ord'='lsn', 'buckets'='8')
+        |AS SELECT id, lsn, op, value FROM graft_cdc.employees WHERE id <= 20""".stripMargin)
+    // a real committed file-group table: marker + manifest + readable
+    assert(FileGroups.committedId(spark, root + "/snap").contains(0L))
+    val got = spark.sql("SELECT id, lsn, value FROM graft_cdc.snap ORDER BY id").collect().toSeq
+    assert(got.nonEmpty && got ==
+      spark.sql("SELECT id, lsn, value FROM graft_cdc.employees WHERE id <= 20 ORDER BY id")
+        .collect().toSeq)
+    // the key landed in the manifest: a mismatched later commit refuses
+    val ex = intercept[IllegalArgumentException] {
+      FileGroups.commit(spark, root + "/snap",
+        Seq((1L, 99L, "c", 0.5)).toDF("id", "lsn", "op", "value"), 1L, Seq("lsn"), Seq("id"))
+    }
+    assert(ex.getMessage.contains("keyed by"), ex.getMessage)
+    // ...and MERGE through SQL onto the CTAS table works (same protocol)
+    spark.sql(
+      """MERGE INTO graft_cdc.snap t USING (SELECT 1L AS id, 1000L AS lsn, 5.5D AS v) s
+        |ON t.id = s.id WHEN MATCHED THEN UPDATE SET value = s.v, lsn = s.lsn""".stripMargin)
+    assert(spark.sql("SELECT value FROM graft_cdc.snap WHERE id = 1").as[Double]
+      .collect().toSeq == Seq(5.5))
+    // duplicate CREATE fails; IF NOT EXISTS is a no-op (state unchanged)
+    val dup = intercept[Throwable] {
+      spark.sql("CREATE TABLE graft_cdc.snap AS SELECT 9L AS id, 1L AS lsn")
+    }
+    assert(chainMsg(dup).contains("already exists"), chainMsg(dup))
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_cdc.snap AS SELECT 9L AS id, 1L AS lsn")
+    assert(spark.sql("SELECT value FROM graft_cdc.snap WHERE id = 1").as[Double]
+      .collect().toSeq == Seq(5.5))
+    spark.sql("DROP TABLE graft_cdc.snap")
+  }
+
+  test("CTAS validates keys against the query output; plain CREATE TABLE stays unsupported") {
     warehouse()
-    val e1 = intercept[Exception] {
+    val exK = intercept[Throwable] {
+      spark.sql("CREATE TABLE graft_cdc.bad TBLPROPERTIES('keys'='uuid') " +
+        "AS SELECT 1L AS id, 2L AS lsn")
+    }
+    assert(chainMsg(exK).contains("not in the query output"), chainMsg(exK))
+    val exP = intercept[Exception] {
       spark.sql("CREATE TABLE graft_cdc.t2 (id BIGINT) USING parquet")
     }
-    assert(e1.getMessage.contains("read-only"), e1.getMessage)
-    val e2 = intercept[Exception] { spark.sql("DROP TABLE graft_cdc.employees") }
-    assert(e2.getMessage.contains("read-only"), e2.getMessage)
+    assert(exP.getMessage.contains("first versioned commit"), exP.getMessage)
+  }
+
+  test("DROP TABLE deletes a committed table; unknown names never recursively delete") {
+    val root = warehouse()
+    spark.sql("CREATE TABLE graft_cdc.doomed TBLPROPERTIES('keys'='id', 'ord'='lsn') " +
+      "AS SELECT id, lsn, op, value FROM graft_cdc.employees WHERE id <= 5")
+    assert(FileGroups.committedId(spark, root + "/doomed").isDefined)
+    spark.sql("DROP TABLE graft_cdc.doomed")
+    assert(FileGroups.committedId(spark, root + "/doomed").isEmpty)
+    assert(!new java.io.File(root + "/doomed").exists())
+    // a directory under the root that never committed is NOT a table:
+    // DROP refuses (NoSuchTable), the directory survives
+    new java.io.File(root + "/notatable/data").mkdirs()
+    intercept[Throwable] { spark.sql("DROP TABLE graft_cdc.notatable") }
+    assert(new java.io.File(root + "/notatable/data").exists())
+    spark.sql("DROP TABLE IF EXISTS graft_cdc.notatable") // no-op, no error
+    assert(new java.io.File(root + "/notatable/data").exists())
   }
 
   test("catalog root re-resolves from the live conf (no stale plugin cache)") {

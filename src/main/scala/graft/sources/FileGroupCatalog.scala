@@ -40,9 +40,13 @@ import graft.cdc.{FileGroups, Ingest}
   * catalog query scans ~1 file group, never the table — for integer,
   * string (UUID) and composite record keys alike.
   *
-  * READ-ONLY by design: writes go through the crash-safe
-  * [[graft.cdc.FileGroups.commit]]/[[graft.cdc.MergeOnRead]] protocol,
-  * not blind DSv2 appends — createTable/dropTable fail loudly.
+  * The DSv2 WRITE SURFACE stays blocked by design: every mutation
+  * rides the crash-safe [[graft.cdc.FileGroups.commit]] protocol, not
+  * blind DSv2 appends — SQL writes (`MERGE`/`UPDATE`/`DELETE`/
+  * `INSERT`/`CREATE TABLE AS SELECT`) are LOWERED onto it by the
+  * GraftExtensions analyzer rule ([[FileGroupMergeRule]]), `DROP
+  * TABLE` is the guarded whole-table delete below, and plain CREATE
+  * TABLE / ALTER / RENAME fail loudly with pointers.
   *
   * Config is re-read per lookup from the LIVE session conf (not the
   * `initialize` snapshot): Spark's CatalogManager caches the plugin

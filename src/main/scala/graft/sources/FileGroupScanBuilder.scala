@@ -39,14 +39,20 @@ class FileGroupScanBuilder private (
 
   /** A pushable probe literal: int family (normalized to Long — the
     * probe resolver casts to the committed key type anyway) and
-    * strings. Other types (decimal, timestamp) are rare as record keys
-    * and simply fall back to the unpruned referenced-file scan. */
+    * BINARY-equality strings. A non-binary collation is excluded for
+    * soundness: under e.g. a case-insensitive collation `id = 'U5'`
+    * matches the row 'u5', but the index hashed 'u5' bytewise — the
+    * probe would prune away the very group holding the match. Other
+    * types (decimal, timestamp) are rare as record keys and simply
+    * fall back to the unpruned referenced-file scan. */
   private def probeValue(e: Expression): Option[Any] = e match {
     case Literal(v: Long, LongType) => Some(v)
     case Literal(v: Int, IntegerType) => Some(v.toLong)
     case Literal(v: Short, ShortType) => Some(v.toLong)
     case Literal(v: Byte, ByteType) => Some(v.toLong)
-    case Literal(v: UTF8String, _: StringType) => Some(v.toString)
+    // st == StringType pins the DEFAULT (UTF8_BINARY) collation — the
+    // only one whose equality is bytewise like the index hash
+    case Literal(v: UTF8String, st: StringType) if st == StringType => Some(v.toString)
     case _ => None
   }
 

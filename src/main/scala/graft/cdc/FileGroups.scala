@@ -204,6 +204,17 @@ object FileGroups {
       (m.keys, m.ord)
     }
 
+  /** Everything the SQL catalog needs from version `id`'s manifest in
+    * ONE read — (schema, keys, ord): loadTable would otherwise parse
+    * the same small file three times per resolution (keys, then the
+    * lazy schema, then the scan build), which is real latency on an
+    * object store. */
+  private[graft] def tableMetaFor(sess: SparkSession, dir: String, id: Long):
+      (Option[StructType], Option[Seq[String]], Option[Seq[String]]) = {
+    val m = readManifest(sess, dir, id)
+    (m.schema, m.keys, m.ord)
+  }
+
   /** Fail loudly when a caller-supplied key column list disagrees with
     * the manifest-recorded one: bucket hashing is key-dependent, so a
     * mismatched probe would hash into the wrong buckets and silently
@@ -212,11 +223,48 @@ object FileGroups {
     * historical trust model. */
   private def checkKeys(meta: TableMeta, keys: Seq[String], dir: String): Unit =
     meta.keys.foreach { mk =>
-      require(mk.map(_.toLowerCase) == keys.map(_.toLowerCase),
+      // Locale.ROOT: default-locale lowercasing folds 'I' to 'ı' under
+      // a Turkish JVM locale and a valid key list would stop matching
+      require(mk.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+          keys.map(_.toLowerCase(java.util.Locale.ROOT)),
         s"table at $dir is keyed by (${mk.mkString(", ")}) but (${keys.mkString(", ")}) " +
           "was supplied — the record key is pinned at table creation (bucket hashing " +
           "and the manifest index depend on it)")
     }
+
+  /** Case-insensitive schema field lookup — the SAME resolution rule as
+    * [[checkKeys]] and the analyzer default, so a key list that passes
+    * validation also resolves its committed type: a case-sensitive find
+    * here would silently skip the cast and hash probes at the wrong
+    * type (pruning away live file groups), or silently drop stats. */
+  private def fieldOf(schema: StructType, name: String): Option[StructField] =
+    schema.fields.find(_.name.equalsIgnoreCase(name))
+
+  /** Driver-side probe value normalization (int family widens to long,
+    * float to double — so legacy Seq[Long] probes keep their exact
+    * historical hash path) and the natural Spark type of a normalized
+    * value — shared by [[probeIndex]] and [[tagKeyTuples]] so the two
+    * can never disagree on a supported key type. */
+  private def normalizeVal(v: Any): Any = v match {
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case f: Float => f.toDouble
+    case bd: BigDecimal => bd.bigDecimal
+    case other => other
+  }
+
+  private def inferType(v: Any, key: String): DataType = v match {
+    case _: java.lang.Long => LongType
+    case _: String => StringType
+    case _: java.lang.Double => DoubleType
+    case _: java.math.BigDecimal => DecimalType(38, 18)
+    case _: java.lang.Boolean => BooleanType
+    case _: java.sql.Timestamp => TimestampType
+    case _: java.sql.Date => DateType
+    case other => throw new IllegalArgumentException(
+      s"unsupported probe value type ${other.getClass.getName} for key '$key'")
+  }
 
   /** Upsert one batch at file-group granularity. Only buckets whose
     * hash range the batch touches are merged and rewritten; the rest
@@ -406,31 +454,12 @@ object FileGroups {
       s"each probe must carry exactly ${keys.size} non-null value(s) for " +
         s"key columns (${keys.mkString(", ")})")
     // normalize driver-side values, then infer the pre-cast column type
-    // per key column (the probe's natural type; int family widens to
-    // long so legacy Seq[Long] probes keep their exact historical path)
-    val norm: Seq[Seq[Any]] = probes.map(_.map {
-      case i: Int => i.toLong
-      case s: Short => s.toLong
-      case b: Byte => b.toLong
-      case f: Float => f.toDouble
-      case bd: BigDecimal => bd.bigDecimal
-      case v => v
-    })
-    val inferred: Seq[DataType] = keys.indices.map { i =>
-      norm.head(i) match {
-        case _: java.lang.Long => LongType
-        case _: String => StringType
-        case _: java.lang.Double => DoubleType
-        case _: java.math.BigDecimal => DecimalType(38, 18)
-        case _: java.lang.Boolean => BooleanType
-        case _: java.sql.Timestamp => TimestampType
-        case _: java.sql.Date => DateType
-        case other => throw new IllegalArgumentException(
-          s"unsupported probe value type ${other.getClass.getName} for key '${keys(i)}'")
-      }
-    }
+    // per key column (the probe's natural type)
+    val norm: Seq[Seq[Any]] = probes.map(_.map(normalizeVal))
+    val inferred: Seq[DataType] =
+      keys.indices.map(i => inferType(norm.head(i), keys(i)))
     val keyTypes: Seq[Option[DataType]] =
-      keys.map(k => schema.flatMap(_.fields.find(_.name == k).map(_.dataType)))
+      keys.map(k => schema.flatMap(fieldOf(_, k)).map(_.dataType))
     val rowSchema = StructType(StructField("_i", IntegerType, nullable = false) +:
       keys.zip(inferred).map { case (k, t) => StructField(k, t) })
     import scala.jdk.CollectionConverters._
@@ -472,7 +501,7 @@ object FileGroups {
     * key blooms, built for ANY key shape. */
   private def rewriteEntries(out: DataFrame, keys: Seq[String], batchId: Long): Seq[Entry] = {
     val singleIntKey = keys.size == 1 &&
-      out.schema.fields.find(_.name == keys.head).exists(f => integerFamily(f.dataType))
+      fieldOf(out.schema, keys.head).exists(f => integerFamily(f.dataType))
     val statCol = if (singleIntKey) col(keys.head).cast("long") else lit(null).cast("long")
     val blooms = buildBlooms(out, keys)
     out.groupBy(col("_bucket"))
@@ -582,6 +611,15 @@ object FileGroups {
     * rewritten bucket set. */
   def purgeKeyTuples(sess: SparkSession, dir: String, keys: Seq[String],
                      purge: Seq[Seq[Any]], batchId: Long): Set[Long] = {
+    // an EMPTY purge list is a no-op, never a history drop: with no
+    // keys to forget there is no mandate, and running the commit +
+    // forgetHistory machinery anyway would irreversibly delete every
+    // retained version and savepoint for nothing (a dynamically
+    // computed purge set coming out empty is common). Note an
+    // absent-from-CURRENT key list must still run in full — older
+    // versions may hold the keys even when the head's index excludes
+    // them.
+    if (purge.isEmpty) return Set.empty
     val fs = fsOf(sess)
     val id = committedId(sess, dir).getOrElse(
       throw new IllegalStateException(s"no committed table at $dir"))
@@ -832,16 +870,14 @@ object FileGroups {
         if (candidateTuples.isEmpty) Set.empty
         else pointLookupTuples(sess, dir, keys, candidateTuples).get
           .select(keys.map(col): _*).distinct().collect().map(_.toSeq).toSet
+      // output key types: committed schema first; else the probe's own
+      // normalized type (the SAME inference probeIndex hashes under, so
+      // any probe that tags also types); LongType only for the
+      // degenerate no-schema-no-probes frame
       val keyTypes = keys.zipWithIndex.map { case (k, i) =>
-        schema.flatMap(_.fields.find(_.name == k).map(_.dataType)).getOrElse {
-          cand.head._1(i) match {
-            case _: java.lang.Long => LongType
-            case _: java.lang.Integer => IntegerType
-            case _: String => StringType
-            case other => throw new IllegalArgumentException(
-              s"cannot infer key type for '${k}' from ${other.getClass.getName}")
-          }
-        }
+        schema.flatMap(fieldOf(_, k)).map(_.dataType)
+          .orElse(probes.headOption.map(t => inferType(normalizeVal(t(i)), k)))
+          .getOrElse(LongType)
       }
       val outSchema = StructType(keys.zip(keyTypes).map { case (k, t) => StructField(k, t) } :+
         StructField("tag", StringType, nullable = false))

@@ -262,9 +262,12 @@ object Ingest extends org.apache.spark.internal.Logging {
           case None =>
             // OBSERVABLE, not silent: a transient producer bug that
             // poisons a whole batch should leave more than a gap in the
-            // event log — log the quarantine/drop either way (the count
-            // is one job over the batch-sized micro-batch, paid only on
-            // this failure path)
+            // event log — log the quarantine/drop (one count job over
+            // the batch-sized micro-batch, paid only on this failure
+            // path). An EMPTY trigger is not a poison batch: inference
+            // legitimately finds nothing before the first data arrives,
+            // so it stays silent past a limit-1 emptiness probe
+            if (!batch.isEmpty) {
             val n = batch.count()
             dlqDir match {
               case Some(dq) =>
@@ -280,6 +283,7 @@ object Ingest extends org.apache.spark.internal.Logging {
                 logWarning(s"batch $batchId: envelope schema inference yielded no " +
                   s"payload image and no DLQ is configured — DROPPING all $n rows; " +
                   "set dlqDir to quarantine instead")
+            }
             }
           case Some(schema) =>
         // DLQ wire: quarantine poison records before projection; the

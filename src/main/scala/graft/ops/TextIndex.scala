@@ -79,9 +79,17 @@ object TextIndex {
   private def writeSegment(docs: DataFrame, idCol: String, textCol: String,
                            postDir: String, statDir: String): Boolean = {
     val toks = Text.tokenStream(docs, idCol, textCol).cache()
-    try {
-      if (toks.isEmpty) false
-      else {
+    try writeSegmentToks(toks, postDir, statDir)
+    finally { toks.unpersist(); () }
+  }
+
+  /** The segment write over an already-cached token stream — split out
+    * so [[build]]'s zero-token pre-check and the write share ONE
+    * tokenization (the cached `toks` serves the emptiness probe and
+    * the three aggregate consumers). */
+  private def writeSegmentToks(toks: DataFrame, postDir: String, statDir: String): Boolean = {
+    if (toks.isEmpty) false
+    else {
         val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
         tf.join(dl, "doc_id")
@@ -99,9 +107,8 @@ object TextIndex {
             min(col("doc_id").cast("long")).as("id_lo"),
             max(col("doc_id").cast("long")).as("id_hi"))
           .coalesce(1).write.mode("overwrite").parquet(statDir)
-        true
-      }
-    } finally { toks.unpersist(); () }
+      true
+    }
   }
 
   /** (Re)build the base index over a corpus. Rebuild-safe per the
@@ -114,12 +121,17 @@ object TextIndex {
     * and readable instead of destroyed-and-uncommitted. */
   def build(spark: SparkSession, dir: String, docs: DataFrame,
             idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    require(!Text.tokenStream(docs, idCol, textCol).isEmpty,
-      s"TextIndex.build at $dir: the corpus tokenizes to zero tokens — nothing to " +
-        "index (any existing index is left untouched)")
-    DeltaProtocol.clearPriorIndex(spark, dir, Seq("postings", "stats"))
-    require(writeSegment(docs, idCol, textCol, s"$dir/postings", s"$dir/stats"),
-      s"TextIndex.build at $dir: the corpus tokenizes to zero tokens — nothing to index")
+    val toks = Text.tokenStream(docs, idCol, textCol).cache()
+    try {
+      // ONE tokenization serves the pre-check and the write: the cached
+      // stream's limit-1 emptiness probe refuses BEFORE clearPriorIndex
+      // touches anything, then feeds the segment aggregates
+      require(!toks.isEmpty,
+        s"TextIndex.build at $dir: the corpus tokenizes to zero tokens — nothing to " +
+          "index (any existing index is left untouched)")
+      DeltaProtocol.clearPriorIndex(spark, dir, Seq("postings", "stats"))
+      writeSegmentToks(toks, s"$dir/postings", s"$dir/stats")
+    } finally { toks.unpersist(); () }
     val out = DeltaProtocol.fsOf(spark).create(DeltaProtocol.path(s"$dir/_INDEX"), true)
     out.close()
   }

@@ -155,14 +155,16 @@ class FileGroupCatalog extends TableCatalog with ProcedureCatalog {
       throw new IllegalArgumentException(
         s"version $id of ${ident.name()} is not retained (committed: $committed, " +
           s"retained: ${Ingest.snapshotVersions(spark, dir).mkString(", ")})")
-    // key/ordering columns come from the MANIFEST when recorded (the
-    // table is self-describing — a misconfigured `keys` conf could
-    // otherwise hash probes with the wrong bucketing and silently
-    // prune live file groups); the catalog conf is the fallback for
-    // pre-header tables only
-    val (mKeys, mOrd) = FileGroups.tableKeyConfig(spark, dir).getOrElse((None, None))
+    // schema + key/ordering columns from the PINNED version's manifest
+    // in one read (keys are frozen at creation, so any version agrees).
+    // Keys/ord come from the MANIFEST when recorded (the table is
+    // self-describing — a misconfigured `keys` conf could otherwise
+    // hash probes with the wrong bucketing and silently prune live
+    // file groups); the catalog conf is the fallback for pre-header
+    // tables only
+    val (mSchema, mKeys, mOrd) = FileGroups.tableMetaFor(spark, dir, id)
     new FileGroupTable(spark, s"$catalogName.${ident.name()}", dir, id,
-      mKeys.getOrElse(keys), mOrd.getOrElse(ord))
+      mKeys.getOrElse(keys), mOrd.getOrElse(ord), mSchema)
   }
 
   /** Maintenance procedures ([[FileGroupProcedures]]) live in the
@@ -239,7 +241,8 @@ class FileGroupCatalog extends TableCatalog with ProcedureCatalog {
   * exactly the live files. */
 private[sources] class FileGroupTable(spark: SparkSession, tableName: String,
                                       val dir: String, val snapshotVersion: Long,
-                                      keys: Seq[String], val ordSeq: Seq[String] = Seq("lsn"))
+                                      keys: Seq[String], val ordSeq: Seq[String] = Seq("lsn"),
+                                      preloadedSchema: Option[StructType] = None)
     extends Table with SupportsRead {
 
   /** Record-key columns ([[FileGroupMergeRule]] reads them). */
@@ -247,8 +250,10 @@ private[sources] class FileGroupTable(spark: SparkSession, tableName: String,
 
   override def name(): String = tableName
 
+  /** Schema rides in from loadTable's single manifest read; the lazy
+    * re-read is only the fallback for a directly-constructed table. */
   override lazy val schema: StructType =
-    FileGroups.manifestSchema(spark, dir, snapshotVersion).getOrElse(
+    preloadedSchema.orElse(FileGroups.manifestSchema(spark, dir, snapshotVersion)).getOrElse(
       throw new IllegalStateException(
         s"manifest v$snapshotVersion at $dir carries no schema — pre-schema-header table; rebuild"))
 

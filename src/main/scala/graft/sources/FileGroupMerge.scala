@@ -149,7 +149,11 @@ class FileGroupMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
             throw new UnsupportedOperationException(
               "PARTITIONED BY is not supported on file-group tables: the store " +
                 "hash-buckets by record key (set TBLPROPERTIES('buckets'='N'))")
-          val props = c.tableSpec match {
+          // property names are matched case-insensitively: TBLPROPERTIES
+          // keys are user-typed free text, and a silently-ignored
+          // 'KEYS' would pin the table to the wrong record identity
+          // forever (the manifest freezes keys at v0)
+          val props = (c.tableSpec match {
             case t: TableSpec =>
               t.location.foreach { loc =>
                 throw new UnsupportedOperationException(
@@ -158,13 +162,16 @@ class FileGroupMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
               }
               t.properties
             case _ => Map.empty[String, String]
-          }
+          }).map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
           def colsProp(k: String, dflt: Seq[String]) = props.get(k)
             .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(dflt)
+          val buckets = props.get("buckets").map { s =>
+            s.toIntOption.getOrElse(throw new IllegalArgumentException(
+              s"TBLPROPERTIES('buckets'='$s') must be an integer"))
+          }.getOrElse(16)
           FileGroupCtasCommand(cat.dirFor(ident), ident.name(),
             colsProp("keys", cat.defaultKeys), colsProp("ord", cat.defaultOrd),
-            props.get("buckets").map(_.toInt).getOrElse(16),
-            c.ignoreIfExists, c.query)
+            buckets, c.ignoreIfExists, c.query)
         case _ => c
       }
 

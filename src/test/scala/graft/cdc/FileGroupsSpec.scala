@@ -119,6 +119,15 @@ class FileGroupsSpec extends SparkSpec {
     assert(tags.map(r => (r.getString(0), r.getString(1))).toSeq ==
       Seq((k, "update"), ("no-such-key", "insert")))
 
+    // an EMPTY purge list is a NO-OP: no new version, and critically no
+    // forgetHistory — a dynamically-computed empty purge set must never
+    // cost the table its retained history and savepoints
+    assert(FileGroups.purgeKeyTuples(spark, dir, Seq("id"), Seq.empty, 2L).isEmpty)
+    assert(Ingest.snapshotVersions(spark, dir) == Seq(0L, 1L))
+    // empty probe lists degrade gracefully across the index surface
+    assert(FileGroups.tagKeyTuples(spark, dir, Seq("id"), Seq.empty).get.count() == 0)
+    assert(FileGroups.bloomCandidateTuples(spark, dir, Seq("id"), Seq.empty).get.isEmpty)
+
     // tuple purge: the key leaves the current state AND retained history
     FileGroups.purgeKeyTuples(spark, dir, Seq("id"), Seq(Seq(k)), 2L)
     assert(FileGroups.read(spark, dir).get.filter($"id" === k).count() == 0)

@@ -259,6 +259,35 @@ class FileGroupCatalogSpec extends SparkSpec {
     assert(exP.getMessage.contains("first versioned commit"), exP.getMessage)
   }
 
+  test("case-mismatched key config still casts, prunes and stats correctly (resolution parity)") {
+    val root = warehouse()
+    // TBLPROPERTIES names AND key-column case both differ from the
+    // query output ('KEYS'='ID' vs column 'id'): the property must not
+    // be silently ignored, and every index consumer (type cast, stats,
+    // probe hashing) must resolve the field case-insensitively — a
+    // case-sensitive find would skip the cast and hash probes into the
+    // wrong buckets, silently returning 0 rows for present keys
+    spark.sql(
+      """CREATE TABLE graft_cdc.cased TBLPROPERTIES('KEYS'='ID', 'Ord'='lsn', 'buckets'='8')
+        |AS SELECT CAST(id AS INT) AS id, lsn, op, value
+        |FROM graft_cdc.employees WHERE id <= 30""".stripMargin)
+    try {
+      val df = spark.sql("SELECT id, lsn FROM graft_cdc.cased WHERE id = 5")
+      assert(df.collect().toSeq ==
+        spark.sql("SELECT id, lsn FROM graft_cdc.cased").filter($"id" === 5).collect().toSeq)
+      assert(df.collect().nonEmpty, "present key must be found (wrong-type hash would lose it)")
+      assert(df.queryExecution.executedPlan.treeString.contains("InMemoryFileIndex(1 paths)"))
+      // the INT-typed key column got [lo,hi] stats despite the cased
+      // manifest key name: a ghost probe far outside the range returns
+      // empty from metadata alone
+      assert(FileGroups.pointLookupTuples(spark, root + "/cased", Seq("ID"),
+        Seq(Seq(99999999L))).get.count() == 0)
+      val tags = FileGroups.tagKeyTuples(spark, root + "/cased", Seq("ID"),
+        Seq(Seq(5L), Seq(99999999L))).get.collect()
+      assert(tags.map(_.getString(1)).toSeq == Seq("update", "insert"))
+    } finally spark.sql("DROP TABLE graft_cdc.cased")
+  }
+
   test("DROP TABLE deletes a committed table; unknown names never recursively delete") {
     val root = warehouse()
     spark.sql("CREATE TABLE graft_cdc.doomed TBLPROPERTIES('keys'='id', 'ord'='lsn') " +

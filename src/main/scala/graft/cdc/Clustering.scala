@@ -30,8 +30,10 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  private def fsOf(spark: SparkSession) =
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  // per-path FS resolution: the default-FS instance breaks when the
+  // table dir lives on a different filesystem (object store)
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def path(s: String) = new org.apache.hadoop.fs.Path(s)
 
@@ -52,7 +54,7 @@ object Clustering {
   /** Is the current base clustered? (marker present for the committed id) */
   def clusteredId(spark: SparkSession, dir: String): Option[Long] =
     Ingest.committedBatch(spark, dir)
-      .filter(id => fsOf(spark).exists(path(s"$dir/_CLUSTER_$id")))
+      .filter(id => fsOf(spark, dir).exists(path(s"$dir/_CLUSTER_$id")))
 
   /** Resolve the current base data dir: the clustered copy when one
     * exists for the committed id, the raw version otherwise. ONE
@@ -67,7 +69,7 @@ object Clustering {
     * the id-pinned form of [[baseDir]] ([[MergeOnRead.readMerged]]
     * pairs it with a delta list taken at the same id). */
   def baseDirAt(spark: SparkSession, dir: String, id: Long): String =
-    if (fsOf(spark).exists(path(s"$dir/_CLUSTER_$id"))) s"$dir/c$id"
+    if (fsOf(spark, dir).exists(path(s"$dir/_CLUSTER_$id"))) s"$dir/c$id"
     else s"$dir/v$id"
 
   /** Rewrite the current base version range-sorted by `sortCols` into
@@ -83,7 +85,7 @@ object Clustering {
   def cluster(sess: SparkSession, dir: String, sortCols: Seq[Column],
               files: Int = 8, partitionCols: Seq[String] = Nil): Option[Long] = {
     require(sortCols.nonEmpty, "clustering needs at least one sort column")
-    val fs = fsOf(sess)
+    val fs = fsOf(sess, dir)
     // GC clustered copies whose base version itself has been GC'd
     // (savepointed bases count as retained — snapshotVersions lists
     // every version whose _COMMIT_ marker survives, which GC skips for

@@ -57,8 +57,10 @@ import org.apache.spark.sql.types._
   */
 object FileGroups {
 
-  private def fsOf(spark: SparkSession) =
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  // per-path FS resolution: the default-FS instance breaks when the
+  // table dir lives on a different filesystem (object store)
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def path(s: String) = new org.apache.hadoop.fs.Path(s)
 
@@ -154,7 +156,7 @@ object FileGroups {
     * record-key / ordering columns, then one tab-separated line per
     * bucket. */
   private def readManifest(spark: SparkSession, dir: String, id: Long): TableMeta = {
-    val fs = fsOf(spark)
+    val fs = fsOf(spark, dir)
     val in = fs.open(path(manifestPath(dir, id)))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val lines = text.split("\n").filter(_.nonEmpty)
@@ -189,7 +191,7 @@ object FileGroups {
       entries.sortBy(_.bucket).map { e =>
         s"${e.bucket}\t${e.relPath}\t${e.lo.fold("")(_.toString)}\t${e.hi.fold("")(_.toString)}\t${e.count}\t${e.bloom.getOrElse("")}"
       }.mkString("\n")
-    val out = fsOf(spark).create(path(manifestPath(dir, id)), true)
+    val out = fsOf(spark, dir).create(path(manifestPath(dir, id)), true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
@@ -279,7 +281,7 @@ object FileGroups {
     * shuffle whose input is ∝ touched file groups. */
   def commit(sess: SparkSession, dir: String, batch: DataFrame, batchId: Long,
              keys: Seq[String], ord: Seq[String], nBuckets: Int = 16): Set[Long] = {
-    val fs = fsOf(sess)
+    val fs = fsOf(sess, dir)
     // resolve any standing purge intent BEFORE taking the next id: an
     // abandoned UNCOMMITTED _PURGE_ marker sitting at a future id would
     // otherwise be reclassified as a COMMITTED purge the moment this
@@ -338,7 +340,7 @@ object FileGroups {
     * Savepointed manifests stay, and keep every data dir they
     * reference alive. */
   private def gc(sess: SparkSession, dir: String): Unit = {
-    val fs = fsOf(sess)
+    val fs = fsOf(sess, dir)
     val ids = Ingest.snapshotVersions(sess, dir) // sorted committed ids
     val saved = Savepoints.savepoints(sess, dir)
     val keep = (ids.takeRight(2) ++ ids.filter(saved.contains)).distinct
@@ -620,7 +622,7 @@ object FileGroups {
     // versions may hold the keys even when the head's index excludes
     // them.
     if (purge.isEmpty) return Set.empty
-    val fs = fsOf(sess)
+    val fs = fsOf(sess, dir)
     val id = committedId(sess, dir).getOrElse(
       throw new IllegalStateException(s"no committed table at $dir"))
     require(batchId > id, s"purge batchId $batchId must exceed committed id $id")
@@ -734,7 +736,7 @@ object FileGroups {
     * Returns the cleared marker's id; None when nothing is pending
     * (or the table has no committed version to recover against). */
   def completePendingPurge(sess: SparkSession, dir: String): Option[Long] = {
-    val fs = fsOf(sess)
+    val fs = fsOf(sess, dir)
     committedId(sess, dir).flatMap { id =>
       pendingPurge(sess, dir).map { pid =>
         if (pid <= id) forgetHistory(sess, dir, pid)
@@ -775,7 +777,7 @@ object FileGroups {
     * `TIMESTAMP AS OF` resolution. */
   private[graft] def commitTimeOf(sess: SparkSession, dir: String,
                                   id: Long): Option[Long] = {
-    val fs = fsOf(sess)
+    val fs = fsOf(sess, dir)
     val p = path(s"$dir/_COMMIT_$id")
     if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime) else None
   }
@@ -788,7 +790,7 @@ object FileGroups {
     * mid-purge. [[readAt]] refuses pre-purge versions while one stands;
     * the next [[purgeKeys]] call completes or discards it. */
   def pendingPurge(sess: SparkSession, dir: String): Option[Long] = {
-    val fs = fsOf(sess)
+    val fs = fsOf(sess, dir)
     if (!fs.exists(path(dir))) None
     else fs.listStatus(path(dir)).toSeq.map(_.getPath.getName)
       .collect { case n if n.startsWith("_PURGE_") => n.stripPrefix("_PURGE_").toLong }
@@ -808,7 +810,7 @@ object FileGroups {
     * delete is idempotent, so re-running to complete a crashed purge
     * is safe. */
   private def forgetHistory(sess: SparkSession, dir: String, batchId: Long): Unit = {
-    val fs = fsOf(sess)
+    val fs = fsOf(sess, dir)
     Ingest.snapshotVersions(sess, dir).filter(_ < batchId).foreach { v =>
       fs.delete(path(manifestPath(dir, v)), false)
       fs.delete(path(s"$dir/_COMMIT_$v"), false)

@@ -181,12 +181,14 @@ object Ingest extends org.apache.spark.internal.Logging {
   // delete-then-rename. Markers double as the exactly-once guard: a
   // replayed batch whose id is ≤ the max committed id is a no-op.
 
-  private def fsOf(spark: SparkSession) =
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  // per-path FS resolution: the default-FS instance breaks when the
+  // table dir lives on a different filesystem (object store)
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Highest committed batch id under `dir`, if any. */
   def committedBatch(spark: SparkSession, dir: String): Option[Long] = {
-    val fs = fsOf(spark)
+    val fs = fsOf(spark, dir)
     val p = new org.apache.hadoop.fs.Path(dir)
     if (!fs.exists(p)) None
     else fs.listStatus(p).map(_.getPath.getName)
@@ -203,7 +205,7 @@ object Ingest extends org.apache.spark.internal.Logging {
   /** All still-retained committed versions (GC keeps the current and one
     * prior), oldest first. */
   def snapshotVersions(spark: SparkSession, dir: String): Seq[Long] = {
-    val fs = fsOf(spark)
+    val fs = fsOf(spark, dir)
     val p = new org.apache.hadoop.fs.Path(dir)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).map(_.getPath.getName)
@@ -336,7 +338,7 @@ object Ingest extends org.apache.spark.internal.Logging {
     // caller, which already paid the isEmpty job on this plan for its
     // own log write — not re-derived here.
     if (parsedIsEmpty) return
-    val fs = fsOf(sess)
+    val fs = fsOf(sess, dir)
     val committed = committedBatch(sess, dir)
     if (!committed.exists(_ >= batchId)) { // exactly-once replay guard
       val merged = committed match {

@@ -35,8 +35,10 @@ import org.apache.spark.sql.types.StructType
   */
 object MergeOnRead {
 
-  private def fsOf(spark: SparkSession) =
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  // per-path FS resolution: the default-FS instance breaks when the
+  // table dir lives on a different filesystem (object store)
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def path(s: String) = new org.apache.hadoop.fs.Path(s)
 
@@ -49,7 +51,7 @@ object MergeOnRead {
   /** Append one parsed batch as a log delta (idempotent by marker;
     * a batch already folded into the base is skipped). */
   def logAppend(sess: SparkSession, dir: String, parsed: DataFrame, batchId: Long): Unit = {
-    val fs = fsOf(sess)
+    val fs = fsOf(sess, dir)
     val marker = path(s"$dir/_DELTA_$batchId")
     val covered = Ingest.committedBatch(sess, dir).exists(_ >= batchId)
     if (!fs.exists(marker) && !covered) {
@@ -98,7 +100,7 @@ object MergeOnRead {
   def compact(sess: SparkSession, dir: String,
               keys: Seq[String], ord: Seq[String],
               partitionCols: Seq[String] = Nil): Option[Long] = {
-    val fs = fsOf(sess)
+    val fs = fsOf(sess, dir)
     val prevBase = Ingest.committedBatch(sess, dir).getOrElse(-1L)
     val pending = deltaIds(sess, dir).filter(_ > prevBase)
     if (pending.isEmpty) None

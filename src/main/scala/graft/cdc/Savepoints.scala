@@ -25,14 +25,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Savepoints {
 
-  private def fsOf(spark: SparkSession) =
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  // per-path FS resolution: the default-FS instance breaks when the
+  // table dir lives on a different filesystem (object store)
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def path(s: String) = new org.apache.hadoop.fs.Path(s)
 
   /** Ids currently pinned by a savepoint marker. */
   def savepoints(spark: SparkSession, dir: String): Set[Long] = {
-    val fs = fsOf(spark)
+    val fs = fsOf(spark, dir)
     if (!fs.exists(path(dir))) Set.empty
     else fs.listStatus(path(dir)).map(_.getPath.getName)
       .collect { case n if n.startsWith("_SAVEPOINT_") => n.stripPrefix("_SAVEPOINT_").toLong }
@@ -53,15 +55,15 @@ object Savepoints {
     * concurrent writers, serialize savepoints with commits. */
   def savepoint(spark: SparkSession, dir: String, id: Long): Boolean =
     Ingest.snapshotVersions(spark, dir).contains(id) &&
-      fsOf(spark).createNewFile(path(s"$dir/_SAVEPOINT_$id")) && {
+      fsOf(spark, dir).createNewFile(path(s"$dir/_SAVEPOINT_$id")) && {
         val still = Ingest.snapshotVersions(spark, dir).contains(id)
-        if (!still) fsOf(spark).delete(path(s"$dir/_SAVEPOINT_$id"), false)
+        if (!still) fsOf(spark, dir).delete(path(s"$dir/_SAVEPOINT_$id"), false)
         still
       }
 
   /** Release a savepoint; the version becomes ordinary GC fodder. */
   def release(spark: SparkSession, dir: String, id: Long): Unit =
-    fsOf(spark).delete(path(s"$dir/_SAVEPOINT_$id"), false)
+    fsOf(spark, dir).delete(path(s"$dir/_SAVEPOINT_$id"), false)
 
   /** Roll the table back to committed version `toId`: every commit
     * above it — base versions, clustered copies, file-group manifests
@@ -90,7 +92,7 @@ object Savepoints {
     * the exception — rollback removes their markers so the stream's
     * replay re-applies them (below). */
   def rollback(spark: SparkSession, dir: String, toId: Long): Seq[Long] = {
-    val fs = fsOf(spark)
+    val fs = fsOf(spark, dir)
     FileGroups.completePendingPurge(spark, dir)
     val ids = Ingest.snapshotVersions(spark, dir)
     if (!ids.contains(toId)) Seq.empty

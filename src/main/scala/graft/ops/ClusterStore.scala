@@ -36,7 +36,7 @@ object ClusterStore {
     * enters through [[append]], so the replay rules apply uniformly. */
   def buildEmpty(spark: SparkSession, dir: String): Unit = {
     DeltaProtocol.clearPriorIndex(spark, dir, Seq("state_v"))
-    val fs = fsOf(spark)
+    val fs = fsOf(spark, dir)
     fs.mkdirs(path(dir))
     val out = fs.create(path(s"$dir/_INDEX"), true)
     out.close()

@@ -57,20 +57,32 @@ object CmsSketch {
     * bootstrap: every batch (including the first) then enters through
     * the append path, so the delta replay rules apply uniformly. */
   def buildEmpty(spark: SparkSession, dir: String, d: Int = 4, w: Int = 512): Unit = {
+    // a stale compact intent from the prior generation must die with
+    // it — recovery against the fresh layout would corrupt the store
+    DeltaProtocol.clearCompactIntent(spark, dir, "cells_compact_tmp")
     DeltaProtocol.clearPriorIndex(spark, dir, Seq("cells_d"))
     commitIndexMarker(spark, dir, d, w)
   }
 
+  /** Complete a crashed compact, if any — idempotent; [[append]] and
+    * [[compact]] run it first, and the streaming wrapper
+    * ([[graft.streaming.Streams.cmsBatch]]) runs it BEFORE its
+    * existence check: mid-compact the `_INDEX` marker is down, and an
+    * exists-first caller would wedge permanently on a store the
+    * protocol promises to heal. */
+  def recover(spark: SparkSession, dir: String): Unit =
+    DeltaProtocol.finishCompact(spark, dir, "cells_d", "cells_compact_tmp")
+
   private def commitIndexMarker(spark: SparkSession, dir: String, d: Int, w: Int): Unit = {
-    val fs = fsOf(spark)
-    fs.mkdirs(path(dir))
-    val out = fs.create(path(s"$dir/_INDEX"), true)
-    try out.write(s"d=$d,w=$w".getBytes("UTF-8")) finally out.close()
+    // atomic (tmp + rename): create-then-write would expose a
+    // zero-length _INDEX — committed-looking but unparseable geometry
+    fsOf(spark, dir).mkdirs(path(dir))
+    DeltaProtocol.writeFileAtomic(spark, s"$dir/_INDEX", s"d=$d,w=$w")
   }
 
   /** Pinned (d, w) from the base marker. */
   def geometry(spark: SparkSession, dir: String): (Int, Int) = {
-    val in = fsOf(spark).open(path(s"$dir/_INDEX"))
+    val in = fsOf(spark, dir).open(path(s"$dir/_INDEX"))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     text.trim match {
       case s"d=$d,w=$w" => (d.toInt, w.toInt)
@@ -87,16 +99,20 @@ object CmsSketch {
     * [[deltaIds]], same as the index siblings). A term-less batch
     * commits an `empty` marker and writes no dir. */
   def append(spark: SparkSession, dir: String, terms: DataFrame, id: Long): Unit = {
-    DeltaProtocol.finishCompact(spark, dir, "cells_d", "cells_compact_tmp")
+    recover(spark, dir)
     require(exists(spark, dir), s"no committed CMS sketch at $dir — buildEmpty first")
     val (d, w) = geometry(spark, dir)
-    val cells = partialSketch(terms, d, w)
-    if (DeltaProtocol.batchIsEmpty(cells))
-      DeltaProtocol.commitDeltaMarker(spark, dir, id, empty = true)
-    else {
-      cells.write.mode("overwrite").parquet(s"$dir/cells_d$id")
-      DeltaProtocol.commitDeltaMarker(spark, dir, id)
-    }
+    // persisted: the emptiness probe and the write would otherwise
+    // each run the full partial-sketch aggregation from scratch
+    val cells = partialSketch(terms, d, w).persist()
+    try {
+      if (DeltaProtocol.batchIsEmpty(cells))
+        DeltaProtocol.commitDeltaMarker(spark, dir, id, empty = true)
+      else {
+        cells.write.mode("overwrite").parquet(s"$dir/cells_d$id")
+        DeltaProtocol.commitDeltaMarker(spark, dir, id)
+      }
+    } finally { cells.unpersist(); () }
   }
 
   /** The served sketch: cell-wise SUM over every live delta (sketch
@@ -105,7 +121,7 @@ object CmsSketch {
     * sketch with no live deltas yet. */
   def cells(spark: SparkSession, dir: String): DataFrame = {
     require(exists(spark, dir), s"no committed CMS sketch at $dir")
-    val live = DeltaProtocol.liveDeltaIds(spark, dir)
+    val live = DeltaProtocol.liveDeltaIdsChecked(spark, dir, "CMS sketch")
     if (live.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL("r INT, b BIGINT, cell BIGINT"))
@@ -118,14 +134,18 @@ object CmsSketch {
 
   /** Point estimates for a (small) term frame (column `term`): min over
     * the d probed cells per term. The probe side is |terms|·d rows —
-    * broadcast-sized against the ≤ d·w-cell served sketch. */
+    * broadcast-sized against the ≤ d·w-cell served sketch. LEFT join:
+    * an absent cell counts 0 (nothing ever hashed there), so a
+    * never-inserted term estimates 0 instead of vanishing from the
+    * output or taking an inflated min over fewer than d cells — the
+    * standard CMS min-over-d definition. */
   def estimate(spark: SparkSession, dir: String, terms: DataFrame): DataFrame = {
     val (d, w) = geometry(spark, dir)
     terms
       .select(col("term"), explode(sequence(lit(0), lit(d - 1))).as("r"))
       .withColumn("b", bucket(col("r"), col("term"), w))
-      .join(cells(spark, dir), Seq("r", "b"))
-      .groupBy(col("term")).agg(min(col("cell")).as("est"))
+      .join(cells(spark, dir), Seq("r", "b"), "left")
+      .groupBy(col("term")).agg(min(coalesce(col("cell"), lit(0L))).as("est"))
   }
 
   /** Collapse all live deltas into one (the smallest committed id keeps
@@ -146,7 +166,7 @@ object CmsSketch {
     * permanently uncommitted store. Single-writer: quiesce ingest
     * first (a delta committed after the listing would be swept). */
   def compact(spark: SparkSession, dir: String): Unit = {
-    DeltaProtocol.finishCompact(spark, dir, "cells_d", "cells_compact_tmp")
+    recover(spark, dir)
     val live = DeltaProtocol.liveDeltaIds(spark, dir)
     if (live.length > 1) {
       val (d, w) = geometry(spark, dir)

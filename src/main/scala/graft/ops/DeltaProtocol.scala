@@ -30,13 +30,19 @@ import org.apache.spark.sql.functions.lit
   */
 private[graft] object DeltaProtocol {
 
-  def fsOf(spark: SparkSession): org.apache.hadoop.fs.FileSystem =
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  /** The filesystem OWNING `dir` — resolved per path, never the
+    * default FS: with defaultFS=hdfs and a store dir on s3a, the
+    * default-FS instance throws Wrong FS on every marker call (or,
+    * schemeless, silently splits markers and data across two
+    * filesystems). Spark's own reads/writes already resolve per path;
+    * the marker side must match. */
+  def fsOf(spark: SparkSession, dir: String): org.apache.hadoop.fs.FileSystem =
+    path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def path(s: String) = new org.apache.hadoop.fs.Path(s)
 
   def markerExists(spark: SparkSession, dir: String, marker: String = "_INDEX"): Boolean =
-    fsOf(spark).exists(path(s"$dir/$marker"))
+    fsOf(spark, dir).exists(path(s"$dir/$marker"))
 
   /** (id, marker byte length) per committed delta, sorted by id — ONE
     * listing pass. A `_DELTA_`-prefixed name that doesn't parse as an
@@ -46,7 +52,7 @@ private[graft] object DeltaProtocol {
     * implementation, so one stray name would otherwise wedge every
     * delta consumer at once with an opaque parse error. */
   private def deltaEntries(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
-    val fs = fsOf(spark)
+    val fs = fsOf(spark, dir)
     if (!fs.exists(path(dir))) Seq.empty
     else fs.listStatus(path(dir))
       .filter(_.getPath.getName.startsWith("_DELTA_"))
@@ -72,7 +78,7 @@ private[graft] object DeltaProtocol {
     * `dataPrefixes`. */
   def clearPriorIndex(spark: SparkSession, dir: String,
                       dataPrefixes: Seq[String]): Unit = {
-    val fs = fsOf(spark)
+    val fs = fsOf(spark, dir)
     fs.delete(path(s"$dir/_INDEX"), false)
     if (fs.exists(path(dir))) {
       fs.listStatus(path(dir)).map(_.getPath.getName)
@@ -91,7 +97,7 @@ private[graft] object DeltaProtocol {
     * safe direction everywhere this is used (an absent marker = an
     * uncommitted delta = replay re-commits it). */
   def writeFileAtomic(spark: SparkSession, target: String, content: String): Unit = {
-    val fs = fsOf(spark)
+    val fs = fsOf(spark, target)
     val tmp = path(target + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
@@ -105,7 +111,7 @@ private[graft] object DeltaProtocol {
   }
 
   private def readFile(spark: SparkSession, p: String): String = {
-    val in = fsOf(spark).open(path(p))
+    val in = fsOf(spark, p).open(path(p))
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
@@ -117,7 +123,7 @@ private[graft] object DeltaProtocol {
     * LIVE delta with no data dir. */
   def commitDeltaMarker(spark: SparkSession, dir: String, id: Long,
                         empty: Boolean = false): Unit =
-    if (!empty) fsOf(spark).create(path(s"$dir/_DELTA_$id"), true).close()
+    if (!empty) fsOf(spark, dir).create(path(s"$dir/_DELTA_$id"), true).close()
     else writeFileAtomic(spark, s"$dir/_DELTA_$id", "empty")
 
   /** Crash-safe delta collapse, shared by the mergeable sketch stores
@@ -151,7 +157,7 @@ private[graft] object DeltaProtocol {
     * safely or is skipped because its effect is already visible). */
   def finishCompact(spark: SparkSession, dir: String, dataPrefix: String,
                     tmpName: String): Unit = {
-    val fs = fsOf(spark)
+    val fs = fsOf(spark, dir)
     if (!fs.exists(path(s"$dir/_COMPACT"))) return
     val lines = readFile(spark, s"$dir/_COMPACT").split("\n", 3)
     val keep = lines(0).stripPrefix("keep=").toLong
@@ -182,6 +188,39 @@ private[graft] object DeltaProtocol {
   def liveDeltaIds(spark: SparkSession, dir: String): Seq[Long] =
     deltaEntries(spark, dir).collect { case (id, len) if len == 0L => id }
 
+  /** Reader-side live listing with the commit marker RE-CHECKED after
+    * the listing. A compactor's uncommit sweep drops `_INDEX` first,
+    * then markers, then data dirs, and re-commits `_INDEX` only once
+    * the swap is complete — but a reader whose exists() check passed
+    * BEFORE the sweep can list markers mid-deletion and, without this
+    * recheck, silently serve a SUBSET of the deltas (a wrong sum
+    * indistinguishable from a correct one). With the recheck every
+    * straddling interleaving is safe: marker gone at recheck → loud
+    * failure here; stale list whose swept dirs are gone → the read
+    * path's requireDirs fails loudly; list that caught only the kept
+    * delta → the full merged copy, correct. */
+  def liveDeltaIdsChecked(spark: SparkSession, dir: String, what: String): Seq[Long] = {
+    val live = liveDeltaIds(spark, dir)
+    require(markerExists(spark, dir),
+      s"$what at $dir went mid-compact during the read (commit marker dropped " +
+        "after the existence check) — retry; the writer's next append/compact " +
+        "completes the swap")
+    live
+  }
+
+  /** Rebuild-time intent cleanup: a stale `_COMPACT` marker (+ its tmp
+    * dir) from a crashed compact of the PRIOR store generation must not
+    * survive a buildEmpty — the next [[finishCompact]] would otherwise
+    * "recover" the old intent against the fresh layout: sweep the fresh
+    * deltas, or fail "layout corrupted" after the old keep dir is gone.
+    * Every store's buildEmpty runs this before [[clearPriorIndex]]. */
+  def clearCompactIntent(spark: SparkSession, dir: String, tmpName: String): Unit = {
+    val fs = fsOf(spark, dir)
+    fs.delete(path(s"$dir/_COMPACT"), false)
+    fs.delete(path(s"$dir/$tmpName"), true)
+    ()
+  }
+
   /** Fail-loud guard for the read path: every child dir of `dir` named
     * in `names` — what the base and each live delta are supposed to
     * have — MUST exist; a missing one means the layout was corrupted or
@@ -190,7 +229,7 @@ private[graft] object DeltaProtocol {
     * exists() round-trip per delta. */
   def requireDirs(spark: SparkSession, dir: String, names: Seq[String],
                   what: String): Unit = {
-    val present = fsOf(spark).listStatus(path(dir)).map(_.getPath.getName).toSet
+    val present = fsOf(spark, dir).listStatus(path(dir)).map(_.getPath.getName).toSet
     names.foreach(n => require(present.contains(n),
       s"$what data dir missing: $dir/$n — index layout corrupted or restored " +
         "incompletely; rebuild the index"))

@@ -47,20 +47,32 @@ object HllStore {
     * bootstrap: every batch (including the first) then enters through
     * the append path, so the delta replay rules apply uniformly. */
   def buildEmpty(spark: SparkSession, dir: String, lgK: Int = 12): Unit = {
+    // a stale compact intent from the prior generation must die with
+    // it — recovery against the fresh layout would corrupt the store
+    DeltaProtocol.clearCompactIntent(spark, dir, "sk_compact_tmp")
     DeltaProtocol.clearPriorIndex(spark, dir, Seq("sk_d"))
     commitIndexMarker(spark, dir, lgK)
   }
 
+  /** Complete a crashed compact, if any — idempotent; [[append]] and
+    * [[compact]] run it first, and the streaming wrapper
+    * ([[graft.streaming.Streams.hllBatch]]) runs it BEFORE its
+    * existence check: mid-compact the `_INDEX` marker is down, and an
+    * exists-first caller would wedge permanently on a store the
+    * protocol promises to heal. */
+  def recover(spark: SparkSession, dir: String): Unit =
+    DeltaProtocol.finishCompact(spark, dir, "sk_d", "sk_compact_tmp")
+
   private def commitIndexMarker(spark: SparkSession, dir: String, lgK: Int): Unit = {
-    val fs = fsOf(spark)
-    fs.mkdirs(path(dir))
-    val out = fs.create(path(s"$dir/_INDEX"), true)
-    try out.write(s"lgk=$lgK".getBytes("UTF-8")) finally out.close()
+    // atomic (tmp + rename): create-then-write would expose a
+    // zero-length _INDEX — committed-looking but unparseable
+    fsOf(spark, dir).mkdirs(path(dir))
+    DeltaProtocol.writeFileAtomic(spark, s"$dir/_INDEX", s"lgk=$lgK")
   }
 
   /** Pinned lgK from the base marker. */
   def precision(spark: SparkSession, dir: String): Int = {
-    val in = fsOf(spark).open(path(s"$dir/_INDEX"))
+    val in = fsOf(spark, dir).open(path(s"$dir/_INDEX"))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     text.trim match {
       case s"lgk=$k" => k.toInt
@@ -78,16 +90,20 @@ object HllStore {
     * commits an `empty` marker and writes no dir. `rows` must carry
     * (scope, key). */
   def append(spark: SparkSession, dir: String, rows: DataFrame, id: Long): Unit = {
-    DeltaProtocol.finishCompact(spark, dir, "sk_d", "sk_compact_tmp")
+    recover(spark, dir)
     require(exists(spark, dir), s"no committed HLL store at $dir — buildEmpty first")
     val lgK = precision(spark, dir)
-    val sk = partialSketch(rows, lgK)
-    if (DeltaProtocol.batchIsEmpty(sk))
-      DeltaProtocol.commitDeltaMarker(spark, dir, id, empty = true)
-    else {
-      sk.write.mode("overwrite").parquet(s"$dir/sk_d$id")
-      DeltaProtocol.commitDeltaMarker(spark, dir, id)
-    }
+    // persisted: the emptiness probe and the write would otherwise each
+    // run the full hll_sketch_agg pass from scratch
+    val sk = partialSketch(rows, lgK).persist()
+    try {
+      if (DeltaProtocol.batchIsEmpty(sk))
+        DeltaProtocol.commitDeltaMarker(spark, dir, id, empty = true)
+      else {
+        sk.write.mode("overwrite").parquet(s"$dir/sk_d$id")
+        DeltaProtocol.commitDeltaMarker(spark, dir, id)
+      }
+    } finally { sk.unpersist(); () }
   }
 
   /** The served sketches: per-scope union over every live delta (HLL
@@ -96,7 +112,7 @@ object HllStore {
     * restore); empty frame for a store with no live deltas yet. */
   def sketches(spark: SparkSession, dir: String): DataFrame = {
     require(exists(spark, dir), s"no committed HLL store at $dir")
-    val live = DeltaProtocol.liveDeltaIds(spark, dir)
+    val live = DeltaProtocol.liveDeltaIdsChecked(spark, dir, "HLL store")
     if (live.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL("scope STRING, sk BINARY"))
@@ -121,7 +137,7 @@ object HllStore {
     * protocol so a reader never has to know which sketch algebra it is
     * reading: uncommit first, swap, re-commit markers last. */
   def compact(spark: SparkSession, dir: String): Unit = {
-    DeltaProtocol.finishCompact(spark, dir, "sk_d", "sk_compact_tmp")
+    recover(spark, dir)
     val live = DeltaProtocol.liveDeltaIds(spark, dir)
     if (live.length > 1) {
       val lgK = precision(spark, dir)

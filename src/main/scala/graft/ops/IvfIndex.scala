@@ -50,7 +50,7 @@ object IvfIndex {
     Vectors.assignToCentroids(emb, idCol, vecCol, cents)
       .select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/corpus")
-    fsOf(sess).createNewFile(path(s"$dir/_INDEX"))
+    fsOf(sess, dir).createNewFile(path(s"$dir/_INDEX"))
   }
 
   /** Committed delta ids, sorted. */

@@ -102,7 +102,7 @@ object IvfPqIndex {
     cbRows.toDF("mm", "cw_id", "sub")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/codebook")
     writeTier(c, cb, s"$dir/codes", s"$dir/refine")
-    fsOf(sess).createNewFile(path(s"$dir/_INDEX"))
+    fsOf(sess, dir).createNewFile(path(s"$dir/_INDEX"))
   }
 
   /** Write one (codes, refine) pair from coded rows: codes carry the m

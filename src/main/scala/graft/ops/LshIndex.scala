@@ -61,7 +61,7 @@ object LshIndex {
   private def bucketCol(nBuckets: Int) = pmod(xxhash64(col("band")), lit(nBuckets.toLong))
 
   private def nBucketsOf(spark: SparkSession, dir: String): Int = {
-    val fs = fsOf(spark)
+    val fs = fsOf(spark, dir)
     val in = fs.open(path(s"$dir/_INDEX"))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     text.trim.stripPrefix("nbuckets=").toInt
@@ -84,7 +84,7 @@ object LshIndex {
     // schema-less bands/ that poisons every later probe. A band-less
     // base commits with no bands/ dir (the buildEmpty state).
     val b = bands(docs).withColumn("bucket", bucketCol(nBuckets))
-    if (DeltaProtocol.batchIsEmpty(b)) fsOf(sess).delete(path(s"$dir/bands"), true)
+    if (DeltaProtocol.batchIsEmpty(b)) fsOf(sess, dir).delete(path(s"$dir/bands"), true)
     else b.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands")
     commitMarker(sess, dir, nBuckets)
   }
@@ -97,7 +97,7 @@ object LshIndex {
     * bootstrap batch against itself on crash replay). */
   def buildEmpty(sess: SparkSession, dir: String, nBuckets: Int = 16): Unit = {
     clearPriorIndex(sess, dir)
-    fsOf(sess).delete(path(s"$dir/bands"), true)
+    fsOf(sess, dir).delete(path(s"$dir/bands"), true)
     commitMarker(sess, dir, nBuckets)
   }
 
@@ -107,7 +107,7 @@ object LshIndex {
     DeltaProtocol.clearPriorIndex(sess, dir, Seq("bands_d"))
 
   private def commitMarker(sess: SparkSession, dir: String, nBuckets: Int): Unit = {
-    val fs = fsOf(sess)
+    val fs = fsOf(sess, dir)
     fs.mkdirs(path(dir))
     val out = fs.create(path(s"$dir/_INDEX"), true)
     try out.write(s"nbuckets=$nBuckets".getBytes("UTF-8")) finally out.close()
@@ -147,7 +147,7 @@ object LshIndex {
     // a live delta with a lost dir fails loudly
     val ids = DeltaProtocol.liveDeltaIds(sess, dir)
     DeltaProtocol.requireDirs(sess, dir, ids.map(i => s"bands_d$i"), "LSH index")
-    val base = if (fsOf(sess).exists(path(s"$dir/bands"))) Seq(s"$dir/bands") else Nil
+    val base = if (fsOf(sess, dir).exists(path(s"$dir/bands"))) Seq(s"$dir/bands") else Nil
     val dirs = base ++ ids.map(id => s"$dir/bands_d$id")
     if (dirs.isEmpty)
       sess.createDataFrame(sess.sparkContext.emptyRDD[org.apache.spark.sql.Row],

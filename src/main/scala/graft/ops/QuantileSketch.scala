@@ -63,20 +63,32 @@ object QuantileSketch {
     * bootstrap: every batch (including the first) then enters through
     * the append path, so the delta replay rules apply uniformly. */
   def buildEmpty(spark: SparkSession, dir: String, k: Int = 4096): Unit = {
+    // a stale compact intent from the prior generation must die with
+    // it — recovery against the fresh layout would corrupt the store
+    DeltaProtocol.clearCompactIntent(spark, dir, "rows_compact_tmp")
     DeltaProtocol.clearPriorIndex(spark, dir, Seq("rows_d"))
     commitIndexMarker(spark, dir, k)
   }
 
+  /** Complete a crashed compact, if any — idempotent; [[append]] and
+    * [[compact]] run it first, and the streaming wrapper
+    * ([[graft.streaming.Streams.quantileBatch]]) runs it BEFORE its
+    * existence check: mid-compact the `_INDEX` marker is down, and an
+    * exists-first caller would wedge permanently on a store the
+    * protocol promises to heal. */
+  def recover(spark: SparkSession, dir: String): Unit =
+    DeltaProtocol.finishCompact(spark, dir, "rows_d", "rows_compact_tmp")
+
   private def commitIndexMarker(spark: SparkSession, dir: String, k: Int): Unit = {
-    val fs = fsOf(spark)
-    fs.mkdirs(path(dir))
-    val out = fs.create(path(s"$dir/_INDEX"), true)
-    try out.write(s"k=$k".getBytes("UTF-8")) finally out.close()
+    // atomic (tmp + rename): create-then-write would expose a
+    // zero-length _INDEX — committed-looking but unparseable
+    fsOf(spark, dir).mkdirs(path(dir))
+    DeltaProtocol.writeFileAtomic(spark, s"$dir/_INDEX", s"k=$k")
   }
 
   /** Pinned k from the base marker. */
   def sampleSize(spark: SparkSession, dir: String): Int = {
-    val in = fsOf(spark).open(path(s"$dir/_INDEX"))
+    val in = fsOf(spark, dir).open(path(s"$dir/_INDEX"))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     text.trim match {
       case s"k=$k" => k.toInt
@@ -94,16 +106,20 @@ object QuantileSketch {
     * commits an `empty` marker and writes no dir. `rows` must carry
     * (scope, v, h) with h the content hash-rank. */
   def append(spark: SparkSession, dir: String, rows: DataFrame, id: Long): Unit = {
-    DeltaProtocol.finishCompact(spark, dir, "rows_d", "rows_compact_tmp")
+    recover(spark, dir)
     require(exists(spark, dir), s"no committed quantile sketch at $dir — buildEmpty first")
     val k = sampleSize(spark, dir)
-    val cut = bottomK(rows, k)
-    if (DeltaProtocol.batchIsEmpty(cut))
-      DeltaProtocol.commitDeltaMarker(spark, dir, id, empty = true)
-    else {
-      cut.write.mode("overwrite").parquet(s"$dir/rows_d$id")
-      DeltaProtocol.commitDeltaMarker(spark, dir, id)
-    }
+    // persisted: the emptiness probe and the write would otherwise each
+    // run the double-window bottom-k from scratch
+    val cut = bottomK(rows, k).persist()
+    try {
+      if (DeltaProtocol.batchIsEmpty(cut))
+        DeltaProtocol.commitDeltaMarker(spark, dir, id, empty = true)
+      else {
+        cut.write.mode("overwrite").parquet(s"$dir/rows_d$id")
+        DeltaProtocol.commitDeltaMarker(spark, dir, id)
+      }
+    } finally { cut.unpersist(); () }
   }
 
   /** The served sketch: re-bottom-k over every live delta (the merge
@@ -114,7 +130,7 @@ object QuantileSketch {
   def sketchRows(spark: SparkSession, dir: String): DataFrame = {
     require(exists(spark, dir), s"no committed quantile sketch at $dir")
     val k = sampleSize(spark, dir)
-    val live = DeltaProtocol.liveDeltaIds(spark, dir)
+    val live = DeltaProtocol.liveDeltaIdsChecked(spark, dir, "quantile sketch")
     if (live.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL("scope STRING, v DOUBLE, h BIGINT"))
@@ -144,7 +160,7 @@ object QuantileSketch {
     * crash leaves either the old committed sketch or an uncommitted
     * one — never a readable wrong sample. */
   def compact(spark: SparkSession, dir: String): Unit = {
-    DeltaProtocol.finishCompact(spark, dir, "rows_d", "rows_compact_tmp")
+    recover(spark, dir)
     val live = DeltaProtocol.liveDeltaIds(spark, dir)
     if (live.length > 1) {
       val k = sampleSize(spark, dir)

@@ -132,7 +132,7 @@ object TextIndex {
       DeltaProtocol.clearPriorIndex(spark, dir, Seq("postings", "stats"))
       writeSegmentToks(toks, s"$dir/postings", s"$dir/stats")
     } finally { toks.unpersist(); () }
-    val out = DeltaProtocol.fsOf(spark).create(DeltaProtocol.path(s"$dir/_INDEX"), true)
+    val out = DeltaProtocol.fsOf(spark, dir).create(DeltaProtocol.path(s"$dir/_INDEX"), true)
     out.close()
   }
 

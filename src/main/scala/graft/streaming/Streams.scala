@@ -350,6 +350,10 @@ object Streams {
   def cmsBatch(batch: DataFrame, batchId: Long, idxDir: String,
                outDir: String): Boolean = {
     val s = batch.sparkSession
+    // recovery BEFORE the existence check: mid-compact the _INDEX
+    // marker is down, and an exists-first restart would wedge the
+    // stream permanently on a store the protocol promises to heal
+    CmsSketch.recover(s, idxDir)
     require(CmsSketch.exists(s, idxDir),
       s"no committed CMS sketch at $idxDir — CmsSketch.buildEmpty first")
     if (CmsSketch.deltaIds(s, idxDir).contains(batchId)) false
@@ -390,6 +394,8 @@ object Streams {
   def quantileBatch(batch: DataFrame, batchId: Long, idxDir: String,
                     outDir: String): Boolean = {
     val s = batch.sparkSession
+    // same recovery-first rule as cmsBatch
+    graft.ops.QuantileSketch.recover(s, idxDir)
     require(graft.ops.QuantileSketch.exists(s, idxDir),
       s"no committed quantile sketch at $idxDir — QuantileSketch.buildEmpty first")
     if (graft.ops.QuantileSketch.deltaIds(s, idxDir).contains(batchId)) false
@@ -436,6 +442,8 @@ object Streams {
   def hllBatch(batch: DataFrame, batchId: Long, idxDir: String,
                outDir: String): Boolean = {
     val s = batch.sparkSession
+    // same recovery-first rule as cmsBatch
+    graft.ops.HllStore.recover(s, idxDir)
     require(graft.ops.HllStore.exists(s, idxDir),
       s"no committed HLL store at $idxDir — HllStore.buildEmpty first")
     if (graft.ops.HllStore.deltaIds(s, idxDir).contains(batchId)) false

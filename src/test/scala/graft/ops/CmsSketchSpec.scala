@@ -106,7 +106,7 @@ class CmsSketchSpec extends SparkSpec {
     assert(cellMap(dir) == before)
     // a crash AFTER the rename (tmp gone, markers dropped again)
     // recovers through the APPEND door, then the append lands
-    val fs = DeltaProtocol.fsOf(spark)
+    val fs = DeltaProtocol.fsOf(spark, dir)
     fs.delete(DeltaProtocol.path(s"$dir/_INDEX"), false)
     fs.delete(DeltaProtocol.path(s"$dir/_DELTA_0"), false)
     fs.delete(DeltaProtocol.path(s"$dir/_DELTA_1"), false)
@@ -121,5 +121,56 @@ class CmsSketchSpec extends SparkSpec {
     val dir = tmpDir("cms_geom")
     CmsSketch.buildEmpty(spark, dir, d = 7, w = 33)
     assert(CmsSketch.geometry(spark, dir) == ((7, 33)))
+  }
+
+  test("a stream restart heals a mid-compact crash instead of wedging on the existence check") {
+    val dir = tmpDir("cms_stream_heal")
+    val idx = s"$dir/idx"; val out = s"$dir/out"
+    CmsSketch.buildEmpty(spark, idx, d = 2, w = 64)
+    val docs = Seq((1L, "x y x"), (2L, "y z")).toDF("doc_id", "text")
+    assert(Streams.cmsBatch(docs, 0L, idx, out))
+    val docs1 = Seq((3L, "z q")).toDF("doc_id", "text")
+    assert(Streams.cmsBatch(docs1, 1L, idx, out))
+    val before = cellMap(idx)
+    // worst-case compact crash: intent + merged copy landed, store
+    // UNCOMMITTED (_INDEX down). The next foreachBatch after restart
+    // goes through Streams.cmsBatch — which must run recovery BEFORE
+    // its existence check, or every restart throws 'buildEmpty first'
+    // forever (and following that advice would destroy the data)
+    CmsSketch.cells(spark, idx).select(col("r"), col("b"), col("cell").as("n"))
+      .write.mode("overwrite").parquet(s"$idx/cells_compact_tmp")
+    DeltaProtocol.writeFileAtomic(spark, s"$idx/_COMPACT",
+      "keep=0\nall=0,1\nindex=d=2,w=64")
+    DeltaProtocol.clearPriorIndex(spark, idx, Seq("cells_d"))
+    assert(!CmsSketch.exists(spark, idx))
+    val docs2 = Seq((4L, "q q")).toDF("doc_id", "text")
+    assert(Streams.cmsBatch(docs2, 2L, idx, out)) // heals, then lands
+    assert(CmsSketch.exists(spark, idx))
+    val est = CmsSketch.estimate(spark, idx, terms("q")).collect()
+    assert(est.head.getLong(1) >= 3L) // pre-crash q + the new q q
+    assert(cellMap(idx) != before)
+  }
+
+  test("buildEmpty clears a stale compact intent; absent terms estimate 0, not vanish") {
+    val dir = tmpDir("cms_stale_intent")
+    CmsSketch.buildEmpty(spark, dir, d = 2, w = 64)
+    CmsSketch.append(spark, dir, terms("a", "b"), 0L)
+    // leave a crashed compact's intent + tmp dir standing...
+    CmsSketch.cells(spark, dir).select(col("r"), col("b"), col("cell").as("n"))
+      .write.mode("overwrite").parquet(s"$dir/cells_compact_tmp")
+    DeltaProtocol.writeFileAtomic(spark, s"$dir/_COMPACT",
+      "keep=0\nall=0\nindex=d=2,w=64")
+    // ...then rebuild from scratch: the stale intent must die with the
+    // old generation — otherwise the next append would 'recover' the
+    // old layout over the fresh one
+    CmsSketch.buildEmpty(spark, dir, d = 2, w = 64)
+    CmsSketch.append(spark, dir, terms("c"), 0L)
+    assert(DeltaProtocol.liveDeltaIds(spark, dir) == Seq(0L))
+    val est = CmsSketch.estimate(spark, dir, terms("c", "never-seen")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("c") >= 1L)
+    // the absent term is PRESENT in the output with estimate 0 (the
+    // standard min-over-d definition; an inner join would drop it)
+    assert(est("never-seen") == 0L)
   }
 }

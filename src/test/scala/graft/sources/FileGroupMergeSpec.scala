@@ -329,6 +329,29 @@ class FileGroupMergeSpec extends SparkSpec {
     assert(applyMaint() == once, "the registry maintenance sequence must be a fixpoint")
   }
 
+  test("MERGE and DML work on a STRING-keyed table (keys resolved from the manifest)") {
+    val root = tmpDir("graft_fgmerge_str")
+    FileGroups.commit(spark, root + "/emp",
+      Seq(("u1", 10L, "c", 1.0), ("u2", 11L, "c", 2.0))
+        .toDF("id", "lsn", "op", "value"),
+      0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    mkCatalog("graft_strm", root)
+    spark.sql(
+      """MERGE INTO graft_strm.emp t
+        |USING (SELECT * FROM VALUES ('u1', 20L, 9.9D), ('u9', 21L, 7.7D) AS x(id, lsn, value)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET value = s.value, lsn = s.lsn, op = 'u'
+        |WHEN NOT MATCHED THEN INSERT (id, lsn, op, value) VALUES (s.id, s.lsn, 'c', s.value)
+        |""".stripMargin)
+    spark.sql("DELETE FROM graft_strm.emp WHERE id = 'u2'")
+    assert(spark.sql("SELECT id, lsn, value FROM graft_strm.emp ORDER BY id")
+      .as[(String, Long, Double)].collect().toSeq ==
+      Seq(("u1", 20L, 9.9), ("u9", 21L, 7.7)))
+    // the key-equality DELETE's batch-build scan was file-group-pruned
+    // (string probe through the scan builder) — the plan-side pin lives
+    // in FileGroupCatalogSpec; here the VALUES must be right
+  }
+
   test("a statement executed against a stale snapshot fails with the re-run hint — never a lost update") {
     // The optimistic-concurrency pair under test: resolvedCommitted pins
     // the version at ANALYSIS time, the execution-time recheck detects a

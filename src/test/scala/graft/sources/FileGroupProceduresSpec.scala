@@ -84,6 +84,25 @@ class FileGroupProceduresSpec extends SparkSpec {
     assert(ex.getMessage.contains("not retained"), ex.getMessage)
   }
 
+  test("purge_keys through SQL purges a STRING-keyed table (one signature, any key type)") {
+    val root = tmpDir("graft_fgproc_str")
+    val t = root + "/users"
+    val l = log().withColumn("id", concat(lit("u"), $"id"))
+    FileGroups.commit(spark, t, l.filter($"lsn" < 500), 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    FileGroups.commit(spark, t, l.filter($"lsn" >= 500), 1L, Seq("id"), Seq("lsn"))
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[FileGroupCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val victim = spark.sql(s"SELECT min(id) FROM $cat.users").as[String].head()
+    val buckets = spark.sql(
+      s"CALL $cat.purge_keys(table => 'users', keys => array('$victim'))")
+      .as[Long].collect().toSeq
+    assert(buckets.nonEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.users WHERE id = '$victim'")
+      .head.getLong(0) == 0L)
+    // history forgotten — only the purge commit remains
+    assert(graft.cdc.Ingest.snapshotVersions(spark, t) == Seq(2L))
+  }
+
   test("purge_keys through SQL removes the keys from the current state AND retained history") {
     val root = warehouse()
     val t = root + "/employees"

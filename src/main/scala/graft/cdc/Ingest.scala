@@ -181,10 +181,10 @@ object Ingest extends org.apache.spark.internal.Logging {
   // delete-then-rename. Markers double as the exactly-once guard: a
   // replayed batch whose id is ≤ the max committed id is a no-op.
 
-  // per-path FS resolution: the default-FS instance breaks when the
-  // table dir lives on a different filesystem (object store)
+  // ONE per-path FS resolution (DeltaProtocol.fsOf): the default-FS
+  // instance breaks when the table dir lives on a different filesystem
   private def fsOf(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.ops.DeltaProtocol.fsOf(spark, dir)
 
   /** Highest committed batch id under `dir`, if any. */
   def committedBatch(spark: SparkSession, dir: String): Option[Long] = {

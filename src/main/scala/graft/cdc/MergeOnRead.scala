@@ -35,10 +35,10 @@ import org.apache.spark.sql.types.StructType
   */
 object MergeOnRead {
 
-  // per-path FS resolution: the default-FS instance breaks when the
-  // table dir lives on a different filesystem (object store)
+  // ONE per-path FS resolution (DeltaProtocol.fsOf): the default-FS
+  // instance breaks when the table dir lives on a different filesystem
   private def fsOf(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.ops.DeltaProtocol.fsOf(spark, dir)
 
   private def path(s: String) = new org.apache.hadoop.fs.Path(s)
 

@@ -56,13 +56,8 @@ object CmsSketch {
   /** Initialize an empty sketch with pinned geometry — the streaming
     * bootstrap: every batch (including the first) then enters through
     * the append path, so the delta replay rules apply uniformly. */
-  def buildEmpty(spark: SparkSession, dir: String, d: Int = 4, w: Int = 512): Unit = {
-    // a stale compact intent from the prior generation must die with
-    // it — recovery against the fresh layout would corrupt the store
-    DeltaProtocol.clearCompactIntent(spark, dir, "cells_compact_tmp")
-    DeltaProtocol.clearPriorIndex(spark, dir, Seq("cells_d"))
-    commitIndexMarker(spark, dir, d, w)
-  }
+  def buildEmpty(spark: SparkSession, dir: String, d: Int = 4, w: Int = 512): Unit =
+    DeltaProtocol.resetStore(spark, dir, "cells_d", "cells_compact_tmp", s"d=$d,w=$w")
 
   /** Complete a crashed compact, if any — idempotent; [[append]] and
     * [[compact]] run it first, and the streaming wrapper
@@ -72,13 +67,6 @@ object CmsSketch {
     * protocol promises to heal. */
   def recover(spark: SparkSession, dir: String): Unit =
     DeltaProtocol.finishCompact(spark, dir, "cells_d", "cells_compact_tmp")
-
-  private def commitIndexMarker(spark: SparkSession, dir: String, d: Int, w: Int): Unit = {
-    // atomic (tmp + rename): create-then-write would expose a
-    // zero-length _INDEX — committed-looking but unparseable geometry
-    fsOf(spark, dir).mkdirs(path(dir))
-    DeltaProtocol.writeFileAtomic(spark, s"$dir/_INDEX", s"d=$d,w=$w")
-  }
 
   /** Pinned (d, w) from the base marker. */
   def geometry(spark: SparkSession, dir: String): (Int, Int) = {
@@ -100,6 +88,15 @@ object CmsSketch {
     * commits an `empty` marker and writes no dir. */
   def append(spark: SparkSession, dir: String, terms: DataFrame, id: Long): Unit = {
     recover(spark, dir)
+    appendRecovered(spark, dir, terms, id)
+  }
+
+  /** [[append]] minus the recovery step — for callers (the streaming
+    * wrapper) that already ran [[recover]] this trigger; a second
+    * intent probe per micro-batch is a wasted metadata round-trip on
+    * an object store. */
+  private[graft] def appendRecovered(spark: SparkSession, dir: String,
+                                     terms: DataFrame, id: Long): Unit = {
     require(exists(spark, dir), s"no committed CMS sketch at $dir — buildEmpty first")
     val (d, w) = geometry(spark, dir)
     // persisted: the emptiness probe and the write would otherwise

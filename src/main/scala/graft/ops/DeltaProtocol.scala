@@ -198,14 +198,28 @@ private[graft] object DeltaProtocol {
     * straddling interleaving is safe: marker gone at recheck → loud
     * failure here; stale list whose swept dirs are gone → the read
     * path's requireDirs fails loudly; list that caught only the kept
-    * delta → the full merged copy, correct. */
+    * delta → the full merged copy, correct; and an EMPTY mid-sweep
+    * listing (every marker already deleted, the whole swap completed
+    * before the recheck) is RE-LISTED once the marker is confirmed —
+    * the re-list sees the recommitted markers, so the reader serves
+    * the full merged copy instead of mistaking the store for fresh.
+    * Residual window: a read straddling TWO complete compact cycles
+    * could in principle still see empty; under the stores'
+    * single-writer contract compacts are rare and serialized, so the
+    * double-straddle needs two back-to-back compacts inside one
+    * metadata read — quiesce compaction around latency-critical reads
+    * if that matters. */
   def liveDeltaIdsChecked(spark: SparkSession, dir: String, what: String): Seq[Long] = {
-    val live = liveDeltaIds(spark, dir)
-    require(markerExists(spark, dir),
-      s"$what at $dir went mid-compact during the read (commit marker dropped " +
-        "after the existence check) — retry; the writer's next append/compact " +
-        "completes the swap")
-    live
+    def checkedOnce(): Seq[Long] = {
+      val live = liveDeltaIds(spark, dir)
+      require(markerExists(spark, dir),
+        s"$what at $dir went mid-compact during the read (commit marker dropped " +
+          "after the existence check) — retry; the writer's next append/compact " +
+          "completes the swap")
+      live
+    }
+    val first = checkedOnce()
+    if (first.nonEmpty) first else checkedOnce()
   }
 
   /** Rebuild-time intent cleanup: a stale `_COMPACT` marker (+ its tmp
@@ -219,6 +233,21 @@ private[graft] object DeltaProtocol {
     fs.delete(path(s"$dir/_COMPACT"), false)
     fs.delete(path(s"$dir/$tmpName"), true)
     ()
+  }
+
+  /** The WHOLE buildEmpty crash-ordering in one place (CMS/HLL/quantile
+    * share it verbatim, so a future ordering fix cannot drift between
+    * them): kill any stale compact intent of the prior generation
+    * FIRST (recovery against the fresh layout would corrupt it), purge
+    * the prior index, then commit the `_INDEX` geometry marker
+    * ATOMICALLY — create-then-write would expose a zero-length marker
+    * that reads as committed but parses as garbage. */
+  def resetStore(spark: SparkSession, dir: String, dataPrefix: String,
+                 tmpName: String, indexContent: String): Unit = {
+    clearCompactIntent(spark, dir, tmpName)
+    clearPriorIndex(spark, dir, Seq(dataPrefix))
+    fsOf(spark, dir).mkdirs(path(dir))
+    writeFileAtomic(spark, s"$dir/_INDEX", indexContent)
   }
 
   /** Fail-loud guard for the read path: every child dir of `dir` named

@@ -46,13 +46,8 @@ object HllStore {
   /** Initialize an empty store with pinned precision — the streaming
     * bootstrap: every batch (including the first) then enters through
     * the append path, so the delta replay rules apply uniformly. */
-  def buildEmpty(spark: SparkSession, dir: String, lgK: Int = 12): Unit = {
-    // a stale compact intent from the prior generation must die with
-    // it — recovery against the fresh layout would corrupt the store
-    DeltaProtocol.clearCompactIntent(spark, dir, "sk_compact_tmp")
-    DeltaProtocol.clearPriorIndex(spark, dir, Seq("sk_d"))
-    commitIndexMarker(spark, dir, lgK)
-  }
+  def buildEmpty(spark: SparkSession, dir: String, lgK: Int = 12): Unit =
+    DeltaProtocol.resetStore(spark, dir, "sk_d", "sk_compact_tmp", s"lgk=$lgK")
 
   /** Complete a crashed compact, if any — idempotent; [[append]] and
     * [[compact]] run it first, and the streaming wrapper
@@ -62,13 +57,6 @@ object HllStore {
     * protocol promises to heal. */
   def recover(spark: SparkSession, dir: String): Unit =
     DeltaProtocol.finishCompact(spark, dir, "sk_d", "sk_compact_tmp")
-
-  private def commitIndexMarker(spark: SparkSession, dir: String, lgK: Int): Unit = {
-    // atomic (tmp + rename): create-then-write would expose a
-    // zero-length _INDEX — committed-looking but unparseable
-    fsOf(spark, dir).mkdirs(path(dir))
-    DeltaProtocol.writeFileAtomic(spark, s"$dir/_INDEX", s"lgk=$lgK")
-  }
 
   /** Pinned lgK from the base marker. */
   def precision(spark: SparkSession, dir: String): Int = {
@@ -91,6 +79,12 @@ object HllStore {
     * (scope, key). */
   def append(spark: SparkSession, dir: String, rows: DataFrame, id: Long): Unit = {
     recover(spark, dir)
+    appendRecovered(spark, dir, rows, id)
+  }
+
+  /** [[append]] minus the recovery step — see CmsSketch.appendRecovered. */
+  private[graft] def appendRecovered(spark: SparkSession, dir: String,
+                                     rows: DataFrame, id: Long): Unit = {
     require(exists(spark, dir), s"no committed HLL store at $dir — buildEmpty first")
     val lgK = precision(spark, dir)
     // persisted: the emptiness probe and the write would otherwise each

@@ -107,10 +107,11 @@ object LshIndex {
     DeltaProtocol.clearPriorIndex(sess, dir, Seq("bands_d"))
 
   private def commitMarker(sess: SparkSession, dir: String, nBuckets: Int): Unit = {
-    val fs = fsOf(sess, dir)
-    fs.mkdirs(path(dir))
-    val out = fs.create(path(s"$dir/_INDEX"), true)
-    try out.write(s"nbuckets=$nBuckets".getBytes("UTF-8")) finally out.close()
+    // atomic (tmp + rename), like the sketch stores' geometry markers:
+    // create-then-write would expose a zero-length _INDEX — the index
+    // reads as committed but nBucketsOf throws on every later call
+    fsOf(sess, dir).mkdirs(path(dir))
+    DeltaProtocol.writeFileAtomic(sess, s"$dir/_INDEX", s"nbuckets=$nBuckets")
   }
 
   /** Committed delta ids, sorted. */

@@ -62,13 +62,8 @@ object QuantileSketch {
   /** Initialize an empty sketch with pinned sample size — the streaming
     * bootstrap: every batch (including the first) then enters through
     * the append path, so the delta replay rules apply uniformly. */
-  def buildEmpty(spark: SparkSession, dir: String, k: Int = 4096): Unit = {
-    // a stale compact intent from the prior generation must die with
-    // it — recovery against the fresh layout would corrupt the store
-    DeltaProtocol.clearCompactIntent(spark, dir, "rows_compact_tmp")
-    DeltaProtocol.clearPriorIndex(spark, dir, Seq("rows_d"))
-    commitIndexMarker(spark, dir, k)
-  }
+  def buildEmpty(spark: SparkSession, dir: String, k: Int = 4096): Unit =
+    DeltaProtocol.resetStore(spark, dir, "rows_d", "rows_compact_tmp", s"k=$k")
 
   /** Complete a crashed compact, if any — idempotent; [[append]] and
     * [[compact]] run it first, and the streaming wrapper
@@ -78,13 +73,6 @@ object QuantileSketch {
     * protocol promises to heal. */
   def recover(spark: SparkSession, dir: String): Unit =
     DeltaProtocol.finishCompact(spark, dir, "rows_d", "rows_compact_tmp")
-
-  private def commitIndexMarker(spark: SparkSession, dir: String, k: Int): Unit = {
-    // atomic (tmp + rename): create-then-write would expose a
-    // zero-length _INDEX — committed-looking but unparseable
-    fsOf(spark, dir).mkdirs(path(dir))
-    DeltaProtocol.writeFileAtomic(spark, s"$dir/_INDEX", s"k=$k")
-  }
 
   /** Pinned k from the base marker. */
   def sampleSize(spark: SparkSession, dir: String): Int = {
@@ -107,6 +95,12 @@ object QuantileSketch {
     * (scope, v, h) with h the content hash-rank. */
   def append(spark: SparkSession, dir: String, rows: DataFrame, id: Long): Unit = {
     recover(spark, dir)
+    appendRecovered(spark, dir, rows, id)
+  }
+
+  /** [[append]] minus the recovery step — see CmsSketch.appendRecovered. */
+  private[graft] def appendRecovered(spark: SparkSession, dir: String,
+                                     rows: DataFrame, id: Long): Unit = {
     require(exists(spark, dir), s"no committed quantile sketch at $dir — buildEmpty first")
     val k = sampleSize(spark, dir)
     // persisted: the emptiness probe and the write would otherwise each

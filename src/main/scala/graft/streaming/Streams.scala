@@ -359,7 +359,7 @@ object Streams {
     if (CmsSketch.deltaIds(s, idxDir).contains(batchId)) false
     else {
       landAndAppend(batch, batchId, outDir, df =>
-        CmsSketch.append(s, idxDir,
+        CmsSketch.appendRecovered(s, idxDir,
           df.select(explode(Text.tokens(col("text"))).as("term"))
             .filter(col("term") =!= ""),
           batchId))
@@ -401,7 +401,7 @@ object Streams {
     if (graft.ops.QuantileSketch.deltaIds(s, idxDir).contains(batchId)) false
     else {
       landAndAppend(batch, batchId, outDir, df =>
-        graft.ops.QuantileSketch.append(s, idxDir, sketchRowsOf(df), batchId))
+        graft.ops.QuantileSketch.appendRecovered(s, idxDir, sketchRowsOf(df), batchId))
       true
     }
   }
@@ -449,7 +449,7 @@ object Streams {
     if (graft.ops.HllStore.deltaIds(s, idxDir).contains(batchId)) false
     else {
       landAndAppend(batch, batchId, outDir, df =>
-        graft.ops.HllStore.append(s, idxDir, hllRowsOf(df), batchId))
+        graft.ops.HllStore.appendRecovered(s, idxDir, hllRowsOf(df), batchId))
       true
     }
   }

@@ -705,6 +705,16 @@ object FileGroups {
     (entries.size, entries.map(_.count).sum)
   }
 
+  /** SQL observability support (`show_file_groups`): version `id`'s
+    * per-bucket manifest records — (bucket, relative path, row count,
+    * [lo,hi] key stats when the single-integer-key index carries them,
+    * whether a key bloom is present). Manifest metadata only, no data
+    * read — the Hudi `show_fsview` role. */
+  private[graft] def manifestEntries(sess: SparkSession, dir: String, id: Long):
+      Seq[(Long, String, Long, Option[Long], Option[Long], Boolean)] =
+    readManifest(sess, dir, id).entries.sortBy(_.bucket)
+      .map(e => (e.bucket, e.relPath, e.count, e.lo, e.hi, e.bloom.isDefined))
+
   /** DSv2 catalog support: the data paths version `id` references —
     * cut to the buckets that could hold the probed key TUPLES when
     * probes are given (hash bucket + [min,max] stats + key bloom, the

@@ -39,11 +39,13 @@ private[sources] object FileGroupProcedures {
   /** Procedure names the catalog lists/loads (empty namespace and the
     * Iceberg/Hudi-conventional `system` namespace both resolve). */
   val Names: Seq[String] =
-    Seq("show_commits", "create_savepoint", "release_savepoint", "rollback", "purge_keys")
+    Seq("show_commits", "show_file_groups", "create_savepoint", "release_savepoint",
+      "rollback", "purge_keys")
 
   def resolve(name: String, spark: => SparkSession, root: => String,
               keys: => Seq[String]): Option[UnboundProcedure] = name match {
     case "show_commits" => Some(new ShowCommits(spark, root))
+    case "show_file_groups" => Some(new ShowFileGroups(spark, root))
     case "create_savepoint" => Some(new CreateSavepoint(spark, root))
     case "release_savepoint" => Some(new ReleaseSavepoint(spark, root))
     case "rollback" => Some(new RollbackProc(spark, root))
@@ -112,6 +114,53 @@ private[sources] object FileGroupProcedures {
           .map(ms => ms * 1000L: java.lang.Long).orNull
         val (groups, n) = FileGroups.manifestStats(session, dir, v)
         InternalRow(v, at, pinned.contains(v), groups, n)
+      }
+      result(schema, rows)
+    }
+  }
+
+  /** `CALL c.show_file_groups(table[, version])` — the physical-layout
+    * view (Hudi's `show_fsview_all` role): one row per file group of
+    * the requested (default: current) retained version, with its data
+    * path, row count, the [lo,hi] key stats when the
+    * single-integer-key index carries them, and whether a key bloom is
+    * present. The operator's answer to "why didn't my probe prune" /
+    * "which bucket is the fat one" — manifest metadata only, no data
+    * read. */
+  private final class ShowFileGroups(spark: => SparkSession, root: => String)
+      extends FgProcedure(spark, root) {
+    override def name(): String = "show_file_groups"
+    override def description(): String =
+      "per-file-group layout of a retained version: path, rows, key stats, bloom presence"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType),
+        ProcedureParameter.in("version", LongType).defaultValue("-1").build())
+
+    private val schema = StructType(Seq(
+      StructField("bucket", LongType, nullable = false),
+      StructField("path", StringType, nullable = false),
+      StructField("num_rows", LongType, nullable = false),
+      StructField("key_lo", LongType, nullable = true),
+      StructField("key_hi", LongType, nullable = true),
+      StructField("has_bloom", BooleanType, nullable = false)))
+
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val requested = if (input.isNullAt(1)) -1L else input.getLong(1)
+      val id =
+        if (requested < 0) FileGroups.committedId(session, dir).get
+        else {
+          val retained = Ingest.snapshotVersions(session, dir)
+          if (!retained.contains(requested))
+            throw new IllegalArgumentException(
+              s"version $requested is not retained (retained: ${retained.mkString(", ")})")
+          requested
+        }
+      val rows = FileGroups.manifestEntries(session, dir, id).map {
+        case (bucket, rel, n, lo, hi, bloom) =>
+          InternalRow(bucket, UTF8String.fromString(rel), n,
+            lo.map(java.lang.Long.valueOf).orNull,
+            hi.map(java.lang.Long.valueOf).orNull, bloom)
       }
       result(schema, rows)
     }

@@ -65,15 +65,29 @@ private[sources] object FileGroupProcedures {
 
     protected def session: SparkSession = spark
 
-    /** Resolve `table` to its warehouse dir, failing loudly on an
-      * unknown table (matching the catalog's NoSuchTable behavior). */
-    protected def resolveDir(table: String): String = {
-      val dir = s"$root/$table"
-      if (FileGroups.committedId(spark, dir).isEmpty)
-        throw new IllegalArgumentException(
-          s"no committed file-group table '$table' under $root")
-      dir
+    /** The `table` argument (position 0, every procedure), with a
+      * clean error on NULL — `getUTF8String(0).toString` alone would
+      * NPE with no actionable message. */
+    protected def tableArg(input: InternalRow): String = {
+      require(!input.isNullAt(0), s"${name()}: the 'table' argument must not be NULL")
+      input.getUTF8String(0).toString
     }
+
+    /** Resolve `table` to its warehouse dir + committed head version,
+      * failing loudly on an unknown table (matching the catalog's
+      * NoSuchTable behavior). Returned TOGETHER so callers needing the
+      * head (purge, show_file_groups' default) don't pay a second
+      * directory listing for the id this check already resolved. */
+    protected def resolveTable(table: String): (String, Long) = {
+      val dir = s"$root/$table"
+      FileGroups.committedId(spark, dir) match {
+        case Some(id) => (dir, id)
+        case None => throw new IllegalArgumentException(
+          s"no committed file-group table '$table' under $root")
+      }
+    }
+
+    protected def resolveDir(table: String): String = resolveTable(table)._1
 
     protected def in(name: String, dt: DataType): ProcedureParameter =
       ProcedureParameter.in(name, dt).build()
@@ -107,7 +121,7 @@ private[sources] object FileGroupProcedures {
       StructField("num_rows", LongType, nullable = false)))
 
     override def call(input: InternalRow): util.Iterator[Scan] = {
-      val dir = resolveDir(input.getUTF8String(0).toString)
+      val dir = resolveDir(tableArg(input))
       val pinned = Savepoints.savepoints(session, dir)
       val rows = Ingest.snapshotVersions(session, dir).sorted.map { v =>
         val at = FileGroups.commitTimeOf(session, dir, v)
@@ -145,10 +159,16 @@ private[sources] object FileGroupProcedures {
       StructField("has_bloom", BooleanType, nullable = false)))
 
     override def call(input: InternalRow): util.Iterator[Scan] = {
-      val dir = resolveDir(input.getUTF8String(0).toString)
-      val requested = if (input.isNullAt(1)) -1L else input.getLong(1)
+      val (dir, head) = resolveTable(tableArg(input))
+      // ONLY the sentinel -1 (the declared default) means "the head":
+      // any other negative (a computed head-minus-N gone negative) or
+      // an explicit NULL must fail the retained-version validation, not
+      // silently serve the current layout
+      require(!input.isNullAt(1),
+        "show_file_groups: 'version' must be a retained version id, or omitted for the head")
+      val requested = input.getLong(1)
       val id =
-        if (requested < 0) FileGroups.committedId(session, dir).get
+        if (requested == -1L) head
         else {
           val retained = Ingest.snapshotVersions(session, dir)
           if (!retained.contains(requested))
@@ -181,7 +201,7 @@ private[sources] object FileGroupProcedures {
     override def parameters(): Array[ProcedureParameter] =
       Array(in("table", StringType), in("version", LongType))
     override def call(input: InternalRow): util.Iterator[Scan] = {
-      val dir = resolveDir(input.getUTF8String(0).toString)
+      val dir = resolveDir(tableArg(input))
       val v = input.getLong(1)
       result(versionOutcome, Seq(InternalRow(v, Savepoints.savepoint(session, dir, v))))
     }
@@ -196,7 +216,7 @@ private[sources] object FileGroupProcedures {
     override def parameters(): Array[ProcedureParameter] =
       Array(in("table", StringType), in("version", LongType))
     override def call(input: InternalRow): util.Iterator[Scan] = {
-      val dir = resolveDir(input.getUTF8String(0).toString)
+      val dir = resolveDir(tableArg(input))
       val v = input.getLong(1)
       val had = Savepoints.savepoints(session, dir).contains(v)
       Savepoints.release(session, dir, v)
@@ -224,7 +244,7 @@ private[sources] object FileGroupProcedures {
       StructField("removed_version", LongType, nullable = false)))
 
     override def call(input: InternalRow): util.Iterator[Scan] = {
-      val dir = resolveDir(input.getUTF8String(0).toString)
+      val dir = resolveDir(tableArg(input))
       val v = input.getLong(1)
       // complete a crashed purge BEFORE validating the target: its
       // forget step may remove pre-purge versions, and validating
@@ -268,7 +288,7 @@ private[sources] object FileGroupProcedures {
       StructField("rewritten_bucket", LongType, nullable = false)))
 
     override def call(input: InternalRow): util.Iterator[Scan] = {
-      val dir = resolveDir(input.getUTF8String(0).toString)
+      val (dir, id) = resolveTable(tableArg(input))
       val purge = input.getArray(1).toObjectArray(StringType)
         .map(v => Seq[Any](v.toString)).toSeq
       require(purge.nonEmpty, "purge_keys needs at least one key")
@@ -278,7 +298,6 @@ private[sources] object FileGroupProcedures {
       require(tableKeys.size == 1,
         "purge_keys takes one value per key — composite-key tables purge " +
           "through FileGroups.purgeKeyTuples")
-      val id = FileGroups.committedId(session, dir).get
       val buckets = FileGroups.purgeKeyTuples(session, dir, tableKeys, purge, id + 1)
       result(schema, buckets.toSeq.sorted.map(InternalRow(_)))
     }

@@ -87,11 +87,11 @@ class FileGroupProceduresSpec extends SparkSpec {
   test("show_file_groups lists the physical layout with key stats and bloom presence") {
     val root = warehouse()
     val t = root + "/employees"
-    val rows = spark.sql("CALL graft_proc.show_file_groups(table => 'employees')")
+    val rows = spark.sql(s"CALL $cat.show_file_groups(table => 'employees')")
       .as[(Long, String, Long, Option[Long], Option[Long], Boolean)].collect().toSeq
     assert(rows.nonEmpty && rows.map(_._1) == rows.map(_._1).sorted)
     // totals agree with show_commits' manifest stats for the head
-    val head = spark.sql("CALL graft_proc.show_commits('employees')")
+    val head = spark.sql(s"CALL $cat.show_commits('employees')")
       .orderBy($"version".desc).head()
     assert(rows.map(_._3).sum == head.getAs[Long]("num_rows"))
     assert(rows.size == head.getAs[Int]("file_groups"))
@@ -102,11 +102,11 @@ class FileGroupProceduresSpec extends SparkSpec {
       assert(new java.io.File(s"$t/$rel").isDirectory, rel)
     }
     // explicit version arity resolves a retained version; unknown fails
-    val v0 = spark.sql("CALL graft_proc.show_file_groups('employees', 0)")
+    val v0 = spark.sql(s"CALL $cat.show_file_groups('employees', 0)")
       .as[(Long, String, Long, Option[Long], Option[Long], Boolean)].collect().toSeq
     assert(v0.nonEmpty && v0.forall(_._2.startsWith("files/v0/")))
     val ex = intercept[Exception] {
-      spark.sql("CALL graft_proc.show_file_groups('employees', 9)").collect()
+      spark.sql(s"CALL $cat.show_file_groups('employees', 9)").collect()
     }
     assert(ex.getMessage.contains("not retained"), ex.getMessage)
   }

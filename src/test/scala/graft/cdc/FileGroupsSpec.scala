@@ -181,6 +181,48 @@ class FileGroupsSpec extends SparkSpec {
     assert(ex2.getMessage.contains("keyed by"), ex2.getMessage)
   }
 
+  test("property: tuple lookup equals the filtered full read across key shapes, splits and buckets") {
+    // universally quantified over the index's whole input space: key
+    // shape (long / string / composite), bucket count, batch split and
+    // probe choice — the pruned read must ALWAYS equal the full read
+    // restricted to the probes, and present tuples must always be
+    // index candidates (bloom one-sidedness)
+    val l = log().localCheckpoint()
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val shape = rnd.nextInt(3)
+      val (keyed, keys) = shape match {
+        case 0 => (l, Seq("id"))
+        case 1 => (l.withColumn("id", concat(lit("k"), $"id")), Seq("id"))
+        case 2 => (l.withColumn("region",
+          pmod($"id", lit(3 + rnd.nextInt(5))).cast("int")), Seq("id", "region"))
+      }
+      val nb = 2 + rnd.nextInt(14)
+      val cut = rnd.nextInt(900)
+      val dir = tmpDir(s"graft_fg_tprop$seed") + "/t"
+      FileGroups.commit(spark, dir, keyed.filter($"lsn" < cut), 0L, keys, Seq("lsn"), nb)
+      FileGroups.commit(spark, dir, keyed.filter($"lsn" >= cut), 1L, keys, Seq("lsn"))
+      val full = FileGroups.read(spark, dir).get
+      val present = full.select(keys.map(col): _*).distinct().limit(8)
+        .collect().map(_.toSeq).toSeq
+      val absent: Seq[Seq[Any]] = shape match {
+        case 0 => Seq(Seq(99999999L))
+        case 1 => Seq(Seq("k-none"))
+        case 2 => Seq(Seq(99999999L, 0))
+      }
+      val probes = present ++ absent
+      val hit = FileGroups.pointLookupTuples(spark, dir, keys, probes).get
+      val pred = probes.map(t => keys.zip(t).map { case (k, v) => col(k) === lit(v) }
+        .reduce(_ && _)).reduce(_ || _)
+      val want = full.filter(pred).orderBy($"id", $"lsn").collect().toSeq
+      assert(hit.orderBy($"id", $"lsn").collect().toSeq == want,
+        s"seed=$seed shape=$shape nb=$nb cut=$cut")
+      val cand = FileGroups.bloomCandidateTuples(spark, dir, keys, probes).get
+      present.indices.foreach(i =>
+        assert(cand(i)._2, s"present tuple must be an index candidate (seed=$seed i=$i)"))
+    }
+  }
+
   test("property: random batch splits and bucket counts all replay to the one-shot collapse") {
     // the file-group invariant (partial commits == full recompute) must
     // hold regardless of where the log is cut or how many buckets the

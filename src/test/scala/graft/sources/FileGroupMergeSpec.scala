@@ -352,6 +352,43 @@ class FileGroupMergeSpec extends SparkSpec {
     // in FileGroupCatalogSpec; here the VALUES must be right
   }
 
+  test("MERGE and DML work on a COMPOSITE-keyed table; half-key cardinality violations fail") {
+    val root = tmpDir("graft_fgmerge_comp")
+    FileGroups.commit(spark, root + "/emp",
+      Seq((1L, 0, 10L, "c", 1.0), (1L, 1, 11L, "c", 2.0), (2L, 0, 12L, "c", 3.0))
+        .toDF("id", "region", "lsn", "op", "value"),
+      0L, Seq("id", "region"), Seq("lsn"), nBuckets = 4)
+    mkCatalog("graft_compm", root)
+    // the catalog resolves (id, region) from the manifest; the merge
+    // routes and guards on the WHOLE tuple — (1,0) and (1,1) are
+    // distinct records
+    spark.sql(
+      """MERGE INTO graft_compm.emp t
+        |USING (SELECT * FROM VALUES (1L, 0, 20L, 9.9D), (2L, 1, 21L, 7.7D)
+        |       AS x(id, region, lsn, value)) s
+        |ON t.id = s.id AND t.region = s.region
+        |WHEN MATCHED THEN UPDATE SET value = s.value, lsn = s.lsn, op = 'u'
+        |WHEN NOT MATCHED THEN INSERT (id, region, lsn, op, value)
+        |  VALUES (s.id, s.region, s.lsn, 'c', s.value)
+        |""".stripMargin)
+    spark.sql("DELETE FROM graft_compm.emp WHERE id = 1 AND region = 1")
+    assert(spark.sql("SELECT id, region, lsn, value FROM graft_compm.emp ORDER BY id, region")
+      .as[(Long, Int, Long, Double)].collect().toSeq ==
+      Seq((1L, 0, 20L, 9.9), (2L, 0, 12L, 3.0), (2L, 1, 21L, 7.7)))
+    // joining on HALF the key matches one target row against two source
+    // rows — the SQL-standard cardinality guard must fire on the full
+    // key tuple, not a prefix
+    val ex = intercept[Throwable] {
+      spark.sql(
+        """MERGE INTO graft_compm.emp t
+          |USING (SELECT * FROM VALUES (2L, 30L, 1.0D), (2L, 31L, 2.0D) AS x(id, lsn, value)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET value = s.value, lsn = s.lsn
+          |""".stripMargin)
+    }
+    assert(chainMsg(ex).contains("cardinality"), chainMsg(ex))
+  }
+
   test("a statement executed against a stale snapshot fails with the re-run hint — never a lost update") {
     // The optimistic-concurrency pair under test: resolvedCommitted pins
     // the version at ANALYSIS time, the execution-time recheck detects a

@@ -523,7 +523,19 @@ object FileGroups {
     * instead of the table). */
   def pointLookupTuples(sess: SparkSession, dir: String, keys: Seq[String],
                         probes: Seq[Seq[Any]]): Option[DataFrame] =
-    committedId(sess, dir).map { id =>
+    committedId(sess, dir).flatMap(id => pointLookupTuplesAt(sess, dir, id, keys, probes))
+
+  /** Time-travel point lookup: [[pointLookupTuples]] against RETAINED
+    * version `id`'s manifest index (current, prior, or savepointed) —
+    * "what did this key look like on Tuesday" without scanning
+    * Tuesday's table. Same retention and purge-resurrection discipline
+    * as [[readAt]] (a pre-purge version's keys are supposed to be
+    * forgotten); None when `id` is not retained. */
+  def pointLookupTuplesAt(sess: SparkSession, dir: String, id: Long, keys: Seq[String],
+                          probes: Seq[Seq[Any]]): Option[DataFrame] = {
+    assertNoPurgeResurrection(sess, dir, id)
+    if (!Ingest.snapshotVersions(sess, dir).contains(id)) None
+    else Some {
       val m = readManifest(sess, dir, id)
       checkKeys(m, keys, dir)
       val ps = probeIndex(sess, keys, probes, m.schema, m.nBuckets)
@@ -531,12 +543,13 @@ object FileGroups {
       // its stats + key bloom — a negative probe costs zero data-file
       // IO (the bloom-index read path)
       val hit = m.entries.filter(e => ps.exists(admits(e)))
-      if (hit.isEmpty) read(sess, dir).get.limit(0)
+      if (hit.isEmpty) readAt(sess, dir, id).get.limit(0)
       else sess.read.option("mergeSchema", "true")
         .parquet(hit.map(e => s"$dir/${e.relPath}"): _*)
         .drop("_bucket")
         .filter(tupleMatch(keys, ps))
     }
+  }
 
   /** Single-long-key convenience over [[pointLookupTuples]] (the
     * historical API shape — Debezium integer PKs). */

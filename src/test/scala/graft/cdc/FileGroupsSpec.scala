@@ -181,6 +181,27 @@ class FileGroupsSpec extends SparkSpec {
     assert(ex2.getMessage.contains("keyed by"), ex2.getMessage)
   }
 
+  test("versioned point lookup probes a retained version's index (time-travel point read)") {
+    val dir = tmpDir("graft_fg_plat") + "/t"
+    FileGroups.commit(spark, dir,
+      Seq((1L, 10L, "c", 1.0), (2L, 11L, "c", 2.0)).toDF("id", "lsn", "op", "value"),
+      0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    FileGroups.commit(spark, dir,
+      Seq((1L, 20L, "d", 0.0)).toDF("id", "lsn", "op", "value"), 1L, Seq("id"), Seq("lsn"))
+    // key 1 is deleted at the head but alive at v0
+    assert(FileGroups.pointLookupTuples(spark, dir, Seq("id"), Seq(Seq(1L))).get.count() == 0)
+    val v0 = FileGroups.pointLookupTuplesAt(spark, dir, 0L, Seq("id"), Seq(Seq(1L))).get
+      .select($"id", $"lsn").as[(Long, Long)].collect().toSeq
+    assert(v0 == Seq((1L, 10L)))
+    // unretained version -> None; pruning holds at the pinned version
+    assert(FileGroups.pointLookupTuplesAt(spark, dir, 9L, Seq("id"), Seq(Seq(1L))).isEmpty)
+    val full0 = FileGroups.readAt(spark, dir, 0L).get
+    val nTotal = full0.select(input_file_name()).distinct().count()
+    val nHit = FileGroups.pointLookupTuplesAt(spark, dir, 0L, Seq("id"), Seq(Seq(1L))).get
+      .select(input_file_name()).distinct().count()
+    assert(nHit <= nTotal && nHit <= 1)
+  }
+
   test("property: tuple lookup equals the filtered full read across key shapes, splits and buckets") {
     // universally quantified over the index's whole input space: key
     // shape (long / string / composite), bucket count, batch split and

@@ -1171,6 +1171,35 @@ object Extensions {
           |  AND id IN ('u1','u2','u3','u4','u5','u6','u7','u8','u9','u10')
           |ORDER BY id""".stripMargin)),
 
+    // COMPOSITE-KEY SQL READ — the same (id, region) table through the
+    // catalog door with EVERY key column equality-constrained: the
+    // scan builder forms the 10×5 cross-product tuple probes (≤ the
+    // 256 cap) and prunes file groups from the manifest index, keys
+    // resolved from the #keys header (no catalog conf at all).
+    // region IN (0..4) is a tautology under region = id % 5, so the
+    // oracle is the collapse restricted to the probed ids — the
+    // pruned read must lose nothing to the tuple cut.
+    GQuery(
+      "q_cdc_sql_read_composite",
+      (s, dir) => {
+        registerCdcCatalog(s, fileGroupTableComp(s, dir).stripSuffix("/orders"), "graft_cdcc")
+        s.sql(
+          """SELECT id, CAST(region AS BIGINT) AS region, lsn, op, value
+            |FROM graft_cdcc.orders
+            |WHERE id IN (1,2,3,4,5,6,7,8,9,10) AND region IN (0,1,2,3,4)
+            |ORDER BY id""".stripMargin)
+      },
+      Some(
+        """SELECT id, region, lsn, op, value FROM (
+          |  SELECT user_id AS id, user_id % 5 AS region, event_id AS lsn,
+          |    CASE WHEN event_id % 11 = 0 THEN 'd'
+          |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+          |    value,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          |  FROM events) t
+          |WHERE rn = 1 AND op <> 'd' AND id BETWEEN 1 AND 10
+          |ORDER BY id""".stripMargin)),
+
     // COMPOSITE-KEY POINT LOOKUP — record identity (id, region): the
     // index hashes and blooms the WHOLE tuple, so a probe prunes on
     // both halves at once, and a tuple with the wrong second half

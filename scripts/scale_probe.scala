@@ -121,7 +121,11 @@ val queries = Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
   // round 16: the last wide shapes with no probe row — the partial-
   // update key exchange and the boilerplate segment-key shuffle
   // (q_bpe_train already probes above)
-  "q_cdc_partial_update", "q_boilerplate")
+  "q_cdc_partial_update", "q_boilerplate",
+  // round 18: the change-feed TVF (full-outer version diff — the one
+  // genuinely table-scaling new shape) and the ALTER lifecycle (CTAS
+  // write + metadata widen + half-key UPDATE backfill)
+  "q_cdc_sql_changefeed", "q_cdc_sql_alter")
 
 // Optional filter for targeted runs (same convention as
 // SPARK_GRAFT_VERIFY_ONLY): probe only the named queries.

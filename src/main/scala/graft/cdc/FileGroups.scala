@@ -62,6 +62,21 @@ object FileGroups {
   private def fsOf(spark: SparkSession, dir: String) =
     graft.ops.DeltaProtocol.fsOf(spark, dir)
 
+  /** Per-table commit lock (keyed by table dir): makes the
+    * head-check → merge → manifest → marker sequence ATOMIC for
+    * writers sharing this JVM, so two concurrent statements racing one
+    * version resolve to exactly-one-winner — the loser's commit() sees
+    * the taken id under the lock and returns empty, which the SQL
+    * commands surface as the loud re-run conflict. This upgrades the
+    * single-writer contract to "single writer per table per process is
+    * ENFORCED, cross-process coordination stays the operator's job"
+    * (the Hudi posture: in-process OCC, external lock provider for
+    * multi-process). Lock keys are the raw dir string — callers must
+    * name a table by one canonical path, which every service here does. */
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(dir: String): Object =
+    tableLocks.computeIfAbsent(dir, _ => new Object)
+
   private def path(s: String) = new org.apache.hadoop.fs.Path(s)
 
   /** bucket of a key tuple: non-negative hash mod nBuckets. xxhash64 is
@@ -234,6 +249,21 @@ object FileGroups {
           "and the manifest index depend on it)")
     }
 
+  /** The [[checkKeys]] twin for the ordering columns: commit() would
+    * otherwise silently OVERWRITE the manifest's `#ord=` header with a
+    * caller-supplied different ordering, flipping latest-wins merge
+    * semantics for every later SQL-door read of the supposedly
+    * self-describing table. Pre-r17 manifests record no ord — callers
+    * keep the historical trust model. */
+  private def checkOrd(meta: TableMeta, ord: Seq[String], dir: String): Unit =
+    meta.ord.foreach { mo =>
+      require(mo.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+          ord.map(_.toLowerCase(java.util.Locale.ROOT)),
+        s"table at $dir orders by (${mo.mkString(", ")}) but (${ord.mkString(", ")}) " +
+          "was supplied — the precombine/ordering columns are pinned at table " +
+          "creation (latest-wins merge semantics depend on them)")
+    }
+
   /** Case-insensitive schema field lookup — the SAME resolution rule as
     * [[checkKeys]] and the analyzer default, so a key list that passes
     * validation also resolves its committed type: a case-sensitive find
@@ -280,7 +310,8 @@ object FileGroups {
     * [[CdcMerge.upsert]] over just the dirty buckets' rows — one hash
     * shuffle whose input is ∝ touched file groups. */
   def commit(sess: SparkSession, dir: String, batch: DataFrame, batchId: Long,
-             keys: Seq[String], ord: Seq[String], nBuckets: Int = 16): Set[Long] = {
+             keys: Seq[String], ord: Seq[String], nBuckets: Int = 16): Set[Long] =
+    lockFor(dir).synchronized {
     val fs = fsOf(sess, dir)
     // resolve any standing purge intent BEFORE taking the next id: an
     // abandoned UNCOMMITTED _PURGE_ marker sitting at a future id would
@@ -292,12 +323,13 @@ object FileGroups {
     val committed = committedId(sess, dir)
     if (committed.exists(_ >= batchId)) Set.empty
     else {
-      val (nb, current) = committed match {
+      val (nb, current, prevSchema) = committed match {
         case Some(id) =>
           val m = readManifest(sess, dir, id)
           checkKeys(m, keys, dir)
-          (m.nBuckets, m.entries)
-        case None => (nBuckets, Seq.empty[Entry])
+          checkOrd(m, ord, dir)
+          (m.nBuckets, m.entries, m.schema)
+        case None => (nBuckets, Seq.empty[Entry], None)
       }
       val withB = batch.withColumn("_bucket", bucketCol(keys, nb))
       val dirty = withB.select(col("_bucket")).distinct()
@@ -328,8 +360,26 @@ object FileGroups {
       // a dirty bucket can merge to EMPTY (every key deleted) — it then
       // has no partition dir and simply leaves the manifest
       val entries = current.filterNot(e => dirty.contains(e.bucket)) ++ stats
-      writeManifest(sess, dir, batchId, nb, merged.schema, keys, ord, entries)
-      fs.createNewFile(path(s"$dir/_COMMIT_$batchId"))
+      // manifest schema = the merge's schema RECONCILED with the prior
+      // manifest's: the merge only saw the dirty buckets, so a column
+      // living only in clean buckets (prior drift) or added by a
+      // schema-widening DDL commit would otherwise silently VANISH
+      // from the SQL door's table schema on the next unrelated commit
+      // (the data is still there — mergeSchema reads would see it, the
+      // manifest-typed catalog scan would not)
+      writeManifest(sess, dir, batchId, nb, widenWith(merged.schema, prevSchema),
+        keys, ord, entries)
+      // the marker is the atomic publish point; createNewFile returning
+      // false means ANOTHER PROCESS published this id between our head
+      // check and now (in-process racers are excluded by the table
+      // lock) — its data/manifest were just overwritten, so fail LOUDLY
+      // rather than let both writers report success on one version
+      if (!fs.createNewFile(path(s"$dir/_COMMIT_$batchId")))
+        throw new IllegalStateException(
+          s"concurrent cross-process commit detected at $dir: version $batchId was " +
+            "published by another writer mid-commit — the table needs external " +
+            "write coordination (one writer per table per process is enforced; " +
+            "cross-process writers need a lock provider)")
       gc(sess, dir)
       dirty
     }
@@ -355,6 +405,52 @@ object FileGroups {
       fs.delete(path(manifestPath(dir, id)), false)
       fs.delete(path(s"$dir/_COMMIT_$id"), false)
     }
+  }
+
+  /** `base`'s fields plus every prior-schema field `base` lacks
+    * (case-insensitive): the widening reconcile commit() applies to
+    * the manifest schema — columns the merge saw keep their freshest
+    * type, columns it didn't see (clean-bucket drift, DDL-added) are
+    * retained. */
+  private def widenWith(base: StructType, prev: Option[StructType]): StructType =
+    prev.fold(base) { p =>
+      StructType(base.fields ++ p.fields.filterNot(f => fieldOf(base, f.name).isDefined))
+    }
+
+  /** `ALTER TABLE ... ADD COLUMNS` as a METADATA-ONLY commit — the DDL
+    * face of U6's reconcile-on-write: publish version head+1 whose
+    * manifest carries the widened schema while every data file carries
+    * forward by reference. Until data lands, the added columns read as
+    * typed NULLs (the manifest-typed catalog scan null-fills missing
+    * parquet columns; [[readAt]] pads the Scala door identically).
+    * Cost: one small manifest write + the atomic marker — nothing
+    * scales with table bytes, the Delta/Iceberg metadata-evolution
+    * posture. Returns the new version id. */
+  def widenSchema(sess: SparkSession, dir: String,
+                  newFields: Seq[StructField]): Long = lockFor(dir).synchronized {
+    require(newFields.nonEmpty, "widenSchema needs at least one column to add")
+    val fs = fsOf(sess, dir)
+    completePendingPurge(sess, dir)
+    val id = committedId(sess, dir).getOrElse(
+      throw new IllegalStateException(s"no committed table at $dir"))
+    val m = readManifest(sess, dir, id)
+    val schema = m.schema.getOrElse(throw new IllegalStateException(
+      s"manifest v$id at $dir carries no schema — pre-schema-header table; rebuild"))
+    newFields.foreach { f =>
+      require(fieldOf(schema, f.name).isEmpty,
+        s"column '${f.name}' already exists on the table at $dir")
+      require(f.nullable,
+        s"added column '${f.name}' must be nullable: existing rows have no value for it")
+    }
+    val newId = id + 1
+    writeManifest(sess, dir, newId, m.nBuckets, StructType(schema.fields ++ newFields),
+      m.keys.getOrElse(Nil), m.ord.getOrElse(Nil), m.entries)
+    if (!fs.createNewFile(path(s"$dir/_COMMIT_$newId")))
+      throw new IllegalStateException(
+        s"concurrent cross-process commit detected at $dir: version $newId was " +
+          "published by another writer mid-widen — re-run the ALTER")
+    gc(sess, dir)
+    newId
   }
 
   /** Read the current snapshot: every manifest-referenced bucket dir in
@@ -383,9 +479,19 @@ object FileGroups {
         m.schema.fold(sess.emptyDataFrame) { st =>
           sess.createDataFrame(sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
         }
-      else sess.read.option("mergeSchema", "true")
-        .parquet(m.entries.map(e => s"$dir/${e.relPath}"): _*)
-        .drop("_bucket")
+      else {
+        val df = sess.read.option("mergeSchema", "true")
+          .parquet(m.entries.map(e => s"$dir/${e.relPath}"): _*)
+          .drop("_bucket")
+        // a schema-widening DDL commit can add columns no data file
+        // carries yet — pad them as typed NULLs so the Scala door
+        // matches the SQL door (whose manifest-typed ParquetScan
+        // null-fills missing parquet columns natively)
+        m.schema.fold(df) { st =>
+          st.fields.filterNot(f => df.columns.exists(_.equalsIgnoreCase(f.name)))
+            .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+        }
+      }
     }
   }
 
@@ -467,23 +573,55 @@ object FileGroups {
     import scala.jdk.CollectionConverters._
     val df0 = sess.createDataFrame(
       norm.zipWithIndex.map { case (t, i) => Row.fromSeq(i +: t) }.asJava, rowSchema)
-    val casted = keys.zip(keyTypes).foldLeft(df0) { case (d, (k, t)) =>
-      t.fold(d)(dt => d.withColumn(k, col(k).cast(dt)))
+    // Round-trip validation of every non-identity cast: the cast to
+    // the committed key type uses non-ANSI (lossy) semantics, and the
+    // index then buckets/filters on the POST-cast values — without
+    // this check a long probe 2^32+5 on an INT-keyed table would wrap
+    // to 5 and quietly return (or PURGE) key 5's row, a string '5.7'
+    // on a BIGINT key would truncate to 5, and an unparseable string
+    // would go null yet still admit a bucket. A probe is lossy when
+    // its post-cast value is null or doesn't cast back to the original
+    // value; identity casts (committed == inferred type) can't lose.
+    // try_cast on BOTH hops: the check must be ANSI-independent — a
+    // plain cast under the Spark-4 ANSI default throws an opaque
+    // arithmetic error mid-collect instead of this method's actionable
+    // one, and under ANSI-off it silently wraps/truncates/nulls (the
+    // very hazard being closed). A reverse hop that itself fails
+    // (null) counts as lossy via the coalesce.
+    val lossyChecks = keys.zip(keyTypes).zip(inferred).collect {
+      case ((k, Some(dt)), inf) if dt != inf =>
+        val rt = col(k).try_cast(dt)
+        rt.isNull || coalesce(rt.try_cast(inf) =!= col(k), lit(true))
+    }
+    val lossyCol = if (lossyChecks.isEmpty) lit(false) else lossyChecks.reduce(_ || _)
+    val casted = keys.zip(keyTypes).foldLeft(df0.withColumn("_lossy", lossyCol)) {
+      case (d, (k, t)) => t.fold(d)(dt => d.withColumn(k, col(k).try_cast(dt)))
     }
     val statType = keyTypes.head.getOrElse(inferred.head)
     val statCol =
       if (keys.size == 1 && integerFamily(statType)) col(keys.head).cast("long")
       else lit(null).cast("long")
-    casted
+    val rows = casted
       .select(col("_i"), struct(keys.map(col): _*).as("_t"),
         bucketCol(keys, nb).as("_b"),
         array((0 until BloomK).map(i => bloomPos(keys.map(col), i)): _*).as("_pos"),
-        statCol.as("_stat"))
+        statCol.as("_stat"), col("_lossy"))
       .collect().sortBy(_.getInt(0)).toSeq
-      .map { r =>
-        Probe(r.getStruct(1).toSeq, r.getLong(2), r.getSeq[Long](3),
-          if (r.isNullAt(4)) None else Some(r.getLong(4)))
-      }
+    val lossy = rows.filter(_.getBoolean(5)).map(r => probes(r.getInt(0)))
+    if (lossy.nonEmpty) {
+      val committedTypes = keys.zip(keyTypes).map { case (k, t) =>
+        s"$k: ${t.getOrElse(inferred(keys.indexOf(k))).simpleString}" }
+      throw new IllegalArgumentException(
+        s"lossy probe value(s) ${lossy.map(_.mkString("(", ", ", ")")).mkString("; ")} " +
+          s"for committed key type(s) (${committedTypes.mkString(", ")}) — the value(s) " +
+          "do not convert exactly to the committed key type, so the index would " +
+          "silently probe (and a purge would silently DELETE) a different key than " +
+          "named; pass values of the table's key type")
+    }
+    rows.map { r =>
+      Probe(r.getStruct(1).toSeq, r.getLong(2), r.getSeq[Long](3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    }
   }
 
   /** Exact key-membership filter from resolved probes: values are
@@ -635,6 +773,10 @@ object FileGroups {
     // versions may hold the keys even when the head's index excludes
     // them.
     if (purge.isEmpty) return Set.empty
+    // same per-table lock as commit(): the purge's head recheck below
+    // and its destructive rewrite must not interleave with an
+    // in-process commit taking the same id
+    lockFor(dir).synchronized {
     val fs = fsOf(sess, dir)
     val id = committedId(sess, dir).getOrElse(
       throw new IllegalStateException(s"no committed table at $dir"))
@@ -696,6 +838,7 @@ object FileGroups {
     forgetHistory(sess, dir, batchId)
     fs.delete(path(purgeMarkerPath(dir, batchId)), false)
     dirtyBuckets.map(_.bucket).toSet
+    }
   }
 
   /** Single-long-key convenience over [[purgeKeyTuples]] (the

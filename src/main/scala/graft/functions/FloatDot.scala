@@ -119,6 +119,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // onto the crash-safe FileGroups.commit path (post-hoc — after the
     // main resolution batch, before Spark's unsupported-operation check)
     ext.injectPostHocResolutionRule(session => new graft.sources.FileGroupMergeRule(session))
+    // FROM graft_table_changes('cat.t', v1, v2): the incremental change
+    // feed as a TABLE-VALUED function (a distributed diff plan, not
+    // driver-side procedure rows)
+    ext.injectTableFunction(GraftExtensions.tableChangesEntry)
   }
 }
 
@@ -133,10 +137,17 @@ object GraftExtensions {
     new ExpressionInfo(classOf[LongDot].getName, "graft_ldot"),
     (children: Seq[Expression]) => LongDot(children(0), children(1)): Expression)
 
+  private val tableChangesEntry = (
+    graft.sources.TableChangesFunction.ident,
+    graft.sources.TableChangesFunction.info,
+    (args: Seq[Expression]) => graft.sources.TableChangesFunction.builder(args))
+
   /** Register into an already-running session (tests, REPL, the
     * driver's session) — `withExtensions` only applies at build time. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Bridge.registerFunction(spark, dotEntry._1, dotEntry._2, dotEntry._3)
     Bridge.registerFunction(spark, ldotEntry._1, ldotEntry._2, ldotEntry._3)
+    Bridge.registerTableFunction(spark,
+      tableChangesEntry._1, tableChangesEntry._2, tableChangesEntry._3)
   }
 }

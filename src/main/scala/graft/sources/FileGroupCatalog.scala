@@ -205,11 +205,53 @@ class FileGroupCatalog extends TableCatalog with ProcedureCatalog {
         "its first versioned commit — use CREATE TABLE ... AS SELECT (requires the " +
         "session built withExtensions(GraftExtensions)) or FileGroups.commit")
 
+  /** `ALTER TABLE ... ADD COLUMNS` — the one supported table change,
+    * lowered to [[FileGroups.widenSchema]]'s metadata-only commit: a
+    * new version whose manifest carries the widened schema, every data
+    * file carried forward by reference (the added columns read as
+    * typed NULLs until data lands — the manifest-typed scan null-fills
+    * them natively). Top-level nullable columns only; a position or a
+    * DEFAULT fails loudly (the store appends columns and has no
+    * default-value metadata — write the values through UPDATE/MERGE).
+    * Every other change kind keeps failing loudly: type changes and
+    * renames would break the committed data contract, and width-only
+    * drift already reconciles on write. */
   override def alterTable(ident: Identifier,
-                          changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"ALTER TABLE is not supported on $catalogName: schema follows the committed " +
-        "batches (drift reconciles on read)")
+                          changes: org.apache.spark.sql.connector.catalog.TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val dir = dirOf(ident)
+    if (FileGroups.committedId(spark, dir).isEmpty) throw new NoSuchTableException(ident)
+    val fields = changes.map {
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"ALTER TABLE on $catalogName can only add TOP-LEVEL columns, not nested " +
+              s"field '${a.fieldNames().mkString(".")}' — assign the whole struct instead")
+        if (!a.isNullable)
+          throw new UnsupportedOperationException(
+            s"added column '${a.fieldNames().head}' must be nullable: existing rows " +
+              "have no value for it")
+        if (a.position() != null)
+          throw new UnsupportedOperationException(
+            "ALTER TABLE ... ADD COLUMN FIRST/AFTER is not supported: the store " +
+              "appends columns (reads address columns by name, not position)")
+        if (a.defaultValue() != null)
+          throw new UnsupportedOperationException(
+            "ALTER TABLE ... ADD COLUMN DEFAULT is not supported: the store keeps no " +
+              "default-value metadata — backfill through UPDATE/MERGE instead")
+        val f = org.apache.spark.sql.types.StructField(
+          a.fieldNames().head, a.dataType(), nullable = true)
+        Option(a.comment()).fold(f)(f.withComment)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE ${other.getClass.getSimpleName} is not supported on " +
+            s"$catalogName: only ADD COLUMNS lowers to a schema-widening commit " +
+            "(type/rename changes would break the committed data contract; " +
+            "width drift reconciles on write)")
+    }
+    FileGroups.widenSchema(spark, dir, fields.toSeq)
+    loadTable(ident)
+  }
 
   /** `DROP TABLE` — the whole-table terminal operation: a guarded
     * recursive delete of the table directory (manifests, markers,

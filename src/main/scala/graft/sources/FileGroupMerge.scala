@@ -163,6 +163,16 @@ class FileGroupMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
               t.properties
             case _ => Map.empty[String, String]
           }).map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+          // reject unknown property names loudly: a typo ('key',
+          // 'primary_keys') would otherwise fall back to the catalog
+          // default and pin the WRONG record identity forever (the
+          // manifest freezes keys at v0)
+          val unknown = props.keySet -- Set("keys", "ord", "buckets")
+          if (unknown.nonEmpty)
+            throw new IllegalArgumentException(
+              s"unknown TBLPROPERTIES ${unknown.toSeq.sorted.mkString("'", "', '", "'")} " +
+                "on a file-group CTAS — supported: 'keys', 'ord', 'buckets' (a typo " +
+                "here would silently pin the catalog-default record identity forever)")
           def colsProp(k: String, dflt: Seq[String]) = props.get(k)
             .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(dflt)
           val buckets = props.get("buckets").map { s =>

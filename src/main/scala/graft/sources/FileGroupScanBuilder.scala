@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualNullSafe, EqualTo, Expression, In, Literal}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.types.{ByteType, DateType, Decimal, DecimalType, IntegerType, LongType, ShortType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -37,22 +37,42 @@ class FileGroupScanBuilder private (
     options: CaseInsensitiveStringMap)
   extends ParquetScanBuilder(sparkSes, allFiles, tableSchema, tableSchema, options) {
 
-  /** A pushable probe literal: int family (normalized to Long — the
-    * probe resolver casts to the committed key type anyway) and
-    * BINARY-equality strings. A non-binary collation is excluded for
-    * soundness: under e.g. a case-insensitive collation `id = 'U5'`
-    * matches the row 'u5', but the index hashed 'u5' bytewise — the
-    * probe would prune away the very group holding the match. Other
-    * types (decimal, timestamp) are rare as record keys and simply
-    * fall back to the unpruned referenced-file scan. */
-  private def probeValue(e: Expression): Option[Any] = e match {
+  /** Whether key column `k`'s COMMITTED type is the default
+    * (UTF8_BINARY) StringType. String probes are admitted only then:
+    * checking the literal's collation alone would be unsound if the
+    * key column carried a non-binary collation and Spark's collation
+    * coercion compared a default-collation literal under the COLUMN's
+    * collation without a cast node — `id = 'U5'` would match row 'u5',
+    * but the index hashed 'u5' bytewise, and the probe would prune
+    * away the very group holding the match. */
+  private def keyIsBinaryString(k: String): Boolean =
+    tableSchema.fields.find(f => sparkSes.sessionState.conf.resolver(f.name, k))
+      .exists(_.dataType == StringType)
+
+  /** A pushable probe literal for key column `k`: int family
+    * (normalized to Long — the probe resolver casts to the committed
+    * key type with round-trip validation anyway), BINARY-equality
+    * strings (both literal AND committed column must be the default
+    * UTF8_BINARY collation — see [[keyIsBinaryString]]), and the
+    * Debezium-real decimal / date / timestamp key literals (numeric
+    * and temporal PKs), converted to the driver-side value space the
+    * probe resolver types from. TimestampNTZ stays excluded (no
+    * driver-side inference mapping) and falls back to the unpruned
+    * referenced-file scan. */
+  private def probeValue(k: String, e: Expression): Option[Any] = e match {
     case Literal(v: Long, LongType) => Some(v)
     case Literal(v: Int, IntegerType) => Some(v.toLong)
     case Literal(v: Short, ShortType) => Some(v.toLong)
     case Literal(v: Byte, ByteType) => Some(v.toLong)
     // st == StringType pins the DEFAULT (UTF8_BINARY) collation — the
     // only one whose equality is bytewise like the index hash
-    case Literal(v: UTF8String, st: StringType) if st == StringType => Some(v.toString)
+    case Literal(v: UTF8String, st: StringType)
+      if st == StringType && keyIsBinaryString(k) => Some(v.toString)
+    case Literal(v: Decimal, _: DecimalType) => Some(v.toJavaBigDecimal)
+    case Literal(v: Int, DateType) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(v))
+    case Literal(v: Long, TimestampType) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(v))
     case _ => None
   }
 
@@ -71,13 +91,18 @@ class FileGroupScanBuilder private (
     * holding rows that match the dropped entry — silent wrong
     * results). */
   private def conjunctProbes(e: Expression): Option[(String, Seq[Any])] = e match {
-    case EqualTo(a, l) if keyOf(a).isDefined => probeValue(l).map(v => (keyOf(a).get, Seq(v)))
-    case EqualTo(l, a) if keyOf(a).isDefined => probeValue(l).map(v => (keyOf(a).get, Seq(v)))
-    case EqualNullSafe(a, l) if keyOf(a).isDefined => probeValue(l).map(v => (keyOf(a).get, Seq(v)))
-    case EqualNullSafe(l, a) if keyOf(a).isDefined => probeValue(l).map(v => (keyOf(a).get, Seq(v)))
+    case EqualTo(a, l) if keyOf(a).isDefined =>
+      probeValue(keyOf(a).get, l).map(v => (keyOf(a).get, Seq(v)))
+    case EqualTo(l, a) if keyOf(a).isDefined =>
+      probeValue(keyOf(a).get, l).map(v => (keyOf(a).get, Seq(v)))
+    case EqualNullSafe(a, l) if keyOf(a).isDefined =>
+      probeValue(keyOf(a).get, l).map(v => (keyOf(a).get, Seq(v)))
+    case EqualNullSafe(l, a) if keyOf(a).isDefined =>
+      probeValue(keyOf(a).get, l).map(v => (keyOf(a).get, Seq(v)))
     case In(a, vs) if keyOf(a).isDefined =>
-      val ps = vs.map(probeValue)
-      if (ps.nonEmpty && ps.forall(_.isDefined)) Some((keyOf(a).get, ps.flatten)) else None
+      val k = keyOf(a).get
+      val ps = vs.map(probeValue(k, _))
+      if (ps.nonEmpty && ps.forall(_.isDefined)) Some((k, ps.flatten)) else None
     case _ => None
   }
 

@@ -24,4 +24,15 @@ object Bridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(name, info, builder)
+
+  /** Table-function twin of [[registerFunction]]: register a
+    * TABLE-VALUED function builder (args → LogicalPlan) into a live
+    * session — the `FROM graft_table_changes(...)` surface. */
+  def registerTableFunction(spark: org.apache.spark.sql.SparkSession,
+                            name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+                            info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                            builder: Seq[Expression] =>
+                              org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry.registerFunction(name, info, builder)
 }

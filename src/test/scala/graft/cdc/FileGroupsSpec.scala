@@ -575,4 +575,97 @@ class FileGroupsSpec extends SparkSpec {
       assert(tags(p) == want, s"key $p tagged ${tags(p)}, want $want")
     }
   }
+
+  test("lossy probes fail loudly instead of silently probing a different key") {
+    // INT-keyed table: a long probe that wraps under a lossy cast must
+    // throw, never return the wrapped key's row
+    val dir = tmpDir("graft_fg_lossy") + "/t"
+    val b0 = Seq((5, 10L, "c", 1.0), (6, 11L, "c", 2.0)).toDF("id", "lsn", "op", "value")
+    FileGroups.commit(spark, dir, b0, 0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    assert(FileGroups.pointLookup(spark, dir, Seq("id"), Seq(5L)).get.count() == 1)
+    val e = intercept[IllegalArgumentException] {
+      FileGroups.pointLookup(spark, dir, Seq("id"), Seq((1L << 32) + 5L)).get.count()
+    }
+    assert(e.getMessage.contains("lossy"), e.getMessage)
+
+    // BIGINT-keyed table probed with strings (the SQL purge_keys shape):
+    // '5' converts exactly, '5.7' truncates and 'abc' goes null — both
+    // refused; a refused purge must leave the table fully untouched
+    val dirL = tmpDir("graft_fg_lossy2") + "/t"
+    val bl = Seq((5L, 10L, "c", 1.0), (7L, 11L, "c", 2.0)).toDF("id", "lsn", "op", "value")
+    FileGroups.commit(spark, dirL, bl, 0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    assert(FileGroups.pointLookupTuples(spark, dirL, Seq("id"), Seq(Seq("5"))).get.count() == 1)
+    val e2 = intercept[IllegalArgumentException] {
+      FileGroups.purgeKeyTuples(spark, dirL, Seq("id"), Seq(Seq("5.7")), 1L)
+    }
+    assert(e2.getMessage.contains("lossy"), e2.getMessage)
+    assert(Ingest.snapshotVersions(spark, dirL) == Seq(0L),
+      "a refused purge must not move the table or forget history")
+    assert(FileGroups.pendingPurge(spark, dirL).isEmpty,
+      "a refused purge must not leave an intent marker")
+    assert(FileGroups.read(spark, dirL).get.count() == 2)
+    val e3 = intercept[IllegalArgumentException] {
+      FileGroups.pointLookupTuples(spark, dirL, Seq("id"), Seq(Seq("abc"))).get.count()
+    }
+    assert(e3.getMessage.contains("lossy"), e3.getMessage)
+  }
+
+  test("ordering columns are pinned: a commit with a different ord fails loudly") {
+    val dir = tmpDir("graft_fg_ordpin") + "/t"
+    val b0 = Seq((1L, 10L, "c", 1.0)).toDF("id", "lsn", "op", "value")
+    FileGroups.commit(spark, dir, b0, 0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      FileGroups.commit(spark, dir, b0, 1L, Seq("id"), Seq("value"))
+    }
+    assert(e.getMessage.contains("pinned"), e.getMessage)
+    // case differences are not a mismatch (analyzer-default resolution)
+    assert(FileGroups.commit(spark, dir,
+      Seq((2L, 12L, "c", 3.0)).toDF("id", "lsn", "op", "value"),
+      1L, Seq("id"), Seq("LSN")).nonEmpty)
+  }
+
+  test("decimal / date / timestamp record keys: lookup equals filter, index prunes (Debezium numeric/temporal PKs)") {
+    // decimal(10,2) key — the Debezium `numeric` PK shape
+    val ddir = tmpDir("graft_fg_dec") + "/t"
+    val dec = log().withColumn("id", ($"id" + lit(0.25)).cast("decimal(10,2)"))
+    FileGroups.commit(spark, ddir, dec.filter($"lsn" < 500), 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    FileGroups.commit(spark, ddir, dec.filter($"lsn" >= 500), 1L, Seq("id"), Seq("lsn"))
+    val dfull = FileGroups.read(spark, ddir).get
+    val dk = dfull.select(min($"id")).head().getDecimal(0)
+    val dhit = FileGroups.pointLookupTuples(spark, ddir, Seq("id"), Seq(Seq(dk))).get
+    assert(dhit.select($"id", $"lsn").collect().toSeq ==
+      dfull.filter($"id" === lit(dk)).select($"id", $"lsn").collect().toSeq)
+    assert(dhit.select(input_file_name()).distinct().count() <
+      dfull.select(input_file_name()).distinct().count(), "decimal-key lookup must prune")
+    // a probe that needs rounding to fit the committed scale is lossy
+    val eDec = intercept[IllegalArgumentException] {
+      FileGroups.pointLookupTuples(spark, ddir, Seq("id"),
+        Seq(Seq(new java.math.BigDecimal("1.005")))).get.count()
+    }
+    assert(eDec.getMessage.contains("lossy"), eDec.getMessage)
+
+    // date key
+    val datdir = tmpDir("graft_fg_date") + "/t"
+    val dat = log().withColumn("id", date_add(lit("2020-01-01").cast("date"), ($"id" % 500).cast("int")))
+    FileGroups.commit(spark, datdir, dat.filter($"lsn" < 500), 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    FileGroups.commit(spark, datdir, dat.filter($"lsn" >= 500), 1L, Seq("id"), Seq("lsn"))
+    val datfull = FileGroups.read(spark, datdir).get
+    val datk = datfull.select(min($"id")).head().getDate(0)
+    val dathit = FileGroups.pointLookupTuples(spark, datdir, Seq("id"), Seq(Seq(datk))).get
+    assert(dathit.select($"id", $"lsn").orderBy($"lsn").collect().toSeq ==
+      datfull.filter($"id" === lit(datk)).select($"id", $"lsn").orderBy($"lsn").collect().toSeq)
+
+    // timestamp key
+    val tdir = tmpDir("graft_fg_ts") + "/t"
+    val ts = log().withColumn("id", timestamp_seconds($"id" % 500))
+    FileGroups.commit(spark, tdir, ts.filter($"lsn" < 500), 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    FileGroups.commit(spark, tdir, ts.filter($"lsn" >= 500), 1L, Seq("id"), Seq("lsn"))
+    val tfull = FileGroups.read(spark, tdir).get
+    val tk = tfull.select(min($"id")).head().getTimestamp(0)
+    val thit = FileGroups.pointLookupTuples(spark, tdir, Seq("id"), Seq(Seq(tk))).get
+    assert(thit.select($"id", $"lsn").orderBy($"lsn").collect().toSeq ==
+      tfull.filter($"id" === lit(tk)).select($"id", $"lsn").orderBy($"lsn").collect().toSeq)
+    assert(thit.select(input_file_name()).distinct().count() <
+      tfull.select(input_file_name()).distinct().count(), "timestamp-key lookup must prune")
+  }
 }

@@ -305,6 +305,47 @@ class FileGroupCatalogSpec extends SparkSpec {
     assert(new java.io.File(root + "/notatable/data").exists())
   }
 
+  test("ALTER TABLE ADD COLUMNS widens the schema as a metadata commit; rejects everything else") {
+    val root = warehouse()
+    val t = root + "/employees"
+    val headBefore = FileGroups.committedId(spark, t).get
+    spark.sql("ALTER TABLE graft_cdc.employees ADD COLUMNS (tier STRING, score DOUBLE)")
+    // a new METADATA-ONLY version: head advanced, same data files
+    assert(FileGroups.committedId(spark, t).contains(headBefore + 1))
+    // both doors see the widened schema, untouched rows null-filled
+    val sql = spark.sql(
+      "SELECT id, tier, score FROM graft_cdc.employees ORDER BY id").collect()
+    assert(sql.nonEmpty && sql.forall(r => r.isNullAt(1) && r.isNullAt(2)))
+    val api = FileGroups.read(spark, t).get
+    assert(api.columns.contains("tier") && api.columns.contains("score"))
+    assert(api.filter($"tier".isNotNull || $"score".isNotNull).count() == 0)
+    // data lands through the widened column; old buckets stay null
+    spark.sql("UPDATE graft_cdc.employees SET tier = 'gold', lsn = lsn + 1 WHERE id = 1")
+    val got = spark.sql(
+      "SELECT id, tier FROM graft_cdc.employees WHERE id IN (1, 2) ORDER BY id").collect()
+    assert(got.map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+      == Seq((1L, "gold"), (2L, null)))
+    // the widened column SURVIVES an unrelated commit that doesn't
+    // carry it (the manifest-schema reconcile): id=2's bucket rewrite
+    // must not narrow the table schema back
+    spark.sql("UPDATE graft_cdc.employees SET value = 9.9, lsn = lsn + 1 WHERE id = 2")
+    assert(spark.sql("SELECT tier FROM graft_cdc.employees WHERE id = 1")
+      .head().getString(0) == "gold")
+
+    // rejections: duplicate column, non-nullable, nested, rename/drop
+    def rejected(sql: String, needle: String): Unit = {
+      val e = intercept[Throwable] { spark.sql(sql) }
+      val msg = Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+        .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString(" | ")
+      assert(msg.contains(needle), s"$sql => $msg")
+    }
+    rejected("ALTER TABLE graft_cdc.employees ADD COLUMNS (tier STRING)", "already exists")
+    rejected("ALTER TABLE graft_cdc.employees ADD COLUMNS (x INT NOT NULL)", "nullable")
+    rejected("ALTER TABLE graft_cdc.employees ADD COLUMNS (y INT FIRST)", "FIRST/AFTER")
+    rejected("ALTER TABLE graft_cdc.employees RENAME COLUMN value TO v", "not supported")
+    rejected("ALTER TABLE graft_cdc.employees DROP COLUMN value", "not supported")
+  }
+
   test("catalog root re-resolves from the live conf (no stale plugin cache)") {
     val root1 = warehouse()
     assert(spark.sql("SELECT count(*) FROM graft_cdc.employees").head.getLong(0) > 0)

@@ -392,11 +392,10 @@ class FileGroupMergeSpec extends SparkSpec {
   test("a statement executed against a stale snapshot fails with the re-run hint — never a lost update") {
     // The optimistic-concurrency pair under test: resolvedCommitted pins
     // the version at ANALYSIS time, the execution-time recheck detects a
-    // commit that landed in between. Staged deterministically (a live
-    // two-thread race can still clobber inside the documented
-    // detection-not-coordination window, so a thread test would be
-    // flaky by design): analyze statement A, let statement B commit,
-    // then execute A's stale plan.
+    // commit that landed in between. Staged deterministically so the
+    // recheck LOGIC itself is pinned at an exact interleaving point;
+    // the live unsynchronized two-thread race is the next test (sound
+    // since the per-table commit lock made in-process publishes atomic).
     val root = tmpDir("graft_fgstale")
     FileGroups.commit(spark, root + "/emp",
       Seq((1L, 10L, "c", 1.0), (2L, 11L, "c", 2.0)).toDF("id", "lsn", "op", "value"),
@@ -428,5 +427,66 @@ class FileGroupMergeSpec extends SparkSpec {
     assert(st() == Seq((1L, 10L, 1.0), (2L, 50L, 22.0)))
     spark.sql("UPDATE graft_stale.emp SET value = 111.0, lsn = 60 WHERE id = 1")
     assert(st() == Seq((1L, 60L, 111.0), (2L, 50L, 22.0)))
+  }
+
+  test("two live writer threads race one table: exactly-one-winner per version, losers retry on the hint, final state = serial replay") {
+    // The UNSYNCHRONIZED twin of the staged test above: two threads
+    // hammer DML at the same table with no coordination beyond the
+    // store's own optimistic concurrency (per-table commit lock makes
+    // each publish atomic in-process; the version recheck turns every
+    // raced statement into a loud re-run conflict). The assertions
+    // hold under ANY interleaving — that is the property: no schedule
+    // exists where an update is silently lost or double-applied.
+    import scala.jdk.CollectionConverters._
+    val root = tmpDir("graft_fgrace")
+    val iterations = 6
+    FileGroups.commit(spark, root + "/emp",
+      (1L to 8L).map(i => (i, 10L, "c", 0.0)).toDF("id", "lsn", "op", "value"),
+      0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    mkCatalog("graft_race", root)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    // each thread owns a key parity, so the intended final state is
+    // interleaving-independent: value = its own last iteration's stamp
+    def worker(parity: Int): Thread = new Thread(() => {
+      try {
+        for (i <- 1 to iterations) {
+          var done = false
+          var attempts = 0
+          while (!done) {
+            attempts += 1
+            assert(attempts <= 100, s"writer $parity iteration $i: livelock (100 retries)")
+            try {
+              spark.sql(s"UPDATE graft_race.emp SET value = ${parity * 1000 + i}.0, " +
+                s"lsn = lsn + 1 WHERE id % 2 = $parity")
+              done = true
+            } catch {
+              case e: Throwable =>
+                // the ONLY admissible failure is the loud optimistic-
+                // concurrency conflict carrying the re-run hint
+                val msg = chainMsg(e)
+                assert(msg.contains("concurrent commit") && msg.contains("re-run"), msg)
+                conflicts.incrementAndGet()
+                ()
+            }
+          }
+        }
+      } catch { case t: Throwable => failures.add(t); () }
+    })
+    val ts = Seq(worker(0), worker(1))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(failures.isEmpty,
+      failures.asScala.map(chainMsg).mkString("\n"))
+    // every landed statement took exactly one version: 2 threads ×
+    // iterations statements on top of v0 — no lost updates, no
+    // double-published ids
+    assert(FileGroups.committedId(spark, root + "/emp").contains(2L * iterations))
+    // final state = the serial replay of the winners: each key carries
+    // its owner's LAST stamp and exactly `iterations` ord bumps
+    val got = spark.sql("SELECT id, lsn, value FROM graft_race.emp ORDER BY id")
+      .as[(Long, Long, Double)].collect().toSeq
+    val want = (1L to 8L).map(id =>
+      (id, 10L + iterations, ((id % 2) * 1000 + iterations).toDouble))
+    assert(got == want)
   }
 }

@@ -71,6 +71,35 @@ class FileGroupCatalogSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(id), EqualTo(id,5)]"), p)
   }
 
+  test("decimal and timestamp record keys prune through SQL (Debezium numeric/temporal PKs)") {
+    // the round-18 scan-builder probe conversion: a decimal/timestamp
+    // key-equality literal must reach the manifest index and cut the
+    // file index to the probe's bucket — not silently fall back to the
+    // full referenced-file scan
+    val root = tmpDir("graft_fgcat_dt")
+    val dec = log().withColumn("id", ($"id" + lit(0.25)).cast("decimal(10,2)"))
+    FileGroups.commit(spark, root + "/dec", dec, 0L, Seq("id"), Seq("lsn"), nBuckets = 16)
+    val ts = log().withColumn("id", timestamp_seconds($"id" % 500))
+    FileGroups.commit(spark, root + "/ts", ts, 0L, Seq("id"), Seq("lsn"), nBuckets = 16)
+    spark.conf.set("spark.sql.catalog.graft_dt", classOf[FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_dt.root", root)
+
+    val dk = spark.sql("SELECT min(id) FROM graft_dt.dec").head().getDecimal(0)
+    val dq = spark.sql(s"SELECT id, lsn FROM graft_dt.dec WHERE id = $dk")
+    assert(dq.collect().toSeq ==
+      spark.sql("SELECT id, lsn FROM graft_dt.dec").filter($"id" === dk).collect().toSeq)
+    val dp = dq.queryExecution.executedPlan.treeString
+    assert(dp.contains("InMemoryFileIndex(1 paths)"), dp)
+
+    val tk = spark.sql("SELECT min(id) FROM graft_dt.ts").head().getTimestamp(0)
+    val tq = spark.sql(s"SELECT id, lsn FROM graft_dt.ts WHERE id = TIMESTAMP '$tk'")
+    assert(tq.collect().toSeq ==
+      spark.sql("SELECT id, lsn FROM graft_dt.ts").filter($"id" === tk).collect().toSeq)
+    assert(tq.collect().nonEmpty)
+    val tp = tq.queryExecution.executedPlan.treeString
+    assert(tp.contains("InMemoryFileIndex(1 paths)"), tp)
+  }
+
   test("non-key and wide predicates fall back to the full referenced-file scan") {
     warehouse()
     val p = spark.sql("SELECT id FROM graft_cdc.employees WHERE lsn > 100")

@@ -77,6 +77,13 @@ object FileGroups {
   private def lockFor(dir: String): Object =
     tableLocks.computeIfAbsent(dir, _ => new Object)
 
+  /** Run `f` under the table's in-process commit lock — for sibling
+    * services ([[Savepoints]]) whose mutations must not interleave with
+    * a commit's head-check → publish window. Reentrant (a JVM monitor),
+    * so locked services may call each other. */
+  private[cdc] def withTableLock[T](dir: String)(f: => T): T =
+    lockFor(dir).synchronized(f)
+
   private def path(s: String) = new org.apache.hadoop.fs.Path(s)
 
   /** bucket of a key tuple: non-negative hash mod nBuckets. xxhash64 is

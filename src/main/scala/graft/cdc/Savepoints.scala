@@ -54,12 +54,17 @@ object Savepoints {
     * single-writer-per-table contract the window never opens; with
     * concurrent writers, serialize savepoints with commits. */
   def savepoint(spark: SparkSession, dir: String, id: Long): Boolean =
-    Ingest.snapshotVersions(spark, dir).contains(id) &&
-      fsOf(spark, dir).createNewFile(path(s"$dir/_SAVEPOINT_$id")) && {
-        val still = Ingest.snapshotVersions(spark, dir).contains(id)
-        if (!still) fsOf(spark, dir).delete(path(s"$dir/_SAVEPOINT_$id"), false)
-        still
-      }
+    // table lock (round 18): makes the retention-check → pin → recheck
+    // atomic against IN-PROCESS commits' GC, so the best-effort window
+    // below only remains for cross-process writers
+    FileGroups.withTableLock(dir) {
+      Ingest.snapshotVersions(spark, dir).contains(id) &&
+        fsOf(spark, dir).createNewFile(path(s"$dir/_SAVEPOINT_$id")) && {
+          val still = Ingest.snapshotVersions(spark, dir).contains(id)
+          if (!still) fsOf(spark, dir).delete(path(s"$dir/_SAVEPOINT_$id"), false)
+          still
+        }
+    }
 
   /** Release a savepoint; the version becomes ordinary GC fodder. */
   def release(spark: SparkSession, dir: String, id: Long): Unit =
@@ -91,7 +96,12 @@ object Savepoints {
     * its checkpoint before rolling its table back; MOR log deltas are
     * the exception — rollback removes their markers so the stream's
     * replay re-applies them (below). */
-  def rollback(spark: SparkSession, dir: String, toId: Long): Seq[Long] = {
+  def rollback(spark: SparkSession, dir: String, toId: Long): Seq[Long] =
+    // under the table's in-process commit lock (round 18): a rollback
+    // interleaving with a commit's head-check → publish window could
+    // otherwise delete the version the commit just resolved against —
+    // the same exactly-one-winner discipline as racing DML statements
+    FileGroups.withTableLock(dir) {
     val fs = fsOf(spark, dir)
     FileGroups.completePendingPurge(spark, dir)
     val ids = Ingest.snapshotVersions(spark, dir)
@@ -131,5 +141,5 @@ object Savepoints {
       }
       doomed
     }
-  }
+    }
 }

@@ -83,7 +83,10 @@ object Clustering {
     * readers that resolved the old pointer keep working; only copies
     * of GC'd bases are deleted. */
   def cluster(sess: SparkSession, dir: String, sortCols: Seq[Column],
-              files: Int = 8, partitionCols: Seq[String] = Nil): Option[Long] = {
+              files: Int = 8, partitionCols: Seq[String] = Nil): Option[Long] =
+    // table lock (round 18): the copy-GC + cluster-copy publish must not
+    // interleave with an in-process commit/rollback moving the head
+    FileGroups.withTableLock(dir) {
     require(sortCols.nonEmpty, "clustering needs at least one sort column")
     val fs = fsOf(sess, dir)
     // GC clustered copies whose base version itself has been GC'd
@@ -108,5 +111,5 @@ object Clustering {
       fs.createNewFile(path(s"$dir/_CLUSTER_$id"))
       id
     }
-  }
+    }
 }

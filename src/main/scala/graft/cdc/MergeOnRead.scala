@@ -50,7 +50,10 @@ object MergeOnRead {
 
   /** Append one parsed batch as a log delta (idempotent by marker;
     * a batch already folded into the base is skipped). */
-  def logAppend(sess: SparkSession, dir: String, parsed: DataFrame, batchId: Long): Unit = {
+  def logAppend(sess: SparkSession, dir: String, parsed: DataFrame, batchId: Long): Unit =
+    // table lock (round 18): the covered-check → delta publish must not
+    // interleave with an in-process compact() consuming the same range
+    FileGroups.withTableLock(dir) {
     val fs = fsOf(sess, dir)
     val marker = path(s"$dir/_DELTA_$batchId")
     val covered = Ingest.committedBatch(sess, dir).exists(_ >= batchId)
@@ -58,7 +61,7 @@ object MergeOnRead {
       parsed.write.mode("overwrite").parquet(s"$dir/log/d$batchId")
       fs.createNewFile(marker)
     }
-  }
+    }
 
   /** Read the CURRENT state: base snapshot merged with every pending
     * log delta above it (the MOR read path — what Hudi calls the
@@ -99,7 +102,10 @@ object MergeOnRead {
     * travel to the previous compaction point stays possible). */
   def compact(sess: SparkSession, dir: String,
               keys: Seq[String], ord: Seq[String],
-              partitionCols: Seq[String] = Nil): Option[Long] = {
+              partitionCols: Seq[String] = Nil): Option[Long] =
+    // table lock (round 18): pending-list → fold → marker → log GC is
+    // one atomic maintenance step against in-process appends/rollbacks
+    FileGroups.withTableLock(dir) {
     val fs = fsOf(sess, dir)
     val prevBase = Ingest.committedBatch(sess, dir).getOrElse(-1L)
     val pending = deltaIds(sess, dir).filter(_ > prevBase)
@@ -126,7 +132,7 @@ object MergeOnRead {
       }
       Some(target)
     }
-  }
+    }
 
   /** Checkpointed MOR streaming ingest: per micro-batch, parse + log
     * append (cheap), compaction every `compactEvery` batches, and —

@@ -94,6 +94,23 @@ object Demo {
     println(s"[demo] 6c. SQL MERGE raised employee 2's salary ($before2 -> " +
       spark.sql("SELECT salary FROM graft_cdc.fg WHERE id = 2")
         .collect().headOption.map(_.get(0)).getOrElse("absent") + ")")
+    // ... the incremental consumer reads WHAT CHANGED between two
+    // versions through plain SQL (the Hudi incremental-query shape as
+    // a table-valued function — a distributed key-level diff, never a
+    // table re-read): exactly the one MERGE'd key shows up
+    val fgHead = graft.cdc.FileGroups.committedId(spark, s"$work/fg").get
+    println("[demo] 6d. SQL change feed of that MERGE (graft_table_changes):")
+    spark.sql(
+      s"""SELECT id, change_op, before_salary, after_salary
+         |FROM graft_table_changes('graft_cdc.fg', ${fgHead - 1}, $fgHead)
+         |ORDER BY id""".stripMargin).show()
+    // ... and the schema evolves by metadata alone: ADD COLUMNS commits
+    // a widened manifest (zero data IO), rows read NULL until backfill
+    spark.sql("ALTER TABLE graft_cdc.fg ADD COLUMNS (review_note STRING)")
+    spark.sql("UPDATE graft_cdc.fg SET review_note = 'raised', lsn = lsn + 1 WHERE id = 2")
+    println("[demo] 6e. ALTER ADD COLUMNS + backfill: " +
+      spark.sql("SELECT count(*) AS n FROM graft_cdc.fg WHERE review_note IS NOT NULL")
+        .head().getLong(0) + " row(s) carry the new column")
 
     // 7. savepoint + change feed: pin the current version, then diff it
     //    against a later state instead of re-reading the table

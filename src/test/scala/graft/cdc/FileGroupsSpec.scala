@@ -301,6 +301,16 @@ class FileGroupsSpec extends SparkSpec {
     assert(FileGroups.committedId(spark, s"$root/fg").contains(2L))
     assert(canon(FileGroups.read(spark, s"$root/fg").get) ==
       canon(CdcGen.expectedSnapshot(spark, 80)))
+
+    // checkpoint LOST entirely (fresh dir): the whole topic replays
+    // from scratch, and commit()'s batch-id guard no-ops every
+    // replayed commit — exactly-once holds WITHOUT the checkpoint,
+    // the crash-replay property the store protocol owns itself
+    val q3 = FileGroups.run(spark, s"$root/topic", s"$root/fg", s"$root/ckpt_fresh", nBuckets = 8)
+    q3.processAllAvailable(); q3.stop()
+    assert(FileGroups.committedId(spark, s"$root/fg").contains(2L))
+    assert(canon(FileGroups.read(spark, s"$root/fg").get) ==
+      canon(CdcGen.expectedSnapshot(spark, 80)))
   }
 
   test("crash between data write and marker: dangling files are invisible; replay completes") {

@@ -505,9 +505,10 @@ object FileGroups {
   /** Checkpointed streaming ingest at file-group granularity — the
     * third member of the service triad next to [[Ingest.run]] (table-
     * rewrite COW) and [[MergeOnRead.run]] (log-append MOR): per
-    * micro-batch, parse and [[commit]] — each trigger rewrites only the
-    * file groups its batch touches. Replay safety is commit()'s batch-id
-    * guard; the checkpoint only avoids re-reading acked files. */
+    * micro-batch, parse and [[commitStreamBatch]] — each trigger
+    * rewrites only the file groups its batch touches, and the store's
+    * own stream-batch markers make replays exactly-once (the
+    * checkpoint only avoids re-reading acked files). */
   def run(spark: SparkSession, inputDir: String, tableDir: String, checkpointDir: String,
           schema: org.apache.spark.sql.types.StructType = Envelope.employeesEnvelope,
           keys: Seq[String] = Seq("id"), ord: Seq[String] = Seq("lsn"),
@@ -516,10 +517,72 @@ object FileGroups {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val parsed = Ingest.extractPostImage(batch, schema, keys)
-        commit(batch.sparkSession, tableDir, parsed, batchId, keys, ord, nBuckets)
+        commitStreamBatch(batch.sparkSession, tableDir, parsed, batchId, keys, ord, nBuckets)
         ()
       }
       .start()
+
+  private def streamMarkerPath(dir: String, b: Long) = s"$dir/_STREAM_BATCH_$b"
+
+  /** How many stream-batch idempotence markers to retain. Replay of a
+    * batch whose marker aged out (only reachable by deleting the
+    * checkpoint AND replaying >MarkerRetention batches back) re-commits
+    * it at a fresh version — state-identical under latest-wins, pure
+    * version churn — so retention bounds metadata files without risking
+    * wrong results. */
+  private val StreamMarkerRetention = 128L
+
+  /** One micro-batch of a CHECKPOINTED STREAM committed into the store.
+    *
+    * Decouples the stream's monotonically-increasing batch id from the
+    * table's version ids: a naive `commit(batchId)` breaks the moment
+    * any OTHER writer takes a version — a SQL MERGE/DML/ALTER between
+    * stream runs bumps the head past the stream's next batch id, and
+    * the replay-idempotence guard would then treat that LIVE batch as
+    * already committed and SILENTLY DROP it (the checkpoint acks it;
+    * the data is gone with a healthy-looking timeline). Here the
+    * version is always head+1 and exactly-once is keyed by an atomic
+    * `_STREAM_BATCH_<id>` marker in the TABLE dir (not the checkpoint,
+    * so even a deleted checkpoint replays as no-ops):
+    *
+    *  - marker present → replay → no-op;
+    *  - crash between commit and marker → the replayed batch commits
+    *    once more at a fresh version, which latest-wins merges to the
+    *    IDENTICAL state (the batch's rows already won or tie) — at
+    *    most one redundant version, never data loss or duplication;
+    *  - markers older than [[StreamMarkerRetention]] behind are GC'd
+    *    (see its note for why that stays safe).
+    *
+    * Pre-r18 streamed tables carry no markers; their batches replay as
+    * redundant-but-identical versions, same safety argument. Returns
+    * the rewritten bucket set (empty for a no-op replay). */
+  def commitStreamBatch(sess: SparkSession, dir: String, batch: DataFrame, streamBatchId: Long,
+                        keys: Seq[String], ord: Seq[String],
+                        nBuckets: Int = 16): Set[Long] = lockFor(dir).synchronized {
+    val fs = fsOf(sess, dir)
+    if (fs.exists(path(streamMarkerPath(dir, streamBatchId)))) Set.empty
+    else if (batch.isEmpty) {
+      // an empty trigger must not churn a version (the empty-write
+      // rule); the marker still lands so its replay stays a no-op
+      fs.createNewFile(path(streamMarkerPath(dir, streamBatchId)))
+      Set.empty
+    }
+    else {
+      val v = committedId(sess, dir).map(_ + 1).getOrElse(0L)
+      val dirty = commit(sess, dir, batch, v, keys, ord, nBuckets)
+      fs.createNewFile(path(streamMarkerPath(dir, streamBatchId)))
+      // marker GC: drop markers far behind this batch (bounded count)
+      if (fs.exists(path(dir)))
+        fs.listStatus(path(dir)).map(_.getPath).foreach { p =>
+          val n = p.getName
+          if (n.startsWith("_STREAM_BATCH_") &&
+              n.stripPrefix("_STREAM_BATCH_").toLongOption
+                .exists(_ < streamBatchId - StreamMarkerRetention))
+            fs.delete(p, false)
+        }
+      dirty
+    }
+  }
 
   // --------------------------------------------------------------------
   // The typed probe model — the manifest index generalized beyond a

@@ -163,7 +163,7 @@ private[queries] object ExtensionsStream {
         // seeded → immutable fixture (the stream_ingest_e2e cache rule:
         // bump the version component together with the oracle path
         // whenever CdcGen or the FileGroups write path changes)
-        val root = cachedFixture("graft_fgstream_cache_v1_200_3") { root =>
+        val root = cachedFixture("graft_fgstream_cache_v2_200_3") { root =>
           CdcGen.writeTopicFiles(s, 200, root + "/topic", nBatches = 3)
           val q = graft.cdc.FileGroups.run(s, root + "/topic",
             root + "/store/employees", root + "/ckpt")
@@ -175,7 +175,7 @@ private[queries] object ExtensionsStream {
             |FROM graft_cdcs.employees ORDER BY id""".stripMargin)
       },
       Some("""WITH raw AS (
-             |  SELECT value FROM read_json('/tmp/graft_fgstream_cache_v1_200_3/topic/*.txt',
+             |  SELECT value FROM read_json('/tmp/graft_fgstream_cache_v2_200_3/topic/*.txt',
              |    format='newline_delimited', columns={'value': 'VARCHAR'})
              |),
              |ev AS (

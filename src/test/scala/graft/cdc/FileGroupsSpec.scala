@@ -303,7 +303,7 @@ class FileGroupsSpec extends SparkSpec {
       canon(CdcGen.expectedSnapshot(spark, 80)))
 
     // checkpoint LOST entirely (fresh dir): the whole topic replays
-    // from scratch, and commit()'s batch-id guard no-ops every
+    // from scratch, and the store's stream-batch markers no-op every
     // replayed commit — exactly-once holds WITHOUT the checkpoint,
     // the crash-replay property the store protocol owns itself
     val q3 = FileGroups.run(spark, s"$root/topic", s"$root/fg", s"$root/ckpt_fresh", nBuckets = 8)
@@ -311,6 +311,59 @@ class FileGroupsSpec extends SparkSpec {
     assert(FileGroups.committedId(spark, s"$root/fg").contains(2L))
     assert(canon(FileGroups.read(spark, s"$root/fg").get) ==
       canon(CdcGen.expectedSnapshot(spark, 80)))
+  }
+
+  test("stream batches survive interleaved writers: version ids decouple from batch ids (no silent drop)") {
+    // THE composition hazard of a two-door table: with version == batch
+    // id, a SQL MERGE between stream runs bumps the head past the
+    // stream's next batch id and the replay guard would swallow that
+    // LIVE batch (checkpoint acks it — silent data loss). The stream
+    // commit is keyed by _STREAM_BATCH_ markers instead; versions are
+    // always head+1.
+    val root = tmpDir("graft_fg_ileave")
+    CdcGen.writeTopicFiles(spark, n = 80, s"$root/staging", nBatches = 3)
+    // order the staged segment files by their CONTENT (min offset), not
+    // by name: part-file names carry random UUIDs, so name order is not
+    // write order and "the first two batches" would be arbitrary
+    def minOffset(f: java.io.File): Long = {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try """"offset":(\d+)""".r.findFirstMatchIn(src.getLines().next())
+        .get.group(1).toLong
+      finally src.close()
+    }
+    val staged = new java.io.File(s"$root/staging").listFiles()
+      .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+      .sortBy(minOffset).toSeq
+    assert(staged.size == 3, staged.map(_.getName).toSeq)
+    new java.io.File(s"$root/topic").mkdirs()
+    def deliver(f: java.io.File): Unit =
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(s"$root/topic", f.getName))
+    // first two batches stream in
+    staged.take(2).foreach(deliver)
+    val q = FileGroups.run(spark, s"$root/topic", s"$root/fg", s"$root/ckpt", nBuckets = 8)
+    q.processAllAvailable(); q.stop()
+    val head0 = FileGroups.committedId(spark, s"$root/fg").get
+    // an interleaved non-stream writer (the SQL door's shape) takes a
+    // version: bump one key's salary at a winning lsn
+    val upd = FileGroups.read(spark, s"$root/fg").get.filter($"id" === 2)
+      .withColumn("salary", lit(123456))
+      .withColumn("lsn", $"lsn" + 10000000L)
+      .withColumn("op", lit("u"))
+    assert(upd.count() == 1)
+    FileGroups.commit(spark, s"$root/fg", upd, head0 + 1, Seq("id"), Seq("lsn"))
+    // the third topic batch arrives and the stream resumes: its batch
+    // id (2) is now BELOW the head — it must still land
+    deliver(staged(2))
+    val q2 = FileGroups.run(spark, s"$root/topic", s"$root/fg", s"$root/ckpt", nBuckets = 8)
+    q2.processAllAvailable(); q2.stop()
+    assert(FileGroups.committedId(spark, s"$root/fg").contains(head0 + 2),
+      "the resumed stream batch must take exactly one new version")
+    val fin = FileGroups.read(spark, s"$root/fg").get
+    // batch 3's tail events landed (full expected live count) AND the
+    // interleaved update survived latest-wins
+    assert(fin.count() == CdcGen.expectedSnapshot(spark, 80).count())
+    assert(fin.filter($"id" === 2).select($"salary").as[Int].head() == 123456)
   }
 
   test("crash between data write and marker: dangling files are invisible; replay completes") {

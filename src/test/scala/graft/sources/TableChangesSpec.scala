@@ -61,6 +61,27 @@ class TableChangesSpec extends SparkSpec {
       "SELECT * FROM graft_table_changes('graft_tvf1.employees', 1, 1)").count() == 0)
   }
 
+  test("string-keyed tables diff through the TVF (keys from the manifest header)") {
+    val root = tmpDir("graft_tvf_str")
+    val t = root + "/users"
+    val l = log().withColumn("id", concat(lit("u"), $"id"))
+    FileGroups.commit(spark, t, l.filter($"lsn" < 500), 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    FileGroups.commit(spark, t, l.filter($"lsn" >= 500), 1L, Seq("id"), Seq("lsn"))
+    spark.conf.set("spark.sql.catalog.graft_tvfs", classOf[FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_tvfs.root", root)
+    val sql = spark.sql(
+      """SELECT id, change_op, before_lsn, after_lsn
+        |FROM graft_table_changes('graft_tvfs.users', 0, 1) ORDER BY id""".stripMargin)
+      .collect().toSeq
+    val want = graft.cdc.ChangeFeed.diff(
+        FileGroups.readAt(spark, t, 0L).get, FileGroups.readAt(spark, t, 1L).get,
+        Seq("id"), "lsn", Seq("op", "value"))
+      .select($"id", $"change_op", $"before_lsn", $"after_lsn")
+      .orderBy($"id").collect().toSeq
+    assert(sql.nonEmpty && sql == want)
+    assert(sql.map(_.getString(1)).toSet == Set("i", "u", "d"))
+  }
+
   test("aged-out versions, unknown catalogs and non-literal args fail loudly") {
     val t = mkTable("graft_tvf2")
     // a third commit ages v0 out of two-version retention

@@ -414,6 +414,17 @@ object FileGroups {
     }
   }
 
+  /** Typed-NULL pad of manifest-schema columns no scanned data file
+    * carries yet (a schema-widening DDL commit adds columns by
+    * metadata alone) — applied by every Scala-door read so its schema
+    * matches the SQL door's manifest-typed scan, which null-fills
+    * missing parquet columns natively. */
+  private def padToSchema(df: DataFrame, schema: Option[StructType]): DataFrame =
+    schema.fold(df) { st =>
+      st.fields.filterNot(f => df.columns.exists(_.equalsIgnoreCase(f.name)))
+        .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    }
+
   /** `base`'s fields plus every prior-schema field `base` lacks
     * (case-insensitive): the widening reconcile commit() applies to
     * the manifest schema — columns the merge saw keep their freshest
@@ -486,19 +497,11 @@ object FileGroups {
         m.schema.fold(sess.emptyDataFrame) { st =>
           sess.createDataFrame(sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
         }
-      else {
-        val df = sess.read.option("mergeSchema", "true")
+      else padToSchema(
+        sess.read.option("mergeSchema", "true")
           .parquet(m.entries.map(e => s"$dir/${e.relPath}"): _*)
-          .drop("_bucket")
-        // a schema-widening DDL commit can add columns no data file
-        // carries yet — pad them as typed NULLs so the Scala door
-        // matches the SQL door (whose manifest-typed ParquetScan
-        // null-fills missing parquet columns natively)
-        m.schema.fold(df) { st =>
-          st.fields.filterNot(f => df.columns.exists(_.equalsIgnoreCase(f.name)))
-            .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
-        }
-      }
+          .drop("_bucket"),
+        m.schema)
     }
   }
 
@@ -752,10 +755,14 @@ object FileGroups {
       // IO (the bloom-index read path)
       val hit = m.entries.filter(e => ps.exists(admits(e)))
       if (hit.isEmpty) readAt(sess, dir, id).get.limit(0)
-      else sess.read.option("mergeSchema", "true")
-        .parquet(hit.map(e => s"$dir/${e.relPath}"): _*)
-        .drop("_bucket")
-        .filter(tupleMatch(keys, ps))
+      // same widened-column null-pad as readAt, so a lookup's schema
+      // doesn't depend on whether any file group survived pruning
+      else padToSchema(
+        sess.read.option("mergeSchema", "true")
+          .parquet(hit.map(e => s"$dir/${e.relPath}"): _*)
+          .drop("_bucket")
+          .filter(tupleMatch(keys, ps)),
+        m.schema)
     }
   }
 

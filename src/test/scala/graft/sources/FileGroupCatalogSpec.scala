@@ -360,6 +360,12 @@ class FileGroupCatalogSpec extends SparkSpec {
     spark.sql("UPDATE graft_cdc.employees SET value = 9.9, lsn = lsn + 1 WHERE id = 2")
     assert(spark.sql("SELECT tier FROM graft_cdc.employees WHERE id = 1")
       .head().getString(0) == "gold")
+    // the Scala lookup door pads the widened columns identically, so a
+    // point read's schema matches the SQL door's regardless of whether
+    // the probed bucket was rewritten since the ALTER
+    val lk = FileGroups.pointLookup(spark, t, Seq("id"), Seq(1L)).get
+    assert(lk.columns.contains("tier") && lk.columns.contains("score"))
+    assert(lk.count() >= 0)
 
     // rejections: duplicate column, non-nullable, nested, rename/drop
     def rejected(sql: String, needle: String): Unit = {

@@ -139,6 +139,17 @@ object Savepoints {
         fs.delete(path(s"$dir/_DELTA_$id"), false)
         fs.delete(path(s"$dir/log/d$id"), true)
       }
+      // stream-batch idempotence markers are acked-state metadata, and
+      // a rollback RESETS acked state: left standing, a post-rollback
+      // checkpoint-reset replay would silently no-op the very batches
+      // the operator expects to re-apply (there is no version↔batch
+      // mapping to drop selectively, and a full-topic replay converges
+      // under latest-wins, so dropping them all is the sound choice —
+      // the file-group analog of the MOR delta re-apply above)
+      if (doomed.nonEmpty && fs.exists(path(dir)))
+        fs.listStatus(path(dir)).map(_.getPath).foreach { p =>
+          if (p.getName.startsWith("_STREAM_BATCH_")) fs.delete(p, false)
+        }
       doomed
     }
     }

@@ -313,6 +313,30 @@ class FileGroupsSpec extends SparkSpec {
       canon(CdcGen.expectedSnapshot(spark, 80)))
   }
 
+  test("rollback resets stream-batch markers: a checkpoint-reset replay re-applies the topic") {
+    val root = tmpDir("graft_fg_rbstream")
+    CdcGen.writeTopicFiles(spark, n = 60, s"$root/topic", nBatches = 3)
+    val q = FileGroups.run(spark, s"$root/topic", s"$root/fg", s"$root/ckpt", nBuckets = 8)
+    q.processAllAvailable(); q.stop()
+    val head = FileGroups.committedId(spark, s"$root/fg").get
+    assert(head == 2L)
+    // roll back one version: the last stream batch's changes vanish,
+    // and the rollback resets the stream-batch idempotence markers
+    Savepoints.rollback(spark, s"$root/fg", head - 1)
+    assert(FileGroups.committedId(spark, s"$root/fg").contains(head - 1))
+    // the documented recovery: reset (here: fresh) checkpoint → the
+    // topic replays and RE-APPLIES — with markers left standing the
+    // replay would silently no-op and the operator would be stranded
+    // one batch short with a healthy-looking timeline
+    val q2 = FileGroups.run(spark, s"$root/topic", s"$root/fg", s"$root/ckpt_reset", nBuckets = 8)
+    q2.processAllAvailable(); q2.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "full_name", "department", "salary")
+        .as[(Int, String, String, Int)].collect().sortBy(_._1).toSeq
+    assert(canon(FileGroups.read(spark, s"$root/fg").get) ==
+      canon(CdcGen.expectedSnapshot(spark, 60)))
+  }
+
   test("stream batches survive interleaved writers: version ids decouple from batch ids (no silent drop)") {
     // THE composition hazard of a two-door table: with version == batch
     // id, a SQL MERGE between stream runs bumps the head past the

@@ -259,7 +259,19 @@ case class FileGroupCtasCommand(
       // is, honestly, a create
       val df = if (df0.columns.exists(resolver(_, FileGroupMergeCommand.OpCol))) df0
         else df0.withColumn(FileGroupMergeCommand.OpCol, lit(graft.cdc.Envelope.OpCreate))
-      FileGroups.commit(session, dir, df, 0L, keys, ord, nBuckets)
+      val touched = FileGroups.commit(session, dir, df, 0L, keys, ord, nBuckets)
+      // an empty rewrite set for a NON-empty query means another writer
+      // published v0 between the exists-check above and the commit —
+      // this statement's data was never written, so reporting success
+      // would be a silent drop (the commitNonEmpty conflict rule's
+      // CTAS twin; the probe job runs only on this suspicious path)
+      // (IF NOT EXISTS accepts the raced winner — the same semantics as
+      // losing the race one instant earlier at the exists-check)
+      if (touched.isEmpty && !ignoreIfExists && df.limit(1).count() > 0)
+        throw new IllegalStateException(
+          s"concurrent CREATE TABLE detected at $dir: another writer published " +
+            "the table while this CTAS ran — it holds the OTHER statement's data; " +
+            "DROP it first (or use IF NOT EXISTS to accept the existing table)")
     }
     Seq.empty
   }

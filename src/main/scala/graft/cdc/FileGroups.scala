@@ -392,15 +392,18 @@ object FileGroups {
     }
   }
 
-  /** Drop data version-dirs and manifests referenced by neither the
-    * current nor the prior manifest (two-version retention, as COW).
-    * Savepointed manifests stay, and keep every data dir they
+  /** Drop data version-dirs and manifests referenced by no retained
+    * manifest. The retention WINDOW is the table's cleaner policy
+    * ([[retention]] — Hudi's "commits retained"; the protocol minimum
+    * of 2, current + one prior, when none is set). Savepointed
+    * manifests stay regardless, and keep every data dir they
     * reference alive. */
   private def gc(sess: SparkSession, dir: String): Unit = {
     val fs = fsOf(sess, dir)
     val ids = Ingest.snapshotVersions(sess, dir) // sorted committed ids
     val saved = Savepoints.savepoints(sess, dir)
-    val keep = (ids.takeRight(2) ++ ids.filter(saved.contains)).distinct
+    val retain = retention(sess, dir)
+    val keep = (ids.takeRight(retain) ++ ids.filter(saved.contains)).distinct
     val referenced: Set[String] = keep.flatMap { id =>
       readManifest(sess, dir, id).entries.map(e => e.relPath.split("/").take(2).mkString("/"))
     }.toSet // files/v<id> dirs still referenced
@@ -408,11 +411,71 @@ object FileGroups {
       fs.listStatus(path(s"$dir/files")).map(_.getPath).foreach { p =>
         if (!referenced.contains(s"files/${p.getName}")) fs.delete(p, true)
       }
-    ids.dropRight(2).filterNot(saved.contains).foreach { id =>
+    ids.dropRight(retain).filterNot(saved.contains).foreach { id =>
       fs.delete(path(manifestPath(dir, id)), false)
       fs.delete(path(s"$dir/_COMMIT_$id"), false)
     }
   }
+
+  // --------------------------------------------------------------------
+  // Cleaner retention policy (Hudi's `hoodie.cleaner.commits.retained`
+  // role): how many TRAILING committed versions every GC pass keeps,
+  // which is exactly the window VERSION/TIMESTAMP AS OF, rollback and
+  // the change feed can reach without a savepoint pin. Stored as one
+  // `_RETAIN_<n>` marker file in the table dir — policy metadata like
+  // the stream-batch markers, deliberately NOT a manifest header:
+  // retention is an operator knob changeable at any time, while the
+  // manifest's #keys/#ord headers pin table IDENTITY and reject change.
+
+  private val RetainMarkerPrefix = "_RETAIN_"
+
+  /** The table's retention window: max of the present `_RETAIN_` markers
+    * (a mid-[[setRetention]] read can see both the new and the old
+    * marker — taking the max errs toward retaining MORE, never an early
+    * collect), floored at the protocol minimum 2; 2 when unset. */
+  def retention(sess: SparkSession, dir: String): Int = {
+    val fs = fsOf(sess, dir)
+    if (!fs.exists(path(dir))) 2
+    else fs.listStatus(path(dir)).map(_.getPath.getName)
+      .collect { case n if n.startsWith(RetainMarkerPrefix) =>
+        n.stripPrefix(RetainMarkerPrefix).toIntOption }
+      .flatten.maxOption.map(math.max(2, _)).getOrElse(2)
+  }
+
+  /** Set the retention policy: create the new marker FIRST, then drop
+    * the old ones (a crash between the two leaves both standing, which
+    * [[retention]]'s max rule reads as the larger window — transiently
+    * over-retaining is safe, under-retaining would hand GC versions the
+    * operator asked to keep). n < 2 is rejected loudly: the commit
+    * protocol's rollback and change-feed guarantees need the current
+    * AND one prior version. */
+  def setRetention(sess: SparkSession, dir: String, n: Int): Unit = lockFor(dir).synchronized {
+    require(n >= 2,
+      s"retention must be >= 2 (the protocol keeps the current + one prior version); got $n")
+    val fs = fsOf(sess, dir)
+    if (!fs.exists(path(dir))) fs.mkdirs(path(dir))
+    fs.createNewFile(path(s"$dir/$RetainMarkerPrefix$n"))
+    fs.listStatus(path(dir)).map(_.getPath).foreach { p =>
+      val nm = p.getName
+      if (nm.startsWith(RetainMarkerPrefix) && nm != s"$RetainMarkerPrefix$n")
+        fs.delete(p, false)
+    }
+  }
+
+  /** Run the cleaner NOW (Hudi's `run_clean` procedure role):
+    * optionally update the policy first, then GC under it. Returns the
+    * version ids whose manifests were reclaimed, oldest first —
+    * savepointed versions never appear (the pin wins over the window).
+    * Every commit already GCs under the stored policy; this is the
+    * explicit door for shrinking the window without writing data. */
+  def clean(sess: SparkSession, dir: String, retain: Option[Int] = None): Seq[Long] =
+    lockFor(dir).synchronized {
+      retain.foreach(setRetention(sess, dir, _))
+      val before = Ingest.snapshotVersions(sess, dir)
+      gc(sess, dir)
+      val after = Ingest.snapshotVersions(sess, dir).toSet
+      before.filterNot(after.contains)
+    }
 
   /** Typed-NULL pad of manifest-schema columns no scanned data file
     * carries yet (a schema-widening DDL commit adds columns by

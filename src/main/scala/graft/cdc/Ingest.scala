@@ -350,9 +350,13 @@ object Ingest extends org.apache.spark.internal.Logging {
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
        else writer).parquet(s"$dir/v$batchId")
       fs.createNewFile(new org.apache.hadoop.fs.Path(s"$dir/_COMMIT_$batchId"))
-      // GC: drop everything older than the previous version (kept for
-      // readers that resolved the pointer just before commit), except
-      // savepointed versions (Savepoints pins them for restore).
+      // GC: drop everything outside the table's retention window
+      // (FileGroups.retention — default 2: the current version plus
+      // the previous, kept for readers that resolved the pointer just
+      // before commit), except savepointed versions (Savepoints pins
+      // them for restore). The window is the same `_RETAIN_` policy
+      // marker the file-group cleaner honors, so one knob governs both
+      // snapshot layouts.
       // MARKERS FIRST, then data — explicitly, never in listing order:
       // a crash after a v-dir's recursive delete but before its marker
       // would otherwise leave a resolvable version over partial data
@@ -360,10 +364,11 @@ object Ingest extends org.apache.spark.internal.Logging {
       // restoring a half-deleted head). With markers gone first, a
       // mid-GC crash leaves only invisible garbage the second pass
       // below also reclaims on the NEXT commit's GC.
-      committedBatch(sess, dir).foreach { cur =>
+      committedBatch(sess, dir).foreach { _ =>
         val saved = Savepoints.savepoints(sess, dir)
-        def doomed(i: Long): Boolean =
-          i < cur && i != committed.getOrElse(-1L) && !saved.contains(i)
+        val window = snapshotVersions(sess, dir)
+          .takeRight(FileGroups.retention(sess, dir)).toSet
+        def doomed(i: Long): Boolean = !window.contains(i) && !saved.contains(i)
         snapshotVersions(sess, dir).filter(doomed).foreach { i =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_COMMIT_$i"), false)
         }

@@ -679,6 +679,63 @@ private[queries] object ExtensionsCdc {
           |       ELSE NULL END AS tier
           |FROM events GROUP BY user_id ORDER BY id""".stripMargin)),
 
+    // CLEANER / RETENTION as a TABLE SERVICE through SQL (round 18) —
+    // Hudi's `hoodie.cleaner.commits.retained` + `run_clean` pair on
+    // the file-group store: TBLPROPERTIES('retain'='4') widens the GC
+    // window at CTAS time (how many trailing versions every commit's
+    // GC keeps = the `VERSION AS OF`-reachable history WITHOUT a
+    // savepoint pin), and `CALL clean(t, 2)` shrinks it and reclaims
+    // NOW, returning the reclaimed versions as rows. The body pins the
+    // full lifecycle by VALUE: CTAS(retain=4) → two UPDATE commits →
+    // read v0 (alive only because of the policy — default retention
+    // would have GC'd it) → read the head → clean(2) → list the
+    // survivors; all four phases union into one oracled frame DuckDB
+    // replays exactly. Driver-side manifest/marker metadata only —
+    // the cleaner never touches data bytes at any table size (it
+    // deletes whole unreferenced version dirs). DROP+recreate per run
+    // keeps it a fixpoint; the v0 read materializes via localCheckpoint
+    // BEFORE the clean so laziness can't read a reclaimed manifest.
+    GQuery(
+      "q_cdc_sql_clean",
+      (s, dir) => {
+        val root = cachedFixture(s"graft_fgcleanq_root_v1_${sfFingerprint(dir)}")(_ => ())
+        registerCdcCatalog(s, root, "graft_cdccl")
+        s.sql("DROP TABLE IF EXISTS graft_cdccl.snap")
+        s.sql(
+          s"""CREATE TABLE graft_cdccl.snap
+             |TBLPROPERTIES('keys'='id', 'ord'='lsn', 'retain'='4')
+             |AS SELECT user_id AS id, max(event_id) AS lsn, max(value) AS value
+             |FROM parquet.`$dir/events.parquet` GROUP BY user_id""".stripMargin)
+        s.sql("UPDATE graft_cdccl.snap SET value = value + 1 WHERE id % 3 = 0") // v1
+        s.sql("UPDATE graft_cdccl.snap SET value = value - 1 WHERE id % 3 = 1") // v2
+        val v0 = s.sql(
+          "SELECT 'v0' AS phase, id, value FROM graft_cdccl.snap VERSION AS OF 0")
+          .localCheckpoint() // materialize while v0 is still retained
+        val head = s.sql("SELECT 'head' AS phase, id, value FROM graft_cdccl.snap")
+          .localCheckpoint()
+        val cleaned = s.sql("CALL graft_cdccl.clean('snap', 2)")
+          .select(lit("cleaned").as("phase"), col("reclaimed_version").as("id"),
+            lit(null).cast("double").as("value"))
+        val left = s.sql("CALL graft_cdccl.show_commits('snap')")
+          .select(lit("retained").as("phase"), col("version").as("id"),
+            lit(null).cast("double").as("value"))
+        v0.unionAll(head).unionAll(cleaned).unionAll(left)
+          .orderBy(col("phase"), col("id"))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT user_id AS id, max(value) AS value FROM events GROUP BY user_id)
+          |SELECT phase, id, value FROM (
+          |  SELECT 'v0' AS phase, id, value FROM base
+          |  UNION ALL
+          |  SELECT 'head', id,
+          |    CASE WHEN id % 3 = 0 THEN value + 1
+          |         WHEN id % 3 = 1 THEN value - 1 ELSE value END FROM base
+          |  UNION ALL SELECT 'cleaned', 0, NULL
+          |  UNION ALL SELECT 'retained', 1, NULL
+          |  UNION ALL SELECT 'retained', 2, NULL
+          |) ORDER BY phase, id""".stripMargin)),
+
     // POINT LOOKUP through the oracle gate: the record-key-index read
     // path (Hudi metadata-table / bloom-index serve shape) — each
     // probed key resolves to its hash bucket, [min,max] stats drop

@@ -167,21 +167,29 @@ class FileGroupMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
           // 'primary_keys') would otherwise fall back to the catalog
           // default and pin the WRONG record identity forever (the
           // manifest freezes keys at v0)
-          val unknown = props.keySet -- Set("keys", "ord", "buckets")
+          val unknown = props.keySet -- Set("keys", "ord", "buckets", "retain")
           if (unknown.nonEmpty)
             throw new IllegalArgumentException(
               s"unknown TBLPROPERTIES ${unknown.toSeq.sorted.mkString("'", "', '", "'")} " +
-                "on a file-group CTAS — supported: 'keys', 'ord', 'buckets' (a typo " +
-                "here would silently pin the catalog-default record identity forever)")
+                "on a file-group CTAS — supported: 'keys', 'ord', 'buckets', 'retain' " +
+                "(a typo here would silently pin the catalog-default record identity forever)")
           def colsProp(k: String, dflt: Seq[String]) = props.get(k)
             .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(dflt)
           val buckets = props.get("buckets").map { s =>
             s.toIntOption.getOrElse(throw new IllegalArgumentException(
               s"TBLPROPERTIES('buckets'='$s') must be an integer"))
           }.getOrElse(16)
+          // cleaner retention policy (versions the GC window keeps —
+          // the VERSION AS OF-reachable history); validated here so a
+          // bad value fails the STATEMENT, not the first commit's GC
+          val retain = props.get("retain").map { s =>
+            s.toIntOption.filter(_ >= 2).getOrElse(throw new IllegalArgumentException(
+              s"TBLPROPERTIES('retain'='$s') must be an integer >= 2 " +
+                "(the protocol keeps the current + one prior version)"))
+          }
           FileGroupCtasCommand(cat.dirFor(ident), ident.name(),
             colsProp("keys", cat.defaultKeys), colsProp("ord", cat.defaultOrd),
-            buckets, c.ignoreIfExists, c.query)
+            buckets, c.ignoreIfExists, c.query, retain)
         case _ => c
       }
 
@@ -232,7 +240,8 @@ class FileGroupMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
   * exactly a first commit's price. */
 case class FileGroupCtasCommand(
     dir: String, table: String, keys: Seq[String], ord: Seq[String],
-    nBuckets: Int, ignoreIfExists: Boolean, query: LogicalPlan)
+    nBuckets: Int, ignoreIfExists: Boolean, query: LogicalPlan,
+    retain: Option[Int] = None)
   extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
@@ -259,6 +268,9 @@ case class FileGroupCtasCommand(
       // is, honestly, a create
       val df = if (df0.columns.exists(resolver(_, FileGroupMergeCommand.OpCol))) df0
         else df0.withColumn(FileGroupMergeCommand.OpCol, lit(graft.cdc.Envelope.OpCreate))
+      // the retention marker lands BEFORE v0 so the very first commit's
+      // GC pass (and every later writer's) already honors the policy
+      retain.foreach(FileGroups.setRetention(session, dir, _))
       val touched = FileGroups.commit(session, dir, df, 0L, keys, ord, nBuckets)
       // an empty rewrite set for a NON-empty query means another writer
       // published v0 between the exists-check above and the commit —

@@ -40,7 +40,7 @@ private[sources] object FileGroupProcedures {
     * Iceberg/Hudi-conventional `system` namespace both resolve). */
   val Names: Seq[String] =
     Seq("show_commits", "show_file_groups", "create_savepoint", "release_savepoint",
-      "rollback", "purge_keys")
+      "rollback", "purge_keys", "clean")
 
   def resolve(name: String, spark: => SparkSession, root: => String,
               keys: => Seq[String]): Option[UnboundProcedure] = name match {
@@ -50,6 +50,7 @@ private[sources] object FileGroupProcedures {
     case "release_savepoint" => Some(new ReleaseSavepoint(spark, root))
     case "rollback" => Some(new RollbackProc(spark, root))
     case "purge_keys" => Some(new PurgeKeys(spark, root, keys))
+    case "clean" => Some(new CleanProc(spark, root))
     case _ => None
   }
 
@@ -260,6 +261,47 @@ private[sources] object FileGroupProcedures {
             "rollback needs an existing restore target")
       val removed = Savepoints.rollback(session, dir, v)
       result(schema, removed.sorted.map(InternalRow(_)))
+    }
+  }
+
+  /** `CALL c.clean(table[, retain])` — the cleaner as a table service
+    * (Hudi's `run_clean` role): optionally update the table's retention
+    * policy ([[FileGroups.setRetention]] — how many trailing versions
+    * every GC pass keeps, the `VERSION AS OF`-reachable window), then
+    * reclaim versions outside it NOW. Returns one row per reclaimed
+    * version, oldest first (empty = nothing outside the window);
+    * savepointed versions never appear — the pin wins over the window.
+    * Driver-side manifest/marker metadata only. */
+  private final class CleanProc(spark: => SparkSession, root: => String)
+      extends FgProcedure(spark, root) {
+    override def name(): String = "clean"
+    override def description(): String =
+      "reclaim versions outside the retention window; optionally set the window first"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType),
+        ProcedureParameter.in("retain", LongType).defaultValue("-1").build())
+
+    private val schema = StructType(Seq(
+      StructField("reclaimed_version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val dir = resolveDir(tableArg(input))
+      // ONLY the sentinel -1 (the declared default) means "keep the
+      // stored policy": an explicit NULL or a computed negative must
+      // fail setRetention's >= 2 validation, not silently no-op
+      require(!input.isNullAt(1),
+        "clean: 'retain' must be a version count >= 2, or omitted to keep the stored policy")
+      val requested = input.getLong(1)
+      // range-check BEFORE narrowing: a silent toInt wrap (2^32+5 → 5)
+      // would shrink the window and hand GC versions the operator
+      // asked to keep — the same lossy-cast class the probe API rejects
+      val retain = if (requested == -1L) None else {
+        require(requested >= 2 && requested <= Int.MaxValue,
+          s"clean: 'retain' must be between 2 and ${Int.MaxValue}; got $requested")
+        Some(requested.toInt)
+      }
+      val reclaimed = FileGroups.clean(session, dir, retain)
+      result(schema, reclaimed.map(InternalRow(_)))
     }
   }
 

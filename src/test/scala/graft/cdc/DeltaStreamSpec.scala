@@ -1,0 +1,128 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The config-driven runner: one options map must wire the SAME
+  * composed path as the Scala API (FileGroups.run → commitStreamBatch
+  * → the DSv2 catalog), and typo'd / missing configuration must fail
+  * loudly instead of pinning a wrong default. */
+class DeltaStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("an options map runs the stream, syncs the catalog, and lands the Scala path's exact table") {
+    val root = tmpDir("graft_dstream")
+    CdcGen.writeTopicFiles(spark, n = 80, s"$root/topic", nBatches = 2)
+
+    val q = DeltaStream.run(spark, Map(
+      DeltaStream.TableName -> "employees",
+      DeltaStream.TargetPath -> s"$root/store",
+      DeltaStream.SourceDir -> s"$root/topic",
+      DeltaStream.CheckpointLocation -> s"$root/ckpt",
+      DeltaStream.RecordKeyField -> "id",
+      DeltaStream.PrecombineField -> "lsn",
+      DeltaStream.Buckets -> "8",
+      DeltaStream.SyncCatalog -> "graft_dstest"))
+    try q.processAllAvailable() finally q.stop()
+
+    // the synced catalog serves the table the moment the run lands
+    val viaSql = spark.sql(
+      "SELECT id, lsn, full_name, salary FROM graft_dstest.employees ORDER BY id")
+      .collect().toSeq
+    assert(viaSql.nonEmpty)
+
+    // byte-equal to the Scala door on the landed table...
+    val viaScala = FileGroups.read(spark, s"$root/store/employees").get
+      .select($"id", $"lsn", $"full_name", $"salary").orderBy($"id").collect().toSeq
+    assert(viaSql == viaScala)
+
+    // ...and to a DIRECT FileGroups.run of the same topic (the runner
+    // adds configuration, never semantics)
+    val q2 = FileGroups.run(spark, s"$root/topic", s"$root/direct/employees",
+      s"$root/ckpt2", keys = Seq("id"), ord = Seq("lsn"), nBuckets = 8)
+    try q2.processAllAvailable() finally q2.stop()
+    val direct = FileGroups.read(spark, s"$root/direct/employees").get
+      .select($"id", $"lsn", $"full_name", $"salary").orderBy($"id").collect().toSeq
+    assert(viaSql == direct)
+
+    // restart with the same options: nothing new to read, state unchanged
+    val head = FileGroups.committedId(spark, s"$root/store/employees")
+    val q3 = DeltaStream.run(spark, Map(
+      DeltaStream.TableName -> "employees",
+      DeltaStream.TargetPath -> s"$root/store",
+      DeltaStream.SourceDir -> s"$root/topic",
+      DeltaStream.CheckpointLocation -> s"$root/ckpt"))
+    try q3.processAllAvailable() finally q3.stop()
+    assert(FileGroups.committedId(spark, s"$root/store/employees") == head)
+  }
+
+  test("typo'd, missing and malformed options fail loudly before any stream starts") {
+    val root = tmpDir("graft_dstream_bad")
+    val good = Map(
+      DeltaStream.TableName -> "employees",
+      DeltaStream.TargetPath -> s"$root/store",
+      DeltaStream.SourceDir -> s"$root/topic",
+      DeltaStream.CheckpointLocation -> s"$root/ckpt")
+
+    // a typo'd key name would silently pin the DEFAULT record key
+    val typo = intercept[IllegalArgumentException] {
+      DeltaStream.run(spark, good + ("graft.recordkey.fields" -> "id"))
+    }
+    assert(typo.getMessage.contains("graft.recordkey.fields"), typo.getMessage)
+
+    val missing = intercept[IllegalArgumentException] {
+      DeltaStream.run(spark, good - DeltaStream.CheckpointLocation)
+    }
+    assert(missing.getMessage.contains(DeltaStream.CheckpointLocation), missing.getMessage)
+
+    val badBuckets = intercept[IllegalArgumentException] {
+      DeltaStream.run(spark, good + (DeltaStream.Buckets -> "zero"))
+    }
+    assert(badBuckets.getMessage.contains("positive integer"), badBuckets.getMessage)
+
+    // non-identifier names would break at READ time (nested dir /
+    // conf sub-key) — they must break here instead
+    val slash = intercept[IllegalArgumentException] {
+      DeltaStream.run(spark, good + (DeltaStream.TableName -> "a/b"))
+    }
+    assert(slash.getMessage.contains("plain identifier"), slash.getMessage)
+    val dotted = intercept[IllegalArgumentException] {
+      DeltaStream.run(spark, good + (DeltaStream.SyncCatalog -> "a.b"))
+    }
+    assert(dotted.getMessage.contains("plain identifier"), dotted.getMessage)
+    // nothing was created by the failed runs
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/store")))
+  }
+
+  test("a declared source schema DDL drives a non-default envelope through the runner") {
+    val root = tmpDir("graft_dstream_ddl")
+    // a departments-shaped topic (Kafka-wrapper records, hand-written):
+    // different row columns than the default employees envelope
+    def ev(op: String, id: Int, lsn: Long, name: String): String = {
+      val row = s"""{"id":$id,"dept_name":"$name"}"""
+      val value =
+        s"""{"payload":{"before":null,"after":$row,"source":{"lsn":$lsn},"op":"$op","ts_ms":$lsn}}"""
+      val esc = value.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"value":"$esc","topic":"debezium1.public.departments","partition":0,""" +
+        s""""offset":$lsn,"timestamp":"2023-05-25T00:00:0${lsn % 10}.000Z"}"""
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/topic"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/topic/seg0.jsonl"),
+      Seq(ev("c", 1, 10, "eng"), ev("c", 2, 11, "ops"), ev("u", 1, 12, "research"))
+        .mkString("\n"))
+
+    val q = DeltaStream.run(spark, Map(
+      DeltaStream.TableName -> "departments",
+      DeltaStream.TargetPath -> s"$root/store",
+      DeltaStream.SourceDir -> s"$root/topic",
+      DeltaStream.CheckpointLocation -> s"$root/ckpt",
+      DeltaStream.SourceSchemaDdl -> "id INT, dept_name STRING"))
+    try q.processAllAvailable() finally q.stop()
+
+    val got = FileGroups.read(spark, s"$root/store/departments").get
+      .select($"id", $"dept_name").orderBy($"id").as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "research"), (2, "ops")))
+  }
+}

@@ -755,4 +755,45 @@ class FileGroupsSpec extends SparkSpec {
     assert(thit.select(input_file_name()).distinct().count() <
       tfull.select(input_file_name()).distinct().count(), "timestamp-key lookup must prune")
   }
+
+  test("cleaner retention: the policy widens the GC window, clean() shrinks it, savepoints pin through it") {
+    val dir = tmpDir("graft_fgclean") + "/t"
+    val l = log()
+    // policy BEFORE the first commit (the CTAS ordering): keep 4 versions
+    FileGroups.setRetention(spark, dir, 4)
+    (0L to 4L).foreach { v =>
+      FileGroups.commit(spark, dir, l.filter($"lsn" % 5 === v), v, Seq("id"), Seq("lsn"), nBuckets = 4)
+    }
+    // default GC would have kept {3,4}; the policy keeps the last 4
+    assert(Ingest.snapshotVersions(spark, dir) == Seq(1L, 2L, 3L, 4L))
+    // time travel reaches the WHOLE window without a savepoint...
+    val atV1 = FileGroups.readAt(spark, dir, 1L)
+    assert(atV1.isDefined && atV1.get.count() > 0)
+    // ...and the window's ends diff into a change feed
+    assert(ChangeFeed.diff(atV1.get, FileGroups.readAt(spark, dir, 4L).get,
+      Seq("id"), "lsn", Seq("value")).count() > 0)
+    assert(FileGroups.readAt(spark, dir, 0L).isEmpty)
+
+    // pin v1, then SHRINK the window to the protocol minimum: the pin
+    // survives the cleaner, only the unpinned out-of-window v2 reclaims
+    Savepoints.savepoint(spark, dir, 1L)
+    assert(FileGroups.clean(spark, dir, Some(2)) == Seq(2L))
+    assert(Ingest.snapshotVersions(spark, dir) == Seq(1L, 3L, 4L))
+    assert(FileGroups.readAt(spark, dir, 1L).isDefined)
+    // a policy-only re-run reclaims nothing further
+    assert(FileGroups.clean(spark, dir).isEmpty)
+    // releasing the pin makes v1 cleaner fodder
+    Savepoints.release(spark, dir, 1L)
+    assert(FileGroups.clean(spark, dir) == Seq(1L))
+
+    // the policy change left exactly ONE marker (create-new-then-drop-old)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val markers = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath.getName)
+      .filter(_.startsWith("_RETAIN_")).toSeq
+    assert(markers == Seq("_RETAIN_2"), markers.toString)
+
+    // the floor: a window below the protocol minimum is rejected loudly
+    val ex = intercept[IllegalArgumentException](FileGroups.setRetention(spark, dir, 1))
+    assert(ex.getMessage.contains("retention must be >= 2"))
+  }
 }

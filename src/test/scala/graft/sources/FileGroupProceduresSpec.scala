@@ -169,4 +169,46 @@ class FileGroupProceduresSpec extends SparkSpec {
     val e2 = intercept[Exception] { spark.sql(s"CALL $cat.show_commits('nope')") }
     assert(e2.getMessage.contains("no committed file-group table"), e2.getMessage)
   }
+
+  test("clean: CTAS retain property widens the SQL-reachable history; CALL clean shrinks and reclaims") {
+    val root = tmpDir("graft_fgclean_sql")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[FileGroupCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(
+      s"""CREATE TABLE $cat.emp TBLPROPERTIES('keys'='id', 'ord'='lsn', 'retain'='4')
+         |AS SELECT user_id AS id, max(event_id) AS lsn, max(value) AS value
+         |FROM parquet.`$sf/events.parquet` GROUP BY user_id""".stripMargin)
+    (1 to 3).foreach { i =>
+      spark.sql(s"UPDATE $cat.emp SET value = value + $i.0 WHERE id % 7 = $i")
+    }
+    // default retention would keep {2,3}; the property keeps the last 4
+    val versions = spark.sql(s"CALL $cat.show_commits('emp')")
+      .select($"version").as[Long].collect().toSeq
+    assert(versions == Seq(0L, 1L, 2L, 3L))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.emp VERSION AS OF 0").as[Long].head() > 0)
+    // shrink to the minimum: v0 and v1 reclaim, reported as rows
+    val reclaimed = spark.sql(s"CALL $cat.clean('emp', 2)")
+      .select($"reclaimed_version").as[Long].collect().toSeq
+    assert(reclaimed == Seq(0L, 1L))
+    assert(spark.sql(s"CALL $cat.show_commits('emp')")
+      .select($"version").as[Long].collect().toSeq == Seq(2L, 3L))
+    val gone = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM $cat.emp VERSION AS OF 0").collect()
+    }
+    assert(gone.getMessage.toLowerCase.contains("version"), gone.getMessage)
+    // a policy-keeping re-run reclaims nothing; bad windows fail loudly
+    assert(spark.sql(s"CALL $cat.clean('emp')").count() == 0)
+    val low = intercept[Exception] { spark.sql(s"CALL $cat.clean('emp', 1)").collect() }
+    assert(low.getMessage.contains("retain"), low.getMessage)
+    val wrap = intercept[Exception] {
+      spark.sql(s"CALL $cat.clean('emp', ${(1L << 32) + 5L})").collect()
+    }
+    assert(wrap.getMessage.contains("between 2 and"), wrap.getMessage)
+    // a typo'd retention property is rejected at the statement
+    val typo = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.emp2 TBLPROPERTIES('keys'='id', 'ord'='lsn', " +
+        s"'retain'='1') AS SELECT 1L AS id, 1L AS lsn")
+    }
+    assert(typo.getMessage.contains("retain"), typo.getMessage)
+  }
 }

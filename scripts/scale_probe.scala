@@ -125,7 +125,12 @@ val queries = Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
   // round 18: the change-feed TVF (full-outer version diff — the one
   // genuinely table-scaling new shape) and the ALTER lifecycle (CTAS
   // write + metadata widen + half-key UPDATE backfill)
-  "q_cdc_sql_changefeed", "q_cdc_sql_alter")
+  "q_cdc_sql_changefeed", "q_cdc_sql_alter",
+  // round 18 closer: the cleaner lifecycle (CTAS write + two UPDATE
+  // commits + the metadata-only clean + procedure listings) — the
+  // clean itself is manifest metadata; probed because the body
+  // composes a write-heavy lifecycle, same rationale as the ALTER row
+  "q_cdc_sql_clean")
 
 // Optional filter for targeted runs (same convention as
 // SPARK_GRAFT_VERIFY_ONLY): probe only the named queries.

@@ -70,10 +70,15 @@ object DeltaStream {
     * (e.g. `"id INT, full_name STRING"`), enabling the declared fast
     * path for non-employees topics; default the employees envelope. */
   val SourceSchemaDdl = "graft.source.schema.ddl"
+  /** Optional: the table's cleaner retention window — how many trailing
+    * committed versions GC keeps, i.e. the `VERSION AS OF`-reachable
+    * history (role of `hoodie.cleaner.commits.retained`); >= 2, set
+    * before the stream's first commit via [[FileGroups.setRetention]]. */
+  val Retain = "graft.retain"
 
   private val Required = Seq(TableName, TargetPath, SourceDir, CheckpointLocation)
   private val Known = (Required ++ Seq(
-    RecordKeyField, PrecombineField, Buckets, SyncCatalog, SourceSchemaDdl)).toSet
+    RecordKeyField, PrecombineField, Buckets, SyncCatalog, SourceSchemaDdl, Retain)).toSet
 
   /** Validate the options map, sync the catalog if asked, and start
     * the checkpointed stream. Returns the running [[StreamingQuery]]
@@ -111,6 +116,15 @@ object DeltaStream {
     val schema = options.get(SourceSchemaDdl)
       .map(ddl => Envelope.envelope(StructType.fromDDL(ddl)))
       .getOrElse(Envelope.employeesEnvelope)
+    // parsed (and range-checked by setRetention) with the other
+    // validations, BEFORE any side effect (catalog conf, table dir)
+    val retain = options.get(Retain).map { s =>
+      val n = s.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"DeltaStream option $Retain='$s' must be an integer >= 2"))
+      require(n >= 2,
+        s"retention must be >= 2 (the protocol keeps the current + one prior version); got $n")
+      n
+    }
 
     val root = options(TargetPath).stripSuffix("/")
     val tableDir = s"$root/${options(TableName)}"
@@ -119,6 +133,9 @@ object DeltaStream {
         classOf[graft.sources.FileGroupCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.root", root)
     }
+    // retention lands BEFORE the first commit so every GC pass —
+    // including the very first trigger's — honors the policy
+    retain.foreach(FileGroups.setRetention(spark, tableDir, _))
     FileGroups.run(spark, options(SourceDir), tableDir, options(CheckpointLocation),
       schema = schema,
       keys = cols(RecordKeyField, Seq("id")),

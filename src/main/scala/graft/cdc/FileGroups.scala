@@ -305,6 +305,22 @@ object FileGroups {
       s"unsupported probe value type ${other.getClass.getName} for key '$key'")
   }
 
+  /** Typed result of [[commitOutcome]]: [[Replayed]] = the version id
+    * was already committed when this call ran (a replay, or another
+    * writer took the id) — NOTHING was written; [[Committed]] = this
+    * call ran the protocol, `dirty` naming the rewritten buckets. An
+    * empty `dirty` means the batch carried no rows: under
+    * `allowEmpty = false` no version was published (a no-op statement
+    * must not churn real snapshots out of the retention window), under
+    * `allowEmpty = true` an unchanged-data version WAS published (a
+    * CTAS of an empty query still creates the table). The type exists
+    * so callers never have to infer "replayed" from an empty set by
+    * running their own emptiness probe — that probe was a whole extra
+    * materialization of the batch plan per statement. */
+  sealed trait CommitOutcome
+  case object Replayed extends CommitOutcome
+  final case class Committed(dirty: Set[Long]) extends CommitOutcome
+
   /** Upsert one batch at file-group granularity. Only buckets whose
     * hash range the batch touches are merged and rewritten; the rest
     * carry forward by manifest reference. `nBuckets` applies at table
@@ -318,6 +334,17 @@ object FileGroups {
     * shuffle whose input is ∝ touched file groups. */
   def commit(sess: SparkSession, dir: String, batch: DataFrame, batchId: Long,
              keys: Seq[String], ord: Seq[String], nBuckets: Int = 16): Set[Long] =
+    commitOutcome(sess, dir, batch, batchId, keys, ord, nBuckets,
+      allowEmpty = true) match {
+      case Replayed => Set.empty
+      case Committed(dirty) => dirty
+    }
+
+  /** [[commit]] with the replayed/committed distinction surfaced and
+    * the empty-batch policy explicit — see [[CommitOutcome]]. */
+  def commitOutcome(sess: SparkSession, dir: String, batch: DataFrame, batchId: Long,
+                    keys: Seq[String], ord: Seq[String], nBuckets: Int = 16,
+                    allowEmpty: Boolean = true): CommitOutcome =
     lockFor(dir).synchronized {
     val fs = fsOf(sess, dir)
     // resolve any standing purge intent BEFORE taking the next id: an
@@ -328,7 +355,7 @@ object FileGroups {
     // for a purge that never rewrote data) on the next recovery
     completePendingPurge(sess, dir)
     val committed = committedId(sess, dir)
-    if (committed.exists(_ >= batchId)) Set.empty
+    if (committed.exists(_ >= batchId)) Replayed
     else {
       val (nb, current, prevSchema) = committed match {
         case Some(id) =>
@@ -338,9 +365,21 @@ object FileGroups {
           (m.nBuckets, m.entries, m.schema)
         case None => (nBuckets, Seq.empty[Entry], None)
       }
+      // persisted across the bucket-discovery and merge jobs so the
+      // batch plan (often a windowed snapshot scan or a routed join)
+      // computes ONCE; this collect doubles as the emptiness probe —
+      // dirty is empty iff the batch has no rows
+      batch.persist()
+      try {
       val withB = batch.withColumn("_bucket", bucketCol(keys, nb))
       val dirty = withB.select(col("_bucket")).distinct()
         .collect().map(_.getLong(0)).toSet
+      if (dirty.isEmpty && !allowEmpty)
+        // a rowless batch publishes NO version: an empty commit would
+        // still bump the head, and a re-run no-op statement (idempotent
+        // MERGE/DELETE retries are common) would silently age real
+        // snapshots out of the retention window
+        return Committed(Set.empty)
       val existingDirty = current.filter(e => dirty.contains(e.bucket))
       // ONE multi-path scan over the dirty buckets (mergeSchema
       // reconciles drifted buckets) — a per-bucket read would launch a
@@ -388,7 +427,8 @@ object FileGroups {
             "write coordination (one writer per table per process is enforced; " +
             "cross-process writers need a lock provider)")
       gc(sess, dir)
-      dirty
+      Committed(dirty)
+      } finally { batch.unpersist(); () }
     }
   }
 
@@ -627,15 +667,23 @@ object FileGroups {
                         nBuckets: Int = 16): Set[Long] = lockFor(dir).synchronized {
     val fs = fsOf(sess, dir)
     if (fs.exists(path(streamMarkerPath(dir, streamBatchId)))) Set.empty
-    else if (batch.isEmpty) {
-      // an empty trigger must not churn a version (the empty-write
-      // rule); the marker still lands so its replay stays a no-op
-      fs.createNewFile(path(streamMarkerPath(dir, streamBatchId)))
-      Set.empty
-    }
     else {
       val v = committedId(sess, dir).map(_ + 1).getOrElse(0L)
-      val dirty = commit(sess, dir, batch, v, keys, ord, nBuckets)
+      // allowEmpty = false: an empty trigger must not churn a version
+      // (the empty-write rule) — the commit's own bucket discovery is
+      // the emptiness probe, no separate isEmpty job per trigger; the
+      // marker still lands below so the empty trigger's replay stays a
+      // no-op
+      val dirty = commitOutcome(sess, dir, batch, v, keys, ord, nBuckets,
+          allowEmpty = false) match {
+        case Committed(d) => d
+        case Replayed =>
+          // unreachable: v = head+1 under the table lock this whole
+          // method holds — surfaced loudly rather than acked silently
+          throw new IllegalStateException(
+            s"stream batch $streamBatchId at $dir: version $v was already " +
+              "committed under the table lock — commit protocol violation")
+      }
       fs.createNewFile(path(streamMarkerPath(dir, streamBatchId)))
       // marker GC: drop markers far behind this batch (bounded count)
       if (fs.exists(path(dir)))
@@ -992,6 +1040,12 @@ object FileGroups {
   private[graft] def manifestSchema(sess: SparkSession, dir: String, id: Long):
       Option[StructType] =
     readManifest(sess, dir, id).schema
+
+  /** The pinned file-group (hash bucket) count of version `id`'s
+    * manifest — table-identity metadata for the SQL catalog's
+    * TBLPROPERTIES surface. */
+  private[graft] def manifestBuckets(sess: SparkSession, dir: String, id: Long): Int =
+    readManifest(sess, dir, id).nBuckets
 
   /** SQL maintenance support ([[graft.sources.FileGroupProcedures]]
     * `show_commits`): version `id`'s (file-group count, total rows) —

@@ -701,18 +701,22 @@ private[queries] object ExtensionsCdc {
         val root = cachedFixture(s"graft_fgcleanq_root_v1_${sfFingerprint(dir)}")(_ => ())
         registerCdcCatalog(s, root, "graft_cdccl")
         s.sql("DROP TABLE IF EXISTS graft_cdccl.snap")
+        // a QUARTER of the keys: the cleaner gate is LIFECYCLE
+        // semantics (policy → window → reclaim), not write volume —
+        // the ddl/dml/alter rows already time full-size commits
         s.sql(
           s"""CREATE TABLE graft_cdccl.snap
              |TBLPROPERTIES('keys'='id', 'ord'='lsn', 'retain'='4')
              |AS SELECT user_id AS id, max(event_id) AS lsn, max(value) AS value
-             |FROM parquet.`$dir/events.parquet` GROUP BY user_id""".stripMargin)
+             |FROM parquet.`$dir/events.parquet`
+             |WHERE user_id % 4 = 0 GROUP BY user_id""".stripMargin)
         s.sql("UPDATE graft_cdccl.snap SET value = value + 1 WHERE id % 3 = 0") // v1
         s.sql("UPDATE graft_cdccl.snap SET value = value - 1 WHERE id % 3 = 1") // v2
         val v0 = s.sql(
           "SELECT 'v0' AS phase, id, value FROM graft_cdccl.snap VERSION AS OF 0")
           .localCheckpoint() // materialize while v0 is still retained
+        // head survives the clean (v2 stays in the window) — lazy is safe
         val head = s.sql("SELECT 'head' AS phase, id, value FROM graft_cdccl.snap")
-          .localCheckpoint()
         val cleaned = s.sql("CALL graft_cdccl.clean('snap', 2)")
           .select(lit("cleaned").as("phase"), col("reclaimed_version").as("id"),
             lit(null).cast("double").as("value"))
@@ -724,7 +728,8 @@ private[queries] object ExtensionsCdc {
       },
       Some(
         """WITH base AS (
-          |  SELECT user_id AS id, max(value) AS value FROM events GROUP BY user_id)
+          |  SELECT user_id AS id, max(value) AS value FROM events
+          |  WHERE user_id % 4 = 0 GROUP BY user_id)
           |SELECT phase, id, value FROM (
           |  SELECT 'v0' AS phase, id, value FROM base
           |  UNION ALL

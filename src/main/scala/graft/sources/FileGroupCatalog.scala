@@ -302,8 +302,17 @@ private[sources] class FileGroupTable(spark: SparkSession, tableName: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
+  /** `SHOW TBLPROPERTIES` / `DESCRIBE TABLE EXTENDED` surface: the
+    * table's pinned identity (keys/ord/buckets — exactly what CTAS
+    * TBLPROPERTIES set, read back from the self-describing manifest)
+    * plus the live cleaner retention policy and the resolved snapshot
+    * version — so an operator can answer "what is this table keyed
+    * by / how much history does it keep" from SQL alone. */
   override def properties(): util.Map[String, String] =
-    Map("version" -> snapshotVersion.toString, "location" -> dir).asJava
+    Map("version" -> snapshotVersion.toString, "location" -> dir,
+      "keys" -> keys.mkString(","), "ord" -> ordSeq.mkString(","),
+      "buckets" -> FileGroups.manifestBuckets(spark, dir, snapshotVersion).toString,
+      "retain" -> FileGroups.retention(spark, dir).toString).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     FileGroupScanBuilder(spark, dir, snapshotVersion, keys, schema, options)

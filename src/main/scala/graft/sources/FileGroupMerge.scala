@@ -271,19 +271,24 @@ case class FileGroupCtasCommand(
       // the retention marker lands BEFORE v0 so the very first commit's
       // GC pass (and every later writer's) already honors the policy
       retain.foreach(FileGroups.setRetention(session, dir, _))
-      val touched = FileGroups.commit(session, dir, df, 0L, keys, ord, nBuckets)
-      // an empty rewrite set for a NON-empty query means another writer
-      // published v0 between the exists-check above and the commit —
-      // this statement's data was never written, so reporting success
-      // would be a silent drop (the commitNonEmpty conflict rule's
-      // CTAS twin; the probe job runs only on this suspicious path)
-      // (IF NOT EXISTS accepts the raced winner — the same semantics as
-      // losing the race one instant earlier at the exists-check)
-      if (touched.isEmpty && !ignoreIfExists && df.limit(1).count() > 0)
-        throw new IllegalStateException(
-          s"concurrent CREATE TABLE detected at $dir: another writer published " +
-            "the table while this CTAS ran — it holds the OTHER statement's data; " +
-            "DROP it first (or use IF NOT EXISTS to accept the existing table)")
+      // allowEmpty = true: a CTAS of an empty query still creates the
+      // (empty, schema-carrying) table. The typed Replayed outcome IS
+      // the raced-create detection: another writer published v0 between
+      // the exists-check above and this commit, so the table holds the
+      // OTHER statement's data and reporting success would be a silent
+      // drop (the commitNonEmpty conflict rule's CTAS twin — no
+      // emptiness probe job needed anymore). IF NOT EXISTS accepts the
+      // raced winner, the same semantics as losing the race one instant
+      // earlier at the exists-check.
+      FileGroups.commitOutcome(session, dir, df, 0L, keys, ord, nBuckets,
+          allowEmpty = true) match {
+        case FileGroups.Replayed if !ignoreIfExists =>
+          throw new IllegalStateException(
+            s"concurrent CREATE TABLE detected at $dir: another writer published " +
+              "the table while this CTAS ran — it holds the OTHER statement's data; " +
+              "DROP it first (or use IF NOT EXISTS to accept the existing table)")
+        case _ => ()
+      }
     }
     Seq.empty
   }
@@ -510,36 +515,34 @@ object FileGroupMergeCommand {
 
   /** Commit the change batch ONLY when it has rows: a statement whose
     * clauses hit nothing is a true no-op — an empty commit would still
-    * bump the version, and under two-version GC retention a re-run
-    * no-op statement (idempotent MERGE/DELETE are common in retry
-    * loops) would silently age real snapshots out of time travel. The
-    * persist also keeps the batch plan (join + CASE routing) from
-    * recomputing across the emptiness probe and commit's own two
-    * passes. Returns true when a commit landed. */
+    * bump the version, and a re-run no-op statement (idempotent
+    * MERGE/DELETE are common in retry loops) would silently age real
+    * snapshots out of the retention window. Both the emptiness rule
+    * and the batch persist live INSIDE commitOutcome now — the old
+    * separate `limit(1).count` probe was a whole extra materialization
+    * of the batch plan (join + CASE routing, or a windowed snapshot
+    * scan) per statement. Returns true when a commit landed. */
   private[sources] def commitNonEmpty(session: SparkSession, dir: String,
                                       batch: org.apache.spark.sql.DataFrame, batchId: Long,
                                       keys: Seq[String], ord: Seq[String]): Boolean = {
-    batch.persist()
-    try {
-      val nonEmpty = batch.limit(1).count() > 0
-      if (nonEmpty) {
-        // Commit-time head recheck: resolvedCommitted ran at statement
-        // START, and the batch computation can take a while — a
-        // concurrent commit (or rollback) landing in between would
-        // otherwise hit commit()'s replay-idempotence guard, which
-        // returns empty WITHOUT committing, and the statement would
-        // report success for changes that were never applied (the
-        // lost-update the version guard exists to prevent). Recheck
-        // here, and treat an empty rewrite set for a non-empty batch
-        // as the same conflict (the id was taken mid-flight).
-        resolvedCommitted(session, dir, batchId - 1, "commit")
-        val touched = FileGroups.commit(session, dir, batch, batchId, keys, ord)
-        if (touched.isEmpty)
-          throw new IllegalStateException(
-            s"concurrent commit detected at $dir: version $batchId was published " +
-              "by another writer while this statement ran — re-run the statement")
-      }
-      nonEmpty
-    } finally { batch.unpersist(); () }
+    // Commit-time head recheck: resolvedCommitted ran at statement
+    // START, and the batch computation can take a while — a concurrent
+    // commit (or rollback) landing in between would otherwise hit
+    // commit's replay-idempotence guard and the statement would report
+    // success for changes that were never applied (the lost-update the
+    // version guard exists to prevent). The typed Replayed outcome
+    // below catches the same race landing between this recheck and the
+    // publish (a no-op statement racing a writer now also surfaces the
+    // conflict — its emptiness was computed against a stale snapshot,
+    // so the re-run hint is honest there too).
+    resolvedCommitted(session, dir, batchId - 1, "commit")
+    FileGroups.commitOutcome(session, dir, batch, batchId, keys, ord,
+        allowEmpty = false) match {
+      case FileGroups.Replayed =>
+        throw new IllegalStateException(
+          s"concurrent commit detected at $dir: version $batchId was published " +
+            "by another writer while this statement ran — re-run the statement")
+      case FileGroups.Committed(dirty) => dirty.nonEmpty
+    }
   }
 }

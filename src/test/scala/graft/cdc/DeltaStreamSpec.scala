@@ -23,8 +23,12 @@ class DeltaStreamSpec extends SparkSpec {
       DeltaStream.RecordKeyField -> "id",
       DeltaStream.PrecombineField -> "lsn",
       DeltaStream.Buckets -> "8",
+      DeltaStream.Retain -> "3",
       DeltaStream.SyncCatalog -> "graft_dstest"))
     try q.processAllAvailable() finally q.stop()
+
+    // the retention policy landed before the first commit
+    assert(FileGroups.retention(spark, s"$root/store/employees") == 3)
 
     // the synced catalog serves the table the moment the run lands
     val viaSql = spark.sql(
@@ -91,6 +95,14 @@ class DeltaStreamSpec extends SparkSpec {
       DeltaStream.run(spark, good + (DeltaStream.SyncCatalog -> "a.b"))
     }
     assert(dotted.getMessage.contains("plain identifier"), dotted.getMessage)
+    val badRetain = intercept[IllegalArgumentException] {
+      DeltaStream.run(spark, good + (DeltaStream.Retain -> "two"))
+    }
+    assert(badRetain.getMessage.contains("graft.retain"), badRetain.getMessage)
+    val lowRetain = intercept[IllegalArgumentException] {
+      DeltaStream.run(spark, good + (DeltaStream.Retain -> "1"))
+    }
+    assert(lowRetain.getMessage.contains("retention must be >= 2"), lowRetain.getMessage)
     // nothing was created by the failed runs
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/store")))

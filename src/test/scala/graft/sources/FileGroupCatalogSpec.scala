@@ -394,4 +394,27 @@ class FileGroupCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft_cdc.employees").head.getLong(0) == 1L)
     spark.conf.set("spark.sql.catalog.graft_cdc.root", root1)
   }
+
+  test("SHOW TBLPROPERTIES surfaces the pinned identity and the live retention policy") {
+    val root = tmpDir("graft_fgcat_props")
+    spark.conf.set("spark.sql.catalog.graft_props", classOf[FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_props.root", root)
+    spark.sql(
+      s"""CREATE TABLE graft_props.emp
+         |TBLPROPERTIES('keys'='id', 'ord'='lsn', 'buckets'='8', 'retain'='4')
+         |AS SELECT user_id AS id, max(event_id) AS lsn, max(value) AS value
+         |FROM parquet.`$sf/events.parquet` GROUP BY user_id""".stripMargin)
+    def props(): Map[String, String] = spark.sql("SHOW TBLPROPERTIES graft_props.emp")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val p = props()
+    assert(p("keys") == "id" && p("ord") == "lsn", p.toString)
+    assert(p("buckets") == "8" && p("retain") == "4", p.toString)
+    // 'location' is a RESERVED table property — SHOW TBLPROPERTIES
+    // filters it (it shows through DESCRIBE EXTENDED instead)
+    assert(p("version") == "0" && !p.contains("location"), p.toString)
+    // the retention POLICY is live, not frozen at CTAS: CALL clean
+    // re-sets it, and the next SHOW reflects the stored marker
+    spark.sql("CALL graft_props.clean('emp', 2)")
+    assert(props()("retain") == "2")
+  }
 }

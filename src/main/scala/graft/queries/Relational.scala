@@ -1,11 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
-
-import graft.tables.Tables
-
 /** The relational query surface (SURVEY.md §2.3) — the operators any
   * consumer of the reference's Glue-synced table runs (reference intent:
   * README.md:298-304 "so they can be queried"), made first-class here.
@@ -16,3786 +10,16 @@ import graft.tables.Tables
   * keys so no single partition degenerates; everything else is a narrow
   * scan that Catalyst collapses into one WholeStageCodegen stage with
   * parquet filter/column pushdown.
+  *
+  * Split into family files in round 18 (the Extensions.scala pattern)
+  * purely for review ergonomics — the registry, ids and oracles are
+  * unchanged; shared oracle-determinism helpers live in [[RelCommon]].
   */
 object Relational {
-
-  /** Exact decimal view of a double column: double→DECIMAL(18,4) is
-    * unambiguous for data with ≤4 true decimal digits, and decimal sums
-    * are order-independent — the whole oracle-determinism strategy. */
-  private def dec(c: Column): Column = c.cast("decimal(18,4)")
-  private def dround(c: Column): Column = round(c.cast("double"), 4)
-  private def fmtD(c: Column): Column = date_format(c, "yyyy-MM-dd")
-  private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
-
-  // Oracle-side equivalents of the helpers above (DuckDB dialect).
-  private val OD = "round(CAST(%s AS DOUBLE), 4)"
-
-  def queries: Seq[GQuery] = Seq(
-    // ---------------------------------------------------------------- scan
-    // Column pruning: only 4 of 11 lineitem columns reach the scan
-    // (ReadSchema in explain); at 100 TB that is the difference between
-    // reading 100 TB and ~35 TB.
-    GQuery(
-      "q_scan_project",
-      (s, dir) => {
-        Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
-          // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
-          // — order by every selected column so the sort is total.
-          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
-      },
-      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin)),
-
-    // -------------------------------------------------------------- filter
-    // All predicates pushed to the parquet scan (PushedFilters); row-group
-    // statistics skip non-matching groups before decoding a single page.
-    GQuery(
-      "q_filter_pred",
-      (s, dir) => {
-        Tables.lineitem(s, dir)
-          .filter(
-            col("l_returnflag").isin("A", "R") &&
-            col("l_quantity").between(5, 30) &&
-            (col("l_linestatus") <=> "F" || col("l_discount") < 0.05) &&
-            col("l_linestatus").like("%"))
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-            col("l_linestatus"), col("l_quantity"), col("l_discount"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-            col("l_linestatus"), col("l_quantity"), col("l_discount"))
-      },
-      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity, l_discount
-             |FROM lineitem
-             |WHERE l_returnflag IN ('A','R') AND l_quantity BETWEEN 5 AND 30
-             |  AND (l_linestatus IS NOT DISTINCT FROM 'F' OR l_discount < 0.05)
-             |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity, l_discount""".stripMargin)),
-
-    // --------------------------------------------------------------- joins
-    // Shuffled hash/sort-merge join on the key; at scale both sides
-    // hash-partition on custkey — co-partitioned, no replication.
-    GQuery(
-      "q_join_inner",
-      (s, dir) => {
-        val o = Tables.orders(s, dir)
-        val c = Tables.customer(s, dir)
-        o.join(c, o("o_custkey") === c("c_custkey"), "inner")
-          .select(col("o_orderkey"), col("c_custkey"), col("c_name"), col("o_totalprice"))
-          .orderBy(col("o_orderkey"))
-      },
-      Some("""SELECT o_orderkey, c_custkey, c_name, o_totalprice
-             |FROM orders JOIN customer ON o_custkey = c_custkey
-             |ORDER BY o_orderkey""".stripMargin)),
-
-    GQuery(
-      "q_join_left",
-      (s, dir) => {
-        val c = Tables.customer(s, dir)
-        val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
-        c.join(o, c("c_custkey") === o("o_custkey"), "left")
-          .select(col("c_custkey"), col("o_orderkey"))
-          .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
-      },
-      Some("""SELECT c_custkey, o_orderkey
-             |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus='F') o
-             |  ON c_custkey = o.o_custkey
-             |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin)),
-
-    GQuery(
-      "q_join_right",
-      (s, dir) => {
-        val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
-        val c = Tables.customer(s, dir)
-        o.join(c, o("o_custkey") === c("c_custkey"), "right")
-          .select(col("c_custkey"), col("o_orderkey"))
-          .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
-      },
-      Some("""SELECT c_custkey, o_orderkey
-             |FROM (SELECT * FROM orders WHERE o_orderstatus='F') o
-             |RIGHT JOIN customer ON o.o_custkey = c_custkey
-             |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin)),
-
-    GQuery(
-      "q_join_full",
-      (s, dir) => {
-        val c = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
-        val o = Tables.orders(s, dir).filter(col("o_totalprice") > 200000)
-        c.join(o, c("c_custkey") === o("o_custkey"), "full")
-          .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
-          .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
-      },
-      Some("""SELECT c_custkey, o_orderkey, o_totalprice
-             |FROM (SELECT * FROM customer WHERE c_acctbal > 5000) c
-             |FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 200000) o
-             |  ON c.c_custkey = o.o_custkey
-             |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin)),
-
-    // Existence joins never materialize the right side's columns — Spark
-    // plans them as semi/anti hash joins (right side build, dedup'd keys).
-    GQuery(
-      "q_join_semi",
-      (s, dir) => {
-        val c = Tables.customer(s, dir)
-        val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
-        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
-          .select(col("c_custkey"), col("c_name"))
-          .orderBy(col("c_custkey"))
-      },
-      Some("""SELECT c_custkey, c_name FROM customer
-             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus='O')
-             |ORDER BY c_custkey""".stripMargin)),
-
-    GQuery(
-      "q_join_anti",
-      (s, dir) => {
-        val c = Tables.customer(s, dir)
-        val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
-        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-          .select(col("c_custkey"), col("c_name"))
-          .orderBy(col("c_custkey"))
-      },
-      Some("""SELECT c_custkey, c_name FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus='O')
-             |ORDER BY c_custkey""".stripMargin)),
-
-    // The broadcast HINT is the operator under test here: explicit
-    // broadcast() turns a 3-way shuffle into a single map-side stage
-    // over lineitem — the canonical star-schema plan. Region/nation are
-    // fixed-size (5/25 rows at every SF) so their hints are always
-    // safe; supplier is SF-scaled but pruned to 2 integer columns
-    // before the hint, and the production-discipline twin — dims
-    // WITHOUT forced hints, strategy left to the size-based planner —
-    // is the TPC-H composite family below (q_tpch_q3/q5/q10/q18).
-    GQuery(
-      "q_join_broadcast",
-      (s, dir) => {
-        val li = Tables.lineitem(s, dir)
-        val su = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
-        val na = Tables.nation(s, dir).select(col("n_nationkey"), col("n_regionkey"))
-        val re = Tables.region(s, dir)
-        li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
-          .join(broadcast(re), col("n_regionkey") === col("r_regionkey"))
-          .groupBy(col("r_name"))
-          .agg(
-            dround(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"),
-            count(lit(1)).as("n_items"))
-          .orderBy(col("r_name"))
-      },
-      Some(s"""SELECT r_name,
-             |  ${OD.format("sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))))")} AS revenue,
-             |  count(*) AS n_items
-             |FROM lineitem
-             |JOIN supplier ON l_suppkey = s_suppkey
-             |JOIN nation ON s_nationkey = n_nationkey
-             |JOIN region ON n_regionkey = r_regionkey
-             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
-
-    // Salted join under the value gate: Skew.saltedJoin's contract is
-    // row-multiplicity identity with the plain join — here the oracle
-    // IS the plain join, so the scatter/replicate rewrite is checked
-    // value-for-value, not just by count. The salting pattern is the
-    // fallback when one key is so hot even AQE's skew split leaves an
-    // oversized build side (or in streaming batches, where AQE is off).
-    GQuery(
-      "q_join_salted",
-      (s, dir) => {
-        val li = Tables.lineitem(s, dir)
-          .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        val pa = Tables.part(s, dir).filter(col("p_size") === 1)
-          .select(col("p_partkey").as("l_partkey"), col("p_brand"))
-        graft.ops.Skew.saltedJoin(li, pa, "l_partkey", salt = 8)
-          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
-      },
-      Some("""SELECT l_partkey, l_orderkey, l_linenumber, l_quantity, p_brand
-             |FROM lineitem JOIN part ON l_partkey = p_partkey
-             |WHERE p_size = 1
-             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin)),
-
-    // Range/theta join, BANDED: nationkey alone has 25 values, so at
-    // scale each nation bucket degenerates to |S_n|×|C_n| pairwise work
-    // on one reducer. Banding acctbal into 1000-wide buckets and
-    // exploding each supplier over every band at-or-below its own turns
-    // the join key into (nationkey, band) — 25×12 well-spread keys, the
-    // standard interval-join decomposition. The theta predicate stays as
-    // the exact post-join filter (bands < own are all-match, own band is
-    // boundary-checked; the filter is cheap either way). Output size is
-    // inherent to the query; the banding removes the skewed reducer.
-    GQuery(
-      "q_join_theta_range",
-      (s, dir) => {
-        val bandW = 1000
-        // The band floor is DERIVED from min(c_acctbal) (one cheap
-        // column-min scan, broadcast as a 1-row scalar) rather than
-        // assumed: a hardcoded floor silently drops qualifying pairs the
-        // moment a balance falls below it. Suppliers whose own band sits
-        // below every customer band can match nothing — the empty-array
-        // branch (sequence() would count DOWN, generating junk bands)
-        // explodes them away.
-        val lo = Tables.customer(s, dir)
-          .agg(floor(min(col("c_acctbal")) / bandW).cast("int").as("lo_band"))
-        val su = Tables.supplier(s, dir).crossJoin(broadcast(lo))
-          .withColumn("hi_band", floor(col("s_acctbal") / bandW).cast("int"))
-          .withColumn("band", explode(
-            when(col("hi_band") >= col("lo_band"), sequence(col("lo_band"), col("hi_band")))
-              .otherwise(array().cast("array<int>"))))
-        val c = Tables.customer(s, dir)
-          .withColumn("band", floor(col("c_acctbal") / bandW).cast("int"))
-        su.join(c, su("s_nationkey") === c("c_nationkey") &&
-            su("band") === c("band") && su("s_acctbal") > c("c_acctbal"))
-          .select(col("s_suppkey"), col("c_custkey"))
-          .orderBy(col("s_suppkey"), col("c_custkey"))
-      },
-      Some("""SELECT s_suppkey, c_custkey
-             |FROM supplier JOIN customer
-             |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
-             |ORDER BY s_suppkey, c_custkey""".stripMargin)),
-
-    // 2-D SPATIAL BOX JOIN as a grid-cell equi-join — the
-    // spatial-range twin of q_join_theta_range's 1-D banding: 25 query
-    // boxes (derived from the nation dim) count their covered
-    // (partkey, suppkey) points. Each box decomposes into the coarse
-    // grid cells it overlaps (double sequence-explode on the
-    // per-dimension high bits — ≤ ~20 cells/box here), each point maps
-    // to exactly ONE cell (two shiftrights, narrow), and the join is a
-    // broadcast EQUI-join on the cell key with the exact box predicate
-    // as a residual filter — never a nested loop over boxes × points.
-    // At 100 TB the fact side stays a single narrow scan; cells/box is
-    // bounded by box-size/cell-size (the grid-file rule), and the only
-    // exchange is the 25-key count aggregate with map-side partials.
-    // A point lies in exactly one cell, so a (box, point) pair can
-    // match at most once — no post-join dedup.
-    GQuery(
-      "q_join_spatial_grid",
-      (s, dir) => {
-        val boxes = Tables.nation(s, dir).select(
-          col("n_nationkey").cast("long").as("box_id"),
-          (col("n_nationkey") * 300 + 1).cast("long").as("plo"),
-          (col("n_nationkey") * 300 + 800).cast("long").as("phi"),
-          (col("n_nationkey") * 3 + 1).cast("long").as("slo"),
-          (col("n_nationkey") * 3 + 30).cast("long").as("shi"))
-        val cellBoxes = boxes
-          .withColumn("cp", explode(sequence(shiftright(col("plo"), 8), shiftright(col("phi"), 8))))
-          .withColumn("cs", explode(sequence(shiftright(col("slo"), 3), shiftright(col("shi"), 3))))
-        val pts = Tables.lineitem(s, dir)
-          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
-          .withColumn("cp", shiftright(col("p"), 8))
-          .withColumn("cs", shiftright(col("sk"), 3))
-        val hits = pts.join(broadcast(cellBoxes), Seq("cp", "cs"))
-          .filter(col("p").between(col("plo"), col("phi")) &&
-            col("sk").between(col("slo"), col("shi")))
-          .groupBy(col("box_id")).agg(count(lit(1)).as("n_points"))
-        boxes.select(col("box_id")).join(hits, Seq("box_id"), "left")
-          .select(col("box_id"), coalesce(col("n_points"), lit(0L)).as("n_points"))
-          .orderBy(col("box_id"))
-      },
-      Some("""WITH boxes AS (
-             |  SELECT n_nationkey::BIGINT AS box_id,
-             |    (n_nationkey * 300 + 1)::BIGINT AS plo, (n_nationkey * 300 + 800)::BIGINT AS phi,
-             |    (n_nationkey * 3 + 1)::BIGINT AS slo, (n_nationkey * 3 + 30)::BIGINT AS shi
-             |  FROM nation)
-             |SELECT b.box_id, count(l.l_partkey) AS n_points
-             |FROM boxes b LEFT JOIN lineitem l
-             |  ON l.l_partkey BETWEEN b.plo AND b.phi
-             | AND l.l_suppkey BETWEEN b.slo AND b.shi
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-    // As-of join: latest 'click' at or before each 'purchase', per user.
-    // Spark has no native asof — implemented as the LINEAR union-sort-
-    // carry-forward form: tag both event kinds, one window over user_id
-    // ordered by (ts, kind, id) carrying the last click forward, filter to
-    // purchases. ONE shuffle on user_id, O(n log n) per user — no
-    // purchase×click pair expansion, so a power user with 10^6 events
-    // costs 10^6 rows, not 10^12 pairs (the join+window form is quadratic
-    // per user and skew-dominated at scale).
-    // Tie discipline mirrors the oracle: clicks sort before purchases at
-    // equal ts (c_ts <= p_ts is inclusive), and among equal-ts clicks the
-    // highest event_id wins (last in ascending order = carried value).
-    GQuery(
-      "q_join_asof",
-      (s, dir) => {
-        val ev = Tables.events(s, dir)
-          .filter(col("event_type").isin("click", "purchase"))
-          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), when(col("event_type") === "click", 0).otherwise(1), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val clickId = when(col("event_type") === "click", col("event_id"))
-        val clickTs = when(col("event_type") === "click", col("ts"))
-        ev.withColumn("click_id", last(clickId, ignoreNulls = true).over(w))
-          .withColumn("click_ts", last(clickTs, ignoreNulls = true).over(w))
-          .filter(col("event_type") === "purchase")
-          .select(col("event_id").as("p_id"), col("user_id"), fmtTs(col("ts")).as("p_time"),
-            col("click_id"), fmtTs(col("click_ts")).as("click_time"))
-          .orderBy(col("p_id"))
-      },
-      Some("""SELECT p_id, user_id, p_time, click_id, click_time FROM (
-             |  SELECT p.event_id AS p_id, p.user_id,
-             |         strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_time,
-             |         c.event_id AS click_id,
-             |         strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_time,
-             |         row_number() OVER (PARTITION BY p.event_id
-             |                            ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
-             |  FROM (SELECT * FROM events WHERE event_type='purchase') p
-             |  LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
-             |    ON p.user_id = c.user_id AND c.ts <= p.ts) t
-             |WHERE rn = 1 ORDER BY p_id""".stripMargin)),
-
-    // NATIVE as-of join — the same contract as q_join_asof served by
-    // the plan-tier custom operator (graft.plans.AsOfJoin: logical
-    // node → planner strategy → AsOfMergeJoinExec). The exec declares
-    // ClusteredDistribution + (key, ts) ordering, so the plan is ONE
-    // co-partitioning exchange + sort per side and a zero-buffer
-    // streaming merge: no purchase×click pair expansion (the range-
-    // join form), no union materialization of both schemas through a
-    // window (the q_join_asof form — kept as the composed reference;
-    // both under the same DuckDB oracle). The two sides arrive as
-    // SEPARATE relations — the shape the union trick cannot take
-    // without first reconciling schemas. AsOfJoinSpec pins operator
-    // semantics (ties, null-extension, skew) directly.
-    GQuery(
-      "q_join_asof_native",
-      (s, dir) => {
-        // null user_id filtered on both sides: the operator groups null
-        // keys (window semantics, documented at AsOfJoin.scala) while
-        // the equi-join oracle never matches them — the filter makes
-        // query and oracle agree by construction, not fixture accident
-        val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
-        val purch = ev.filter(col("event_type") === "purchase")
-          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
-        val clicks = ev.filter(col("event_type") === "click")
-          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-            col("ts").as("c_ts"))
-        graft.plans.AsOfJoin.asof(purch, clicks,
-            Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("click_id"))
-          .select(col("p_id"), col("user_id"), fmtTs(col("p_ts")).as("p_time"),
-            col("click_id"), fmtTs(col("c_ts")).as("click_time"))
-          .orderBy(col("p_id"))
-      },
-      Some("""SELECT p_id, user_id, p_time, click_id, click_time FROM (
-             |  SELECT p.event_id AS p_id, p.user_id,
-             |         strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_time,
-             |         c.event_id AS click_id,
-             |         strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_time,
-             |         row_number() OVER (PARTITION BY p.event_id
-             |                            ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
-             |  FROM (SELECT * FROM events
-             |        WHERE event_type='purchase' AND user_id IS NOT NULL) p
-             |  LEFT JOIN (SELECT * FROM events
-             |        WHERE event_type='click' AND user_id IS NOT NULL) c
-             |    ON p.user_id = c.user_id AND c.ts <= p.ts) t
-             |WHERE rn = 1 ORDER BY p_id""".stripMargin)),
-
-    // STRICT as-of (allowExactMatches = false): the merge_asof
-    // strict-inequality mode — only strictly-earlier clicks are
-    // attributable. Timestamps are truncated to the HOUR first: the
-    // coarse-resolution-feed shape where strictness actually matters
-    // (same-bucket events carry no causal order, so an equal-bucket
-    // click must NOT match — with raw micros, exact ties are measure-
-    // zero and the comparator would be untested by the value gate; the
-    // fixture has 39 equal-hour pairs at sf0.01, so the two modes
-    // genuinely diverge here). Same native operator, `rightTs < leftTs`
-    // in both physical paths; the oracle flips one comparator.
-    GQuery(
-      "q_join_asof_strict",
-      (s, dir) => {
-        val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
-        val purch = ev.filter(col("event_type") === "purchase")
-          .select(col("event_id").as("p_id"), col("user_id"),
-            date_trunc("hour", col("ts")).as("p_ts"))
-        val clicks = ev.filter(col("event_type") === "click")
-          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-            date_trunc("hour", col("ts")).as("c_ts"))
-        graft.plans.AsOfJoin.asof(purch, clicks,
-            Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("click_id"),
-            allowExactMatches = false)
-          .select(col("p_id"), col("user_id"), fmtTs(col("p_ts")).as("p_time"),
-            col("click_id"), fmtTs(col("c_ts")).as("click_time"))
-          .orderBy(col("p_id"))
-      },
-      Some("""SELECT p_id, user_id, p_time, click_id, click_time FROM (
-             |  SELECT p.event_id AS p_id, p.user_id,
-             |         strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_time,
-             |         c.event_id AS click_id,
-             |         strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_time,
-             |         row_number() OVER (PARTITION BY p.event_id
-             |                            ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
-             |  FROM (SELECT event_id, user_id, date_trunc('hour', ts) AS ts
-             |        FROM events
-             |        WHERE event_type='purchase' AND user_id IS NOT NULL) p
-             |  LEFT JOIN (SELECT event_id, user_id, date_trunc('hour', ts) AS ts
-             |        FROM events
-             |        WHERE event_type='click' AND user_id IS NOT NULL) c
-             |    ON p.user_id = c.user_id AND c.ts < p.ts) t
-             |WHERE rn = 1 ORDER BY p_id""".stripMargin)),
-
-    // BUCKETED catalog join — the pay-the-shuffle-once-at-ingest
-    // pattern (U7 + Catalog.syncBucketed): both tables are registered
-    // bucketed(8) on the customer key, so the join needs NO exchange
-    // on either side and the per-customer aggregate above it reuses
-    // the same bucketing (the scan's output partitioning satisfies
-    // both). Locally the small dim may still broadcast; CatalogSpec
-    // pins the exchange-free SMJ with broadcasts disabled — this
-    // declared query pins the VALUES either way. Tables rebuild once
-    // per JVM (the session catalog is in-memory); the warehouse write
-    // is the amortized ingest cost, the timed query is the read.
-    GQuery(
-      "q_join_bucketed",
-      (s, dir) => {
-        val sfKey = new java.io.File(dir).getName.replace('.', '_')
-        val to = s"graft_bkt_orders_$sfKey"
-        val tc = s"graft_bkt_customer_$sfKey"
-        if (!s.catalog.tableExists(to))
-          graft.tables.Catalog.syncBucketed(s, to, Tables.orders(s, dir), 8, Seq("o_custkey"))
-        if (!s.catalog.tableExists(tc))
-          graft.tables.Catalog.syncBucketed(s, tc, Tables.customer(s, dir), 8, Seq("c_custkey"))
-        s.table(tc).join(s.table(to), col("c_custkey") === col("o_custkey"))
-          .groupBy(col("c_custkey"), col("c_name"))
-          .agg(count(lit(1)).as("n_orders"),
-            dround(sum(dec(col("o_totalprice")))).as("total"))
-          .orderBy(col("c_custkey"))
-      },
-      Some(s"""SELECT c_custkey, c_name, count(*) AS n_orders,
-             |  ${OD.format("sum(CAST(o_totalprice AS DECIMAL(18,4)))")} AS total
-             |FROM customer JOIN orders ON c_custkey = o_custkey
-             |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin)),
-
-    // NULL-SAFE equi-join (<=>): the CDC dimension-conformance shape —
-    // keys sentineled to NULL (here NULLIF on one nation id standing in
-    // for "unmapped") must GROUP with each other, where a plain
-    // equi-join silently drops every null-keyed row. Spark treats
-    // EqualNullSafe as a first-class equi-join key
-    // (ExtractEquiJoinKeys), so the plan is a normal broadcast/SMJ
-    // hash join — no coalesce-sentinel rewrite and no nested-loop
-    // fallback; the oracle is DuckDB's IS NOT DISTINCT FROM.
-    GQuery(
-      "q_join_nullsafe",
-      (s, dir) => {
-        val c = Tables.customer(s, dir)
-          .select(col("c_custkey"), expr("nullif(c_nationkey, 13)").as("ck"))
-        val su = Tables.supplier(s, dir)
-          .select(col("s_suppkey"), expr("nullif(s_nationkey, 13)").as("sk"))
-        c.join(su, col("ck") <=> col("sk"))
-          .groupBy(coalesce(col("ck"), lit(-1)).as("nation_grp"))
-          .agg(count(lit(1)).as("n_pairs"),
-            countDistinct(col("c_custkey")).as("n_cust"),
-            countDistinct(col("s_suppkey")).as("n_supp"))
-          .orderBy(col("nation_grp"))
-      },
-      Some("""SELECT coalesce(ck, -1) AS nation_grp, count(*) AS n_pairs,
-             |  count(DISTINCT c_custkey) AS n_cust, count(DISTINCT s_suppkey) AS n_supp
-             |FROM (SELECT c_custkey, nullif(c_nationkey, 13) AS ck FROM customer) c
-             |JOIN (SELECT s_suppkey, nullif(s_nationkey, 13) AS sk FROM supplier) s
-             |  ON c.ck IS NOT DISTINCT FROM s.sk
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-    // BLOOM-FILTER semi join — the cross-job runtime filter
-    // (functions/Bloom): build a 1 MB key sketch over the fact side
-    // ONCE, then the "join" against any later scan is a codegen'd scan
-    // PREDICATE — no shuffle, no build side in memory, reusable across
-    // queries, exactly the InjectRuntimeFilter plan shape made
-    // user-controllable. Bloom guarantees no false negatives; at these
-    // (items, bits) the deterministic false-positive count at the gate
-    // SFs is ZERO (verified sf0.001/sf0.01), so the exact semi-join
-    // oracle value-pins the result; BloomSpec pins the superset
-    // invariant that holds at ANY parameters.
-    GQuery(
-      "q_join_bloom",
-      (s, dir) => {
-        val bf = Tables.orders(s, dir)
-          .agg(graft.functions.Bloom.agg(col("o_custkey"), 1L << 18, 1L << 23).as("bf"))
-          .collect()(0).getAs[Array[Byte]](0)
-        Tables.customer(s, dir)
-          .filter(graft.functions.Bloom.mightContain(bf, col("c_custkey")))
-          .select(col("c_custkey"), col("c_name"))
-          .orderBy(col("c_custkey"))
-      },
-      Some("""SELECT c_custkey, c_name FROM customer
-             |WHERE c_custkey IN (SELECT o_custkey FROM orders)
-             |ORDER BY c_custkey""".stripMargin)),
-
-    // COMPOSITE star-schema analytical query — the TPC-H Q3 shape
-    // (segment-filtered customers × orders × lineitem → per-order
-    // revenue → top 20): the end-to-end plan every warehouse consumer
-    // runs, exercising join ORDER and STRATEGY choices together.
-    // Customer is SF-SCALED (150k rows/SF), so it carries NO forced
-    // broadcast() hint: a forced hint overrides the planner's size
-    // check and at the 100 TB design point would ship a multi-GB build
-    // side to every executor. Size-based auto-broadcast (AQE +
-    // autoBroadcastJoinThreshold) picks the broadcast strategy at gate
-    // SFs where the filtered dim is KB-scale — same plan, no scale
-    // cliff — and falls back to a custkey co-partition when the dim
-    // outgrows the threshold (the cost-based discipline
-    // AsOfJoinStrategy implements natively). lineitem⋈orders
-    // co-partition on the order key — the one unavoidable exchange;
-    // revenue sums ride exact decimals (price·(1−disc) multiplied IN
-    // DECIMAL, so both engines compute the identical product before
-    // the order-independent sum); the top-20 is selected on the exact
-    // revenue with key tie-breaks.
-    GQuery(
-      "q_tpch_q3",
-      (s, dir) => {
-        val cust = Tables.customer(s, dir)
-          .filter(col("c_mktsegment") === "BUILDING")
-          .select(col("c_custkey"))
-        val one = lit(1).cast("decimal(18,4)")
-        Tables.lineitem(s, dir)
-          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-          .join(cust, col("o_custkey") === col("c_custkey"))
-          .groupBy(col("l_orderkey"), col("o_orderpriority"))
-          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("rev"))
-          .orderBy(col("rev").desc, col("l_orderkey"))
-          .limit(20)
-          .select(col("l_orderkey"), col("o_orderpriority"),
-            dround(col("rev")).as("revenue"))
-          .orderBy(col("revenue").desc, col("l_orderkey"))
-      },
-      Some("""SELECT l_orderkey, o_orderpriority,
-             |  round(CAST(rev AS DOUBLE), 4) AS revenue FROM (
-             |  SELECT l_orderkey, o_orderpriority,
-             |    sum(CAST(l_extendedprice AS DECIMAL(18,4))
-             |        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev
-             |  FROM lineitem
-             |  JOIN orders ON l_orderkey = o_orderkey
-             |  JOIN customer ON o_custkey = c_custkey
-             |  WHERE c_mktsegment = 'BUILDING'
-             |  GROUP BY 1, 2
-             |  ORDER BY rev DESC, l_orderkey LIMIT 20) t
-             |ORDER BY revenue DESC, l_orderkey""".stripMargin)),
-
-    // COMPOSITE returned-item report — the TPC-H Q10 shape (customers
-    // who returned items, ranked by lost revenue): a 4-table plan with
-    // BOTH strategy classes in one query. The returnflag filter prunes
-    // lineitem at the scan; lineitem⋈orders share the order-key
-    // exchange with q_tpch_q3 (the only wide shuffle); the per-customer
-    // aggregate is small. Nation (fixed 25 rows at EVERY SF) keeps its
-    // broadcast hint; customer is SF-scaled (150k rows/SF) so its
-    // strategy is left to size-based auto-broadcast — broadcast at
-    // gate SFs, custkey co-partition once the dim outgrows
-    // autoBroadcastJoinThreshold (a forced hint here would OOM the
-    // driver at the 100 TB point). Revenue rides exact decimals;
-    // top-20 with key tie-breaks.
-    GQuery(
-      "q_tpch_q10",
-      (s, dir) => {
-        val one = lit(1).cast("decimal(18,4)")
-        Tables.lineitem(s, dir)
-          .filter(col("l_returnflag") === "R")
-          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("o_custkey"))
-          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("rev"))
-          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
-          .orderBy(col("rev").desc, col("c_custkey"))
-          .limit(20)
-          .select(col("c_custkey"), col("c_name"), col("n_name"),
-            dround(col("rev")).as("revenue"))
-          .orderBy(col("revenue").desc, col("c_custkey"))
-      },
-      Some("""SELECT c_custkey, c_name, n_name,
-             |  round(CAST(rev AS DOUBLE), 4) AS revenue FROM (
-             |  SELECT c_custkey, c_name, n_name,
-             |    sum(CAST(l_extendedprice AS DECIMAL(18,4))
-             |        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev
-             |  FROM lineitem
-             |  JOIN orders ON l_orderkey = o_orderkey
-             |  JOIN customer ON o_custkey = c_custkey
-             |  JOIN nation ON c_nationkey = n_nationkey
-             |  WHERE l_returnflag = 'R'
-             |  GROUP BY 1, 2, 3
-             |  ORDER BY rev DESC, c_custkey LIMIT 20) t
-             |ORDER BY revenue DESC, c_custkey""".stripMargin)),
-
-    // COMPOSITE regional-revenue query — the TPC-H Q5 shape (6-table
-    // snowflake: region→nation→{customer,supplier} dims around the
-    // orders⋈lineitem fact spine, with the local-supplier predicate
-    // c_nationkey = s_nationkey). The plan every star-schema engine is
-    // judged on: the year filter pushes into the orders SCAN and the
-    // fact⋈fact orderkey co-partition is the ONE unavoidable wide
-    // exchange. Broadcast hints are size-disciplined: only the
-    // FIXED-size dims carry one (region = 5 rows, nation×region = 25
-    // rows at every SF). Supplier (10k rows/SF) and customer (150k
-    // rows/SF) are SF-scaled, so their join strategy is left to
-    // size-based auto-broadcast: at gate SFs the planner still
-    // broadcasts them (MB-scale < autoBroadcastJoinThreshold — plan
-    // shape unchanged), while at the 100 TB point it degrades to a
-    // key co-partition instead of force-shipping a multi-GB build
-    // side through the driver. Revenue rides exact decimals;
-    // per-nation rows ordered by revenue.
-    GQuery(
-      "q_tpch_q5",
-      (s, dir) => {
-        val one = lit(1).cast("decimal(18,4)")
-        val asiaNations = Tables.nation(s, dir)
-          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
-            col("n_regionkey") === col("r_regionkey"))
-          .select(col("n_nationkey"), col("n_name"))
-        Tables.lineitem(s, dir)
-          .join(Tables.orders(s, dir)
-            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-              col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
-            col("l_orderkey") === col("o_orderkey"))
-          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
-          .join(Tables.customer(s, dir),
-            col("o_custkey") === col("c_custkey") &&
-              col("c_nationkey") === col("s_nationkey"))
-          .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
-          .groupBy(col("n_name"))
-          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("rev"))
-          .select(col("n_name"), dround(col("rev")).as("revenue"))
-          .orderBy(col("revenue").desc, col("n_name"))
-      },
-      Some("""SELECT n_name, round(CAST(rev AS DOUBLE), 4) AS revenue FROM (
-             |  SELECT n_name,
-             |    sum(CAST(l_extendedprice AS DECIMAL(18,4))
-             |        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev
-             |  FROM lineitem
-             |  JOIN orders ON l_orderkey = o_orderkey
-             |  JOIN supplier ON l_suppkey = s_suppkey
-             |  JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
-             |  JOIN nation ON s_nationkey = n_nationkey
-             |  JOIN region ON n_regionkey = r_regionkey
-             |  WHERE r_name = 'ASIA'
-             |    AND o_orderdate >= TIMESTAMP '1996-01-01'
-             |    AND o_orderdate < TIMESTAMP '1997-01-01'
-             |  GROUP BY n_name) t
-             |ORDER BY revenue DESC, n_name""".stripMargin)),
-
-    // COMPOSITE large-volume-customer report — the TPC-H Q18 shape
-    // (orders whose total quantity clears a threshold, with their
-    // customers). The classic HAVING-over-fact pattern: the per-order
-    // quantity aggregate is map-side-combined on the SAME key the
-    // orders join needs, so the exchange is paid once and AQE sees the
-    // post-HAVING side collapse to a sliver (top ~2% of orders at the
-    // 250 threshold — fixture p90 is ~182, p99 ~265 at every SF, so
-    // the gate is non-degenerate at sf0.001 through sf0.1). Customer
-    // is SF-scaled (150k rows/SF) so it carries NO forced broadcast
-    // hint — size-based auto-broadcast still picks the broadcast plan
-    // at gate SFs, and at the 100 TB point AQE sees the post-HAVING
-    // survivors shrink and can broadcast THAT side instead, which a
-    // forced customer hint would preempt. Quantity sums ride exact
-    // decimals; top-100 by order value with key tie-breaks.
-    GQuery(
-      "q_tpch_q18",
-      (s, dir) => {
-        val bigOrders = Tables.lineitem(s, dir)
-          .groupBy(col("l_orderkey"))
-          .agg(sum(dec(col("l_quantity"))).as("oq"))
-          .filter(col("oq") > 250)
-        Tables.orders(s, dir)
-          .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
-          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-          .limit(100)
-          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
-            fmtD(col("o_orderdate")).as("o_date"),
-            col("o_totalprice").as("total_price"),
-            dround(col("oq")).as("total_qty"))
-          .orderBy(col("total_price").desc, col("o_orderkey"))
-      },
-      Some("""SELECT c_name, c_custkey, o_orderkey, o_date, total_price, total_qty FROM (
-             |  SELECT c_name, c_custkey, o_orderkey,
-             |    strftime(o_orderdate, '%Y-%m-%d') AS o_date,
-             |    o_totalprice AS total_price,
-             |    round(CAST(oq AS DOUBLE), 4) AS total_qty
-             |  FROM (SELECT l_orderkey AS bok,
-             |          sum(CAST(l_quantity AS DECIMAL(18,4))) AS oq
-             |        FROM lineitem GROUP BY 1
-             |        HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 250) b
-             |  JOIN orders ON o_orderkey = bok
-             |  JOIN customer ON o_custkey = c_custkey
-             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 100) t
-             |ORDER BY total_price DESC, o_orderkey""".stripMargin)),
-
-    // COMPOSITE order-priority check — the TPC-H Q4 shape: an EXISTS
-    // semi-join from a date-sliced orders quarter into lineitem. The
-    // fixture schema carries no commit/receipt dates (TESTDATA.md), so
-    // "late" is l_shipdate > o_orderdate + 90 days — the PLAN is the
-    // same: LEFT SEMI on the order key with a residual cross-table date
-    // predicate. Semi-join short-circuits at the first matching lineitem
-    // (no row multiplication), both sides exchange once on the order
-    // key, and at 100 TB the quarter filter prunes the orders scan
-    // before the exchange — the probe side is a slice, not the table.
-    GQuery(
-      "q_tpch_q4",
-      (s, dir) => {
-        Tables.orders(s, dir)
-          .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
-            col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
-          .join(Tables.lineitem(s, dir),
-            col("o_orderkey") === col("l_orderkey") &&
-              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
-            "left_semi")
-          .groupBy(col("o_orderpriority"))
-          .agg(count(lit(1)).as("order_count"))
-          .orderBy(col("o_orderpriority"))
-      },
-      Some("""SELECT o_orderpriority, count(*) AS order_count
-             |FROM orders
-             |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
-             |  AND o_orderdate < TIMESTAMP '1996-10-01'
-             |  AND EXISTS (SELECT 1 FROM lineitem
-             |              WHERE l_orderkey = o_orderkey
-             |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
-             |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin)),
-
-    // COMPOSITE volume shipping — the TPC-H Q7 shape: revenue shipped
-    // between two named nations, by supplier nation × customer nation ×
-    // ship year. The nation-pair restriction is applied as SARGable
-    // per-dim prefilters (s_nationkey/c_nationkey IN (3,19) — pushed to
-    // the dim scans, shrinking both to 2/25 of a dim so size-based
-    // auto-broadcast picks them up at any SF) plus the residual
-    // disjunctive pair predicate after the joins. The only wide move is
-    // the lineitem⋈orders order-key exchange; nation-name lookups are
-    // fixed-25-row broadcasts.
-    GQuery(
-      "q_tpch_q7",
-      (s, dir) => {
-        val one = lit(1).cast("decimal(18,4)")
-        val n1 = Tables.nation(s, dir)
-          .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
-        val n2 = Tables.nation(s, dir)
-          .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
-        Tables.lineitem(s, dir)
-          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-          .join(Tables.supplier(s, dir).filter(col("s_nationkey").isin(3, 19)),
-            col("l_suppkey") === col("s_suppkey"))
-          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-          .join(Tables.customer(s, dir).filter(col("c_nationkey").isin(3, 19)),
-            col("o_custkey") === col("c_custkey"))
-          .filter((col("s_nationkey") === 3 && col("c_nationkey") === 19) ||
-            (col("s_nationkey") === 19 && col("c_nationkey") === 3))
-          .join(broadcast(n1), col("s_nationkey") === col("sk"))
-          .join(broadcast(n2), col("c_nationkey") === col("ck"))
-          .groupBy(col("supp_nation"), col("cust_nation"),
-            year(col("l_shipdate")).as("l_year"))
-          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("rev"))
-          .select(col("supp_nation"), col("cust_nation"), col("l_year"),
-            dround(col("rev")).as("revenue"))
-          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
-      },
-      Some("""SELECT supp_nation, cust_nation, l_year,
-             |  round(CAST(rev AS DOUBLE), 4) AS revenue FROM (
-             |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             |    CAST(year(l_shipdate) AS INT) AS l_year,
-             |    sum(CAST(l_extendedprice AS DECIMAL(18,4))
-             |        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev
-             |  FROM lineitem
-             |  JOIN supplier ON l_suppkey = s_suppkey
-             |  JOIN orders ON l_orderkey = o_orderkey
-             |  JOIN customer ON o_custkey = c_custkey
-             |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
-             |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-             |  WHERE ((s_nationkey = 3 AND c_nationkey = 19)
-             |      OR (s_nationkey = 19 AND c_nationkey = 3))
-             |    AND l_shipdate >= TIMESTAMP '1996-01-01'
-             |    AND l_shipdate < TIMESTAMP '1998-01-01'
-             |  GROUP BY 1, 2, 3) t
-             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
-
-    // COMPOSITE shipping-priority split — the TPC-H Q12 shape: one
-    // fact-fact order-key join feeding conditional CASE sums into a
-    // 2-group aggregate (the fixture has no l_shipmode, so the group key
-    // is l_linestatus — same cardinality class, same plan). The year
-    // filter is pushed to the lineitem scan; map-side partial agg
-    // collapses each partition to ≤2 rows before the single exchange, so
-    // the reduce side is O(groups), not O(rows), at any scale.
-    GQuery(
-      "q_tpch_q12",
-      (s, dir) => {
-        val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-        Tables.lineitem(s, dir)
-          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("l_linestatus"))
-          .agg(
-            sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
-            sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
-          .orderBy(col("l_linestatus"))
-      },
-      Some("""SELECT l_linestatus,
-             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-             |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-             |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-             |  AND l_shipdate < TIMESTAMP '1998-01-01'
-             |GROUP BY l_linestatus
-             |ORDER BY l_linestatus""".stripMargin)),
-
-    // COMPOSITE promo-revenue share — the TPC-H Q14 shape: a one-month
-    // lineitem slice joined to part, reduced to a single conditional
-    // ratio. Both sums ride exact decimals so the final double division
-    // is bit-identical across engines. part is SF-scaled (no forced
-    // broadcast hint — auto-broadcast at gate SFs, partkey co-partition
-    // past the threshold); the month filter prunes the fact scan to
-    // ~1/36 of rows before the join.
-    GQuery(
-      "q_tpch_q14",
-      (s, dir) => {
-        val one = lit(1).cast("decimal(18,4)")
-        val rev = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
-        Tables.lineitem(s, dir)
-          .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
-            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
-          .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
-          .agg(
-            sum(when(col("p_type") === "PROMO", rev)
-              .otherwise(lit(0).cast("decimal(18,4)"))).as("promo"),
-            sum(rev).as("total"))
-          .select(round(lit(100) * col("promo").cast("double")
-            / col("total").cast("double"), 4).as("promo_revenue"))
-      },
-      Some("""SELECT round(100 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 4)
-             |  AS promo_revenue FROM (
-             |  SELECT sum(CASE WHEN p_type = 'PROMO'
-             |               THEN CAST(l_extendedprice AS DECIMAL(18,4))
-             |                    * (1 - CAST(l_discount AS DECIMAL(18,4)))
-             |               ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo,
-             |         sum(CAST(l_extendedprice AS DECIMAL(18,4))
-             |             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total
-             |  FROM lineitem JOIN part ON l_partkey = p_partkey
-             |  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
-             |    AND l_shipdate < TIMESTAMP '1997-04-01') t""".stripMargin)),
-
-    // COMPOSITE discounted-revenue brackets — the TPC-H Q19 shape: an
-    // OR-of-ANDs predicate spanning both join sides. The classic Q19
-    // rewrite is applied by hand: the disjunction's per-side hulls
-    // (l_quantity ∈ [1,30]; p_brand ∈ the 3 brands, p_size ∈ [1,50])
-    // are added as redundant conjuncts so each reaches its own parquet
-    // scan as a pushed filter — the 3-brand part slice is tiny at any
-    // SF (auto-broadcast), and the full bracket disjunction stays as
-    // the residual post-join filter. Without the hulls the scan reads
-    // every part row just to throw 88% away above the join.
-    GQuery(
-      "q_tpch_q19",
-      (s, dir) => {
-        val one = lit(1).cast("decimal(18,4)")
-        val brackets =
-          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
-            col("l_quantity").between(1, 11)) ||
-          (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
-            col("l_quantity").between(10, 20)) ||
-          (col("p_brand") === "Brand#34" && col("p_size").between(20, 50) &&
-            col("l_quantity").between(20, 30))
-        Tables.lineitem(s, dir)
-          .filter(col("l_quantity").between(1, 30))
-          .join(Tables.part(s, dir)
-            .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
-              col("p_size").between(1, 50)),
-            col("l_partkey") === col("p_partkey"))
-          .filter(brackets)
-          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("rev"))
-          .select(dround(col("rev")).as("revenue"))
-      },
-      Some("""SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-             |    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS revenue
-             |FROM lineitem JOIN part ON l_partkey = p_partkey
-             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
-             |       AND l_quantity BETWEEN 1 AND 11)
-             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
-             |       AND l_quantity BETWEEN 10 AND 20)
-             |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
-             |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
-
-    // COMPOSITE dormant-rich-customer report — the TPC-H Q22 shape: a
-    // global scalar aggregate (avg positive balance) broadcast as a
-    // 1-row crossJoin, filtering customers ABOVE it, anti-joined against
-    // recent orders (the fixture has every customer ordering at least
-    // once, so "dormant" = no order since 2000-01-01 — same anti-join
-    // plan as Q22's "no orders at all"). The avg rides an exact decimal
-    // sum / exact count so the comparison threshold is bit-identical
-    // across engines. Anti-join exchanges on custkey once; the date
-    // filter prunes the orders build side at the scan.
-    GQuery(
-      "q_tpch_q22",
-      (s, dir) => {
-        val avgBal = Tables.customer(s, dir)
-          .filter(col("c_acctbal") > 0)
-          .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("abal"))
-        Tables.customer(s, dir)
-          .crossJoin(broadcast(avgBal))
-          .filter(col("c_acctbal") > col("abal"))
-          .join(Tables.orders(s, dir)
-            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
-            col("c_custkey") === col("o_custkey"), "left_anti")
-          .groupBy(col("c_nationkey"))
-          .agg(count(lit(1)).as("numcust"),
-            dround(sum(dec(col("c_acctbal")))).as("totacctbal"))
-          .orderBy(col("c_nationkey"))
-      },
-      Some("""SELECT c_nationkey, count(*) AS numcust,
-             |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4)
-             |    AS totacctbal
-             |FROM customer
-             |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4)))
-             |                               AS DOUBLE) / count(*)
-             |                   FROM customer WHERE c_acctbal > 0)
-             |  AND NOT EXISTS (SELECT 1 FROM orders
-             |                  WHERE o_custkey = c_custkey
-             |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
-             |GROUP BY c_nationkey
-             |ORDER BY c_nationkey""".stripMargin)),
-
-    // COMPOSITE minimum-cost supplier — the TPC-H Q2 shape: a
-    // correlated scalar min subquery over the part/supplier snowflake
-    // ("the supplier in EUROPE offering this part at the lowest cost").
-    // The fixture carries no partsupp table (TESTDATA.md), so the
-    // part↔supplier bridge is derived from lineitem: per-(part,
-    // supplier) cost = min extendedprice, computed ONCE and shared by
-    // both the outer query and the subquery — exactly what partsupp
-    // stores. The decorrelation showcase: the oracle keeps the
-    // correlated `= (SELECT min(...) WHERE ps2.partkey = p_partkey)`
-    // form; the Spark plan is the decorrelated equivalent Catalyst
-    // would rewrite to — a per-part min WINDOW over the region-filtered
-    // cost rows and an equality filter, ONE exchange on the part key
-    // instead of agg+self-join. Costs compare as DECIMAL (exact);
-    // doubles appear only in the final display columns. At 100 TB the
-    // region filter prunes suppliers before the bridge join, the
-    // fixed-size nation/region dims broadcast, and nothing is
-    // per-query corpus-wide: bridge agg, supplier join, and window all
-    // partition on their keys.
-    GQuery(
-      "q_tpch_q2",
-      (s, dir) => {
-        val ps = Tables.lineitem(s, dir)
-          .groupBy(col("l_partkey"), col("l_suppkey"))
-          .agg(min(dec(col("l_extendedprice"))).as("ps_cost"))
-        val eu = Tables.supplier(s, dir)
-          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
-          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
-            col("n_regionkey") === col("r_regionkey"))
-          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
-        val w = Window.partitionBy(col("l_partkey"))
-        ps.join(eu, col("l_suppkey") === col("s_suppkey"))
-          .withColumn("min_cost", min(col("ps_cost")).over(w))
-          .filter(col("ps_cost") === col("min_cost"))
-          .join(Tables.part(s, dir).filter(col("p_type") === "PROMO"),
-            col("p_partkey") === col("l_partkey"))
-          .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
-            dround(col("s_acctbal")).as("acctbal"),
-            dround(col("ps_cost")).as("cost"))
-          .orderBy(col("acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
-      },
-      Some("""WITH ps AS (
-             |  SELECT l_partkey, l_suppkey,
-             |    min(CAST(l_extendedprice AS DECIMAL(18,4))) AS ps_cost
-             |  FROM lineitem GROUP BY 1, 2),
-             |eu AS (
-             |  SELECT s_suppkey, s_name, s_acctbal, n_name
-             |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
-             |  JOIN region ON n_regionkey = r_regionkey
-             |  WHERE r_name = 'EUROPE')
-             |SELECT p_partkey, p_name, s_name, n_name,
-             |  round(CAST(s_acctbal AS DOUBLE), 4) AS acctbal,
-             |  round(CAST(ps_cost AS DOUBLE), 4) AS cost
-             |FROM part JOIN ps ON p_partkey = l_partkey
-             |JOIN eu ON l_suppkey = s_suppkey
-             |WHERE p_type = 'PROMO'
-             |  AND ps_cost = (SELECT min(ps2.ps_cost)
-             |                 FROM ps ps2 JOIN eu e2 ON ps2.l_suppkey = e2.s_suppkey
-             |                 WHERE ps2.l_partkey = p_partkey)
-             |ORDER BY acctbal DESC, n_name, s_name, p_partkey""".stripMargin)),
-
-    // COMPOSITE suppliers-who-kept-waiting — the TPC-H Q21 shape:
-    // EXISTS and NOT EXISTS against the SAME fact at once ("the sole
-    // supplier with a returned line in a multi-supplier order"). The
-    // fixture has no commit/receipt dates, so "late" is l_returnflag
-    // = 'R' — the PLAN is the original's: the flagged fact slice
-    // semi-joins lineitem on the order key with a supplier-inequality
-    // residual (EXISTS: some OTHER supplier in the order), then
-    // anti-joins the flagged slice the same way (NOT EXISTS: no OTHER
-    // supplier also flagged). Both are equi hash joins on l_orderkey
-    // with the inequality as a residual — never a nested loop — and
-    // all three fact legs exchange on the same order key, so the
-    // multi-semi/anti composition is co-partitioned end to end; the
-    // supplier name lookup joins after the fact collapses to
-    // per-supplier counts.
-    GQuery(
-      "q_tpch_q21",
-      (s, dir) => {
-        val li = Tables.lineitem(s, dir)
-        val flagged = li.filter(col("l_returnflag") === "R")
-          .select(col("l_orderkey"), col("l_suppkey"))
-        flagged
-          .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
-              .select(col("o_orderkey")),
-            col("l_orderkey") === col("o_orderkey"), "left_semi")
-          .join(li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")),
-            col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
-            "left_semi")
-          .join(flagged.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3")),
-            col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
-            "left_anti")
-          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
-          .groupBy(col("s_name"))
-          .agg(count(lit(1)).as("numwait"))
-          .orderBy(col("numwait").desc, col("s_name"))
-      },
-      Some("""SELECT s_name, count(*) AS numwait
-             |FROM supplier, lineitem l1, orders
-             |WHERE s_suppkey = l1.l_suppkey
-             |  AND o_orderkey = l1.l_orderkey
-             |  AND o_orderstatus = 'F'
-             |  AND l1.l_returnflag = 'R'
-             |  AND EXISTS (SELECT 1 FROM lineitem l2
-             |              WHERE l2.l_orderkey = l1.l_orderkey
-             |                AND l2.l_suppkey <> l1.l_suppkey)
-             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-             |                  WHERE l3.l_orderkey = l1.l_orderkey
-             |                    AND l3.l_suppkey <> l1.l_suppkey
-             |                    AND l3.l_returnflag = 'R')
-             |GROUP BY s_name
-             |ORDER BY numwait DESC, s_name""".stripMargin)),
-
-    // COMPOSITE customer order-count distribution — the TPC-H Q13
-    // shape: a LEFT OUTER join that must KEEP zero-order customers
-    // (the filter rides the join condition, not a WHERE — a WHERE
-    // would silently turn the outer join inner and drop the zero
-    // bucket), a per-customer count, then a histogram over the counts.
-    // The fixture has no o_comment, so the original's comment-pattern
-    // exclusion becomes an order-priority exclusion — same plan: the
-    // predicate prunes the orders scan, the outer join exchanges both
-    // sides on the customer key once, and the second aggregate's input
-    // is already one row per customer, so the histogram shuffle
-    // carries |distinct counts| rows.
-    GQuery(
-      "q_tpch_q13",
-      (s, dir) => {
-        Tables.customer(s, dir)
-          .join(Tables.orders(s, dir).filter(col("o_orderpriority") =!= "3-MEDIUM"),
-            col("c_custkey") === col("o_custkey"), "left")
-          .groupBy(col("c_custkey"))
-          .agg(count(col("o_orderkey")).as("c_count"))
-          .groupBy(col("c_count"))
-          .agg(count(lit(1)).as("custdist"))
-          .orderBy(col("custdist").desc, col("c_count").desc)
-      },
-      Some("""SELECT c_count, count(*) AS custdist FROM (
-             |  SELECT c_custkey, count(o_orderkey) AS c_count
-             |  FROM customer LEFT OUTER JOIN orders
-             |    ON c_custkey = o_custkey AND o_orderpriority <> '3-MEDIUM'
-             |  GROUP BY c_custkey) co
-             |GROUP BY c_count
-             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
-
-    // COMPOSITE top supplier — the TPC-H Q15 shape: an aggregate view
-    // (per-supplier quarterly revenue) consumed twice, once as the
-    // rows and once as its own max, with equality selecting the
-    // top supplier(s). Revenue aggregates as exact DECIMAL so the max
-    // equality is bit-identical across engines (a double revenue could
-    // tie-break differently under reordered addition). The max is a
-    // 1-row scalar crossJoin broadcast (the q_tpch_q22 rule) — NEVER a
-    // global window over the supplier-sized aggregate. The view is
-    // evaluated twice (rows + max) — a deliberate tradeoff: both
-    // evaluations scan the ~36×-date-pruned slice with the filter
-    // pushed, and the plan stays cache-lifecycle-free; at 100 TB
-    // materialize the supplier-sized view once (localCheckpoint) if
-    // the quarter slice is still large.
-    GQuery(
-      "q_tpch_q15",
-      (s, dir) => {
-        val revenue = Tables.lineitem(s, dir)
-          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-          .groupBy(col("l_suppkey"))
-          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .as("total_revenue"))
-        revenue
-          .crossJoin(broadcast(revenue.agg(max(col("total_revenue")).as("max_rev"))))
-          .filter(col("total_revenue") === col("max_rev"))
-          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
-          .select(col("s_suppkey"), col("s_name"),
-            dround(col("total_revenue")).as("total_revenue"))
-          .orderBy(col("s_suppkey"))
-      },
-      Some("""WITH revenue AS (
-             |  SELECT l_suppkey AS supplier_no,
-             |    sum(CAST(l_extendedprice AS DECIMAL(18,4))
-             |        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue
-             |  FROM lineitem
-             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-             |    AND l_shipdate < TIMESTAMP '1996-04-01'
-             |  GROUP BY 1)
-             |SELECT s_suppkey, s_name,
-             |  round(CAST(total_revenue AS DOUBLE), 4) AS total_revenue
-             |FROM supplier JOIN revenue ON s_suppkey = supplier_no
-             |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-             |ORDER BY s_suppkey""".stripMargin)),
-
-    // COMPOSITE parts/supplier relationship count — the TPC-H Q16
-    // shape: a NOT IN exclusion subquery (suppliers with complaints;
-    // the fixture has no s_comment, so "complaint" = negative account
-    // balance) over a distinct-count aggregate. NOT IN compiles to a
-    // LEFT ANTI hash join (s_suppkey is non-null, so the NULL-poisoning
-    // NOT IN edge case cannot arise); count(DISTINCT) expands to the
-    // two-phase distinct-agg plan. Brand/size filters push to the part
-    // scan; the part↔lineitem bridge join exchanges on the part key;
-    // the anti join's build side is the filtered supplier sliver.
-    GQuery(
-      "q_tpch_q16",
-      (s, dir) => {
-        Tables.part(s, dir)
-          .filter(col("p_brand") =!= "Brand#13" &&
-            col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
-          .join(Tables.lineitem(s, dir), col("p_partkey") === col("l_partkey"))
-          .join(Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
-              .select(col("s_suppkey")),
-            col("l_suppkey") === col("s_suppkey"), "left_anti")
-          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
-          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
-          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
-      },
-      Some("""SELECT p_brand, p_type, p_size,
-             |  count(DISTINCT l_suppkey) AS supplier_cnt
-             |FROM part JOIN lineitem ON p_partkey = l_partkey
-             |WHERE p_brand <> 'Brand#13'
-             |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
-             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-             |                        WHERE s_acctbal < 0)
-             |GROUP BY 1, 2, 3
-             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
-
-    // COMPOSITE forecast revenue change — the TPC-H Q6 shape: the
-    // pure scan-aggregate member of the family — three SARGable
-    // predicates (date year, discount band, quantity cap) all pushed
-    // into ONE fact scan, one decimal product sum, zero joins and zero
-    // group keys. The plan IS the pushdown showcase: at 100 TB this
-    // query's cost is exactly the pruned scan bytes; everything after
-    // is a map-side partial sum collapsing to one row.
-    GQuery(
-      "q_tpch_q6",
-      (s, dir) => {
-        Tables.lineitem(s, dir)
-          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
-            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
-            col("l_quantity") < 24)
-          .agg(dround(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))))
-            .as("revenue"))
-      },
-      Some("""SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-             |    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
-             |FROM lineitem
-             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-             |  AND l_shipdate < TIMESTAMP '1997-01-01'
-             |  AND l_discount >= 0.05 AND l_discount <= 0.07
-             |  AND l_quantity < 24""".stripMargin)),
-
-    // COMPOSITE important stock — the TPC-H Q11 shape: a group
-    // aggregate filtered (HAVING) against a FRACTION of the same
-    // aggregate computed globally — the shape where the threshold is
-    // itself a scalar subquery over the query's own input. The
-    // partsupp bridge derives from lineitem as in q_tpch_q2 (value =
-    // min-cost × line count per (part, supplier)); "Germany" is
-    // nationkey 3. The fraction compare is cross-multiplied
-    // (sum·500 > total) so it stays in EXACT decimals — the original's
-    // `> total · 0.0001` would put a double on one side and invite
-    // boundary-row drift between engines. The nation's bridge slice is
-    // evaluated twice (groups + total) — the Q15 tradeoff: the
-    // supplier filter prunes it to 1/25 first, and the total side
-    // collapses to a 1-row broadcast.
-    GQuery(
-      "q_tpch_q11",
-      (s, dir) => {
-        val ps = Tables.lineitem(s, dir)
-          .groupBy(col("l_partkey"), col("l_suppkey"))
-          .agg(min(dec(col("l_extendedprice"))).as("ps_cost"),
-            count(lit(1)).as("ps_qty"))
-        def natps = ps
-          .join(Tables.supplier(s, dir).filter(col("s_nationkey") === 3)
-              .select(col("s_suppkey")),
-            col("l_suppkey") === col("s_suppkey"))
-          .select(col("l_partkey"), (col("ps_cost") * col("ps_qty")).as("value"))
-        natps.groupBy(col("l_partkey"))
-          .agg(sum(col("value")).as("sv"))
-          .crossJoin(broadcast(natps.agg(sum(col("value")).as("tot"))))
-          .filter(col("sv") * 500 > col("tot"))
-          .select(col("l_partkey"), dround(col("sv")).as("value"))
-          .orderBy(col("value").desc, col("l_partkey"))
-      },
-      Some("""WITH ps AS (
-             |  SELECT l_partkey, l_suppkey,
-             |    min(CAST(l_extendedprice AS DECIMAL(18,4))) AS ps_cost,
-             |    count(*) AS ps_qty
-             |  FROM lineitem GROUP BY 1, 2),
-             |natps AS (
-             |  SELECT l_partkey, ps_cost * ps_qty AS value
-             |  FROM ps JOIN supplier ON l_suppkey = s_suppkey
-             |  WHERE s_nationkey = 3)
-             |SELECT l_partkey, round(CAST(sum(value) AS DOUBLE), 4) AS value
-             |FROM natps GROUP BY 1
-             |HAVING sum(value) * 500 > (SELECT sum(value) FROM natps)
-             |ORDER BY value DESC, l_partkey""".stripMargin)),
-
-    // COMPOSITE small-quantity revenue brake — the TPC-H Q17 shape: a
-    // correlated AVG subquery against the SAME fact ("lines under 20%
-    // of their part's average quantity"). Decorrelated Spark-side as a
-    // per-part (sum, count) WINDOW over the brand slice; the threshold
-    // l_quantity < 0.2·avg rides as the cross-multiplied
-    // 5·qty·cnt < sum in exact DECIMALs — a double avg threshold could
-    // flip a boundary row between engines under reordered addition,
-    // the cross-multiplication cannot. The brand filter prunes the
-    // part scan and, via the join, bounds the window input to the
-    // brand's lineitems — the window partitions on the part key, never
-    // corpus-wide. Note the correlated subquery in the oracle scans
-    // ALL lineitems of the part (not just the brand slice) — matching
-    // that, the Spark window input joins part AFTER restricting parts
-    // to the brand, which is the same set because the subquery's parts
-    // are exactly the outer query's brand parts.
-    GQuery(
-      "q_tpch_q17",
-      (s, dir) => {
-        val w = Window.partitionBy(col("p_partkey"))
-        Tables.lineitem(s, dir)
-          .join(Tables.part(s, dir).filter(col("p_brand") === "Brand#21")
-              .select(col("p_partkey")),
-            col("l_partkey") === col("p_partkey"))
-          .withColumn("sum_qty", sum(dec(col("l_quantity"))).over(w))
-          .withColumn("cnt_qty", count(lit(1)).over(w))
-          .filter(dec(col("l_quantity")) * lit(5) * col("cnt_qty") < col("sum_qty"))
-          .agg(round(sum(dec(col("l_extendedprice"))).cast("double") / 7.0, 4)
-            .as("avg_yearly"))
-      },
-      Some("""SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
-             |        AS DOUBLE) / 7.0, 4) AS avg_yearly
-             |FROM lineitem JOIN part ON p_partkey = l_partkey
-             |WHERE p_brand = 'Brand#21'
-             |  AND CAST(l_quantity AS DECIMAL(18,4)) * 5
-             |      * (SELECT count(*) FROM lineitem l2
-             |         WHERE l2.l_partkey = p_partkey)
-             |    < (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,4)))
-             |       FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)),
-
-    // COMPOSITE national market share — the TPC-H Q8 shape: the widest
-    // join tree in the family (fact × part × orders × customer ×
-    // nation×2 × region × supplier — nation joined TWICE under
-    // different roles, customer-side for the region cut and
-    // supplier-side for the share dimension) feeding a conditional
-    // aggregate ratio per year. Plan: the p_type filter prunes part to
-    // a sliver that BROADCASTS and cuts the fact first (most selective
-    // edge first); orders carries the 2-year date cut pushed to its
-    // scan; the fixed-size nation/region dims broadcast under both
-    // roles; customer and orders are the only shuffle-sized joins. The
-    // market-share ratio aggregates BOTH legs (nation-cased numerator,
-    // all-volume denominator) in ONE pass over the joined slice —
-    // never two scans — as exact decimal sums; doubles appear only in
-    // the final divide, identical on both engines because the operands
-    // are bit-identical exact sums. At 100 TB: one fact exchange on
-    // orderkey, one on custkey, everything else broadcast.
-    GQuery(
-      "q_tpch_q8",
-      (s, dir) => {
-        val amer = Tables.nation(s, dir)
-          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "AMERICA")),
-            col("n_regionkey") === col("r_regionkey"))
-          .select(col("n_nationkey").as("c_nkey"))
-        val supNat = Tables.nation(s, dir)
-          .select(col("n_nationkey").as("s_nkey"), col("n_name").as("nation"))
-        Tables.lineitem(s, dir)
-          .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
-            .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
-          .join(Tables.orders(s, dir)
-              .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
-                col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
-            col("l_orderkey") === col("o_orderkey"))
-          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(amer), col("c_nationkey") === col("c_nkey"), "left_semi")
-          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(supNat), col("s_nationkey") === col("s_nkey"))
-          .withColumn("volume", dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .groupBy(year(col("o_orderdate")).as("o_year"))
-          .agg(round(
-            sum(when(col("nation") === "NATION_3", col("volume")).otherwise(lit(0))).cast("double") /
-              sum(col("volume")).cast("double"), 4).as("mkt_share"))
-          .orderBy(col("o_year"))
-      },
-      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-             |  round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3' THEN volume
-             |                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-             |        / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
-             |FROM (SELECT o_orderdate, l_suppkey,
-             |        CAST(l_extendedprice AS DECIMAL(18,4))
-             |          * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume
-             |      FROM lineitem
-             |      JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
-             |      JOIN orders ON l_orderkey = o_orderkey
-             |      JOIN customer ON o_custkey = c_custkey
-             |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
-             |      JOIN region ON n1.n_regionkey = r_regionkey
-             |      WHERE r_name = 'AMERICA'
-             |        AND o_orderdate >= TIMESTAMP '1995-01-01'
-             |        AND o_orderdate < TIMESTAMP '1997-01-01') v
-             |JOIN supplier ON v.l_suppkey = s_suppkey
-             |JOIN nation n2 ON s_nationkey = n2.n_nationkey
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-    // COMPOSITE product-type profit — the TPC-H Q9 shape: a
-    // name-pattern part cut over a 5-way join, profit per (nation,
-    // year). The fixture has no partsupp/ps_supplycost (TESTDATA.md),
-    // so unit cost is p_retailprice — the same role (a per-part cost
-    // the profit subtracts), kept on the part row the join already
-    // carries, so the PLAN is the original's: LIKE-filtered part
-    // broadcasts and prunes the fact first, supplier→nation broadcasts
-    // for the group dimension, orders joins on the order key for the
-    // year. Profit stays an exact decimal expression end to end —
-    // amount = extprice·(1−disc) − retail·qty — so the per-group sums
-    // are order-independent and the oracle is bit-exact. At 100 TB:
-    // two fact-sized exchanges (orderkey + the final group-by), all
-    // dims broadcast; the LIKE prunes at the part scan.
-    GQuery(
-      "q_tpch_q9",
-      (s, dir) => {
-        Tables.lineitem(s, dir)
-          .join(broadcast(Tables.part(s, dir).filter(col("p_name").like("%widget%"))
-            .select(col("p_partkey"), col("p_retailprice"))),
-            col("l_partkey") === col("p_partkey"))
-          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
-          .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
-            col("l_orderkey") === col("o_orderkey"))
-          .withColumn("amount",
-            dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) -
-              dec(col("p_retailprice")) * dec(col("l_quantity")))
-          .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-          .agg(dround(sum(col("amount"))).as("sum_profit"))
-          .orderBy(col("nation"), col("o_year").desc)
-      },
-      Some("""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-             |      * (1 - CAST(l_discount AS DECIMAL(18,4)))
-             |      - CAST(p_retailprice AS DECIMAL(18,4))
-             |      * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_profit
-             |FROM lineitem
-             |JOIN part ON l_partkey = p_partkey
-             |JOIN supplier ON l_suppkey = s_suppkey
-             |JOIN nation ON s_nationkey = n_nationkey
-             |JOIN orders ON l_orderkey = o_orderkey
-             |WHERE p_name LIKE '%widget%'
-             |GROUP BY 1, 2
-             |ORDER BY nation, o_year DESC""".stripMargin)),
-
-    // COMPOSITE excess-demand suppliers — the TPC-H Q20 shape: a
-    // DOUBLY nested IN (supplier ← bridge rows ← name-pattern parts)
-    // where the inner rows must ALSO beat a correlated date-filtered
-    // aggregate of the same fact. The partsupp bridge derives from
-    // lineitem (q_tpch_q2 rule): avail = all-time shipped quantity per
-    // (part, supplier); the original's `availqty > ½·year-shipments`
-    // threshold is flipped to `2·year-shipments > avail` ("more than
-    // half their volume in 1996") because derived avail ⊇ the year's
-    // shipments makes the original direction vacuous — the SHAPE (a
-    // correlated per-(part,supp) sum compared against a fraction of
-    // the bridge quantity, cross-multiplied so it stays in exact
-    // decimals) is unchanged. Spark side computes avail and the 1996
-    // slice in ONE pass (conditional sum) — one bridge shuffle, no
-    // second fact scan; both IN levels are semi joins (part sliver
-    // broadcast; supplier probe side is already bridge-sized). The
-    // region cut on the supplier nation broadcasts fixed-size dims.
-    // NULL note: a (part,supp) with no 1996 shipments sums to 0 here
-    // and NULL in the oracle's correlated form — both fail the `>`,
-    // so the two formulations agree row-for-row.
-    GQuery(
-      "q_tpch_q20",
-      (s, dir) => {
-        val y0 = lit("1996-01-01").cast("timestamp")
-        val y1 = lit("1997-01-01").cast("timestamp")
-        val bridge = Tables.lineitem(s, dir)
-          .join(broadcast(Tables.part(s, dir).filter(col("p_name").like("cold%"))
-            .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"), "left_semi")
-          .groupBy(col("l_partkey"), col("l_suppkey"))
-          .agg(sum(dec(col("l_quantity"))).as("avail"),
-            sum(when(col("l_shipdate") >= y0 && col("l_shipdate") < y1,
-              dec(col("l_quantity"))).otherwise(lit(0))).as("shipped"))
-          .filter(col("shipped") * 2 > col("avail"))
-          .select(col("l_suppkey"))
-        val asia = Tables.nation(s, dir)
-          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
-            col("n_regionkey") === col("r_regionkey"))
-          .select(col("n_nationkey"))
-        Tables.supplier(s, dir)
-          .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"), "left_semi")
-          .join(bridge, col("s_suppkey") === col("l_suppkey"), "left_semi")
-          .select(col("s_suppkey"), col("s_name"))
-          .orderBy(col("s_name"))
-      },
-      Some("""WITH ps AS (
-             |  SELECT l_partkey, l_suppkey,
-             |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS avail
-             |  FROM lineitem GROUP BY 1, 2)
-             |SELECT s_suppkey, s_name
-             |FROM supplier
-             |WHERE s_nationkey IN (SELECT n_nationkey FROM nation
-             |                      WHERE n_regionkey IN (SELECT r_regionkey FROM region
-             |                                            WHERE r_name = 'ASIA'))
-             |  AND s_suppkey IN (
-             |    SELECT l_suppkey FROM ps
-             |    WHERE l_partkey IN (SELECT p_partkey FROM part
-             |                        WHERE p_name LIKE 'cold%')
-             |      AND 2 * (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,4)))
-             |               FROM lineitem l2
-             |               WHERE l2.l_partkey = ps.l_partkey
-             |                 AND l2.l_suppkey = ps.l_suppkey
-             |                 AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
-             |                 AND l2.l_shipdate < TIMESTAMP '1997-01-01')
-             |          > avail)
-             |ORDER BY s_name""".stripMargin)),
-
-    // --------------------------------------------------------- aggregation
-    // TPC-H Q1 shape: partial hash agg map-side → 6-group final agg.
-    // Decimal sums keep Spark's and DuckDB's different add-orders from
-    // producing different doubles.
-    GQuery(
-      "q_agg_hash",
-      (s, dir) => {
-        Tables.lineitem(s, dir)
-          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-          .groupBy(col("l_returnflag"), col("l_linestatus"))
-          .agg(
-            dround(sum(dec(col("l_quantity")))).as("sum_qty"),
-            dround(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-            dround(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("sum_disc_price"),
-            dround(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) * (lit(1) + dec(col("l_tax"))))).as("sum_charge"),
-            round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 4).as("avg_qty"),
-            round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 4).as("avg_price"),
-            round(sum(dec(col("l_discount"))).cast("double") / count(lit(1)), 4).as("avg_disc"),
-            count(lit(1)).as("count_order"))
-          .orderBy(col("l_returnflag"), col("l_linestatus"))
-      },
-      Some("""SELECT l_returnflag, l_linestatus,
-             |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
-             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_base_price,
-             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS sum_disc_price,
-             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE), 4) AS sum_charge,
-             |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
-             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
-             |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
-             |  count(*) AS count_order
-             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-             |GROUP BY l_returnflag, l_linestatus
-             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
-
-    // Exact distinct aggregation (expand + two-phase agg under the hood).
-    GQuery(
-      "q_agg_distinct",
-      (s, dir) => {
-        Tables.lineitem(s, dir)
-          .groupBy(col("l_returnflag"))
-          .agg(
-            countDistinct(col("l_partkey")).as("n_parts"),
-            countDistinct(col("l_suppkey")).as("n_supps"),
-            count(lit(1)).as("n_rows"))
-          .orderBy(col("l_returnflag"))
-      },
-      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
-             |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
-
-    // Approx sketch (HLL++). The raw estimate is engine-specific hashing
-    // (no cross-engine value match possible), so the VALUE-gated output
-    // carries the exact twin plus `approx_ok` — the ε claim itself,
-    // evaluated in-engine (|est − exact| ≤ 0.15·exact, 3σ of the default
-    // relativeSD 0.05) as a deterministic boolean the DuckDB oracle
-    // emits as TRUE. A sketch regression past 3σ flips the boolean and
-    // fails the hash gate; the raw-estimate ε check also stays pinned
-    // in QueriesSpec.
-    GQuery(
-      "q_agg_approx_distinct",
-      (s, dir) => {
-        Tables.lineitem(s, dir)
-          .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            countDistinct(col("l_partkey")).as("n_parts"))
-          .select(col("l_returnflag"), col("n_parts"),
-            (abs(col("approx_parts") - col("n_parts")) <=
-              col("n_parts").cast("double") * 0.15).as("approx_ok"))
-          .orderBy(col("l_returnflag"))
-      },
-      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
-             |  TRUE AS approx_ok
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
-
-    // Ordered string aggregation (listagg/string_agg): deterministic via
-    // distinct + explicit sort before the join.
-    GQuery(
-      "q_agg_listagg",
-      (s, dir) => {
-        Tables.orders(s, dir)
-          .groupBy(col("o_orderpriority"))
-          .agg(
-            array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
-            count(lit(1)).as("n"))
-          .orderBy(col("o_orderpriority"))
-      },
-      Some("""SELECT o_orderpriority,
-             |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
-             |  count(*) AS n
-             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
-
-    // Exact percentiles (sort-based within group; interpolating —
-    // matches quantile_cont). SCALE NOTE: exact percentile() buffers
-    // O(group size) values per group in the aggregation buffer — fine
-    // while the largest group fits one executor's memory (here: 3 flag
-    // groups over lineitem), a spill-then-OOM hazard beyond. The scale
-    // path is the approx twin q_agg_approx_percentile (KLL-family
-    // sketch: mergeable partial agg, bounded memory per group at any
-    // group size); switch when per-group cardinality approaches 10^7
-    // values (~100 MB of doubles buffered per group) — see SCALE.md
-    // "Aggregation and windows". Exact is the oracle form.
-    GQuery(
-      "q_agg_percentile",
-      (s, dir) => {
-        Tables.lineitem(s, dir)
-          .groupBy(col("l_returnflag"))
-          .agg(
-            round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
-            round(expr("percentile(l_quantity, 0.95)"), 4).as("p95_qty"),
-            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"))
-          .orderBy(col("l_returnflag"))
-      },
-      Some("""SELECT l_returnflag,
-             |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
-             |  round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
-             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
-
-    // WEIGHTED percentile (percentile's 3-arg frequency form) — the
-    // importance-weighted quantile a training-data pipeline needs when
-    // rows carry multiplicities (sampling weights, repetition counts,
-    // upweighted domains): each value counts `frequency` times in the
-    // sorted multiset, interpolation unchanged. The whole point vs
-    // physically expanding rows (what the ORACLE does with unnest —
-    // correct but Σweights-sized): the aggregate consumes weights
-    // IN-PLACE, so the engine's cost stays row-count-sized no matter
-    // how large the weights are — at 100 TB with repetition weights in
-    // the thousands, expansion is a non-starter. Buffering caveat
-    // shared with q_agg_percentile (exact percentile buffers per-group
-    // values); the approx sketch twin remains the giant-group exit.
-    GQuery(
-      "q_agg_weighted_percentile",
-      (s, dir) => {
-        Tables.lineitem(s, dir)
-          .groupBy(col("l_returnflag"))
-          .agg(
-            round(expr("percentile(l_quantity, 0.5D, l_linenumber)"), 4).as("p50_w"),
-            round(expr("percentile(l_quantity, 0.9D, l_linenumber)"), 4).as("p90_w"),
-            sum(col("l_linenumber")).cast("long").as("w_total"))
-          .orderBy(col("l_returnflag"))
-      },
-      Some("""WITH x AS (SELECT l_returnflag, l_quantity,
-             |             unnest(range(l_linenumber)) AS i FROM lineitem)
-             |SELECT l_returnflag,
-             |  round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS p50_w,
-             |  round(CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE), 4) AS p90_w,
-             |  count(*)::BIGINT AS w_total
-             |FROM x GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
-
-    // MODE (most frequent value) with an EXPLICIT tie-break — highest
-    // count, then smallest value. Spark's built-in mode() leaves ties
-    // undefined, so cross-engine value-checking requires spelling the
-    // tie rule out: (group, value) count + one row_number window, the
-    // ordered-set-aggregate pattern that stays deterministic on any
-    // engine. Shuffle carries (group, value) pairs, not rows.
-    GQuery(
-      "q_agg_mode",
-      (s, dir) => {
-        val w = Window.partitionBy(col("l_returnflag"))
-          .orderBy(col("n").desc, col("l_quantity"))
-        Tables.lineitem(s, dir)
-          .groupBy(col("l_returnflag"), col("l_quantity"))
-          .agg(count(lit(1)).as("n"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
-          .orderBy(col("l_returnflag"))
-      },
-      Some("""SELECT l_returnflag, l_quantity AS mode_qty, n FROM (
-             |  SELECT l_returnflag, l_quantity, count(*) AS n,
-             |    row_number() OVER (PARTITION BY l_returnflag
-             |                       ORDER BY count(*) DESC, l_quantity) AS rn
-             |  FROM lineitem GROUP BY 1, 2) t
-             |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin)),
-
-    GQuery(
-      "q_agg_rollup",
-      (s, dir) => {
-        Tables.orders(s, dir)
-          .rollup(col("o_orderstatus"), col("o_orderpriority"))
-          .agg(
-            grouping(col("o_orderstatus")).cast("int").as("g_status"),
-            grouping(col("o_orderpriority")).cast("int").as("g_prio"),
-            count(lit(1)).as("n"),
-            dround(sum(dec(col("o_totalprice")))).as("total"))
-          .select(
-            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-            coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
-            col("g_status"), col("g_prio"), col("n"), col("total"))
-          .orderBy(col("g_status"), col("g_prio"), col("status"), col("prio"))
-      },
-      Some(s"""SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS prio,
-             |  CAST(grouping(o_orderstatus) AS INT) AS g_status, CAST(grouping(o_orderpriority) AS INT) AS g_prio,
-             |  count(*) AS n, ${OD.format("sum(CAST(o_totalprice AS DECIMAL(18,4)))")} AS total
-             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-             |ORDER BY g_status, g_prio, status, prio""".stripMargin)),
-
-    GQuery(
-      "q_agg_cube",
-      (s, dir) => {
-        Tables.lineitem(s, dir)
-          .cube(col("l_returnflag"), col("l_linestatus"))
-          .agg(
-            grouping(col("l_returnflag")).cast("int").as("g_rf"),
-            grouping(col("l_linestatus")).cast("int").as("g_ls"),
-            count(lit(1)).as("n"),
-            dround(sum(dec(col("l_quantity")))).as("qty"))
-          .select(
-            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
-            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
-            col("g_rf"), col("g_ls"), col("n"), col("qty"))
-          .orderBy(col("g_rf"), col("g_ls"), col("rf"), col("ls"))
-      },
-      Some(s"""SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
-             |  CAST(grouping(l_returnflag) AS INT) AS g_rf, CAST(grouping(l_linestatus) AS INT) AS g_ls,
-             |  count(*) AS n, ${OD.format("sum(CAST(l_quantity AS DECIMAL(18,4)))")} AS qty
-             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-             |ORDER BY g_rf, g_ls, rf, ls""".stripMargin)),
-
-    GQuery(
-      "q_agg_gsets",
-      (s, dir) => {
-        Tables.customer(s, dir).createOrReplaceTempView("gq_customer")
-        s.sql(
-          """SELECT coalesce(c_mktsegment,'ALL') AS seg,
-            |  CAST(coalesce(c_nationkey, -1) AS INT) AS nk,
-            |  CAST(grouping(c_mktsegment) AS INT) AS g_seg, CAST(grouping(c_nationkey) AS INT) AS g_nk,
-            |  count(*) AS n,
-            |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS bal
-            |FROM gq_customer
-            |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), (c_mktsegment, c_nationkey), ())
-            |ORDER BY g_seg, g_nk, seg, nk""".stripMargin)
-      },
-      Some("""SELECT coalesce(c_mktsegment,'ALL') AS seg,
-             |  CAST(coalesce(c_nationkey, -1) AS INT) AS nk,
-             |  CAST(grouping(c_mktsegment) AS INT) AS g_seg, CAST(grouping(c_nationkey) AS INT) AS g_nk,
-             |  count(*) AS n,
-             |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS bal
-             |FROM customer
-             |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), (c_mktsegment, c_nationkey), ())
-             |ORDER BY g_seg, g_nk, seg, nk""".stripMargin)),
-
-    // HAVING: post-aggregation filter (Catalyst folds it into the same
-    // aggregate stage — no extra pass).
-    GQuery(
-      "q_having",
-      (s, dir) => {
-        Tables.orders(s, dir)
-          .groupBy(col("o_custkey"))
-          .agg(count(lit(1)).as("n"), dround(sum(dec(col("o_totalprice")))).as("total"))
-          .filter(col("n") >= 3)
-          .orderBy(col("o_custkey"))
-      },
-      Some(s"""SELECT o_custkey, count(*) AS n,
-             |  ${OD.format("sum(CAST(o_totalprice AS DECIMAL(18,4)))")} AS total
-             |FROM orders GROUP BY o_custkey HAVING count(*) >= 3
-             |ORDER BY o_custkey""".stripMargin)),
-
-    // FILTER-clause aggregation (SQL:2003) — per-aggregate predicates in
-    // one pass over the input, the standard form of q_pivot's CASE-WHEN
-    // conditional aggregation. Catalyst compiles each FILTER into the
-    // aggregate's filter child; still one partial+final hash agg.
-    GQuery(
-      "q_agg_filter",
-      (s, dir) => {
-        Tables.orders(s, dir).createOrReplaceTempView("gq_orders_fil")
-        s.sql(
-          """SELECT o_orderpriority,
-            |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
-            |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
-            |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
-            |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 4) AS total_open
-            |FROM gq_orders_fil
-            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
-      },
-      Some("""SELECT o_orderpriority,
-             |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
-             |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
-             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
-             |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 4) AS total_open
-             |FROM orders
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
-
-    // Percentile sketch (accuracy 1000 → rank error ≤ n/1000). Sketch
-    // value is engine-specific, so the VALUE-gated output carries the
-    // exact median plus `approx_ok` — the rank-error claim evaluated
-    // in-engine (approx median within the exact [0.49, 0.51] quantile
-    // band, wide margin over the guarantee) as a deterministic boolean
-    // the oracle emits as TRUE. A sketch regression flips the boolean
-    // and fails the hash gate; the raw ε check stays in QueriesSpec.
-    GQuery(
-      "q_agg_approx_percentile",
-      (s, dir) => {
-        Tables.lineitem(s, dir)
-          .groupBy(col("l_returnflag"))
-          .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
-            expr("percentile(l_extendedprice, array(0.49, 0.5, 0.51))").as("b"))
-          .select(col("l_returnflag"),
-            round(col("b").getItem(1), 4).as("exact_median"),
-            (col("approx_median") >= col("b").getItem(0) &&
-              col("approx_median") <= col("b").getItem(2)).as("approx_ok"))
-          .orderBy(col("l_returnflag"))
-      },
-      Some("""SELECT l_returnflag,
-             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
-             |  TRUE AS approx_ok
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
-
-    // MERGEABLE sketches — the 100 TB pre-aggregation pattern: build a
-    // DataSketches HLL sketch per group ONCE, then answer any coarser
-    // rollup by unioning the stored sketches — never re-touching the raw
-    // rows. (approx_count_distinct gives one estimate per query; a
-    // persisted sketch column gives every future rollup for free — the
-    // difference between re-scanning 100 TB per question and merging
-    // kilobytes.) Per-flag rows carry the exact distinct beside the
-    // estimate; the ALL row is computed purely by sketch union.
-    // DataSketches binary layout and estimates are engine-specific, so
-    // the VALUE-gated output carries the exact distincts plus `est_ok`
-    // — the 5% ε claim evaluated in-engine per scope (lgConfigK=14 →
-    // ~0.8% relative error; gate at 5%) as a deterministic boolean the
-    // oracle emits as TRUE. The ALL row's estimate comes purely from
-    // the SKETCH UNION (the mergeability contract) while its exact_d
-    // comes from a direct global countDistinct — so a union regression
-    // flips ALL's boolean and fails the hash gate. The raw-estimate ε
-    // and union-vs-direct-sketch 1% gates stay pinned in QueriesSpec.
-    GQuery(
-      "q_agg_hll_merge",
-      (s, dir) => {
-        val li = Tables.lineitem(s, dir)
-        // ONE corpus scan (was two): reduce to DISTINCT (flag, orderkey)
-        // pairs first. HLL insertion is idempotent, so per-flag sketches
-        // over the pair set are bit-identical to sketches over the raw
-        // rows — and every exact twin the gate needs (per-flag AND the
-        // global one that judges the union) becomes a count over the
-        // pairs-sized cache, never a second trip over the corpus. The
-        // distinct is the same (flag, orderkey) exchange the old
-        // countDistinct rewrite paid inside its Expand plan; here it's
-        // paid once and shared. Both small tables are cache()'d, NOT
-        // localCheckpoint'd (the eager checkpoint job cost 2.4 s/run
-        // here vs 0.48 s lazy, measured sf0.1 min-of-3).
-        val pairs = li.select(col("l_returnflag"), col("l_orderkey"))
-          .distinct().cache()
-        val perFlag = pairs
-          .groupBy(col("l_returnflag"))
-          .agg(hll_sketch_agg(col("l_orderkey"), 14).as("sk"),
-            count(lit(1)).as("exact_d"))
-          .cache()
-        def ok(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
-          (abs(est - exact) <= exact.cast("double") * 0.05).as("est_ok")
-        val flags = perFlag.select(
-          col("l_returnflag").as("scope"), col("exact_d"),
-          ok(hll_sketch_estimate(col("sk")), col("exact_d")))
-        // 1-row × 1-row crossJoin: the union-estimate scalar meets the
-        // global exact scalar — broadcast, never a data shuffle. The
-        // global countDistinct is GATE-ONLY scaffolding (it judges the
-        // union) and runs over the cached pairs; production answers ALL
-        // from the sketch union alone, which is the point of the pattern.
-        val all = perFlag.agg(
-          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-          .crossJoin(pairs.agg(countDistinct(col("l_orderkey")).as("exact_d")))
-          .select(lit("ALL").as("scope"), col("exact_d"),
-            ok(col("est"), col("exact_d")))
-        flags.unionByName(all).orderBy(col("scope"))
-      },
-      Some("""SELECT l_returnflag AS scope, count(DISTINCT l_orderkey) AS exact_d,
-             |  TRUE AS est_ok
-             |FROM lineitem GROUP BY l_returnflag
-             |UNION ALL
-             |SELECT 'ALL', count(DISTINCT l_orderkey), TRUE FROM lineitem
-             |ORDER BY scope""".stripMargin)),
-
-    // SKETCH INTERSECTION by inclusion–exclusion — the audience-overlap
-    // query (how many customers sit in BOTH the urgent and the high
-    // segment), answered from the segments' PERSISTED HLL sketches:
-    // |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union estimate
-    // comes purely from the sketch union (the mergeability contract —
-    // HLLs union losslessly but do NOT intersect, so inclusion–
-    // exclusion IS the production recipe, with error compounding from
-    // all three terms; usable when the overlap isn't tiny relative to
-    // the segments, exactly this shape). One distinct-pairs scan feeds
-    // every sketch AND every exact twin (the q_agg_hll_merge one-scan
-    // discipline); per-segment, union, and intersect rows each carry
-    // the exact count beside the in-engine 5% est_ok boolean the
-    // oracle emits as TRUE — a sketch or union regression flips a
-    // boolean and fails the hash gate. At 100 TB the segments' raw
-    // rows are never re-read: every row here after the pairs cache is
-    // sketch-sized.
-    GQuery(
-      "q_agg_hll_intersect",
-      (s, dir) => {
-        val po = Tables.orders(s, dir)
-          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-          .select(col("o_orderpriority").as("p"), col("o_custkey")).distinct().cache()
-        val perSeg = po.groupBy(col("p"))
-          .agg(hll_sketch_agg(col("o_custkey"), 14).as("sk"), count(lit(1)).as("exact_d"))
-          .cache()
-        def ok(est: Column, exact: Column) =
-          (abs(est - exact) <= exact.cast("double") * 0.05).as("est_ok")
-        val segs = perSeg.select(col("p").as("scope"), col("exact_d"),
-          ok(hll_sketch_estimate(col("sk")), col("exact_d")))
-        val est2 = perSeg.agg(
-          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_u"),
-          sum(hll_sketch_estimate(col("sk"))).as("est_sum"))
-        val exU = po.agg(countDistinct(col("o_custkey")).as("ex_u"))
-        val exI = po.groupBy(col("o_custkey")).agg(count(lit(1)).as("k"))
-          .filter(col("k") === 2).agg(count(lit(1)).as("ex_i"))
-        val unionRow = est2.crossJoin(exU).select(
-          lit("UNION").as("scope"), col("ex_u").as("exact_d"), ok(col("est_u"), col("ex_u")))
-        val interRow = est2.crossJoin(exI).select(
-          lit("INTERSECT").as("scope"), col("ex_i").as("exact_d"),
-          ok(col("est_sum") - col("est_u"), col("ex_i")))
-        segs.unionByName(unionRow).unionByName(interRow).orderBy(col("scope"))
-      },
-      Some("""WITH po AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c
-             |           FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
-             |SELECT p AS scope, count(*)::BIGINT AS exact_d, TRUE AS est_ok FROM po GROUP BY p
-             |UNION ALL
-             |SELECT 'UNION', count(DISTINCT c), TRUE FROM po
-             |UNION ALL
-             |SELECT 'INTERSECT', count(*), TRUE FROM (
-             |  SELECT c FROM po GROUP BY c HAVING count(*) = 2) z
-             |ORDER BY scope""".stripMargin)),
-
-    // MERGEABLE QUANTILE SKETCH — the rank-statistics member of the
-    // sketch family (HLL: q_agg_hll_merge cardinality, CMS:
-    // q_heavy_hitters_cms frequency): a per-group bottom-k-by-hash-rank
-    // sample (k = 4096) whose union-then-rebottom-k IS the sketch of the
-    // union — the mergeability law, exercised twice IN the plan: (1) the
-    // sample is built partial-first (bottom-k per input partition, then
-    // bottom-k of the ≤ k·partitions survivors — never a skewed
-    // 3-partition global sort of the corpus); (2) the ALL row's sketch
-    // is the re-bottom-k of the per-group sketches, ≤ k·groups rows.
-    // Hash rank is xxhash64 (engine-specific), so like the HLL gate the
-    // estimate itself can't be oracled — the driver checks the EXACT
-    // median (DuckDB-replayable) plus est_ok: the sketch median within
-    // 5% of the value range of the true one (k = 4096 puts the typical
-    // sampling error near 0.8% of range — an order of magnitude inside
-    // the gate, so a pass is robust, not lucky). At 100 TB the sketch
-    // shuffle carries ≤ k rows per partition after the partial cut.
-    GQuery(
-      "q_quantile_sketch",
-      (s, dir) => {
-        val k = 4096
-        val li = Tables.lineitem(s, dir).select(col("l_returnflag").as("scope"),
-          col("l_quantity").as("v"),
-          xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-            col("l_extendedprice")).as("h"))
-        val wPart = Window.partitionBy(col("scope"), spark_partition_id())
-          .orderBy(col("h"), col("v"))
-        val wGroup = Window.partitionBy(col("scope")).orderBy(col("h"), col("v"))
-        // partial bottom-k per partition, then bottom-k of survivors —
-        // the merge law applied to the build itself
-        val sketch = li
-          .withColumn("rp", row_number().over(wPart)).filter(col("rp") <= k)
-          .withColumn("rg", row_number().over(wGroup)).filter(col("rg") <= k)
-          .select(col("scope"), col("v"), col("h")).cache()
-        val exact = li.groupBy(col("scope"))
-          .agg(expr("percentile(v, 0.5)").as("med"), (max(col("v")) - min(col("v"))).as("rng"))
-        val estG = sketch.groupBy(col("scope")).agg(expr("percentile(v, 0.5)").as("est"))
-        val flags = exact.join(estG, "scope")
-          .select(col("scope"), dround(col("med")).as("exact_med"),
-            (abs(col("est") - col("med")) <= col("rng") * 0.05).as("est_ok"))
-        // ALL: merge the group sketches (re-bottom-k of their union),
-        // estimate from the merged sketch, judge vs the global exact
-        val merged = sketch
-          .withColumn("rm", row_number().over(Window.orderBy(col("h"), col("v"))))
-          .filter(col("rm") <= k)
-        val all = merged.agg(expr("percentile(v, 0.5)").as("est"))
-          .crossJoin(li.agg(expr("percentile(v, 0.5)").as("med"),
-            (max(col("v")) - min(col("v"))).as("rng")))
-          .select(lit("ALL").as("scope"), dround(col("med")).as("exact_med"),
-            (abs(col("est") - col("med")) <= col("rng") * 0.05).as("est_ok"))
-        flags.unionByName(all).orderBy(col("scope"))
-      },
-      Some("""SELECT l_returnflag AS scope,
-             |  round(CAST(median(l_quantity) AS DOUBLE), 4) AS exact_med, TRUE AS est_ok
-             |FROM lineitem GROUP BY l_returnflag
-             |UNION ALL
-             |SELECT 'ALL', round(CAST(median(l_quantity) AS DOUBLE), 4), TRUE FROM lineitem
-             |ORDER BY scope""".stripMargin)),
-
-    // Column profiling — the data-quality sweep any ingest pipeline runs
-    // over a freshly-materialized table (per column: rows, nulls, exact
-    // distinct, min, max), emitted as one uniform (col_name, stats) table.
-    // Plan: one single-column aggregate PER COLUMN, unioned — NOT one
-    // combined aggregate: mixing five countDistincts with sixteen plain
-    // aggs triggers Spark's multi-distinct rewrite (Expand ×6 of every
-    // row through one shuffle), measured 7× slower at sf0.1 (6.3 s vs
-    // 0.9 s) than the per-column shape. Parquet column pruning makes the
-    // "five scans" read exactly the same bytes as one five-column scan
-    // — each scan reads only its column — and each per-column agg keeps
-    // a SINGLE distinct, which Spark plans as partial-distinct grouping
-    // with no Expand. The branches are independent jobs (embarrassingly
-    // parallel at 100 TB); swap countDistinct→approx_count_distinct and
-    // min/max→parquet footer stats for the zero-scan variant. Exact
-    // distinct here because the oracle demands exactness. All values
-    // normalize to strings via a fixed rendering (ints verbatim, doubles
-    // through DECIMAL(18,4), timestamps through a pinned format) so
-    // Spark and DuckDB cannot diverge on float/timestamp formatting.
-    GQuery(
-      "q_profile_stats",
-      (s, dir) => {
-        val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",
-          "l_quantity", "l_shipdate")
-        def asStr(c: String): Column => Column = c match {
-          case "l_quantity" => x => dec(x).cast("string")
-          case "l_shipdate" => x => date_format(x, "yyyy-MM-dd HH:mm:ss")
-          case _            => x => x.cast("string")
-        }
-        val li = Tables.lineitem(s, dir)
-        cols.map { c =>
-          li.select(col(c))
-            .agg(count(lit(1)).as("n_rows"), count(col(c)).as("n_nonnull"),
-              countDistinct(col(c)).as("n_distinct"),
-              asStr(c)(min(col(c))).as("min_val"),
-              asStr(c)(max(col(c))).as("max_val"))
-            .select(lit(c).as("col_name"), col("n_rows"),
-              (col("n_rows") - col("n_nonnull")).as("n_null"),
-              col("n_distinct"), col("min_val"), col("max_val"))
-        }.reduce(_ unionAll _)
-          .orderBy(col("col_name"))
-      },
-      Some("""SELECT col_name, n_rows, n_rows - n_nonnull AS n_null, n_distinct, min_val, max_val
-             |FROM (
-             |  SELECT 'l_orderkey' AS col_name, count(*) AS n_rows, count(l_orderkey) AS n_nonnull,
-             |         count(DISTINCT l_orderkey) AS n_distinct,
-             |         min(l_orderkey)::VARCHAR AS min_val, max(l_orderkey)::VARCHAR AS max_val
-             |  FROM lineitem
-             |  UNION ALL
-             |  SELECT 'l_linenumber', count(*), count(l_linenumber), count(DISTINCT l_linenumber),
-             |         min(l_linenumber)::VARCHAR, max(l_linenumber)::VARCHAR FROM lineitem
-             |  UNION ALL
-             |  SELECT 'l_returnflag', count(*), count(l_returnflag), count(DISTINCT l_returnflag),
-             |         min(l_returnflag), max(l_returnflag) FROM lineitem
-             |  UNION ALL
-             |  SELECT 'l_quantity', count(*), count(l_quantity), count(DISTINCT l_quantity),
-             |         min(CAST(l_quantity AS DECIMAL(18,4)))::VARCHAR,
-             |         max(CAST(l_quantity AS DECIMAL(18,4)))::VARCHAR FROM lineitem
-             |  UNION ALL
-             |  SELECT 'l_shipdate', count(*), count(l_shipdate), count(DISTINCT l_shipdate),
-             |         strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
-             |         strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') FROM lineitem) u
-             |ORDER BY col_name""".stripMargin)),
-
-    // ------------------------------------------------------------- windows
-    // Partitioned by suppkey (high cardinality) — at 100 TB this is one
-    // shuffle into ~|suppliers| balanced partitions, never a 3-partition
-    // skew monster like partitioning by returnflag would be.
-    GQuery(
-      "q_win_rank",
-      (s, dir) => {
-        val w = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-        Tables.lineitem(s, dir)
-          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("rnk", rank().over(w))
-          .withColumn("drnk", dense_rank().over(w))
-          .withColumn("nt", ntile(4).over(w))
-          .filter(col("rn") <= 10)
-          .orderBy(col("l_suppkey"), col("rn"))
-      },
-      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
-             |  CAST(rn AS INT) AS rn, CAST(rnk AS INT) AS rnk,
-             |  CAST(drnk AS INT) AS drnk, CAST(nt AS INT) AS nt
-             |FROM (
-             |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
-             |    row_number() OVER w AS rn, rank() OVER w AS rnk,
-             |    dense_rank() OVER w AS drnk, ntile(4) OVER w AS nt
-             |  FROM lineitem
-             |  WINDOW w AS (PARTITION BY l_suppkey
-             |               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)) t
-             |WHERE rn <= 10 ORDER BY l_suppkey, rn""".stripMargin)),
-
-    GQuery(
-      "q_win_analytic",
-      (s, dir) => {
-        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
-        val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.orders(s, dir)
-          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
-          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
-          .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
-          .withColumn("first_price", first(col("o_totalprice")).over(wf))
-          .withColumn("last_price", last(col("o_totalprice")).over(wf))
-          .withColumn("running_total", dround(sum(dec(col("o_totalprice"))).over(wf)))
-          .select(col("o_custkey"), col("o_orderkey"), fmtD(col("o_orderdate")).as("odate"),
-            col("o_totalprice"), col("prev_price"), col("next_price"),
-            col("first_price"), col("last_price"), col("running_total"))
-          .orderBy(col("o_custkey"), col("o_orderkey"))
-      },
-      Some("""SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate, o_totalprice,
-             |  lag(o_totalprice, 1) OVER w AS prev_price,
-             |  lead(o_totalprice, 1) OVER w AS next_price,
-             |  first_value(o_totalprice) OVER wf AS first_price,
-             |  last_value(o_totalprice) OVER wf AS last_price,
-             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER wf AS DOUBLE), 4) AS running_total
-             |FROM orders
-             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-             |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
-
-    // NAVIGATION / distribution window functions: nth_value over the
-    // running frame, percent_rank and cume_dist over the full
-    // partition. The rank ratios are divisions of identical small
-    // integers on both engines, so the doubles are bitwise-equal with
-    // no rounding step. Same one-exchange window plan as
-    // q_win_analytic.
-    GQuery(
-      "q_win_navigation",
-      (s, dir) => {
-        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
-        val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.orders(s, dir)
-          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
-          .withColumn("third_price", nth_value(col("o_totalprice"), 3).over(wf))
-          .withColumn("pct_rank", percent_rank().over(w))
-          .withColumn("cume", cume_dist().over(w))
-          .select(col("o_custkey"), col("o_orderkey"), fmtD(col("o_orderdate")).as("odate"),
-            col("o_totalprice"), col("third_price"), col("pct_rank"), col("cume"))
-          .orderBy(col("o_custkey"), col("o_orderkey"))
-      },
-      Some("""SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
-             |  o_totalprice,
-             |  nth_value(o_totalprice, 3) OVER wf AS third_price,
-             |  percent_rank() OVER w AS pct_rank,
-             |  cume_dist() OVER w AS cume
-             |FROM orders
-             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-             |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
-
-    // RANGE frame over epoch seconds: 1-hour trailing window per user.
-    GQuery(
-      "q_win_range_frame",
-      (s, dir) => {
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
-          .rangeBetween(-3600, Window.currentRow)
-        Tables.events(s, dir)
-          .withColumn("ts_sec", unix_timestamp(col("ts")))
-          .withColumn("mov_sum", sum(dec(col("value"))).over(w))
-          .withColumn("mov_n", count(lit(1)).over(w))
-          // floor-half-up, not round(): mov_n is a small int (often 2^k),
-          // so the average's decimal expansion can terminate EXACTLY on a
-          // .xxxx5 — where Spark's round (shortest-repr HALF_UP) and
-          // DuckDB's (binary) disagree. floor(x·10⁴+½) pins the tie rule
-          // on the bitwise-identical doubles.
-          .select(col("event_id"), col("user_id"),
-            dround(col("mov_sum")).as("mov_sum"), col("mov_n"),
-            (floor(col("mov_sum").cast("double") / col("mov_n") * 10000 + 0.5) / 10000).as("mov_avg"))
-          .orderBy(col("event_id"))
-      },
-      Some("""SELECT event_id, user_id,
-             |  round(CAST(mov_sum AS DOUBLE), 4) AS mov_sum, mov_n,
-             |  floor(CAST(mov_sum AS DOUBLE) / mov_n * 10000 + 0.5) / 10000 AS mov_avg
-             |FROM (
-             |  SELECT event_id, user_id,
-             |    sum(CAST(value AS DECIMAL(18,4))) OVER w AS mov_sum,
-             |    count(*) OVER w AS mov_n
-             |  FROM (SELECT *, CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_sec FROM events)
-             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
-             |               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)) t
-             |ORDER BY event_id""".stripMargin)),
-
-    // Tumbling event-time window via window() — the batch-checkable analog
-    // of the streaming windowed aggregation (SURVEY.md §2.3 note).
-    GQuery(
-      "q_win_tumbling",
-      (s, dir) => {
-        Tables.events(s, dir)
-          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-          .agg(count(lit(1)).as("n"), dround(sum(dec(col("value")))).as("total"))
-          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-            col("event_type"), col("n"), col("total"))
-          .orderBy(col("hour_start"), col("event_type"))
-      },
-      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
-             |  event_type, count(*) AS n,
-             |  ${OD.format("sum(CAST(value AS DECIMAL(18,4)))")} AS total
-             |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
-
-    // Sliding event-time window (1h window, 30m slide) — each event
-    // lands in exactly 2 windows; the batch-checkable analog of the
-    // streaming sliding aggregation (graft.streaming.Streams.slidingAgg).
-    // Window starts computed arithmetically from epoch seconds so both
-    // engines share the alignment by construction.
-    GQuery(
-      "q_win_sliding",
-      (s, dir) => {
-        Tables.events(s, dir)
-          .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
-          .agg(count(lit(1)).as("n"))
-          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
-            col("event_type"), col("n"))
-          .orderBy(col("win_start"), col("event_type"))
-      },
-      Some("""SELECT strftime(to_timestamp(s), '%Y-%m-%d %H:%M:%S') AS win_start,
-             |  event_type, count(*) AS n
-             |FROM (
-             |  SELECT event_type,
-             |    unnest([CAST(floor(date_part('epoch', ts) / 1800) * 1800 AS BIGINT),
-             |            CAST(floor(date_part('epoch', ts) / 1800) * 1800 - 1800 AS BIGINT)]) AS s
-             |  FROM events) t
-             |GROUP BY s, event_type ORDER BY win_start, event_type""".stripMargin)),
-
-    // Gap-based SESSION windows, batch form — the third window family
-    // (after tumbling/sliding) and the batch-checkable analog of the
-    // streaming flatMapGroupsWithState sessionization
-    // (graft.streaming.Streams.sessionize): a new session starts when a
-    // user is quiet > 30 min. The classic two-window linear plan: lag to
-    // flag session starts, running sum to number sessions, then one
-    // aggregation — ONE shuffle on user_id, O(n log n) per user, no
-    // gap self-join. Micro-second epoch arithmetic so both engines
-    // share tie/threshold behavior exactly.
-    GQuery(
-      "q_win_session",
-      (s, dir) => {
-        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.events(s, dir)
-          .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
-          .withColumn("new_sess", when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1).otherwise(0))
-          .withColumn("session_id", sum(col("new_sess")).over(run))
-          .groupBy(col("user_id"), col("session_id"))
-          .agg(count(lit(1)).as("n_events"),
-            fmtTs(min(col("ts"))).as("sess_start"),
-            fmtTs(max(col("ts"))).as("sess_end"),
-            dround(sum(dec(col("value")))).as("total"))
-          .orderBy(col("user_id"), col("session_id"))
-      },
-      Some(s"""WITH g AS (
-             |  SELECT user_id, event_id, ts, value,
-             |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
-             |  FROM events
-             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-             |), n AS (
-             |  SELECT *, CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
-             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-             |  FROM g)
-             |SELECT user_id, session_id, count(*) AS n_events,
-             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
-             |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_end,
-             |  ${OD.format("sum(CAST(value AS DECIMAL(18,4)))")} AS total
-             |FROM n GROUP BY user_id, session_id
-             |ORDER BY user_id, session_id""".stripMargin)),
-
-    // The NATIVE session-window operator over the same oracle:
-    // groupBy(session_window(ts, gap)) is Spark's built-in
-    // SessionWindow aggregation (state-store-ready, the streaming
-    // sessionization primitive) — here value-pinned against the
-    // identical gaps-and-islands SQL as q_win_session. Tie rule:
-    // session_window splits at gap ≥ 30 min, the manual window at
-    // > 30 min; the testdata has no exact 30-minute gap (verified at
-    // both SFs), so the two operators are value-identical and a drift
-    // in EITHER fails the shared oracle. Same one-exchange plan, but
-    // the merge happens inside the aggregate instead of two windows.
-    GQuery(
-      "q_win_session_native",
-      (s, dir) => {
-        val byStart = Window.partitionBy(col("user_id")).orderBy(col("w.start"))
-        Tables.events(s, dir)
-          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-          .agg(count(lit(1)).as("n_events"),
-            fmtTs(min(col("ts"))).as("sess_start"),
-            fmtTs(max(col("ts"))).as("sess_end"),
-            dround(sum(dec(col("value")))).as("total"))
-          .withColumn("session_id", row_number().over(byStart).cast("long"))
-          .select(col("user_id"), col("session_id"), col("n_events"),
-            col("sess_start"), col("sess_end"), col("total"))
-          .orderBy(col("user_id"), col("session_id"))
-      },
-      Some(s"""WITH g AS (
-             |  SELECT user_id, event_id, ts, value,
-             |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
-             |  FROM events
-             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-             |), n AS (
-             |  SELECT *, CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
-             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-             |  FROM g)
-             |SELECT user_id, session_id, count(*) AS n_events,
-             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
-             |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_end,
-             |  ${OD.format("sum(CAST(value AS DECIMAL(18,4)))")} AS total
-             |FROM n GROUP BY user_id, session_id
-             |ORDER BY user_id, session_id""".stripMargin)),
-
-    // FUNNEL analysis — the ordered-sequence composite every event
-    // warehouse runs: signup → click (within 48 h) → purchase (within
-    // 48 h of the click), each step's timestamp = earliest qualifying
-    // event strictly after the previous step. SINGLE-SCAN formulation:
-    // one pushdown-pruned pass over events, ONE user_id shuffle into a
-    // conditional aggregate that collects each user's candidate click/
-    // purchase times, then the sequential step logic runs as codegen'd
-    // array expressions (filter + array_min) on the aggregated row —
-    // no joins, no re-scan, no matter how many steps the funnel grows.
-    // (The previous 3-scan/3-join formulation read the 100 TB event log
-    // three times for the same answer.) Map-side partial collect keeps
-    // the shuffle at one (user, candidate-times) row per user per
-    // mapper; per-user state stays in its partition. Window arithmetic
-    // in integer microseconds so both engines share the 48-hour
-    // boundary exactly.
-    GQuery(
-      "q_funnel",
-      (s, dir) => {
-        val win48h = 172800000000L
-        Tables.events(s, dir)
-          .filter(col("event_type").isin("signup", "click", "purchase"))
-          .groupBy(col("user_id"))
-          .agg(
-            min(when(col("event_type") === "signup", col("ts"))).as("t1"),
-            collect_list(when(col("event_type") === "click", unix_micros(col("ts")))).as("clicks"),
-            collect_list(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("purchases"))
-          .filter(col("t1").isNotNull)
-          .withColumn("t2u", array_min(filter(col("clicks"), c =>
-            c > unix_micros(col("t1")) && c - unix_micros(col("t1")) <= win48h)))
-          // a null t2u nulls the lambda predicate → empty array → null t3u
-          .withColumn("t3u", array_min(filter(col("purchases"), p =>
-            p > col("t2u") && p - col("t2u") <= win48h)))
-          .select(col("user_id"),
-            when(col("t3u").isNotNull, 3).when(col("t2u").isNotNull, 2)
-              .otherwise(1).as("stage"),
-            fmtTs(col("t1")).as("t_signup"),
-            fmtTs(timestamp_micros(col("t2u"))).as("t_click"),
-            fmtTs(timestamp_micros(col("t3u"))).as("t_purchase"))
-          .orderBy(col("user_id"))
-      },
-      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-             |            WHERE event_type = 'signup' GROUP BY 1),
-             |s2 AS (SELECT e.user_id, min(e.ts) AS t2
-             |       FROM events e JOIN s1 ON e.user_id = s1.user_id
-             |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > epoch_us(s1.t1)
-             |         AND epoch_us(e.ts) - epoch_us(s1.t1) <= 172800000000 GROUP BY 1),
-             |s3 AS (SELECT e.user_id, min(e.ts) AS t3
-             |       FROM events e JOIN s2 ON e.user_id = s2.user_id
-             |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > epoch_us(s2.t2)
-             |         AND epoch_us(e.ts) - epoch_us(s2.t2) <= 172800000000 GROUP BY 1)
-             |SELECT s1.user_id,
-             |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS stage,
-             |  strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS t_signup,
-             |  strftime(t2, '%Y-%m-%d %H:%M:%S.%f') AS t_click,
-             |  strftime(t3, '%Y-%m-%d %H:%M:%S.%f') AS t_purchase
-             |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
-             |        LEFT JOIN s3 ON s1.user_id = s3.user_id
-             |ORDER BY s1.user_id""".stripMargin)),
-
-    // EVENT TRANSITION matrix — the per-user next-event Markov counts
-    // (the input to journey/flow diagrams and simple next-action
-    // models): lead() over each user's event-time order, then a
-    // (from, to)-pair count. One key exchange for the window + one
-    // 25-cell aggregate; the output is |event_types|² regardless of
-    // corpus size.
-    GQuery(
-      "q_event_transitions",
-      (s, dir) => {
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        Tables.events(s, dir)
-          .withColumn("next_type", lead(col("event_type"), 1).over(w))
-          .filter(col("next_type").isNotNull)
-          .groupBy(col("event_type"), col("next_type"))
-          .agg(count(lit(1)).as("n"))
-          .orderBy(col("event_type"), col("next_type"))
-      },
-      Some("""WITH o AS (SELECT user_id, event_type,
-             |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-             |           FROM events)
-             |SELECT event_type, next_type, count(*) AS n
-             |FROM o WHERE next_type IS NOT NULL
-             |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin)),
-
-    // COHORT RETENTION matrix — signup-week cohorts × week offsets of
-    // high-value purchase activity: the canonical triangle every
-    // growth dashboard draws. Week alignment via date_trunc (Monday
-    // start in both engines) and offsets as exact day/7 integers, so
-    // the bucketing can't drift. SINGLE-SCAN formulation (same shape as
-    // q_funnel): one pushdown-pruned events pass, ONE user_id shuffle
-    // collecting each user's cohort week + distinct active-week set
-    // (collect_set dedups in the aggregate — the explicit `distinct`
-    // shuffle of the join formulation disappears), explode, then a
-    // cohort-sized aggregate. Shuffles carry (user, week-set) rows and
-    // the output is weeks² regardless of corpus size.
-    GQuery(
-      "q_retention_cohort",
-      (s, dir) => {
-        Tables.events(s, dir)
-          .filter(col("event_type") === "signup" ||
-            (col("event_type") === "purchase" && col("value") > 150))
-          .groupBy(col("user_id"))
-          .agg(
-            date_trunc("week", min(when(col("event_type") === "signup", col("ts")))).as("cw"),
-            collect_set(when(col("event_type") === "purchase",
-              date_trunc("week", col("ts")))).as("pws"))
-          .filter(col("cw").isNotNull)
-          .select(col("cw"), explode(col("pws")).as("pw"))
-          .groupBy(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
-            (datediff(col("pw"), col("cw")) / 7).cast("long").as("wk"))
-          .agg(count(lit(1)).as("n_active"))
-          .orderBy(col("cohort_week"), col("wk"))
-      },
-      Some("""WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
-             |           FROM events WHERE event_type = 'signup' GROUP BY 1),
-             |a AS (SELECT DISTINCT e.user_id, f.cw,
-             |        CAST(date_diff('week', f.cw, date_trunc('week', e.ts)) AS BIGINT) AS wk
-             |      FROM events e JOIN f ON e.user_id = f.user_id
-             |      WHERE e.event_type = 'purchase' AND e.value > 150)
-             |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, wk, count(*) AS n_active
-             |FROM a GROUP BY 1, 2 ORDER BY cohort_week, wk""".stripMargin)),
-
-    // TIME-SERIES GAP FILL + LOCF — dimension densification (the
-    // GAP_FILL/densify operator warehouses ship): the sparse per-type
-    // hourly average is projected onto the COMPLETE hour grid (a
-    // generated sequence over the corpus time span crossed with the
-    // type dimension — both sides derived, nothing scanned twice), and
-    // missing hours carry the last observed value forward via
-    // last(v, ignoreNulls) over the per-type hour order. Grid size is
-    // span × |types| — independent of event count, so at 100 TB the
-    // grid build is a rounding error next to the one events scan-agg;
-    // the LOCF window partitions on the type key (grid-sized input,
-    // never raw events). Hours before a type's first observation stay
-    // null — LOCF, not interpolation; the oracle replays the identical
-    // IGNORE NULLS window.
-    GQuery(
-      "q_ts_fill",
-      (s, dir) => {
-        // ONE corpus scan: the hourly aggregate is cached (grid-sized)
-        // and the span and type dimension both DERIVE from it — min/max
-        // of the aggregated hours equals min/max of the raw timestamps
-        // at hour grain, so events is never re-read for metadata.
-        val hourly = Tables.events(s, dir)
-          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-          .agg(dround(avg(col("value"))).as("v"))
-          .cache()
-        val grid = hourly.agg(min(col("h")).as("h_lo"), max(col("h")).as("h_hi"))
-          .select(explode(expr("sequence(h_lo, h_hi, interval 1 hour)")).as("h"))
-          .crossJoin(hourly.select(col("event_type")).distinct())
-        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        grid.join(hourly, Seq("event_type", "h"), "left")
-          .select(col("event_type"), col("h"), col("v").isNull.as("is_gap"),
-            last(col("v"), ignoreNulls = true).over(w).as("filled"))
-          .orderBy(col("event_type"), col("h"))
-      },
-      Some("""WITH hourly AS (
-             |  SELECT event_type, date_trunc('hour', ts) AS h,
-             |    round(CAST(avg(value) AS DOUBLE), 4) AS v
-             |  FROM events GROUP BY 1, 2),
-             |grid AS (
-             |  SELECT t.event_type, g.h
-             |  FROM (SELECT DISTINCT event_type FROM events) t
-             |  CROSS JOIN (SELECT unnest(generate_series(
-             |      (SELECT date_trunc('hour', min(ts)) FROM events),
-             |      (SELECT date_trunc('hour', max(ts)) FROM events),
-             |      INTERVAL 1 HOUR)) AS h) g)
-             |SELECT grid.event_type, grid.h, hourly.v IS NULL AS is_gap,
-             |  last_value(hourly.v IGNORE NULLS) OVER (
-             |    PARTITION BY grid.event_type ORDER BY grid.h
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
-             |FROM grid LEFT JOIN hourly
-             |  ON hourly.event_type = grid.event_type AND hourly.h = grid.h
-             |ORDER BY grid.event_type, grid.h""".stripMargin)),
-
-    // RUNNING DISTINCT (cumulative distinct users per hour — the DAU/
-    // "users to date" growth curve): Spark does not support DISTINCT
-    // aggregates inside windows, so this row IS the standard rewrite —
-    // per (type, user) FIRST-hour aggregate, new-user counts per hour,
-    // and an O(1)-state running sum over the hourly grid; the oracle
-    // cross-validates against DuckDB's NATIVE count(DISTINCT) OVER
-    // (engines that support the direct form must agree with the
-    // rewrite). Scale: the only corpus-sized exchange is the
-    // (type, user) aggregate; the window runs on grid-sized rows with
-    // constant state — the direct distinct-window form, where
-    // supported, holds per-partition distinct SETS instead (memory ∝
-    // users seen), which is exactly why the rewrite is the 100 TB
-    // form.
-    GQuery(
-      "q_win_running_distinct",
-      (s, dir) => {
-        val f = Tables.events(s, dir)
-          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"), col("user_id"))
-        val hourly = f.groupBy(col("event_type"), col("h"))
-          .agg(countDistinct(col("user_id")).as("active"))
-        val firstHour = f.groupBy(col("event_type"), col("user_id")).agg(min(col("h")).as("h"))
-        val newu = firstHour.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("nu"))
-        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-        hourly.join(newu, Seq("event_type", "h"), "left")
-          .withColumn("cum", sum(coalesce(col("nu"), lit(0L))).over(w))
-          .select(col("event_type"), col("h"), col("active"), col("cum"))
-          .orderBy(col("event_type"), col("h"))
-      },
-      Some("""WITH raw AS (SELECT event_type, date_trunc('hour', ts) AS h, user_id FROM events),
-             |w AS (SELECT event_type, h,
-             |        count(DISTINCT user_id) OVER (PARTITION BY event_type, h) AS active,
-             |        count(DISTINCT user_id) OVER (PARTITION BY event_type ORDER BY h
-             |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-             |      FROM raw)
-             |SELECT DISTINCT event_type, h, active, cum FROM w
-             |ORDER BY event_type, h""".stripMargin)),
-
-    // SWEEP-LINE interval concurrency (peak concurrent sessions — the
-    // capacity-planning question): each event occupies [ts, ts+1h);
-    // the classic answer is the sweep — +1/−1 boundary deltas, NETTED
-    // per instant (same-instant end-before-start convention becomes a
-    // group-by, making the timeline total-ordered and the running sum
-    // deterministic), then a cumulative sum whose maximum IS peak
-    // concurrency. NO self-join — the naive interval-overlap join is
-    // O(n²) per type; the sweep is one union + one keyed agg + a
-    // running sum. The running sum itself is TWO-LEVEL (the
-    // q_pack_shards discipline): per-day partial sums inside
-    // (type, day) partitions, day offsets cumulated on the tiny
-    // (type × day) table and broadcast back — no per-type partition
-    // ever holds more than a day of boundaries, so a 100 TB year of
-    // events never funnels one type's full timeline through one task.
-    GQuery(
-      "q_ts_sweepline",
-      (s, dir) => {
-        val ev = Tables.events(s, dir).select(col("event_type"), col("ts"))
-        val deltas = ev.select(col("event_type"), col("ts").as("t"), lit(1L).as("dl"))
-          .unionByName(ev.select(col("event_type"),
-            (col("ts") + expr("INTERVAL 1 HOUR")).as("t"), lit(-1L).as("dl")))
-        // net and conc are each consumed twice (the in-day window + the
-        // day-offset agg; the max agg + the argmax filter) — cache both
-        // so the corpus is scanned once for the union, not once per
-        // consumer (8 scans → 2 in PLANS.md before this)
-        val net = deltas.groupBy(col("event_type"), col("t")).agg(sum(col("dl")).as("net"))
-          .withColumn("day", date_trunc("day", col("t"))).cache()
-        val wDay = Window.partitionBy(col("event_type"), col("day")).orderBy(col("t"))
-        val inDay = net.withColumn("run_in", sum(col("net")).over(wDay))
-        val wOff = Window.partitionBy(col("event_type")).orderBy(col("day"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offs = net.groupBy(col("event_type"), col("day")).agg(sum(col("net")).as("dtot"))
-          .withColumn("off", coalesce(sum(col("dtot")).over(wOff), lit(0L)))
-          .select(col("event_type"), col("day"), col("off"))
-        val conc = inDay.join(broadcast(offs), Seq("event_type", "day"))
-          .withColumn("conc", col("off") + col("run_in")).cache()
-        val mx = conc.groupBy(col("event_type")).agg(max(col("conc")).as("max_conc"))
-        conc.join(mx, "event_type").filter(col("conc") === col("max_conc"))
-          .groupBy(col("event_type"), col("max_conc")).agg(min(col("t")).as("at_t"))
-          .select(col("event_type"), col("max_conc"), col("at_t"))
-          .orderBy(col("event_type"))
-      },
-      Some("""WITH d AS (SELECT event_type, ts AS t, 1::BIGINT AS dl FROM events
-             |           UNION ALL
-             |           SELECT event_type, ts + INTERVAL 1 HOUR, -1 FROM events),
-             |net AS (SELECT event_type, t, sum(dl)::BIGINT AS net FROM d GROUP BY 1, 2),
-             |r AS (SELECT event_type, t,
-             |        (sum(net) OVER (PARTITION BY event_type ORDER BY t))::BIGINT AS conc FROM net),
-             |m AS (SELECT event_type, max(conc)::BIGINT AS max_conc FROM r GROUP BY 1)
-             |SELECT r.event_type, m.max_conc, min(r.t) AS at_t
-             |FROM r JOIN m ON r.event_type = m.event_type AND r.conc = m.max_conc
-             |GROUP BY 1, 2 ORDER BY r.event_type""".stripMargin)),
-
-    // EWMA smoothing — the monitoring-dashboard smoother next to
-    // q_ts_fill (gaps) and q_ts_anomaly (outliers): a 5-point
-    // exponentially-weighted moving average (α = 1/2 → weights
-    // 16/8/4/2/1) over the per-type hourly totals, with the warm-up
-    // edge handled by RENORMALIZING over the weights actually present
-    // (the standard adjusted-EWMA rule — zero-padding would bias the
-    // first hours toward 0). All-exact arithmetic: decimal hourly sums,
-    // integer weights, one double division at the end — both engines
-    // reproduce it bit-for-bit, no ε. Plan: one events scan-agg to the
-    // grid-sized hourly table, one event_type exchange shared by the
-    // agg and the lag window; the window is 5 physical lags, O(1) state
-    // per row however long the series grows.
-    GQuery(
-      "q_ts_ewma",
-      (s, dir) => {
-        val hourly = Tables.events(s, dir)
-          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-          .agg(sum(dec(col("value"))).as("v"))
-        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-        val lags = (1 to 4).map(k => lag(col("v"), k).over(w))
-        val wts = Seq(8, 4, 2, 1)
-        val num = col("v") * 16 +
-          lags.zip(wts).map { case (l, k) => coalesce(l * k, lit(0)) }.reduce(_ + _)
-        val den = lit(16) +
-          lags.zip(wts).map { case (l, k) => when(l.isNull, 0).otherwise(k) }.reduce(_ + _)
-        hourly.select(col("event_type"), col("h"), dround(col("v")).as("v"),
-            round(num.cast("double") / den, 4).as("ewma"))
-          .orderBy(col("event_type"), col("h"))
-      },
-      Some("""WITH hourly AS (
-             |  SELECT event_type, date_trunc('hour', ts) AS h,
-             |    sum(value::DECIMAL(18,4)) AS v
-             |  FROM events GROUP BY 1, 2),
-             |l AS (SELECT event_type, h, v,
-             |    lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
-             |    lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4
-             |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h))
-             |SELECT event_type, h, round(CAST(v AS DOUBLE), 4) AS v,
-             |  round(CAST(v * 16 + coalesce(l1 * 8, 0) + coalesce(l2 * 4, 0)
-             |             + coalesce(l3 * 2, 0) + coalesce(l4 * 1, 0) AS DOUBLE)
-             |    / (16 + CASE WHEN l1 IS NULL THEN 0 ELSE 8 END
-             |        + CASE WHEN l2 IS NULL THEN 0 ELSE 4 END
-             |        + CASE WHEN l3 IS NULL THEN 0 ELSE 2 END
-             |        + CASE WHEN l4 IS NULL THEN 0 ELSE 1 END), 4) AS ewma
-             |FROM l ORDER BY event_type, h""".stripMargin)),
-
-    // TIME-SERIES ANOMALY DETECTION — robust monitoring over the
-    // densified hourly series (the q_ts_fill grid feeding the
-    // q_quality_outliers statistic): per-type hourly event counts are
-    // ZERO-FILLED onto the complete hour grid first — a silent outage
-    // hour is an anomaly precisely because it has no rows, so
-    // detection over only-observed hours would miss the most important
-    // case — then flagged where |n − median| > 2·MAD. Medians/MADs of
-    // integer counts are ints or exact .5 halves (binary-exact across
-    // engines — no ε). Plan: one events scan-agg, the generated grid
-    // join, two grid-sized per-type stat aggregates broadcast back;
-    // the corpus is scanned once, everything after is grid-sized.
-    GQuery(
-      "q_ts_anomaly",
-      (s, dir) => {
-        // ONE corpus scan (the q_ts_fill rule): hourly counts cached,
-        // span/types/grid/filled all derive from that grid-sized cache
-        // — the med and mad stat passes and the final flag pass re-read
-        // the CACHE, never events.
-        val hourly = Tables.events(s, dir)
-          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-          .agg(count(lit(1)).as("n_raw"))
-          .cache()
-        val grid = hourly.agg(min(col("h")).as("h_lo"), max(col("h")).as("h_hi"))
-          .select(explode(expr("sequence(h_lo, h_hi, interval 1 hour)")).as("h"))
-          .crossJoin(hourly.select(col("event_type")).distinct())
-        val filled = grid.join(hourly, Seq("event_type", "h"), "left")
-          .select(col("event_type"), col("h"),
-            coalesce(col("n_raw"), lit(0L)).as("n"))
-          .cache()
-        val med = filled.groupBy(col("event_type"))
-          .agg(expr("percentile(n, 0.5)").as("med"))
-        val mad = filled.join(broadcast(med), "event_type")
-          .groupBy(col("event_type"), col("med"))
-          .agg(expr("percentile(abs(n - med), 0.5)").as("mad"))
-        filled.join(broadcast(mad), "event_type")
-          .filter(abs(col("n") - col("med")) > lit(2) * col("mad"))
-          .select(col("event_type"), col("h"), col("n"), col("med"), col("mad"))
-          .orderBy(col("event_type"), col("h"))
-      },
-      Some("""WITH hourly AS (
-             |  SELECT event_type, date_trunc('hour', ts) AS h, count(*)::BIGINT AS n_raw
-             |  FROM events GROUP BY 1, 2),
-             |grid AS (
-             |  SELECT t.event_type, g.h
-             |  FROM (SELECT DISTINCT event_type FROM events) t
-             |  CROSS JOIN (SELECT unnest(generate_series(
-             |      (SELECT date_trunc('hour', min(ts)) FROM events),
-             |      (SELECT date_trunc('hour', max(ts)) FROM events),
-             |      INTERVAL 1 HOUR)) AS h) g),
-             |filled AS (
-             |  SELECT grid.event_type, grid.h, coalesce(hourly.n_raw, 0)::BIGINT AS n
-             |  FROM grid LEFT JOIN hourly
-             |    ON hourly.event_type = grid.event_type AND hourly.h = grid.h),
-             |med AS (SELECT event_type, median(n) AS med FROM filled GROUP BY 1),
-             |mad AS (SELECT f.event_type, m.med, median(abs(f.n - m.med)) AS mad
-             |        FROM filled f JOIN med m USING (event_type) GROUP BY 1, 2)
-             |SELECT f.event_type, f.h, f.n, mad.med, mad.mad
-             |FROM filled f JOIN mad USING (event_type)
-             |WHERE abs(f.n - mad.med) > 2 * mad.mad
-             |ORDER BY f.event_type, f.h""".stripMargin)),
-
-    // Spark 4 SQL PIPE syntax (SPARK-49555, `|>`): the linear query
-    // dialect — each |> stage consumes the previous relation, so a
-    // join→filter→aggregate→having→topk pipeline reads top-to-bottom
-    // in execution order. The parser lowers pipes to the SAME logical
-    // plan as the nested ANSI form (the oracle below IS that form), so
-    // every Catalyst optimization — pushdown through the join, the
-    // broadcast pick, partial aggregation — applies unchanged; the
-    // post-AGGREGATE |> WHERE lands as HAVING. Surface twin of
-    // q_sql_udf/q_json_variant's Spark 4 coverage.
-    GQuery(
-      "q_sql_pipe",
-      (s, dir) => {
-        Tables.orders(s, dir).createOrReplaceTempView("gq_pipe_orders")
-        Tables.customer(s, dir).createOrReplaceTempView("gq_pipe_customer")
-        s.sql(
-          """FROM gq_pipe_orders
-            ||> JOIN gq_pipe_customer ON o_custkey = c_custkey
-            ||> WHERE o_orderdate >= DATE '1997-01-01'
-            ||> AGGREGATE count(*) AS n_orders,
-            |     round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
-            |   GROUP BY c_mktsegment
-            ||> WHERE n_orders > 10
-            ||> ORDER BY revenue DESC, c_mktsegment
-            ||> LIMIT 3""".stripMargin)
-      },
-      Some("""SELECT c_mktsegment, count(*) AS n_orders,
-             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
-             |FROM orders JOIN customer ON o_custkey = c_custkey
-             |WHERE o_orderdate >= DATE '1997-01-01'
-             |GROUP BY c_mktsegment
-             |HAVING count(*) > 10
-             |ORDER BY revenue DESC, c_mktsegment
-             |LIMIT 3""".stripMargin)),
-
-    // Spark 4 string COLLATION (SPARK-46830): case-insensitive
-    // semantics declared IN THE TYPE, not smeared over the query as
-    // lower() calls — the collated GROUP BY and the collated predicate
-    // both run on the original bytes (one pass, no derived column),
-    // and `variants` counts the distinct BINARY forms inside each
-    // case-insensitive group (= 2 here, the proof that collation
-    // merged keys lower() would have had to rewrite). min(pri) is the
-    // binary-least representative (uppercase sorts first in ASCII) —
-    // deterministic output from a case-mixed key. The oracle plays the
-    // same query the pre-collation way: lower() everywhere.
-    GQuery(
-      "q_str_collation",
-      (s, dir) => {
-        Tables.orders(s, dir).createOrReplaceTempView("gq_coll_orders")
-        s.sql(
-          """SELECT min(pri) AS priority, count(*) AS n,
-            |  count(DISTINCT pri) AS variants,
-            |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
-            |FROM (SELECT CASE WHEN o_orderkey % 2 = 0 THEN lower(o_orderpriority)
-            |             ELSE o_orderpriority END AS pri, o_totalprice
-            |      FROM gq_coll_orders)
-            |WHERE NOT pri COLLATE UTF8_LCASE = '5-LOW'
-            |GROUP BY pri COLLATE UTF8_LCASE
-            |ORDER BY priority""".stripMargin)
-      },
-      Some("""WITH m AS (
-             |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN lower(o_orderpriority)
-             |         ELSE o_orderpriority END AS pri, o_totalprice
-             |  FROM orders)
-             |SELECT min(pri) AS priority, count(*) AS n,
-             |  count(DISTINCT pri) AS variants,
-             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
-             |FROM m WHERE lower(pri) <> '5-low'
-             |GROUP BY lower(pri)
-             |ORDER BY priority""".stripMargin)),
-
-    // Spark 4 RECURSIVE CTE (SPARK-24497, landed in 4.0) — iterative
-    // computation declared IN SQL: a hierarchy walk over the implicit
-    // customer forest (parent = key div 10), descending from the root
-    // and aggregating per depth. The engine executes the recursion as
-    // repeated joins of the frontier against the base relation — each
-    // level is ONE distributed join whose frontier is level-sized, and
-    // the DEPTH (≈ log10 of keys) is independent of corpus size: at
-    // 100 TB the recursion is ~8 rounds of narrow joins, not a deep
-    // sequential chain. The oracle runs the same WITH RECURSIVE in
-    // DuckDB (`div` ↔ `//` is the only dialect delta).
-    GQuery(
-      "q_recursive_cte",
-      (s, dir) => {
-        Tables.customer(s, dir).createOrReplaceTempView("gq_rec_customer")
-        s.sql(
-          """WITH RECURSIVE walk(k, depth) AS (
-            |  SELECT CAST(0 AS BIGINT), 0
-            |  UNION ALL
-            |  SELECT c.c_custkey, w.depth + 1
-            |  FROM gq_rec_customer c JOIN walk w ON c.c_custkey div 10 = w.k
-            |  WHERE c.c_custkey > 0)
-            |SELECT w.depth, count(*) AS n,
-            |  round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS bal
-            |FROM walk w JOIN gq_rec_customer c ON c.c_custkey = w.k
-            |GROUP BY w.depth ORDER BY w.depth""".stripMargin)
-      },
-      Some("""WITH RECURSIVE walk(k, depth) AS (
-             |  SELECT CAST(0 AS BIGINT), 0
-             |  UNION ALL
-             |  SELECT c.c_custkey, w.depth + 1
-             |  FROM customer c JOIN walk w ON c.c_custkey // 10 = w.k
-             |  WHERE c.c_custkey > 0)
-             |SELECT w.depth, count(*) AS n,
-             |  round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(19,4))) AS DOUBLE), 4) AS bal
-             |FROM walk w JOIN customer c ON c.c_custkey = w.k
-             |GROUP BY w.depth ORDER BY w.depth""".stripMargin)),
-
-    // Correlated LATERAL join (Spark 4 `JOIN LATERAL`) — the top-N-per-
-    // group pattern written the declarative way: for each customer, the
-    // lateral subquery picks their 2 highest-value orders. Catalyst
-    // DECORRELATES the per-row LIMIT into WindowGroupLimit (map-side
-    // top-k partials BEFORE the exchange, then the rank filter) + one
-    // hash join — never a nested loop over customers × orders, which is
-    // what a naive lateral executor would do and what the plan pin in
-    // QueriesSpec rules out. At 100 TB: one orders exchange carrying
-    // ≤ 2 rows per customer out of the group limit, one broadcast of
-    // the customer keys.
-    GQuery(
-      "q_join_lateral",
-      (s, dir) => {
-        Tables.customer(s, dir).createOrReplaceTempView("gq_lat_customer")
-        Tables.orders(s, dir).createOrReplaceTempView("gq_lat_orders")
-        s.sql(
-          """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
-            |FROM gq_lat_customer c JOIN LATERAL (
-            |  SELECT o_orderkey, o_totalprice FROM gq_lat_orders
-            |  WHERE o_custkey = c.c_custkey
-            |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
-            |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
-      },
-      Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
-             |FROM customer c CROSS JOIN LATERAL (
-             |  SELECT o_orderkey, o_totalprice FROM orders
-             |  WHERE o_custkey = c.c_custkey
-             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
-             |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)),
-
-    // EXECUTE IMMEDIATE (SPARK-44776) + session VARIABLES (SPARK-46908)
-    // — parameterized dynamic SQL, engine-side: the query text carries
-    // a `?` placeholder and the value binds through USING from a
-    // declared session variable, so dynamic construction never string-
-    // concatenates values into SQL (the injection-unsafe alternative)
-    // and the parameterized text stays plan-cacheable by shape. The
-    // executed statement plans through Catalyst exactly as its static
-    // form — pushdown, partial agg, everything — which is what the
-    // oracle pins: dynamic-with-binding ≡ the resolved static query.
-    GQuery(
-      "q_sql_exec_immediate",
-      (s, dir) => {
-        Tables.orders(s, dir).createOrReplaceTempView("gq_ei_orders")
-        s.sql("DECLARE OR REPLACE VARIABLE gq_ei_cut DOUBLE")
-        s.sql("SET VAR gq_ei_cut = 150000.0")
-        s.sql("""EXECUTE IMMEDIATE
-                |  'SELECT o_orderpriority, count(*) AS n,
-                |     round(cast(sum(cast(o_totalprice AS decimal(18,4))) AS double), 4) AS tot
-                |   FROM gq_ei_orders WHERE o_totalprice > ? GROUP BY 1 ORDER BY 1'
-                |  USING gq_ei_cut""".stripMargin)
-      },
-      Some("""SELECT o_orderpriority, count(*)::BIGINT AS n,
-             |  round(CAST(sum(o_totalprice::DECIMAL(18,4)) AS DOUBLE), 4) AS tot
-             |FROM orders WHERE o_totalprice > 150000.0
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-    // Spark 4 SQL SCRIPTING (SPARK-48338): procedural control flow —
-    // DECLARE / WHILE / SET compound statements — executed ENGINE-side
-    // with each iteration's statement planned by Catalyst as usual (the
-    // script is orchestration, the work stays distributed; the loop
-    // count here is a fixed stratum constant, never data-sized). The
-    // script accumulates residue-weighted counts over five strata; the
-    // oracle computes the same total in one declarative pass — scripted
-    // iteration must agree with the set-based form.
-    GQuery(
-      "q_sql_script",
-      (s, dir) => {
-        s.conf.set("spark.sql.scripting.enabled", "true")
-        Tables.events(s, dir).createOrReplaceTempView("gq_script_events")
-        s.sql(
-          """BEGIN
-            |  DECLARE k INT DEFAULT 0;
-            |  DECLARE acc BIGINT DEFAULT 0;
-            |  WHILE k < 5 DO
-            |    SET acc = acc + (k + 1) * (SELECT count(*)
-            |      FROM gq_script_events WHERE user_id % 5 = k);
-            |    SET k = k + 1;
-            |  END WHILE;
-            |  SELECT 5 AS n_strata, acc AS weighted_total;
-            |END""".stripMargin)
-      },
-      Some("""SELECT 5 AS n_strata,
-             |  sum(user_id % 5 + 1)::BIGINT AS weighted_total
-             |FROM events""".stripMargin)),
-
-    // Time-INTERVAL range frame — the window surface q_win_range_frame
-    // (numeric RANGE) doesn't cover: a trailing 3-hour frame over the
-    // hourly series, where frame membership is event-TIME distance, not
-    // row adjacency (a gap hour shrinks the frame; ROWS BETWEEN 3
-    // PRECEDING would silently bridge it — the monitoring-window bug).
-    // Runs on the hourly AGGREGATE (grid-sized), so the corpus is
-    // scanned once into the group-by and the interval frame never sees
-    // raw events; one event_type×hour exchange shared by the agg and
-    // the window.
-    GQuery(
-      "q_win_range_interval",
-      (s, dir) => {
-        Tables.events(s, dir).createOrReplaceTempView("gq_rint_events")
-        s.sql(
-          """SELECT event_type, date_format(h, 'yyyy-MM-dd HH:mm:ss') AS hour,
-            |  n, n3h,
-            |  round(CAST(v3h AS DOUBLE), 4) AS v3h
-            |FROM (
-            |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
-            |    sum(count(*)) OVER w AS n3h,
-            |    sum(sum(CAST(value AS DECIMAL(18,4)))) OVER w AS v3h
-            |  FROM gq_rint_events
-            |  GROUP BY 1, 2
-            |  WINDOW w AS (PARTITION BY event_type ORDER BY date_trunc('hour', ts)
-            |    RANGE BETWEEN INTERVAL 3 HOURS PRECEDING AND CURRENT ROW))
-            |ORDER BY event_type, hour""".stripMargin)
-      },
-      Some("""SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
-             |  n, n3h::BIGINT AS n3h,
-             |  round(CAST(v3h AS DOUBLE), 4) AS v3h
-             |FROM (
-             |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
-             |    sum(count(*)) OVER w AS n3h,
-             |    sum(sum(CAST(value AS DECIMAL(18,4)))) OVER w AS v3h
-             |  FROM events
-             |  GROUP BY 1, 2
-             |  WINDOW w AS (PARTITION BY event_type ORDER BY date_trunc('hour', ts)
-             |    RANGE BETWEEN INTERVAL 3 HOURS PRECEDING AND CURRENT ROW)) z
-             |ORDER BY event_type, hour""".stripMargin)),
-
-    // IGNORE NULLS navigation (lag / last_value / first_value /
-    // nth_value with null skipping — SQL:2016 <null treatment>): the
-    // carry-forward-last-SIGNIFICANT-reading shape. A CASE gate nulls
-    // out small orders, then per customer in (date, orderkey) order:
-    // the most recent big order so far (last_value IGNORE NULLS — the
-    // LOCF primitive q_ts_fill builds on, here as declared SQL
-    // surface), the PREVIOUS big order excluding self (lag IGNORE
-    // NULLS — respects-nulls lag would return NULL whenever the
-    // physically-previous row is small), and the first/second big
-    // orders in history (first_value / nth_value 2). One narrow
-    // window over a high-cardinality customer partition — no
-    // degenerate partition at any scale; the pushed o_custkey
-    // predicate bounds the output.
-    GQuery(
-      "q_win_ignore_nulls",
-      (s, dir) => {
-        val big = when(dec(col("o_totalprice")) > 150000, dec(col("o_totalprice")))
-        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
-        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.orders(s, dir)
-          .filter(col("o_custkey") <= 500)
-          .withColumn("big", big)
-          .select(col("o_custkey"), col("o_orderkey"),
-            dround(last(col("big"), ignoreNulls = true).over(cum)).as("last_big"),
-            dround(lag(col("big"), 1, null, ignoreNulls = true).over(w)).as("prev_big"),
-            dround(first(col("big"), ignoreNulls = true).over(cum)).as("first_big"),
-            dround(nth_value(col("big"), 2, ignoreNulls = true).over(cum)).as("second_big"))
-          .orderBy(col("o_custkey"), col("o_orderkey"))
-      },
-      Some("""WITH g AS (
-             |  SELECT o_custkey, o_orderkey, o_orderdate,
-             |    CASE WHEN o_totalprice > 150000 THEN o_totalprice::DECIMAL(18,4) END AS big
-             |  FROM orders WHERE o_custkey <= 500)
-             |SELECT o_custkey, o_orderkey,
-             |  round(CAST(last_value(big IGNORE NULLS) OVER (PARTITION BY o_custkey
-             |    ORDER BY o_orderdate, o_orderkey
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS last_big,
-             |  round(CAST(lag(big, 1 IGNORE NULLS) OVER (PARTITION BY o_custkey
-             |    ORDER BY o_orderdate, o_orderkey) AS DOUBLE), 4) AS prev_big,
-             |  round(CAST(first_value(big IGNORE NULLS) OVER (PARTITION BY o_custkey
-             |    ORDER BY o_orderdate, o_orderkey
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS first_big,
-             |  round(CAST(nth_value(big, 2 IGNORE NULLS) OVER (PARTITION BY o_custkey
-             |    ORDER BY o_orderdate, o_orderkey
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS second_big
-             |FROM g ORDER BY o_custkey, o_orderkey""".stripMargin)),
-
-    // Boolean-aggregate surface (count_if / bool_and / bool_or — the
-    // assertion aggregates data-quality rules compile to): conditional
-    // count without a CASE scaffold, universal and existential column
-    // claims per group. All three are plain partial-aggregable
-    // functions — one scan, one exchange, map-side combine; the oracle
-    // spells count_if as the CASE sum (engine-neutral) and keeps the
-    // bool aggregates verbatim.
-    GQuery(
-      "q_agg_bool",
-      (s, dir) => {
-        Tables.lineitem(s, dir)
-          .groupBy(col("l_returnflag"))
-          .agg(expr("count_if(l_quantity > 45)").as("n_heavy"),
-            expr("bool_and(l_quantity > 0)").as("all_pos"),
-            expr("bool_or(l_discount > 0.09)").as("any_deep_disc"))
-          .orderBy(col("l_returnflag"))
-      },
-      Some("""SELECT l_returnflag,
-             |  sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)::BIGINT AS n_heavy,
-             |  bool_and(l_quantity > 0) AS all_pos,
-             |  bool_or(l_discount > 0.09) AS any_deep_disc
-             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
-
-    // ARGMAX surface (max_by / min_by — SQL:2023 "greatest row by"):
-    // the who-not-how-much aggregate every leaderboard and
-    // latest-record query compiles to, without the self-join or window
-    // detour. Determinism is the spec here: max_by on a tied ordering
-    // key is engine-arbitrary, so the ordering key PACKS the tiebreak
-    // into one exact integer — balance cents × 1e8 + custkey (both
-    // engines compute it bit-identically from the DECIMAL view). Plain
-    // partial-aggregable pair-carrying aggregates: one scan, one
-    // exchange, map-side combine, one 25-row result.
-    GQuery(
-      "q_agg_argmax",
-      (s, dir) => {
-        val ordKey = (dec(col("c_acctbal")) * 100).cast("long") * lit(100000000L) + col("c_custkey")
-        Tables.customer(s, dir)
-          .groupBy(col("c_nationkey"))
-          .agg(
-            max_by(col("c_name"), ordKey).as("richest"),
-            min_by(col("c_name"), ordKey).as("poorest"),
-            dround(max(dec(col("c_acctbal")))).as("max_bal"),
-            dround(min(dec(col("c_acctbal")))).as("min_bal"))
-          .orderBy(col("c_nationkey"))
-      },
-      Some("""SELECT c_nationkey,
-             |  arg_max(c_name, (c_acctbal::DECIMAL(18,4) * 100)::BIGINT * 100000000 + c_custkey) AS richest,
-             |  arg_min(c_name, (c_acctbal::DECIMAL(18,4) * 100)::BIGINT * 100000000 + c_custkey) AS poorest,
-             |  round(CAST(max(c_acctbal::DECIMAL(18,4)) AS DOUBLE), 4) AS max_bal,
-             |  round(CAST(min(c_acctbal::DECIMAL(18,4)) AS DOUBLE), 4) AS min_bal
-             |FROM customer GROUP BY 1 ORDER BY c_nationkey""".stripMargin)),
-
-    // BITWISE aggregates (bit_and / bit_or / bit_xor + a bit_count
-    // fold) — the flag-mask collapse: "which permission bits hold
-    // across the whole group" (bit_and), "which capabilities appear
-    // anywhere" (bit_or), and the xor parity/checksum fold that
-    // incremental-maintenance schemes use (xor is its own inverse, so
-    // a retracted row xors back out). All four are commutative,
-    // associative single-word partials — each partition collapses to
-    // one 32-byte row per group before the exchange.
-    GQuery(
-      "q_agg_bitwise",
-      (s, dir) => {
-        val key = col("l_orderkey").cast("long")
-        Tables.lineitem(s, dir)
-          .groupBy(col("l_linestatus"))
-          .agg(
-            bit_and(key).as("key_and"),
-            bit_or(key).as("key_or"),
-            bit_xor(key).as("key_xor"),
-            sum(bit_count(key).cast("long")).as("popcount"))
-          .orderBy(col("l_linestatus"))
-      },
-      Some("""SELECT l_linestatus,
-             |  bit_and(l_orderkey::BIGINT) AS key_and,
-             |  bit_or(l_orderkey::BIGINT) AS key_or,
-             |  bit_xor(l_orderkey::BIGINT) AS key_xor,
-             |  sum(bit_count(l_orderkey::BIGINT))::BIGINT AS popcount
-             |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin)),
-
-    // MULTI-DISTINCT aggregation (several COUNT(DISTINCT x) over
-    // DIFFERENT columns in one pass): Catalyst plans this via EXPAND —
-    // each input row fans to one row per distinct dimension (plus one
-    // for the plain aggregates), the first aggregate dedups on
-    // (group, gid, value) map-side, the second folds the counts. The
-    // scale contract to know: the exchange carries ~k× the row count
-    // (dedup'd per partition first), but it is still ONE scan and two
-    // exchanges however many distinct dimensions ride along — vs k
-    // separate passes; when k× hurts at 100 TB, the HLL rows
-    // (q_agg_approx_distinct / q_agg_hll_merge) are the documented
-    // cheap exit.
-    GQuery(
-      "q_agg_multi_distinct",
-      (s, dir) => {
-        Tables.lineitem(s, dir)
-          .groupBy(col("l_returnflag"))
-          .agg(
-            countDistinct(col("l_orderkey")).as("d_ord"),
-            countDistinct(col("l_suppkey")).as("d_supp"),
-            countDistinct(col("l_shipdate")).as("d_ship"),
-            count(lit(1)).as("n"))
-          .orderBy(col("l_returnflag"))
-      },
-      Some("""SELECT l_returnflag,
-             |  count(DISTINCT l_orderkey) AS d_ord,
-             |  count(DISTINCT l_suppkey) AS d_supp,
-             |  count(DISTINCT l_shipdate) AS d_ship,
-             |  count(*)::BIGINT AS n
-             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
-
-    // TYPED-AGGREGATOR top-k (functions/TopKAgg.scala — the
-    // Dataset-typed custom-aggregation surface, registered through
-    // functions.udaf): exact per-group top-3 lineitems by price. The
-    // point vs the rank-window formulation (q_topk): a window must
-    // shuffle EVERY row to its group's partition before ranking;
-    // WindowGroupLimit recovers map-side partials only for the exact
-    // row_number-filter shape. As an Aggregator the cut is partial by
-    // construction — each partition folds to a ≤3-entry sorted buffer
-    // per group (ObjectHashAggregate partial → merge), so the exchange
-    // carries groups × k entries per partition whatever the row count.
-    // Determinism: the ordering key packs price cents × 1e8 + orderkey
-    // (exact integers both engines reproduce); duplicate rows tie to
-    // identical output either side of the cut.
-    GQuery(
-      "q_agg_topk_typed",
-      (s, dir) => {
-        val topk = udaf(new graft.functions.TopKAgg(3),
-          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.TopKEntry]())
-        val cents = (dec(col("l_extendedprice")) * 100).cast("long")
-        Tables.lineitem(s, dir)
-          .select(col("l_returnflag"),
-            (cents * lit(100000000L) + col("l_orderkey")).as("ord"),
-            col("l_orderkey").cast("long").as("id"))
-          .groupBy(col("l_returnflag"))
-          .agg(topk(col("ord"), col("id")).as("top"))
-          .select(col("l_returnflag"), posexplode(col("top")))
-          .select(col("l_returnflag"), (col("pos") + 1).cast("int").as("rk"),
-            col("col.id").as("l_orderkey"),
-            ((col("col.ord") - col("col.id")) / lit(100000000L)).cast("long").as("price_cents"))
-          .orderBy(col("l_returnflag"), col("rk"))
-      },
-      Some("""SELECT l_returnflag, rk::INT AS rk, l_orderkey, price_cents FROM (
-             |  SELECT l_returnflag, l_orderkey::BIGINT AS l_orderkey,
-             |    (l_extendedprice::DECIMAL(18,4) * 100)::BIGINT AS price_cents,
-             |    row_number() OVER (PARTITION BY l_returnflag
-             |      ORDER BY (l_extendedprice::DECIMAL(18,4) * 100)::BIGINT * 100000000 + l_orderkey DESC) AS rk
-             |  FROM lineitem) z
-             |WHERE rk <= 3 ORDER BY l_returnflag, rk""".stripMargin)),
-
-    // OBSERVED METRICS (Dataset.observe / the CollectMetrics logical
-    // node + the batch Observation handle): data-quality metrics
-    // collected as a SIDE-EFFECT of the pass the pipeline was already
-    // running — an AggregatingAccumulator rides each task, so row
-    // counts, violation counts and exact control totals cost ZERO
-    // extra scans, shuffles, or actions (the Deequ/audit-log
-    // alternative re-reads the table once per metric set; at 100 TB
-    // that is the whole difference). The query gates lineitem through
-    // a discount filter — the metrics describe the UNGATED input while
-    // the action that drives them is the gated pipeline's own count;
-    // the one-row result carries both, and the oracle recomputes all
-    // four declaratively from the table.
-    GQuery(
-      "q_observe_metrics",
-      (s, dir) => {
-        import s.implicits._
-        val obs = org.apache.spark.sql.Observation()
-        val gated = Tables.lineitem(s, dir)
-          .observe(obs,
-            count(lit(1)).as("rows_in"),
-            expr("count_if(l_quantity > 45)").as("heavy_in"),
-            sum(dec(col("l_extendedprice"))).as("rev_in"))
-          .filter(col("l_discount") > 0.02)
-        val kept = gated.count() // the pipeline's own action drives the metrics
-        val m = obs.get
-        val revIn = java.math.BigDecimal
-          .valueOf(m("rev_in").asInstanceOf[java.math.BigDecimal].doubleValue)
-          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
-        Seq((m("rows_in").asInstanceOf[Long], m("heavy_in").asInstanceOf[Long], revIn, kept))
-          .toDF("rows_in", "heavy_in", "rev_in", "rows_kept")
-      },
-      Some("""SELECT count(*)::BIGINT AS rows_in,
-             |  sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)::BIGINT AS heavy_in,
-             |  round(CAST(sum(l_extendedprice::DECIMAL(18,4)) AS DOUBLE), 4) AS rev_in,
-             |  sum(CASE WHEN l_discount > 0.02 THEN 1 ELSE 0 END)::BIGINT AS rows_kept
-             |FROM lineitem""".stripMargin)),
-
-    // EQUI-WIDTH HISTOGRAM (the Deequ Histogram analyzer / the
-    // optimizer-statistics building block): o_totalprice bucketed into
-    // 20 fixed-width bins over a declared [0, 600000) domain, with the
-    // overflow clamp into the last bin (the rule every histogram build
-    // needs pinned — silently dropping out-of-domain rows corrupts
-    // selectivity estimates). Bucketing is integer floor arithmetic on
-    // the DECIMAL view (portable bit-for-bit; width_bucket's edge rules
-    // differ across engines, so the explicit floor IS the spec), and
-    // the whole histogram is one scan + one 20-key aggregate with
-    // map-side partials — the cheapest possible shape at any scale.
-    GQuery(
-      "q_agg_histogram",
-      (s, dir) => {
-        val w = 30000
-        val bkt = least(floor(dec(col("o_totalprice")) / w), lit(19)).cast("int")
-        Tables.orders(s, dir)
-          .groupBy(bkt.as("bucket"))
-          .agg(count(lit(1)).as("n"),
-            dround(min(dec(col("o_totalprice")))).as("lo"),
-            dround(max(dec(col("o_totalprice")))).as("hi"))
-          .orderBy(col("bucket"))
-      },
-      Some("""SELECT CAST(least(floor(CAST(o_totalprice AS DECIMAL(18,4)) / 30000), 19) AS INT) AS bucket,
-             |  count(*) AS n,
-             |  round(CAST(min(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS lo,
-             |  round(CAST(max(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS hi
-             |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
-
-    // CORRELATION / REGRESSION profiling (the Deequ Correlation
-    // analyzer + the SQL regr_slope/regr_intercept surface) — per-group
-    // Pearson r and the least-squares line from ONE aggregate pass of
-    // exact decimal sums (n, Σx, Σy, Σxy, Σx², Σy²). The engine's
-    // built-in corr() streams doubles whose accumulation ORDER differs
-    // between engines (and between runs at different parallelism) —
-    // here every sum is order-independent DECIMAL arithmetic, cast to
-    // double once, and the closed-form double math is written
-    // IDENTICALLY on both sides: same exact inputs, same IEEE ops,
-    // same bits — no ε gate needed. One scan, one shuffle, partial
-    // aggregation map-side; at 100 TB this is the cheapest possible
-    // shape for a pairwise statistic.
-    GQuery(
-      "q_stats_corr",
-      (s, dir) => {
-        val x = dec(col("l_quantity"))
-        val y = dec(col("l_extendedprice"))
-        Tables.lineitem(s, dir)
-          .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("n_rows"),
-            sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
-            sum(x * y).cast("double").as("sxy"),
-            sum(x * x).cast("double").as("sxx"),
-            sum(y * y).cast("double").as("syy"))
-          .withColumn("n", col("n_rows").cast("double"))
-          .withColumn("cov_n", col("n") * col("sxy") - col("sx") * col("sy"))
-          .withColumn("varx_n", col("n") * col("sxx") - col("sx") * col("sx"))
-          .withColumn("vary_n", col("n") * col("syy") - col("sy") * col("sy"))
-          .withColumn("slope", col("cov_n") / col("varx_n"))
-          .select(col("l_returnflag"), col("n_rows"),
-            round(col("cov_n") / sqrt(col("varx_n") * col("vary_n")), 6).as("corr_qp"),
-            round(col("slope"), 6).as("slope"),
-            round((col("sy") - col("slope") * col("sx")) / col("n"), 6).as("intercept"))
-          .orderBy(col("l_returnflag"))
-      },
-      Some("""WITH g AS (
-             |  SELECT l_returnflag, count(*) AS n_rows,
-             |    CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sx,
-             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sy,
-             |    CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
-             |    CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
-             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy
-             |  FROM lineitem GROUP BY 1),
-             |d AS (
-             |  SELECT l_returnflag, n_rows, CAST(n_rows AS DOUBLE) AS n,
-             |    sx, sy, sxy, sxx, syy,
-             |    CAST(n_rows AS DOUBLE) * sxy - sx * sy AS cov_n,
-             |    CAST(n_rows AS DOUBLE) * sxx - sx * sx AS varx_n,
-             |    CAST(n_rows AS DOUBLE) * syy - sy * sy AS vary_n
-             |  FROM g)
-             |SELECT l_returnflag, n_rows,
-             |  round(cov_n / sqrt(varx_n * vary_n), 6) AS corr_qp,
-             |  round(cov_n / varx_n, 6) AS slope,
-             |  round((sy - (cov_n / varx_n) * sx) / n, 6) AS intercept
-             |FROM d ORDER BY l_returnflag""".stripMargin)),
-
-    // SEQUENCE PATTERN MATCHING (MATCH_RECOGNIZE / Flink CEP's core):
-    // per-user pattern `CLICK+ PURCHASE` over the event-time order —
-    // each match reports the maximal run of consecutive clicks
-    // immediately preceding a purchase. Expressed as gaps-and-islands:
-    // islands of consecutive same-type rows come from the classic
-    // rn − rn_by_type difference, a purchase row matches when its
-    // PREVIOUS row is a click, and the matched island's (size, start)
-    // are the CLICK+ greedy-quantifier stats. Every window shares the
-    // ONE user_id partition exchange; the island aggregate and the
-    // match join both run on that same key — at 100 TB this is one
-    // shuffle of the events, then narrow per-user work. (event_id
-    // breaks ts ties for a total order — the lineitem sort lesson.)
-    GQuery(
-      "q_event_pattern",
-      (s, dir) => {
-        val wU = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
-        val wUT = Window.partitionBy(col("user_id"), col("event_type"))
-          .orderBy(col("ts"), col("event_id"))
-        // island stats ride a THIRD window over (user, type, island) —
-        // every row carries its whole island's (size, start), so the
-        // purchase row reads its predecessor's island stats via lag and
-        // the match needs NO island join and NO cache: one scan, one
-        // user_id exchange, three sorts. (The first draft aggregated
-        // islands and joined back — measured 4.6x superlinear at the
-        // 10x probe from the cache materialization + join exchanges.)
-        val wIsl = Window.partitionBy(col("user_id"), col("event_type"), col("isl"))
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        Tables.events(s, dir)
-          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-          .withColumn("isl", row_number().over(wU) - row_number().over(wUT))
-          .withColumn("n_isl", count(lit(1)).over(wIsl))
-          .withColumn("start_isl", min(col("ts")).over(wIsl))
-          .withColumn("prev_type", lag(col("event_type"), 1).over(wU))
-          .withColumn("prev_n", lag(col("n_isl"), 1).over(wU))
-          .withColumn("prev_start", lag(col("start_isl"), 1).over(wU))
-          .filter(col("event_type") === "purchase" && col("prev_type") === "click")
-          .select(col("user_id"), fmtTs(col("prev_start")).as("match_start"),
-            fmtTs(col("ts")).as("purchase_ts"), col("prev_n").as("n_clicks"))
-          .orderBy(col("user_id"), col("match_start"), col("purchase_ts"))
-      },
-      Some("""WITH r AS (
-             |  SELECT user_id, ts, event_id, event_type,
-             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             |      - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS isl
-             |  FROM events),
-             |o AS (
-             |  SELECT user_id, ts, event_id, event_type, isl,
-             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
-             |    lag(isl) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_isl
-             |  FROM r),
-             |islands AS (
-             |  SELECT user_id AS i_user, isl AS i_isl, count(*) AS n_clicks,
-             |    min(ts) AS start_ts
-             |  FROM o WHERE event_type = 'click' GROUP BY 1, 2)
-             |SELECT o.user_id,
-             |  strftime(islands.start_ts, '%Y-%m-%d %H:%M:%S.%f') AS match_start,
-             |  strftime(o.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
-             |  n_clicks
-             |FROM o JOIN islands
-             |  ON o.user_id = i_user AND o.prev_isl = i_isl
-             |WHERE o.event_type = 'purchase' AND o.prev_type = 'click'
-             |ORDER BY o.user_id, match_start, purchase_ts""".stripMargin)),
-
-    // Generator / lateral-view surface: posexplode with ordinal.
-    GQuery(
-      "q_posexplode",
-      (s, dir) => {
-        Tables.documents(s, dir)
-          .filter(col("doc_id") < 50)
-          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-          .filter(col("pos") < 5)
-          .orderBy(col("doc_id"), col("pos"))
-      },
-      Some("""SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tok FROM (
-             |  SELECT doc_id, unnest(list_transform(range(1, least(len(toks), 5) + 1),
-             |           i -> {'pos': i - 1, 'tok': toks[i]})) AS u
-             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
-             |        FROM documents WHERE doc_id < 50) t) z
-             |ORDER BY doc_id, pos""".stripMargin)),
-
-    // ---------------------------------------------------------- sort/limit
-    // Global top-N: Spark plans TakeOrderedAndProject — each partition
-    // keeps N rows, driver merges; no full sort at any scale.
-    GQuery(
-      "q_sort_limit",
-      (s, dir) => {
-        Tables.orders(s, dir)
-          .select(col("o_orderkey"), col("o_totalprice"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-          .limit(100)
-      },
-      Some("""SELECT o_orderkey, o_totalprice FROM orders
-             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
-
-    GQuery(
-      "q_topk",
-      (s, dir) => {
-        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        Tables.orders(s, dir)
-          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .orderBy(col("o_custkey"), col("rn"))
-      },
-      Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
-             |  SELECT o_custkey, o_orderkey, o_totalprice,
-             |    row_number() OVER (PARTITION BY o_custkey
-             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
-             |  FROM orders) t
-             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
-
-    // ------------------------------------------------------------- set ops
-    GQuery(
-      "q_set_union",
-      (s, dir) => {
-        val a = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
-          .select(col("c_custkey").as("custkey"), lit("building").as("src"))
-        val b = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
-          .select(col("o_custkey").as("custkey"), lit("finished").as("src"))
-        a.unionByName(b).distinct().orderBy(col("custkey"), col("src"))
-      },
-      Some("""SELECT DISTINCT * FROM (
-             |  SELECT c_custkey AS custkey, 'building' AS src FROM customer WHERE c_mktsegment='BUILDING'
-             |  UNION ALL
-             |  SELECT o_custkey AS custkey, 'finished' AS src FROM orders WHERE o_orderstatus='F') t
-             |ORDER BY custkey, src""".stripMargin)),
-
-    GQuery(
-      "q_set_union_all",
-      (s, dir) => {
-        val a = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
-          .select(col("c_custkey").as("custkey"), lit("building").as("src"))
-        val b = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
-          .select(col("o_custkey").as("custkey"), lit("finished").as("src"))
-        a.unionByName(b).groupBy(col("custkey"), col("src"))
-          .agg(count(lit(1)).as("n"))
-          .orderBy(col("custkey"), col("src"))
-      },
-      Some("""SELECT custkey, src, count(*) AS n FROM (
-             |  SELECT c_custkey AS custkey, 'building' AS src FROM customer WHERE c_mktsegment='BUILDING'
-             |  UNION ALL
-             |  SELECT o_custkey AS custkey, 'finished' AS src FROM orders WHERE o_orderstatus='F') t
-             |GROUP BY custkey, src ORDER BY custkey, src""".stripMargin)),
-
-    GQuery(
-      "q_set_intersect",
-      (s, dir) => {
-        val a = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
-          .select(col("c_custkey").as("custkey"))
-        val b = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
-          .select(col("o_custkey").as("custkey"))
-        a.intersect(b).orderBy(col("custkey"))
-      },
-      Some("""SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment='BUILDING'
-             |INTERSECT
-             |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus='F'
-             |ORDER BY custkey""".stripMargin)),
-
-    GQuery(
-      "q_set_except",
-      (s, dir) => {
-        val a = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
-          .select(col("c_custkey").as("custkey"))
-        val b = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
-          .select(col("o_custkey").as("custkey"))
-        a.except(b).orderBy(col("custkey"))
-      },
-      Some("""SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment='BUILDING'
-             |EXCEPT
-             |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus='F'
-             |ORDER BY custkey""".stripMargin)),
-
-    // MULTISET set ops — INTERSECT ALL / EXCEPT ALL keep duplicate
-    // counts (min / left-minus-right multiplicities), which the distinct
-    // variants above erase. Catalyst plans both as a single
-    // count-aggregate + generate (no join): one shuffle on the full row.
-    // Ordering key includes a per-row sequence so the output is total.
-    GQuery(
-      "q_set_intersect_all",
-      (s, dir) => {
-        val a = Tables.orders(s, dir).filter(col("o_orderstatus") =!= "P")
-          .select(col("o_custkey").as("custkey"))
-        val b = Tables.orders(s, dir).filter(col("o_totalprice") > 100000)
-          .select(col("o_custkey").as("custkey"))
-        val w = Window.partitionBy(col("custkey")).orderBy(col("custkey"))
-        a.intersectAll(b)
-          .withColumn("seq", row_number().over(w))
-          .orderBy(col("custkey"), col("seq"))
-      },
-      Some("""SELECT custkey, CAST(row_number() OVER (PARTITION BY custkey ORDER BY custkey) AS INT) AS seq
-             |FROM (
-             |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus <> 'P'
-             |  INTERSECT ALL
-             |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000) t
-             |ORDER BY custkey, seq""".stripMargin)),
-
-    GQuery(
-      "q_set_except_all",
-      (s, dir) => {
-        val a = Tables.orders(s, dir).filter(col("o_orderstatus") =!= "P")
-          .select(col("o_custkey").as("custkey"))
-        val b = Tables.orders(s, dir).filter(col("o_totalprice") > 100000)
-          .select(col("o_custkey").as("custkey"))
-        val w = Window.partitionBy(col("custkey")).orderBy(col("custkey"))
-        a.exceptAll(b)
-          .withColumn("seq", row_number().over(w))
-          .orderBy(col("custkey"), col("seq"))
-      },
-      Some("""SELECT custkey, CAST(row_number() OVER (PARTITION BY custkey ORDER BY custkey) AS INT) AS seq
-             |FROM (
-             |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus <> 'P'
-             |  EXCEPT ALL
-             |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000) t
-             |ORDER BY custkey, seq""".stripMargin)),
-
-    // ----------------------------------------------------------- functions
-    GQuery(
-      "q_str_funcs",
-      (s, dir) => {
-        Tables.part(s, dir)
-          .select(
-            col("p_partkey"),
-            concat_ws("|", upper(col("p_brand")), lower(col("p_type"))).as("tag"),
-            substring(col("p_name"), 1, 5).as("head5"),
-            trim(col("p_name")).as("trimmed"),
-            element_at(split(col("p_name"), " "), 1).as("first_word"),
-            regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_alpha"),
-            expr("replace(p_name, 'a', '#')").as("replaced"),
-            length(col("p_name")).as("name_len"),
-            lpad(col("p_brand"), 12, "*").as("padded"))
-          .orderBy(col("p_partkey"))
-      },
-      Some("""SELECT p_partkey,
-             |  upper(p_brand) || '|' || lower(p_type) AS tag,
-             |  substr(p_name, 1, 5) AS head5,
-             |  trim(p_name) AS trimmed,
-             |  string_split(p_name, ' ')[1] AS first_word,
-             |  regexp_extract(p_name, '([a-z]+)', 1) AS first_alpha,
-             |  replace(p_name, 'a', '#') AS replaced,
-             |  CAST(length(p_name) AS INT) AS name_len,
-             |  lpad(p_brand, 12, '*') AS padded
-             |FROM part ORDER BY p_partkey""".stripMargin)),
-
-    GQuery(
-      "q_date_funcs",
-      (s, dir) => {
-        Tables.orders(s, dir)
-          .select(
-            col("o_orderkey"),
-            year(col("o_orderdate")).as("yr"),
-            month(col("o_orderdate")).as("mo"),
-            dayofmonth(col("o_orderdate")).as("dom"),
-            quarter(col("o_orderdate")).as("qtr"),
-            fmtD(date_trunc("month", col("o_orderdate"))).as("month_start"),
-            datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
-            fmtD(date_add(col("o_orderdate"), 30)).as("plus30"),
-            fmtD(last_day(col("o_orderdate"))).as("eom"))
-          .orderBy(col("o_orderkey"))
-      },
-      Some("""SELECT o_orderkey,
-             |  CAST(year(o_orderdate) AS INT) AS yr,
-             |  CAST(month(o_orderdate) AS INT) AS mo,
-             |  CAST(day(o_orderdate) AS INT) AS dom,
-             |  CAST(quarter(o_orderdate) AS INT) AS qtr,
-             |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
-             |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
-             |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
-             |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom
-             |FROM orders ORDER BY o_orderkey""".stripMargin)),
-
-    // TRY_ functions (try_divide / try_cast / try_add / try_element_at
-    // — the error-SAFE expression surface under ANSI mode): at 100 TB
-    // one poisoned row must not kill a 10-hour job, and pre-filtering
-    // every possible failure is both unwritable and a second pass; the
-    // try_ family turns the row-local failure into NULL inside the same
-    // codegen'd projection (zero plan change, zero extra scan). Covers
-    // the four failure classes: integer division by zero, unparseable
-    // string cast, bigint overflow, and out-of-bounds collection
-    // access. The oracle replays each with explicit guards (CASE /
-    // TRY_CAST / HUGEINT intermediate / native NULL indexing) — the
-    // NULL-on-failure semantics, not the error, is the spec.
-    GQuery(
-      "q_func_try",
-      (s, dir) => {
-        Tables.orders(s, dir)
-          .filter(col("o_orderkey") <= 200)
-          .select(col("o_orderkey"),
-            round(expr("try_divide(cast(cast(o_totalprice as decimal(18,4)) * 100 as bigint), o_orderkey % 4)").cast("double"), 4).as("ratio"),
-            expr("try_cast(o_orderpriority AS INT)").as("pri_full"),
-            expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("pri_code"),
-            expr("try_add(9223372036854775800L, o_orderkey)").as("near_max"),
-            expr("try_element_at(split(o_orderpriority, '-'), 2)").as("seg2"),
-            expr("try_element_at(split(o_orderpriority, '-'), 3)").as("seg3"))
-          .orderBy(col("o_orderkey"))
-      },
-      Some("""SELECT o_orderkey,
-             |  CASE WHEN o_orderkey % 4 = 0 THEN NULL
-             |       ELSE round(CAST((o_totalprice::DECIMAL(18,4) * 100)::BIGINT AS DOUBLE)
-             |                  / (o_orderkey % 4), 4) END AS ratio,
-             |  TRY_CAST(o_orderpriority AS INTEGER) AS pri_full,
-             |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS pri_code,
-             |  CASE WHEN o_orderkey <= 7
-             |       THEN (9223372036854775800::HUGEINT + o_orderkey)::BIGINT END AS near_max,
-             |  string_split(o_orderpriority, '-')[2] AS seg2,
-             |  string_split(o_orderpriority, '-')[3] AS seg3
-             |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin)),
-
-    GQuery(
-      "q_math_funcs",
-      (s, dir) => {
-        Tables.lineitem(s, dir)
-          .select(
-            col("l_orderkey"), col("l_linenumber"),
-            round(col("l_extendedprice"), 1).as("rounded"),
-            floor(col("l_extendedprice")).cast("long").as("floored"),
-            ceil(col("l_extendedprice")).cast("long").as("ceiled"),
-            abs(col("l_discount") - 0.05).cast("double").as("absdiff"),
-            round(pow(col("l_quantity"), 2), 4).as("qty_sq"),
-            round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"),
-            round(log(col("l_extendedprice") + 1), 4).as("price_ln"),
-            pmod(col("l_orderkey"), lit(7)).as("key_mod"),
-            signum(col("l_discount") - 0.04).cast("int").as("disc_sign"))
-          // (key, linenumber) is non-unique: (price_sqrt, qty_sq, absdiff,
-          // disc_sign) pins (extendedprice, quantity, discount) so the
-          // sort is total up to fully-identical output rows.
-          .orderBy(col("l_orderkey"), col("l_linenumber"), col("price_sqrt"),
-            col("qty_sq"), col("absdiff"), col("disc_sign"))
-      },
-      Some("""SELECT l_orderkey, l_linenumber,
-             |  round(l_extendedprice, 1) AS rounded,
-             |  CAST(floor(l_extendedprice) AS BIGINT) AS floored,
-             |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceiled,
-             |  abs(l_discount - 0.05) AS absdiff,
-             |  round(pow(l_quantity, 2), 4) AS qty_sq,
-             |  round(sqrt(l_extendedprice), 4) AS price_sqrt,
-             |  round(ln(l_extendedprice + 1), 4) AS price_ln,
-             |  ((l_orderkey % 7) + 7) % 7 AS key_mod,
-             |  CAST(sign(l_discount - 0.04) AS INT) AS disc_sign
-             |FROM lineitem
-             |ORDER BY l_orderkey, l_linenumber, price_sqrt, qty_sq, absdiff, disc_sign""".stripMargin)),
-
-    GQuery(
-      "q_array_map_funcs",
-      (s, dir) => {
-        Tables.documents(s, dir)
-          .withColumn("tokens", split(col("text"), " "))
-          .select(
-            col("doc_id"),
-            size(col("tokens")).as("n_tokens"),
-            array_contains(col("tokens"), "spark").as("has_spark"),
-            array_join(slice(sort_array(col("tokens")), 1, 3), ",").as("top3"),
-            size(expr("filter(tokens, t -> length(t) > 4)")).as("n_long"),
-            expr("aggregate(tokens, 0, (acc, t) -> acc + length(t))").as("sum_len"),
-            element_at(map(lit("n"), size(col("tokens"))), "n").as("m_n"),
-            array_join(expr("map_keys(map('a', 1, 'b', 2))"), ",").as("mkeys"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""SELECT doc_id,
-             |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-             |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
-             |  array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS top3,
-             |  CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS INT) AS n_long,
-             |  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS INT) AS sum_len,
-             |  CAST(len(string_split(text, ' ')) AS INT) AS m_n,
-             |  'a,b' AS mkeys
-             |FROM documents ORDER BY doc_id""".stripMargin)),
-
-    // Map construction + higher-order map functions (map_from_entries,
-    // map_filter, map_zip_with surfaces; result projected to plain
-    // columns for a portable oracle).
-    GQuery(
-      "q_map_funcs",
-      (s, dir) => {
-        Tables.orders(s, dir)
-          .filter(col("o_orderkey") < 500)
-          .withColumn("m", map(
-            lit("price"), col("o_totalprice"),
-            lit("double_price"), col("o_totalprice") * 2))
-          .select(col("o_orderkey"),
-            element_at(col("m"), "price").as("price"),
-            element_at(expr("map_filter(m, (k, v) -> v > 100000)"), "price").as("big_price"),
-            size(expr("map_filter(m, (k, v) -> v > 100000)")).as("n_big"),
-            array_join(sort_array(map_keys(col("m"))), ",").as("keys"))
-          .orderBy(col("o_orderkey"))
-      },
-      Some("""SELECT o_orderkey, o_totalprice AS price,
-             |  CASE WHEN o_totalprice > 100000 THEN o_totalprice END AS big_price,
-             |  (CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END
-             |   + CASE WHEN o_totalprice * 2 > 100000 THEN 1 ELSE 0 END)::INT AS n_big,
-             |  'double_price,price' AS keys
-             |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
-
-    // JSON surface — the reference's core parsing capability
-    // (README.md:179-185) applied to the events.props JSON column.
-    GQuery(
-      "q_json_funcs",
-      (s, dir) => {
-        Tables.events(s, dir)
-          .withColumn("k1", get_json_object(col("props"), "$.k").cast("int"))
-          .withColumn("parsed", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
-          .select(
-            col("event_id"),
-            col("k1"),
-            col("parsed.k").as("k2"),
-            json_tuple(col("props"), "k").as("k3_raw"),
-            to_json(struct(col("event_id").as("id"))).as("j"))
-          .withColumn("k3", col("k3_raw").cast("int")).drop("k3_raw")
-          .orderBy(col("event_id"))
-      },
-      Some("""SELECT event_id,
-             |  CAST(json_extract_string(props, '$.k') AS INT) AS k1,
-             |  CAST(json_extract_string(props, '$.k') AS INT) AS k2,
-             |  '{"id":' || event_id || '}' AS j,
-             |  CAST(json_extract_string(props, '$.k') AS INT) AS k3
-             |FROM events ORDER BY event_id""".stripMargin)),
-
-    // Spark 4 VARIANT — the engine-native semi-structured type (open
-    // binary encoding, type-preserving, no schema declared up front):
-    // props parses ONCE into a variant, then typed path extraction
-    // (`variant_get`) feeds ordinary aggregates, and a missing path is
-    // NULL (counted per group to pin that rule). At 100 TB this is the
-    // schema-on-read contract for heterogeneous event payloads — the
-    // variant parse is a narrow codegen'd projection; the aggregate is
-    // the same 5-group hash agg as any other. The DuckDB oracle
-    // replays through its own JSON path functions — two engines, two
-    // semi-structured stacks, one answer.
-    GQuery(
-      "q_json_variant",
-      (s, dir) => {
-        Tables.events(s, dir)
-          .withColumn("v", parse_json(col("props")))
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            sum(expr("variant_get(v, '$.k', 'bigint')")).as("sum_k"),
-            min(expr("variant_get(v, '$.k', 'bigint')")).as("min_k"),
-            max(expr("variant_get(v, '$.k', 'bigint')")).as("max_k"),
-            sum(when(expr("variant_get(v, '$.missing', 'string')").isNull, 1)
-              .otherwise(0)).as("n_missing"))
-          .orderBy(col("event_type"))
-      },
-      Some("""SELECT event_type, count(*) AS n,
-             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-             |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-             |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-             |  CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
-             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
-             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
-
-    // Correlated scalar subquery — Catalyst decorrelates it into an
-    // aggregate + join (no per-row re-execution at any scale).
-    GQuery(
-      "q_subquery_scalar",
-      (s, dir) => {
-        Tables.orders(s, dir).createOrReplaceTempView("gq_orders_sub")
-        s.sql(
-          """SELECT o_orderkey, round(CAST(o_totalprice AS DOUBLE), 2) AS price
-            |FROM gq_orders_sub o
-            |WHERE o_totalprice > 2 * (SELECT CAST(avg(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-            |                          FROM gq_orders_sub WHERE o_custkey = o.o_custkey)
-            |ORDER BY o_orderkey""".stripMargin)
-      },
-      Some("""SELECT o_orderkey, round(CAST(o_totalprice AS DOUBLE), 2) AS price
-             |FROM orders o
-             |WHERE o_totalprice > 2 * (SELECT CAST(avg(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-             |                          FROM orders WHERE o_custkey = o.o_custkey)
-             |ORDER BY o_orderkey""".stripMargin)),
-
-    // Correlated EXISTS / NOT EXISTS — the other half of subquery
-    // decorrelation (q_subquery_scalar covers scalar subqueries):
-    // Catalyst's RewritePredicateSubquery turns both predicates into
-    // left-semi / left-anti joins on o_custkey, so the physical plan is
-    // two hash joins — no per-row subquery execution anywhere. Customers
-    // with at least one finished order but no open high-value order.
-    GQuery(
-      "q_subquery_exists",
-      (s, dir) => {
-        Tables.customer(s, dir).createOrReplaceTempView("gq_cust_ex")
-        Tables.orders(s, dir).createOrReplaceTempView("gq_orders_ex")
-        s.sql(
-          """SELECT c_custkey, c_mktsegment
-            |FROM gq_cust_ex c
-            |WHERE EXISTS (SELECT 1 FROM gq_orders_ex o
-            |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
-            |  AND NOT EXISTS (SELECT 1 FROM gq_orders_ex o
-            |                  WHERE o.o_custkey = c.c_custkey
-            |                    AND o.o_orderstatus = 'O' AND o.o_totalprice > 300000)
-            |ORDER BY c_custkey""".stripMargin)
-      },
-      Some("""SELECT c_custkey, c_mktsegment
-             |FROM customer c
-             |WHERE EXISTS (SELECT 1 FROM orders o
-             |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
-             |  AND NOT EXISTS (SELECT 1 FROM orders o
-             |                  WHERE o.o_custkey = c.c_custkey
-             |                    AND o.o_orderstatus = 'O' AND o.o_totalprice > 300000)
-             |ORDER BY c_custkey""".stripMargin)),
-
-    // Pivot as conditional aggregation (the portable formulation — the
-    // groupBy().pivot() API compiles to exactly this plan).
-    GQuery(
-      "q_pivot",
-      (s, dir) => {
-        Tables.orders(s, dir)
-          .groupBy(col("o_orderpriority"))
-          .agg(
-            count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
-            count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
-            count(when(col("o_orderstatus") === "P", 1)).as("n_p"),
-            dround(sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice"))))).as("total_f"))
-          .orderBy(col("o_orderpriority"))
-      },
-      Some("""SELECT o_orderpriority,
-             |  count(CASE WHEN o_orderstatus='F' THEN 1 END) AS n_f,
-             |  count(CASE WHEN o_orderstatus='O' THEN 1 END) AS n_o,
-             |  count(CASE WHEN o_orderstatus='P' THEN 1 END) AS n_p,
-             |  round(CAST(sum(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS total_f
-             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
-
-    // Unpivot/melt: wide metric columns to (metric, val) rows — the
-    // inverse of q_pivot, as the portable stack() generator (the
-    // DataFrame unpivot API compiles to the same Expand node). Narrow
-    // per-row expansion, no shuffle; output ORDER BY includes val so
-    // fully-duplicate source rows order deterministically.
-    GQuery(
-      "q_unpivot",
-      (s, dir) => {
-        Tables.lineitem(s, dir)
-          .filter(col("l_quantity") >= 48)
-          .selectExpr("l_orderkey", "l_linenumber",
-            """stack(3, 'quantity', CAST(l_quantity AS DOUBLE),
-              |         'extendedprice', l_extendedprice,
-              |         'discount', l_discount) AS (metric, val)""".stripMargin)
-          .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"), col("val"))
-      },
-      Some("""SELECT l_orderkey, l_linenumber, metric, val FROM (
-             |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity::DOUBLE AS val
-             |    FROM lineitem WHERE l_quantity >= 48
-             |  UNION ALL
-             |  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
-             |    FROM lineitem WHERE l_quantity >= 48
-             |  UNION ALL
-             |  SELECT l_orderkey, l_linenumber, 'discount', l_discount
-             |    FROM lineitem WHERE l_quantity >= 48) u
-             |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin)),
-
-    // ntile quantile bucketing per returnflag. The filter keeps window
-    // partitions bounded here; at scale ntile = floor((rank*n)/N) over
-    // the global rank, so the skew-safe path is q_win_percentile's
-    // bucketed-rank decomposition, not a wider sort. Window order is
-    // total (5-column tie-break) so bucket assignment is deterministic;
-    // the output ORDER BY ends in bucket so fully-duplicate rows
-    // (assigned adjacent buckets) order deterministically too.
-    GQuery(
-      "q_win_ntile",
-      (s, dir) => {
-        val w = Window.partitionBy(col("l_returnflag"))
-          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"),
-            col("l_partkey"), col("l_suppkey"))
-        Tables.lineitem(s, dir)
-          .filter(col("l_quantity") === 50)
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-            col("l_extendedprice"), ntile(8).over(w).as("bucket"))
-          .orderBy(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"),
-            col("l_linenumber"), col("bucket"))
-      },
-      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
-             |  CAST(ntile(8) OVER (PARTITION BY l_returnflag
-             |    ORDER BY l_extendedprice, l_orderkey, l_linenumber, l_partkey, l_suppkey) AS INTEGER) AS bucket
-             |FROM lineitem WHERE l_quantity = 50
-             |ORDER BY l_returnflag, l_extendedprice, l_orderkey, l_linenumber, bucket""".stripMargin)),
-
-    // Distribution window functions (percent_rank/cume_dist) per
-    // o_orderpriority — 5 distinct values, so a plain Window
-    // partitioned by priority would sort n/5 rows in each of 5
-    // reducers: the exact skew monster the q_win_rank comment warns
-    // about. Scale-safe two-pass plan instead: because the window
-    // order ends in the unique o_orderkey there are no peers, so
-    // percent_rank = (rank-1)/(N-1) and cume_dist = rank/N with
-    // rank = global row number. Compute that rank distributively:
-    // bucket prices into monotone ranges (any monotone bucketing is
-    // correct — offsets and within-bucket ranks sum to the same
-    // global rank), aggregate counts per (priority, bucket) [tiny],
-    // prefix-sum offsets + per-priority totals over the aggregate,
-    // broadcast back, and row_number within (priority, bucket) —
-    // every sorted partition is now a bounded price range, never n/5.
-    // The divisions reproduce the engines' own percent_rank/cume_dist
-    // arithmetic bit-for-bit (integer-valued doubles < 2^53).
-    GQuery(
-      "q_win_percentile",
-      (s, dir) => {
-        val base = Tables.orders(s, dir)
-          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-          .withColumn("bkt", floor(col("o_totalprice") / 1000).cast("int"))
-        val wOff = Window.partitionBy(col("o_orderpriority")).orderBy(col("bkt"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wTot = Window.partitionBy(col("o_orderpriority"))
-        val offsets = base.groupBy(col("o_orderpriority"), col("bkt"))
-          .agg(count(lit(1)).as("c"))
-          .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
-          .withColumn("n_part", sum(col("c")).over(wTot))
-          .select(col("o_orderpriority"), col("bkt"), col("off"), col("n_part"))
-        val wIn = Window.partitionBy(col("o_orderpriority"), col("bkt"))
-          .orderBy(col("o_totalprice"), col("o_orderkey"))
-        base.join(broadcast(offsets), Seq("o_orderpriority", "bkt"))
-          .withColumn("rn", col("off") + row_number().over(wIn))
-          .withColumn("pr", round(when(col("n_part") > 1,
-            (col("rn") - 1).cast("double") / (col("n_part") - 1).cast("double"))
-            .otherwise(lit(0.0)), 6))
-          .withColumn("cd", round(col("rn").cast("double") / col("n_part").cast("double"), 6))
-          .filter(col("pr") >= 0.99)
-          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
-            col("pr"), col("cd"))
-          .orderBy(col("o_orderpriority"), col("o_orderkey"))
-      },
-      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice, pr, cd FROM (
-             |  SELECT o_orderkey, o_orderpriority, o_totalprice,
-             |    round(percent_rank() OVER w, 6) AS pr,
-             |    round(cume_dist() OVER w, 6) AS cd
-             |  FROM orders
-             |  WINDOW w AS (PARTITION BY o_orderpriority
-             |               ORDER BY o_totalprice, o_orderkey)) t
-             |WHERE pr >= 0.99 ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
-
-    GQuery(
-      "q_case_when",
-      (s, dir) => {
-        Tables.orders(s, dir)
-          .select(
-            col("o_orderkey"),
-            when(col("o_totalprice") > 300000, "big")
-              .when(col("o_totalprice") > 100000, "mid")
-              .otherwise("small").as("bucket"),
-            coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING")).as("status_or_pending"),
-            when(col("o_orderpriority").isNull, lit("none")).otherwise(col("o_orderpriority")).as("prio"))
-          .orderBy(col("o_orderkey"))
-      },
-      Some("""SELECT o_orderkey,
-             |  CASE WHEN o_totalprice > 300000 THEN 'big'
-             |       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket,
-             |  coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_or_pending,
-             |  CASE WHEN o_orderpriority IS NULL THEN 'none' ELSE o_orderpriority END AS prio
-             |FROM orders ORDER BY o_orderkey""".stripMargin))
-  )
+  /** The family files' concatenation — one flat registry, same names.
+    * Order is cosmetic (every consumer keys or sorts by name). */
+  def queries: Seq[GQuery] =
+    RelationalJoins.queries ++ RelationalTpch.queries ++
+      RelationalAgg.queries ++ RelationalWindows.queries ++
+      RelationalSql.queries ++ RelationalFuncs.queries
 }

@@ -1,0 +1,560 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import RelCommon._
+
+/** the aggregation family incl. sketches and profiling — split from Relational.scala (round 18) purely for review
+  * ergonomics; the registry, ids and oracles are unchanged. */
+private[queries] object RelationalAgg {
+
+  def queries: Seq[GQuery] = Seq(
+
+    // --------------------------------------------------------- aggregation
+    // TPC-H Q1 shape: partial hash agg map-side → 6-group final agg.
+    // Decimal sums keep Spark's and DuckDB's different add-orders from
+    // producing different doubles.
+    GQuery(
+      "q_agg_hash",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dround(sum(dec(col("l_quantity")))).as("sum_qty"),
+            dround(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+            dround(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("sum_disc_price"),
+            dround(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) * (lit(1) + dec(col("l_tax"))))).as("sum_charge"),
+            round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 4).as("avg_qty"),
+            round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 4).as("avg_price"),
+            round(sum(dec(col("l_discount"))).cast("double") / count(lit(1)), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_base_price,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS sum_disc_price,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE), 4) AS sum_charge,
+             |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+             |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Exact distinct aggregation (expand + two-phase agg under the hood).
+    GQuery(
+      "q_agg_distinct",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Approx sketch (HLL++). The raw estimate is engine-specific hashing
+    // (no cross-engine value match possible), so the VALUE-gated output
+    // carries the exact twin plus `approx_ok` — the ε claim itself,
+    // evaluated in-engine (|est − exact| ≤ 0.15·exact, 3σ of the default
+    // relativeSD 0.05) as a deterministic boolean the DuckDB oracle
+    // emits as TRUE. A sketch regression past 3σ flips the boolean and
+    // fails the hash gate; the raw-estimate ε check also stays pinned
+    // in QueriesSpec.
+    GQuery(
+      "q_agg_approx_distinct",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("n_parts"))
+          .select(col("l_returnflag"), col("n_parts"),
+            (abs(col("approx_parts") - col("n_parts")) <=
+              col("n_parts").cast("double") * 0.15).as("approx_ok"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             |  TRUE AS approx_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Ordered string aggregation (listagg/string_agg): deterministic via
+    // distinct + explicit sort before the join.
+    GQuery(
+      "q_agg_listagg",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+             |  count(*) AS n
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Exact percentiles (sort-based within group; interpolating —
+    // matches quantile_cont). SCALE NOTE: exact percentile() buffers
+    // O(group size) values per group in the aggregation buffer — fine
+    // while the largest group fits one executor's memory (here: 3 flag
+    // groups over lineitem), a spill-then-OOM hazard beyond. The scale
+    // path is the approx twin q_agg_approx_percentile (KLL-family
+    // sketch: mergeable partial agg, bounded memory per group at any
+    // group size); switch when per-group cardinality approaches 10^7
+    // values (~100 MB of doubles buffered per group) — see SCALE.md
+    // "Aggregation and windows". Exact is the oracle form.
+    GQuery(
+      "q_agg_percentile",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+            round(expr("percentile(l_quantity, 0.95)"), 4).as("p95_qty"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+             |  round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // WEIGHTED percentile (percentile's 3-arg frequency form) — the
+    // importance-weighted quantile a training-data pipeline needs when
+    // rows carry multiplicities (sampling weights, repetition counts,
+    // upweighted domains): each value counts `frequency` times in the
+    // sorted multiset, interpolation unchanged. The whole point vs
+    // physically expanding rows (what the ORACLE does with unnest —
+    // correct but Σweights-sized): the aggregate consumes weights
+    // IN-PLACE, so the engine's cost stays row-count-sized no matter
+    // how large the weights are — at 100 TB with repetition weights in
+    // the thousands, expansion is a non-starter. Buffering caveat
+    // shared with q_agg_percentile (exact percentile buffers per-group
+    // values); the approx sketch twin remains the giant-group exit.
+    GQuery(
+      "q_agg_weighted_percentile",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_quantity, 0.5D, l_linenumber)"), 4).as("p50_w"),
+            round(expr("percentile(l_quantity, 0.9D, l_linenumber)"), 4).as("p90_w"),
+            sum(col("l_linenumber")).cast("long").as("w_total"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH x AS (SELECT l_returnflag, l_quantity,
+             |             unnest(range(l_linenumber)) AS i FROM lineitem)
+             |SELECT l_returnflag,
+             |  round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS p50_w,
+             |  round(CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE), 4) AS p90_w,
+             |  count(*)::BIGINT AS w_total
+             |FROM x GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // MODE (most frequent value) with an EXPLICIT tie-break — highest
+    // count, then smallest value. Spark's built-in mode() leaves ties
+    // undefined, so cross-engine value-checking requires spelling the
+    // tie rule out: (group, value) count + one row_number window, the
+    // ordered-set-aggregate pattern that stays deterministic on any
+    // engine. Shuffle carries (group, value) pairs, not rows.
+    GQuery(
+      "q_agg_mode",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("n").desc, col("l_quantity"))
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, l_quantity AS mode_qty, n FROM (
+             |  SELECT l_returnflag, l_quantity, count(*) AS n,
+             |    row_number() OVER (PARTITION BY l_returnflag
+             |                       ORDER BY count(*) DESC, l_quantity) AS rn
+             |  FROM lineitem GROUP BY 1, 2) t
+             |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin)),
+
+    GQuery(
+      "q_agg_rollup",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping(col("o_orderstatus")).cast("int").as("g_status"),
+            grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+            count(lit(1)).as("n"),
+            dround(sum(dec(col("o_totalprice")))).as("total"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+            col("g_status"), col("g_prio"), col("n"), col("total"))
+          .orderBy(col("g_status"), col("g_prio"), col("status"), col("prio"))
+      },
+      Some(s"""SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS prio,
+             |  CAST(grouping(o_orderstatus) AS INT) AS g_status, CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+             |  count(*) AS n, ${OD.format("sum(CAST(o_totalprice AS DECIMAL(18,4)))")} AS total
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY g_status, g_prio, status, prio""".stripMargin)),
+
+    GQuery(
+      "q_agg_cube",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping(col("l_returnflag")).cast("int").as("g_rf"),
+            grouping(col("l_linestatus")).cast("int").as("g_ls"),
+            count(lit(1)).as("n"),
+            dround(sum(dec(col("l_quantity")))).as("qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("g_rf"), col("g_ls"), col("n"), col("qty"))
+          .orderBy(col("g_rf"), col("g_ls"), col("rf"), col("ls"))
+      },
+      Some(s"""SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+             |  CAST(grouping(l_returnflag) AS INT) AS g_rf, CAST(grouping(l_linestatus) AS INT) AS g_ls,
+             |  count(*) AS n, ${OD.format("sum(CAST(l_quantity AS DECIMAL(18,4)))")} AS qty
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY g_rf, g_ls, rf, ls""".stripMargin)),
+
+    GQuery(
+      "q_agg_gsets",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("gq_customer")
+        s.sql(
+          """SELECT coalesce(c_mktsegment,'ALL') AS seg,
+            |  CAST(coalesce(c_nationkey, -1) AS INT) AS nk,
+            |  CAST(grouping(c_mktsegment) AS INT) AS g_seg, CAST(grouping(c_nationkey) AS INT) AS g_nk,
+            |  count(*) AS n,
+            |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS bal
+            |FROM gq_customer
+            |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), (c_mktsegment, c_nationkey), ())
+            |ORDER BY g_seg, g_nk, seg, nk""".stripMargin)
+      },
+      Some("""SELECT coalesce(c_mktsegment,'ALL') AS seg,
+             |  CAST(coalesce(c_nationkey, -1) AS INT) AS nk,
+             |  CAST(grouping(c_mktsegment) AS INT) AS g_seg, CAST(grouping(c_nationkey) AS INT) AS g_nk,
+             |  count(*) AS n,
+             |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS bal
+             |FROM customer
+             |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), (c_mktsegment, c_nationkey), ())
+             |ORDER BY g_seg, g_nk, seg, nk""".stripMargin)),
+
+    // HAVING: post-aggregation filter (Catalyst folds it into the same
+    // aggregate stage — no extra pass).
+    GQuery(
+      "q_having",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"), dround(sum(dec(col("o_totalprice")))).as("total"))
+          .filter(col("n") >= 3)
+          .orderBy(col("o_custkey"))
+      },
+      Some(s"""SELECT o_custkey, count(*) AS n,
+             |  ${OD.format("sum(CAST(o_totalprice AS DECIMAL(18,4)))")} AS total
+             |FROM orders GROUP BY o_custkey HAVING count(*) >= 3
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // FILTER-clause aggregation (SQL:2003) — per-aggregate predicates in
+    // one pass over the input, the standard form of q_pivot's CASE-WHEN
+    // conditional aggregation. Catalyst compiles each FILTER into the
+    // aggregate's filter child; still one partial+final hash agg.
+    GQuery(
+      "q_agg_filter",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("gq_orders_fil")
+        s.sql(
+          """SELECT o_orderpriority,
+            |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+            |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+            |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+            |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 4) AS total_open
+            |FROM gq_orders_fil
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority,
+             |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+             |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 4) AS total_open
+             |FROM orders
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Percentile sketch (accuracy 1000 → rank error ≤ n/1000). Sketch
+    // value is engine-specific, so the VALUE-gated output carries the
+    // exact median plus `approx_ok` — the rank-error claim evaluated
+    // in-engine (approx median within the exact [0.49, 0.51] quantile
+    // band, wide margin over the guarantee) as a deterministic boolean
+    // the oracle emits as TRUE. A sketch regression flips the boolean
+    // and fails the hash gate; the raw ε check stays in QueriesSpec.
+    GQuery(
+      "q_agg_approx_percentile",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
+            expr("percentile(l_extendedprice, array(0.49, 0.5, 0.51))").as("b"))
+          .select(col("l_returnflag"),
+            round(col("b").getItem(1), 4).as("exact_median"),
+            (col("approx_median") >= col("b").getItem(0) &&
+              col("approx_median") <= col("b").getItem(2)).as("approx_ok"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+             |  TRUE AS approx_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // MERGEABLE sketches — the 100 TB pre-aggregation pattern: build a
+    // DataSketches HLL sketch per group ONCE, then answer any coarser
+    // rollup by unioning the stored sketches — never re-touching the raw
+    // rows. (approx_count_distinct gives one estimate per query; a
+    // persisted sketch column gives every future rollup for free — the
+    // difference between re-scanning 100 TB per question and merging
+    // kilobytes.) Per-flag rows carry the exact distinct beside the
+    // estimate; the ALL row is computed purely by sketch union.
+    // DataSketches binary layout and estimates are engine-specific, so
+    // the VALUE-gated output carries the exact distincts plus `est_ok`
+    // — the 5% ε claim evaluated in-engine per scope (lgConfigK=14 →
+    // ~0.8% relative error; gate at 5%) as a deterministic boolean the
+    // oracle emits as TRUE. The ALL row's estimate comes purely from
+    // the SKETCH UNION (the mergeability contract) while its exact_d
+    // comes from a direct global countDistinct — so a union regression
+    // flips ALL's boolean and fails the hash gate. The raw-estimate ε
+    // and union-vs-direct-sketch 1% gates stay pinned in QueriesSpec.
+    GQuery(
+      "q_agg_hll_merge",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        // ONE corpus scan (was two): reduce to DISTINCT (flag, orderkey)
+        // pairs first. HLL insertion is idempotent, so per-flag sketches
+        // over the pair set are bit-identical to sketches over the raw
+        // rows — and every exact twin the gate needs (per-flag AND the
+        // global one that judges the union) becomes a count over the
+        // pairs-sized cache, never a second trip over the corpus. The
+        // distinct is the same (flag, orderkey) exchange the old
+        // countDistinct rewrite paid inside its Expand plan; here it's
+        // paid once and shared. Both small tables are cache()'d, NOT
+        // localCheckpoint'd (the eager checkpoint job cost 2.4 s/run
+        // here vs 0.48 s lazy, measured sf0.1 min-of-3).
+        val pairs = li.select(col("l_returnflag"), col("l_orderkey"))
+          .distinct().cache()
+        val perFlag = pairs
+          .groupBy(col("l_returnflag"))
+          .agg(hll_sketch_agg(col("l_orderkey"), 14).as("sk"),
+            count(lit(1)).as("exact_d"))
+          .cache()
+        def ok(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+          (abs(est - exact) <= exact.cast("double") * 0.05).as("est_ok")
+        val flags = perFlag.select(
+          col("l_returnflag").as("scope"), col("exact_d"),
+          ok(hll_sketch_estimate(col("sk")), col("exact_d")))
+        // 1-row × 1-row crossJoin: the union-estimate scalar meets the
+        // global exact scalar — broadcast, never a data shuffle. The
+        // global countDistinct is GATE-ONLY scaffolding (it judges the
+        // union) and runs over the cached pairs; production answers ALL
+        // from the sketch union alone, which is the point of the pattern.
+        val all = perFlag.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+          .crossJoin(pairs.agg(countDistinct(col("l_orderkey")).as("exact_d")))
+          .select(lit("ALL").as("scope"), col("exact_d"),
+            ok(col("est"), col("exact_d")))
+        flags.unionByName(all).orderBy(col("scope"))
+      },
+      Some("""SELECT l_returnflag AS scope, count(DISTINCT l_orderkey) AS exact_d,
+             |  TRUE AS est_ok
+             |FROM lineitem GROUP BY l_returnflag
+             |UNION ALL
+             |SELECT 'ALL', count(DISTINCT l_orderkey), TRUE FROM lineitem
+             |ORDER BY scope""".stripMargin)),
+
+    // SKETCH INTERSECTION by inclusion–exclusion — the audience-overlap
+    // query (how many customers sit in BOTH the urgent and the high
+    // segment), answered from the segments' PERSISTED HLL sketches:
+    // |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union estimate
+    // comes purely from the sketch union (the mergeability contract —
+    // HLLs union losslessly but do NOT intersect, so inclusion–
+    // exclusion IS the production recipe, with error compounding from
+    // all three terms; usable when the overlap isn't tiny relative to
+    // the segments, exactly this shape). One distinct-pairs scan feeds
+    // every sketch AND every exact twin (the q_agg_hll_merge one-scan
+    // discipline); per-segment, union, and intersect rows each carry
+    // the exact count beside the in-engine 5% est_ok boolean the
+    // oracle emits as TRUE — a sketch or union regression flips a
+    // boolean and fails the hash gate. At 100 TB the segments' raw
+    // rows are never re-read: every row here after the pairs cache is
+    // sketch-sized.
+    GQuery(
+      "q_agg_hll_intersect",
+      (s, dir) => {
+        val po = Tables.orders(s, dir)
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .select(col("o_orderpriority").as("p"), col("o_custkey")).distinct().cache()
+        val perSeg = po.groupBy(col("p"))
+          .agg(hll_sketch_agg(col("o_custkey"), 14).as("sk"), count(lit(1)).as("exact_d"))
+          .cache()
+        def ok(est: Column, exact: Column) =
+          (abs(est - exact) <= exact.cast("double") * 0.05).as("est_ok")
+        val segs = perSeg.select(col("p").as("scope"), col("exact_d"),
+          ok(hll_sketch_estimate(col("sk")), col("exact_d")))
+        val est2 = perSeg.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_u"),
+          sum(hll_sketch_estimate(col("sk"))).as("est_sum"))
+        val exU = po.agg(countDistinct(col("o_custkey")).as("ex_u"))
+        val exI = po.groupBy(col("o_custkey")).agg(count(lit(1)).as("k"))
+          .filter(col("k") === 2).agg(count(lit(1)).as("ex_i"))
+        val unionRow = est2.crossJoin(exU).select(
+          lit("UNION").as("scope"), col("ex_u").as("exact_d"), ok(col("est_u"), col("ex_u")))
+        val interRow = est2.crossJoin(exI).select(
+          lit("INTERSECT").as("scope"), col("ex_i").as("exact_d"),
+          ok(col("est_sum") - col("est_u"), col("ex_i")))
+        segs.unionByName(unionRow).unionByName(interRow).orderBy(col("scope"))
+      },
+      Some("""WITH po AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c
+             |           FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             |SELECT p AS scope, count(*)::BIGINT AS exact_d, TRUE AS est_ok FROM po GROUP BY p
+             |UNION ALL
+             |SELECT 'UNION', count(DISTINCT c), TRUE FROM po
+             |UNION ALL
+             |SELECT 'INTERSECT', count(*), TRUE FROM (
+             |  SELECT c FROM po GROUP BY c HAVING count(*) = 2) z
+             |ORDER BY scope""".stripMargin)),
+
+    // MERGEABLE QUANTILE SKETCH — the rank-statistics member of the
+    // sketch family (HLL: q_agg_hll_merge cardinality, CMS:
+    // q_heavy_hitters_cms frequency): a per-group bottom-k-by-hash-rank
+    // sample (k = 4096) whose union-then-rebottom-k IS the sketch of the
+    // union — the mergeability law, exercised twice IN the plan: (1) the
+    // sample is built partial-first (bottom-k per input partition, then
+    // bottom-k of the ≤ k·partitions survivors — never a skewed
+    // 3-partition global sort of the corpus); (2) the ALL row's sketch
+    // is the re-bottom-k of the per-group sketches, ≤ k·groups rows.
+    // Hash rank is xxhash64 (engine-specific), so like the HLL gate the
+    // estimate itself can't be oracled — the driver checks the EXACT
+    // median (DuckDB-replayable) plus est_ok: the sketch median within
+    // 5% of the value range of the true one (k = 4096 puts the typical
+    // sampling error near 0.8% of range — an order of magnitude inside
+    // the gate, so a pass is robust, not lucky). At 100 TB the sketch
+    // shuffle carries ≤ k rows per partition after the partial cut.
+    GQuery(
+      "q_quantile_sketch",
+      (s, dir) => {
+        val k = 4096
+        val li = Tables.lineitem(s, dir).select(col("l_returnflag").as("scope"),
+          col("l_quantity").as("v"),
+          xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice")).as("h"))
+        val wPart = Window.partitionBy(col("scope"), spark_partition_id())
+          .orderBy(col("h"), col("v"))
+        val wGroup = Window.partitionBy(col("scope")).orderBy(col("h"), col("v"))
+        // partial bottom-k per partition, then bottom-k of survivors —
+        // the merge law applied to the build itself
+        val sketch = li
+          .withColumn("rp", row_number().over(wPart)).filter(col("rp") <= k)
+          .withColumn("rg", row_number().over(wGroup)).filter(col("rg") <= k)
+          .select(col("scope"), col("v"), col("h")).cache()
+        val exact = li.groupBy(col("scope"))
+          .agg(expr("percentile(v, 0.5)").as("med"), (max(col("v")) - min(col("v"))).as("rng"))
+        val estG = sketch.groupBy(col("scope")).agg(expr("percentile(v, 0.5)").as("est"))
+        val flags = exact.join(estG, "scope")
+          .select(col("scope"), dround(col("med")).as("exact_med"),
+            (abs(col("est") - col("med")) <= col("rng") * 0.05).as("est_ok"))
+        // ALL: merge the group sketches (re-bottom-k of their union),
+        // estimate from the merged sketch, judge vs the global exact
+        val merged = sketch
+          .withColumn("rm", row_number().over(Window.orderBy(col("h"), col("v"))))
+          .filter(col("rm") <= k)
+        val all = merged.agg(expr("percentile(v, 0.5)").as("est"))
+          .crossJoin(li.agg(expr("percentile(v, 0.5)").as("med"),
+            (max(col("v")) - min(col("v"))).as("rng")))
+          .select(lit("ALL").as("scope"), dround(col("med")).as("exact_med"),
+            (abs(col("est") - col("med")) <= col("rng") * 0.05).as("est_ok"))
+        flags.unionByName(all).orderBy(col("scope"))
+      },
+      Some("""SELECT l_returnflag AS scope,
+             |  round(CAST(median(l_quantity) AS DOUBLE), 4) AS exact_med, TRUE AS est_ok
+             |FROM lineitem GROUP BY l_returnflag
+             |UNION ALL
+             |SELECT 'ALL', round(CAST(median(l_quantity) AS DOUBLE), 4), TRUE FROM lineitem
+             |ORDER BY scope""".stripMargin)),
+
+    // Column profiling — the data-quality sweep any ingest pipeline runs
+    // over a freshly-materialized table (per column: rows, nulls, exact
+    // distinct, min, max), emitted as one uniform (col_name, stats) table.
+    // Plan: one single-column aggregate PER COLUMN, unioned — NOT one
+    // combined aggregate: mixing five countDistincts with sixteen plain
+    // aggs triggers Spark's multi-distinct rewrite (Expand ×6 of every
+    // row through one shuffle), measured 7× slower at sf0.1 (6.3 s vs
+    // 0.9 s) than the per-column shape. Parquet column pruning makes the
+    // "five scans" read exactly the same bytes as one five-column scan
+    // — each scan reads only its column — and each per-column agg keeps
+    // a SINGLE distinct, which Spark plans as partial-distinct grouping
+    // with no Expand. The branches are independent jobs (embarrassingly
+    // parallel at 100 TB); swap countDistinct→approx_count_distinct and
+    // min/max→parquet footer stats for the zero-scan variant. Exact
+    // distinct here because the oracle demands exactness. All values
+    // normalize to strings via a fixed rendering (ints verbatim, doubles
+    // through DECIMAL(18,4), timestamps through a pinned format) so
+    // Spark and DuckDB cannot diverge on float/timestamp formatting.
+    GQuery(
+      "q_profile_stats",
+      (s, dir) => {
+        val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",
+          "l_quantity", "l_shipdate")
+        def asStr(c: String): Column => Column = c match {
+          case "l_quantity" => x => dec(x).cast("string")
+          case "l_shipdate" => x => date_format(x, "yyyy-MM-dd HH:mm:ss")
+          case _            => x => x.cast("string")
+        }
+        val li = Tables.lineitem(s, dir)
+        cols.map { c =>
+          li.select(col(c))
+            .agg(count(lit(1)).as("n_rows"), count(col(c)).as("n_nonnull"),
+              countDistinct(col(c)).as("n_distinct"),
+              asStr(c)(min(col(c))).as("min_val"),
+              asStr(c)(max(col(c))).as("max_val"))
+            .select(lit(c).as("col_name"), col("n_rows"),
+              (col("n_rows") - col("n_nonnull")).as("n_null"),
+              col("n_distinct"), col("min_val"), col("max_val"))
+        }.reduce(_ unionAll _)
+          .orderBy(col("col_name"))
+      },
+      Some("""SELECT col_name, n_rows, n_rows - n_nonnull AS n_null, n_distinct, min_val, max_val
+             |FROM (
+             |  SELECT 'l_orderkey' AS col_name, count(*) AS n_rows, count(l_orderkey) AS n_nonnull,
+             |         count(DISTINCT l_orderkey) AS n_distinct,
+             |         min(l_orderkey)::VARCHAR AS min_val, max(l_orderkey)::VARCHAR AS max_val
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_linenumber', count(*), count(l_linenumber), count(DISTINCT l_linenumber),
+             |         min(l_linenumber)::VARCHAR, max(l_linenumber)::VARCHAR FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_returnflag', count(*), count(l_returnflag), count(DISTINCT l_returnflag),
+             |         min(l_returnflag), max(l_returnflag) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_quantity', count(*), count(l_quantity), count(DISTINCT l_quantity),
+             |         min(CAST(l_quantity AS DECIMAL(18,4)))::VARCHAR,
+             |         max(CAST(l_quantity AS DECIMAL(18,4)))::VARCHAR FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_shipdate', count(*), count(l_shipdate), count(DISTINCT l_shipdate),
+             |         strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+             |         strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') FROM lineitem) u
+             |ORDER BY col_name""".stripMargin))
+  )
+}

@@ -1,0 +1,497 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import RelCommon._
+
+/** scan, filter and the join family (SURVEY.md §2.3 joins) — split from Relational.scala (round 18) purely for review
+  * ergonomics; the registry, ids and oracles are unchanged. */
+private[queries] object RelationalJoins {
+
+  def queries: Seq[GQuery] = Seq(
+    // ---------------------------------------------------------------- scan
+    // Column pruning: only 4 of 11 lineitem columns reach the scan
+    // (ReadSchema in explain); at 100 TB that is the difference between
+    // reading 100 TB and ~35 TB.
+    GQuery(
+      "q_scan_project",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+          // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+          // — order by every selected column so the sort is total.
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin)),
+
+    // -------------------------------------------------------------- filter
+    // All predicates pushed to the parquet scan (PushedFilters); row-group
+    // statistics skip non-matching groups before decoding a single page.
+    GQuery(
+      "q_filter_pred",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .filter(
+            col("l_returnflag").isin("A", "R") &&
+            col("l_quantity").between(5, 30) &&
+            (col("l_linestatus") <=> "F" || col("l_discount") < 0.05) &&
+            col("l_linestatus").like("%"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_linestatus"), col("l_quantity"), col("l_discount"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_linestatus"), col("l_quantity"), col("l_discount"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity, l_discount
+             |FROM lineitem
+             |WHERE l_returnflag IN ('A','R') AND l_quantity BETWEEN 5 AND 30
+             |  AND (l_linestatus IS NOT DISTINCT FROM 'F' OR l_discount < 0.05)
+             |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity, l_discount""".stripMargin)),
+
+    // --------------------------------------------------------------- joins
+    // Shuffled hash/sort-merge join on the key; at scale both sides
+    // hash-partition on custkey — co-partitioned, no replication.
+    GQuery(
+      "q_join_inner",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+          .select(col("o_orderkey"), col("c_custkey"), col("c_name"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, c_custkey, c_name, o_totalprice
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    GQuery(
+      "q_join_left",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .select(col("c_custkey"), col("o_orderkey"))
+          .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+      },
+      Some("""SELECT c_custkey, o_orderkey
+             |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus='F') o
+             |  ON c_custkey = o.o_custkey
+             |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin)),
+
+    GQuery(
+      "q_join_right",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        val c = Tables.customer(s, dir)
+        o.join(c, o("o_custkey") === c("c_custkey"), "right")
+          .select(col("c_custkey"), col("o_orderkey"))
+          .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+      },
+      Some("""SELECT c_custkey, o_orderkey
+             |FROM (SELECT * FROM orders WHERE o_orderstatus='F') o
+             |RIGHT JOIN customer ON o.o_custkey = c_custkey
+             |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin)),
+
+    GQuery(
+      "q_join_full",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+        val o = Tables.orders(s, dir).filter(col("o_totalprice") > 200000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "full")
+          .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+      },
+      Some("""SELECT c_custkey, o_orderkey, o_totalprice
+             |FROM (SELECT * FROM customer WHERE c_acctbal > 5000) c
+             |FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 200000) o
+             |  ON c.c_custkey = o.o_custkey
+             |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin)),
+
+    // Existence joins never materialize the right side's columns — Spark
+    // plans them as semi/anti hash joins (right side build, dedup'd keys).
+    GQuery(
+      "q_join_semi",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus='O')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    GQuery(
+      "q_join_anti",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus='O')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // The broadcast HINT is the operator under test here: explicit
+    // broadcast() turns a 3-way shuffle into a single map-side stage
+    // over lineitem — the canonical star-schema plan. Region/nation are
+    // fixed-size (5/25 rows at every SF) so their hints are always
+    // safe; supplier is SF-scaled but pruned to 2 integer columns
+    // before the hint, and the production-discipline twin — dims
+    // WITHOUT forced hints, strategy left to the size-based planner —
+    // is the TPC-H composite family below (q_tpch_q3/q5/q10/q18).
+    GQuery(
+      "q_join_broadcast",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val su = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        val na = Tables.nation(s, dir).select(col("n_nationkey"), col("n_regionkey"))
+        val re = Tables.region(s, dir)
+        li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(re), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(
+            dround(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"))
+      },
+      Some(s"""SELECT r_name,
+             |  ${OD.format("sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))))")} AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // Salted join under the value gate: Skew.saltedJoin's contract is
+    // row-multiplicity identity with the plain join — here the oracle
+    // IS the plain join, so the scatter/replicate rewrite is checked
+    // value-for-value, not just by count. The salting pattern is the
+    // fallback when one key is so hot even AQE's skew split leaves an
+    // oversized build side (or in streaming batches, where AQE is off).
+    GQuery(
+      "q_join_salted",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val pa = Tables.part(s, dir).filter(col("p_size") === 1)
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+        graft.ops.Skew.saltedJoin(li, pa, "l_partkey", salt = 8)
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+      },
+      Some("""SELECT l_partkey, l_orderkey, l_linenumber, l_quantity, p_brand
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_size = 1
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin)),
+
+    // Range/theta join, BANDED: nationkey alone has 25 values, so at
+    // scale each nation bucket degenerates to |S_n|×|C_n| pairwise work
+    // on one reducer. Banding acctbal into 1000-wide buckets and
+    // exploding each supplier over every band at-or-below its own turns
+    // the join key into (nationkey, band) — 25×12 well-spread keys, the
+    // standard interval-join decomposition. The theta predicate stays as
+    // the exact post-join filter (bands < own are all-match, own band is
+    // boundary-checked; the filter is cheap either way). Output size is
+    // inherent to the query; the banding removes the skewed reducer.
+    GQuery(
+      "q_join_theta_range",
+      (s, dir) => {
+        val bandW = 1000
+        // The band floor is DERIVED from min(c_acctbal) (one cheap
+        // column-min scan, broadcast as a 1-row scalar) rather than
+        // assumed: a hardcoded floor silently drops qualifying pairs the
+        // moment a balance falls below it. Suppliers whose own band sits
+        // below every customer band can match nothing — the empty-array
+        // branch (sequence() would count DOWN, generating junk bands)
+        // explodes them away.
+        val lo = Tables.customer(s, dir)
+          .agg(floor(min(col("c_acctbal")) / bandW).cast("int").as("lo_band"))
+        val su = Tables.supplier(s, dir).crossJoin(broadcast(lo))
+          .withColumn("hi_band", floor(col("s_acctbal") / bandW).cast("int"))
+          .withColumn("band", explode(
+            when(col("hi_band") >= col("lo_band"), sequence(col("lo_band"), col("hi_band")))
+              .otherwise(array().cast("array<int>"))))
+        val c = Tables.customer(s, dir)
+          .withColumn("band", floor(col("c_acctbal") / bandW).cast("int"))
+        su.join(c, su("s_nationkey") === c("c_nationkey") &&
+            su("band") === c("band") && su("s_acctbal") > c("c_acctbal"))
+          .select(col("s_suppkey"), col("c_custkey"))
+          .orderBy(col("s_suppkey"), col("c_custkey"))
+      },
+      Some("""SELECT s_suppkey, c_custkey
+             |FROM supplier JOIN customer
+             |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+             |ORDER BY s_suppkey, c_custkey""".stripMargin)),
+
+    // 2-D SPATIAL BOX JOIN as a grid-cell equi-join — the
+    // spatial-range twin of q_join_theta_range's 1-D banding: 25 query
+    // boxes (derived from the nation dim) count their covered
+    // (partkey, suppkey) points. Each box decomposes into the coarse
+    // grid cells it overlaps (double sequence-explode on the
+    // per-dimension high bits — ≤ ~20 cells/box here), each point maps
+    // to exactly ONE cell (two shiftrights, narrow), and the join is a
+    // broadcast EQUI-join on the cell key with the exact box predicate
+    // as a residual filter — never a nested loop over boxes × points.
+    // At 100 TB the fact side stays a single narrow scan; cells/box is
+    // bounded by box-size/cell-size (the grid-file rule), and the only
+    // exchange is the 25-key count aggregate with map-side partials.
+    // A point lies in exactly one cell, so a (box, point) pair can
+    // match at most once — no post-join dedup.
+    GQuery(
+      "q_join_spatial_grid",
+      (s, dir) => {
+        val boxes = Tables.nation(s, dir).select(
+          col("n_nationkey").cast("long").as("box_id"),
+          (col("n_nationkey") * 300 + 1).cast("long").as("plo"),
+          (col("n_nationkey") * 300 + 800).cast("long").as("phi"),
+          (col("n_nationkey") * 3 + 1).cast("long").as("slo"),
+          (col("n_nationkey") * 3 + 30).cast("long").as("shi"))
+        val cellBoxes = boxes
+          .withColumn("cp", explode(sequence(shiftright(col("plo"), 8), shiftright(col("phi"), 8))))
+          .withColumn("cs", explode(sequence(shiftright(col("slo"), 3), shiftright(col("shi"), 3))))
+        val pts = Tables.lineitem(s, dir)
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+          .withColumn("cp", shiftright(col("p"), 8))
+          .withColumn("cs", shiftright(col("sk"), 3))
+        val hits = pts.join(broadcast(cellBoxes), Seq("cp", "cs"))
+          .filter(col("p").between(col("plo"), col("phi")) &&
+            col("sk").between(col("slo"), col("shi")))
+          .groupBy(col("box_id")).agg(count(lit(1)).as("n_points"))
+        boxes.select(col("box_id")).join(hits, Seq("box_id"), "left")
+          .select(col("box_id"), coalesce(col("n_points"), lit(0L)).as("n_points"))
+          .orderBy(col("box_id"))
+      },
+      Some("""WITH boxes AS (
+             |  SELECT n_nationkey::BIGINT AS box_id,
+             |    (n_nationkey * 300 + 1)::BIGINT AS plo, (n_nationkey * 300 + 800)::BIGINT AS phi,
+             |    (n_nationkey * 3 + 1)::BIGINT AS slo, (n_nationkey * 3 + 30)::BIGINT AS shi
+             |  FROM nation)
+             |SELECT b.box_id, count(l.l_partkey) AS n_points
+             |FROM boxes b LEFT JOIN lineitem l
+             |  ON l.l_partkey BETWEEN b.plo AND b.phi
+             | AND l.l_suppkey BETWEEN b.slo AND b.shi
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // As-of join: latest 'click' at or before each 'purchase', per user.
+    // Spark has no native asof — implemented as the LINEAR union-sort-
+    // carry-forward form: tag both event kinds, one window over user_id
+    // ordered by (ts, kind, id) carrying the last click forward, filter to
+    // purchases. ONE shuffle on user_id, O(n log n) per user — no
+    // purchase×click pair expansion, so a power user with 10^6 events
+    // costs 10^6 rows, not 10^12 pairs (the join+window form is quadratic
+    // per user and skew-dominated at scale).
+    // Tie discipline mirrors the oracle: clicks sort before purchases at
+    // equal ts (c_ts <= p_ts is inclusive), and among equal-ts clicks the
+    // highest event_id wins (last in ascending order = carried value).
+    GQuery(
+      "q_join_asof",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), when(col("event_type") === "click", 0).otherwise(1), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val clickId = when(col("event_type") === "click", col("event_id"))
+        val clickTs = when(col("event_type") === "click", col("ts"))
+        ev.withColumn("click_id", last(clickId, ignoreNulls = true).over(w))
+          .withColumn("click_ts", last(clickTs, ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), fmtTs(col("ts")).as("p_time"),
+            col("click_id"), fmtTs(col("click_ts")).as("click_time"))
+          .orderBy(col("p_id"))
+      },
+      Some("""SELECT p_id, user_id, p_time, click_id, click_time FROM (
+             |  SELECT p.event_id AS p_id, p.user_id,
+             |         strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_time,
+             |         c.event_id AS click_id,
+             |         strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_time,
+             |         row_number() OVER (PARTITION BY p.event_id
+             |                            ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+             |  FROM (SELECT * FROM events WHERE event_type='purchase') p
+             |  LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+             |    ON p.user_id = c.user_id AND c.ts <= p.ts) t
+             |WHERE rn = 1 ORDER BY p_id""".stripMargin)),
+
+    // NATIVE as-of join — the same contract as q_join_asof served by
+    // the plan-tier custom operator (graft.plans.AsOfJoin: logical
+    // node → planner strategy → AsOfMergeJoinExec). The exec declares
+    // ClusteredDistribution + (key, ts) ordering, so the plan is ONE
+    // co-partitioning exchange + sort per side and a zero-buffer
+    // streaming merge: no purchase×click pair expansion (the range-
+    // join form), no union materialization of both schemas through a
+    // window (the q_join_asof form — kept as the composed reference;
+    // both under the same DuckDB oracle). The two sides arrive as
+    // SEPARATE relations — the shape the union trick cannot take
+    // without first reconciling schemas. AsOfJoinSpec pins operator
+    // semantics (ties, null-extension, skew) directly.
+    GQuery(
+      "q_join_asof_native",
+      (s, dir) => {
+        // null user_id filtered on both sides: the operator groups null
+        // keys (window semantics, documented at AsOfJoin.scala) while
+        // the equi-join oracle never matches them — the filter makes
+        // query and oracle agree by construction, not fixture accident
+        val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+        graft.plans.AsOfJoin.asof(purch, clicks,
+            Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("click_id"))
+          .select(col("p_id"), col("user_id"), fmtTs(col("p_ts")).as("p_time"),
+            col("click_id"), fmtTs(col("c_ts")).as("click_time"))
+          .orderBy(col("p_id"))
+      },
+      Some("""SELECT p_id, user_id, p_time, click_id, click_time FROM (
+             |  SELECT p.event_id AS p_id, p.user_id,
+             |         strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_time,
+             |         c.event_id AS click_id,
+             |         strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_time,
+             |         row_number() OVER (PARTITION BY p.event_id
+             |                            ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+             |  FROM (SELECT * FROM events
+             |        WHERE event_type='purchase' AND user_id IS NOT NULL) p
+             |  LEFT JOIN (SELECT * FROM events
+             |        WHERE event_type='click' AND user_id IS NOT NULL) c
+             |    ON p.user_id = c.user_id AND c.ts <= p.ts) t
+             |WHERE rn = 1 ORDER BY p_id""".stripMargin)),
+
+    // STRICT as-of (allowExactMatches = false): the merge_asof
+    // strict-inequality mode — only strictly-earlier clicks are
+    // attributable. Timestamps are truncated to the HOUR first: the
+    // coarse-resolution-feed shape where strictness actually matters
+    // (same-bucket events carry no causal order, so an equal-bucket
+    // click must NOT match — with raw micros, exact ties are measure-
+    // zero and the comparator would be untested by the value gate; the
+    // fixture has 39 equal-hour pairs at sf0.01, so the two modes
+    // genuinely diverge here). Same native operator, `rightTs < leftTs`
+    // in both physical paths; the oracle flips one comparator.
+    GQuery(
+      "q_join_asof_strict",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            date_trunc("hour", col("ts")).as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            date_trunc("hour", col("ts")).as("c_ts"))
+        graft.plans.AsOfJoin.asof(purch, clicks,
+            Seq("user_id"), Seq("c_user"), "p_ts", "c_ts", Seq("click_id"),
+            allowExactMatches = false)
+          .select(col("p_id"), col("user_id"), fmtTs(col("p_ts")).as("p_time"),
+            col("click_id"), fmtTs(col("c_ts")).as("click_time"))
+          .orderBy(col("p_id"))
+      },
+      Some("""SELECT p_id, user_id, p_time, click_id, click_time FROM (
+             |  SELECT p.event_id AS p_id, p.user_id,
+             |         strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_time,
+             |         c.event_id AS click_id,
+             |         strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_time,
+             |         row_number() OVER (PARTITION BY p.event_id
+             |                            ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+             |  FROM (SELECT event_id, user_id, date_trunc('hour', ts) AS ts
+             |        FROM events
+             |        WHERE event_type='purchase' AND user_id IS NOT NULL) p
+             |  LEFT JOIN (SELECT event_id, user_id, date_trunc('hour', ts) AS ts
+             |        FROM events
+             |        WHERE event_type='click' AND user_id IS NOT NULL) c
+             |    ON p.user_id = c.user_id AND c.ts < p.ts) t
+             |WHERE rn = 1 ORDER BY p_id""".stripMargin)),
+
+    // BUCKETED catalog join — the pay-the-shuffle-once-at-ingest
+    // pattern (U7 + Catalog.syncBucketed): both tables are registered
+    // bucketed(8) on the customer key, so the join needs NO exchange
+    // on either side and the per-customer aggregate above it reuses
+    // the same bucketing (the scan's output partitioning satisfies
+    // both). Locally the small dim may still broadcast; CatalogSpec
+    // pins the exchange-free SMJ with broadcasts disabled — this
+    // declared query pins the VALUES either way. Tables rebuild once
+    // per JVM (the session catalog is in-memory); the warehouse write
+    // is the amortized ingest cost, the timed query is the read.
+    GQuery(
+      "q_join_bucketed",
+      (s, dir) => {
+        val sfKey = new java.io.File(dir).getName.replace('.', '_')
+        val to = s"graft_bkt_orders_$sfKey"
+        val tc = s"graft_bkt_customer_$sfKey"
+        if (!s.catalog.tableExists(to))
+          graft.tables.Catalog.syncBucketed(s, to, Tables.orders(s, dir), 8, Seq("o_custkey"))
+        if (!s.catalog.tableExists(tc))
+          graft.tables.Catalog.syncBucketed(s, tc, Tables.customer(s, dir), 8, Seq("c_custkey"))
+        s.table(tc).join(s.table(to), col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(count(lit(1)).as("n_orders"),
+            dround(sum(dec(col("o_totalprice")))).as("total"))
+          .orderBy(col("c_custkey"))
+      },
+      Some(s"""SELECT c_custkey, c_name, count(*) AS n_orders,
+             |  ${OD.format("sum(CAST(o_totalprice AS DECIMAL(18,4)))")} AS total
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin)),
+
+    // NULL-SAFE equi-join (<=>): the CDC dimension-conformance shape —
+    // keys sentineled to NULL (here NULLIF on one nation id standing in
+    // for "unmapped") must GROUP with each other, where a plain
+    // equi-join silently drops every null-keyed row. Spark treats
+    // EqualNullSafe as a first-class equi-join key
+    // (ExtractEquiJoinKeys), so the plan is a normal broadcast/SMJ
+    // hash join — no coalesce-sentinel rewrite and no nested-loop
+    // fallback; the oracle is DuckDB's IS NOT DISTINCT FROM.
+    GQuery(
+      "q_join_nullsafe",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), expr("nullif(c_nationkey, 13)").as("ck"))
+        val su = Tables.supplier(s, dir)
+          .select(col("s_suppkey"), expr("nullif(s_nationkey, 13)").as("sk"))
+        c.join(su, col("ck") <=> col("sk"))
+          .groupBy(coalesce(col("ck"), lit(-1)).as("nation_grp"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("c_custkey")).as("n_cust"),
+            countDistinct(col("s_suppkey")).as("n_supp"))
+          .orderBy(col("nation_grp"))
+      },
+      Some("""SELECT coalesce(ck, -1) AS nation_grp, count(*) AS n_pairs,
+             |  count(DISTINCT c_custkey) AS n_cust, count(DISTINCT s_suppkey) AS n_supp
+             |FROM (SELECT c_custkey, nullif(c_nationkey, 13) AS ck FROM customer) c
+             |JOIN (SELECT s_suppkey, nullif(s_nationkey, 13) AS sk FROM supplier) s
+             |  ON c.ck IS NOT DISTINCT FROM s.sk
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // BLOOM-FILTER semi join — the cross-job runtime filter
+    // (functions/Bloom): build a 1 MB key sketch over the fact side
+    // ONCE, then the "join" against any later scan is a codegen'd scan
+    // PREDICATE — no shuffle, no build side in memory, reusable across
+    // queries, exactly the InjectRuntimeFilter plan shape made
+    // user-controllable. Bloom guarantees no false negatives; at these
+    // (items, bits) the deterministic false-positive count at the gate
+    // SFs is ZERO (verified sf0.001/sf0.01), so the exact semi-join
+    // oracle value-pins the result; BloomSpec pins the superset
+    // invariant that holds at ANY parameters.
+    GQuery(
+      "q_join_bloom",
+      (s, dir) => {
+        val bf = Tables.orders(s, dir)
+          .agg(graft.functions.Bloom.agg(col("o_custkey"), 1L << 18, 1L << 23).as("bf"))
+          .collect()(0).getAs[Array[Byte]](0)
+        Tables.customer(s, dir)
+          .filter(graft.functions.Bloom.mightContain(bf, col("c_custkey")))
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+             |ORDER BY c_custkey""".stripMargin))
+  )
+}

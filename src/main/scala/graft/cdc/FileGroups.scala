@@ -52,8 +52,11 @@ import org.apache.spark.sql.types._
   * a rollback landing mid-statement) and fail loudly — but detection
   * is not coordination: concurrent writers that interleave between a
   * recheck and its publish can still clobber each other. Serialize
-  * writes per table; readers need no coordination (they resolve
-  * whole committed manifests only).
+  * writes per table — or opt into the cross-process [[ProcessLock]]
+  * provider (`spark.graft.cdc.fsLock=true`, round 18), which
+  * serializes every commit's head-check → publish window across
+  * processes. Readers need no coordination (they resolve whole
+  * committed manifests only).
   */
 object FileGroups {
 
@@ -341,10 +344,38 @@ object FileGroups {
     }
 
   /** [[commit]] with the replayed/committed distinction surfaced and
-    * the empty-batch policy explicit — see [[CommitOutcome]]. */
+    * the empty-batch policy explicit — see [[CommitOutcome]].
+    *
+    * When `spark.graft.cdc.fsLock` is true, the whole head-check →
+    * publish window additionally holds the cross-process
+    * [[ProcessLock]] (the Hudi lock-provider opt-in), upgrading the
+    * writer contract from "cross-process races are DETECTED at the
+    * marker" to "cross-process commits are serialized". Maintenance
+    * ops run cross-process by wrapping themselves in
+    * [[ProcessLock.withLock]] — a multi-writer deployment must not
+    * rollback/purge concurrently with foreign commits without it. */
   def commitOutcome(sess: SparkSession, dir: String, batch: DataFrame, batchId: Long,
                     keys: Seq[String], ord: Seq[String], nBuckets: Int = 16,
                     allowEmpty: Boolean = true): CommitOutcome =
+    withFsLockIfEnabled(sess, dir)(
+      commitOutcomeLocked(sess, dir, batch, batchId, keys, ord, nBuckets, allowEmpty))
+
+  /** LOCK ORDER: the cross-process FS lock is taken OUTSIDE the JVM
+    * table lock, always — [[ProcessLock]] is not reentrant, so a path
+    * holding the JVM lock must never then wait on the FS lock while a
+    * sibling holds it in the opposite order (classic inversion
+    * deadlock). Every FS-locking entry point wraps here FIRST and only
+    * then synchronizes. */
+  private def withFsLockIfEnabled[T](sess: SparkSession, dir: String)(f: => T): T =
+    if (sess.conf.get(ProcessLock.EnabledConf, "false").toBoolean)
+      ProcessLock.withLock(sess, dir,
+        sess.conf.get(ProcessLock.TtlConf, "60000").toLong,
+        sess.conf.get(ProcessLock.WaitConf, "30000").toLong)(f)
+    else f
+
+  private def commitOutcomeLocked(sess: SparkSession, dir: String, batch: DataFrame,
+                                  batchId: Long, keys: Seq[String], ord: Seq[String],
+                                  nBuckets: Int, allowEmpty: Boolean): CommitOutcome =
     lockFor(dir).synchronized {
     val fs = fsOf(sess, dir)
     // resolve any standing purge intent BEFORE taking the next id: an
@@ -425,7 +456,7 @@ object FileGroups {
           s"concurrent cross-process commit detected at $dir: version $batchId was " +
             "published by another writer mid-commit — the table needs external " +
             "write coordination (one writer per table per process is enforced; " +
-            "cross-process writers need a lock provider)")
+            "cross-process writers opt into spark.graft.cdc.fsLock=true)")
       gc(sess, dir)
       Committed(dirty)
       } finally { batch.unpersist(); () }
@@ -664,7 +695,10 @@ object FileGroups {
     * the rewritten bucket set (empty for a no-op replay). */
   def commitStreamBatch(sess: SparkSession, dir: String, batch: DataFrame, streamBatchId: Long,
                         keys: Seq[String], ord: Seq[String],
-                        nBuckets: Int = 16): Set[Long] = lockFor(dir).synchronized {
+                        nBuckets: Int = 16): Set[Long] =
+    // FS lock first, JVM lock second (see withFsLockIfEnabled) — the
+    // marker check + commit + marker write is one cross-process unit
+    withFsLockIfEnabled(sess, dir)(lockFor(dir).synchronized {
     val fs = fsOf(sess, dir)
     if (fs.exists(path(streamMarkerPath(dir, streamBatchId)))) Set.empty
     else {
@@ -674,7 +708,9 @@ object FileGroups {
       // the emptiness probe, no separate isEmpty job per trigger; the
       // marker still lands below so the empty trigger's replay stays a
       // no-op
-      val dirty = commitOutcome(sess, dir, batch, v, keys, ord, nBuckets,
+      // commitOutcomeLocked, NOT commitOutcome: the FS lock is already
+      // held by this method's wrapper and ProcessLock is not reentrant
+      val dirty = commitOutcomeLocked(sess, dir, batch, v, keys, ord, nBuckets,
           allowEmpty = false) match {
         case Committed(d) => d
         case Replayed =>
@@ -696,7 +732,7 @@ object FileGroups {
         }
       dirty
     }
-  }
+  })
 
   // --------------------------------------------------------------------
   // The typed probe model — the manifest index generalized beyond a

@@ -366,7 +366,7 @@ object FileGroups {
     * sibling holds it in the opposite order (classic inversion
     * deadlock). Every FS-locking entry point wraps here FIRST and only
     * then synchronizes. */
-  private def withFsLockIfEnabled[T](sess: SparkSession, dir: String)(f: => T): T =
+  private[cdc] def withFsLockIfEnabled[T](sess: SparkSession, dir: String)(f: => T): T =
     if (sess.conf.get(ProcessLock.EnabledConf, "false").toBoolean)
       ProcessLock.withLock(sess, dir,
         sess.conf.get(ProcessLock.TtlConf, "60000").toLong,
@@ -520,7 +520,14 @@ object FileGroups {
     * operator asked to keep). n < 2 is rejected loudly: the commit
     * protocol's rollback and change-feed guarantees need the current
     * AND one prior version. */
-  def setRetention(sess: SparkSession, dir: String, n: Int): Unit = lockFor(dir).synchronized {
+  def setRetention(sess: SparkSession, dir: String, n: Int): Unit =
+    withFsLockIfEnabled(sess, dir)(setRetentionInner(sess, dir, n))
+
+  /** [[setRetention]] without the cross-process wrapper — for callers
+    * ALREADY inside an FS-locked scope ([[clean]]); ProcessLock is not
+    * reentrant. */
+  private def setRetentionInner(sess: SparkSession, dir: String, n: Int): Unit =
+    lockFor(dir).synchronized {
     require(n >= 2,
       s"retention must be >= 2 (the protocol keeps the current + one prior version); got $n")
     val fs = fsOf(sess, dir)
@@ -540,13 +547,13 @@ object FileGroups {
     * Every commit already GCs under the stored policy; this is the
     * explicit door for shrinking the window without writing data. */
   def clean(sess: SparkSession, dir: String, retain: Option[Int] = None): Seq[Long] =
-    lockFor(dir).synchronized {
-      retain.foreach(setRetention(sess, dir, _))
+    withFsLockIfEnabled(sess, dir)(lockFor(dir).synchronized {
+      retain.foreach(setRetentionInner(sess, dir, _))
       val before = Ingest.snapshotVersions(sess, dir)
       gc(sess, dir)
       val after = Ingest.snapshotVersions(sess, dir).toSet
       before.filterNot(after.contains)
-    }
+    })
 
   /** Typed-NULL pad of manifest-schema columns no scanned data file
     * carries yet (a schema-widening DDL commit adds columns by
@@ -999,8 +1006,9 @@ object FileGroups {
     if (purge.isEmpty) return Set.empty
     // same per-table lock as commit(): the purge's head recheck below
     // and its destructive rewrite must not interleave with an
-    // in-process commit taking the same id
-    lockFor(dir).synchronized {
+    // in-process commit taking the same id; the cross-process FS lock
+    // (when enabled) wraps OUTSIDE it, same order as every commit
+    withFsLockIfEnabled(sess, dir)(lockFor(dir).synchronized {
     val fs = fsOf(sess, dir)
     val id = committedId(sess, dir).getOrElse(
       throw new IllegalStateException(s"no committed table at $dir"))
@@ -1062,7 +1070,7 @@ object FileGroups {
     forgetHistory(sess, dir, batchId)
     fs.delete(path(purgeMarkerPath(dir, batchId)), false)
     dirtyBuckets.map(_.bucket).toSet
-    }
+    })
   }
 
   /** Single-long-key convenience over [[purgeKeyTuples]] (the

@@ -55,16 +55,17 @@ object Savepoints {
     * concurrent writers, serialize savepoints with commits. */
   def savepoint(spark: SparkSession, dir: String, id: Long): Boolean =
     // table lock (round 18): makes the retention-check → pin → recheck
-    // atomic against IN-PROCESS commits' GC, so the best-effort window
-    // below only remains for cross-process writers
-    FileGroups.withTableLock(dir) {
+    // atomic against IN-PROCESS commits' GC; the cross-process FS lock
+    // (when enabled) closes the remaining window against FOREIGN
+    // writers' GC too — FS lock strictly outside the JVM lock
+    FileGroups.withFsLockIfEnabled(spark, dir)(FileGroups.withTableLock(dir) {
       Ingest.snapshotVersions(spark, dir).contains(id) &&
         fsOf(spark, dir).createNewFile(path(s"$dir/_SAVEPOINT_$id")) && {
           val still = Ingest.snapshotVersions(spark, dir).contains(id)
           if (!still) fsOf(spark, dir).delete(path(s"$dir/_SAVEPOINT_$id"), false)
           still
         }
-    }
+    })
 
   /** Release a savepoint; the version becomes ordinary GC fodder. */
   def release(spark: SparkSession, dir: String, id: Long): Unit =
@@ -100,8 +101,10 @@ object Savepoints {
     // under the table's in-process commit lock (round 18): a rollback
     // interleaving with a commit's head-check → publish window could
     // otherwise delete the version the commit just resolved against —
-    // the same exactly-one-winner discipline as racing DML statements
-    FileGroups.withTableLock(dir) {
+    // the same exactly-one-winner discipline as racing DML statements.
+    // The cross-process FS lock (when enabled) extends that discipline
+    // to foreign writers; FS lock strictly outside the JVM lock.
+    FileGroups.withFsLockIfEnabled(spark, dir)(FileGroups.withTableLock(dir) {
     val fs = fsOf(spark, dir)
     FileGroups.completePendingPurge(spark, dir)
     val ids = Ingest.snapshotVersions(spark, dir)
@@ -152,5 +155,5 @@ object Savepoints {
         }
       doomed
     }
-    }
+    })
 }

@@ -103,4 +103,26 @@ class ProcessLockSpec extends SparkSpec {
       spark.conf.unset(ProcessLock.WaitConf)
     }
   }
+
+  test("conf on: every FS-locked maintenance op runs without nested-acquire deadlock") {
+    val dir = tmpDir("graft_plock5") + "/t"
+    spark.conf.set(ProcessLock.EnabledConf, "true")
+    try {
+      def batch(lsn: Long) =
+        Seq((1L, lsn, "c", 1.0), (2L, lsn, "c", 2.0)).toDF("id", "lsn", "op", "value")
+      FileGroups.setRetention(spark, dir, 4) // the public, separately-locked door
+      (0L to 3L).foreach(v => FileGroups.commit(spark, dir, batch(10 + v), v, Seq("id"), Seq("lsn"), 4))
+      // clean sets the policy INSIDE its own FS-locked scope (the
+      // setRetentionInner path — a nested public setRetention would
+      // deadlock on the non-reentrant lock)
+      assert(FileGroups.clean(spark, dir, Some(3)) == Seq(0L))
+      assert(Savepoints.savepoint(spark, dir, 2L))
+      assert(Savepoints.rollback(spark, dir, 2L) == Seq(3L))
+      Savepoints.release(spark, dir, 2L)
+      // purge takes the FS lock around its rewrite + forget
+      assert(FileGroups.purgeKeyTuples(spark, dir, Seq("id"), Seq(Seq(1L)), 10L).nonEmpty)
+      assert(FileGroups.read(spark, dir).get.select($"id").as[Long].collect().toSeq == Seq(2L))
+      assert(!fs.exists(new Path(s"$dir/_LOCK")), "all locks released")
+    } finally spark.conf.unset(ProcessLock.EnabledConf)
+  }
 }

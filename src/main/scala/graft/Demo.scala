@@ -64,20 +64,27 @@ object Demo {
     // 5. the custom expression through SQL (similarity surface)
     spark.sql("SELECT round(graft_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)), 1) AS dot").show()
 
-    // 6. file-group COW: the same topic replayed at file-group
-    //    granularity — each micro-batch rewrites only its hash buckets
-    val q2 = graft.cdc.FileGroups.run(spark, s"$work/topic", s"$work/fg", s"$work/ckpt_fg")
+    // 6. file-group COW through the CONFIG-DRIVEN runner — the
+    //    reference's actual invocation shape (README.md:277-343: one
+    //    options map drives the continuous job + hive_sync): each
+    //    micro-batch rewrites only its hash buckets, the synced
+    //    catalog serves SQL the moment the first batch commits, and
+    //    the retention option keeps 4 versions time-travelable
+    val q2 = graft.cdc.DeltaStream.run(spark, Map(
+      graft.cdc.DeltaStream.TableName -> "fg",
+      graft.cdc.DeltaStream.TargetPath -> work,
+      graft.cdc.DeltaStream.SourceDir -> s"$work/topic",
+      graft.cdc.DeltaStream.CheckpointLocation -> s"$work/ckpt_fg",
+      graft.cdc.DeltaStream.RecordKeyField -> "id",
+      graft.cdc.DeltaStream.PrecombineField -> "lsn",
+      graft.cdc.DeltaStream.Retain -> "4",
+      graft.cdc.DeltaStream.SyncCatalog -> "graft_cdc"))
     q2.processAllAvailable(); q2.stop()
     val fg = graft.cdc.FileGroups.read(spark, s"$work/fg").get
-    println(s"[demo] 6. file-group table: ${fg.count()} rows across " +
+    println(s"[demo] 6. file-group table (DeltaStream options map): ${fg.count()} rows across " +
       s"${fg.select(input_file_name()).distinct().count()} bucket files " +
       "(commits rewrote only touched buckets)")
-    // ... and the same table through the DSv2 catalog — the reference's
-    // Glue-queryable end state as two conf keys + plain SQL
-    spark.conf.set("spark.sql.catalog.graft_cdc",
-      classOf[graft.sources.FileGroupCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graft_cdc.root", work)
-    println("[demo] 6b. the same table over SQL via graft_cdc catalog:")
+    println("[demo] 6b. the same table over SQL via the synced graft_cdc catalog:")
     spark.sql("SELECT count(*) AS rows FROM graft_cdc.fg").show()
     // ... and MAINTAINED with standard SQL: MERGE INTO is lowered onto
     // the same crash-safe versioned commit the streaming path uses
@@ -119,6 +126,12 @@ object Demo {
     println(s"[demo] 7. savepointed snapshot v$head; change feed vs itself: " +
       graft.cdc.ChangeFeed.betweenVersions(spark, s"$work/snapshot", head, head,
         Seq("id"), "lsn", Seq("salary")).get.count() + " changes (none, as expected)")
+    // ... and the cleaner as a table service: the retention option kept
+    // history reachable; CALL clean shrinks the window and reclaims NOW
+    println("[demo] 7b. retained versions, then CALL clean('fg', 2):")
+    spark.sql("CALL graft_cdc.show_commits('fg')")
+      .select(col("version"), col("num_rows")).show()
+    spark.sql("CALL graft_cdc.clean('fg', 2)").show()
 
     // 8. the LLM-pipeline half over the corpus testdata (when present):
     //    tokenizer training, sketch-backed term stats, ANN retrieval —

@@ -796,4 +796,35 @@ class FileGroupsSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException](FileGroups.setRetention(spark, dir, 1))
     assert(ex.getMessage.contains("retention must be >= 2"))
   }
+
+  test("property: the retention window invariant holds across policies and commit counts") {
+    val l = log().limit(400).cache()
+    val maxLsn = l.agg(max($"lsn")).head().getLong(0)
+    for (retain <- Seq(2, 3, 5); n <- Seq(2, 4, 7)) {
+      val dir = tmpDir(s"graft_fgret_${retain}_$n") + "/t"
+      FileGroups.setRetention(spark, dir, retain)
+      // RANGE split, not modulo: batches must deliver lsns in order
+      // (the CDC stream contract — an out-of-order cross-batch replay
+      // of a lower lsn after a delete would resurrect the key, as in
+      // any tombstone-free latest-wins store)
+      val step = maxLsn / n + 1
+      (0L until n).foreach { v =>
+        FileGroups.commit(spark, dir,
+          l.filter($"lsn" >= v * step && $"lsn" < (v + 1) * step), v, Seq("id"), Seq("lsn"), 4)
+      }
+      val want = (0L until n).takeRight(math.min(n.toInt, retain))
+      assert(Ingest.snapshotVersions(spark, dir) == want, s"retain=$retain n=$n")
+      // every retained version time-travels; anything older is gone
+      want.foreach(v => assert(FileGroups.readAt(spark, dir, v).isDefined, s"v$v retain=$retain n=$n"))
+      (0L until n).filterNot(want.contains)
+        .foreach(v => assert(FileGroups.readAt(spark, dir, v).isEmpty, s"v$v retain=$retain n=$n"))
+      // the head always equals the full latest-wins collapse regardless of policy
+      val got = FileGroups.read(spark, dir).get
+        .select($"id", $"lsn").orderBy($"id").collect().toSeq
+      val ref = CdcMerge.snapshot(l, Seq("id"), Seq("lsn"))
+        .select($"id", $"lsn").orderBy($"id").collect().toSeq
+      assert(got == ref, s"retain=$retain n=$n")
+    }
+    l.unpersist()
+  }
 }

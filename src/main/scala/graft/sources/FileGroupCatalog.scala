@@ -261,7 +261,14 @@ class FileGroupCatalog extends TableCatalog with ProcedureCatalog {
     * arbitrary child dir that never committed returns false (Spark
     * then raises NoSuchTable unless IF EXISTS), so a typo'd name can
     * never recursively delete unrelated data. Key-targeted removal
-    * with history stays [[FileGroups.purgeKeyTuples]]. */
+    * with history stays [[FileGroups.purgeKeyTuples]].
+    *
+    * DROP is deliberately OUTSIDE the cross-process lock provider
+    * (`spark.graft.cdc.fsLock`): the delete destroys the lock file
+    * itself, so holding it through the drop cannot work — a terminal,
+    * operator-serialized action by design (stop the writers first;
+    * a concurrent foreign commit racing a DROP fails loudly on the
+    * vanished directory, never reports success). */
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
     FileGroups.committedId(spark, dir).isDefined && {

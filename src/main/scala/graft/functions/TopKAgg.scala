@@ -29,6 +29,9 @@ case class TopKEntry(ord: Long, id: Long)
   * is an index-walked bounded merge of two sorted runs.
   */
 class TopKAgg(k: Int) extends Aggregator[TopKEntry, Seq[TopKEntry], Seq[TopKEntry]] {
+  // loud at construction: k = 0 would otherwise surface as an opaque
+  // IndexOutOfBounds deep inside reduce's k-th-element comparison
+  require(k > 0, s"TopKAgg needs k > 0; got $k")
 
   /** true if `x` ranks strictly better than `y` (higher ord, tie → lower id). */
   private def beats(x: TopKEntry, y: TopKEntry): Boolean =

@@ -85,8 +85,10 @@ object Clustering {
   def cluster(sess: SparkSession, dir: String, sortCols: Seq[Column],
               files: Int = 8, partitionCols: Seq[String] = Nil): Option[Long] =
     // table lock (round 18): the copy-GC + cluster-copy publish must not
-    // interleave with an in-process commit/rollback moving the head
-    FileGroups.withTableLock(dir) {
+    // interleave with an in-process commit/rollback moving the head.
+    // FS lock (round 19, opt-in, outside the JVM lock): the same step
+    // serialized against foreign-process commits/compactions.
+    FileGroups.withFsLockIfEnabled(sess, dir) { FileGroups.withTableLock(dir) {
     require(sortCols.nonEmpty, "clustering needs at least one sort column")
     val fs = fsOf(sess, dir)
     // GC clustered copies whose base version itself has been GC'd
@@ -111,5 +113,5 @@ object Clustering {
       fs.createNewFile(path(s"$dir/_CLUSTER_$id"))
       id
     }
-    }
+    } }
 }

@@ -586,7 +586,14 @@ object FileGroups {
     * scales with table bytes, the Delta/Iceberg metadata-evolution
     * posture. Returns the new version id. */
   def widenSchema(sess: SparkSession, dir: String,
-                  newFields: Seq[StructField]): Long = lockFor(dir).synchronized {
+                  newFields: Seq[StructField]): Long =
+    // FS lock first, JVM lock second (lock-order rule at
+    // withFsLockIfEnabled): ALTER is a MUTATING COMMIT like any other —
+    // without this wrapper a locked deployment's concurrent ALTER could
+    // still write the head+1 manifest OVER a racing writer's
+    // just-committed one before its own marker create failed (loud
+    // error, corrupted committed state — the r18 verdict race)
+    withFsLockIfEnabled(sess, dir)(lockFor(dir).synchronized {
     require(newFields.nonEmpty, "widenSchema needs at least one column to add")
     val fs = fsOf(sess, dir)
     completePendingPurge(sess, dir)
@@ -602,6 +609,16 @@ object FileGroups {
         s"added column '${f.name}' must be nullable: existing rows have no value for it")
     }
     val newId = id + 1
+    // unlocked deployments (fsLock off): a marker already at head+1
+    // means a foreign process committed between our head read and here
+    // — fail BEFORE the manifest write so the widened manifest can
+    // never clobber the winner's (narrows the unavoidable
+    // detection-only window to the write-vs-create gap below)
+    if (fs.exists(path(s"$dir/_COMMIT_$newId")))
+      throw new IllegalStateException(
+        s"concurrent cross-process commit detected at $dir: version $newId was " +
+          "published by another writer — re-run the ALTER against the new head " +
+          "(set spark.graft.cdc.fsLock=true to serialize multi-process writers)")
     writeManifest(sess, dir, newId, m.nBuckets, StructType(schema.fields ++ newFields),
       m.keys.getOrElse(Nil), m.ord.getOrElse(Nil), m.entries)
     if (!fs.createNewFile(path(s"$dir/_COMMIT_$newId")))
@@ -610,7 +627,7 @@ object FileGroups {
           "published by another writer mid-widen — re-run the ALTER")
     gc(sess, dir)
     newId
-  }
+  })
 
   /** Read the current snapshot: every manifest-referenced bucket dir in
     * one multi-path scan (mergeSchema reconciles buckets written under
@@ -656,11 +673,24 @@ object FileGroups {
   def run(spark: SparkSession, inputDir: String, tableDir: String, checkpointDir: String,
           schema: org.apache.spark.sql.types.StructType = Envelope.employeesEnvelope,
           keys: Seq[String] = Seq("id"), ord: Seq[String] = Seq("lsn"),
-          nBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+          nBuckets: Int = 16,
+          dlqDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     Ingest.readTopicStream(spark, inputDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val parsed = Ingest.extractPostImage(batch, schema, keys)
+        // DLQ wire (same as [[Ingest.run]]'s): quarantine poison
+        // records with full source coordinates BEFORE projection; the
+        // good half keeps its `_parsed` envelope so the hot path pays
+        // from_json exactly once per batch. A replayed batch's DLQ
+        // write is the idempotent per-batch partition overwrite.
+        val input = dlqDir match {
+          case Some(dq) =>
+            val (good, dlq) = Ingest.withDeadLetters(batch, schema)
+            graft.ops.DeltaProtocol.writeBatchPartition(dlq, batchId, dq)
+            good
+          case None => batch
+        }
+        val parsed = Ingest.extractPostImage(input, schema, keys)
         commitStreamBatch(batch.sparkSession, tableDir, parsed, batchId, keys, ord, nBuckets)
         ()
       }
@@ -721,11 +751,17 @@ object FileGroups {
           allowEmpty = false) match {
         case Committed(d) => d
         case Replayed =>
-          // unreachable: v = head+1 under the table lock this whole
-          // method holds — surfaced loudly rather than acked silently
+          // reachable exactly one way: with fsLock OFF, a FOREIGN
+          // PROCESS committed version v between this method's head
+          // read and the commit's own head check (same-JVM writers are
+          // excluded by the table lock held here). Surfaced loudly —
+          // naming the real cause — rather than acked silently, which
+          // would let the checkpoint drop this live batch.
           throw new IllegalStateException(
-            s"stream batch $streamBatchId at $dir: version $v was already " +
-              "committed under the table lock — commit protocol violation")
+            s"stream batch $streamBatchId at $dir: version $v was committed by a " +
+              "concurrent writer in another process mid-trigger — serialize the " +
+              "writers or set spark.graft.cdc.fsLock=true (the cross-process lock " +
+              "provider) on every writer; the batch is NOT acked and will replay")
       }
       fs.createNewFile(path(streamMarkerPath(dir, streamBatchId)))
       // marker GC: drop markers far behind this batch (bounded count)
@@ -1115,6 +1151,22 @@ object FileGroups {
     * same manifest index [[pointLookupTuples]] and [[purgeKeyTuples]]
     * prune with — string and composite keys included). Empty probes =
     * the full snapshot's paths. */
+  /** Incremental FILE pruning (the Hudi incremental-query file cut):
+    * the paths of version `toId`'s file groups that were REWRITTEN
+    * after version `fromId` — an untouched bucket carries forward by
+    * manifest reference (same relPath), so no row inside it can have
+    * changed between the two versions; only changed-relPath groups can
+    * hold incremental rows. Sound as a superset cut: every row
+    * upserted after `fromId` lives in a bucket its commit rewrote. */
+  private[graft] def changedReferencedPaths(sess: SparkSession, dir: String,
+                                            fromId: Long, toId: Long): Seq[String] = {
+    val before = readManifest(sess, dir, fromId).entries
+      .map(e => (e.bucket, e.relPath)).toSet
+    readManifest(sess, dir, toId).entries
+      .filterNot(e => before.contains((e.bucket, e.relPath)))
+      .map(e => s"$dir/${e.relPath}")
+  }
+
   private[graft] def referencedPaths(sess: SparkSession, dir: String, id: Long,
                                      keys: Seq[String], probes: Seq[Seq[Any]]): Seq[String] = {
     val m = readManifest(sess, dir, id)

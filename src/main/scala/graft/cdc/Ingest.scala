@@ -338,6 +338,11 @@ object Ingest extends org.apache.spark.internal.Logging {
     // caller, which already paid the isEmpty job on this plan for its
     // own log write — not re-derived here.
     if (parsedIsEmpty) return
+    // FS lock (round 19, opt-in): the versioned-snapshot commit gets
+    // the same cross-process serialization as the file-group store —
+    // replay-guard read → merge → marker publish as one locked unit
+    // (FS lock outside the JVM-level work, per the lock-order rule)
+    graft.cdc.FileGroups.withFsLockIfEnabled(sess, dir) {
     val fs = fsOf(sess, dir)
     val committed = committedBatch(sess, dir)
     if (!committed.exists(_ >= batchId)) { // exactly-once replay guard
@@ -379,6 +384,7 @@ object Ingest extends org.apache.spark.internal.Logging {
             if (id.exists(doomed)) fs.delete(p, true)
           }
       }
+    }
     }
   }
 

@@ -52,8 +52,13 @@ object MergeOnRead {
     * a batch already folded into the base is skipped). */
   def logAppend(sess: SparkSession, dir: String, parsed: DataFrame, batchId: Long): Unit =
     // table lock (round 18): the covered-check → delta publish must not
-    // interleave with an in-process compact() consuming the same range
-    FileGroups.withTableLock(dir) {
+    // interleave with an in-process compact() consuming the same range.
+    // FS lock (round 19, opt-in, OUTSIDE the JVM lock per the
+    // lock-order rule): two PROCESSES appending to one MOR table get
+    // the same serialized-writers story as the file-group store —
+    // without it a cross-process compact could consume a delta range
+    // while a foreign append publishes into it.
+    FileGroups.withFsLockIfEnabled(sess, dir) { FileGroups.withTableLock(dir) {
     val fs = fsOf(sess, dir)
     val marker = path(s"$dir/_DELTA_$batchId")
     val covered = Ingest.committedBatch(sess, dir).exists(_ >= batchId)
@@ -61,7 +66,7 @@ object MergeOnRead {
       parsed.write.mode("overwrite").parquet(s"$dir/log/d$batchId")
       fs.createNewFile(marker)
     }
-    }
+    } }
 
   /** Read the CURRENT state: base snapshot merged with every pending
     * log delta above it (the MOR read path — what Hudi calls the
@@ -104,8 +109,10 @@ object MergeOnRead {
               keys: Seq[String], ord: Seq[String],
               partitionCols: Seq[String] = Nil): Option[Long] =
     // table lock (round 18): pending-list → fold → marker → log GC is
-    // one atomic maintenance step against in-process appends/rollbacks
-    FileGroups.withTableLock(dir) {
+    // one atomic maintenance step against in-process appends/rollbacks.
+    // FS lock (round 19, opt-in, outside the JVM lock): the same step
+    // serialized against appends/compactions from OTHER processes.
+    FileGroups.withFsLockIfEnabled(sess, dir) { FileGroups.withTableLock(dir) {
     val fs = fsOf(sess, dir)
     val prevBase = Ingest.committedBatch(sess, dir).getOrElse(-1L)
     val pending = deltaIds(sess, dir).filter(_ > prevBase)
@@ -132,7 +139,7 @@ object MergeOnRead {
       }
       Some(target)
     }
-    }
+    } }
 
   /** Checkpointed MOR streaming ingest: per micro-batch, parse + log
     * append (cheap), compaction every `compactEvery` batches, and —

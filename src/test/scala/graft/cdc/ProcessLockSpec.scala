@@ -64,8 +64,9 @@ class ProcessLockSpec extends SparkSpec {
     val dir = tmpDir("graft_plock3") + "/t"
     val ex = intercept[IllegalStateException] {
       ProcessLock.withLock(spark, dir, ttlMs = 60000, waitMs = 1000) {
-        // simulate a thief: overwrite the owner sidecar with its token
-        val out = fs.create(new Path(s"$dir/_LOCK.owner"), true)
+        // simulate a thief: replace the lock file with one carrying
+        // ITS token (the token lives IN the lock since round 19)
+        val out = fs.create(new Path(s"$dir/_LOCK"), true)
         try out.write("thief-token".getBytes("UTF-8")) finally out.close()
       }
     }
@@ -73,7 +74,60 @@ class ProcessLockSpec extends SparkSpec {
     // the (new holder's) lock file was NOT deleted by the loser
     assert(fs.exists(new Path(s"$dir/_LOCK")))
     fs.delete(new Path(s"$dir/_LOCK"), false)
-    fs.delete(new Path(s"$dir/_LOCK.owner"), false)
+  }
+
+  test("steal vs fresh acquirer: no spurious stolen-lock error, ever (the r18 sidecar race)") {
+    // r18 kept the owner token in a _LOCK.owner sidecar; a stealer's
+    // post-rename sidecar delete could destroy a FRESH acquirer's token
+    // and its release then threw a spurious 'stolen' error. With the
+    // token inside the lock file the stealer only ever touches the file
+    // its own rename moved. Stress the exact interleaving: an EXPIRED
+    // lock on the table, then contenders racing — some steal, some
+    // acquire fresh after a release — must all succeed with zero
+    // stolen-lock errors across every iteration.
+    val dir = tmpDir("graft_plock6") + "/t"
+    fs.mkdirs(new Path(dir))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    (1 to 25).foreach { _ =>
+      // a dead pre-r19 holder: expired lock + legacy token sidecar
+      fs.createNewFile(new Path(s"$dir/_LOCK"))
+      val out = fs.create(new Path(s"$dir/_LOCK.owner"), true)
+      try out.write("dead-holder".getBytes("UTF-8")) finally out.close()
+      fs.setTimes(new Path(s"$dir/_LOCK"), System.currentTimeMillis() - 10000, -1)
+      val ts = (1 to 3).map { _ =>
+        new Thread(() => {
+          try ProcessLock.withLock(spark, dir, ttlMs = 2000, waitMs = 20000)(Thread.sleep(1))
+          catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join(60000))
+      assert(failures.isEmpty, {
+        val sw = new java.io.StringWriter
+        failures.forEach(t => t.printStackTrace(new java.io.PrintWriter(sw)))
+        sw.toString
+      })
+      // fully released, and the dead holder's legacy sidecar is gone too
+      assert(!fs.exists(new Path(s"$dir/_LOCK")))
+      assert(!fs.exists(new Path(s"$dir/_LOCK.owner")))
+    }
+  }
+
+  test("heartbeat keeps a long-running holder's lock fresh past the TTL") {
+    val dir = tmpDir("graft_plock7") + "/t"
+    val contended = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    ProcessLock.withLock(spark, dir, ttlMs = 400, waitMs = 1000) {
+      Thread.sleep(900) // two TTLs: only the heartbeat keeps it alive
+      // a contender must see a LIVE lock (fresh mtime) and time out —
+      // never steal a heartbeating holder's lock mid-hold
+      val t = new Thread(() => {
+        try ProcessLock.withLock(spark, dir, ttlMs = 400, waitMs = 200) {
+          contended.set(new IllegalStateException("contender acquired a live holder's lock"))
+        } catch { case _: IllegalStateException => () /* expected timeout */ }
+      })
+      t.start(); t.join(30000)
+    }
+    assert(contended.get() == null, String.valueOf(contended.get()))
+    assert(!fs.exists(new Path(s"$dir/_LOCK")))
   }
 
   test("opt-in commit integration: conf on takes and releases the FS lock around commits") {
@@ -122,7 +176,97 @@ class ProcessLockSpec extends SparkSpec {
       // purge takes the FS lock around its rewrite + forget
       assert(FileGroups.purgeKeyTuples(spark, dir, Seq("id"), Seq(Seq(1L)), 10L).nonEmpty)
       assert(FileGroups.read(spark, dir).get.select($"id").as[Long].collect().toSeq == Seq(2L))
+      // ALTER (widenSchema) is a mutating commit too — FS-locked since
+      // r19 (it was the one uncovered mutator), same no-deadlock rule
+      val v = FileGroups.widenSchema(spark, dir,
+        Seq(org.apache.spark.sql.types.StructField("tier",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      assert(v == FileGroups.committedId(spark, dir).get)
+      assert(FileGroups.read(spark, dir).get.columns.contains("tier"))
       assert(!fs.exists(new Path(s"$dir/_LOCK")), "all locks released")
     } finally spark.conf.unset(ProcessLock.EnabledConf)
+  }
+
+  test("conf on: the MOR and snapshot layouts run their lifecycles without deadlock") {
+    // round 19 extended the FS lock beyond the file-group store:
+    // MergeOnRead.logAppend/compact, Clustering.cluster and the
+    // Ingest snapshot commit all wrap withFsLockIfEnabled — the smoke
+    // pins that none of them nest-acquires (the lock is not
+    // reentrant) and that the lock is released after every op
+    val root = tmpDir("graft_plock_mor")
+    val dir = s"$root/t"
+    import spark.implicits._
+    spark.conf.set(ProcessLock.EnabledConf, "true")
+    try {
+      def batch(lsn: Long) =
+        Seq((1L, lsn, "c", 1.0), (2L, lsn, "c", 2.0)).toDF("id", "lsn", "op", "value")
+      MergeOnRead.logAppend(spark, dir, batch(10), 0L)
+      MergeOnRead.logAppend(spark, dir, batch(11), 1L)
+      assert(MergeOnRead.compact(spark, dir, Seq("id"), Seq("lsn")) == Some(1L))
+      graft.cdc.Clustering.cluster(spark, dir,
+        Seq(org.apache.spark.sql.functions.col("id")), files = 2)
+      MergeOnRead.logAppend(spark, dir, batch(12), 2L)
+      val got = MergeOnRead.readMerged(spark, dir, Seq("id"), Seq("lsn")).get
+        .select($"id", $"lsn").orderBy($"id").as[(Long, Long)].collect().toSeq
+      assert(got == Seq((1L, 12L), (2L, 12L)), got.toString)
+      assert(!fs.exists(new Path(s"$dir/_LOCK")), "all locks released")
+
+      // the versioned-snapshot commit path (Ingest.run's foreachBatch
+      // leg) under the same conf: a bounded streaming run must land
+      // its snapshot and release the lock
+      val topic = s"$root/topic"
+      CdcGen.writeTopicFiles(spark, n = 20, topic, nBatches = 1)
+      val q = Ingest.run(spark, topic, s"$root/log", s"$root/ckpt",
+        snapshotDir = Some(s"$root/snap"))
+      try q.processAllAvailable() finally q.stop()
+      assert(Ingest.readSnapshot(spark, s"$root/snap").get.count() > 0)
+      assert(!fs.exists(new Path(s"$root/snap/_LOCK")), "snapshot lock released")
+    } finally spark.conf.unset(ProcessLock.EnabledConf)
+  }
+
+  test("locked ALTERs racing locked commits: every version consistent, no clobbered manifest") {
+    // The r18 verdict race: widenSchema wrote the head+1 manifest
+    // BEFORE its marker create, and was the one mutating commit NOT
+    // under the FS lock — a concurrent ALTER could overwrite a racing
+    // winner's just-committed manifest. With fsLock ON both paths now
+    // serialize end to end: a live commit thread races a live ALTER
+    // thread and the result must be a linear history — all columns
+    // added exactly once, the final snapshot the latest-wins collapse
+    // of every batch, and the head's manifest fully readable.
+    val dir = tmpDir("graft_plock9") + "/t"
+    import spark.implicits._
+    spark.conf.set(ProcessLock.EnabledConf, "true")
+    spark.conf.set(ProcessLock.WaitConf, "60000")
+    try {
+      FileGroups.commit(spark, dir,
+        Seq((1L, 1L, "c", 1.0)).toDF("id", "lsn", "op", "value"),
+        0L, Seq("id"), Seq("lsn"), nBuckets = 2)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val committer = new Thread(() => {
+        try (1 to 4).foreach { i =>
+          val b = Seq((i.toLong, 100L + i, "u", i.toDouble)).toDF("id", "lsn", "op", "value")
+          FileGroups.commitStreamBatch(spark, dir, b, 100L + i, Seq("id"), Seq("lsn"))
+        } catch { case t: Throwable => failures.add(t) }
+      })
+      val alterer = new Thread(() => {
+        try (1 to 3).foreach { i =>
+          FileGroups.widenSchema(spark, dir,
+            Seq(org.apache.spark.sql.types.StructField(s"extra_$i",
+              org.apache.spark.sql.types.StringType, nullable = true)))
+        } catch { case t: Throwable => failures.add(t) }
+      })
+      committer.start(); alterer.start()
+      committer.join(120000); alterer.join(120000)
+      assert(failures.isEmpty, failures.toString)
+      val head = FileGroups.read(spark, dir).get
+      assert(Seq("extra_1", "extra_2", "extra_3").forall(head.columns.contains),
+        head.columns.mkString(","))
+      val got = head.select($"id", $"lsn").orderBy($"id").as[(Long, Long)].collect().toSeq
+      assert(got == Seq((1L, 101L), (2L, 102L), (3L, 103L), (4L, 104L)), got.toString)
+      assert(!fs.exists(new Path(s"$dir/_LOCK")), "all locks released")
+    } finally {
+      spark.conf.unset(ProcessLock.EnabledConf)
+      spark.conf.unset(ProcessLock.WaitConf)
+    }
   }
 }

@@ -9,23 +9,41 @@ import org.apache.spark.sql.types.StructType
   * a DeltaStreamer job configured by one options map — table name,
   * record key field, precombine field, source topic, checkpoint
   * location — plus hive_sync so downstream SQL can query the landed
-  * table): ONE `Map[String, String]` starts the checkpointed stream
-  * that maintains the SQL-queryable file-group upsert table.
+  * table): ONE `Map[String, String]` starts the checkpointed stream.
   *
-  * Every semantic is the already-spec'd composed path ([[FileGroups.run]]
-  * → commitStreamBatch's exactly-once markers → the `graft_cdc` DSv2
-  * catalog); this object only BINDS it to configuration, so an operator
-  * needs zero Scala to run the reference's day-one job:
-  * {{{
-  * DeltaStream.run(spark, Map(
-  *   "graft.table.name"          -> "employees",
-  *   "graft.target.path"         -> "/warehouse/cdc",
-  *   "graft.source.dir"          -> "/landing/debezium.public.employees",
-  *   "graft.checkpoint.location" -> "/warehouse/_ckpt/employees",
-  *   "graft.recordkey.field"     -> "id",
-  *   "graft.precombine.field"    -> "lsn",
-  *   "graft.sync.catalog"        -> "graft_cdc"))
-  * }}}
+  * Two modes, covering both of the reference's deployment shapes:
+  *
+  *  - `filegroup` (default) — the SQL-queryable file-group upsert
+  *    table ([[FileGroups.run]] → commitStreamBatch's exactly-once
+  *    markers → the `graft_cdc` DSv2 catalog), optionally with a
+  *    dead-letter queue ([[Ingest.withDeadLetters]] — poison records
+  *    quarantined with full source coordinates instead of crashing
+  *    the batch):
+  *    {{{
+  *    DeltaStream.run(spark, Map(
+  *      "graft.table.name"          -> "employees",
+  *      "graft.target.path"         -> "/warehouse/cdc",
+  *      "graft.source.dir"          -> "/landing/debezium.public.employees",
+  *      "graft.checkpoint.location" -> "/warehouse/_ckpt/employees",
+  *      "graft.recordkey.field"     -> "id",
+  *      "graft.precombine.field"    -> "lsn",
+  *      "graft.dlq.dir"             -> "/warehouse/_dlq/employees",
+  *      "graft.sync.catalog"        -> "graft_cdc"))
+  *    }}}
+  *  - `routed` — the reference's actual day-one job (README.md:193
+  *    subscribes the whole `debezium1.*` prefix): ONE checkpointed
+  *    stream routed per micro-batch by topic suffix into one append
+  *    log + versioned snapshot PER TABLE ([[Ingest.runRouted]]):
+  *    {{{
+  *    DeltaStream.run(spark, Map(
+  *      "graft.mode"                -> "routed",
+  *      "graft.tables"              -> "employees,departments",
+  *      "graft.target.path"         -> "/warehouse/cdc",
+  *      "graft.source.dir"          -> "/landing",
+  *      "graft.checkpoint.location" -> "/warehouse/_ckpt/all",
+  *      "graft.table.departments.recordkey.field" -> "dept_id",
+  *      "graft.table.departments.schema.ddl"      -> "dept_id INT, name STRING"))
+  *    }}}
   *
   * Option names mirror the reference's `hoodie.table.name` /
   * `hoodie.datasource.write.recordkey.field` /
@@ -33,82 +51,138 @@ import org.apache.spark.sql.types.StructType
   * prefix. Unknown option names are rejected LOUDLY — a typo'd
   * `graft.recordkey.fields` silently falling back to the default key
   * would pin the wrong record identity forever (the same posture as
-  * the CTAS TBLPROPERTIES validation).
+  * the CTAS TBLPROPERTIES validation) — and so are options that do
+  * not apply to the selected mode (a `graft.sync.catalog` on a routed
+  * run would claim a catalog the snapshot layout cannot serve).
   *
-  * Scale: identical to the underlying stream — per-trigger cost ∝ the
-  * batch's dirty-bucket bytes, never table bytes; catalog sync is two
+  * Scale: identical to the underlying streams — per-trigger cost ∝
+  * the batch's dirty-bucket bytes (filegroup) or the batch's rows ×
+  * routed tables (routed), never table bytes; catalog sync is two
   * driver-side conf entries (the local stand-in for an external
   * metastore, which this sandbox does not have).
   */
 object DeltaStream {
 
-  /** Table directory name under [[TargetPath]] (role of `hoodie.table.name`). */
+  /** `filegroup` (default) or `routed` — see the class doc. */
+  val Mode = "graft.mode"
+  /** Table directory name under [[TargetPath]] (role of `hoodie.table.name`);
+    * filegroup mode only (routed mode names tables via [[Tables]]). */
   val TableName = "graft.table.name"
-  /** Warehouse root the table lands under (and the synced catalog's root). */
+  /** Warehouse root the table(s) land under (and the synced catalog's root). */
   val TargetPath = "graft.target.path"
   /** Topic directory of Kafka-shaped newline-JSON segments (S1's
     * file-emulated source — the one seam a production Kafka port touches). */
   val SourceDir = "graft.source.dir"
-  /** Structured Streaming checkpoint location. The store's own
-    * `_STREAM_BATCH_` markers make replays exactly-once even if this
-    * checkpoint is lost. */
+  /** Structured Streaming checkpoint location. The file-group store's
+    * own `_STREAM_BATCH_` markers make replays exactly-once even if
+    * this checkpoint is lost. */
   val CheckpointLocation = "graft.checkpoint.location"
   /** Comma-separated record key column(s); default `id`
-    * (role of `hoodie.datasource.write.recordkey.field`). */
+    * (role of `hoodie.datasource.write.recordkey.field`).
+    * Routed mode: the per-table default, overridable per table. */
   val RecordKeyField = "graft.recordkey.field"
   /** Comma-separated precombine / ordering column(s); default `lsn`
-    * (role of `hoodie.datasource.write.precombine.field`). */
+    * (role of `hoodie.datasource.write.precombine.field`).
+    * Routed mode: the per-table default, overridable per table. */
   val PrecombineField = "graft.precombine.field"
-  /** File-group (hash bucket) count; default 16. */
+  /** File-group (hash bucket) count; default 16. Filegroup mode only. */
   val Buckets = "graft.buckets"
   /** Optional: register the file-group DSv2 catalog under this name,
     * rooted at [[TargetPath]], so `SELECT ... FROM <cat>.<table>`
     * works the moment the first batch commits
-    * (role of `hoodie.datasource.hive_sync.*`). */
+    * (role of `hoodie.datasource.hive_sync.*`). Filegroup mode only
+    * (the routed snapshot layout is not a file-group table). */
   val SyncCatalog = "graft.sync.catalog"
   /** Optional: DDL of the CDC envelope's `after`/`before` row schema
     * (e.g. `"id INT, full_name STRING"`), enabling the declared fast
-    * path for non-employees topics; default the employees envelope. */
+    * path for non-employees topics; default the employees envelope.
+    * Routed mode: the per-table default, overridable per table. */
   val SourceSchemaDdl = "graft.source.schema.ddl"
   /** Optional: the table's cleaner retention window — how many trailing
     * committed versions GC keeps, i.e. the `VERSION AS OF`-reachable
     * history (role of `hoodie.cleaner.commits.retained`); >= 2, set
-    * before the stream's first commit via [[FileGroups.setRetention]]. */
+    * before the stream's first commit via [[FileGroups.setRetention]].
+    * Filegroup mode only. */
   val Retain = "graft.retain"
+  /** Optional: dead-letter-queue directory — unparseable or
+    * op-less records land there with topic/partition/offset/timestamp
+    * + raw bytes (everything needed to replay after a fix) instead of
+    * being dropped by the poison guard
+    * (role of Hudi's error-table / DeltaStreamer transformer DLQ).
+    * Filegroup mode only ([[Ingest.run]] takes dlqDir directly). */
+  val DlqDir = "graft.dlq.dir"
+  /** Routed mode: comma-separated table names to route (each lands at
+    * `<target>/<table>/{log,snapshot}`). Required when mode=routed. */
+  val Tables = "graft.tables"
+  /** Routed mode: topic filter regex over the emulated subscription
+    * (role of the reference's `debezium1.*` prefix, README.md:193);
+    * default `debezium1.*`. */
+  val TopicPattern = "graft.topic.pattern"
 
-  private val Required = Seq(TableName, TargetPath, SourceDir, CheckpointLocation)
-  private val Known = (Required ++ Seq(
-    RecordKeyField, PrecombineField, Buckets, SyncCatalog, SourceSchemaDdl, Retain)).toSet
+  /** Routed-mode per-table override prefix: `graft.table.<name>.<suffix>`
+    * with suffix one of `recordkey.field`, `precombine.field`,
+    * `schema.ddl`, `partition.field` (hive partitioning of the
+    * materialized snapshot, role of `hoodie.datasource.write
+    * .partitionpath.field`). */
+  private val PerTableSuffixes =
+    Set("recordkey.field", "precombine.field", "schema.ddl", "partition.field")
+
+  private val RequiredCommon = Seq(TargetPath, SourceDir, CheckpointLocation)
+  private val KnownFileGroup = (RequiredCommon ++ Seq(Mode, TableName,
+    RecordKeyField, PrecombineField, Buckets, SyncCatalog, SourceSchemaDdl,
+    Retain, DlqDir)).toSet
+  private val KnownRoutedFixed = (RequiredCommon ++ Seq(Mode, Tables,
+    TopicPattern, RecordKeyField, PrecombineField, SourceSchemaDdl)).toSet
 
   /** Validate the options map, sync the catalog if asked, and start
     * the checkpointed stream. Returns the running [[StreamingQuery]]
     * (callers own its lifecycle — `awaitTermination` for the
     * continuous deployment, `processAllAvailable` for a bounded run). */
   def run(spark: SparkSession, options: Map[String, String]): StreamingQuery = {
-    val unknown = options.keySet -- Known
-    if (unknown.nonEmpty)
+    val mode = options.getOrElse(Mode, "filegroup")
+    if (mode != "filegroup" && mode != "routed")
       throw new IllegalArgumentException(
-        s"unknown DeltaStream option(s) ${unknown.toSeq.sorted.mkString("'", "', '", "'")} — " +
-          s"supported: ${Known.toSeq.sorted.mkString(", ")} (a typo here would silently " +
-          "fall back to a default and pin the wrong table identity)")
-    val missing = Required.filterNot(options.contains)
+        s"unknown DeltaStream mode '$mode' — supported: filegroup (the SQL-queryable " +
+          "file-group upsert table), routed (multi-table topic-pattern ingest)")
+    val missing = RequiredCommon.filterNot(options.contains) ++
+      (if (mode == "filegroup") Seq(TableName).filterNot(options.contains)
+       else Seq(Tables).filterNot(options.contains))
     if (missing.nonEmpty)
       throw new IllegalArgumentException(
-        s"missing required DeltaStream option(s): ${missing.mkString(", ")}")
-    // identifier discipline: a '/' in the table name would land an
-    // unaddressable nested dir; a '.' in the catalog name would parse
-    // as a conf sub-key (spark.sql.catalog.a.b = option b of catalog a)
-    // — both would "work" at write time and break at read time
-    def ident(k: String): Unit = options.get(k).foreach { v =>
-      if (!v.matches("[A-Za-z0-9_]+"))
-        throw new IllegalArgumentException(
-          s"DeltaStream option $k='$v' must be a plain identifier ([A-Za-z0-9_]+)")
-    }
-    ident(TableName); ident(SyncCatalog)
+        s"missing required DeltaStream option(s) for mode=$mode: ${missing.mkString(", ")}")
+    if (mode == "filegroup") runFileGroup(spark, options)
+    else runRouted(spark, options)
+  }
 
-    def cols(k: String, dflt: Seq[String]): Seq[String] = options.get(k)
+  private def rejectUnknown(options: Map[String, String], known: String => Boolean,
+                            mode: String, supported: => Seq[String]): Unit = {
+    val unknown = options.keySet.filterNot(known)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown DeltaStream option(s) for mode=$mode: " +
+          s"${unknown.toSeq.sorted.mkString("'", "', '", "'")} — supported: " +
+          s"${supported.sorted.mkString(", ")} (a typo here would silently fall back " +
+          "to a default and pin the wrong table identity)")
+  }
+
+  // identifier discipline: a '/' in a table name would land an
+  // unaddressable nested dir; a '.' in the catalog name would parse
+  // as a conf sub-key (spark.sql.catalog.a.b = option b of catalog a)
+  // — both would "work" at write time and break at read time
+  private def requireIdent(k: String, v: String): Unit =
+    if (!v.matches("[A-Za-z0-9_]+"))
+      throw new IllegalArgumentException(
+        s"DeltaStream option $k='$v' must be a plain identifier ([A-Za-z0-9_]+)")
+
+  private def cols(options: Map[String, String], k: String, dflt: Seq[String]): Seq[String] =
+    options.get(k)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty).getOrElse(dflt)
+
+  private def runFileGroup(spark: SparkSession, options: Map[String, String]): StreamingQuery = {
+    rejectUnknown(options, KnownFileGroup.contains, "filegroup", KnownFileGroup.toSeq)
+    options.get(TableName).foreach(requireIdent(TableName, _))
+    options.get(SyncCatalog).foreach(requireIdent(SyncCatalog, _))
     val buckets = options.get(Buckets).map { s =>
       s.toIntOption.filter(_ > 0).getOrElse(throw new IllegalArgumentException(
         s"DeltaStream option $Buckets='$s' must be a positive integer"))
@@ -138,8 +212,50 @@ object DeltaStream {
     retain.foreach(FileGroups.setRetention(spark, tableDir, _))
     FileGroups.run(spark, options(SourceDir), tableDir, options(CheckpointLocation),
       schema = schema,
-      keys = cols(RecordKeyField, Seq("id")),
-      ord = cols(PrecombineField, Seq("lsn")),
-      nBuckets = buckets)
+      keys = cols(options, RecordKeyField, Seq("id")),
+      ord = cols(options, PrecombineField, Seq("lsn")),
+      nBuckets = buckets,
+      dlqDir = options.get(DlqDir))
+  }
+
+  private def runRouted(spark: SparkSession, options: Map[String, String]): StreamingQuery = {
+    val tables = options(Tables).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (tables.isEmpty)
+      throw new IllegalArgumentException(
+        s"DeltaStream option $Tables must name at least one table")
+    tables.foreach(requireIdent(Tables, _))
+    // dynamic per-table keys are validated against the DECLARED table
+    // list and suffix set — `graft.table.employes.schema.ddl` (typo'd
+    // table) or `graft.table.employees.schema` (typo'd suffix) both
+    // fail loudly instead of silently configuring nothing
+    def perTableKey(k: String): Boolean =
+      k.startsWith("graft.table.") && {
+        val rest = k.stripPrefix("graft.table.")
+        tables.exists(t => rest.startsWith(t + ".") &&
+          PerTableSuffixes.contains(rest.stripPrefix(t + ".")))
+      }
+    rejectUnknown(options, k => KnownRoutedFixed.contains(k) || perTableKey(k),
+      "routed", KnownRoutedFixed.toSeq :+ "graft.table.<name>.{" +
+        PerTableSuffixes.toSeq.sorted.mkString(",") + "}")
+
+    def perTable(t: String, suffix: String): Option[String] =
+      options.get(s"graft.table.$t.$suffix")
+    val routes = tables.map { t =>
+      val schema = perTable(t, "schema.ddl").orElse(options.get(SourceSchemaDdl))
+        .map(ddl => Envelope.envelope(StructType.fromDDL(ddl)))
+        .getOrElse(Envelope.employeesEnvelope)
+      val keys = perTable(t, "recordkey.field")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(cols(options, RecordKeyField, Seq("id")))
+      val ord = perTable(t, "precombine.field")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(cols(options, PrecombineField, Seq("lsn")))
+      val partitionBy = perTable(t, "partition.field")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      t -> Ingest.TableRoute(schema, keys, ord, partitionBy)
+    }.toMap
+    Ingest.runRouted(spark, options(SourceDir),
+      options(TargetPath).stripSuffix("/"), options(CheckpointLocation),
+      routes, options.getOrElse(TopicPattern, "debezium1.*"))
   }
 }

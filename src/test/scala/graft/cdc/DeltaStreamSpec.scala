@@ -137,4 +137,132 @@ class DeltaStreamSpec extends SparkSpec {
       .select($"id", $"dept_name").orderBy($"id").as[(Int, String)].collect().toSeq
     assert(got == Seq((1, "research"), (2, "ops")))
   }
+
+  test("DLQ option: poison quarantined with coordinates, table byte-equal to the Scala path") {
+    val root = tmpDir("graft_dstream_dlq")
+    CdcGen.writeTopicFiles(spark, n = 60, s"$root/topic", nBatches = 1)
+    // poison the topic the same two ways as the Ingest DLQ spec: a
+    // non-JSON value and a JSON without payload.op
+    val ts = "2024-01-01T00:00:00.000Z"
+    val poison = Seq(
+      s"""{"topic":"debezium1.public.employees","partition":0,"offset":90001,"timestamp":"$ts","value":"this is not json"}""",
+      s"""{"topic":"debezium1.public.employees","partition":0,"offset":90002,"timestamp":"$ts","value":"{\\"hello\\":1}"}""")
+    java.nio.file.Files.write(
+      new java.io.File(s"$root/topic", "part-99999-poison.txt").toPath,
+      (poison.mkString("\n") + "\n").getBytes)
+
+    val q = DeltaStream.run(spark, Map(
+      DeltaStream.TableName -> "employees",
+      DeltaStream.TargetPath -> s"$root/store",
+      DeltaStream.SourceDir -> s"$root/topic",
+      DeltaStream.CheckpointLocation -> s"$root/ckpt",
+      DeltaStream.DlqDir -> s"$root/dlq"))
+    try q.processAllAvailable() finally q.stop()
+
+    // the poison rows landed in the DLQ with replay coordinates
+    val dlq = spark.read.parquet(s"$root/dlq")
+      .select($"offset", $"raw").as[(Long, String)].collect().sortBy(_._1)
+    assert(dlq.length == 2 && dlq(0) == (90001L, "this is not json"), dlq.toSeq.toString)
+
+    // the landed table is byte-equal to the direct Scala path over the
+    // SAME poisoned topic (the options map adds configuration, never
+    // semantics — with or without a DLQ the good half merges the same)
+    val q2 = FileGroups.run(spark, s"$root/topic", s"$root/direct", s"$root/ckpt2",
+      dlqDir = Some(s"$root/dlq2"))
+    try q2.processAllAvailable() finally q2.stop()
+    val viaOptions = FileGroups.read(spark, s"$root/store/employees").get
+      .select($"id", $"lsn", $"full_name", $"salary").orderBy($"id").collect().toSeq
+    val direct = FileGroups.read(spark, s"$root/direct").get
+      .select($"id", $"lsn", $"full_name", $"salary").orderBy($"id").collect().toSeq
+    assert(viaOptions == direct && viaOptions.nonEmpty)
+  }
+
+  test("routed mode: one options map lands both tables, equal to the direct runRouted path") {
+    import org.apache.spark.sql.types._
+    val root = tmpDir("graft_dstream_routed")
+    CdcGen.writeTopicFiles(spark, n = 30, s"$root/in", nBatches = 1)
+    CdcGen.writeDeptTopicFile(s"$root/in/departments.jsonl")
+
+    val q = DeltaStream.run(spark, Map(
+      DeltaStream.Mode -> "routed",
+      DeltaStream.Tables -> "employees,departments",
+      DeltaStream.TargetPath -> s"$root/out",
+      DeltaStream.SourceDir -> s"$root/in",
+      DeltaStream.CheckpointLocation -> s"$root/ckpt",
+      "graft.table.departments.recordkey.field" -> "dept_id",
+      "graft.table.departments.schema.ddl" -> "dept_id INT, name STRING"))
+    try q.processAllAvailable() finally q.stop()
+
+    // both tables materialized under their own snapshot dirs
+    val emp = Ingest.readSnapshot(spark, s"$root/out/employees/snapshot").get
+      .select($"id", $"lsn").orderBy($"id").collect().toSeq
+    val deps = Ingest.readSnapshot(spark, s"$root/out/departments/snapshot").get
+      .select($"dept_id", $"name").orderBy($"dept_id").collect().toSeq
+    assert(emp.nonEmpty && deps.nonEmpty)
+
+    // byte-equal to the direct Scala runRouted over the same topic dir
+    val depRow = StructType(Seq(StructField("dept_id", IntegerType), StructField("name", StringType)))
+    val q2 = Ingest.runRouted(spark, s"$root/in", s"$root/direct", s"$root/ckpt2", Map(
+      "employees" -> Ingest.TableRoute(Envelope.employeesEnvelope),
+      "departments" -> Ingest.TableRoute(Envelope.envelope(depRow), keys = Seq("dept_id"))))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(emp == Ingest.readSnapshot(spark, s"$root/direct/employees/snapshot").get
+      .select($"id", $"lsn").orderBy($"id").collect().toSeq)
+    assert(deps == Ingest.readSnapshot(spark, s"$root/direct/departments/snapshot").get
+      .select($"dept_id", $"name").orderBy($"dept_id").collect().toSeq)
+  }
+
+  test("mode-aware validation: wrong-mode, typo'd per-table and unknown-mode options fail loudly") {
+    val root = tmpDir("graft_dstream_modebad")
+    val routedGood = Map(
+      DeltaStream.Mode -> "routed",
+      DeltaStream.Tables -> "employees",
+      DeltaStream.TargetPath -> s"$root/out",
+      DeltaStream.SourceDir -> s"$root/in",
+      DeltaStream.CheckpointLocation -> s"$root/ckpt")
+
+    val badMode = intercept[IllegalArgumentException] {
+      DeltaStream.run(spark, routedGood + (DeltaStream.Mode -> "streaming"))
+    }
+    assert(badMode.getMessage.contains("unknown DeltaStream mode"), badMode.getMessage)
+
+    // a filegroup-only option on a routed run would claim a catalog the
+    // snapshot layout cannot serve — rejected, not ignored
+    val wrongMode = intercept[IllegalArgumentException] {
+      DeltaStream.run(spark, routedGood + (DeltaStream.SyncCatalog -> "graft_cdc"))
+    }
+    assert(wrongMode.getMessage.contains(DeltaStream.SyncCatalog), wrongMode.getMessage)
+
+    // routed without a table list has nothing to route
+    val noTables = intercept[IllegalArgumentException] {
+      DeltaStream.run(spark, routedGood - DeltaStream.Tables)
+    }
+    assert(noTables.getMessage.contains(DeltaStream.Tables), noTables.getMessage)
+
+    // per-table keys validate against the declared tables AND suffixes
+    val typoTable = intercept[IllegalArgumentException] {
+      DeltaStream.run(spark, routedGood + ("graft.table.employes.schema.ddl" -> "id INT"))
+    }
+    assert(typoTable.getMessage.contains("graft.table.employes.schema.ddl"), typoTable.getMessage)
+    val typoSuffix = intercept[IllegalArgumentException] {
+      DeltaStream.run(spark, routedGood + ("graft.table.employees.schema" -> "id INT"))
+    }
+    assert(typoSuffix.getMessage.contains("graft.table.employees.schema"), typoSuffix.getMessage)
+
+    // a routed-only option on a filegroup run is equally loud
+    val fgGood = Map(
+      DeltaStream.TableName -> "employees",
+      DeltaStream.TargetPath -> s"$root/out2",
+      DeltaStream.SourceDir -> s"$root/in",
+      DeltaStream.CheckpointLocation -> s"$root/ckpt2")
+    val routedOnFg = intercept[IllegalArgumentException] {
+      DeltaStream.run(spark, fgGood + (DeltaStream.TopicPattern -> "debezium1.*"))
+    }
+    assert(routedOnFg.getMessage.contains(DeltaStream.TopicPattern), routedOnFg.getMessage)
+
+    // nothing was created by any failed run
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/out")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$root/out2")))
+  }
 }

@@ -130,7 +130,11 @@ val queries = Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
   // commits + the metadata-only clean + procedure listings) — the
   // clean itself is manifest metadata; probed because the body
   // composes a write-heavy lifecycle, same rationale as the ALTER row
-  "q_cdc_sql_clean")
+  "q_cdc_sql_clean",
+  // round 19: the startingVersion incremental read — head scan cut to
+  // changed file groups + an ord-threshold filter with a 1-row
+  // subquery over version v's files
+  "q_cdc_read_incremental")
 
 // Optional filter for targeted runs (same convention as
 // SPARK_GRAFT_VERIFY_ONLY): probe only the named queries.

@@ -123,6 +123,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // feed as a TABLE-VALUED function (a distributed diff plan, not
     // driver-side procedure rows)
     ext.injectTableFunction(GraftExtensions.tableChangesEntry)
+    // spark.read.option("startingVersion", v).table("graft_cdc.t"):
+    // Hudi's incremental-query read option — rows upserted since a
+    // retained version, lowered to a pushable ord-threshold filter
+    ext.injectPostHocResolutionRule(session => new graft.sources.IncrementalReadRule(session))
   }
 }
 

@@ -642,6 +642,45 @@ private[queries] object ExtensionsCdc {
           |WHERE s1.lsn IS NULL OR s2.lsn IS NULL OR s1.lsn <> s2.lsn
           |ORDER BY id""".stripMargin)),
 
+    // INCREMENTAL READ OPTION (round 19) — Hudi's incremental-query
+    // ergonomics on the catalog table: `spark.read.option(
+    // "startingVersion", v).table("graft_cdc.employees")` returns the
+    // CURRENT snapshot restricted to rows upserted after retained
+    // version v (post-image rows; deletes absent — the TVF serves
+    // explicit before/after diffs). Lowered by IncrementalReadRule to
+    // `Filter(ord > scalar-subquery[max(ord) at v], head-scan)` — the
+    // same schema as the table (which is what makes it a READ OPTION),
+    // one pushable predicate, a 1-row ord-column aggregate over
+    // version v's referenced files; no join, no window. Correct under
+    // the monotone-precombine assumption (the Debezium LSN; Hudi's
+    // _hoodie_commit_time analog) — documented loudly in the rule.
+    // Versions 1→head of the 3-commit lifecycle: the oracle replays
+    // "head-snapshot rows whose lsn exceeds v1's surviving max".
+    GQuery(
+      "q_cdc_read_incremental",
+      (s, dir) => {
+        registerCdcCatalog(s, fileGroupTable(s, dir).stripSuffix("/employees"))
+        s.read.option("startingVersion", 1)
+          .table("graft_cdc.employees")
+          .select(col("id"), col("lsn"), col("op"), col("value"))
+          .orderBy(col("id"))
+      },
+      Some(
+        """WITH log AS (
+          |  SELECT user_id AS id, event_id AS lsn,
+          |    CASE WHEN event_id % 11 = 0 THEN 'd'
+          |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+          |    value FROM events),
+          |s1 AS (SELECT id, lsn FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+          |  FROM log WHERE lsn < (SELECT count(*) * 4 // 5 FROM events)) t
+          |  WHERE rn = 1 AND op <> 'd'),
+          |s2 AS (SELECT id, lsn, op, value FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+          |  FROM log) t WHERE rn = 1 AND op <> 'd')
+          |SELECT id, lsn, op, value FROM s2
+          |WHERE lsn > (SELECT max(lsn) FROM s1) ORDER BY id""".stripMargin)),
+
     // SQL-SURFACE SCHEMA EVOLUTION (round 18) — `ALTER TABLE ... ADD
     // COLUMNS` lowered to a METADATA-ONLY schema-widening commit
     // (FileGroups.widenSchema through the catalog's alterTable): a new
@@ -655,6 +694,13 @@ private[queries] object ExtensionsCdc {
     // the value gate pins both the null-fill of untouched rows and the
     // mixed-schema reconcile (buckets with and without the column in
     // one scan). DROP+recreate per run keeps it a fixpoint.
+    // r19 re-scope (bench-budget): the CTAS takes a QUARTER of the
+    // keys on a 4-bucket table and the backfill covers half of THOSE
+    // (id%8=0 vs id%8=4 — every %4=0 key is even, so the old %2
+    // predicate would have backfilled all of them) — the gate is DDL
+    // semantics (metadata-only widen + typed-NULL pad + mixed-schema
+    // read), not write volume; full-size commits are already timed by
+    // the ddl/dml/merge rows.
     GQuery(
       "q_cdc_sql_alter",
       (s, dir) => {
@@ -662,22 +708,24 @@ private[queries] object ExtensionsCdc {
         registerCdcCatalog(s, root, "graft_cdcalt")
         s.sql("DROP TABLE IF EXISTS graft_cdcalt.snap")
         s.sql(
-          s"""CREATE TABLE graft_cdcalt.snap TBLPROPERTIES('keys'='id', 'ord'='lsn')
+          s"""CREATE TABLE graft_cdcalt.snap
+             |TBLPROPERTIES('keys'='id', 'ord'='lsn', 'buckets'='4')
              |AS SELECT user_id AS id, max(event_id) AS lsn, max(value) AS value
-             |FROM parquet.`$dir/events.parquet` GROUP BY user_id""".stripMargin)
+             |FROM parquet.`$dir/events.parquet`
+             |WHERE user_id % 4 = 0 GROUP BY user_id""".stripMargin)
         s.sql("ALTER TABLE graft_cdcalt.snap ADD COLUMNS (tier STRING)")
         s.sql(
           """UPDATE graft_cdcalt.snap
             |SET tier = CASE WHEN value > 0.5 THEN 'high' ELSE 'low' END
-            |WHERE id % 2 = 0""".stripMargin)
+            |WHERE id % 8 = 0""".stripMargin)
         s.sql("SELECT id, lsn, value, tier FROM graft_cdcalt.snap ORDER BY id")
       },
       Some(
         """SELECT user_id AS id, max(event_id) AS lsn, max(value) AS value,
-          |  CASE WHEN user_id % 2 = 0
+          |  CASE WHEN user_id % 8 = 0
           |       THEN (CASE WHEN max(value) > 0.5 THEN 'high' ELSE 'low' END)
           |       ELSE NULL END AS tier
-          |FROM events GROUP BY user_id ORDER BY id""".stripMargin)),
+          |FROM events WHERE user_id % 4 = 0 GROUP BY user_id ORDER BY id""".stripMargin)),
 
     // CLEANER / RETENTION as a TABLE SERVICE through SQL (round 18) —
     // Hudi's `hoodie.cleaner.commits.retained` + `run_clean` pair on
@@ -704,14 +752,18 @@ private[queries] object ExtensionsCdc {
         // a QUARTER of the keys: the cleaner gate is LIFECYCLE
         // semantics (policy → window → reclaim), not write volume —
         // the ddl/dml/alter rows already time full-size commits
+        // r19 re-scope (bench-budget): 4 buckets and POINT-KEY updates
+        // (ids 4,8 / 0,12 — present at every sf) — each version commit
+        // rewrites <=2 file groups instead of all 16, because the gate
+        // is retention lifecycle semantics, not commit write volume
         s.sql(
           s"""CREATE TABLE graft_cdccl.snap
-             |TBLPROPERTIES('keys'='id', 'ord'='lsn', 'retain'='4')
+             |TBLPROPERTIES('keys'='id', 'ord'='lsn', 'retain'='4', 'buckets'='4')
              |AS SELECT user_id AS id, max(event_id) AS lsn, max(value) AS value
              |FROM parquet.`$dir/events.parquet`
              |WHERE user_id % 4 = 0 GROUP BY user_id""".stripMargin)
-        s.sql("UPDATE graft_cdccl.snap SET value = value + 1 WHERE id % 3 = 0") // v1
-        s.sql("UPDATE graft_cdccl.snap SET value = value - 1 WHERE id % 3 = 1") // v2
+        s.sql("UPDATE graft_cdccl.snap SET value = value + 1 WHERE id IN (4, 8)") // v1
+        s.sql("UPDATE graft_cdccl.snap SET value = value - 1 WHERE id IN (0, 12)") // v2
         val v0 = s.sql(
           "SELECT 'v0' AS phase, id, value FROM graft_cdccl.snap VERSION AS OF 0")
           .localCheckpoint() // materialize while v0 is still retained
@@ -734,8 +786,8 @@ private[queries] object ExtensionsCdc {
           |  SELECT 'v0' AS phase, id, value FROM base
           |  UNION ALL
           |  SELECT 'head', id,
-          |    CASE WHEN id % 3 = 0 THEN value + 1
-          |         WHEN id % 3 = 1 THEN value - 1 ELSE value END FROM base
+          |    CASE WHEN id IN (4, 8) THEN value + 1
+          |         WHEN id IN (0, 12) THEN value - 1 ELSE value END FROM base
           |  UNION ALL SELECT 'cleaned', 0, NULL
           |  UNION ALL SELECT 'retained', 1, NULL
           |  UNION ALL SELECT 'retained', 2, NULL

@@ -34,6 +34,7 @@ class FileGroupScanBuilder private (
     keys: Seq[String],
     tableSchema: StructType,
     allFiles: InMemoryFileIndex,
+    basePaths: Seq[String],
     options: CaseInsensitiveStringMap)
   extends ParquetScanBuilder(sparkSes, allFiles, tableSchema, tableSchema, options) {
 
@@ -138,7 +139,12 @@ class FileGroupScanBuilder private (
     val probes = keyProbes
     if (probes.isEmpty) base
     else {
+      // probe pruning composes with the builder's baseline file set
+      // (possibly already cut to changed-since-version file groups):
+      // intersect, never replace — a probe admitting a bucket the
+      // incremental cut excluded must not resurrect it
       val paths = FileGroups.referencedPaths(sparkSes, dir, version, keys, probes)
+        .filter(basePaths.toSet)
       base.copy(fileIndex = FileGroupScanBuilder.index(sparkSes, paths, tableSchema))
     }
   }
@@ -152,6 +158,15 @@ object FileGroupScanBuilder {
     * per-probe bucket resolution. */
   val MaxProbes = 256
 
+  /** Internal read option ([[IncrementalReadRule]] plants it after
+    * consuming the public `startingVersion`): restrict the scan's file
+    * set to the file groups REWRITTEN after this version — Hudi's
+    * incremental file cut. Rows carried forward inside rewritten
+    * groups are dropped by the rule's ord-threshold filter; untouched
+    * groups never reach the scan at all, so the incremental read costs
+    * O(changed buckets), not O(table), at any size. */
+  val IncrementalFromOpt = "__graft_incremental_from"
+
   private[sources] def index(spark: SparkSession, paths: Seq[String],
                              schema: StructType): InMemoryFileIndex =
     new InMemoryFileIndex(spark, paths.map(new Path(_)), Map.empty[String, String],
@@ -159,8 +174,11 @@ object FileGroupScanBuilder {
 
   def apply(spark: SparkSession, dir: String, version: Long, keys: Seq[String],
             schema: StructType, options: CaseInsensitiveStringMap): FileGroupScanBuilder = {
-    val paths = FileGroups.referencedPaths(spark, dir, version, keys, Nil)
+    val paths = Option(options.get(IncrementalFromOpt)).map(_.toLong) match {
+      case Some(fromV) => FileGroups.changedReferencedPaths(spark, dir, fromV, version)
+      case None => FileGroups.referencedPaths(spark, dir, version, keys, Nil)
+    }
     new FileGroupScanBuilder(spark, dir, version, keys, schema,
-      index(spark, paths, schema), options)
+      index(spark, paths, schema), paths, options)
   }
 }

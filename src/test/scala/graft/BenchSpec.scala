@@ -100,6 +100,38 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.fitRound(costs, 2.0) == Seq("q_a", "q_b"))
   }
 
+  test("deflateColdEsts scales never-warmed cold costs by the observed warm/cold ratio") {
+    // the BENCH_r18 shape: the cold sweep on a contended box measured
+    // ~20x the warm cost — warmed queries show ratio 0.05-0.1, and
+    // never-warmed queries' projections must shrink accordingly
+    val cold = Map("a" -> 20.0, "b" -> 10.0, "c" -> 40.0)
+    val cur = Map("a" -> 2.0, "b" -> 1.0, "c" -> 40.0) // a,b warmed; c not
+    val out = Bench.deflateColdEsts(cold, cur, Set("a", "b"))
+    assert(out("a") == 2.0 && out("b") == 1.0) // warmed estimates pass through
+    assert(out("c") == 40.0 * 0.1) // median of (0.1, 0.1) = 0.1
+  }
+
+  test("deflateColdEsts clamps the ratio and passes through without warm evidence") {
+    // no warmed queries → nothing to calibrate on: unchanged
+    val cold = Map("a" -> 5.0)
+    assert(Bench.deflateColdEsts(cold, cold, Set.empty) == cold)
+    // a pathological tiny ratio clamps at 0.05 (a projection must
+    // never collapse to ~zero and blow the budget guard)...
+    val tiny = Bench.deflateColdEsts(
+      Map("a" -> 1000.0, "c" -> 100.0), Map("a" -> 1.0, "c" -> 100.0), Set("a"))
+    assert(tiny("c") == 100.0 * 0.05)
+    // ...and a warm run SLOWER than cold clamps at 1 (deflation only —
+    // the cold number is already real evidence of this box's cost)
+    val slow = Bench.deflateColdEsts(
+      Map("a" -> 1.0, "c" -> 10.0), Map("a" -> 3.0, "c" -> 10.0), Set("a"))
+    assert(slow("c") == 10.0)
+    // a warmed query missing its cold time (cold run errored, warm
+    // succeeded) contributes no ratio but keeps its own estimate
+    val gap = Bench.deflateColdEsts(
+      Map("c" -> 10.0), Map("a" -> 2.0, "c" -> 10.0), Set("a"))
+    assert(gap == Map("a" -> 2.0, "c" -> 10.0))
+  }
+
   test("detail record carries the mode counts when provided") {
     val d = Bench.detailJson(results(3, 0), "/x", 3, Map("full" -> 2, "degraded" -> 1))
     assert(d.contains("\"modes\":{\"degraded\":1,\"full\":2}"))

@@ -1,0 +1,136 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.cdc.FileGroups
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** `spark.read.option("startingVersion", v).table(...)` on file-group
+  * catalog tables: Hudi's incremental-query read option — the current
+  * snapshot's rows upserted after retained version v, same schema as
+  * the table, lowered to an ord-threshold filter over ONLY the file
+  * groups rewritten since v. */
+class IncrementalReadSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def log() = Tables.events(spark, sf).select(
+    col("user_id").as("id"), col("event_id").as("lsn"),
+    when(pmod(col("event_id"), lit(11)) === 0, "d")
+      .when(pmod(col("event_id"), lit(3)) === 0, "u")
+      .otherwise("c").as("op"),
+    col("value"))
+
+  private def mkTable(name: String): String = {
+    val root = tmpDir("graft_incr")
+    val t = root + "/employees"
+    val l = log()
+    FileGroups.commit(spark, t, l.filter($"lsn" < 500), 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    FileGroups.commit(spark, t, l.filter($"lsn" >= 500), 1L, Seq("id"), Seq("lsn"))
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[FileGroupCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    t
+  }
+
+  test("startingVersion returns exactly the rows upserted after v (diff-oracled)") {
+    val t = mkTable("graft_incr1")
+    val got = spark.read.option("startingVersion", 0)
+      .table("graft_incr1.employees")
+      .select($"id", $"lsn", $"op", $"value").orderBy($"id").collect().toSeq
+    // the oracle: the TVF-layer diff's insert/update post-images,
+    // joined back to the head snapshot for the full row image
+    val changed = graft.cdc.ChangeFeed.diff(
+        FileGroups.readAt(spark, t, 0L).get, FileGroups.readAt(spark, t, 1L).get,
+        Seq("id"), "lsn", Seq("op", "value"))
+      .filter($"change_op".isin("i", "u"))
+      .select($"id", $"after_lsn".as("lsn"), $"after_op".as("op"),
+        $"after_value".as("value"))
+      .orderBy($"id").collect().toSeq
+    assert(got.nonEmpty && got == changed)
+    // the option composes like any relation: further filters/aggregates
+    val n = spark.read.option("startingVersion", 0)
+      .table("graft_incr1.employees").filter($"op" === "u").count()
+    assert(n == changed.count(_.getString(2) == "u") && n > 0)
+    // startingVersion = head is an empty increment, not an error
+    assert(spark.read.option("startingVersion", 1)
+      .table("graft_incr1.employees").count() == 0)
+  }
+
+  test("incremental file cut: only file groups rewritten after v reach the scan") {
+    // second commit touches ONE key → one bucket of 8 rewritten; the
+    // incremental scan must read only that bucket's new file, never
+    // the 7 carried-forward groups (the 100 TB property: cost ∝
+    // changed buckets, not table size)
+    val root = tmpDir("graft_incr_cut")
+    val t = root + "/employees"
+    FileGroups.commit(spark, t, log().filter($"op" =!= "d"), 0L,
+      Seq("id"), Seq("lsn"), nBuckets = 8)
+    FileGroups.commit(spark, t,
+      Seq((1L, 100000L, "u", 9.9)).toDF("id", "lsn", "op", "value"),
+      1L, Seq("id"), Seq("lsn"))
+    spark.conf.set("spark.sql.catalog.graft_incr2", classOf[FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_incr2.root", root)
+
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.inputFiles.toSeq
+      }.flatten
+    val df = spark.read.option("startingVersion", 0).table("graft_incr2.employees")
+    val scanned = scanFiles(df)
+    val fullScan = scanFiles(spark.read.table("graft_incr2.employees"))
+    assert(scanned.nonEmpty && scanned.size < fullScan.size,
+      s"incremental scan must cut files: ${scanned.size} vs full ${fullScan.size}")
+    // every scanned file is a v1 rewrite — no carried-forward group
+    assert(scanned.forall(_.contains("/v1/")), scanned.mkString(","))
+    // and the values are right: exactly the one upserted row
+    val got = df.select($"id", $"lsn").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 100000L)), got.toString)
+  }
+
+  test("an all-deleted base version means everything has changed since") {
+    val root = tmpDir("graft_incr_empty")
+    val t = root + "/employees"
+    // v0: one delete of a key that never existed → an EMPTY snapshot
+    FileGroups.commit(spark, t,
+      Seq((999999L, 1L, "d", 0.0)).toDF("id", "lsn", "op", "value"),
+      0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    FileGroups.commit(spark, t,
+      Seq((1L, 10L, "c", 1.0), (2L, 11L, "c", 2.0)).toDF("id", "lsn", "op", "value"),
+      1L, Seq("id"), Seq("lsn"))
+    spark.conf.set("spark.sql.catalog.graft_incr3", classOf[FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_incr3.root", root)
+    val got = spark.read.option("startingVersion", 0)
+      .table("graft_incr3.employees")
+      .select($"id").orderBy($"id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L), got.toString)
+  }
+
+  test("aged-out, future and malformed startingVersion fail loudly") {
+    val root = tmpDir("graft_incr_bad")
+    val t = root + "/employees"
+    val l = log()
+    // three commits at default retention 2 → v0 is GC'd
+    FileGroups.commit(spark, t, l.filter($"lsn" < 300), 0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    FileGroups.commit(spark, t, l.filter($"lsn" >= 300 && $"lsn" < 600), 1L, Seq("id"), Seq("lsn"))
+    FileGroups.commit(spark, t, l.filter($"lsn" >= 600), 2L, Seq("id"), Seq("lsn"))
+    spark.conf.set("spark.sql.catalog.graft_incr4", classOf[FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_incr4.root", root)
+
+    val aged = intercept[Exception] {
+      spark.read.option("startingVersion", 0).table("graft_incr4.employees").collect()
+    }
+    assert(aged.getMessage.contains("re-bootstrap"), aged.getMessage)
+    val future = intercept[Exception] {
+      spark.read.option("startingVersion", 99).table("graft_incr4.employees").collect()
+    }
+    assert(future.getMessage.contains("beyond the read version"), future.getMessage)
+    val mangled = intercept[Exception] {
+      spark.read.option("startingVersion", "one").table("graft_incr4.employees").collect()
+    }
+    assert(mangled.getMessage.contains("must be an integer"), mangled.getMessage)
+  }
+}

@@ -109,7 +109,9 @@ object DeltaStream {
     * + raw bytes (everything needed to replay after a fix) instead of
     * being dropped by the poison guard
     * (role of Hudi's error-table / DeltaStreamer transformer DLQ).
-    * Filegroup mode only ([[Ingest.run]] takes dlqDir directly). */
+    * Both modes; in routed mode the split happens ONCE before routing
+    * against the schema-independent op-only envelope, so one table's
+    * poison cannot vanish while another's is quarantined. */
   val DlqDir = "graft.dlq.dir"
   /** Routed mode: comma-separated table names to route (each lands at
     * `<target>/<table>/{log,snapshot}`). Required when mode=routed. */
@@ -132,7 +134,7 @@ object DeltaStream {
     RecordKeyField, PrecombineField, Buckets, SyncCatalog, SourceSchemaDdl,
     Retain, DlqDir)).toSet
   private val KnownRoutedFixed = (RequiredCommon ++ Seq(Mode, Tables,
-    TopicPattern, RecordKeyField, PrecombineField, SourceSchemaDdl)).toSet
+    TopicPattern, RecordKeyField, PrecombineField, SourceSchemaDdl, DlqDir)).toSet
 
   /** Validate the options map, sync the catalog if asked, and start
     * the checkpointed stream. Returns the running [[StreamingQuery]]
@@ -256,6 +258,7 @@ object DeltaStream {
     }.toMap
     Ingest.runRouted(spark, options(SourceDir),
       options(TargetPath).stripSuffix("/"), options(CheckpointLocation),
-      routes, options.getOrElse(TopicPattern, "debezium1.*"))
+      routes, options.getOrElse(TopicPattern, "debezium1.*"),
+      dlqDir = options.get(DlqDir))
   }
 }

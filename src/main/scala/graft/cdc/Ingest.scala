@@ -402,11 +402,27 @@ object Ingest extends org.apache.spark.internal.Logging {
     * snapshot under `baseDir/<table>/`. */
   def runRouted(spark: SparkSession, inputDir: String, baseDir: String, checkpointDir: String,
                 routes: Map[String, TableRoute],
-                topicPattern: String = "debezium1.*"): StreamingQuery = {
+                topicPattern: String = "debezium1.*",
+                dlqDir: Option[String] = None): StreamingQuery = {
     readTopicStream(spark, inputDir, topicPattern).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val cached = batch.cache() // one source read, N table routes
+        // DLQ for the multi-table stream: the validity criterion
+        // (parses as JSON, carries payload.op) is SCHEMA-INDEPENDENT —
+        // split once against the minimal op-only envelope BEFORE
+        // routing, so one table's poison can't vanish while another's
+        // is quarantined. The good half drops the minimal `_parsed`
+        // (each route re-parses under its OWN declared envelope —
+        // reusing the op-only struct would erase every data column).
+        val input = dlqDir match {
+          case Some(dq) =>
+            val (good, dlq) = withDeadLetters(batch,
+              StructType.fromDDL("payload STRUCT<op: STRING>"))
+            graft.ops.DeltaProtocol.writeBatchPartition(dlq, batchId, dq)
+            good.drop("_parsed")
+          case None => batch
+        }
+        val cached = input.cache() // one source read, N table routes
         try routes.foreach { case (table, r) =>
           val sub = cached.filter(col("topic").endsWith("." + table))
           val parsed = parse(sub, r.schema, r.keys)

@@ -212,6 +212,42 @@ class DeltaStreamSpec extends SparkSpec {
       .select($"dept_id", $"name").orderBy($"dept_id").collect().toSeq)
   }
 
+  test("routed DLQ: poison quarantined once before routing, both tables land clean") {
+    val root = tmpDir("graft_dstream_rdlq")
+    CdcGen.writeTopicFiles(spark, n = 20, s"$root/in", nBatches = 1)
+    CdcGen.writeDeptTopicFile(s"$root/in/departments.jsonl")
+    // poison on BOTH topics: the pre-routing split must quarantine
+    // each with its own coordinates (the per-table parse guard would
+    // have silently dropped them)
+    val ts = "2024-01-01T00:00:00.000Z"
+    val poison = Seq(
+      s"""{"topic":"debezium1.public.employees","partition":0,"offset":90001,"timestamp":"$ts","value":"not json"}""",
+      s"""{"topic":"debezium1.public.departments","partition":0,"offset":90002,"timestamp":"$ts","value":"{\\"no_op\\":1}"}""")
+    java.nio.file.Files.write(
+      new java.io.File(s"$root/in", "part-99999-poison.txt").toPath,
+      (poison.mkString("\n") + "\n").getBytes)
+
+    val q = DeltaStream.run(spark, Map(
+      DeltaStream.Mode -> "routed",
+      DeltaStream.Tables -> "employees,departments",
+      DeltaStream.TargetPath -> s"$root/out",
+      DeltaStream.SourceDir -> s"$root/in",
+      DeltaStream.CheckpointLocation -> s"$root/ckpt",
+      DeltaStream.DlqDir -> s"$root/dlq",
+      "graft.table.departments.recordkey.field" -> "dept_id",
+      "graft.table.departments.schema.ddl" -> "dept_id INT, name STRING"))
+    try q.processAllAvailable() finally q.stop()
+
+    val dlq = spark.read.parquet(s"$root/dlq")
+      .select($"topic", $"offset").as[(String, Long)].collect().toSet
+    assert(dlq == Set(("debezium1.public.employees", 90001L),
+      ("debezium1.public.departments", 90002L)), dlq.toString)
+    // both tables still materialize their clean halves
+    assert(Ingest.readSnapshot(spark, s"$root/out/employees/snapshot").get.count() > 0)
+    val deps = Ingest.readSnapshot(spark, s"$root/out/departments/snapshot").get
+    assert(deps.count() > 0 && deps.columns.contains("dept_id"))
+  }
+
   test("mode-aware validation: wrong-mode, typo'd per-table and unknown-mode options fail loudly") {
     val root = tmpDir("graft_dstream_modebad")
     val routedGood = Map(

@@ -91,6 +91,42 @@ class IncrementalReadSpec extends SparkSpec {
     assert(got == Seq((1L, 100000L)), got.toString)
   }
 
+  test("startingVersion composes with Spark's versionAsOf option: a bounded version range") {
+    // spark.read.option("versionAsOf", N) is core Spark 4 time travel
+    // (spark.sql.timeTravelVersionKey) — it pins the HEAD the rule
+    // diffs against, so (startingVersion=a, versionAsOf=b) reads the
+    // rows upserted in (a, b] — the TVF's bounded range through pure
+    // read options, no SQL required
+    val root = tmpDir("graft_incr_range")
+    val t = root + "/employees"
+    val l = log()
+    graft.cdc.FileGroups.setRetention(spark, t, 4) // keep all three versions
+    FileGroups.commit(spark, t, l.filter($"lsn" < 300), 0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    FileGroups.commit(spark, t, l.filter($"lsn" >= 300 && $"lsn" < 600), 1L, Seq("id"), Seq("lsn"))
+    FileGroups.commit(spark, t, l.filter($"lsn" >= 600), 2L, Seq("id"), Seq("lsn"))
+    spark.conf.set("spark.sql.catalog.graft_incr5", classOf[FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_incr5.root", root)
+
+    val got = spark.read
+      .option("versionAsOf", 1).option("startingVersion", 0)
+      .table("graft_incr5.employees")
+      .select($"id", $"lsn").orderBy($"id").collect().toSeq
+    val want = graft.cdc.ChangeFeed.diff(
+        FileGroups.readAt(spark, t, 0L).get, FileGroups.readAt(spark, t, 1L).get,
+        Seq("id"), "lsn", Seq("op", "value"))
+      .filter($"change_op".isin("i", "u"))
+      .select($"id", $"after_lsn".as("lsn"))
+      .orderBy($"id").collect().toSeq
+    assert(got.nonEmpty && got == want)
+    // the bound is real: the range read's post-images are all from the
+    // v1 era (lsn < 600), while the unbounded read serves the v2 tail
+    assert(got.forall(_.getLong(1) < 600), got.toString)
+    val unboundedMax = spark.read.option("startingVersion", 0)
+      .table("graft_incr5.employees")
+      .agg(org.apache.spark.sql.functions.max($"lsn")).head().getLong(0)
+    assert(unboundedMax >= 600, unboundedMax.toString)
+  }
+
   test("an all-deleted base version means everything has changed since") {
     val root = tmpDir("graft_incr_empty")
     val t = root + "/employees"

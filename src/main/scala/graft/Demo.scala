@@ -111,6 +111,13 @@ object Demo {
       s"""SELECT id, change_op, before_salary, after_salary
          |FROM graft_table_changes('graft_cdc.fg', ${fgHead - 1}, $fgHead)
          |ORDER BY id""".stripMargin).show()
+    // ... or through the READ OPTION (the Hudi incremental-query
+    // ergonomics): the same "what changed since my last pull", post-
+    // image rows at the table's own schema, scanning ONLY the file
+    // groups rewritten since the base version
+    println("[demo] 6d'. the same increment as a read option (startingVersion):")
+    spark.read.option("startingVersion", fgHead - 1).table("graft_cdc.fg")
+      .select(col("id"), col("lsn"), col("salary")).show()
     // ... and the schema evolves by metadata alone: ADD COLUMNS commits
     // a widened manifest (zero data IO), rows read NULL until backfill
     spark.sql("ALTER TABLE graft_cdc.fg ADD COLUMNS (review_note STRING)")

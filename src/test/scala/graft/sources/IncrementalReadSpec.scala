@@ -91,6 +91,43 @@ class IncrementalReadSpec extends SparkSpec {
     assert(got == Seq((1L, 100000L)), got.toString)
   }
 
+  test("key probes intersect the incremental cut — they never resurrect an excluded group") {
+    // a record-key equality predicate on an incremental read: the
+    // probe pruning (bucket+bloom) must INTERSECT the changed-group
+    // cut, not replace it — a probe admitting a bucket the incremental
+    // cut excluded would re-read carried-forward files for nothing
+    val root = tmpDir("graft_incr_probe")
+    val t = root + "/employees"
+    FileGroups.commit(spark, t, log().filter($"op" =!= "d"), 0L,
+      Seq("id"), Seq("lsn"), nBuckets = 8)
+    // v1 touches only key 1; key 2 lives in a carried-forward group
+    FileGroups.commit(spark, t,
+      Seq((1L, 100000L, "u", 9.9)).toDF("id", "lsn", "op", "value"),
+      1L, Seq("id"), Seq("lsn"))
+    spark.conf.set("spark.sql.catalog.graft_incr6", classOf[FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_incr6.root", root)
+
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.inputFiles.toSeq
+      }.flatten
+
+    // probed key IS the changed one: scan stays within the v1 rewrite
+    val hit = spark.read.option("startingVersion", 0)
+      .table("graft_incr6.employees").where($"id" === 1L)
+    assert(scanFiles(hit).nonEmpty && scanFiles(hit).forall(_.contains("/v1/")))
+    assert(hit.select($"lsn").as[Long].collect().toSeq == Seq(100000L))
+
+    // probed key lives ONLY in a carried-forward group: the intersect
+    // empties the scan — zero files read, zero rows, still correct
+    val miss = spark.read.option("startingVersion", 0)
+      .table("graft_incr6.employees").where($"id" === 2L)
+    assert(scanFiles(miss).isEmpty, scanFiles(miss).mkString(","))
+    assert(miss.count() == 0)
+  }
+
   test("startingVersion composes with Spark's versionAsOf option: a bounded version range") {
     // spark.read.option("versionAsOf", N) is core Spark 4 time travel
     // (spark.sql.timeTravelVersionKey) — it pins the HEAD the rule

@@ -172,7 +172,8 @@ object FileGroups {
                                      schema: Option[StructType],
                                      keys: Option[Seq[String]],
                                      ord: Option[Seq[String]],
-                                     entries: Seq[Entry])
+                                     entries: Seq[Entry],
+                                     ordHi: Option[Long] = None)
 
   /** Manifest = `#nbuckets=` header, a `#schema=` header carrying the
     * table schema as Spark JSON (so an all-deleted table still reads as
@@ -202,17 +203,34 @@ object FileGroups {
       Entry(f(0).toLong, f(1), f(2).toLongOption, f(3).toLongOption, f(4).toLong,
         f.lift(5).filter(_.nonEmpty)) // bloom optional: pre-bloom manifests stay readable
     }
-    TableMeta(nBuckets, schema, cols("#keys="), cols("#ord="), entries)
+    // #ordhi (r19, optional — pre-r19 manifests stay readable): the
+    // version's ordering-column ceiling, see [[writeManifest]]
+    val ordHi = headers.collectFirst {
+      case h if h.startsWith("#ordhi=") => h.stripPrefix("#ordhi=").toLong
+    }
+    TableMeta(nBuckets, schema, cols("#keys="), cols("#ord="), entries, ordHi)
   }
 
+  /** `ordHi` (r19): the version's ORDERING-COLUMN CEILING — an exact
+    * upper bound on every surviving row's ord that is still strictly
+    * below every later commit's ord (under the monotone-precombine
+    * contract the Debezium LSN satisfies). Maintained as
+    * max(this commit's surviving dirty rows' ord, the prior version's
+    * ceiling) — carried rows sit under the prior ceiling by
+    * definition. Written only for single integer-family ordering
+    * columns; its consumer ([[graft.sources.IncrementalReadRule]])
+    * turns the incremental read's changed-since threshold into a
+    * MANIFEST READ instead of an ord-column scan over the whole base
+    * version — at 100 TB, one metadata line instead of a table pass. */
   private def writeManifest(spark: SparkSession, dir: String, id: Long, nBuckets: Int,
                             schema: StructType, keys: Seq[String], ord: Seq[String],
-                            entries: Seq[Entry]): Unit = {
+                            entries: Seq[Entry], ordHi: Option[Long] = None): Unit = {
     require(keys.forall(k => !k.contains(",") && !k.contains("\n")) &&
       ord.forall(o => !o.contains(",") && !o.contains("\n")),
       "key/ordering column names must not contain ',' or newlines (manifest header format)")
     val body = s"#nbuckets=$nBuckets\n#schema=${schema.json}\n" +
       s"#keys=${keys.mkString(",")}\n#ord=${ord.mkString(",")}\n" +
+      ordHi.fold("")(h => s"#ordhi=$h\n") +
       entries.sortBy(_.bucket).map { e =>
         s"${e.bucket}\t${e.relPath}\t${e.lo.fold("")(_.toString)}\t${e.hi.fold("")(_.toString)}\t${e.count}\t${e.bloom.getOrElse("")}"
       }.mkString("\n")
@@ -241,6 +259,13 @@ object FileGroups {
     val m = readManifest(sess, dir, id)
     (m.schema, m.keys, m.ord)
   }
+
+  /** Version `id`'s `#ordhi` ceiling (see [[writeManifest]]) — the
+    * incremental read's metadata-only threshold; None on pre-r19
+    * manifests and non-integer ordering columns (consumers fall back
+    * to scanning the version's ord column). */
+  private[graft] def manifestOrdHi(sess: SparkSession, dir: String, id: Long): Option[Long] =
+    readManifest(sess, dir, id).ordHi
 
   /** Fail loudly when a caller-supplied key column list disagrees with
     * the manifest-recorded one: bucket hashing is key-dependent, so a
@@ -388,13 +413,13 @@ object FileGroups {
     val committed = committedId(sess, dir)
     if (committed.exists(_ >= batchId)) Replayed
     else {
-      val (nb, current, prevSchema) = committed match {
+      val (nb, current, prevSchema, prevOrdHi) = committed match {
         case Some(id) =>
           val m = readManifest(sess, dir, id)
           checkKeys(m, keys, dir)
           checkOrd(m, ord, dir)
-          (m.nBuckets, m.entries, m.schema)
-        case None => (nBuckets, Seq.empty[Entry], None)
+          (m.nBuckets, m.entries, m.schema, m.ordHi)
+        case None => (nBuckets, Seq.empty[Entry], None, None)
       }
       // persisted across the bucket-discovery and merge jobs so the
       // batch plan (often a windowed snapshot scan or a routed join)
@@ -432,11 +457,23 @@ object FileGroups {
       // integer-family keys. A bucket merged to EMPTY (every key
       // deleted) yields no stats row, writes no partition dir, and
       // simply leaves the manifest.
-      val stats = rewriteEntries(out, keys, batchId)
+      val (stats, dirtyOrdHi) = rewriteEntries(out, keys, batchId, ord)
       out.unpersist()
       // a dirty bucket can merge to EMPTY (every key deleted) — it then
       // has no partition dir and simply leaves the manifest
       val entries = current.filterNot(e => dirty.contains(e.bucket)) ++ stats
+      // the version's ord ceiling (see writeManifest's #ordhi note):
+      // surviving dirty rows' max joined with the prior ceiling (the
+      // carried rows' bound). Exact-or-absent: with no prior ceiling
+      // (pre-r19 history, or a non-eligible ord column) and no dirty
+      // max, no header is written — a too-LOW ceiling would leak
+      // unchanged rows into incremental reads, so None is the only
+      // safe degradation (the reader falls back to its subquery).
+      val ordHi = (dirtyOrdHi, prevOrdHi) match {
+        case (Some(d), p) => Some(math.max(d, p.getOrElse(Long.MinValue)))
+        case (None, p) if dirty.isEmpty || stats.isEmpty => p // nothing (surviving) rewritten
+        case _ => None
+      }
       // manifest schema = the merge's schema RECONCILED with the prior
       // manifest's: the merge only saw the dirty buckets, so a column
       // living only in clean buckets (prior drift) or added by a
@@ -445,7 +482,7 @@ object FileGroups {
       // (the data is still there — mergeSchema reads would see it, the
       // manifest-typed catalog scan would not)
       writeManifest(sess, dir, batchId, nb, widenWith(merged.schema, prevSchema),
-        keys, ord, entries)
+        keys, ord, entries, ordHi)
       // the marker is the atomic publish point; createNewFile returning
       // false means ANOTHER PROCESS published this id between our head
       // check and now (in-process racers are excluded by the table
@@ -620,7 +657,8 @@ object FileGroups {
           "published by another writer — re-run the ALTER against the new head " +
           "(set spark.graft.cdc.fsLock=true to serialize multi-process writers)")
     writeManifest(sess, dir, newId, m.nBuckets, StructType(schema.fields ++ newFields),
-      m.keys.getOrElse(Nil), m.ord.getOrElse(Nil), m.entries)
+      m.keys.getOrElse(Nil), m.ord.getOrElse(Nil), m.entries,
+      m.ordHi) // metadata-only widen: same rows, same ord ceiling
     if (!fs.createNewFile(path(s"$dir/_COMMIT_$newId")))
       throw new IllegalStateException(
         s"concurrent cross-process commit detected at $dir: version $newId was " +
@@ -902,19 +940,32 @@ object FileGroups {
     * for [lo,hi,count] — [lo,hi] populated only for single
     * integer-family keys, the stats-index scope — plus the distributed
     * key blooms, built for ANY key shape. */
-  private def rewriteEntries(out: DataFrame, keys: Seq[String], batchId: Long): Seq[Entry] = {
+  /** Per-bucket index entries for the rewritten file groups, plus the
+    * rewritten rows' ORD CEILING (max ordering value across every
+    * bucket — rides the same grouped aggregation, no extra pass; None
+    * unless the table has a single integer-family ordering column or
+    * the rewrite emitted no rows). */
+  private def rewriteEntries(out: DataFrame, keys: Seq[String], batchId: Long,
+                             ord: Seq[String] = Nil): (Seq[Entry], Option[Long]) = {
     val singleIntKey = keys.size == 1 &&
       fieldOf(out.schema, keys.head).exists(f => integerFamily(f.dataType))
     val statCol = if (singleIntKey) col(keys.head).cast("long") else lit(null).cast("long")
+    val singleIntOrd = ord.size == 1 &&
+      fieldOf(out.schema, ord.head).exists(f => integerFamily(f.dataType))
+    val ordCol = if (singleIntOrd) col(ord.head).cast("long") else lit(null).cast("long")
     val blooms = buildBlooms(out, keys)
-    out.groupBy(col("_bucket"))
-      .agg(min(statCol).as("lo"), max(statCol).as("hi"), count(lit(1)).as("n"))
-      .collect().map { r =>
-        Entry(r.getLong(0), s"files/v$batchId/_bucket=${r.getLong(0)}",
-          if (r.isNullAt(1)) None else Some(r.getLong(1)),
-          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3),
-          blooms.get(r.getLong(0)))
-      }.toSeq
+    val rows = out.groupBy(col("_bucket"))
+      .agg(min(statCol).as("lo"), max(statCol).as("hi"), count(lit(1)).as("n"),
+        max(ordCol).as("ordhi"))
+      .collect()
+    val entries = rows.map { r =>
+      Entry(r.getLong(0), s"files/v$batchId/_bucket=${r.getLong(0)}",
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3),
+        blooms.get(r.getLong(0)))
+    }.toSeq
+    val ordHi = rows.toSeq.collect { case r if !r.isNullAt(4) => r.getLong(4) }.maxOption
+    (entries, ordHi)
   }
 
   /** Point lookup by key TUPLE — string and composite record keys
@@ -1093,14 +1144,15 @@ object FileGroups {
           .filter(!coalesce(tupleMatch(keys, probes), lit(false)))
           .withColumn("_bucket", bucketCol(keys, nb)).persist()
         kept.write.mode("overwrite").partitionBy("_bucket").parquet(s"$dir/files/v$batchId")
-        val stats = rewriteEntries(kept, keys, batchId)
+        val (stats, _) = rewriteEntries(kept, keys, batchId)
         kept.unpersist()
         val dirtySet = dirtyBuckets.map(_.bucket).toSet
         entries.filterNot(e => dirtySet.contains(e.bucket)) ++ stats
       }
     writeManifest(sess, dir, batchId, nb,
       schema.getOrElse(read(sess, dir).get.schema), keys,
-      m.ord.getOrElse(Nil), newEntries)
+      m.ord.getOrElse(Nil), newEntries,
+      m.ordHi) // purge only REMOVES rows: the prior ceiling still bounds every survivor
     fs.createNewFile(path(s"$dir/_COMMIT_$batchId"))
     // step 3 — forget, then retire the intent marker
     forgetHistory(sess, dir, batchId)

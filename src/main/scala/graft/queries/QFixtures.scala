@@ -280,7 +280,10 @@ private[queries] object QFixtures {
     // bloom-index tagging path needs them; v1 caches predate the field)
     // v3: the table dir is named like a catalog table ("employees") so
     // the same fixture serves q_cdc_sql_read's DSv2 catalog root
-    cachedFixture(s"graft_fg_cache_v3_$sfKey") { root =>
+    // v4: commit() writes the #ordhi ceiling header (r19) — a stale
+    // pre-header cache would silently route q_cdc_read_incremental
+    // through the subquery fallback instead of the metadata threshold
+    cachedFixture(s"graft_fg_cache_v4_$sfKey") { root =>
       val log = cdcLog(s, dir)
       val Seq(c1, c2) = {
         val n = Tables.events(s, dir).count()

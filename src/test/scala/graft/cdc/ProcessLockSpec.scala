@@ -112,6 +112,53 @@ class ProcessLockSpec extends SparkSpec {
     }
   }
 
+  test("release vs steal + fresh acquire: zero lost fresh locks (r20 compare-and-delete)") {
+    // The r19-verdict window: release was read-then-delete — between
+    // ownedByUs reading our token and fs.delete, a stealer completing
+    // rename-aside + cleanup plus a third party's fresh acquire could
+    // have the NEW lock deleted by the old holder's release. r20
+    // releases by rename-aside + token verify (releaseByToken), the
+    // same discipline the stealer uses. Stress the schedule: a paused
+    // holder's EXPIRED lock on disk; one thread steals-and-works
+    // through withLock (the fresh acquirer), another fires the paused
+    // holder's release at a jittered moment. The fresh acquirer must
+    // NEVER lose its lock (zero failures, including spurious 'stolen'
+    // at its own release), and the stale release must return true only
+    // when it really deleted its own lock.
+    val dir = tmpDir("graft_plock10") + "/t"
+    fs.mkdirs(new Path(dir))
+    val rnd = new scala.util.Random(7)
+    (1 to 30).foreach { i =>
+      val staleToken = s"paused-holder-$i"
+      val out = fs.create(new Path(s"$dir/_LOCK"), true)
+      try out.write(staleToken.getBytes("UTF-8")) finally out.close()
+      fs.setTimes(new Path(s"$dir/_LOCK"), System.currentTimeMillis() - 10000, -1)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val staleReleased = new java.util.concurrent.atomic.AtomicBoolean
+      val fresh = new Thread(() => {
+        try ProcessLock.withLock(spark, dir, ttlMs = 500, waitMs = 20000)(Thread.sleep(1))
+        catch { case t: Throwable => failures.add(t) }
+      })
+      val releaser = new Thread(() => {
+        try {
+          Thread.sleep(rnd.nextInt(120).toLong) // jitter into the steal/acquire window
+          staleReleased.set(ProcessLock.releaseByToken(fs, dir, staleToken))
+        } catch { case t: Throwable => failures.add(t) }
+      })
+      fresh.start(); releaser.start()
+      fresh.join(60000); releaser.join(60000)
+      assert(failures.isEmpty, {
+        val sw = new java.io.StringWriter
+        failures.forEach(t => t.printStackTrace(new java.io.PrintWriter(sw)))
+        s"iteration $i (staleReleased=${staleReleased.get}): $sw"
+      })
+      // the fresh holder always finished and released — nothing left
+      val left = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+        .filter(_.startsWith("_LOCK"))
+      assert(left.isEmpty, s"iteration $i leftover lock artifacts: ${left.mkString(",")}")
+    }
+  }
+
   test("heartbeat keeps a long-running holder's lock fresh past the TTL") {
     val dir = tmpDir("graft_plock7") + "/t"
     val contended = new java.util.concurrent.atomic.AtomicReference[Throwable]

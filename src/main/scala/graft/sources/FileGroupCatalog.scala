@@ -321,6 +321,21 @@ private[sources] class FileGroupTable(spark: SparkSession, tableName: String,
       "buckets" -> FileGroups.manifestBuckets(spark, dir, snapshotVersion).toString,
       "retain" -> FileGroups.retention(spark, dir).toString).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // fail-loudly guard (r19 advice): the PUBLIC `startingVersion`
+    // option is consumed by IncrementalReadRule (GraftExtensions) —
+    // the rule strips it and plants the internal file-cut option, so
+    // the only way it can still be here is a session that registered
+    // the catalog via spark.sql.catalog.* conf WITHOUT the extensions.
+    // Silently ignoring it would serve the FULL snapshot as an
+    // "increment" — a superset handed to a consumer that will apply it
+    // as a delta. Same posture as DeltaStream's option validation.
+    if (options.containsKey("startingVersion"))
+      throw new IllegalStateException(
+        s"read option startingVersion on $tableName requires the session built " +
+          "withExtensions(graft.functions.GraftExtensions) (or spark.sql.extensions=" +
+          "graft.functions.GraftExtensions) — without the extension rule the option " +
+          "would be silently ignored and the FULL snapshot served as an increment")
     FileGroupScanBuilder(spark, dir, snapshotVersion, keys, schema, options)
+  }
 }

@@ -248,4 +248,28 @@ class IncrementalReadSpec extends SparkSpec {
     }
     assert(mangled.getMessage.contains("must be an integer"), mangled.getMessage)
   }
+
+  test("an UNCONSUMED startingVersion (no extensions) fails loudly, never a full snapshot") {
+    // startingVersion is consumed by IncrementalReadRule, which lives
+    // in GraftExtensions; a session that registered the catalog via
+    // spark.sql.catalog.* conf WITHOUT the extensions would otherwise
+    // silently get the FULL snapshot served as an "increment" (the r19
+    // advice finding). The guard sits at newScanBuilder — the rule
+    // strips the option, so only the no-extensions path can reach it.
+    // Exercised directly against the table (this suite's session HAS
+    // the extensions, so the SQL path can't demonstrate the miss):
+    val t = mkTable("graft_incr5")
+    val committed = FileGroups.committedId(spark, t).get
+    val table = new FileGroupTable(spark, "graft_incr5.employees", t, committed,
+      Seq("id"), Seq("lsn"))
+    val ex = intercept[IllegalStateException] {
+      table.newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("startingVersion", "0")))
+    }
+    assert(ex.getMessage.contains("GraftExtensions"), ex.getMessage)
+    // and the extension path (this session) still strips it before the
+    // scan builder — the guard never fires on a correctly-built session
+    assert(spark.read.option("startingVersion", 0)
+      .table("graft_incr5.employees").count() > 0)
+  }
 }

@@ -113,6 +113,25 @@ object DeltaStream {
     * against the schema-independent op-only envelope, so one table's
     * poison cannot vanish while another's is quarantined. */
   val DlqDir = "graft.dlq.dir"
+  /** Wire format of the topic's value bytes: `json` (default — the
+    * reference's path-1 job), `avro` (raw Avro binary decoded with
+    * [[AvroSchemaJson]]), or `confluent-avro` (the KafkaAvroSerializer
+    * frame: magic 0 + int32 schema id, resolved against the
+    * `graft.value.avro.schema.<id>` registry entries — the reference's
+    * path-2 job, README.md:262-263). Both modes; downstream of the
+    * decode the pipeline is byte-identical to the JSON path. */
+  val ValueFormat = "graft.value.format"
+  /** Writer schema JSON for `graft.value.format=avro` (the offline
+    * stand-in for one schema-registry lookup). Required then; rejected
+    * for the other formats (a schema silently ignored would mask a
+    * misconfigured format). */
+  val AvroSchemaJson = "graft.value.avro.schema"
+  /** Registry-entry prefix for `graft.value.format=confluent-avro`:
+    * `graft.value.avro.schema.<id> = <writer schema JSON>` maps the
+    * frame's int32 schema id — at least one entry required; ids the
+    * topic carries but the map lacks fail loudly per record. */
+  val AvroSchemaIdPrefix = "graft.value.avro.schema."
+
   /** Routed mode: comma-separated table names to route (each lands at
     * `<target>/<table>/{log,snapshot}`). Required when mode=routed. */
   val Tables = "graft.tables"
@@ -132,9 +151,56 @@ object DeltaStream {
   private val RequiredCommon = Seq(TargetPath, SourceDir, CheckpointLocation)
   private val KnownFileGroup = (RequiredCommon ++ Seq(Mode, TableName,
     RecordKeyField, PrecombineField, Buckets, SyncCatalog, SourceSchemaDdl,
-    Retain, DlqDir)).toSet
+    Retain, DlqDir, ValueFormat, AvroSchemaJson)).toSet
   private val KnownRoutedFixed = (RequiredCommon ++ Seq(Mode, Tables,
-    TopicPattern, RecordKeyField, PrecombineField, SourceSchemaDdl, DlqDir)).toSet
+    TopicPattern, RecordKeyField, PrecombineField, SourceSchemaDdl, DlqDir,
+    ValueFormat, AvroSchemaJson)).toSet
+
+  /** A `graft.value.avro.schema.<id>` registry entry — the suffix must
+    * be the frame's int32 schema id (a non-integer suffix is a typo'd
+    * option and fails the unknown-option check loudly). */
+  private def avroSchemaIdKey(k: String): Boolean =
+    k.startsWith(AvroSchemaIdPrefix) &&
+      k.stripPrefix(AvroSchemaIdPrefix).toIntOption.isDefined
+
+  /** Parse + cross-validate the wire-format options (both modes).
+    * Every inapplicable combination fails loudly — a writer schema
+    * silently ignored under format=json would mask the very
+    * misconfiguration it evidences. */
+  private def valueFormatOf(options: Map[String, String]): Ingest.ValueFormat = {
+    val registry = options.collect {
+      case (k, v) if avroSchemaIdKey(k) => k.stripPrefix(AvroSchemaIdPrefix).toInt -> v
+    }
+    options.getOrElse(ValueFormat, "json") match {
+      case "json" =>
+        if (options.contains(AvroSchemaJson) || registry.nonEmpty)
+          throw new IllegalArgumentException(
+            s"$AvroSchemaJson option(s) are set but $ValueFormat is json (the default) — " +
+              "set graft.value.format=avro or confluent-avro, or drop the schema options")
+        Ingest.JsonValues
+      case "avro" =>
+        if (registry.nonEmpty)
+          throw new IllegalArgumentException(
+            s"per-id ${AvroSchemaIdPrefix}<id> entries apply to $ValueFormat=confluent-avro " +
+              s"only — plain avro takes ONE writer schema via $AvroSchemaJson")
+        Ingest.AvroValues(options.getOrElse(AvroSchemaJson, throw new IllegalArgumentException(
+          s"$ValueFormat=avro requires $AvroSchemaJson (the writer schema JSON — " +
+            "the stand-in for the schema-registry lookup)")))
+      case "confluent-avro" =>
+        if (options.contains(AvroSchemaJson))
+          throw new IllegalArgumentException(
+            s"$AvroSchemaJson applies to $ValueFormat=avro only — confluent-avro resolves " +
+              s"the frame's schema id against ${AvroSchemaIdPrefix}<id> entries")
+        if (registry.isEmpty)
+          throw new IllegalArgumentException(
+            s"$ValueFormat=confluent-avro requires at least one ${AvroSchemaIdPrefix}<id> " +
+              "registry entry (id = the int32 the 5-byte frame carries)")
+        Ingest.ConfluentAvroValues(registry)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown $ValueFormat '$other' — supported: json, avro, confluent-avro")
+    }
+  }
 
   /** Validate the options map, sync the catalog if asked, and start
     * the checkpointed stream. Returns the running [[StreamingQuery]]
@@ -182,7 +248,9 @@ object DeltaStream {
       .filter(_.nonEmpty).getOrElse(dflt)
 
   private def runFileGroup(spark: SparkSession, options: Map[String, String]): StreamingQuery = {
-    rejectUnknown(options, KnownFileGroup.contains, "filegroup", KnownFileGroup.toSeq)
+    rejectUnknown(options, k => KnownFileGroup.contains(k) || avroSchemaIdKey(k),
+      "filegroup", KnownFileGroup.toSeq :+ s"$AvroSchemaIdPrefix<id>")
+    val valueFormat = valueFormatOf(options)
     options.get(TableName).foreach(requireIdent(TableName, _))
     options.get(SyncCatalog).foreach(requireIdent(SyncCatalog, _))
     val buckets = options.get(Buckets).map { s =>
@@ -217,7 +285,8 @@ object DeltaStream {
       keys = cols(options, RecordKeyField, Seq("id")),
       ord = cols(options, PrecombineField, Seq("lsn")),
       nBuckets = buckets,
-      dlqDir = options.get(DlqDir))
+      dlqDir = options.get(DlqDir),
+      valueFormat = valueFormat)
   }
 
   private def runRouted(spark: SparkSession, options: Map[String, String]): StreamingQuery = {
@@ -236,9 +305,11 @@ object DeltaStream {
         tables.exists(t => rest.startsWith(t + ".") &&
           PerTableSuffixes.contains(rest.stripPrefix(t + ".")))
       }
-    rejectUnknown(options, k => KnownRoutedFixed.contains(k) || perTableKey(k),
+    rejectUnknown(options,
+      k => KnownRoutedFixed.contains(k) || perTableKey(k) || avroSchemaIdKey(k),
       "routed", KnownRoutedFixed.toSeq :+ "graft.table.<name>.{" +
-        PerTableSuffixes.toSeq.sorted.mkString(",") + "}")
+        PerTableSuffixes.toSeq.sorted.mkString(",") + "}" :+ s"$AvroSchemaIdPrefix<id>")
+    val valueFormat = valueFormatOf(options)
 
     def perTable(t: String, suffix: String): Option[String] =
       options.get(s"graft.table.$t.$suffix")
@@ -259,6 +330,7 @@ object DeltaStream {
     Ingest.runRouted(spark, options(SourceDir),
       options(TargetPath).stripSuffix("/"), options(CheckpointLocation),
       routes, options.getOrElse(TopicPattern, "debezium1.*"),
-      dlqDir = options.get(DlqDir))
+      dlqDir = options.get(DlqDir),
+      valueFormat = valueFormat)
   }
 }

@@ -712,8 +712,13 @@ object FileGroups {
           schema: org.apache.spark.sql.types.StructType = Envelope.employeesEnvelope,
           keys: Seq[String] = Seq("id"), ord: Seq[String] = Seq("lsn"),
           nBuckets: Int = 16,
-          dlqDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
-    Ingest.readTopicStream(spark, inputDir).writeStream
+          dlqDir: Option[String] = None,
+          valueFormat: Ingest.ValueFormat = Ingest.JsonValues)
+          : org.apache.spark.sql.streaming.StreamingQuery =
+    // Avro wire formats decode on the kafka-shaped stream, before the
+    // DLQ split and parse — downstream is identical to the JSON path
+    valueFormat.decode(Ingest.readTopicStream(spark, inputDir,
+        valueBase64 = valueFormat.valueBase64)).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // DLQ wire (same as [[Ingest.run]]'s): quarantine poison

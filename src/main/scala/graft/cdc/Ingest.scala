@@ -82,6 +82,42 @@ object Ingest extends org.apache.spark.internal.Logging {
     kafkaShaped.withColumn("value",
       graft.functions.ConfluentAvroToJson(col("value"), registry).cast("binary"))
 
+  /** Wire format of the Kafka value column — S15's decode step as a
+    * first-class configuration of the streaming entries, so the
+    * reference's path-2 job (Confluent Avro values, README.md:262-263)
+    * is reachable from the config-driven runner ([[DeltaStream]]'s
+    * `graft.value.format`), not only through the Scala decode helpers.
+    * Each format says (a) whether the file transport base64-wrapped the
+    * binary value (FIXTURES.md §B — real Kafka delivers bytes directly;
+    * the emulation's JSON-lines carrier cannot) and (b) how to rewrite
+    * `value` to the plain-JSON bytes the SHARED parse path consumes —
+    * downstream of decode the two wire formats are byte-identical. */
+  sealed trait ValueFormat {
+    /** The file transport base64-encodes binary (non-JSON) values. */
+    def valueBase64: Boolean
+    /** Rewrite `value` to plain-JSON bytes; identity for JSON. */
+    def decode(kafkaShaped: DataFrame): DataFrame
+  }
+  /** Plain Debezium JSON values (the reference's path-1 job). */
+  case object JsonValues extends ValueFormat {
+    val valueBase64 = false
+    def decode(kafkaShaped: DataFrame): DataFrame = kafkaShaped
+  }
+  /** Raw Avro-binary values decoded with one writer schema (its JSON
+    * form — the offline stand-in for a schema-registry lookup). */
+  final case class AvroValues(writerSchemaJson: String) extends ValueFormat {
+    val valueBase64 = true
+    def decode(kafkaShaped: DataFrame): DataFrame =
+      decodeAvroValues(kafkaShaped, writerSchemaJson)
+  }
+  /** Confluent-framed Avro values (magic 0 + int32 schema id) resolved
+    * against an id→writer-schema registry map. */
+  final case class ConfluentAvroValues(registry: Map[Int, String]) extends ValueFormat {
+    val valueBase64 = true
+    def decode(kafkaShaped: DataFrame): DataFrame =
+      decodeConfluentAvroValues(kafkaShaped, registry)
+  }
+
   /** S5: the reference's per-batch dynamic schema inference
     * (README.md:179, `spark.read.json(df.rdd.map(lambda r: r.value))`).
     * Exposed for fidelity; the hot path caches the result. */
@@ -236,11 +272,16 @@ object Ingest extends org.apache.spark.internal.Logging {
           declared: Option[StructType] = Some(Envelope.employeesEnvelope),
           snapshotPartitionBy: Seq[String] = Nil,
           showBatches: Int = 0,
-          dlqDir: Option[String] = None): StreamingQuery = {
+          dlqDir: Option[String] = None,
+          valueFormat: ValueFormat = JsonValues): StreamingQuery = {
     // Infer once, not per batch (fixes the reference's 3-jobs-per-batch).
     @volatile var cachedSchema: Option[StructType] = declared
 
-    val stream = readTopicStream(spark, inputDir)
+    // Avro decode happens HERE, on the kafka-shaped stream before the
+    // foreachBatch body — everything downstream (DLQ split, inference,
+    // parse, merge) sees the same plain-JSON bytes as the JSON wire
+    val stream = valueFormat.decode(
+      readTopicStream(spark, inputDir, valueBase64 = valueFormat.valueBase64))
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -403,8 +444,12 @@ object Ingest extends org.apache.spark.internal.Logging {
   def runRouted(spark: SparkSession, inputDir: String, baseDir: String, checkpointDir: String,
                 routes: Map[String, TableRoute],
                 topicPattern: String = "debezium1.*",
-                dlqDir: Option[String] = None): StreamingQuery = {
-    readTopicStream(spark, inputDir, topicPattern).writeStream
+                dlqDir: Option[String] = None,
+                valueFormat: ValueFormat = JsonValues): StreamingQuery = {
+    // one decode before routing — every table route (and the DLQ
+    // split) consumes the same plain-JSON bytes
+    valueFormat.decode(
+      readTopicStream(spark, inputDir, topicPattern, valueFormat.valueBase64)).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // DLQ for the multi-table stream: the validity criterion

@@ -301,4 +301,97 @@ class DeltaStreamSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/out")) &&
       !fs.exists(new org.apache.hadoop.fs.Path(s"$root/out2")))
   }
+
+  test("graft.value.format=avro / confluent-avro: the Avro topic twins land the JSON path's exact table") {
+    // the reference's path-2 job (Confluent Avro values) through the
+    // options map alone: the same change log on three wire formats must
+    // land three byte-equal tables — decode is the ONLY difference
+    val root = tmpDir("graft_dstream_avro")
+    CdcGen.writeTopicFiles(spark, n = 60, s"$root/topic_json", nBatches = 2)
+    CdcGen.writeTopicAvroFiles(spark, n = 60, s"$root/topic_avro", nBatches = 2)
+    CdcGen.writeTopicAvroFiles(spark, n = 60, s"$root/topic_conf", nBatches = 2,
+      schemaId = Some(7))
+    val writerSchema = CdcGen.avroWriterSchemaJson(spark)
+
+    def land(table: String, topic: String, extra: Map[String, String]): Seq[org.apache.spark.sql.Row] = {
+      val q = DeltaStream.run(spark, Map(
+        DeltaStream.TableName -> table,
+        DeltaStream.TargetPath -> s"$root/store",
+        DeltaStream.SourceDir -> topic,
+        DeltaStream.CheckpointLocation -> s"$root/ckpt_$table") ++ extra)
+      try q.processAllAvailable() finally q.stop()
+      FileGroups.read(spark, s"$root/store/$table").get
+        .orderBy($"id").collect().toSeq
+    }
+
+    val viaJson = land("emp_json", s"$root/topic_json", Map.empty)
+    val viaAvro = land("emp_avro", s"$root/topic_avro", Map(
+      DeltaStream.ValueFormat -> "avro",
+      DeltaStream.AvroSchemaJson -> writerSchema))
+    val viaConfluent = land("emp_conf", s"$root/topic_conf", Map(
+      DeltaStream.ValueFormat -> "confluent-avro",
+      s"${DeltaStream.AvroSchemaIdPrefix}7" -> writerSchema))
+    assert(viaJson.nonEmpty && viaAvro == viaJson, "avro wire != json wire")
+    assert(viaConfluent == viaJson, "confluent wire != json wire")
+  }
+
+  test("wire-format option cross-validation fails loudly in both modes") {
+    val root = tmpDir("graft_dstream_avrobad")
+    val fg = Map(
+      DeltaStream.TableName -> "employees",
+      DeltaStream.TargetPath -> s"$root/out",
+      DeltaStream.SourceDir -> s"$root/in",
+      DeltaStream.CheckpointLocation -> s"$root/ckpt")
+
+    // format=avro without the writer schema
+    val noSchema = intercept[IllegalArgumentException] {
+      DeltaStream.run(spark, fg + (DeltaStream.ValueFormat -> "avro"))
+    }
+    assert(noSchema.getMessage.contains(DeltaStream.AvroSchemaJson), noSchema.getMessage)
+    // a schema under the DEFAULT json format evidences a misconfigured
+    // format — rejected, never silently ignored
+    val schemaOnJson = intercept[IllegalArgumentException] {
+      DeltaStream.run(spark, fg + (DeltaStream.AvroSchemaJson -> "{}"))
+    }
+    assert(schemaOnJson.getMessage.contains("json"), schemaOnJson.getMessage)
+    // confluent-avro needs at least one registry entry
+    val noRegistry = intercept[IllegalArgumentException] {
+      DeltaStream.run(spark, fg + (DeltaStream.ValueFormat -> "confluent-avro"))
+    }
+    assert(noRegistry.getMessage.contains("registry"), noRegistry.getMessage)
+    // per-id entries under plain avro (the single-schema format)
+    val idsOnAvro = intercept[IllegalArgumentException] {
+      DeltaStream.run(spark, fg + (DeltaStream.ValueFormat -> "avro",
+        DeltaStream.AvroSchemaJson -> "{}",
+        s"${DeltaStream.AvroSchemaIdPrefix}1" -> "{}"))
+    }
+    assert(idsOnAvro.getMessage.contains("confluent-avro"), idsOnAvro.getMessage)
+    // a non-integer id suffix is a typo'd option name
+    val badId = intercept[IllegalArgumentException] {
+      DeltaStream.run(spark, fg + (DeltaStream.ValueFormat -> "confluent-avro",
+        s"${DeltaStream.AvroSchemaIdPrefix}one" -> "{}"))
+    }
+    assert(badId.getMessage.contains("unknown DeltaStream option"), badId.getMessage)
+    // unknown format name
+    val badFmt = intercept[IllegalArgumentException] {
+      DeltaStream.run(spark, fg + (DeltaStream.ValueFormat -> "protobuf"))
+    }
+    assert(badFmt.getMessage.contains("protobuf"), badFmt.getMessage)
+    // the routed mode validates the same surface
+    val routed = Map(
+      DeltaStream.Mode -> "routed",
+      DeltaStream.Tables -> "employees",
+      DeltaStream.TargetPath -> s"$root/out2",
+      DeltaStream.SourceDir -> s"$root/in",
+      DeltaStream.CheckpointLocation -> s"$root/ckpt2")
+    val routedNoSchema = intercept[IllegalArgumentException] {
+      DeltaStream.run(spark, routed + (DeltaStream.ValueFormat -> "avro"))
+    }
+    assert(routedNoSchema.getMessage.contains(DeltaStream.AvroSchemaJson),
+      routedNoSchema.getMessage)
+    // nothing was created by any failed run
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/out")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$root/out2")))
+  }
 }

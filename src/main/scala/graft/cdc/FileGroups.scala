@@ -1178,6 +1178,15 @@ object FileGroups {
       Option[StructType] =
     readManifest(sess, dir, id).schema
 
+  /** Whether version `id` carries a file-group manifest — the LAYOUT
+    * discriminator ([[graft.sources.FileGroupProcedures]] uses it): the
+    * MOR/versioned-snapshot layouts share the `_COMMIT_<id>` marker
+    * convention but have no manifest, so `_COMMIT_` presence alone
+    * cannot tell the two table families apart. One metadata existence
+    * check. */
+  private[graft] def hasManifest(sess: SparkSession, dir: String, id: Long): Boolean =
+    fsOf(sess, dir).exists(path(manifestPath(dir, id)))
+
   /** The pinned file-group (hash bucket) count of version `id`'s
     * manifest — table-identity metadata for the SQL catalog's
     * TBLPROPERTIES surface. */

@@ -793,6 +793,50 @@ private[queries] object ExtensionsCdc {
           |  UNION ALL SELECT 'retained', 2, NULL
           |) ORDER BY phase, id""".stripMargin)),
 
+    // MOR TABLE SERVICES through the SQL door (round 20): Hudi ships
+    // compaction and clustering as CALL procedures (`run_compaction`,
+    // `run_clustering`); this entry drives the full MOR lifecycle
+    // through them — append log deltas, CALL-fold them into a base,
+    // CALL-cluster the base into range-disjoint files — and oracles
+    // the read-path answer against the one latest-wins collapse the
+    // whole CDC family shares. Thin bindings over MergeOnRead.compact
+    // / Clustering.cluster (FileGroupProcedures.scala), so the SQL and
+    // Scala doors cannot diverge; FileGroupProceduresSpec pins the
+    // procedure OUTPUT rows and the file-group-layout guard. Scale:
+    // compaction is the same one-shuffle merge the COW commit runs;
+    // clustering is one range-shuffle of the base — both adjudicated
+    // write-path costs. Re-scoped to a QUARTER of the keys (the
+    // q_cdc_sql_clean bench-budget rule): the gate is the CALL
+    // lifecycle, not write volume — ddl/dml/merge time full commits.
+    // Re-runs are a fixpoint: covered appends skip, compaction and
+    // clustering report applied=false, contents never change.
+    GQuery(
+      "q_cdc_sql_compact",
+      (s, dir) => {
+        val root = cachedFixture(s"graft_fgcompq_root_v1_${sfFingerprint(dir)}")(_ => ())
+        registerCdcCatalog(s, root, "graft_cdcmp")
+        val t = root + "/sensors"
+        val log = cdcLog(s, dir).filter(pmod(col("id"), lit(4)) === 1)
+        val half = Tables.events(s, dir).count() / 2
+        graft.cdc.MergeOnRead.logAppend(s, t, log.filter(col("lsn") < half), 0L)
+        s.sql("CALL graft_cdcmp.run_compaction('sensors')")
+        graft.cdc.MergeOnRead.logAppend(s, t, log.filter(col("lsn") >= half), 1L)
+        s.sql("CALL graft_cdcmp.run_compaction(table => 'sensors', " +
+          "record_keys => 'id', ord => 'lsn')")
+        s.sql("CALL graft_cdcmp.run_clustering('sensors', 'id', 4)")
+        graft.cdc.MergeOnRead.readMerged(s, t, Seq("id"), Seq("lsn")).get
+          .select(col("id"), col("lsn"), col("op"), col("value")).orderBy(col("id"))
+      },
+      Some(
+        """SELECT id, lsn, op, value FROM (
+          |  SELECT user_id AS id, event_id AS lsn,
+          |    CASE WHEN event_id % 11 = 0 THEN 'd'
+          |         WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+          |    value,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          |  FROM events WHERE user_id % 4 = 1) t
+          |WHERE rn = 1 AND op <> 'd' ORDER BY id""".stripMargin)),
+
     // POINT LOOKUP through the oracle gate: the record-key-index read
     // path (Hudi metadata-table / bloom-index serve shape) — each
     // probed key resolves to its hash bucket, [min,max] stats drop

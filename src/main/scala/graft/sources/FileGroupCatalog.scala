@@ -183,7 +183,7 @@ class FileGroupCatalog extends TableCatalog with ProcedureCatalog {
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     if (!isProcNamespace(ident.namespace()))
       throw new NoSuchNamespaceException(ident.namespace())
-    FileGroupProcedures.resolve(ident.name(), spark, root, keys).getOrElse(
+    FileGroupProcedures.resolve(ident.name(), spark, root, keys, ord).getOrElse(
       throw new IllegalArgumentException(
         s"no procedure '${ident.name()}' in catalog $catalogName " +
           s"(available: ${FileGroupProcedures.Names.mkString(", ")})"))

@@ -40,10 +40,10 @@ private[sources] object FileGroupProcedures {
     * Iceberg/Hudi-conventional `system` namespace both resolve). */
   val Names: Seq[String] =
     Seq("show_commits", "show_file_groups", "create_savepoint", "release_savepoint",
-      "rollback", "purge_keys", "clean")
+      "rollback", "purge_keys", "clean", "run_compaction", "run_clustering")
 
   def resolve(name: String, spark: => SparkSession, root: => String,
-              keys: => Seq[String]): Option[UnboundProcedure] = name match {
+              keys: => Seq[String], ord: => Seq[String]): Option[UnboundProcedure] = name match {
     case "show_commits" => Some(new ShowCommits(spark, root))
     case "show_file_groups" => Some(new ShowFileGroups(spark, root))
     case "create_savepoint" => Some(new CreateSavepoint(spark, root))
@@ -51,6 +51,8 @@ private[sources] object FileGroupProcedures {
     case "rollback" => Some(new RollbackProc(spark, root))
     case "purge_keys" => Some(new PurgeKeys(spark, root, keys))
     case "clean" => Some(new CleanProc(spark, root))
+    case "run_compaction" => Some(new RunCompaction(spark, root, keys, ord))
+    case "run_clustering" => Some(new RunClustering(spark, root))
     case _ => None
   }
 
@@ -302,6 +304,120 @@ private[sources] object FileGroupProcedures {
       }
       val reclaimed = FileGroups.clean(session, dir, retain)
       result(schema, reclaimed.map(InternalRow(_)))
+    }
+  }
+
+  private val serviceOutcome = StructType(Seq(
+    StructField("version", LongType, nullable = true),
+    StructField("applied", BooleanType, nullable = false)))
+
+  /** Shared layout guard of the MOR/clustering services: they serve the
+    * MOR / versioned-snapshot layouts (`v<id>` base dirs + log deltas),
+    * which share the catalog root and the `_COMMIT_<id>` convention but
+    * are NOT file-group tables. A file-group table reaching one of
+    * these fails loudly — its every commit already merges and lays out
+    * its buckets, so "compacting" it is a category error the dangling
+    * `v<id>` read would otherwise surface as a confusing missing-path
+    * crash. */
+  private def requireMorLayout(spark: SparkSession, dir: String, proc: String): Unit =
+    FileGroups.committedId(spark, dir).foreach { id =>
+      if (FileGroups.hasManifest(spark, dir, id))
+        throw new IllegalArgumentException(
+          s"$proc serves the MOR/versioned-snapshot layout; $dir is a FILE-GROUP " +
+            "table, whose commits merge and lay out their buckets already — use " +
+            "clean/purge_keys/rollback for its maintenance")
+    }
+
+  /** Comma-separated column-list argument with a declared default of ''
+    * = "use the catalog's configured columns" (the same fallback rule
+    * as the catalog's pre-header tables). */
+  private def colsArg(input: InternalRow, pos: Int, proc: String, arg: String,
+                      dflt: Seq[String]): Seq[String] = {
+    require(!input.isNullAt(pos),
+      s"$proc: '$arg' must be a comma-separated column list, or omitted for the default")
+    val cols = input.getUTF8String(pos).toString
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (cols.nonEmpty) cols else dflt
+  }
+
+  /** `CALL c.run_compaction(table[, record_keys, ord])` — MOR compaction
+    * as a table service (Hudi's `run_compaction` procedure): fold every
+    * pending log delta into a new base version. A thin binding over
+    * [[graft.cdc.MergeOnRead.compact]] — the same crash-safe fold
+    * (pin → merge → marker → log GC, FS-locked when enabled) as the
+    * Scala door; this adds argument resolution only, so the two doors
+    * cannot diverge. `record_keys`/`ord` default to the catalog's
+    * keys/ord conf (the MOR layout has no self-describing manifest).
+    * Returns (version = the new base id, applied) — applied=false when
+    * nothing was pending. */
+  private final class RunCompaction(spark: => SparkSession, root: => String,
+                                    keys: => Seq[String], ord: => Seq[String])
+      extends FgProcedure(spark, root) {
+    override def name(): String = "run_compaction"
+    override def description(): String =
+      "fold a MOR table's pending log deltas into a new base version"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType),
+        ProcedureParameter.in("record_keys", StringType).defaultValue("''").build(),
+        ProcedureParameter.in("ord", StringType).defaultValue("''").build())
+
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val table = tableArg(input)
+      val dir = s"$root/$table"
+      // a MOR table is addressable BEFORE its first compaction (log
+      // deltas only, no base `_COMMIT_`) — the file-group resolveTable
+      // would reject exactly the table this service exists to serve
+      if (FileGroups.committedId(session, dir).isEmpty &&
+          graft.cdc.MergeOnRead.deltaIds(session, dir).isEmpty)
+        throw new IllegalArgumentException(
+          s"no MOR table '$table' under $root (no base version, no pending log deltas)")
+      requireMorLayout(session, dir, "run_compaction")
+      val k = colsArg(input, 1, "run_compaction", "record_keys", keys)
+      val o = colsArg(input, 2, "run_compaction", "ord", ord)
+      val folded = graft.cdc.MergeOnRead.compact(session, dir, k, o)
+      result(serviceOutcome,
+        Seq(InternalRow(folded.map(java.lang.Long.valueOf).orNull, folded.isDefined)))
+    }
+  }
+
+  /** `CALL c.run_clustering(table, sort_by[, files])` — the clustering
+    * REPLACE commit as a table service (Hudi's `run_clustering`
+    * procedure): rewrite the current base version range-sorted on
+    * `sort_by` (comma-separated columns) into `files` min/max-disjoint
+    * files, via [[graft.cdc.Clustering.cluster]] — the same marker
+    * protocol and GC as the Scala door. Returns (version = the
+    * clustered base id, applied) — applied=false when the head is
+    * already clustered. */
+  private final class RunClustering(spark: => SparkSession, root: => String)
+      extends FgProcedure(spark, root) {
+    override def name(): String = "run_clustering"
+    override def description(): String =
+      "rewrite a snapshot/MOR table's base version range-sorted into min/max-disjoint files"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType), in("sort_by", StringType),
+        ProcedureParameter.in("files", LongType).defaultValue("8").build())
+
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val table = tableArg(input)
+      val dir = s"$root/$table"
+      if (FileGroups.committedId(session, dir).isEmpty)
+        throw new IllegalArgumentException(
+          s"no committed base version of '$table' under $root — clustering rewrites " +
+            "a base; compact (or commit) first")
+      requireMorLayout(session, dir, "run_clustering")
+      require(!input.isNullAt(1), "run_clustering: 'sort_by' must not be NULL")
+      val sortBy = input.getUTF8String(1).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(sortBy.nonEmpty,
+        "run_clustering: 'sort_by' needs at least one column name")
+      require(!input.isNullAt(2), "run_clustering: 'files' must not be NULL")
+      val files = input.getLong(2)
+      require(files >= 1 && files <= 100000,
+        s"run_clustering: 'files' must be between 1 and 100000; got $files")
+      val clustered = graft.cdc.Clustering.cluster(session, dir,
+        sortBy.map(org.apache.spark.sql.functions.col), files.toInt)
+      result(serviceOutcome,
+        Seq(InternalRow(clustered.map(java.lang.Long.valueOf).orNull, clustered.isDefined)))
     }
   }
 

@@ -211,4 +211,99 @@ class FileGroupProceduresSpec extends SparkSpec {
     }
     assert(typo.getMessage.contains("retain"), typo.getMessage)
   }
+
+  test("run_compaction folds a MOR table's pending logs exactly like the Scala door") {
+    val root = tmpDir("graft_fgproc_mor")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[FileGroupCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dir = s"$root/sensors"
+    val l = log()
+    graft.cdc.MergeOnRead.logAppend(spark, dir, l.filter($"lsn" < 400), 0L)
+    graft.cdc.MergeOnRead.logAppend(spark, dir, l.filter($"lsn" >= 400), 1L)
+    // the pre-compaction merged view is the oracle the fold must equal
+    val expected = graft.cdc.MergeOnRead.readMerged(spark, dir, Seq("id"), Seq("lsn")).get
+      .select($"id", $"lsn", $"value").orderBy($"id").collect().toSeq
+
+    // defaults come from the catalog conf (keys=id, ord=lsn)
+    val out = spark.sql(s"CALL $cat.run_compaction('sensors')").collect().toSeq
+    assert(out.map(r => (r.getLong(0), r.getBoolean(1))) == Seq((1L, true)), out.toString)
+    assert(graft.cdc.MergeOnRead.deltaIds(spark, dir).isEmpty, "logs must be consumed")
+    val folded = spark.read.parquet(s"$dir/v1")
+      .select($"id", $"lsn", $"value").orderBy($"id").collect().toSeq
+    assert(folded == expected)
+
+    // nothing pending: applied=false, version NULL
+    val noop = spark.sql(s"CALL $cat.run_compaction('sensors')").collect().toSeq
+    assert(noop.map(r => (r.isNullAt(0), r.getBoolean(1))) == Seq((true, false)))
+
+    // explicit column arguments override the conf (named-arg form)
+    graft.cdc.MergeOnRead.logAppend(spark, dir, l.filter($"lsn" < 100), 2L)
+    val again = spark.sql(
+      s"CALL $cat.run_compaction(table => 'sensors', record_keys => 'id', ord => 'lsn')")
+      .collect().toSeq
+    assert(again.map(r => (r.getLong(0), r.getBoolean(1))) == Seq((2L, true)))
+
+    // unknown table fails loudly (a never-written MOR dir has neither
+    // a base nor pending deltas)
+    val unknown = intercept[Exception] { spark.sql(s"CALL $cat.run_compaction('nope')") }
+    assert(unknown.getMessage.contains("no MOR table"), unknown.getMessage)
+  }
+
+  test("run_clustering rewrites the base range-sorted; file-group tables refuse both services") {
+    val root = tmpDir("graft_fgproc_cluster")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[FileGroupCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dir = s"$root/sensors"
+    val l = log()
+    graft.cdc.MergeOnRead.logAppend(spark, dir, l, 0L)
+    spark.sql(s"CALL $cat.run_compaction('sensors')")
+    val before = spark.read.parquet(s"$dir/v0")
+      .select($"id", $"lsn", $"value").orderBy($"id").collect().toSeq
+
+    val out = spark.sql(s"CALL $cat.run_clustering('sensors', 'id', 4)").collect().toSeq
+    assert(out.map(r => (r.getLong(0), r.getBoolean(1))) == Seq((0L, true)), out.toString)
+    // the REPLACE copy is the resolved base now, contents identical
+    assert(graft.cdc.Clustering.baseDir(spark, dir).contains(s"$dir/c0"))
+    val after = spark.read.parquet(s"$dir/c0")
+      .select($"id", $"lsn", $"value").orderBy($"id").collect().toSeq
+    assert(after == before)
+    // ...and the clustered copy is range-disjoint on the sort key: the
+    // per-file [min,max] id intervals must not overlap
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/c0"))
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).toSeq
+    val ranges = files.map { f =>
+      val ids = spark.read.parquet(f).select($"id").as[Long].collect()
+      (ids.min, ids.max)
+    }.sortBy(_._1)
+    assert(ranges.size > 1 && ranges.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi <= lo
+      case _ => true
+    }, ranges.toString)
+
+    // already clustered: applied=false, version NULL
+    val noop = spark.sql(s"CALL $cat.run_clustering('sensors', 'id')").collect().toSeq
+    assert(noop.map(r => (r.isNullAt(0), r.getBoolean(1))) == Seq((true, false)))
+
+    // validation: empty sort list and absurd file counts fail loudly
+    val noCols = intercept[Exception] {
+      spark.sql(s"CALL $cat.run_clustering('sensors', ' , ')").collect()
+    }
+    assert(noCols.getMessage.contains("sort_by"), noCols.getMessage)
+    val badFiles = intercept[Exception] {
+      spark.sql(s"CALL $cat.run_clustering('sensors', 'id', 0)").collect()
+    }
+    assert(badFiles.getMessage.contains("files"), badFiles.getMessage)
+
+    // a FILE-GROUP table refuses both services with the layout pointer
+    FileGroups.commit(spark, s"$root/employees", l, 0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    val fgCompact = intercept[Exception] {
+      spark.sql(s"CALL $cat.run_compaction('employees')").collect()
+    }
+    assert(fgCompact.getMessage.contains("FILE-GROUP"), fgCompact.getMessage)
+    val fgCluster = intercept[Exception] {
+      spark.sql(s"CALL $cat.run_clustering('employees', 'id')").collect()
+    }
+    assert(fgCluster.getMessage.contains("FILE-GROUP"), fgCluster.getMessage)
+  }
 }

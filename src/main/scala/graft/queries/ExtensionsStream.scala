@@ -1348,6 +1348,84 @@ private[queries] object ExtensionsStream {
              |  SELECT vec_id, nn_id, score,
              |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, nn_id) AS rn
              |  FROM rr) t
-             |WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin))
+             |WHERE rn <= 5 ORDER BY vec_id, rn""".stripMargin)),
+
+    // STREAMING INCREMENTAL READ OF THE FILE-GROUP STORE (round 20) —
+    // the continuous consumer the reference's pipeline exists to feed
+    // (README.md:298-307; Hudi's incremental streaming read / Delta's
+    // readStream): `spark.readStream.format("graft-cdc")` over a
+    // committed table, offsets = table VERSIONS, each micro-batch =
+    // the batch door's bounded startingVersion cut between consecutive
+    // offsets (sources/IncrementalStreamSource.scala — same #ordhi
+    // threshold, same changed-file-group cut, so the stream and batch
+    // doors cannot diverge; IncrementalStreamSpec pins the equivalence
+    // plus checkpoint recovery and the aged-out-base loud error). The
+    // lifecycle here: three commits, a stream from version 0 lands
+    // batch b0 = changed-in-(v0,v2], a FOURTH commit arrives while the
+    // stream runs and lands as b1 = changed-in-(v2,v3]. The DuckDB twin
+    // replays both cuts as window SQL over the same change log (state
+    // at the target version, rows above the base version's ord
+    // ceiling). Scale: per trigger = TWO manifest reads + a scan of
+    // only the changed file groups with the ord predicate pushed —
+    // O(changed buckets) per batch at any table size or timeline
+    // length. What bench times is the landed-batches read.
+    GQuery(
+      "stream_incr_read_e2e",
+      (s, dir) => {
+        val sfKey = sfFingerprint(dir)
+        val root = cachedFixture(s"graft_incrstream_cache_v1_$sfKey") { root =>
+          val log = cdcLog(s, dir)
+          val n = Tables.events(s, dir).count()
+          val (q1, q2, q3) = (n / 4, n / 2, 3 * n / 4)
+          val t = root + "/store/employees"
+          graft.cdc.FileGroups.setRetention(s, t, 8)
+          graft.cdc.FileGroups.commit(s, t, log.filter(col("lsn") < q1),
+            0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+          graft.cdc.FileGroups.commit(s, t,
+            log.filter(col("lsn") >= q1 && col("lsn") < q2), 1L, Seq("id"), Seq("lsn"))
+          graft.cdc.FileGroups.commit(s, t,
+            log.filter(col("lsn") >= q2 && col("lsn") < q3), 2L, Seq("id"), Seq("lsn"))
+          val q = s.readStream.format("graft-cdc").option("startingVersion", 0).load(t)
+            .writeStream.option("checkpointLocation", root + "/ckpt")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              graft.ops.DeltaProtocol.writeBatchPartition(
+                b.select(col("id"), col("lsn"), col("op"), col("value")),
+                id, root + "/landed")
+              ()
+            }
+            .start()
+          try {
+            q.processAllAvailable() // b0: (v0 -> v2]
+            graft.cdc.FileGroups.commit(s, t, log.filter(col("lsn") >= q3),
+              3L, Seq("id"), Seq("lsn"))
+            q.processAllAvailable() // b1: (v2 -> v3]
+          } finally q.stop()
+        }
+        s.read.parquet(root + "/landed")
+          .select(concat(lit("b"), col("_batch_id").cast("string")).as("phase"),
+            col("id"), col("lsn"), col("op"), col("value"))
+          .orderBy(col("phase"), col("id"))
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM events),
+             |ev AS (SELECT user_id AS id, event_id AS lsn,
+             |  CASE WHEN event_id % 11 = 0 THEN 'd'
+             |       WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+             |  value FROM events),
+             |cuts AS (SELECT n // 4 AS q1, n // 2 AS q2, (3 * n) // 4 AS q3 FROM n),
+             |thr0 AS (SELECT max(lsn) AS t FROM ev, cuts WHERE lsn < q1),
+             |thr2 AS (SELECT max(lsn) AS t FROM ev, cuts WHERE lsn < q3),
+             |state2 AS (SELECT id, lsn, op, value FROM (
+             |  SELECT e.*, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+             |  FROM ev e, cuts WHERE lsn < q3) z WHERE rn = 1 AND op <> 'd'),
+             |state3 AS (SELECT id, lsn, op, value FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY lsn DESC) AS rn
+             |  FROM ev) z WHERE rn = 1 AND op <> 'd'),
+             |b0 AS (SELECT 'b0' AS phase, id, lsn, op, value FROM state2
+             |       WHERE lsn > (SELECT t FROM thr0)),
+             |b1 AS (SELECT 'b1' AS phase, id, lsn, op, value FROM state3
+             |       WHERE lsn > (SELECT t FROM thr2))
+             |SELECT phase, id, lsn, op, value FROM (
+             |  SELECT * FROM b0 UNION ALL SELECT * FROM b1) u
+             |ORDER BY phase, id""".stripMargin))
   )
 }

@@ -1,0 +1,244 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.cdc.FileGroups
+import graft.tables.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The graft-cdc STREAMING incremental source: offsets are table
+  * versions, each micro-batch is the batch door's bounded incremental
+  * cut — so every case here pins the stream against the batch
+  * `startingVersion` option on the same table. */
+class IncrementalStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def log() = Tables.events(spark, sf).select(
+    col("user_id").as("id"), col("event_id").as("lsn"),
+    when(pmod(col("event_id"), lit(11)) === 0, "d")
+      .when(pmod(col("event_id"), lit(3)) === 0, "u")
+      .otherwise("c").as("op"),
+    col("value"))
+
+  /** Land every micro-batch into `landDir` partitioned by stream batch
+    * id, with the batch's (start, end) versions NOT available to the
+    * sink — exactly a downstream consumer's view. */
+  private def landTo(landDir: String): (DataFrame, Long) => Unit =
+    (b, id) => { graft.ops.DeltaProtocol.writeBatchPartition(b, id, landDir); () }
+
+  /** The batch door's answer for the (va, vb] range: versionAsOf vb
+    * composed with startingVersion va (IncrementalReadSpec pins this
+    * composition against ChangeFeed.diff). */
+  private def batchCut(catalog: String, va: Long, vb: Long): Seq[org.apache.spark.sql.Row] =
+    spark.read.option("startingVersion", va).option("versionAsOf", vb)
+      .table(s"$catalog.employees")
+      .select($"id", $"lsn", $"op", $"value").orderBy($"id").collect().toSeq
+
+  private def landed(landDir: String, batch: Long): Seq[org.apache.spark.sql.Row] =
+    spark.read.parquet(landDir).filter(col("_batch_id") === batch)
+      .select($"id", $"lsn", $"op", $"value").orderBy($"id").collect().toSeq
+
+  test("each micro-batch is the batch door's bounded incremental cut; new commits stream in") {
+    val root = tmpDir("graft_istream")
+    val t = root + "/employees"
+    val l = log()
+    FileGroups.setRetention(spark, t, 8)
+    FileGroups.commit(spark, t, l.filter($"lsn" < 300), 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    FileGroups.commit(spark, t, l.filter($"lsn" >= 300 && $"lsn" < 600), 1L, Seq("id"), Seq("lsn"))
+    spark.conf.set("spark.sql.catalog.graft_is1", classOf[FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_is1.root", root)
+
+    val q = spark.readStream.format("graft-cdc").option("startingVersion", 0).load(t)
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(landTo(s"$root/landed"))
+      .start()
+    try {
+      q.processAllAvailable() // batch 0: (v0 → v1]
+      // a commit landing while the stream runs becomes the next batch
+      FileGroups.commit(spark, t, l.filter($"lsn" >= 600), 2L, Seq("id"), Seq("lsn"))
+      q.processAllAvailable() // batch 1: (v1 → v2]
+    } finally q.stop()
+
+    val b0 = landed(s"$root/landed", 0L)
+    val b1 = landed(s"$root/landed", 1L)
+    assert(b0.nonEmpty && b0 == batchCut("graft_is1", 0L, 1L))
+    assert(b1.nonEmpty && b1 == batchCut("graft_is1", 1L, 2L))
+    // the union under latest-wins vs the one-shot incremental read
+    // from the stream's start: every surviving changed row is
+    // IDENTICAL, and the only extras a replaying consumer holds are
+    // keys DELETED in a later batch — the documented non-CDC
+    // incremental semantics (deletes are absent, not tombstoned; a
+    // consumer needing them replays ranges through the TVF)
+    val replayed = spark.read.parquet(s"$root/landed")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"id").orderBy($"lsn".desc)))
+      .filter($"rn" === 1).select($"id", $"lsn", $"op", $"value")
+      .orderBy($"id").collect().toSeq
+    val oneShot = batchCut("graft_is1", 0L, 2L)
+    val replayedByKey = replayed.map(r => r.get(0) -> r).toMap
+    assert(oneShot.nonEmpty &&
+      oneShot.forall(r => replayedByKey.get(r.get(0)).contains(r)))
+    val oneShotKeys = oneShot.map(_.get(0)).toSet
+    val headKeys = FileGroups.read(spark, t).get
+      .select($"id").as[Long].collect().toSet
+    val extras = replayed.filterNot(r => oneShotKeys.contains(r.get(0)))
+    assert(extras.forall(r => !headKeys.contains(r.getLong(0))),
+      s"replay extras must be later-deleted keys only: $extras")
+  }
+
+  test("checkpoint recovery: a restarted stream resumes at its version, replays nothing") {
+    val root = tmpDir("graft_istream_ckpt")
+    val t = root + "/employees"
+    val l = log()
+    FileGroups.setRetention(spark, t, 8)
+    FileGroups.commit(spark, t, l.filter($"lsn" < 400), 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    FileGroups.commit(spark, t, l.filter($"lsn" >= 400 && $"lsn" < 800), 1L, Seq("id"), Seq("lsn"))
+    spark.conf.set("spark.sql.catalog.graft_is2", classOf[FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_is2.root", root)
+
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-cdc").option("startingVersion", 0).load(t)
+        .writeStream.option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch(landTo(s"$root/landed"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // lands (v0 → v1] as batch 0
+    FileGroups.commit(spark, t, l.filter($"lsn" >= 800), 2L, Seq("id"), Seq("lsn"))
+    run() // must resume AT v1: only (v1 → v2] lands, nothing replays
+
+    val perBatch = spark.read.parquet(s"$root/landed")
+      .groupBy($"_batch_id").count().orderBy($"_batch_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(perBatch.map(_._1) == Seq(0L, 1L), perBatch.toString)
+    assert(landed(s"$root/landed", 0L) == batchCut("graft_is2", 0L, 1L))
+    assert(landed(s"$root/landed", 1L) == batchCut("graft_is2", 1L, 2L))
+  }
+
+  test("default start is 'latest' (future commits only); 'earliest' takes the oldest retained") {
+    val root = tmpDir("graft_istream_start")
+    val t = root + "/employees"
+    val l = log()
+    FileGroups.setRetention(spark, t, 8)
+    FileGroups.commit(spark, t, l.filter($"lsn" < 500), 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    spark.conf.set("spark.sql.catalog.graft_is3", classOf[FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_is3.root", root)
+
+    // default: nothing lands until a NEW commit arrives
+    val q = spark.readStream.format("graft-cdc").load(t)
+      .writeStream.option("checkpointLocation", s"$root/ckpt_latest")
+      .foreachBatch(landTo(s"$root/landed_latest"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/landed_latest")) ||
+        spark.read.parquet(s"$root/landed_latest").isEmpty)
+      FileGroups.commit(spark, t, l.filter($"lsn" >= 500), 1L, Seq("id"), Seq("lsn"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(s"$root/landed_latest")
+      .select($"id", $"lsn", $"op", $"value").orderBy($"id").collect().toSeq ==
+      batchCut("graft_is3", 0L, 1L))
+
+    // earliest: the oldest retained version is the base
+    val q2 = spark.readStream.format("graft-cdc").option("startingVersion", "earliest").load(t)
+      .writeStream.option("checkpointLocation", s"$root/ckpt_earliest")
+      .foreachBatch(landTo(s"$root/landed_earliest"))
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$root/landed_earliest")
+      .select($"id", $"lsn", $"op", $"value").orderBy($"id").collect().toSeq ==
+      batchCut("graft_is3", 0L, 1L))
+  }
+
+  test("aged-out bases and rollbacks below the stream position fail loudly, never a wrong diff") {
+    val root = tmpDir("graft_istream_aged")
+    val t = root + "/employees"
+    val l = log()
+    // default retention 2: three commits age v0 out
+    FileGroups.commit(spark, t, l.filter($"lsn" < 300), 0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    FileGroups.commit(spark, t, l.filter($"lsn" >= 300 && $"lsn" < 600), 1L, Seq("id"), Seq("lsn"))
+    FileGroups.commit(spark, t, l.filter($"lsn" >= 600), 2L, Seq("id"), Seq("lsn"))
+
+    // an aged-out START fails at the first trigger
+    val q = spark.readStream.format("graft-cdc").option("startingVersion", 0).load(t)
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch((_: DataFrame, _: Long) => ())
+      .start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination(10)
+    }
+    assert(ex.getMessage.contains("re-bootstrap"), ex.getMessage)
+
+    // a stream STOPPED at v2, table cleaned past it while down → the
+    // restart's base aged out: loud, with the re-bootstrap hint
+    val q2 = spark.readStream.format("graft-cdc").option("startingVersion", 1).load(t)
+      .writeStream.option("checkpointLocation", s"$root/ckpt2")
+      .foreachBatch((_: DataFrame, _: Long) => ())
+      .start()
+    try q2.processAllAvailable() finally q2.stop() // lands (v1 → v2], checkpoint at v2
+    FileGroups.commit(spark, t, l.filter($"lsn" < 100), 3L, Seq("id"), Seq("lsn"))
+    FileGroups.commit(spark, t, l.filter($"lsn" >= 100 && $"lsn" < 200), 4L, Seq("id"), Seq("lsn"))
+    // retention 2 keeps {3,4}: the checkpointed base v2 is gone
+    val q3 = spark.readStream.format("graft-cdc").option("startingVersion", 1).load(t)
+      .writeStream.option("checkpointLocation", s"$root/ckpt2")
+      .foreachBatch((_: DataFrame, _: Long) => ())
+      .start()
+    val ex3 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable(); q3.awaitTermination(10)
+    }
+    assert(ex3.getMessage.contains("re-bootstrap"), ex3.getMessage)
+  }
+
+  test("pre-r19 manifests (no #ordhi) stream the same batches through the scan fallback") {
+    val root = tmpDir("graft_istream_hdr")
+    val t = root + "/employees"
+    val l = log()
+    FileGroups.setRetention(spark, t, 8)
+    FileGroups.commit(spark, t, l.filter($"lsn" < 500), 0L, Seq("id"), Seq("lsn"), nBuckets = 4)
+    FileGroups.commit(spark, t, l.filter($"lsn" >= 500), 1L, Seq("id"), Seq("lsn"))
+    spark.conf.set("spark.sql.catalog.graft_is5", classOf[FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_is5.root", root)
+    val want = batchCut("graft_is5", 0L, 1L) // resolved BEFORE the strip
+
+    // strip v0's #ordhi header (a pre-r19 manifest) through the Hadoop
+    // FS so the checksum sidecar stays consistent
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val mf = new org.apache.hadoop.fs.Path(s"$t/manifest_v0.tsv")
+    val in = fs.open(mf)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val out = fs.create(mf, true)
+    try out.write(text.split("\n").filterNot(_.startsWith("#ordhi="))
+      .mkString("\n").getBytes("UTF-8")) finally out.close()
+
+    val q = spark.readStream.format("graft-cdc").option("startingVersion", 0).load(t)
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(landTo(s"$root/landed"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(landed(s"$root/landed", 0L) == want && want.nonEmpty)
+  }
+
+  test("malformed options and non-tables fail loudly at resolution") {
+    val root = tmpDir("graft_istream_bad")
+    val noTable = intercept[Exception] {
+      spark.readStream.format("graft-cdc").load(s"$root/nothing")
+    }
+    assert(noTable.getMessage.contains("no committed file-group table"), noTable.getMessage)
+
+    val t = root + "/employees"
+    FileGroups.commit(spark, t, log().filter($"lsn" < 300), 0L, Seq("id"), Seq("lsn"), 4)
+    val q = spark.readStream.format("graft-cdc").option("startingVersion", "one").load(t)
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch((_: DataFrame, _: Long) => ())
+      .start()
+    val bad = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination(10)
+    }
+    assert(bad.getMessage.contains("must be an integer"), bad.getMessage)
+  }
+}

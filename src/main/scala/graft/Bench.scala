@@ -23,7 +23,8 @@ object Bench {
     * 3 entries with messages cut to 60 chars. BenchSpec pins the bound
     * at 1000 queries / 1000 failures. Full data → [[detailJson]]. */
   def stdoutLine(results: Seq[(String, Either[String, Seq[Double]])], sfDir: String,
-                 partialOf: Option[Int] = None): String = {
+                 partialOf: Option[Int] = None,
+                 label: Option[(Double, Boolean)] = None): String = {
     val qs = results
       .collect { case (k, Right(ts)) => k -> ts.min }
       .sortBy(-_._2).take(5)
@@ -51,7 +52,15 @@ object Bench {
     // queries — flagged explicitly so a truncated sweep can never be
     // mistaken for a complete one.
     val partField = partialOf.map(n => s""","partial":true,"n_done":${results.size},"n_total":$n""").getOrElse("")
-    s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$errField,"n_errors":$nErr$partField,"sf":$sfNum}"""
+    // Self-labeling (round 20): `degraded` says whether THIS box ran
+    // within DegradedAt x of the committed quiet-box reference —
+    // degraded:true means the totals are box noise, not a code
+    // regression; readers should compare the committed full-fidelity
+    // bench_detail.json instead. Absent = no reference overlap (never
+    // mislabeled, just unlabeled).
+    val labelField = label.map { case (cf, deg) =>
+      s""","contention_factor":${f2(cf)},"degraded":$deg""" }.getOrElse("")
+    s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$errField,"n_errors":$nErr$partField$labelField,"sf":$sfNum}"""
   }
 
   /** Round-level budget fit: the cost-ASCENDING greedy prefix of
@@ -104,6 +113,52 @@ object Bench {
     }
   }
 
+  /** Committed quiet-box reference (task: self-labeling artifacts —
+    * two rounds of official BENCH artifacts were n=1 cold sweeps on a
+    * 20-180x contended box that a reader could mistake for a 5x
+    * regression): `bench_reference.json` on the classpath carries the
+    * per-query full-fidelity warm mins of a quiet-box sweep plus that
+    * sweep's observed cold/warm median (`cold_factor` — cold runs pay
+    * fixture builds and first-use codegen, so cold/warm > 1 even on an
+    * idle machine; the label must compare LIKE statistics). Returns
+    * (per-query warm mins, quiet-box cold factor); None when the
+    * resource is absent (a fresh tree before the first reference
+    * generation — the artifact then ships unlabeled, never mislabeled). */
+  def loadReference(): Option[(Map[String, Double], Double)] =
+    Option(getClass.getResourceAsStream("/bench_reference.json")).map { in =>
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      // tiny flat parser (the file is machine-written by this repo's
+      // scripts/gen_bench_reference.py — one "queries" object of
+      // name:number pairs + one "cold_factor" number)
+      val qs = raw""""([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val coldFactor = qs.getOrElse("cold_factor", 1.0)
+      (qs - "cold_factor" - "generated_from_total_s", coldFactor)
+    }
+
+  /** Contention factor of THIS run vs the committed quiet-box
+    * reference: median over the common queries of (observed cold /
+    * reference warm min), normalized by the reference's own quiet-box
+    * cold factor — ~1.0 on an idle box, ~k on a box running k× slow.
+    * None when fewer than `minCommon` queries overlap (a filtered
+    * SPARK_GRAFT_BENCH_ONLY run, or a reference too old to label this
+    * tree). Median, not mean: one query whose fixture grew legitimately
+    * must not relabel the whole run. Pure function, BenchSpec-pinned. */
+  def contentionFactor(reference: Map[String, Double], coldObs: Map[String, Double],
+                       refColdFactor: Double, minCommon: Int = 20): Option[Double] = {
+    val ratios = coldObs.toSeq.flatMap { case (n, c) =>
+      reference.get(n).filter(_ > 0).map(c / _)
+    }.sorted
+    if (ratios.size < minCommon || refColdFactor <= 0) None
+    else Some(ratios(ratios.size / 2) / refColdFactor)
+  }
+
+  /** The degraded label: a run whose box was contended past this is
+    * NOT cross-round comparable (the project gate is 2x at equal
+    * methodology; 3.0 leaves headroom for honest box flicker so a
+    * borderline-quiet run is never stamped degraded). */
+  val DegradedAt = 3.0
+
   /** Per-query methodology annotations shipped in bench_detail.json's
     * `notes` field: when a round RE-SCOPES what a query's timed body
     * covers, automated cross-round diffing would otherwise read the
@@ -130,7 +185,9 @@ object Bench {
   def detailJson(results: Seq[(String, Either[String, Seq[Double]])],
                  sfDir: String, nRuns: Int,
                  modes: Map[String, Int] = Map.empty,
-                 queryModes: Map[String, String] = Map.empty): String = {
+                 queryModes: Map[String, String] = Map.empty,
+                 coldTimes: Map[String, Double] = Map.empty,
+                 label: Option[(Double, Boolean)] = None): String = {
     val spread = results.collect { case (k, Right(ts)) =>
       val m = queryModes.get(k).map(m => s""","mode":"$m"""").getOrElse("")
       s"""\"$k\":{"min":${f(ts.min)},"max":${f(ts.max)},"n":${ts.size}$m}"""
@@ -146,10 +203,20 @@ object Bench {
     val notesField = if (notes.isEmpty) "" else
       notes.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":\"${esc(v)}\"" }
         .mkString(""","notes":{""", ",", "}")
+    // the raw cold-sweep costs (pass 1): fixture builds + first-use
+    // codegen land in these — never comparable to warm mins, exported
+    // so the NEXT quiet-box sweep can regenerate bench_reference.json's
+    // cold_factor (scripts/gen_bench_reference.py) and so a degraded
+    // run's inflation is inspectable per query
+    val coldField = if (coldTimes.isEmpty) "" else
+      coldTimes.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":${f(v)}" }
+        .mkString(""","cold":{""", ",", "}")
+    val labelField = label.map { case (cf, deg) =>
+      s""","contention_factor":${f(cf)},"degraded":$deg""" }.getOrElse("")
     s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${
       results.map { case (k, v) => s"\"$k\":" + v.map(ts => f(ts.min)).getOrElse("-1.0") }
         .mkString("{", ",", "}")
-    },"spread":$spread,"errors":$errors,"n_errors":$nErr$modesField$notesField,"timing":"cold_coverage_sweep_then_${nRuns}_warm_rounds_cost_ascending_budget_fit_plus_extra_over_1s_min_of_warm_clearcache_per_iter","sf":"$sfDir"}"""
+    },"spread":$spread,"errors":$errors,"n_errors":$nErr$modesField$notesField$coldField$labelField,"timing":"cold_coverage_sweep_then_${nRuns}_warm_rounds_cost_ascending_budget_fit_plus_extra_over_1s_min_of_warm_clearcache_per_iter","sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -235,6 +302,19 @@ object Bench {
         }
         (rs, cold.keysIterator.map(n => n -> modeOf(n)).toMap)
       }
+    // Self-labeling state: the committed quiet-box reference, loaded
+    // once; the (cold map, contention label) snapshot is recomputed at
+    // emit time so even the shutdown hook's partial artifact carries
+    // the label its completed cold runs support.
+    val reference = loadReference()
+    def labelSnapshot(): (Map[String, Double], Option[(Double, Boolean)]) =
+      lock.synchronized {
+        val coldTimes = cold.collect { case (n, Right(t)) => n -> t }.toMap
+        val lbl = reference.flatMap { case (ref, cf) =>
+          contentionFactor(ref, coldTimes, cf).map(fct => (fct, fct > DegradedAt))
+        }
+        (coldTimes, lbl)
+      }
     // Shutdown hook, registered BEFORE any query runs (a kill during
     // the multi-second warm-up/startup phase must still produce a
     // parseable line — the round-14 kill test caught exactly that
@@ -249,10 +329,12 @@ object Bench {
       if (!finished.get()) {
         val (partial, pModes) = collectResults()
         val counts = pModes.values.groupBy(identity).map { case (k, v) => k -> v.size }
+        val (coldTimes, label) = labelSnapshot()
         try java.nio.file.Files.write(detailPath,
-          (detailJson(partial, sfDir, nRuns, counts, pModes) + "\n").getBytes("UTF-8"))
+          (detailJson(partial, sfDir, nRuns, counts, pModes, coldTimes, label) + "\n")
+            .getBytes("UTF-8"))
         catch { case _: Throwable => () }
-        println(stdoutLine(partial, sfDir, partialOf = Some(ordered.size)))
+        println(stdoutLine(partial, sfDir, partialOf = Some(ordered.size), label = label))
         System.out.flush()
       }
     }))
@@ -380,13 +462,22 @@ object Bench {
     // projections use the deflated estimates so cold-sweep inflation
     // on a contended box can't starve the later rounds
     for (round <- 1 to nRuns) {
-      val eff = effEsts()
-      val cands = lock.synchronized {
-        cold.keysIterator.toSeq.filter(n => warm.getOrElse(n, Vector.empty).size < round)
-          .map(n => n -> eff.getOrElse(n, est(n)))
+      val cands = {
+        val eff = effEsts()
+        lock.synchronized {
+          cold.keysIterator.toSeq.filter(n => warm.getOrElse(n, Vector.empty).size < round)
+            .map(n => n -> eff.getOrElse(n, est(n)))
+        }
       }
       fitRound(cands, budgetS - elapsedS).foreach { n =>
-        if (elapsedS + eff.getOrElse(n, est(n)) <= budgetS) {
+        // per-ADMISSION projection, recomputed (the r19 advice finding:
+        // one per-round eff snapshot went stale as est() updated run by
+        // run — on a still-contended box a single mis-deflated query
+        // could overrun the round by 20x its projection). Each admitted
+        // run updates its query's estimate AND the deflation ratio, so
+        // the next admission projects from the freshest evidence.
+        val proj = effEsts().getOrElse(n, lock.synchronized(est(n)))
+        if (elapsedS + proj <= budgetS) {
           val r = timed(n)
           lock.synchronized { warm(n) = warm.getOrElse(n, Vector.empty) :+ r }
         }
@@ -410,13 +501,15 @@ object Bench {
     }
     val (results, qModes) = collectResults()
     val modeCounts = qModes.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    val (coldTimes, label) = labelSnapshot()
     java.nio.file.Files.write(detailPath,
-      (detailJson(results, sfDir, nRuns, modeCounts, qModes) + "\n").getBytes("UTF-8"))
+      (detailJson(results, sfDir, nRuns, modeCounts, qModes, coldTimes, label) + "\n")
+        .getBytes("UTF-8"))
     // complete line FIRST, finished-flag second: a kill landing between
     // the two re-prints a partial line after the complete one (harmless
     // — same coverage), whereas the opposite order could die with
     // nothing on stdout
-    println(stdoutLine(results, sfDir))
+    println(stdoutLine(results, sfDir, label = label))
     System.out.flush()
     finished.set(true)
     spark.stop()

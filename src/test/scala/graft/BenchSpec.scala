@@ -147,6 +147,64 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.detailJson(rs, "/x", 3).contains(""""n":3}"""))
   }
 
+  test("a 20x-contended box stamps degraded=true with its contention factor (r20 self-labeling)") {
+    // the BENCH_r18/r19 failure shape: the official artifact was an
+    // n=1 cold sweep on a ~20x loaded box that read as a 5x regression.
+    // With the committed reference, the SAME evidence now labels
+    // itself: observed colds ~20x the reference warm mins, quiet-box
+    // cold factor 2.0 → contention_factor ~10, degraded
+    val ref = (1 to 30).map(i => s"q_$i" -> i * 0.5).toMap
+    val contended = ref.map { case (n, t) => n -> t * 40.0 } // cold = 40x warm ref
+    val cf = Bench.contentionFactor(ref, contended, refColdFactor = 2.0)
+    assert(cf.exists(f => math.abs(f - 20.0) < 0.001), cf.toString)
+    assert(cf.exists(_ > Bench.DegradedAt))
+    val label = cf.map(f => (f, f > Bench.DegradedAt))
+    val line = Bench.stdoutLine(results(5, 0), "/root/testdata/sf0.1", label = label)
+    assert(line.contains("\"degraded\":true") && line.contains("\"contention_factor\":20"), line)
+    assert(line.length < Bound)
+    val detail = Bench.detailJson(results(5, 0), "/x", 3,
+      coldTimes = Map("q_1" -> 1.25), label = label)
+    assert(detail.contains("\"degraded\":true"), detail)
+    assert(detail.contains("\"cold\":{\"q_1\":1.2500}"), detail)
+  }
+
+  test("a quiet box labels degraded=false; thin overlap ships unlabeled, never mislabeled") {
+    val ref = (1 to 30).map(i => s"q_$i" -> i * 0.5).toMap
+    // quiet: colds at ~2x the warm reference (fixture builds + codegen),
+    // exactly the committed cold factor → contention_factor ~1
+    val quiet = ref.map { case (n, t) => n -> t * 2.0 }
+    val cf = Bench.contentionFactor(ref, quiet, refColdFactor = 2.0)
+    assert(cf.exists(f => math.abs(f - 1.0) < 0.001), cf.toString)
+    assert(cf.forall(_ <= Bench.DegradedAt))
+    val line = Bench.stdoutLine(results(3, 0), "/x",
+      label = cf.map(f => (f, f > Bench.DegradedAt)))
+    assert(line.contains("\"degraded\":false"), line)
+    // new queries absent from the reference contribute nothing;
+    // below-minCommon overlap (a filtered _ONLY run) yields None —
+    // the artifact then simply omits the label fields
+    assert(Bench.contentionFactor(ref, Map("q_new" -> 5.0), 2.0).isEmpty)
+    assert(Bench.contentionFactor(
+      ref.take(5), ref.take(5).map { case (n, t) => n -> t * 2 }, 2.0).isEmpty)
+    assert(!Bench.stdoutLine(results(3, 0), "/x").contains("degraded"))
+    assert(!Bench.detailJson(results(3, 0), "/x", 3).contains("degraded"))
+    // the median shrugs off one legitimately-grown query
+    val oneGrown = quiet + ("q_1" -> 500.0)
+    val cf2 = Bench.contentionFactor(ref, oneGrown, 2.0)
+    assert(cf2.exists(_ < Bench.DegradedAt), cf2.toString)
+  }
+
+  test("the committed reference resource parses when present") {
+    // after scripts/gen_bench_reference.py has blessed a quiet sweep,
+    // the resource must round-trip through loadReference; before that
+    // (a fresh tree) Bench runs unlabeled
+    Bench.loadReference().foreach { case (ref, coldFactor) =>
+      assert(ref.size >= 20, s"reference too thin: ${ref.size}")
+      assert(ref.values.forall(_ > 0))
+      assert(coldFactor > 0 && coldFactor < 100, coldFactor.toString)
+      assert(!ref.contains("cold_factor"))
+    }
+  }
+
   test("error messages are escaped and truncated on the stdout line") {
     val rs = Seq("q_bad" -> Left("""Exception: "quoted"
 	tabbed and very very very very very very very very long message"""))

@@ -31,9 +31,13 @@ if len(ratios) < 20:
     sys.exit(f"only {len(ratios)} cold observations in {path} - the "
              "detail file predates the r20 cold export; re-run Bench")
 cold_factor = ratios[len(ratios) // 2]
+sf = detail.get("sf", "").rstrip("/").split("/")[-1]
+if not sf:
+    sys.exit(f"{path} carries no sf field - cannot pin the reference's scale factor")
 out = {
     "queries": {k: round(v, 4) for k, v in full.items()},
     "cold_factor": round(cold_factor, 4),
+    "sf": sf,
 }
 dest = "src/main/resources/bench_reference.json"
 with open(dest, "w") as f:

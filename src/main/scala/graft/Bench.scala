@@ -120,20 +120,25 @@ object Bench {
     * per-query full-fidelity warm mins of a quiet-box sweep plus that
     * sweep's observed cold/warm median (`cold_factor` — cold runs pay
     * fixture builds and first-use codegen, so cold/warm > 1 even on an
-    * idle machine; the label must compare LIKE statistics). Returns
-    * (per-query warm mins, quiet-box cold factor); None when the
-    * resource is absent (a fresh tree before the first reference
-    * generation — the artifact then ships unlabeled, never mislabeled). */
-  def loadReference(): Option[(Map[String, Double], Double)] =
+    * idle machine; the label must compare LIKE statistics) and the
+    * SCALE-FACTOR DIRECTORY it was measured at (timings are sf-specific
+    * — labeling an sf0.01 run against sf0.1 mins would stamp nonsense).
+    * Returns (per-query warm mins, quiet-box cold factor, sf dir
+    * basename); None when the resource is absent (a fresh tree before
+    * the first reference generation — the artifact then ships
+    * unlabeled, never mislabeled). */
+  def loadReference(): Option[(Map[String, Double], Double, String)] =
     Option(getClass.getResourceAsStream("/bench_reference.json")).map { in =>
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       // tiny flat parser (the file is machine-written by this repo's
       // scripts/gen_bench_reference.py — one "queries" object of
-      // name:number pairs + one "cold_factor" number)
+      // name:number pairs + a "cold_factor" number + an "sf" string)
       val qs = raw""""([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(text)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
       val coldFactor = qs.getOrElse("cold_factor", 1.0)
-      (qs - "cold_factor" - "generated_from_total_s", coldFactor)
+      val sf = raw""""sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text)
+        .map(_.group(1)).getOrElse("")
+      (qs - "cold_factor" - "generated_from_total_s", coldFactor, sf)
     }
 
   /** Contention factor of THIS run vs the committed quiet-box
@@ -303,14 +308,18 @@ object Bench {
         (rs, cold.keysIterator.map(n => n -> modeOf(n)).toMap)
       }
     // Self-labeling state: the committed quiet-box reference, loaded
-    // once; the (cold map, contention label) snapshot is recomputed at
-    // emit time so even the shutdown hook's partial artifact carries
-    // the label its completed cold runs support.
-    val reference = loadReference()
+    // once and gated on THIS run's scale factor (an sf0.01 smoke run
+    // must never be scored against sf0.1 reference mins); the (cold
+    // map, contention label) snapshot is recomputed at emit time so
+    // even the shutdown hook's partial artifact carries the label its
+    // completed cold runs support.
+    val reference = loadReference().filter { case (_, _, refSf) =>
+      sfDir.split("/").lastOption.contains(refSf)
+    }
     def labelSnapshot(): (Map[String, Double], Option[(Double, Boolean)]) =
       lock.synchronized {
         val coldTimes = cold.collect { case (n, Right(t)) => n -> t }.toMap
-        val lbl = reference.flatMap { case (ref, cf) =>
+        val lbl = reference.flatMap { case (ref, cf, _) =>
           contentionFactor(ref, coldTimes, cf).map(fct => (fct, fct > DegradedAt))
         }
         (coldTimes, lbl)

@@ -197,11 +197,14 @@ class BenchSpec extends AnyFunSuite {
     // after scripts/gen_bench_reference.py has blessed a quiet sweep,
     // the resource must round-trip through loadReference; before that
     // (a fresh tree) Bench runs unlabeled
-    Bench.loadReference().foreach { case (ref, coldFactor) =>
+    Bench.loadReference().foreach { case (ref, coldFactor, sf) =>
       assert(ref.size >= 20, s"reference too thin: ${ref.size}")
       assert(ref.values.forall(_ > 0))
       assert(coldFactor > 0 && coldFactor < 100, coldFactor.toString)
       assert(!ref.contains("cold_factor"))
+      // the sf gate: a reference without its scale factor would label
+      // runs at ANY sf against these mins — refuse at the source
+      assert(sf.nonEmpty && sf.startsWith("sf"), s"reference sf: '$sf'")
     }
   }
 

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterTha
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StructType}
@@ -127,7 +127,8 @@ private[sources] case class VersionOffset(version: Long) extends Offset {
 
 private[sources] class GraftCdcMicroBatchStream(
     spark: SparkSession, dir: String, schema: StructType,
-    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+    options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   /** Ordering column, resolved from the self-describing manifest (the
     * same trust rule as the catalog — never from caller config). */
@@ -184,7 +185,43 @@ private[sources] class GraftCdcMicroBatchStream(
     VersionOffset(start)
   }
 
+  /** Per-trigger admission (Hudi's read-limit role): an unbounded
+    * catch-up — `startingVersion=earliest` against a long retained
+    * timeline, or a stream restarted after days down — would land the
+    * WHOLE backlog as one micro-batch. `maxVersionsPerTrigger = N`
+    * bounds each batch to the next N retained versions' cut; the
+    * stream walks the timeline version-window by version-window until
+    * caught up. Default unbounded (Spark's own trigger pacing). */
+  private val maxVersionsPerTrigger: Option[Int] =
+    Option(options.get("maxVersionsPerTrigger")).map { s =>
+      s.toIntOption.filter(_ > 0).getOrElse(throw new IllegalArgumentException(
+        s"stream option maxVersionsPerTrigger='$s' must be a positive integer"))
+    }
+
+  // Spark routes admission-control sources through latestOffset(start,
+  // limit); the no-arg form stays as the uncapped answer so any
+  // engine path that still consults it sees a correct (if unbounded)
+  // offset rather than an error
   override def latestOffset(): Offset = VersionOffset(head)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val h = head
+    maxVersionsPerTrigger match {
+      case None => VersionOffset(h)
+      case Some(n) =>
+        val va = start.asInstanceOf[VersionOffset].version
+        if (h <= va) VersionOffset(h)
+        else {
+          // the N-th next RETAINED version (aged-out intermediates
+          // cannot be a batch target — their manifests are gone; the
+          // cut between surviving versions composes exactly)
+          val next = retained.filter(v => v > va && v <= h).take(n)
+          VersionOffset(if (next.isEmpty) h else next.last)
+        }
+    }
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.trim.toLong)

@@ -223,6 +223,49 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(landed(s"$root/landed", 0L) == want && want.nonEmpty)
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch to the next N retained versions") {
+    // a long-backlog catch-up (earliest over many versions, or a
+    // stream down for days) must not land as one giant batch: with
+    // maxVersionsPerTrigger=1 the stream walks the timeline
+    // version-by-version, each batch the single-version cut
+    val root = tmpDir("graft_istream_limit")
+    val t = root + "/employees"
+    val l = log()
+    FileGroups.setRetention(spark, t, 8)
+    FileGroups.commit(spark, t, l.filter($"lsn" < 250), 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    FileGroups.commit(spark, t, l.filter($"lsn" >= 250 && $"lsn" < 500), 1L, Seq("id"), Seq("lsn"))
+    FileGroups.commit(spark, t, l.filter($"lsn" >= 500 && $"lsn" < 750), 2L, Seq("id"), Seq("lsn"))
+    FileGroups.commit(spark, t, l.filter($"lsn" >= 750), 3L, Seq("id"), Seq("lsn"))
+    spark.conf.set("spark.sql.catalog.graft_is6", classOf[FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_is6.root", root)
+
+    val q = spark.readStream.format("graft-cdc")
+      .option("startingVersion", 0).option("maxVersionsPerTrigger", 1).load(t)
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(landTo(s"$root/landed"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // three batches, one per version step — each the single-step cut
+    val perBatch = spark.read.parquet(s"$root/landed")
+      .select($"_batch_id").distinct().as[Long].collect().toSeq.sorted
+    assert(perBatch == Seq(0L, 1L, 2L), perBatch.toString)
+    assert(landed(s"$root/landed", 0L) == batchCut("graft_is6", 0L, 1L))
+    assert(landed(s"$root/landed", 1L) == batchCut("graft_is6", 1L, 2L))
+    assert(landed(s"$root/landed", 2L) == batchCut("graft_is6", 2L, 3L))
+
+    // malformed limit fails at stream construction
+    val bad = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = spark.readStream.format("graft-cdc")
+        .option("maxVersionsPerTrigger", "zero").load(t)
+        .writeStream.option("checkpointLocation", s"$root/ckpt_bad")
+        .foreachBatch((_: DataFrame, _: Long) => ())
+        .start()
+      q2.processAllAvailable(); q2.awaitTermination(10)
+    }
+    assert(bad.getMessage.contains("maxVersionsPerTrigger"), bad.getMessage)
+  }
+
   test("malformed options and non-tables fail loudly at resolution") {
     val root = tmpDir("graft_istream_bad")
     val noTable = intercept[Exception] {

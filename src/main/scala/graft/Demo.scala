@@ -118,6 +118,20 @@ object Demo {
     println("[demo] 6d'. the same increment as a read option (startingVersion):")
     spark.read.option("startingVersion", fgHead - 1).table("graft_cdc.fg")
       .select(col("id"), col("lsn"), col("salary")).show()
+    // ... or CONTINUOUSLY (round 20 — the consumer that never re-pulls):
+    // the graft-cdc streaming source turns the same incremental cut
+    // into micro-batches whose offsets ARE table versions; a commit
+    // landing while the stream runs becomes its next batch
+    println("[demo] 6d''. the same increments as a STREAM (graft-cdc source):")
+    val incrQ = spark.readStream.format("graft-cdc")
+      .option("startingVersion", fgHead - 1).load(s"$work/fg")
+      .writeStream.option("checkpointLocation", s"$work/incr_ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        println(s"[demo]       stream batch $id: " + b.select(col("id"), col("lsn"))
+          .collect().map(r => s"id=${r.get(0)} lsn=${r.get(1)}").mkString(", "))
+      }
+      .start()
+    try incrQ.processAllAvailable() finally incrQ.stop()
     // ... and the schema evolves by metadata alone: ADD COLUMNS commits
     // a widened manifest (zero data IO), rows read NULL until backfill
     spark.sql("ALTER TABLE graft_cdc.fg ADD COLUMNS (review_note STRING)")
@@ -139,6 +153,14 @@ object Demo {
     spark.sql("CALL graft_cdc.show_commits('fg')")
       .select(col("version"), col("num_rows")).show()
     spark.sql("CALL graft_cdc.clean('fg', 2)").show()
+    // ... and the MOR table services are CALL procedures too (round 20,
+    // Hudi's run_compaction/run_clustering): fold a MOR table's pending
+    // log deltas into a base, then cluster it range-sorted
+    graft.cdc.MergeOnRead.logAppend(spark, s"$work/mor",
+      spark.sql("SELECT id, lsn, 'c' AS op, salary FROM graft_cdc.fg"), 0L)
+    println("[demo] 7c. CALL run_compaction('mor') then run_clustering('mor', 'id'):")
+    spark.sql("CALL graft_cdc.run_compaction('mor')").show()
+    spark.sql("CALL graft_cdc.run_clustering('mor', 'id', 4)").show()
 
     // 8. the LLM-pipeline half over the corpus testdata (when present):
     //    tokenizer training, sketch-backed term stats, ANN retrieval —

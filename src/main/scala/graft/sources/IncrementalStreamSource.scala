@@ -51,6 +51,18 @@ import graft.cdc.{FileGroups, Ingest}
   *    manifests (va and vb) — O(1) per batch over any timeline length,
   *    never O(versions).
   *
+  * DERIVED TABLES (the incremental-ETL / medallion hop): foreachBatch
+  * over this stream + [[graft.cdc.FileGroups.commitStreamBatch]] into
+  * a downstream file-group table maintains a transform of the source
+  * at changed-rows cost. Deletes don't ride the non-CDC view — the
+  * consumer reconciles each pulled RANGE through the change-feed diff
+  * (per range, never endpoint-to-endpoint: a key created and deleted
+  * inside the total range is invisible to one big diff but was
+  * upserted by its batch), committing the range's 'd' keys with the
+  * range's own `#ordhi` as their ord so a later re-create still wins.
+  * IncrementalStreamSpec's "medallion hop" case pins the whole
+  * composition to exact equality with the transformed head.
+  *
   * The same monotone-precombine assumption as the batch rule, stated
   * loudly there (IncrementalRead.scala): the ordering column must be
   * globally monotone across commits (the Debezium LSN / commit-time

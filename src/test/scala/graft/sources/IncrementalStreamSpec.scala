@@ -266,6 +266,77 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(bad.getMessage.contains("maxVersionsPerTrigger"), bad.getMessage)
   }
 
+  test("medallion hop: the stream maintains a DERIVED table; TVF-range deletes reconcile it exactly") {
+    // the incremental-ETL composition (Hudi's incremental pull →
+    // downstream upsert; the bronze→silver hop): a graft-cdc stream
+    // over the BRONZE file-group table feeds foreachBatch, which
+    // transforms each batch and commitStreamBatch-upserts it into the
+    // SILVER file-group table — per trigger cost = bronze's changed
+    // rows + silver's dirty buckets, never either table's size. The
+    // non-CDC incremental view carries no delete markers (documented),
+    // so the consumer reconciles each pulled RANGE through the
+    // change-feed diff — per-range, not endpoint-to-endpoint: a key
+    // created and deleted INSIDE the total range is invisible to one
+    // big diff but was upserted into silver by its batch. After
+    // reconcile, silver must equal the transform of bronze's head
+    // EXACTLY.
+    val root = tmpDir("graft_istream_hop")
+    val bronze = root + "/bronze"
+    val silver = root + "/silver"
+    val l = log()
+    FileGroups.setRetention(spark, bronze, 8)
+    FileGroups.commit(spark, bronze, l.filter($"lsn" < 400), 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    FileGroups.commit(spark, bronze, l.filter($"lsn" >= 400 && $"lsn" < 800), 1L, Seq("id"), Seq("lsn"))
+
+    val ranges = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // consumed (va, vb]
+    @volatile var lastSeen = 0L
+    val q = spark.readStream.format("graft-cdc").option("startingVersion", 0).load(bronze)
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val derived = b.select($"id", $"lsn", $"op", ($"value" * 2).as("value2"))
+        FileGroups.commitStreamBatch(b.sparkSession, silver, derived, id,
+          Seq("id"), Seq("lsn"), nBuckets = 4)
+        // a real consumer reads its range from the checkpoint offsets;
+        // the spec tracks it via the bronze head at batch time
+        val nowHead = FileGroups.committedId(b.sparkSession, bronze).get
+        ranges.synchronized { ranges += ((lastSeen, nowHead)); lastSeen = nowHead }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable() // (0 -> 1]
+      FileGroups.commit(spark, bronze, l.filter($"lsn" >= 800), 2L, Seq("id"), Seq("lsn"))
+      q.processAllAvailable() // (1 -> 2]
+    } finally q.stop()
+    assert(ranges.toSeq == Seq((0L, 1L), (1L, 2L)), ranges.toString)
+
+    // per-range delete reconciliation through the change-feed diff:
+    // each pulled range's 'd' keys leave silver as op='d' CDC rows
+    // whose lsn is the RANGE's own ord ceiling (#ordhi of vb) — above
+    // every row the range could have delivered, BELOW every later
+    // range's rows, so a key deleted in one range and RE-CREATED in a
+    // later one survives as the re-created row (a too-high delete lsn
+    // would kill it under latest-wins; the first draft of this spec
+    // caught exactly that)
+    ranges.zipWithIndex.foreach { case ((va, vb), i) =>
+      val delLsn = FileGroups.manifestOrdHi(spark, bronze, vb).get
+      val dels = graft.cdc.ChangeFeed.diff(
+          FileGroups.readAt(spark, bronze, va).get, FileGroups.readAt(spark, bronze, vb).get,
+          Seq("id"), "lsn", Seq("value"))
+        .filter($"change_op" === "d")
+        .select($"id", lit(delLsn).as("lsn"), lit("d").as("op"),
+          lit(null).cast("double").as("value2"))
+      FileGroups.commitStreamBatch(spark, silver, dels, 100L + i, Seq("id"), Seq("lsn"), 4)
+    }
+
+    // silver == transform(bronze head), exactly
+    val got = FileGroups.read(spark, silver).get
+      .select($"id", $"value2").orderBy($"id").collect().toSeq
+    val want = FileGroups.read(spark, bronze).get
+      .select($"id", ($"value" * 2).as("value2")).orderBy($"id").collect().toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
   test("malformed options and non-tables fail loudly at resolution") {
     val root = tmpDir("graft_istream_bad")
     val noTable = intercept[Exception] {

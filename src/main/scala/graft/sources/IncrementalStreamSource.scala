@@ -184,7 +184,8 @@ private[sources] class GraftCdcMicroBatchStream(
   override def initialOffset(): Offset = {
     val start = Option(options.get("startingVersion")).map(_.trim.toLowerCase) match {
       case None | Some("latest") => head // stream only future commits
-      case Some("earliest") => retained.min
+      case Some("earliest") => retained.minOption.getOrElse(throw new IllegalStateException(
+        s"file-group table at $dir has no retained versions — nothing to stream from"))
       case Some(s) =>
         val v = s.toLongOption.getOrElse(throw new IllegalArgumentException(
           s"stream option startingVersion='$s' must be an integer version id, " +

@@ -401,9 +401,18 @@ private[queries] object RelationalWindows {
         // and the span and type dimension both DERIVE from it — min/max
         // of the aggregated hours equals min/max of the raw timestamps
         // at hour grain, so events is never re-read for metadata.
+        // EXACT-INTEGER average (round 20 — the sf0.1 sweep caught a
+        // half-ULP boundary: double avg associates differently per
+        // engine, and one hour's mean sat exactly on a .xxxx5 edge):
+        // `value` is 2-decimal by fixture contract, so the mean in
+        // cents is the exact rational S/n and round-half-up to 4
+        // decimals is the INTEGER floor((200*S + n) / (2*n)) — bigint
+        // arithmetic both engines compute identically at any sf.
         val hourly = Tables.events(s, dir)
           .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-          .agg(dround(avg(col("value"))).as("v"))
+          .agg(expr("(200 * sum(cast(round(value * 100, 0) as bigint)) + count(*)) div " +
+            "(2 * count(*))").as("v4"))
+          .select(col("event_type"), col("h"), (col("v4") / 10000.0).as("v"))
           .cache()
         val grid = hourly.agg(min(col("h")).as("h_lo"), max(col("h")).as("h_hi"))
           .select(explode(expr("sequence(h_lo, h_hi, interval 1 hour)")).as("h"))
@@ -417,7 +426,8 @@ private[queries] object RelationalWindows {
       },
       Some("""WITH hourly AS (
              |  SELECT event_type, date_trunc('hour', ts) AS h,
-             |    round(CAST(avg(value) AS DOUBLE), 4) AS v
+             |    CAST((200 * sum(CAST(round(value * 100) AS BIGINT)) + count(*))
+             |         // (2 * count(*)) AS DOUBLE) / 10000 AS v
              |  FROM events GROUP BY 1, 2),
              |grid AS (
              |  SELECT t.event_type, g.h

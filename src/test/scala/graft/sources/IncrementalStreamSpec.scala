@@ -337,6 +337,66 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("lifecycle commits mid-stream: an ALTER is an empty batch; a purge forces re-bootstrap") {
+    val root = tmpDir("graft_istream_life")
+    val t = root + "/employees"
+    val l = log()
+    FileGroups.setRetention(spark, t, 8)
+    FileGroups.commit(spark, t, l.filter($"lsn" < 400), 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    spark.conf.set("spark.sql.catalog.graft_is7", classOf[FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_is7.root", root)
+
+    val victim = FileGroups.read(spark, t).get
+      .select($"id").orderBy($"id").as[Long].head()
+    val q = spark.readStream.format("graft-cdc").option("startingVersion", 0).load(t)
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(landTo(s"$root/landed"))
+      .start()
+    try {
+      // a METADATA-ONLY widen between triggers: the version advances but
+      // rewrites no file group — the batch is EMPTY (offset still moves,
+      // the stream does not stall or crash), and the stream's schema
+      // stays pinned at start (the added column surfaces on restart)
+      FileGroups.widenSchema(spark, t,
+        Seq(org.apache.spark.sql.types.StructField("tier",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      q.processAllAvailable()
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/landed")) ||
+        spark.read.parquet(s"$root/landed").isEmpty, "ALTER must land an empty batch")
+
+      // a PURGE between triggers is a HISTORY REWRITE — its
+      // forget-history step reclaims every pre-purge version, so the
+      // stream's checkpointed base ages out and the stream fails
+      // LOUDLY with the re-bootstrap hint: an incremental consumer
+      // must never continue from a base that still referenced the
+      // purged keys (the right-to-be-forgotten posture extends to
+      // downstream consumers — silence would let them keep the data)
+      FileGroups.purgeKeyTuples(spark, t, Seq("id"), Seq(Seq(victim)),
+        FileGroups.committedId(spark, t).get + 1)
+      val purged = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable(); q.awaitTermination(10)
+      }
+      assert(purged.getMessage.contains("re-bootstrap"), purged.getMessage)
+    } finally q.stop()
+
+    // a FRESH consumer re-bootstraps from the post-purge timeline and
+    // streams the next commit — with the purged key gone end to end
+    val vPost = FileGroups.committedId(spark, t).get
+    FileGroups.commit(spark, t,
+      l.filter($"lsn" >= 400 && $"lsn" < 500 && $"id" =!= victim),
+      vPost + 1, Seq("id"), Seq("lsn"))
+    val q2 = spark.readStream.format("graft-cdc").option("startingVersion", vPost).load(t)
+      .writeStream.option("checkpointLocation", s"$root/ckpt2")
+      .foreachBatch(landTo(s"$root/landed2"))
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(s"$root/landed2")
+      .select($"id", $"lsn", $"op", $"value").orderBy($"id").collect().toSeq
+    assert(got.nonEmpty && got == batchCut("graft_is7", vPost, vPost + 1))
+    assert(!got.exists(_.getLong(0) == victim))
+  }
+
   test("malformed options and non-tables fail loudly at resolution") {
     val root = tmpDir("graft_istream_bad")
     val noTable = intercept[Exception] {

@@ -24,7 +24,8 @@ object Bench {
     * at 1000 queries / 1000 failures. Full data → [[detailJson]]. */
   def stdoutLine(results: Seq[(String, Either[String, Seq[Double]])], sfDir: String,
                  partialOf: Option[Int] = None,
-                 label: Option[(Double, Boolean)] = None): String = {
+                 label: Option[(Double, Boolean)] = None,
+                 fidelity: Option[String] = None): String = {
     val qs = results
       .collect { case (k, Right(ts)) => k -> ts.min }
       .sortBy(-_._2).take(5)
@@ -60,7 +61,13 @@ object Bench {
     // mislabeled, just unlabeled).
     val labelField = label.map { case (cf, deg) =>
       s""","contention_factor":${f2(cf)},"degraded":$deg""" }.getOrElse("")
-    s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$errField,"n_errors":$nErr$partField$labelField,"sf":$sfNum}"""
+    // fidelity (round 21): `degraded` measures CONTENTION only; this
+    // field says how much of the artifact is min-of-warm evidence —
+    // "full", or the inline mode histogram when any query fell short
+    // (the r20 artifact was 199/244 at n=1 and nothing at the top
+    // level said so)
+    val fidField = fidelity.map(fv => s""","fidelity":"$fv"""").getOrElse("")
+    s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$errField,"n_errors":$nErr$partField$labelField$fidField,"sf":$sfNum}"""
   }
 
   /** Round-level budget fit: the cost-ASCENDING greedy prefix of
@@ -164,6 +171,73 @@ object Bench {
     * borderline-quiet run is never stamped degraded). */
   val DegradedAt = 3.0
 
+  /** Compact FIDELITY label for the stdout line (round 21 — the r20
+    * artifact was 199/244 at n=1 with `degraded:false`: the contention
+    * label was CORRECT for what it measures, but nothing at the top
+    * level said fidelity had collapsed; a reader saw 417 s and no flag).
+    * "full" only when EVERY query reached mode=full; otherwise the
+    * mode histogram inline, so the artifact itself says how much of it
+    * is min-of-warm evidence vs cold one-shots. Pure, BenchSpec-pinned. */
+  def fidelityOf(queryModes: Map[String, String]): String = {
+    val full = queryModes.valuesIterator.count(_ == "full")
+    if (queryModes.nonEmpty && full == queryModes.size) "full"
+    else {
+      val deg = queryModes.valuesIterator.count(_ == "degraded")
+      val min = queryModes.valuesIterator.count(_ == "minimal")
+      s"partial(full=$full,degraded=$deg,minimal=$min)"
+    }
+  }
+
+  /** Single-run stall cap (round 21, the r20 verdict's task 1a: ONE
+    * 121 s cold-run stall — 18.9x the committed cold — ate 29% of the
+    * round's budget and starved every warm pass): the wall-clock
+    * ceiling for one timed run, `capFactor` x the best cold evidence
+    * available (the committed quiet-box reference's cold estimate
+    * and/or this session's own cold observation — the MAX, so a query
+    * whose fixture legitimately grew since the reference isn't capped
+    * against stale evidence), floored at `floorS` so timer jitter
+    * can't cap a sub-second query. None (no evidence yet — a new
+    * query's first cold run) = uncapped: a first observation must
+    * never be judged against nothing. Pure, BenchSpec-pinned. */
+  def capSeconds(refColdEst: Option[Double], ownCold: Option[Double],
+                 capFactor: Double, floorS: Double): Option[Double] =
+    (refColdEst.toSeq ++ ownCold.toSeq).maxOption
+      .map(c => math.max(floorS, capFactor * c))
+
+  /** Run `action` under a hard wall-clock cap: a watchdog cancels the
+    * run's job group when `capS` elapses first, and the sample reports
+    * Left (recorded as a capped sample, never a timing). Cancellation
+    * reaches running STAGES (interruptOnCancel); a stall in pure
+    * driver-side planning is not interruptible — the watchdog still
+    * bounds the damage the moment the plan submits a job. The cap
+    * aborts the ACTION only: the sweep continues with the next run,
+    * which is the whole point (the alternative was one stall starving
+    * 199 queries' warm budget). */
+  def runCapped(spark: SparkSession, desc: String, capS: Option[Double])
+               (action: => Unit): Either[String, Unit] = capS match {
+    case None => Right(action)
+    case Some(cap) =>
+      val sc = spark.sparkContext
+      val group = s"graft-bench-cap-$desc-${System.nanoTime()}"
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      sc.setJobGroup(group, desc, interruptOnCancel = true)
+      val timer = new java.util.Timer(s"graft-bench-watchdog", true)
+      timer.schedule(new java.util.TimerTask {
+        override def run(): Unit = { fired.set(true); sc.cancelJobGroup(group) }
+      }, math.max(1L, (cap * 1000).toLong))
+      try {
+        action
+        Right(())
+      } catch {
+        case e: Throwable if fired.get() =>
+          Left(f"capped: run exceeded ${cap}%.1f s stall ceiling " +
+            s"(${e.getClass.getSimpleName}); see bench_reference.json cold basis")
+      } finally {
+        timer.cancel()
+        sc.clearJobGroup()
+      }
+  }
+
   /** Per-query methodology annotations shipped in bench_detail.json's
     * `notes` field: when a round RE-SCOPES what a query's timed body
     * covers, automated cross-round diffing would otherwise read the
@@ -192,10 +266,15 @@ object Bench {
                  modes: Map[String, Int] = Map.empty,
                  queryModes: Map[String, String] = Map.empty,
                  coldTimes: Map[String, Double] = Map.empty,
-                 label: Option[(Double, Boolean)] = None): String = {
+                 label: Option[(Double, Boolean)] = None,
+                 capped: Map[String, Int] = Map.empty): String = {
     val spread = results.collect { case (k, Right(ts)) =>
       val m = queryModes.get(k).map(m => s""","mode":"$m"""").getOrElse("")
-      s"""\"$k\":{"min":${f(ts.min)},"max":${f(ts.max)},"n":${ts.size}$m}"""
+      // capped = samples the stall watchdog aborted (excluded from
+      // min/max/n — they are not timings); disclosed per query so a
+      // partially-capped query can't read as clean full fidelity
+      val c = capped.get(k).filter(_ > 0).map(n => s""","capped":$n""").getOrElse("")
+      s"""\"$k\":{"min":${f(ts.min)},"max":${f(ts.max)},"n":${ts.size}$m$c}"""
     }.mkString("{", ",", "}")
     val errors = results.collect { case (k, Left(e)) => s"\"${k}\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")
@@ -218,10 +297,13 @@ object Bench {
         .mkString(""","cold":{""", ",", "}")
     val labelField = label.map { case (cf, deg) =>
       s""","contention_factor":${f(cf)},"degraded":$deg""" }.getOrElse("")
+    val fidField =
+      if (queryModes.isEmpty) ""
+      else s""","fidelity":"${fidelityOf(queryModes)}""""
     s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${
       results.map { case (k, v) => s"\"$k\":" + v.map(ts => f(ts.min)).getOrElse("-1.0") }
         .mkString("{", ",", "}")
-    },"spread":$spread,"errors":$errors,"n_errors":$nErr$modesField$notesField$coldField$labelField,"timing":"cold_coverage_sweep_then_${nRuns}_warm_rounds_cost_ascending_budget_fit_plus_extra_over_1s_min_of_warm_clearcache_per_iter","sf":"$sfDir"}"""
+    },"spread":$spread,"errors":$errors,"n_errors":$nErr$modesField$notesField$coldField$labelField$fidField,"timing":"cold_coverage_sweep_then_${nRuns}_warm_rounds_cost_ascending_budget_fit_plus_extra_over_1s_min_of_warm_clearcache_per_iter","sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -277,6 +359,10 @@ object Bench {
     val cold = scala.collection.mutable.LinkedHashMap[String, Either[String, Double]]()
     val warm = scala.collection.mutable.LinkedHashMap[String, Vector[Either[String, Double]]]()
     val est = scala.collection.mutable.Map[String, Double]()
+    // per-query count of watchdog-capped samples (round 21, task 1a) —
+    // declared with the rest of the lock-guarded state so the shutdown
+    // hook can snapshot it
+    val cappedCounts = scala.collection.mutable.Map[String, Int]()
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
     def modeOf(n: String): String = {
       // fidelity = warm SUCCESSES, not attempts: a query whose warm
@@ -339,11 +425,13 @@ object Bench {
         val (partial, pModes) = collectResults()
         val counts = pModes.values.groupBy(identity).map { case (k, v) => k -> v.size }
         val (coldTimes, label) = labelSnapshot()
+        val cappedSnap = lock.synchronized(cappedCounts.toMap)
         try java.nio.file.Files.write(detailPath,
-          (detailJson(partial, sfDir, nRuns, counts, pModes, coldTimes, label) + "\n")
-            .getBytes("UTF-8"))
+          (detailJson(partial, sfDir, nRuns, counts, pModes, coldTimes, label,
+            cappedSnap) + "\n").getBytes("UTF-8"))
         catch { case _: Throwable => () }
-        println(stdoutLine(partial, sfDir, partialOf = Some(ordered.size), label = label))
+        println(stdoutLine(partial, sfDir, partialOf = Some(ordered.size), label = label,
+          fidelity = Some(fidelityOf(pModes))))
         System.out.flush()
       }
     }))
@@ -378,7 +466,21 @@ object Bench {
     //           3.2x max/min on multi-second queries at n=3).
     val extraRunsOverSecs = 1.0
     val nExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt.max(0)
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
+    // Single-run stall cap (round 21, task 1a — see [[capSeconds]] /
+    // [[runCapped]]): one 121 s stall in r20 starved 199 queries' warm
+    // budget. capFactor x the best cold evidence, 15 s floor; capped
+    // samples are recorded per query (never as timings) and scheduling
+    // falls back to the reference estimate.
+    val capFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP_FACTOR", "5.0").toDouble
+    val capFloorS = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP_FLOOR_S", "15").toDouble
+    def refColdEst(name: String): Option[Double] =
+      reference.flatMap { case (ref, cf, _) => ref.get(name).map(_ * cf) }
+    def capFor(name: String): Option[Double] = {
+      val ownCold = lock.synchronized(cold.get(name)).flatMap(_.toOption)
+      capSeconds(refColdEst(name), ownCold, capFactor, capFloorS)
+    }
+    def once(name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       // noop sink, NOT .count(): count() lets Catalyst prune any
       // aggregate expression the final projection doesn't force and
@@ -387,8 +489,14 @@ object Bench {
       // executed — the scale-probe lesson, round 14). The noop write
       // runs the full physical plan and discards rows.
       val r = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        Right((System.nanoTime() - t0) / 1e9)
+        runCapped(spark, name, capFor(name)) {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } match {
+          case Right(_) => Right((System.nanoTime() - t0) / 1e9)
+          case Left(capMsg) =>
+            lock.synchronized { cappedCounts(name) = cappedCounts.getOrElse(name, 0) + 1 }
+            Left(capMsg)
+        }
       }
       catch { case e: Throwable =>
         Left(e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
@@ -409,8 +517,17 @@ object Bench {
     val fns = ordered.toMap
     def timed(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
-      val r = once(fns(name))
-      lock.synchronized { est(name) = (System.nanoTime() - t0) / 1e9 }
+      val r = once(name, fns(name))
+      val wall = (System.nanoTime() - t0) / 1e9
+      lock.synchronized {
+        est(name) = r match {
+          // a capped run must not poison the projections with the stall
+          // it just aborted — schedule from the reference cold estimate
+          // (task 1a's fallback) when one exists, else the cap wall
+          case Left(m) if m.startsWith("capped:") => refColdEst(name).getOrElse(wall)
+          case _ => wall
+        }
+      }
       r
     }
     // scheduling estimates with the contended-box correction: cold
@@ -512,13 +629,15 @@ object Bench {
     val modeCounts = qModes.values.groupBy(identity).map { case (k, v) => k -> v.size }
     val (coldTimes, label) = labelSnapshot()
     java.nio.file.Files.write(detailPath,
-      (detailJson(results, sfDir, nRuns, modeCounts, qModes, coldTimes, label) + "\n")
+      (detailJson(results, sfDir, nRuns, modeCounts, qModes, coldTimes, label,
+        lock.synchronized(cappedCounts.toMap)) + "\n")
         .getBytes("UTF-8"))
     // complete line FIRST, finished-flag second: a kill landing between
     // the two re-prints a partial line after the complete one (harmless
     // — same coverage), whereas the opposite order could die with
     // nothing on stdout
-    println(stdoutLine(results, sfDir, label = label))
+    println(stdoutLine(results, sfDir, label = label,
+      fidelity = Some(fidelityOf(qModes))))
     System.out.flush()
     finished.set(true)
     spark.stop()

@@ -104,18 +104,30 @@ object Ingest extends org.apache.spark.internal.Logging {
     def decode(kafkaShaped: DataFrame): DataFrame = kafkaShaped
   }
   /** Raw Avro-binary values decoded with one writer schema (its JSON
-    * form — the offline stand-in for a schema-registry lookup). */
+    * form — the offline stand-in for a schema-registry lookup).
+    * LENIENT decode: this format is the STREAMING door's (the decode
+    * projection runs before the foreachBatch DLQ split), so a poison
+    * frame must yield a quarantinable diagnostic row, not throw — a
+    * throw fails the micro-batch before the split runs, the checkpoint
+    * never advances, and restarts replay the same record forever. The
+    * diagnostic JSON carries no `payload.op`, so the existing split
+    * quarantines it with the raw bytes (base64) preserved. */
   final case class AvroValues(writerSchemaJson: String) extends ValueFormat {
     val valueBase64 = true
     def decode(kafkaShaped: DataFrame): DataFrame =
-      decodeAvroValues(kafkaShaped, writerSchemaJson)
+      kafkaShaped.withColumn("value",
+        graft.functions.AvroToJson(col("value"), writerSchemaJson, lenient = true)
+          .cast("binary"))
   }
   /** Confluent-framed Avro values (magic 0 + int32 schema id) resolved
-    * against an id→writer-schema registry map. */
+    * against an id→writer-schema registry map. Lenient for the same
+    * reason as [[AvroValues]]. */
   final case class ConfluentAvroValues(registry: Map[Int, String]) extends ValueFormat {
     val valueBase64 = true
     def decode(kafkaShaped: DataFrame): DataFrame =
-      decodeConfluentAvroValues(kafkaShaped, registry)
+      kafkaShaped.withColumn("value",
+        graft.functions.ConfluentAvroToJson(col("value"), registry, lenient = true)
+          .cast("binary"))
   }
 
   /** S5: the reference's per-batch dynamic schema inference

@@ -90,6 +90,18 @@ object ProcessLock {
   val TtlConf = "spark.graft.cdc.fsLock.ttlMs"
   val WaitConf = "spark.graft.cdc.fsLock.waitMs"
 
+  /** What [[releaseByToken]] observed — `Stolen` (the lock carries a
+    * FOREIGN token: a real theft, the holder paused past the TTL) and
+    * `Absent` (no lock present across every retry: already released,
+    * or deleted out-of-band) are different operator situations and get
+    * different errors (the r20 advice finding: reporting both as
+    * "stolen" sent operators chasing phantom thieves after an
+    * out-of-band cleanup). */
+  private[cdc] sealed trait ReleaseOutcome
+  private[cdc] case object Released extends ReleaseOutcome
+  private[cdc] case object Stolen extends ReleaseOutcome
+  private[cdc] case object Absent extends ReleaseOutcome
+
   private def fsOf(spark: SparkSession, dir: String) =
     graft.ops.DeltaProtocol.fsOf(spark, dir)
 
@@ -177,7 +189,7 @@ object ProcessLock {
     * direction that can't rob anyone (our own restored lock simply
     * ages out through the TTL). */
   private[cdc] def releaseByToken(fs: org.apache.hadoop.fs.FileSystem, dir: String,
-                                  token: String): Boolean = {
+                                  token: String): ReleaseOutcome = {
     val lock = lockPath(dir)
     val aside = new Path(s"$dir/_LOCK.release.$token") // token-unique: releasers never collide
     var attempt = 0
@@ -190,17 +202,40 @@ object ProcessLock {
           val in = fs.open(aside)
           try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString) finally in.close()
         } catch { case _: java.io.IOException => None }
-        if (asideToken.contains(token)) { fs.delete(aside, false); return true }
+        if (asideToken.contains(token)) { fs.delete(aside, false); return Released }
         // foreign (or unknown) — put the live lock back, exclusively,
         // and report stolen WITHOUT retrying: re-renaming a live
         // holder's lock in a loop would only widen its aside window
         if (!tryRestoreExclusive(fs, aside, lock)) fs.delete(aside, false)
-        return false
+        return Stolen
       }
       if (attempt < 5) Thread.sleep(100L)
     }
-    false
+    Absent
   }
+
+  /** Best-effort GC of orphaned rename-aside files (`_LOCK.release.*` /
+    * `_LOCK.stale.*`): a releaser or stealer that crashed between its
+    * rename and its delete leaves a token-unique aside no other path
+    * ever touches — without this they accumulate in the table dir
+    * forever (the r20 advice finding). Runs once per acquisition,
+    * alongside the steal-mutex GC; only asides whose mtime is past the
+    * TTL are removed, so a LIVE verifier's microsecond aside window is
+    * never raced (same expiry rule as the lock itself). Any FS error
+    * is swallowed — GC must never block an acquire. */
+  private def gcOrphanedAsides(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                               ttlMs: Long): Unit =
+    try {
+      val now = System.currentTimeMillis()
+      Seq("_LOCK.release.*", "_LOCK.stale.*").foreach { pat =>
+        fs.globStatus(new Path(dir, pat)) match {
+          case null => ()
+          case stats => stats.foreach { st =>
+            if (now - st.getModificationTime > ttlMs) fs.delete(st.getPath, false)
+          }
+        }
+      }
+    } catch { case _: java.io.IOException => () }
 
   /** Run `f` holding the table's cross-process FS lock. Throws (never
     * silently proceeds) when the lock cannot be acquired within
@@ -212,6 +247,9 @@ object ProcessLock {
     if (!fs.exists(new Path(dir))) fs.mkdirs(new Path(dir))
     val token = UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + waitMs
+    // sweep crashed releasers'/stealers' TTL-aged asides before racing
+    // for the lock — the one place every writer passes through
+    gcOrphanedAsides(fs, dir, ttlMs)
 
     // a steal needs the SAME expired (mtime, token) observed twice,
     // a dwell apart: one stale observation must never trigger a
@@ -383,13 +421,27 @@ object ProcessLock {
     // has already detected any actual data race by this point). A
     // stolen-lock error never MASKS f's own failure — it attaches as
     // a suppressed exception.
-    val released = releaseByToken(fs, dir, token)
-    if (!released) {
-      val stolen = new IllegalStateException(
-        s"cross-process lock at $dir was stolen while held (holder paused past the " +
-          "TTL?) — this writer's work may have raced the new holder; check the " +
-          "table's commit timeline before retrying")
-      if (failure != null) failure.addSuppressed(stolen) else throw stolen
+    releaseByToken(fs, dir, token) match {
+      case Released => ()
+      case Stolen =>
+        val stolen = new IllegalStateException(
+          s"cross-process lock at $dir was stolen while held (holder paused past the " +
+            "TTL?) — this writer's work may have raced the new holder; check the " +
+            "table's commit timeline before retrying")
+        if (failure != null) failure.addSuppressed(stolen) else throw stolen
+      case Absent =>
+        // not the same situation as theft: no one ELSE holds the lock —
+        // it is simply gone (out-of-band cleanup, or a foreign GC).
+        // Exclusive to this holder's work, no new holder raced it; but
+        // the protection lapsed, so say so (the r20 advice finding:
+        // reporting this as "stolen" sends operators hunting a thief
+        // that does not exist)
+        val absent = new IllegalStateException(
+          s"cross-process lock at $dir was ALREADY ABSENT at release (deleted " +
+            "out-of-band, or the table dir was cleaned while held) — no competing " +
+            "holder was observed, but the lock did not protect the full critical " +
+            "section; check what removed it before trusting concurrent writers")
+        if (failure != null) failure.addSuppressed(absent) else throw absent
     }
     if (failure != null) throw failure
     result

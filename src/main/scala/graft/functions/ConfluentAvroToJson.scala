@@ -27,9 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * corruption masquerade as tombstones.
   *
   * Same CodegenFallback rationale as [[AvroToJson]]: a library decode in
-  * a single ingest projection, never in a pushable filter.
+  * a single ingest projection, never in a pushable filter. Same
+  * `lenient` contract too (the streaming door's mode): a frame/decode
+  * failure yields [[AvroDecodeErrors.diagnostic]] JSON the DLQ split
+  * quarantines instead of throwing through the micro-batch.
   */
-case class ConfluentAvroToJson(child: Expression, registry: Map[Int, String])
+case class ConfluentAvroToJson(child: Expression, registry: Map[Int, String],
+                               lenient: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = StringType
@@ -47,20 +51,26 @@ case class ConfluentAvroToJson(child: Expression, registry: Map[Int, String])
 
   override protected def nullSafeEval(v: Any): Any = {
     val bytes = v.asInstanceOf[Array[Byte]]
-    if (bytes.length < 5 || bytes(0) != 0)
-      throw new IllegalArgumentException(
-        s"not a Confluent-framed Avro value (magic 0 + int32 id): " +
-          bytes.take(5).map(b => f"$b%02x").mkString(" "))
-    val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
-      ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
-    val reader = readers.getOrElseUpdate(id, {
-      val json = registry.getOrElse(id, throw new IllegalArgumentException(
-        s"schema id $id not in registry (known: ${registry.keys.toSeq.sorted.mkString(",")})"))
-      new GenericDatumReader[GenericRecord](new Schema.Parser().parse(json))
-    })
-    decoder = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, decoder)
-    record = reader.read(if (readers.size == 1) record else null, decoder)
-    UTF8String.fromString(record.toString)
+    try {
+      if (bytes.length < 5 || bytes(0) != 0)
+        throw new IllegalArgumentException(
+          s"not a Confluent-framed Avro value (magic 0 + int32 id): " +
+            bytes.take(5).map(b => f"$b%02x").mkString(" "))
+      val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+        ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+      val reader = readers.getOrElseUpdate(id, {
+        val json = registry.getOrElse(id, throw new IllegalArgumentException(
+          s"schema id $id not in registry (known: ${registry.keys.toSeq.sorted.mkString(",")})"))
+        new GenericDatumReader[GenericRecord](new Schema.Parser().parse(json))
+      })
+      decoder = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, decoder)
+      record = reader.read(if (readers.size == 1) record else null, decoder)
+      UTF8String.fromString(record.toString)
+    } catch {
+      case e: Throwable if lenient && scala.util.control.NonFatal(e) =>
+        record = null; decoder = null
+        AvroDecodeErrors.diagnostic(bytes, e)
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -72,4 +82,6 @@ case class ConfluentAvroToJson(child: Expression, registry: Map[Int, String])
 object ConfluentAvroToJson {
   def apply(value: Column, registry: Map[Int, String]): Column =
     Bridge.column(ConfluentAvroToJson(Bridge.expression(value), registry))
+  def apply(value: Column, registry: Map[Int, String], lenient: Boolean): Column =
+    Bridge.column(ConfluentAvroToJson(Bridge.expression(value), registry, lenient))
 }

@@ -254,16 +254,22 @@ private[sources] class GraftCdcMicroBatchStream(
     if (paths.isEmpty) return Array.empty
 
     // the threshold: #ordhi metadata (r19+), else ONE driver-side
-    // max(ord) job over version va's files, ord column only (pre-r19)
-    val threshold: Long = FileGroups.manifestOrdHi(spark, dir, va).getOrElse {
+    // max(ord) job over version va's files, ord column only (pre-r19).
+    // None = the base snapshot is EMPTY (no files, or a NULL max) —
+    // then EVERY head row has changed since, NULL-ord rows included,
+    // exactly the batch rule's `IsNull(threshold) OR ord > threshold`
+    // fallback (IncrementalRead). A Long.MinValue sentinel here would
+    // silently drop NULL-ord rows the batch door serves — the two
+    // doors must not diverge.
+    val threshold: Option[Long] = FileGroups.manifestOrdHi(spark, dir, va).orElse {
       val vaPaths = FileGroups.referencedPaths(spark, dir, va, Nil, Nil)
-      if (vaPaths.isEmpty) Long.MinValue // empty base: everything has changed since
+      if (vaPaths.isEmpty) None // empty base: everything has changed since
       else {
         val m = spark.read.parquet(vaPaths: _*)
           .agg(org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col(ord)))
           .head()
-        if (m.isNullAt(0)) Long.MinValue
-        else m.get(0) match { case n: Number => n.longValue() }
+        if (m.isNullAt(0)) None
+        else m.get(0) match { case n: Number => Some(n.longValue()) }
       }
     }
 
@@ -271,19 +277,20 @@ private[sources] class GraftCdcMicroBatchStream(
     // threshold pushed for row-group skipping (exactness comes from
     // the per-row re-check in the reader wrapper — pushed parquet
     // filters are stats-granular)
-    val litV: Any = ordType match {
-      case LongType => threshold
-      case IntegerType => threshold.toInt
-      case ShortType => threshold.toShort
-      case ByteType => threshold.toByte
-    }
     val builder = new ParquetScanBuilder(spark,
       FileGroupScanBuilder.index(spark, paths, schema), schema, schema,
       CaseInsensitiveStringMap.empty())
-    if (threshold != Long.MinValue)
+    threshold.foreach { thr =>
+      val litV: Any = ordType match {
+        case LongType => thr
+        case IntegerType => thr.toInt
+        case ShortType => thr.toShort
+        case ByteType => thr.toByte
+      }
       builder.pushFilters(Seq(GreaterThan(
         AttributeReference(ord, ordType, nullable = true)(),
         Literal.create(litV, ordType))))
+    }
     val batch = builder.build().toBatch
     val factory = batch.createReaderFactory()
     batch.planInputPartitions().map(p =>
@@ -299,10 +306,12 @@ private[sources] class GraftCdcMicroBatchStream(
 
 /** One delegate parquet partition + the factory that reads it + the
   * batch's exact ord threshold (per-batch state must travel in the
-  * partition: the stream-wide reader factory outlives every batch). */
+  * partition: the stream-wide reader factory outlives every batch).
+  * `threshold = None` means the base was empty — admit every row,
+  * NULL ord included (the batch rule's IsNull branch). */
 private[sources] case class GraftCdcInputPartition(
     delegate: InputPartition, delegateFactory: PartitionReaderFactory,
-    threshold: Long) extends InputPartition
+    threshold: Option[Long]) extends InputPartition
 
 /** Row-exact changed-since filter over the delegate parquet reader:
   * keep rows with ord > threshold (NULL ord never qualifies — the same
@@ -317,25 +326,28 @@ private[sources] class OrdThresholdReaderFactory(ordIdx: Int, ordType: DataType)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftCdcInputPartition]
     val inner = p.delegateFactory.createReader(p.delegate)
-    val thr = p.threshold
-    new PartitionReader[InternalRow] {
-      override def next(): Boolean = {
-        while (inner.next()) {
-          val row = inner.get()
-          if (!row.isNullAt(ordIdx)) {
-            val ord = ordType match {
-              case LongType => row.getLong(ordIdx)
-              case IntegerType => row.getInt(ordIdx).toLong
-              case ShortType => row.getShort(ordIdx).toLong
-              case ByteType => row.getByte(ordIdx).toLong
+    p.threshold match {
+      case None => inner // empty base: every row has changed since — no re-check
+      case Some(thr) =>
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = {
+            while (inner.next()) {
+              val row = inner.get()
+              if (!row.isNullAt(ordIdx)) {
+                val ord = ordType match {
+                  case LongType => row.getLong(ordIdx)
+                  case IntegerType => row.getInt(ordIdx).toLong
+                  case ShortType => row.getShort(ordIdx).toLong
+                  case ByteType => row.getByte(ordIdx).toLong
+                }
+                if (ord > thr) return true
+              }
             }
-            if (ord > thr) return true
+            false
           }
+          override def get(): InternalRow = inner.get()
+          override def close(): Unit = inner.close()
         }
-        false
-      }
-      override def get(): InternalRow = inner.get()
-      override def close(): Unit = inner.close()
     }
   }
 }

@@ -208,6 +208,42 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("fidelity label: full only when every query reached mode=full, else the histogram") {
+    assert(Bench.fidelityOf(Map("a" -> "full", "b" -> "full")) == "full")
+    assert(Bench.fidelityOf(Map("a" -> "full", "b" -> "degraded", "c" -> "minimal"))
+      == "partial(full=1,degraded=1,minimal=1)")
+    // empty = nothing measured: never "full"
+    assert(Bench.fidelityOf(Map.empty).startsWith("partial"))
+    // threaded to BOTH artifacts — the r20 artifact was 199/244 at n=1
+    // with nothing at the top level saying so
+    val line = Bench.stdoutLine(results(3, 0), "/x",
+      fidelity = Some("partial(full=1,degraded=2,minimal=0)"))
+    assert(line.contains(""""fidelity":"partial(full=1,degraded=2,minimal=0)""""))
+    assert(line.length < Bound)
+    val det = Bench.detailJson(results(3, 0), "/x", 3,
+      queryModes = Map("q_generated_query_name_1" -> "full",
+        "q_generated_query_name_2" -> "degraded", "q_generated_query_name_3" -> "full"))
+    assert(det.contains(""""fidelity":"partial(full=2,degraded=1,minimal=0)""""))
+  }
+
+  test("stall cap: capFactor x best cold evidence with a floor; uncapped without evidence") {
+    assert(Bench.capSeconds(None, None, 5.0, 15.0).isEmpty)
+    assert(Bench.capSeconds(Some(6.0), None, 5.0, 15.0).contains(30.0))
+    // the floor: sub-second queries can't be capped by timer jitter
+    assert(Bench.capSeconds(Some(1.0), Some(2.0), 5.0, 15.0).contains(15.0))
+    // max of reference and own evidence: a fixture that legitimately
+    // grew since the reference isn't capped against stale numbers
+    assert(Bench.capSeconds(Some(2.0), Some(8.0), 5.0, 15.0).contains(40.0))
+  }
+
+  test("capped samples are disclosed per query in the detail spread") {
+    val det = Bench.detailJson(results(2, 0), "/x", 3,
+      capped = Map("q_generated_query_name_1" -> 1))
+    assert(det.contains(""""capped":1"""))
+    // and absent when zero — no noise on clean queries
+    assert(!det.contains(""""capped":0"""))
+  }
+
   test("error messages are escaped and truncated on the stdout line") {
     val rs = Seq("q_bad" -> Left("""Exception: "quoted"
 	tabbed and very very very very very very very very long message"""))

@@ -276,6 +276,62 @@ class IngestStreamSpec extends SparkSpec {
     assert(decoded.filter($"j.payload.op".isNull).count() == 0)
   }
 
+  test("S15 streaming DLQ under avro formats: a poison frame is quarantined, never wedges the stream") {
+    // The r20 advice (medium) finding: the ValueFormat decode runs on
+    // the kafka-shaped stream BEFORE the foreachBatch DLQ split, so a
+    // throwing decode failed the micro-batch before the split could
+    // run — the checkpoint never advanced and every restart re-failed
+    // on the same record (a permanent wedge even with graft.dlq.dir
+    // set). The streaming formats now decode LENIENTLY: a frame/decode
+    // failure yields a diagnostic JSON (error + base64 raw bytes) that
+    // the split quarantines like any other poison.
+    val root = tmpDir("graft_avro_dlq")
+    val topic = s"$root/topic"
+    CdcGen.writeTopicAvroFiles(spark, n = 40, topic, nBatches = 1, schemaId = Some(7))
+    val registry = Map(7 -> CdcGen.avroWriterSchemaJson(spark))
+    val cleanCount = Ingest.snapshotFromConfluentTopic(spark, topic, registry).count()
+
+    // poison: unframed garbage bytes (no magic 0 header), base64-wrapped
+    // like every binary value on the file transport
+    val garbage = java.util.Base64.getEncoder.encodeToString(
+      "definitely not a confluent frame".getBytes("UTF-8"))
+    val ts = "2024-01-01T00:00:00.000Z"
+    java.nio.file.Files.write(
+      new java.io.File(topic, "part-99999-poison.txt").toPath,
+      (s"""{"topic":"debezium1.public.employees","partition":0,"offset":90001,""" +
+        s""""timestamp":"$ts","value":"$garbage"}""" + "\n").getBytes)
+
+    // the REAL streaming path: the stream must COMPLETE (no wedge),
+    // quarantine exactly the poison row with its bytes recoverable,
+    // and land the clean snapshot
+    val q = Ingest.run(spark, topic, s"$root/log", s"$root/ckpt",
+      snapshotDir = Some(s"$root/snap"), dlqDir = Some(s"$root/dlq"),
+      valueFormat = Ingest.ConfluentAvroValues(registry))
+    q.processAllAvailable(); q.stop()
+    val dlqRows = spark.read.parquet(s"$root/dlq")
+    assert(dlqRows.count() == 1)
+    val raw = dlqRows.select("raw").as[String].head()
+    assert(raw.contains("_graft_decode_error"), s"diagnostic missing: $raw")
+    assert(raw.contains(garbage), "raw bytes must be recoverable (base64) from the DLQ row")
+    assert(Ingest.readSnapshot(spark, s"$root/snap").get.count() == cleanCount)
+
+    // the single-writer-schema Avro format takes the same lenient door
+    val topic2 = s"$root/topic2"
+    CdcGen.writeTopicAvroFiles(spark, n = 20, topic2, nBatches = 1)
+    val cleanCount2 = Ingest.snapshotFromAvroTopic(spark, topic2,
+      CdcGen.avroWriterSchemaJson(spark)).count() // before the poison lands
+    java.nio.file.Files.write(
+      new java.io.File(topic2, "part-99999-poison.txt").toPath,
+      (s"""{"topic":"debezium1.public.employees","partition":0,"offset":90002,""" +
+        s""""timestamp":"$ts","value":"$garbage"}""" + "\n").getBytes)
+    val q2 = Ingest.run(spark, topic2, s"$root/log2", s"$root/ckpt2",
+      snapshotDir = Some(s"$root/snap2"), dlqDir = Some(s"$root/dlq2"),
+      valueFormat = Ingest.AvroValues(CdcGen.avroWriterSchemaJson(spark)))
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$root/dlq2").count() == 1)
+    assert(Ingest.readSnapshot(spark, s"$root/snap2").get.count() == cleanCount2)
+  }
+
   test("S15 Confluent frame: header-framed values decode via registry to the JSON-path snapshot") {
     val root = tmpDir("graft_confluent")
     CdcGen.writeTopicFiles(spark, n = 60, s"$root/json", nBatches = 2)

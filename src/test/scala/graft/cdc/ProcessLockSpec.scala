@@ -13,6 +13,40 @@ class ProcessLockSpec extends SparkSpec {
 
   private def fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
+  test("orphaned rename-asides are GC'd at acquisition; absent-at-release is not reported stolen") {
+    // r20 advice (low): a crash between releaseByToken's rename and its
+    // delete orphaned `_LOCK.release.<token>` forever (no path ever
+    // cleaned them), and a persistently-missing lock at release was
+    // reported as "stolen" — conflating out-of-band cleanup with theft.
+    val dir = tmpDir("graft_plock11") + "/t"
+    fs.mkdirs(new Path(dir))
+    def plant(name: String): Path = {
+      val p = new Path(s"$dir/$name")
+      val out = fs.create(p, true); out.write("dead".getBytes("UTF-8")); out.close()
+      fs.setTimes(p, System.currentTimeMillis() - 10000, -1)
+      p
+    }
+    val a1 = plant("_LOCK.release.dead-releaser")
+    val a2 = plant("_LOCK.stale.dead-stealer")
+    // a FRESH aside must survive (a live verifier's microsecond window)
+    val fresh = new Path(s"$dir/_LOCK.release.live-releaser")
+    val out = fs.create(fresh, true); out.write("live".getBytes("UTF-8")); out.close()
+    ProcessLock.withLock(spark, dir, ttlMs = 500, waitMs = 5000)(())
+    assert(!fs.exists(a1) && !fs.exists(a2), "TTL-aged asides must be GC'd on acquire")
+    assert(fs.exists(fresh), "a fresh aside must never be raced")
+    fs.delete(fresh, false)
+
+    // absent-at-release: deleted out-of-band while held → the error
+    // names ABSENCE, not theft
+    val err = intercept[IllegalStateException] {
+      ProcessLock.withLock(spark, dir, ttlMs = 500, waitMs = 5000) {
+        fs.delete(new Path(s"$dir/_LOCK"), false)
+      }
+    }
+    assert(err.getMessage.contains("ALREADY ABSENT"), err.getMessage)
+    assert(!err.getMessage.contains("stolen"), err.getMessage)
+  }
+
   test("withLock serializes contenders: no concurrent critical sections, no lost updates") {
     val dir = tmpDir("graft_plock") + "/t"
     val inCritical = new java.util.concurrent.atomic.AtomicInteger
@@ -142,7 +176,8 @@ class ProcessLockSpec extends SparkSpec {
       val releaser = new Thread(() => {
         try {
           Thread.sleep(rnd.nextInt(120).toLong) // jitter into the steal/acquire window
-          staleReleased.set(ProcessLock.releaseByToken(fs, dir, staleToken))
+          staleReleased.set(
+            ProcessLock.releaseByToken(fs, dir, staleToken) == ProcessLock.Released)
         } catch { case t: Throwable => failures.add(t) }
       })
       fresh.start(); releaser.start()

@@ -223,6 +223,39 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(landed(s"$root/landed", 0L) == want && want.nonEmpty)
   }
 
+  test("empty base: the stream admits every head row, NULL-ord included (batch-door parity)") {
+    // The r20 advice (low) finding: the stream's empty-base fallback
+    // used a Long.MinValue sentinel and the per-row reader still ran
+    // `ord > MinValue`, silently dropping NULL-ord rows the batch
+    // rule's `IsNull(threshold) OR ord > threshold` serves — the two
+    // doors diverged exactly where the scaladoc says they cannot. The
+    // threshold now travels as Option[Long]: None (empty base) admits
+    // everything, re-check skipped.
+    val root = tmpDir("graft_istream_emptybase")
+    val t = root + "/employees"
+    val l = log()
+    FileGroups.setRetention(spark, t, 8)
+    // v0: an EMPTY commit — no files, no #ordhi (the base every head
+    // row has changed since)
+    FileGroups.commit(spark, t, l.filter(lit(false)), 0L, Seq("id"), Seq("lsn"), nBuckets = 8)
+    // v1: real rows, a third of them with NULL ord
+    val rows = l.filter($"lsn" < 300)
+      .withColumn("lsn", when($"id" % 3 === 0, lit(null).cast("long")).otherwise($"lsn"))
+    FileGroups.commit(spark, t, rows, 1L, Seq("id"), Seq("lsn"))
+    spark.conf.set("spark.sql.catalog.graft_isE", classOf[FileGroupCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_isE.root", root)
+
+    val q = spark.readStream.format("graft-cdc").option("startingVersion", 0).load(t)
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(landTo(s"$root/landed"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val b0 = landed(s"$root/landed", 0L)
+    assert(b0.exists(_.isNullAt(1)),
+      "NULL-ord rows must ride the stream when the base is empty")
+    assert(b0 == batchCut("graft_isE", 0L, 1L) && b0.nonEmpty)
+  }
+
   test("maxVersionsPerTrigger bounds each micro-batch to the next N retained versions") {
     // a long-backlog catch-up (earliest over many versions, or a
     // stream down for days) must not land as one giant batch: with

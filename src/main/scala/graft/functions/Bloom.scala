@@ -35,4 +35,22 @@ object Bloom {
     Bridge.column(new BloomFilterMightContain(
       Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
       new XxHash64(Seq(Bridge.expression(key)), 42L)))
+
+  /** [[mightContain]] with the sketch supplied as a 1-row DataFrame
+    * (the [[agg]] result) instead of collected bytes — the predicate
+    * becomes `might_contain(scalar-subquery[bloom_filter_agg(...)],
+    * xxhash64(key))`, EXACTLY the plan shape Spark's own
+    * InjectRuntimeFilter plants (round 21, guide §3.2/§5): the bloom
+    * bytes never visit the driver as a query-path collect, and the
+    * multi-MB sketch stops being a plan LITERAL (a 1<<24-bit sketch
+    * embedded as a literal made a 4 MB plan and a >1 MB task binary
+    * re-broadcast every stage; the subquery result is transported by
+    * the subquery machinery instead). Same bits, same no-false-
+    * negative contract — BloomSpec pins equality against the literal
+    * path. */
+  def mightContain(bloomDf: org.apache.spark.sql.DataFrame, key: Column): Column =
+    Bridge.column(new BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        bloomDf.queryExecution.analyzed),
+      new XxHash64(Seq(Bridge.expression(key)), 42L)))
 }

@@ -229,10 +229,14 @@ private[queries] object ExtensionsPipeline {
         val shingled = fanout(Tables.documents(s, dir))
           .withColumn("toks", Text.tokens(col("text")))
           .withColumn("sh", array_distinct(Text.shingles(col("toks"), 5)))
+        // r21: the sketch rides as a SCALAR SUBQUERY (the native
+        // InjectRuntimeFilter shape, guide §3.2) instead of a driver
+        // collect + 2 MB plan literal — no query-path collect (§5),
+        // and the task binary drops from >1 MB (re-broadcast every
+        // stage) to plan-sized. Same bits, same zero-FP gate.
         val bf = shingled.filter(pmod(col("doc_id"), lit(10)) === 0)
           .select(explode(col("sh")).as("g"))
           .agg(graft.functions.Bloom.agg(col("g"), 1L << 17, 1L << 24).as("bf"))
-          .collect()(0).getAs[Array[Byte]](0)
         shingled.filter(pmod(col("doc_id"), lit(10)) =!= 0)
           .select(col("doc_id"), explode_outer(col("sh")).as("g"))
           .filter(col("g").isNotNull &&
@@ -478,6 +482,10 @@ private[queries] object ExtensionsPipeline {
             (col("text") =!= col("redacted")).as("had_pii"),
             length(col("redacted")).as("redacted_len"),
             md5(col("redacted")).as("redacted_md5"))
+          // r21 (guide §1): materialize the narrow per-doc scalars once
+          // — the orderBy's range sampling otherwise runs the triple
+          // regex redaction twice (no exchange below the sort)
+          .localCheckpoint()
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id, text <> redacted AS had_pii,

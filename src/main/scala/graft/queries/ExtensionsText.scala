@@ -59,6 +59,11 @@ private[queries] object ExtensionsText {
           .select(col("doc_id"), col("lang").as("lang_actual"),
             Text.langPredict(scores).as("lang_pred"))
           .withColumn("is_match", col("lang_pred") === col("lang_actual"))
+          // r21 (guide §1): materialize the narrow per-doc scalars once
+          // — the global orderBy's range sampling otherwise re-runs the
+          // whole scan+score pipeline (no exchange below the sort to
+          // reuse), doubling the query
+          .localCheckpoint()
           .orderBy(col("doc_id"))
       },
       Some {
@@ -119,6 +124,8 @@ private[queries] object ExtensionsText {
                 + (col("n_stop").cast("double") / col("n_tokens")) * 0.4
                 + (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.2
               ).as("quality"))
+          // r21: same materialize-once-before-sort as q_lang_id
+          .localCheckpoint()
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
@@ -144,6 +151,8 @@ private[queries] object ExtensionsText {
           .select(col("doc_id"),
             coalesce(array_min(transform(sh, x => md5(x))), md5(col("text"))).as("fp"),
             size(sh).as("n_shingles"))
+          // r21: same materialize-once-before-sort as q_lang_id
+          .localCheckpoint()
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
@@ -310,10 +319,22 @@ private[queries] object ExtensionsText {
     GQuery(
       "q_fingerprint_rolling",
       (s, dir) => {
+        // r21 (guide §1/§2.3): the global orderBy's range sampling
+        // evaluates its whole input, so the rolling-hash projection
+        // ran TWICE (sample pass + real pass — the two ~0.65 s jobs in
+        // the profile). The narrow per-doc result (3 scalars) is now
+        // materialized ONCE with localCheckpoint before the sort: one
+        // hash evaluation, and the sampler reads 12 MB of scalars from
+        // the block manager instead of re-hashing the corpus. The
+        // compute stays on fanout's spread partitions — sorting FIRST
+        // was tried and rejected: the post-sort shuffle is small, AQE
+        // coalesces it, and the hash compute collapses onto one core
+        // (13.5 s measured — the §2.5 synthetic-partitioning trap).
         fanout(Tables.documents(s, dir))
           .withColumn("h", Text.rollingHashes(col("text"), 8))
           .select(col("doc_id"), array_min(col("h")).as("min_hash"),
             size(col("h")).as("n_windows"))
+          .localCheckpoint()
           .orderBy(col("doc_id"))
       },
       Some {

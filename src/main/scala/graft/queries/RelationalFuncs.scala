@@ -243,23 +243,34 @@ private[queries] object RelationalFuncs {
     GQuery(
       "q_math_funcs",
       (s, dir) => {
+        // r21 (guide §2.3/§1): only the SORT-KEY expressions are
+        // computed below the global orderBy (range sampling evaluates
+        // the sort's whole input, so everything below runs twice);
+        // the five non-key projections (rounded/floored/ceiled/
+        // price_ln/key_mod) moved ABOVE the sort — one evaluation,
+        // and the range exchange carries 7 columns instead of 11.
+        // Same expressions, same output columns, same total order.
         Tables.lineitem(s, dir)
           .select(
-            col("l_orderkey"), col("l_linenumber"),
-            round(col("l_extendedprice"), 1).as("rounded"),
-            floor(col("l_extendedprice")).cast("long").as("floored"),
-            ceil(col("l_extendedprice")).cast("long").as("ceiled"),
+            col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
             abs(col("l_discount") - 0.05).cast("double").as("absdiff"),
             round(pow(col("l_quantity"), 2), 4).as("qty_sq"),
             round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"),
-            round(log(col("l_extendedprice") + 1), 4).as("price_ln"),
-            pmod(col("l_orderkey"), lit(7)).as("key_mod"),
             signum(col("l_discount") - 0.04).cast("int").as("disc_sign"))
           // (key, linenumber) is non-unique: (price_sqrt, qty_sq, absdiff,
           // disc_sign) pins (extendedprice, quantity, discount) so the
           // sort is total up to fully-identical output rows.
           .orderBy(col("l_orderkey"), col("l_linenumber"), col("price_sqrt"),
             col("qty_sq"), col("absdiff"), col("disc_sign"))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice"), 1).as("rounded"),
+            floor(col("l_extendedprice")).cast("long").as("floored"),
+            ceil(col("l_extendedprice")).cast("long").as("ceiled"),
+            col("absdiff"), col("qty_sq"), col("price_sqrt"),
+            round(log(col("l_extendedprice") + 1), 4).as("price_ln"),
+            pmod(col("l_orderkey"), lit(7)).as("key_mod"),
+            col("disc_sign"))
       },
       Some("""SELECT l_orderkey, l_linenumber,
              |  round(l_extendedprice, 1) AS rounded,
@@ -330,7 +341,17 @@ private[queries] object RelationalFuncs {
     GQuery(
       "q_json_funcs",
       (s, dir) => {
+        // r21 (guide §2.3/§1): sort FIRST on the base key, project the
+        // three JSON parses AFTER — a global orderBy range-partitions
+        // by sampling its INPUT, so a projection under the sort ran
+        // the parses twice (sample pass + real pass) and shipped the
+        // parsed columns through the exchange; event_id is unique, so
+        // sort-then-project is order-identical. Plan diff: the
+        // exchange carries (event_id, props) only and every JSON
+        // expression sits ABOVE the Sort (one evaluation).
         Tables.events(s, dir)
+          .select(col("event_id"), col("props"))
+          .orderBy(col("event_id"))
           .withColumn("k1", get_json_object(col("props"), "$.k").cast("int"))
           .withColumn("parsed", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
           .select(
@@ -340,7 +361,6 @@ private[queries] object RelationalFuncs {
             json_tuple(col("props"), "k").as("k3_raw"),
             to_json(struct(col("event_id").as("id"))).as("j"))
           .withColumn("k3", col("k3_raw").cast("int")).drop("k3_raw")
-          .orderBy(col("event_id"))
       },
       Some("""SELECT event_id,
              |  CAST(json_extract_string(props, '$.k') AS INT) AS k1,

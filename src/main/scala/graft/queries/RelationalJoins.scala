@@ -482,9 +482,11 @@ private[queries] object RelationalJoins {
     GQuery(
       "q_join_bloom",
       (s, dir) => {
+        // r21: sketch as a scalar subquery (native runtime-filter
+        // shape) — no driver collect in the query path, no 1 MB plan
+        // literal in every task binary. Same bits, same zero-FP gate.
         val bf = Tables.orders(s, dir)
           .agg(graft.functions.Bloom.agg(col("o_custkey"), 1L << 18, 1L << 23).as("bf"))
-          .collect()(0).getAs[Array[Byte]](0)
         Tables.customer(s, dir)
           .filter(graft.functions.Bloom.mightContain(bf, col("c_custkey")))
           .select(col("c_custkey"), col("c_name"))

@@ -30,6 +30,23 @@ class BloomSpec extends SparkSpec {
     assert(java.util.Arrays.equals(one, many))
   }
 
+  test("scalar-subquery probe is row-identical to the literal probe (r21 plan shape)") {
+    // r21 moved the query-path probes to might_contain(scalar-subquery)
+    // — the native InjectRuntimeFilter shape — so the sketch stops
+    // being a driver collect + multi-MB plan literal. Same bits in,
+    // same rows out, at any (items, bits).
+    val bfDf = Tables.orders(spark, dir)
+      .agg(Bloom.agg(col("o_custkey"), 1L << 14, 1L << 18).as("bf"))
+    val bfBytes = bfDf.collect()(0).getAs[Array[Byte]](0)
+    val viaLiteral = Tables.customer(spark, dir)
+      .filter(Bloom.mightContain(bfBytes, col("c_custkey")))
+      .select(col("c_custkey")).collect().map(_.getLong(0)).sorted.toSeq
+    val viaSubquery = Tables.customer(spark, dir)
+      .filter(Bloom.mightContain(bfDf, col("c_custkey")))
+      .select(col("c_custkey")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaSubquery == viaLiteral && viaLiteral.nonEmpty)
+  }
+
   test("probe keeps a bounded superset: |bloom pass| < |customers| at tight bits") {
     // deliberately tiny sketch → false positives exist, but the pass
     // set still shrinks the scan (the filter is USEFUL even undersized)

@@ -1,5 +1,7 @@
 package graft.cdc
 
+import java.nio.ByteBuffer
+
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -126,26 +128,10 @@ object FileGroups {
   private def bloomPos(keyCols: Seq[Column], seed: Int) =
     pmod(xxhash64(keyCols :+ lit(seed): _*), lit(BloomBits))
 
-  /** hex(64 words) per bucket, from one narrow agg over the rewritten
-    * buckets. ANY key shape (the bloom is the sole index beyond the
-    * hash bucket for string/composite keys; [lo,hi] stats additionally
-    * apply to single integer-family keys). */
-  private def buildBlooms(out: DataFrame, keys: Seq[String]): Map[Long, String] = {
-    val words = out
-      .select(col("_bucket"), explode(array(
-        (0 until BloomK).map(i => bloomPos(keys.map(col), i)): _*)).as("pos"))
-      .selectExpr("_bucket", "CAST(pos / 64 AS INT) AS w",
-        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS m")
-      .groupBy(col("_bucket"), col("w"))
-      .agg(expr("bit_or(m)").as("bits"))
-      .collect()
-      .groupBy(_.getLong(0))
-    words.map { case (b, rows) =>
-      val arr = Array.fill(BloomWords)(0L)
-      rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
-      b -> arr.map(w => f"$w%016x").mkString
-    }
-  }
+  // (the historical two-job bloom build — explode K positions →
+  // (bucket, word) bit_or → collect — was fused into rewriteEntries'
+  // single grouped aggregation in r21 via functions.BloomWordsAgg;
+  // the bits are the same order-invariant OR of the same positions)
 
   private def bloomMightContain(hex: String, positions: Seq[Long]): Boolean =
     positions.forall { p =>
@@ -958,16 +944,30 @@ object FileGroups {
     val singleIntOrd = ord.size == 1 &&
       fieldOf(out.schema, ord.head).exists(f => integerFamily(f.dataType))
     val ordCol = if (singleIntOrd) col(ord.head).cast("long") else lit(null).cast("long")
-    val blooms = buildBlooms(out, keys)
+    // r21 (guide §1.2/§2.4): stats AND key blooms in ONE grouped
+    // aggregation — the historical shape ran a second job over the
+    // persisted merge output (explode K positions → (bucket, word)
+    // bit_or → collect) per commit. BloomWordsAgg ORs the same K
+    // codegen'd xxhash64 positions into a 64-word buffer inline, so
+    // every commit pays one index pass, not two; the OR is
+    // order-invariant, so the sketch bits are unchanged.
+    val posArr = array((0 until BloomK).map(i => bloomPos(keys.map(col), i)): _*)
     val rows = out.groupBy(col("_bucket"))
       .agg(min(statCol).as("lo"), max(statCol).as("hi"), count(lit(1)).as("n"),
-        max(ordCol).as("ordhi"))
+        max(ordCol).as("ordhi"),
+        graft.functions.BloomWordsAgg.agg(posArr, BloomWords).as("bloom"))
       .collect()
     val entries = rows.map { r =>
+      val bloomHex = ByteBuffer.wrap(r.getAs[Array[Byte]](5)).asLongBuffer() match {
+        case lb =>
+          val arr = new Array[Long](BloomWords)
+          lb.get(arr)
+          arr.map(w => f"$w%016x").mkString
+      }
       Entry(r.getLong(0), s"files/v$batchId/_bucket=${r.getLong(0)}",
         if (r.isNullAt(1)) None else Some(r.getLong(1)),
         if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3),
-        blooms.get(r.getLong(0)))
+        Some(bloomHex))
     }.toSeq
     val ordHi = rows.toSeq.collect { case r if !r.isNullAt(4) => r.getLong(4) }.maxOption
     (entries, ordHi)

@@ -34,19 +34,30 @@ object Components {
     val edges = pairs.select(col(ea), col(eb))
       .union(pairs.select(col(eb), col(ea)))
       .toDF("src", "dst").localCheckpoint()
-    var labels = nodes.select(col(na).as("id"), col(na).as("lab")).localCheckpoint()
-    // coalesce: sum over an EMPTY node set is null — 0 keeps the
-    // fixpoint test well-defined (empty in, empty out, one round)
-    var prevSum = labels.agg(coalesce(sum(col("lab")), lit(0L))).head().getLong(0)
+    // r21 (guide §1): the convergence sum rides the SAME action as the
+    // per-round checkpoint via `observe` — the loop previously paid two
+    // actions per round (materialize, then a separate agg job over the
+    // materialized labels); the observed metric is computed during the
+    // checkpoint job for free. coalesce: sum over an EMPTY node set is
+    // null — 0 keeps the fixpoint test well-defined (empty in, empty
+    // out, one round).
+    def checkpointWithSum(df: DataFrame, name: String): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation(name)
+      val cp = df.observe(obs, coalesce(sum(col("lab")), lit(0L)).as("s"))
+        .localCheckpoint()
+      (cp, obs.get("s").asInstanceOf[Long])
+    }
+    var (labels, prevSum) =
+      checkpointWithSum(nodes.select(col(na).as("id"), col(na).as("lab")), "cc_init")
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("lab"))
-      labels = labels.union(prop)
-        .groupBy(col("id")).agg(min(col("lab")).as("lab"))
-        .localCheckpoint()
-      val cur = labels.agg(coalesce(sum(col("lab")), lit(0L))).head().getLong(0)
+      val (next, cur) = checkpointWithSum(
+        labels.union(prop).groupBy(col("id")).agg(min(col("lab")).as("lab")),
+        s"cc_round_$rounds")
+      labels = next
       converged = cur == prevSum
       prevSum = cur
       rounds += 1

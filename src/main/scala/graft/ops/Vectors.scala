@@ -233,7 +233,14 @@ object Vectors {
     * Returns (id_a, id_b) with id_a < id_b and cosine > threshold. */
   def semanticPairs(emb: DataFrame, idCol: String, vecCol: String,
                     cents: DataFrame, threshold: Double): DataFrame = {
-    val assigned = assignToCentroids(emb, idCol, vecCol, cents)
+    // r21 (guide §1): the centroid assignment (8-way cross score +
+    // per-vector argmin window — the expensive narrow pipeline) feeds
+    // BOTH sides of the in-cluster self-join below; without a
+    // materialization it executed twice per run (two ~0.35 s jobs in
+    // the q_dedup_semantic profile). Checkpoint the narrow
+    // (cluster, id, v, nrm) assignment once — node-sized, never
+    // pair-sized — and self-join the materialized rows.
+    val assigned = assignToCentroids(emb, idCol, vecCol, cents).localCheckpoint()
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),

@@ -565,6 +565,10 @@ private[queries] object RelationalFuncs {
           .filter(col("pr") >= 0.99)
           .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
             col("pr"), col("cd"))
+          // r21 (guide §1): materialize once before the presentation
+          // sort — the orderBy's range sampling otherwise re-runs the
+          // window compute between the reused exchange and the sort
+          .localCheckpoint()
           .orderBy(col("o_orderpriority"), col("o_orderkey"))
       },
       Some("""SELECT o_orderkey, o_orderpriority, o_totalprice, pr, cd FROM (

@@ -272,6 +272,9 @@ private[queries] object RelationalSql {
             dround(lag(col("big"), 1, null, ignoreNulls = true).over(w)).as("prev_big"),
             dround(first(col("big"), ignoreNulls = true).over(cum)).as("first_big"),
             dround(nth_value(col("big"), 2, ignoreNulls = true).over(cum)).as("second_big"))
+          // r21 (guide §1): materialize once before the presentation
+          // sort (see q_win_rank)
+          .localCheckpoint()
           .orderBy(col("o_custkey"), col("o_orderkey"))
       },
       Some("""WITH g AS (
@@ -601,6 +604,10 @@ private[queries] object RelationalSql {
           .filter(col("event_type") === "purchase" && col("prev_type") === "click")
           .select(col("user_id"), fmtTs(col("prev_start")).as("match_start"),
             fmtTs(col("ts")).as("purchase_ts"), col("prev_n").as("n_clicks"))
+          // r21 (guide §1): materialize the match-sized result once —
+          // the orderBy's range sampling otherwise re-runs all four
+          // window passes between the reused exchange and the sort
+          .localCheckpoint()
           .orderBy(col("user_id"), col("match_start"), col("purchase_ts"))
       },
       Some("""WITH r AS (

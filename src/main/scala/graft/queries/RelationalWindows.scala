@@ -29,6 +29,10 @@ private[queries] object RelationalWindows {
           .withColumn("drnk", dense_rank().over(w))
           .withColumn("nt", ntile(4).over(w))
           .filter(col("rn") <= 10)
+          // r21 (guide §1): materialize once before the presentation
+          // sort — the orderBy's range sampling otherwise re-runs the
+          // window compute between the reused exchange and the sort
+          .localCheckpoint()
           .orderBy(col("l_suppkey"), col("rn"))
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
@@ -58,6 +62,10 @@ private[queries] object RelationalWindows {
           .select(col("o_custkey"), col("o_orderkey"), fmtD(col("o_orderdate")).as("odate"),
             col("o_totalprice"), col("prev_price"), col("next_price"),
             col("first_price"), col("last_price"), col("running_total"))
+          // r21 (guide §1): materialize once before the presentation
+          // sort — the orderBy's range sampling otherwise re-runs the
+          // window compute between the reused exchange and the sort
+          .localCheckpoint()
           .orderBy(col("o_custkey"), col("o_orderkey"))
       },
       Some("""SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate, o_totalprice,
@@ -90,6 +98,9 @@ private[queries] object RelationalWindows {
           .withColumn("cume", cume_dist().over(w))
           .select(col("o_custkey"), col("o_orderkey"), fmtD(col("o_orderdate")).as("odate"),
             col("o_totalprice"), col("third_price"), col("pct_rank"), col("cume"))
+          // r21 (guide §1): materialize once before the presentation
+          // sort (see q_win_rank)
+          .localCheckpoint()
           .orderBy(col("o_custkey"), col("o_orderkey"))
       },
       Some("""SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
@@ -121,6 +132,10 @@ private[queries] object RelationalWindows {
           .select(col("event_id"), col("user_id"),
             dround(col("mov_sum")).as("mov_sum"), col("mov_n"),
             (floor(col("mov_sum").cast("double") / col("mov_n") * 10000 + 0.5) / 10000).as("mov_avg"))
+          // r21 (guide §1): materialize once before the presentation
+          // sort — the orderBy's range sampling otherwise re-runs the
+          // window compute between the reused exchange and the sort
+          .localCheckpoint()
           .orderBy(col("event_id"))
       },
       Some("""SELECT event_id, user_id,
@@ -199,6 +214,10 @@ private[queries] object RelationalWindows {
             fmtTs(min(col("ts"))).as("sess_start"),
             fmtTs(max(col("ts"))).as("sess_end"),
             dround(sum(dec(col("value")))).as("total"))
+          // r21 (guide §1): materialize once before the presentation
+          // sort — the orderBy's range sampling otherwise re-runs the
+          // window compute between the reused exchange and the sort
+          .localCheckpoint()
           .orderBy(col("user_id"), col("session_id"))
       },
       Some(s"""WITH g AS (
@@ -241,6 +260,10 @@ private[queries] object RelationalWindows {
           .withColumn("session_id", row_number().over(byStart).cast("long"))
           .select(col("user_id"), col("session_id"), col("n_events"),
             col("sess_start"), col("sess_end"), col("total"))
+          // r21 (guide §1): materialize once before the presentation
+          // sort — the orderBy's range sampling otherwise re-runs the
+          // window compute between the reused exchange and the sort
+          .localCheckpoint()
           .orderBy(col("user_id"), col("session_id"))
       },
       Some(s"""WITH g AS (

@@ -468,7 +468,7 @@ private[queries] object ExtensionsDedup {
       "q_dedup_cluster_incr",
       (s, dir) => {
         val root = cachedFixture(s"graft_ccincr_cache_v1_${sfFingerprint(dir)}") { root =>
-          val pairs = ngramPairs(s, dir).select(col("id_a"), col("id_b")).cache()
+          val pairs = ngramPairs(s, dir).select(col("id_a"), col("id_b")).localCheckpoint()
           val docs = Tables.documents(s, dir).select(col("doc_id"))
           val baseNodes = docs.filter(col("doc_id") % 3 =!= 0)
           val basePairs = pairs

@@ -272,7 +272,7 @@ private[queries] object ExtensionsSim {
         val assigned = emb
           .withColumn("cluster", -greatest(scored: _*).getField("nid"))
           .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
-          .cache()
+          .localCheckpoint()
         val queries = assigned.filter(col("vec_id") <= 50)
         val wTop = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nn_id"))
         // served: 1-probe IVF top-5 (the q_sim_ivf plan at k=5)

@@ -405,10 +405,10 @@ private[queries] object RelationalAgg {
       (s, dir) => {
         val po = Tables.orders(s, dir)
           .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-          .select(col("o_orderpriority").as("p"), col("o_custkey")).distinct().cache()
+          .select(col("o_orderpriority").as("p"), col("o_custkey")).distinct().localCheckpoint()
         val perSeg = po.groupBy(col("p"))
           .agg(hll_sketch_agg(col("o_custkey"), 14).as("sk"), count(lit(1)).as("exact_d"))
-          .cache()
+          .localCheckpoint()
         def ok(est: Column, exact: Column) =
           (abs(est - exact) <= exact.cast("double") * 0.05).as("est_ok")
         val segs = perSeg.select(col("p").as("scope"), col("exact_d"),

@@ -436,7 +436,7 @@ private[queries] object RelationalWindows {
           .agg(expr("(200 * sum(cast(round(value * 100, 0) as bigint)) + count(*)) div " +
             "(2 * count(*))").as("v4"))
           .select(col("event_type"), col("h"), (col("v4") / 10000.0).as("v"))
-          .cache()
+          .localCheckpoint()
         val grid = hourly.agg(min(col("h")).as("h_lo"), max(col("h")).as("h_hi"))
           .select(explode(expr("sequence(h_lo, h_hi, interval 1 hour)")).as("h"))
           .crossJoin(hourly.select(col("event_type")).distinct())
@@ -530,7 +530,7 @@ private[queries] object RelationalWindows {
         // so the corpus is scanned once for the union, not once per
         // consumer (8 scans → 2 in PLANS.md before this)
         val net = deltas.groupBy(col("event_type"), col("t")).agg(sum(col("dl")).as("net"))
-          .withColumn("day", date_trunc("day", col("t"))).cache()
+          .withColumn("day", date_trunc("day", col("t"))).localCheckpoint()
         val wDay = Window.partitionBy(col("event_type"), col("day")).orderBy(col("t"))
         val inDay = net.withColumn("run_in", sum(col("net")).over(wDay))
         val wOff = Window.partitionBy(col("event_type")).orderBy(col("day"))
@@ -539,7 +539,7 @@ private[queries] object RelationalWindows {
           .withColumn("off", coalesce(sum(col("dtot")).over(wOff), lit(0L)))
           .select(col("event_type"), col("day"), col("off"))
         val conc = inDay.join(broadcast(offs), Seq("event_type", "day"))
-          .withColumn("conc", col("off") + col("run_in")).cache()
+          .withColumn("conc", col("off") + col("run_in")).localCheckpoint()
         val mx = conc.groupBy(col("event_type")).agg(max(col("conc")).as("max_conc"))
         conc.join(mx, "event_type").filter(col("conc") === col("max_conc"))
           .groupBy(col("event_type"), col("max_conc")).agg(min(col("t")).as("at_t"))

@@ -190,6 +190,10 @@ private[queries] object RelationalFuncs {
             datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
             fmtD(date_add(col("o_orderdate"), 30)).as("plus30"),
             fmtD(last_day(col("o_orderdate"))).as("eom"))
+          // r21 (guide §1): materialize once before the presentation
+          // sort — no exchange below it, so the sampler otherwise
+          // re-runs the whole scan+projection
+          .localCheckpoint()
           .orderBy(col("o_orderkey"))
       },
       Some("""SELECT o_orderkey,
@@ -299,6 +303,10 @@ private[queries] object RelationalFuncs {
             expr("aggregate(tokens, 0, (acc, t) -> acc + length(t))").as("sum_len"),
             element_at(map(lit("n"), size(col("tokens"))), "n").as("m_n"),
             array_join(expr("map_keys(map('a', 1, 'b', 2))"), ",").as("mkeys"))
+          // r21 (guide §1): materialize once before the presentation
+          // sort — no exchange below it, so the sampler otherwise
+          // re-runs the whole scan+projection
+          .localCheckpoint()
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,

@@ -23,6 +23,10 @@ private[queries] object RelationalJoins {
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
           // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
           // — order by every selected column so the sort is total.
+          // r21: a materialize-before-sort was tried and reverted
+          // (neutral at 0.64 s→0.65 s — the projection is free, so the
+          // sampler's redo ≈ the checkpoint write) — and the pruned
+          // FileScan is this query's pinned evidence.
           .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -42,6 +46,10 @@ private[queries] object RelationalJoins {
             col("l_linestatus").like("%"))
           .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
             col("l_linestatus"), col("l_quantity"), col("l_discount"))
+          // r21 (guide §1): materialize once before the presentation
+          // sort — no exchange below it, so the sampler otherwise
+          // re-runs the whole scan+projection
+          .localCheckpoint()
           .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
             col("l_linestatus"), col("l_quantity"), col("l_discount"))
       },

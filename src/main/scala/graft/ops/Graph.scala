@@ -31,6 +31,13 @@ object Graph {
     require(rounds >= 0, "pagerank: rounds must be >= 0")
     val Seq(ea, eb) = pairs.columns.toSeq.take(2)
     val p = pairs.select(col(ea).as("id_a"), col(eb).as("id_b")).localCheckpoint()
+    // r21: a src-hash repartition before this checkpoint was tried and
+    // reverted (no change at sf0.1, +0.2 s on q_text_keywords): the
+    // per-round edges ⋈ contrib join broadcasts the node-sized contrib
+    // side, so the edge list is streamed in place, never re-shuffled —
+    // the extra exchange bought nothing. At cluster scale with a
+    // node set too big to broadcast, partition-once-join-many is the
+    // right shape; revisit if the broadcast threshold is ever crossed.
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()

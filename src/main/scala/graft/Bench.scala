@@ -512,6 +512,17 @@ object Bench {
       // pay the query's full cost, so min-of-N measures the query, not
       // a warm intra-query cache.
       spark.catalog.clearCache()
+      // r21 twin of the above for localCheckpoint blocks: clearCache()
+      // only drops SQL caches; checkpointed RDD blocks from finished
+      // iterations linger until a GC lets the ContextCleaner reclaim
+      // them, and across a 244-query sweep the accumulation evicts
+      // storage memory and creeps the cache-reusing tail upward
+      // (measured +0.1→+0.8 s base→final on q_heavy_hitters_cms,
+      // q_text_search, q_pipeline_rag et al. as the round-21 sweeps
+      // accumulated more checkpoints). Nothing from a finished run may
+      // carry into the next — the same no-cross-run-cache rule.
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
       r
     }
     val fns = ordered.toMap
